@@ -1,0 +1,38 @@
+"""Writer modules (reference W1–W10, SURVEY.md §2.4) as DataFrame transforms.
+
+Module contract: ``transform(df, config) -> dict[str, DataFrame]`` — one
+DataFrame per output dataset group (most modules emit one), plus optional
+``aggregates(df, config)`` for job-summary metadata (T6). The registry
+mirrors the reference's WriterRegistrar (src/WriterRegistrar.h): schema id →
+module, with the template module claiming multiple ids.
+"""
+
+from __future__ import annotations
+
+from . import ad00, al00, da00, ep01, ev44, f144, mdat, se00, tdct, template  # noqa: F401
+
+# schema id → module (reference: static registration, e.g. f144_Writer.cpp:304-305)
+REGISTRY = {
+    "f144": f144,
+    "ev44": ev44,
+    "se00": se00,
+    "ad00": ad00,
+    "da00": da00,
+    "al00": al00,
+    "ep01": ep01,
+    "tdct": tdct,
+    "mdat": mdat,
+}
+
+
+def get_module(module_id: str):
+    try:
+        return REGISTRY[module_id]
+    except KeyError:
+        raise KeyError(f"unknown writer module id: {module_id!r}") from None
+
+
+def accepts_repeated_timestamps(module_id: str) -> bool:
+    """F4 opt-in flag (reference WriterModuleBase.h:36,55): ev44 accepts
+    repeated timestamps; scalar-log-style modules do not."""
+    return getattr(REGISTRY[module_id], "ACCEPTS_REPEATED_TIMESTAMPS", False)

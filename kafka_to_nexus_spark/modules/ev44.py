@@ -1,0 +1,71 @@
+"""W2 — ev44 neutron events: NXevent_data.
+
+Per message: append per-event arrays ``time_of_flight → event_time_offset``
+and ``pixel_ids → event_id``; per-pulse ``reference_time → event_time_zero``
+and ``event_index = reference_time_index + (cumulative events written before
+this message)`` — the monotone index linking pulses to event rows.
+
+Reference: src/WriterModule/ev44/ev44_Writer.cpp:92-144 (index shift :107-117),
+config ev44_Writer.h:48-57 (chunk 1M, cue 1e8 events). Buffered (pre-start
+as-of) messages are NOT written (ev44_Writer.cpp:94-97).
+
+Spark form: the cumulative shift is a running sum of per-message event counts
+over arrival order — `sum(size(time_of_flight)) over (rows unbounded
+preceding, -1)`. Single global ordering is required for exact parity with the
+reference's single-writer append order; at scale, order per (topic,
+partition) instead and the index is monotone per partition (same guarantee
+the reference gives across partitions: none).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ACCEPTS_REPEATED_TIMESTAMPS = True
+WRITES_BUFFERED = False
+DEFAULTS = {"cue_interval": 100_000_000, "chunk_size": 1 << 20}
+
+
+def _drop_buffered(df: DataFrame) -> DataFrame:
+    if "is_buffered_message" in df.columns:
+        return df.filter(~F.col("is_buffered_message"))
+    return df
+
+
+def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
+    df = _drop_buffered(df)
+    w = Window.orderBy("partition", "offset")
+    n_events = F.size("time_of_flight")
+    with_cum = df.withColumn(
+        "_events_before",
+        F.coalesce(
+            F.sum(n_events).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).cast("long"),
+    )
+    events = with_cum.select(
+        F.posexplode(F.arrays_zip("time_of_flight", "pixel_ids")).alias("_pos", "_e"),
+        "_events_before",
+    ).select(
+        F.col("_e.time_of_flight").alias("event_time_offset"),
+        F.col("_e.pixel_ids").alias("event_id"),
+        (F.col("_events_before") + F.col("_pos")).alias("_global_index"),
+    )
+    pulses = with_cum.select(
+        F.posexplode(F.col("reference_time")).alias("_pos", "event_time_zero"),
+        F.coalesce(
+            F.element_at(F.col("reference_time_index"), F.col("_pos") + 1), F.lit(0)
+        ).alias("_rti"),
+        "_events_before",
+    ).select(
+        "event_time_zero",
+        (F.col("_rti") + F.col("_events_before")).alias("event_index"),
+    )
+    return {"events": events, "pulses": pulses}
+
+
+def aggregates(df: DataFrame, config: dict | None = None) -> DataFrame:
+    """Event-count metadata (`events`, ev44_Writer.cpp metadata dataset)."""
+    return _drop_buffered(df).agg(
+        F.coalesce(F.sum(F.size("time_of_flight")), F.lit(0)).cast("long").alias("events")
+    )

@@ -1,0 +1,47 @@
+"""W1 — f144 scalar log: NXlog = {time, value, cue_*} + running min/max/mean.
+
+Reference: src/WriterModule/f144/f144_Writer.cpp:197-301 (write path),
+config f144_Writer.h:79-96 (dtype default 'double', chunk 1024,
+cue_interval ~off), aggregates published as metadata datasets
+minimum_value / maximum_value / average_value with units.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cue_table, with_row_index
+from ..schemas import spark_type_for
+
+ACCEPTS_REPEATED_TIMESTAMPS = False
+DEFAULTS = {"dtype": "double", "cue_interval": None, "value_units": None, "chunk_size": 1024}
+
+
+def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
+    cfg = {**DEFAULTS, **(config or {})}
+    out = (
+        with_row_index(df)
+        .select(
+            "row_index",
+            F.col("timestamp").alias("time"),
+            F.col("value").cast(spark_type_for(cfg["dtype"])).alias("value"),
+        )
+    )
+    result = {"log": out.drop("row_index") if not cfg["cue_interval"] else out}
+    if cfg["cue_interval"]:
+        result["cue"] = cue_table(out, cfg["cue_interval"])
+        result["log"] = out.drop("row_index")
+    return result
+
+
+def aggregates(df: DataFrame, config: dict | None = None) -> DataFrame:
+    """Running min/max/mean over written values → job-summary metadata (T6).
+    mean = sum/count exactly as the reference accumulates it
+    (f144_Writer.cpp:265-287). Partial aggregation (map-side combine) makes
+    this a near-free pass at scale."""
+    return df.agg(
+        F.min("value").alias("minimum_value"),
+        F.max("value").alias("maximum_value"),
+        (F.sum("value") / F.count("value")).alias("average_value"),
+    )

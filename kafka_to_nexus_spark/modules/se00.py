@@ -1,0 +1,69 @@
+"""W3 — se00 sample-environment arrays with timestamp synthesis.
+
+Per message: append the value-array chunk; timestamps are the explicit
+``timestamps[]`` when present, else synthesized ``t_i = packet_timestamp +
+round(i * time_delta)``. Per-chunk cue pair (current_size, packet_ts).
+
+Reference: src/WriterModule/se00/se00_Writer.cpp:82-90 (synthesis),
+:135-221 (write path, 10 array dtypes).
+
+Spark form: ``posexplode(values)`` + a `when` choosing explicit vs
+synthesized timestamp — all JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import spark_type_for
+
+ACCEPTS_REPEATED_TIMESTAMPS = False
+DEFAULTS = {"dtype": "double", "cue_interval": None}
+
+
+def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
+    cfg = {**DEFAULTS, **(config or {})}
+    exploded = df.select(
+        "partition",
+        "offset",
+        "packet_timestamp",
+        "time_delta",
+        "timestamps",
+        F.posexplode(F.col("values")).alias("pos", "raw_value"),
+    )
+    synthesized = (
+        F.col("packet_timestamp")
+        + F.round(F.col("pos") * F.col("time_delta")).cast("long")
+    )
+    out = exploded.select(
+        "partition",
+        "offset",
+        F.when(
+            F.col("timestamps").isNotNull() & (F.size("timestamps") > 0),
+            F.element_at(F.col("timestamps"), F.col("pos") + 1),
+        )
+        .otherwise(synthesized)
+        .alias("time"),
+        F.col("raw_value").cast(spark_type_for(cfg["dtype"])).alias("value"),
+    )
+    return {"log": out.select("time", "value")}
+
+
+def cue(df: DataFrame) -> DataFrame:
+    """Per-chunk cue: (elements written before this chunk, packet_ts).
+    Reference: se00_Writer.cpp:205-206."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("partition", "offset")
+    return df.select(
+        "partition",
+        "offset",
+        F.size("values").alias("_n"),
+        F.col("packet_timestamp").alias("cue_timestamp_zero"),
+    ).select(
+        F.coalesce(
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).cast("long").alias("cue_index"),
+        "cue_timestamp_zero",
+    )

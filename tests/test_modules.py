@@ -1,0 +1,214 @@
+"""Writer-module transform tests — goldens from the reference domain tests
+(domain-tests/test_writer_modules.py) using the reference's own JSON data
+fixture read as data from /root/reference."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import DOMAIN_DATA
+from kafka_to_nexus_spark.modules import (
+    accepts_repeated_timestamps,
+    ad00,
+    al00,
+    da00,
+    ep01,
+    ev44,
+    f144,
+    mdat,
+    se00,
+    tdct,
+)
+from kafka_to_nexus_spark.operators import filters
+from kafka_to_nexus_spark.sources.fixtures import messages_from_file, messages_from_json
+
+NS = 1_000_000
+START, STOP = 10_000 * NS, 15_000 * NS
+
+
+@pytest.fixture(scope="module")
+def writer_modules_df(spark):
+    df = messages_from_file(spark, DOMAIN_DATA / "writer_modules_data.json")
+    return filters.with_asof_buffer(df, START, STOP).cache()
+
+
+def pipeline(df, schema, source):
+    return filters.source_filter(df, schema, source)
+
+
+def test_f144_golden(spark, writer_modules_df):
+    # golden: value [10, 15], time [10100000000, 10110000000], min 10 max 15 mean 12.5
+    src = pipeline(writer_modules_df, "f144", "local:choppers:rotation_speed")
+    src = filters.drop_repeated_timestamps(src)
+    out = f144.transform(src)["log"]
+    rows = sorted(out.collect(), key=lambda r: r.time)
+    assert [r.value for r in rows] == [10.0, 15.0]
+    assert [r.time for r in rows] == [10_100_000_000, 10_110_000_000]
+    agg = f144.aggregates(out).collect()[0]
+    assert agg.minimum_value == 10.0
+    assert agg.maximum_value == 15.0
+    assert agg.average_value == 12.5
+
+
+def test_f144_dtype_cast(spark):
+    df = messages_from_json(spark, [{"schema": "f144", "topic": "t", "source_name": "s",
+                                     "timestamp": 10_100, "kafka_timestamp": 10_100, "value": 10.7}])
+    out = f144.transform(df, {"dtype": "int32"})["log"].collect()
+    assert out[0].value == 10 and isinstance(out[0].value, int)
+
+
+def test_ep01_golden(spark, writer_modules_df):
+    # golden: connection_status [2, 2], times [10101000000, 10111000000]
+    src = pipeline(writer_modules_df, "ep01", "local:choppers:rotation_speed")
+    out = ep01.transform(src)["status"]
+    rows = sorted(out.collect(), key=lambda r: r.connection_status_time)
+    assert [r.connection_status for r in rows] == [2, 2]
+    assert [r.connection_status_time for r in rows] == [10_101_000_000, 10_111_000_000]
+
+
+def test_al00_golden(spark, writer_modules_df):
+    # golden: severity [1, 0], messages about chopper speed
+    src = pipeline(writer_modules_df, "al00", "local:choppers:rotation_speed")
+    out = al00.transform(src)["alarms"]
+    rows = sorted(out.collect(), key=lambda r: r.alarm_time)
+    assert [r.alarm_severity for r in rows] == [1, 0]
+    assert rows[0].alarm_message == "Chopper speed is too low"
+    assert rows[1].alarm_message == "Chopper speed is perfect"
+    assert [r.alarm_time for r in rows] == [10_102_000_000, 10_112_000_000]
+
+
+def test_al00_empty_message_default(spark):
+    df = messages_from_json(spark, [{"schema": "al00", "topic": "t", "source_name": "s",
+                                     "timestamp": 10_100, "kafka_timestamp": 10_100,
+                                     "severity": "Severity::OK", "message": ""}])
+    out = al00.transform(df)["alarms"].collect()
+    assert out[0].alarm_message == "NO ALARM MESSAGE"
+
+
+def test_ev44_explode_and_index(spark):
+    rows = [
+        {"schema": "ev44", "topic": "t", "source_name": "d", "kafka_timestamp": 11_000,
+         "timestamp": 11_000, "message_id": 0, "reference_time": 11_000,
+         "time_of_flight": [100, 200, 300], "pixel_ids": [1, 2, 3], "offset": 0},
+        {"schema": "ev44", "topic": "t", "source_name": "d", "kafka_timestamp": 12_000,
+         "timestamp": 12_000, "message_id": 1, "reference_time": 12_000,
+         "time_of_flight": [400, 500], "pixel_ids": [4, 5], "offset": 1},
+    ]
+    out = ev44.transform(messages_from_json(spark, rows))
+    events = sorted(out["events"].collect(), key=lambda r: r._global_index)
+    assert [e.event_time_offset for e in events] == [100, 200, 300, 400, 500]
+    assert [e.event_id for e in events] == [1, 2, 3, 4, 5]
+    pulses = sorted(out["pulses"].collect(), key=lambda r: r.event_time_zero)
+    # monotone event_index: 0 then 0+3
+    assert [p.event_index for p in pulses] == [0, 3]
+    assert [p.event_time_zero for p in pulses] == [11_000_000_000, 12_000_000_000]
+    agg = ev44.aggregates(messages_from_json(spark, rows)).collect()[0]
+    assert agg.events == 5
+
+
+def test_ev44_skips_buffered(spark):
+    rows = [{"schema": "ev44", "topic": "t", "source_name": "d", "kafka_timestamp": 9_000,
+             "timestamp": 9_000, "message_id": 0, "reference_time": 9_000,
+             "time_of_flight": [1], "pixel_ids": [1], "offset": 0}]
+    df = filters.with_asof_buffer(messages_from_json(spark, rows), START, STOP)
+    out = ev44.transform(df)
+    assert out["events"].count() == 0  # ev44 pre-start NOT written
+
+
+def test_accepts_repeated_flags():
+    assert accepts_repeated_timestamps("ev44") is True
+    assert accepts_repeated_timestamps("f144") is False
+
+
+def test_se00_explicit_timestamps(spark):
+    rows = [{"schema": "se00", "topic": "t", "source_name": "s", "kafka_timestamp": 11_000,
+             "timestamp": 11_000, "packet_timestamp": 11_000_000_000, "time_delta": 0.0,
+             "timestamps": [11_000_000_000, 11_000_000_100], "values": [1.5, 2.5], "offset": 0}]
+    out = se00.transform(messages_from_json(spark, rows))["log"].collect()
+    assert [(r.time, r.value) for r in sorted(out, key=lambda r: r.time)] == [
+        (11_000_000_000, 1.5), (11_000_000_100, 2.5)]
+
+
+def test_se00_synthesized_timestamps(spark):
+    # t_i = packet_ts + round(i * time_delta)  (se00_Writer.cpp:82-90)
+    rows = [{"schema": "se00", "topic": "t", "source_name": "s", "kafka_timestamp": 11_000,
+             "timestamp": 11_000, "packet_timestamp": 1_000, "time_delta": 2.5,
+             "timestamps": None, "values": [1.0, 2.0, 3.0], "offset": 0}]
+    out = se00.transform(messages_from_json(spark, rows))["log"].collect()
+    times = [r.time for r in sorted(out, key=lambda r: r.value)]
+    assert times == [1_000, 1_003, 1_005]  # round(2.5)=3 (half-up), round(5.0)=5
+
+
+def test_se00_cue(spark):
+    rows = [
+        {"schema": "se00", "topic": "t", "source_name": "s", "kafka_timestamp": 11_000,
+         "timestamp": 11_000, "packet_timestamp": 100, "time_delta": 1.0,
+         "values": [1.0, 2.0, 3.0], "offset": 0},
+        {"schema": "se00", "topic": "t", "source_name": "s", "kafka_timestamp": 12_000,
+         "timestamp": 12_000, "packet_timestamp": 200, "time_delta": 1.0,
+         "values": [4.0], "offset": 1},
+    ]
+    cues = sorted(se00.cue(messages_from_json(spark, rows)).collect(), key=lambda r: r.cue_index)
+    assert [(c.cue_index, c.cue_timestamp_zero) for c in cues] == [(0, 100), (3, 200)]
+
+
+def test_ad00_frames(spark):
+    rows = [{"schema": "ad00", "topic": "t", "source_name": "cam", "kafka_timestamp": 11_000,
+             "timestamp": 11_000, "data": [[1, 2, 3], [4, 5, 6]], "offset": 0}]
+    out = ad00.transform(messages_from_json(spark, rows), {"dtype": "uint16"})["frames"].collect()
+    assert out[0].shape == [2, 3]
+    assert out[0].data == [1, 2, 3, 4, 5, 6]
+    assert out[0].time == 11_000_000_000
+
+
+def test_ad00_max_shape(spark):
+    rows = [
+        {"schema": "ad00", "topic": "t", "source_name": "cam", "kafka_timestamp": 11_000,
+         "timestamp": 11_000, "data": [[1, 2], [3, 4]], "offset": 0},
+        {"schema": "ad00", "topic": "t", "source_name": "cam", "kafka_timestamp": 12_000,
+         "timestamp": 12_000, "data": [[1, 2, 3]], "offset": 1},
+    ]
+    shapes = {r.dim: r.max_extent for r in ad00.max_shape(messages_from_json(spark, rows)).collect()}
+    assert shapes == {0: 2, 1: 3}
+
+
+def test_tdct_explode_and_reject_empty(spark):
+    rows = [
+        {"schema": "tdct", "topic": "t", "source_name": "c", "kafka_timestamp": 11_000,
+         "timestamp": 11_000, "timestamps": [5, 6, 7], "offset": 0},
+        {"schema": "tdct", "topic": "t", "source_name": "c", "kafka_timestamp": 12_000,
+         "timestamp": 12_000, "timestamps": [], "offset": 1},
+    ]
+    out = tdct.transform(messages_from_json(spark, rows))["tdc"].collect()
+    assert sorted(r.time for r in out) == [5, 6, 7]
+
+
+def test_da00_fixture_form(spark):
+    rows = [{"schema": "da00", "topic": "t", "source_name": "h", "kafka_timestamp": 11_000,
+             "timestamp": 11_000, "name": "histogram", "axis_name": "x",
+             "data": [1, 2, 3], "offset": 0}]
+    out = da00.transform(messages_from_json(spark, rows))["frames"].collect()
+    assert out[0].variable == "histogram" and out[0].data == [1.0, 2.0, 3.0]
+
+
+def test_da00_config_refinement():
+    cfg = da00.VariableConfig.from_json({"name": "v", "unit": "m"})
+    observed = da00.VariableConfig.from_json(
+        {"name": "v", "unit": "mm", "data_type": "int32", "shape": [10]})
+    warnings = cfg.refine_from(observed)
+    assert cfg.data_type == "int32" and cfg.shape == [10]  # unset fields filled
+    assert any("unit" in w for w in warnings)  # mismatch reported, not overwritten
+    assert cfg.unit == "m"
+
+
+def test_da00_edge_linspace():
+    assert da00.expand_edge([1.0, 2.0, 3.0]) == [1.0, 2.0, 3.0]
+    assert da00.expand_edge({"first": 0, "last": 10, "size": 5}) == [0.0, 2.5, 5.0, 7.5, 10.0]
+
+
+def test_mdat_values():
+    out = mdat.values({"items": ["start_time", "end_time", "bogus"]}, 10_000, 15_000)
+    assert out == {"start_time": "1970-01-01T00:00:10.000Z", "end_time": "1970-01-01T00:00:15.000Z"}
+    out2 = mdat.values({"items": ["start_time", "end_time"]}, 10_000, None)
+    assert "end_time" not in out2
