@@ -1,0 +1,480 @@
+"""Paired (Spark, DuckDB-oracle) queries over the driver's synthetic tables.
+
+Each entry maps a SURVEY.md §2 operator (or a scale extra: dedup, similarity
+search, text analysis) onto the testdata tables:
+
+- ``events`` stands in for the message-envelope stream (FIXTURES.md §5):
+  user_id ~ source, event_id ~ offset, ts ~ event time, value ~ payload.
+- TPC-H-ish tables exercise join/agg/top-k plans at bench scale.
+- ``documents`` / ``embeddings`` carry the LLM-pipeline operators.
+
+Determinism rules (driver hashes values after sorting columns by name):
+- double sums go through DECIMAL casts (exact, order-independent), then CAST
+  back to DOUBLE — identical bits in both engines;
+- every ratio/avg is ``round(x, 6)``;
+- top-k queries order by (rounded metric, unique id) so ties are stable;
+- integer outputs are CAST to BIGINT (Spark row_number is INT, DuckDB's is
+  BIGINT);
+- both engines hash/min md5 hex strings, never engine-specific hashes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Job window over the events stream (events span 2024-01-01 .. ~2024-01-12).
+T_START = "2024-01-03 00:00:00"
+T_STOP = "2024-01-10 00:00:00"
+
+STOPWORDS = "'the','a','of','and','is'"
+
+
+# The driver's parquet files store TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; read them as long (legacy flag) and convert ns → µs
+# timestamps to match DuckDB's TIMESTAMP (µs) view of the same files.
+TIMESTAMP_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for c in TIMESTAMP_COLS.get(t, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                # integer div: double division loses precision at ~1.7e18 ns
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        df.createOrReplaceTempView(t)
+
+
+def _sql(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(SPARK_SQL[name])
+
+    run.__name__ = f"query_{name}"
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL texts (dialect: Spark). DuckDB oracles below mirror each.
+# ---------------------------------------------------------------------------
+
+SPARK_SQL: dict[str, str] = {}
+ORACLE: dict[str, str] = {}
+
+# --- F1 source filter (SourceFilter.cpp:73-78) ------------------------------
+SPARK_SQL["f1_source_filter"] = ORACLE["f1_source_filter"] = f"""
+SELECT event_id, user_id, ts, value
+FROM events WHERE event_type = 'purchase'
+"""
+
+# --- F2 time-window predicate (SourceFilter.cpp:101-118) --------------------
+SPARK_SQL["f2_time_window"] = ORACLE["f2_time_window"] = f"""
+SELECT event_id, ts, value
+FROM events
+WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_STOP}'
+"""
+
+# --- F3 as-of buffering: window rows + latest pre-start row per source ------
+# (SourceFilter.cpp:61-66,101-116)
+_ASOF_BODY = f"""
+WITH pre AS (
+  SELECT event_id, user_id, ts, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{T_START}'
+  ) WHERE rn = 1
+)
+SELECT event_id, user_id, ts, value, TRUE AS is_buffered FROM pre
+UNION ALL
+SELECT event_id, user_id, ts, value, FALSE AS is_buffered FROM events
+WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_STOP}'
+"""
+SPARK_SQL["f3_asof_buffer"] = ORACLE["f3_asof_buffer"] = _ASOF_BODY
+
+# --- F4 repeated-timestamp dedup (SourceFilter.cpp:90-95) -------------------
+SPARK_SQL["f4_dedup_repeated"] = ORACLE["f4_dedup_repeated"] = """
+SELECT event_id FROM (
+  SELECT event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+  FROM events
+) WHERE prev_ts IS NULL OR ts <> prev_ts
+"""
+
+# --- F5 out-of-order detection (SourceFilter.cpp:96-98) ---------------------
+SPARK_SQL["f5_out_of_order"] = ORACLE["f5_out_of_order"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_out_of_order FROM (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+  FROM events
+) WHERE prev_ts IS NOT NULL AND ts < prev_ts
+GROUP BY user_id
+"""
+
+# --- D5 offset-gap detection (Partition.cpp:226-230) ------------------------
+SPARK_SQL["d5_offset_gaps"] = ORACLE["d5_offset_gaps"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps FROM (
+  SELECT event_type, event_id,
+         lag(event_id) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_id
+  FROM events
+) WHERE prev_id IS NOT NULL AND event_id <> prev_id + 1
+GROUP BY event_type
+"""
+
+# --- W1 f144 running aggregates (f144_Writer.cpp:265-287) -------------------
+SPARK_SQL["w1_f144_stats"] = ORACLE["w1_f144_stats"] = """
+SELECT user_id,
+       min(value) AS minimum_value,
+       max(value) AS maximum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS average_value,
+       CAST(count(value) AS BIGINT) AS n_values
+FROM events GROUP BY user_id
+"""
+
+# --- K4 cue (skip) index (f144_Writer.cpp:259-263) --------------------------
+SPARK_SQL["k4_cue_index"] = ORACLE["k4_cue_index"] = """
+SELECT event_type, CAST(rn - 1 AS BIGINT) AS cue_index, event_id, ts AS cue_timestamp_zero
+FROM (
+  SELECT event_type, event_id, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn % 100 = 0
+"""
+
+# --- W2 ev44 cumulative event_index (ev44_Writer.cpp:107-117) ---------------
+SPARK_SQL["w2_event_index"] = ORACLE["w2_event_index"] = """
+SELECT event_id,
+       CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS event_index
+FROM (SELECT event_type, event_id, CAST(floor(value) AS BIGINT) AS n FROM events)
+"""
+
+# --- W3 se00 timestamp synthesis (se00_Writer.cpp:82-90) --------------------
+SPARK_SQL["w3_timestamp_synthesis"] = """
+SELECT event_id, CAST(pos AS BIGINT) AS pos,
+       unix_micros(ts) + pos * 1000 AS synth_us
+FROM events LATERAL VIEW explode(sequence(0, 3)) t AS pos
+"""
+ORACLE["w3_timestamp_synthesis"] = """
+SELECT event_id, CAST(t.i AS BIGINT) AS pos,
+       epoch_us(ts) + t.i * 1000 AS synth_us
+FROM events, unnest(range(0, 4)) AS t(i)
+"""
+
+# --- W6 al00 severity coding + message default (al00_Writer.cpp:57-70) ------
+SPARK_SQL["w6_severity_code"] = ORACLE["w6_severity_code"] = """
+SELECT event_id,
+       CAST(CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 2
+            WHEN 'signup' THEN 1 ELSE 0 END AS SMALLINT) AS severity,
+       coalesce(nullif(props, ''), 'NO ALARM MESSAGE') AS message
+FROM events
+"""
+
+# --- T6 job-summary metadata (MetaData::Tracker) ----------------------------
+SPARK_SQL["t6_job_summary"] = ORACLE["t6_job_summary"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_messages,
+       min(ts) AS start_ts, max(ts) AS stop_ts,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+"""
+
+# --- streaming-style ops in batch form --------------------------------------
+SPARK_SQL["sessionize"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR unix_micros(ts) - unix_micros(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+) GROUP BY user_id
+"""
+ORACLE["sessionize"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+) GROUP BY user_id
+"""
+
+SPARK_SQL["tumbling_window"] = ORACLE["tumbling_window"] = """
+SELECT date_trunc('day', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY date_trunc('day', ts), event_type
+"""
+
+# --- TPC-H-ish plans (join/agg/top-k coverage at bench scale) ---------------
+SPARK_SQL["q1_pricing_summary"] = ORACLE["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+SPARK_SQL["q3_shipping_priority"] = ORACLE["q3_shipping_priority"] = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+SPARK_SQL["q5_local_supplier"] = ORACLE["q5_local_supplier"] = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+SPARK_SQL["q6_forecast_revenue"] = ORACLE["q6_forecast_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+SPARK_SQL["q18_large_orders"] = ORACLE["q18_large_orders"] = """
+SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate, o_totalprice
+HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+# --- LLM-pipeline: text analysis --------------------------------------------
+SPARK_SQL["doc_fingerprint"] = ORACLE["doc_fingerprint"] = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
+FROM documents
+"""
+
+SPARK_SQL["dedup_exact"] = ORACLE["dedup_exact"] = """
+SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+_MINHASH_SPARK_SHINGLES = """
+SELECT doc_id,
+       transform(sequence(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5)) AS shingles
+FROM documents
+"""
+SPARK_SQL["minhash_signatures"] = f"""
+SELECT doc_id,
+       array_min(transform(shingles, s -> md5(concat(s, '0')))) AS m0,
+       array_min(transform(shingles, s -> md5(concat(s, '1')))) AS m1,
+       array_min(transform(shingles, s -> md5(concat(s, '2')))) AS m2,
+       array_min(transform(shingles, s -> md5(concat(s, '3')))) AS m3
+FROM ({_MINHASH_SPARK_SHINGLES})
+"""
+_MINHASH_DUCK_SHINGLES = """
+SELECT doc_id,
+       [substr(text, i, 5) for i in range(1, greatest(length(text) - 4, 1) + 1)] AS shingles
+FROM documents
+"""
+ORACLE["minhash_signatures"] = f"""
+SELECT doc_id,
+       list_min([md5(s || '0') for s in shingles]) AS m0,
+       list_min([md5(s || '1') for s in shingles]) AS m1,
+       list_min([md5(s || '2') for s in shingles]) AS m2,
+       list_min([md5(s || '3') for s in shingles]) AS m3
+FROM ({_MINHASH_DUCK_SHINGLES})
+"""
+
+SPARK_SQL["minhash_lsh_buckets"] = f"""
+WITH sig AS ({SPARK_SQL["minhash_signatures"]})
+SELECT m0, m1, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+FROM sig GROUP BY m0, m1 HAVING count(*) > 1
+"""
+ORACLE["minhash_lsh_buckets"] = f"""
+WITH sig AS ({ORACLE["minhash_signatures"]})
+SELECT m0, m1, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+FROM sig GROUP BY m0, m1 HAVING count(*) > 1
+"""
+
+SPARK_SQL["text_quality"] = f"""
+SELECT doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')), 6) AS avg_token_len,
+       CAST(size(filter(split(text, ' '), t -> t IN ({STOPWORDS}))) AS BIGINT) AS n_stopwords,
+       round(CAST(size(filter(split(text, ' '), t -> t IN ({STOPWORDS}))) AS DOUBLE)
+             / size(split(text, ' ')), 6) AS stopword_ratio
+FROM documents
+"""
+ORACLE["text_quality"] = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+       CAST(len([t for t in string_split(text, ' ') if list_contains([{STOPWORDS}], t)]) AS BIGINT) AS n_stopwords,
+       round(CAST(len([t for t in string_split(text, ' ') if list_contains([{STOPWORDS}], t)]) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stopword_ratio
+FROM documents
+"""
+
+SPARK_SQL["token_count_by_source"] = """
+SELECT source, CAST(sum(size(split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+ORACLE["token_count_by_source"] = """
+SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+SPARK_SQL["lang_profile"] = ORACLE["lang_profile"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+# --- LLM-pipeline: similarity search ----------------------------------------
+SPARK_SQL["ann_cosine_topk"] = """
+WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), qe, (x, y) -> x * y),
+                   CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS dot,
+         sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS n1,
+         sqrt(aggregate(transform(qe, x -> x * x),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS n2
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+)
+SELECT vec_id, round(dot / (n1 * n2), 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+ORACLE["ann_cosine_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+SPARK_SQL["ivf_bucket_counts"] = """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS ARRAY<DOUBLE>) AS ce
+           FROM embeddings WHERE vec_id < 8),
+a AS (
+  SELECT e.vec_id,
+         max_by(c.centroid_id,
+                struct(aggregate(zip_with(CAST(e.embedding AS ARRAY<DOUBLE>), c.ce, (x, y) -> x * y),
+                                 CAST(0.0 AS DOUBLE), (s, x) -> s + x),
+                       -c.centroid_id)) AS centroid_id
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+)
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs FROM a GROUP BY centroid_id
+"""
+ORACLE["ivf_bucket_counts"] = """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+                                     c.centroid_id) AS rn
+  FROM embeddings e, c
+)
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+FROM scored WHERE rn = 1 GROUP BY centroid_id
+"""
+
+SPARK_SQL["embedding_label_stats"] = """
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x),
+                                          CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+ORACLE["embedding_label_stats"] = """
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Public API consumed by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _sql(name) for name in SPARK_SQL}
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the engine's signature pipeline — as-of windowed scan +
+    per-source running aggregates (F2+F3+W1) on the events stream."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH windowed AS ({_ASOF_BODY})
+        SELECT user_id,
+               min(value) AS minimum_value,
+               max(value) AS maximum_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS average_value,
+               CAST(count(*) AS BIGINT) AS n_messages,
+               CAST(sum(CASE WHEN is_buffered THEN 1 ELSE 0 END) AS BIGINT) AS n_buffered
+        FROM windowed GROUP BY user_id
+        """
+    )

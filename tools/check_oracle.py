@@ -1,0 +1,85 @@
+"""Local replica of the driver's correctness gate: run each Spark query and
+its DuckDB oracle side-by-side, compare row count + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from kafka_to_nexus_spark import queries as Q
+from kafka_to_nexus_spark.session import get_spark
+
+
+def normalize(df) -> list[tuple]:
+    """Column-name-sorted, row-sorted stringified values (driver analog)."""
+    cols = sorted(df.columns)
+    rows = []
+    for rec in df[cols].itertuples(index=False):
+        row = []
+        for v in rec:
+            if isinstance(v, float):
+                row.append(f"{v:.6f}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(
+        app_name="oracle-check",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    con = duckdb.connect()
+    for t in Q.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = Q.queries(), Q.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_df = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        a, b = normalize(spark_df), normalize(duck_df)
+        if len(a) != len(b):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
+        elif a != b:
+            failures.append(name)
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+        else:
+            print(f"OK   {name}: {len(a)} rows")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
