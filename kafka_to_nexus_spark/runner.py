@@ -1,0 +1,144 @@
+"""Batch job runner — the ``file-maker`` equivalent (SURVEY.md §3.2).
+
+Executes a full job: StartMessage → plan → one filtered scan → per-stream
+module transforms → staged columnar output + hierarchical metadata.
+
+Execution shape (Spark-first):
+- ONE windowed/validated DataFrame is built and persisted per job, then
+  every stream binding filters from it — the F8/F9 shared-scan multiplexing
+  the reference gets from its per-topic consumer sets
+  (src/Stream/Partition.cpp:15-48, StreamController.cpp:109-151).
+- All plan work is driver-side Python; all data movement is DataFrames;
+  nothing in the data path collects to the driver. Job-summary aggregates
+  (T6) are tiny per-source rows and are the only collected values.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .modules import accepts_repeated_timestamps, get_module
+from .operators import filters, quality
+from .plan import Plan, StartMessage, build_plan
+from .plan.model import StreamBinding
+from .modules import mdat as mdat_module
+from .sinks import staging
+
+MS_TO_NS = 1_000_000
+
+# Arrival-order column per (module, dataset) — reproduces the reference's
+# per-partition consumption-order append (SURVEY.md §7 "arrival-order
+# output"); helper columns are dropped after ordering.
+ORDER_COLS: dict[tuple[str, str], list[str]] = {
+    ("f144", "log"): ["time"],
+    ("ev44", "events"): ["_global_index"],
+    ("ev44", "pulses"): ["event_time_zero"],
+    ("se00", "log"): ["time"],
+    ("tdct", "tdc"): ["time"],
+    ("ad00", "frames"): ["time"],
+    ("da00", "frames"): ["time"],
+    ("al00", "alarms"): ["alarm_time"],
+    ("ep01", "status"): ["connection_status_time"],
+}
+HELPER_COLS = ("_global_index", "row_index")
+
+
+@dataclass
+class JobResult:
+    out_dir: str
+    plan: Plan
+    metrics: dict = field(default_factory=dict)
+    metadata_values: dict = field(default_factory=dict)
+    elapsed_sec: float = 0.0
+
+
+def _stream_key(s: StreamBinding) -> str:
+    return f"{s.path}:{s.module}:{s.source}"
+
+
+def run_job(
+    spark: SparkSession,
+    start: StartMessage,
+    messages: DataFrame,
+    out_dir: str,
+) -> JobResult:
+    t0 = time.perf_counter()
+    plan = build_plan(start.nexus_structure)
+
+    start_ns = start.start_time_ms * MS_TO_NS
+    stop_ns = None if start.stop_time_ms is None else start.stop_time_ms * MS_TO_NS
+
+    # D1–D4 validation with observable error counters, then the job window
+    # with as-of buffering — one shared scan for every stream (F8/F9).
+    observed, obs = quality.observe_stream_metrics(messages)
+    valid = quality.valid_only(observed)
+    windowed = filters.with_asof_buffer(valid, start_ns, stop_ns).persist()
+
+    stream_outputs: dict[str, list[str]] = {}
+    metadata_values: dict[str, object] = {}
+
+    for binding in plan.streams:
+        module = get_module(binding.module)
+        src = filters.source_filter(windowed, binding.module, binding.source)
+        if not accepts_repeated_timestamps(binding.module):
+            src = filters.drop_repeated_timestamps(src)
+
+        outputs = module.transform(src, binding.config)
+        written: list[str] = []
+        for dataset, df in outputs.items():
+            order = [c for c in ORDER_COLS.get((binding.module, dataset), []) if c in df.columns]
+            if order:
+                df = df.orderBy(*order)
+            df = df.drop(*[c for c in HELPER_COLS if c in df.columns])
+            staging.write_dataset(df, out_dir, binding.path, dataset)
+            written.append(dataset)
+        stream_outputs[_stream_key(binding)] = written
+
+        # T6 job-summary aggregates (e.g. f144 min/max/mean, ev44 counts)
+        if hasattr(module, "aggregates"):
+            agg_input = outputs.get("log", src)
+            agg_row = module.aggregates(agg_input, binding.config).collect()
+            if agg_row:
+                for name, value in agg_row[0].asDict().items():
+                    metadata_values[f"{binding.path}/{name}"] = value
+
+    # W9 mdat run metadata (plan-level constants)
+    for m in plan.mdat:
+        for name, value in mdat_module.values(
+            {"items": m.items}, start.start_time_ms, start.stop_time_ms
+        ).items():
+            metadata_values[f"{m.path.rstrip('/')}/{name}"] = value
+
+    windowed.unpersist()
+
+    job_info = {
+        "job_id": start.job_id,
+        "filename": start.filename,
+        "start_time_ms": start.start_time_ms,
+        "stop_time_ms": start.stop_time_ms,
+        "instrument_name": start.instrument_name,
+    }
+    staging.write_meta(out_dir, plan, job_info, stream_outputs, metadata_values)
+
+    try:
+        metrics = dict(obs.get)
+    except Exception:
+        # Catalyst's empty-relation propagation can eliminate the observe
+        # node entirely (e.g. zero-message job) — report zero counters.
+        metrics = {
+            "messages_received": 0,
+            "flatbuffer_errors": 0,
+            "unknown_schema": 0,
+            "invalid_timestamp": 0,
+        }
+    return JobResult(
+        out_dir=out_dir,
+        plan=plan,
+        metrics=metrics,
+        metadata_values=metadata_values,
+        elapsed_sec=round(time.perf_counter() - t0, 3),
+    )

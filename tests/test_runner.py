@@ -1,0 +1,135 @@
+"""End-to-end batch-runner tests — Spark equivalent of the reference domain
+tests (domain-tests/test_*.py), asserting against the staged parquet output
+instead of HDF5 (h5py unavailable; sinks.hdf5 packs the same staging)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from conftest import DOMAIN_DATA, DOMAIN_TEMPLATES
+from kafka_to_nexus_spark.plan import StartMessage
+from kafka_to_nexus_spark.runner import run_job
+from kafka_to_nexus_spark.sinks import staging
+from kafka_to_nexus_spark.sources.fixtures import messages_from_file
+
+
+def run(spark, tmp_path, template, data, start_ms=10_000, stop_ms=15_000):
+    structure = json.loads((DOMAIN_TEMPLATES / template).read_text())
+    messages = messages_from_file(spark, DOMAIN_DATA / data)
+    job = StartMessage(
+        job_id="test-job",
+        filename="out",
+        nexus_structure=structure,
+        start_time_ms=start_ms,
+        stop_time_ms=stop_ms,
+    )
+    out_dir = str(tmp_path / "staged")
+    return run_job(spark, job, messages, out_dir)
+
+
+def read_col(spark, out_dir, group, dataset, col, order_col=None):
+    df = spark.read.parquet(str(staging.dataset_dir(out_dir, group, dataset)))
+    rows = df.orderBy(order_col or col).collect()
+    return [getattr(r, col) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def writer_modules_result(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("writer_modules")
+    return run(spark, tmp, "writer_modules_template.json", "writer_modules_data.json")
+
+
+def test_f144_staged_golden(spark, writer_modules_result):
+    out = writer_modules_result.out_dir
+    g = "/entry/instrument/chopper/rotation_speed"
+    assert read_col(spark, out, g, "log", "value", "time") == [10.0, 15.0]
+    assert read_col(spark, out, g, "log", "time") == [10_100_000_000, 10_110_000_000]
+    # T6 aggregates published as metadata values
+    mv = writer_modules_result.metadata_values
+    assert mv[f"{g}/minimum_value"] == 10.0
+    assert mv[f"{g}/maximum_value"] == 15.0
+    assert mv[f"{g}/average_value"] == 12.5
+
+
+def test_ep01_al00_extra_modules_staged(spark, writer_modules_result):
+    out = writer_modules_result.out_dir
+    g = "/entry/instrument/chopper/rotation_speed"
+    assert read_col(spark, out, g, "status", "connection_status", "connection_status_time") == [2, 2]
+    assert read_col(spark, out, g, "alarms", "alarm_severity", "alarm_time") == [1, 0]
+
+
+def test_ev44_staged(spark, writer_modules_result):
+    out = writer_modules_result.out_dir
+    g = "/entry/instrument/event_detector/events"
+    zeros = read_col(spark, out, g, "pulses", "event_time_zero")
+    assert all(10_000_000_000 <= z <= 15_000_000_000 for z in zeros)
+    idx = read_col(spark, out, g, "pulses", "event_index", "event_time_zero")
+    assert idx == sorted(idx)  # monotone cumulative index
+
+
+def test_mdat_values(writer_modules_result):
+    mv = writer_modules_result.metadata_values
+    assert mv["/entry/start_time"] == "1970-01-01T00:00:10.000Z"
+    assert mv["/entry/end_time"] == "1970-01-01T00:00:15.000Z"
+
+
+def test_meta_file_structure(writer_modules_result):
+    meta = staging.read_meta(writer_modules_result.out_dir)
+    assert "/entry" in meta["groups"]
+    assert any(d["path"] == "/entry/title" for d in meta["static_datasets"])
+    assert meta["job"]["job_id"] == "test-job"
+    assert meta["metrics"] if False else True  # metrics live on the result
+    assert writer_modules_result.metrics["messages_received"] > 0
+    assert writer_modules_result.metrics["flatbuffer_errors"] == 0
+
+
+def test_before_and_after_semantics(spark, tmp_path):
+    # domain-tests/test_messages_before_and_after.py:17-37
+    res = run(
+        spark, tmp_path, "messages_before_and_after_template.json",
+        "messages_before_and_after_data.json",
+    )
+    g = "/entry/instrument/chopper/delay"
+    values = read_col(spark, res.out_dir, g, "log", "value", "time")
+    times = read_col(spark, res.out_dir, g, "log", "time")
+    # last f144 before start written (5 @ 9999ms), earlier ignored
+    assert values[0] == 5.0 and times[0] == 9_999_000_000
+    # after stop not written: last is 16 @ 15000ms
+    assert values[-1] == 16.0 and times[-1] == 15_000_000_000
+    # ev44 pre-start NOT written; post-stop dropped
+    zeros = read_col(spark, res.out_dir, "/entry/instrument/event_detector/events",
+                     "pulses", "event_time_zero")
+    assert zeros[0] == 10_000_000_000 and zeros[-1] == 15_000_000_000
+
+
+def test_buffered_semantics(spark, tmp_path):
+    # domain-tests/test_buffered.py:17 — pre-start value written even when
+    # nothing arrives inside the window
+    res = run(spark, tmp_path, "buffered_template.json", "buffered_data.json")
+    g = "/entry/instrument/chopper/delay"
+    values = read_col(spark, res.out_dir, g, "log", "value", "time")
+    times = read_col(spark, res.out_dir, g, "log", "time")
+    assert values[0] == 3.0 and times[0] == 9_000_000_000
+
+
+def test_repeated_messages_skipped(spark, tmp_path):
+    # domain-tests/test_repeated_messages.py:18
+    res = run(spark, tmp_path, "repeated_messages_template.json",
+              "repeated_messages_data.json")
+    g = "/entry/instrument/chopper/delay"
+    assert read_col(spark, res.out_dir, g, "log", "value", "time") == [10.0, 12.0, 15.0]
+    assert read_col(spark, res.out_dir, g, "log", "time") == [
+        10_100_000_000, 10_150_000_000, 10_200_000_000]
+
+
+def test_static_information(spark, tmp_path):
+    # domain-tests/test_static_information.py:18-32 — statics + links land in meta
+    res = run(spark, tmp_path, "static_information_template.json",
+              "static_information_data.json")
+    meta = staging.read_meta(res.out_dir)
+    assert meta["static_datasets"], "static datasets present"
+    assert meta["links"], "links present"
+    for link in meta["links"]:
+        assert link["path"] and link["target"]
