@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact: one hash-groupBy (map-side partial agg) — the cheapest possible.
+- MinHash/LSH: per-doc signature (narrow map), band → bucket (groupBy on
+  band key), pair generation only WITHIN buckets — candidate pruning keeps
+  the join linear-ish instead of O(n²).
+- SimHash: 64-bit fingerprint from xxhash64 token hashes, entirely inside
+  whole-stage codegen (no UDF); near-dup = same fingerprint or small
+  Hamming distance within LSH-style prefix buckets.
+- n-gram Jaccard: exact verification on LSH candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingles, JVM-side (no UDF)."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature: min over md5(shingle || seed) per seed.
+
+    md5-hex min is engine-portable (same result in any SQL engine) and
+    uniform enough for Jaccard estimation; a narrow map-only stage.
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(str(seed)))))
+        ).alias(f"m{seed}")
+        for seed in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature, bucket-join within bands, emit candidate pairs.
+
+    Shuffle key = (band_id, band_hash): only same-bucket docs ever meet,
+    so the self-join is linear in bucket sizes, not O(n²).
+    """
+    sig_cols = [c for c in sig.columns if c != id_col]
+    assert len(sig_cols) >= bands * rows_per_band, "not enough hashes for banding"
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(sig_cols[b * rows_per_band + r]) for r in range(rows_per_band)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact Jaccard verification on candidate pairs only (broadcastable
+    doc-side when the candidate set is small)."""
+    docs = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, majority vote per bit — all
+    JVM-side expressions (codegen), no Python in the loop.
+
+    near-dup = small Hamming distance; use ``simhash_buckets`` for
+    candidate pruning before computing distances.
+    """
+    # SQL expression form: the Python shiftleft/shiftright helpers only
+    # accept literal bit counts, but the SQL functions take expressions.
+    fingerprint = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(sequence(0, {bits - 1}), b ->
+              aggregate(
+                transform(split({text_col}, ' '), t -> xxhash64(t)),
+                0,
+                (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)),
+            sequence(0, {bits - 1}),
+            (v, b) -> CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+                      ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc | x)
+        """
+    )
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """popcount(a XOR b) via bit_count (JVM built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Candidate pairs share a fingerprint prefix (LSH-style block), then
+    exact Hamming check. Prefix blocking keeps the self-join off O(n²)."""
+    blocked = sig.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery (schemas, batch iteration, partition-preserving
+transforms) is real and tested; the codec step is STUBBED — the container
+has no image/audio libraries — behind ``decode_stub``. Swap
+``decode_stub`` for a real decoder (PIL/ffmpeg) in production; nothing
+else changes, because the UDF contract is bytes-in → features-out per
+Arrow batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decode + feature extract': byte histogram folded
+    to ``dim`` buckets, normalized. Replace with a real codec in production.
+
+    Raises NotImplementedError for kinds that would require a real codec
+    pipeline beyond feature hashing (left to deployment environments).
+    """
+    if payload is None:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for b in payload:
+        buckets[b % dim] += 1
+    total = max(sum(buckets), 1)
+    return [round(c / total, 6) for c in buckets]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas over Arrow batches: bytes → fixed-dim feature vector.
+
+    Partition-preserving (no shuffle); each batch is processed vectorized
+    in Python. At 100 TB this is the standard shape: binary scan stays
+    columnar, only the codec runs in Python workers.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
+                    "feature": pdf["payload"].map(lambda p: decode_stub(p, dim)),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media, frame_ts) — the
+    explode happens JVM-side from duration metadata; the actual frame
+    decode would run in the mapInPandas stage above."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def resize_spec(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Image resize *spec*: target dims preserving aspect ratio, computed
+    JVM-side from metadata; the pixel work belongs to the codec stage."""
+    w, h = F.col("width"), F.col("height")
+    scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    return df.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+    )

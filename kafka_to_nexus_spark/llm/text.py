@@ -1,0 +1,112 @@
+"""Text analysis: language ID (stopword n-gram heuristic), quality scoring,
+token counting, document fingerprinting — all JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles (heuristic language ID).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "los", "y", "es", "en"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu"],
+    "fr": ["le", "la", "de", "les", "et", "est", "en"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-style approximation: split on word boundaries + punctuation
+    (regex, still JVM-side), count non-empty pieces."""
+    pieces = F.split(text, r"[\s\.,;:!\?\(\)\[\]]+")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    toks = tokens(F.lower(text))
+    wl = [F.lit(w) for w in words]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword heuristics → one quality column.
+    Mirrors common pretraining-corpus filters (doc length, symbol ratio,
+    stopword presence)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    stop = stopword_hits(text, LANG_STOPWORDS["en"])
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
+        (punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        (
+            F.when(n_tokens < 5, 0.0)
+            .otherwise(
+                F.least(
+                    F.lit(1.0),
+                    0.5 * (stop / F.greatest(n_tokens, F.lit(1)))
+                    + 0.5 * (1 - punct / F.greatest(n_chars, F.lit(1))),
+                )
+            )
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by max stopword-profile hits (deterministic
+    tie-break on language code)."""
+    text = F.col(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, words).alias("score"),
+                F.lit(-1 * i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, words) in enumerate(sorted(LANG_STOPWORDS.items()))
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select("*", best["lang"].alias("predicted_lang"), best["score"].alias("lang_score"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized content fingerprint (lower + strip non [a-z ] + md5) —
+    engine-portable and stable under cosmetic edits."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")).alias("fingerprint"),
+    )
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    keep_every: int = 16,
+) -> DataFrame:
+    """Winnowing-style sparse fingerprints: hash every ``window``-gram,
+    keep hashes ≡ 0 (mod keep_every) — the classic content-defined
+    sampling used for fuzzy duplicate detection at corpus scale."""
+    text = F.lower(F.col(text_col))
+    n = F.greatest(F.length(text) - (window - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, window))
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    kept = F.filter(hashes, lambda h: (h % keep_every) == 0)
+    return df.select(F.col(id_col), kept.alias("fingerprints"))

@@ -297,8 +297,14 @@ LIMIT 100
 """
 
 # --- LLM-pipeline: text analysis --------------------------------------------
-SPARK_SQL["doc_fingerprint"] = ORACLE["doc_fingerprint"] = """
+SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
+FROM documents
+"""
+# NOTE: DuckDB regexp_replace needs the 'g' flag (replace-all); Spark's
+# replaces all matches by default.
+ORACLE["doc_fingerprint"] = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fingerprint
 FROM documents
 """
 
@@ -451,11 +457,111 @@ FROM embeddings GROUP BY label
 
 
 # ---------------------------------------------------------------------------
+# DataFrame-API-backed queries (llm package operators)
+# ---------------------------------------------------------------------------
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return llm_text.lang_id(docs).select(
+        "doc_id", "predicted_lang", F.col("lang_score").cast("long").alias("lang_score")
+    )
+
+
+def _lang_id_oracle() -> str:
+    from .llm.text import LANG_STOPWORDS
+
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len([t for t in string_split(lower(text), ' ') "
+            f"if list_contains([{words}], t)]) AS s_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'" if conds else f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+    SELECT doc_id, {case_sql} AS predicted_lang,
+           CAST(greatest({greatest}) AS BIGINT) AS lang_score
+    FROM s
+    """
+
+
+ORACLE["lang_id_heuristic"] = _lang_id_oracle()
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir)
+    # xxhash64 has no DuckDB equivalent → no oracle; driver records a
+    # rows-only check for this entry.
+    return llm_dedup.simhash(spark.table("documents"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir)
+    out = llm_text.quality_score(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "is", "to", "in"])
+ORACLE["quality_score"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS punct,
+         len([t for t in string_split(lower(text), ' ')
+              if list_contains([{_EN_WORDS}], t)]) AS stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+       round(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_token_len,
+       round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(CAST(stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0
+                  ELSE least(1.0, 0.5 * CAST(stop AS DOUBLE) / greatest(n_tokens, 1)
+                                  + 0.5 * (1 - CAST(punct AS DOUBLE) / greatest(n_chars, 1)))
+             END, 6) AS quality
+FROM s
+"""
+
+QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lang_id_heuristic": _q_lang_id,
+    "simhash_fingerprints": _q_simhash,
+    "quality_score": _q_quality,
+}
+
+
+# ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _sql(name) for name in SPARK_SQL}
+    out = {name: _sql(name) for name in SPARK_SQL}
+    out.update(QUERY_FUNCS)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

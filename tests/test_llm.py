@@ -1,0 +1,131 @@
+"""Tests for the LLM-pipeline operators (dedup, similarity, text, multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+from kafka_to_nexus_spark.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "el rapido zorro marron salta sobre el perro", "es"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(str(TESTDATA / "sf0.001" / "embeddings.parquet")).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    dups = [r for r in out if r.n_copies > 1]
+    assert len(dups) == 1 and dups[0].keep_id == 0 and dups[0].n_copies == 2
+    assert len(out) == 4  # 5 docs, one pair collapsed
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sig = dedup.minhash_signatures(docs).collect()
+    by_id = {r.doc_id: (r.m0, r.m1, r.m2, r.m3) for r in sig}
+    assert by_id[0] == by_id[1]  # identical docs → identical signature
+    assert by_id[0] != by_id[3]
+
+
+def test_lsh_candidates_and_jaccard(spark, docs):
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    cand = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in cand  # exact dups always collide
+    verified = dedup.ngram_jaccard(docs, pairs).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert jac[(0, 1)] == 1.0
+    if (0, 2) in jac:
+        assert 0.5 < jac[(0, 2)] < 1.0
+
+
+def test_simhash_near_dups(spark, docs):
+    sig = dedup.simhash(docs)
+    rows = {r.doc_id: r.simhash for r in sig.collect()}
+    assert rows[0] == rows[1]  # identical text → identical fingerprint
+    near = dedup.simhash_near_dups(sig, max_distance=16)
+    got = {(r.id_a, r.id_b): r.distance for r in near.collect()}
+    assert got.get((0, 1)) == 0
+
+
+def test_brute_force_topk_self_is_best(spark, embeddings):
+    qrow = embeddings.filter(F.col("vec_id") == 5).select("embedding").collect()[0]
+    top = similarity.brute_force_topk(embeddings, list(qrow.embedding), k=5).collect()
+    assert top[0].vec_id == 5 and abs(top[0].cosine - 1.0) < 1e-9
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(len(top) - 1))
+
+
+def test_pandas_topk_matches_jvm(spark, embeddings):
+    qrow = embeddings.filter(F.col("vec_id") == 5).select("embedding").collect()[0]
+    jvm = similarity.brute_force_topk(embeddings, list(qrow.embedding), k=10).collect()
+    pdu = similarity.pandas_cosine_topk(embeddings, list(qrow.embedding), k=10).collect()
+    assert [r.vec_id for r in jvm] == [r.vec_id for r in pdu]
+    for a, b in zip(jvm, pdu):
+        assert abs(a.cosine - b.cosine) < 1e-9
+
+
+def test_ivf_topk_agrees_with_brute_force_on_probed_buckets(spark, embeddings):
+    centroids = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    qrow = embeddings.filter(F.col("vec_id") == 5).select("embedding").collect()[0]
+    q = list(qrow.embedding)
+    ivf = similarity.ivf_topk(embeddings, centroids, q, k=5, n_probe=8)  # probe all
+    brute = similarity.brute_force_topk(embeddings, q, k=5)
+    assert [r.vec_id for r in ivf.collect()] == [r.vec_id for r in brute.collect()]
+
+
+def test_quality_score(spark, docs):
+    out = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    assert out[0].n_tokens == 9
+    assert out[0].stopword_ratio > 0  # 'the' twice
+    assert 0.0 <= out[0].quality <= 1.0
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.predicted_lang for r in text.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "es"
+
+
+def test_fingerprint_stable_under_punct(spark):
+    rows = [(0, "Hello, World!"), (1, "hello world")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert fps[0] == fps[1]
+
+
+def test_rolling_hash_fingerprints(spark, docs):
+    out = {r.doc_id: r.fingerprints for r in text.rolling_hash_fingerprints(docs).collect()}
+    assert out[0] == out[1]  # identical docs → identical sparse fingerprints
+
+
+def test_multimodal_features_and_specs(spark):
+    rows = [
+        (0, "image", "image/png", 640, 480, 0, bytearray(b"\x00\x01\x02\x03" * 10)),
+        (1, "video", "video/mp4", 1920, 1080, 3500, bytearray(b"\xff" * 20)),
+        (2, "image", "image/png", 100, 50, 0, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in multimodal.extract_features(df).collect()}
+    assert feats[0].n_bytes == 40 and len(feats[0].feature) == 8
+    assert abs(sum(feats[0].feature) - 1.0) < 1e-3
+    assert feats[2].n_bytes == 0 and feats[2].feature == [0.0] * 8
+    frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+    resize = {r.media_id: r for r in multimodal.resize_spec(df, max_side=224).collect()}
+    assert resize[0].target_width == 224 and resize[0].target_height == 168
+    assert resize[2].target_width == 100  # already under max: unchanged
