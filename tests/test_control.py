@@ -1,0 +1,135 @@
+"""Control-plane tests — the Handler/Master FSM contract (reference
+integration-test behaviors: idle heartbeats, start/stop validation,
+pool claim, invalid-input rejection)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from kafka_to_nexus_spark.control.commands import (
+    CommandError,
+    JobController,
+    JobPool,
+    WorkerState,
+    parse_start,
+    parse_stop,
+)
+
+JOB_ID = str(uuid.uuid4())
+
+
+def start_msg(**overrides):
+    msg = {
+        "job_id": JOB_ID,
+        "filename": "out.h5",
+        "nexus_structure": {"children": []},
+        "start_time": 10_000,
+        "stop_time": 15_000,
+    }
+    msg.update(overrides)
+    return msg
+
+
+def test_parse_start_required_fields():
+    with pytest.raises(CommandError, match="job_id"):
+        parse_start(start_msg(job_id=""))
+    with pytest.raises(CommandError, match="filename"):
+        parse_start(start_msg(filename=""))
+    with pytest.raises(CommandError, match="nexus_structure"):
+        parse_start(start_msg(nexus_structure=None))
+
+
+def test_parse_start_rejects_inverted_window():
+    with pytest.raises(CommandError, match="not after"):
+        parse_start(start_msg(start_time=15_000, stop_time=10_000))
+
+
+def test_parse_start_json_string_structure():
+    s = parse_start(start_msg(nexus_structure='{"children": []}'))
+    assert s.nexus_structure == {"children": []}
+    with pytest.raises(CommandError, match="not valid JSON"):
+        parse_start(start_msg(nexus_structure="{nope"))
+
+
+def test_parse_stop_defaults():
+    s = parse_stop({"job_id": JOB_ID})
+    assert s.stop_time_ms is None  # stop-now semantics
+
+
+def test_fsm_start_stop_cycle():
+    c = JobController()
+    assert c.state is WorkerState.IDLE
+    resp = c.handle_start(start_msg())
+    assert resp.accepted and resp.status_code == 201
+    assert c.state is WorkerState.WRITING
+
+    # second start rejected while writing
+    r2 = c.handle_start(start_msg(job_id=str(uuid.uuid4())))
+    assert not r2.accepted and r2.status_code == 400
+
+    # stop with wrong job id rejected
+    r3 = c.handle_stop({"job_id": str(uuid.uuid4())})
+    assert not r3.accepted and "mismatch" in r3.message
+
+    # stop retargets stop time
+    r4 = c.handle_stop({"job_id": JOB_ID, "stop_time": 14_000})
+    assert r4.accepted and c.current_job.stop_time_ms == 14_000
+
+    # stop-now
+    r5 = c.handle_stop({"job_id": JOB_ID}, now_ms=12_345)
+    assert r5.accepted and c.current_job.stop_time_ms == 12_345
+
+    c.set_idle()
+    assert c.state is WorkerState.IDLE and c.current_job is None
+
+
+def test_fsm_rejects_non_uuid_job_id():
+    c = JobController()
+    resp = c.handle_start(start_msg(job_id="not-a-uuid"))
+    assert not resp.accepted and "UUID" in resp.message
+    assert c.state is WorkerState.IDLE
+
+
+def test_fsm_stop_before_start_rejected():
+    c = JobController()
+    c.handle_start(start_msg())
+    r = c.handle_stop({"job_id": JOB_ID, "stop_time": 5_000})
+    assert not r.accepted and "before start" in r.message
+
+
+def test_status_heartbeat_shape():
+    c = JobController()
+    idle = c.status()
+    assert idle["state"] == "idle" and idle["job_id"] == ""
+    c.handle_start(start_msg())
+    writing = c.status()
+    assert writing["state"] == "writing"
+    assert writing["job_id"] == JOB_ID
+    assert writing["file_being_written"] == "out.h5"
+    assert writing["update_interval"] == 2000
+
+
+def test_finished_writing_report():
+    c = JobController()
+    c.handle_start(start_msg())
+    ok = c.finished_writing()
+    assert ok["job_id"] == JOB_ID and not ok["error_encountered"]
+    err = c.finished_writing("boom")
+    assert err["error_encountered"] and err["message"] == "boom"
+
+
+def test_job_pool_claim_semantics():
+    pool = JobPool()
+    a, b = JobController(service_id="w1"), JobController(service_id="w2")
+    pool.offer(start_msg())
+    r = pool.claim(a)
+    assert r.accepted and a.state is WorkerState.WRITING
+    # second worker finds the pool empty (offset committed = claimed)
+    assert pool.claim(b) is None
+    # busy worker never claims
+    pool.offer(start_msg(job_id=str(uuid.uuid4())))
+    assert pool.claim(a) is None
+    r2 = pool.claim(b)
+    assert r2.accepted and b.state is WorkerState.WRITING

@@ -1,0 +1,117 @@
+"""Streaming-mode tests: drive StreamingJob.process_batch with a sequence of
+micro-batches (identical contract to foreachBatch) — Kafka-free, mirroring
+how the reference domain-tests exercise the pipeline via the stub consumer."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import DOMAIN_TEMPLATES
+from kafka_to_nexus_spark.plan import StartMessage
+from kafka_to_nexus_spark.sinks import staging
+from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+from kafka_to_nexus_spark.streaming.job import StreamingJob
+
+NS = 1_000_000
+
+
+def f144(ts_ms, value, source="local:choppers:delay", offset=0):
+    return {
+        "schema": "f144",
+        "topic": "local_choppers",
+        "kafka_timestamp": ts_ms,
+        "source_name": source,
+        "timestamp": ts_ms,
+        "value": value,
+        "offset": offset,
+    }
+
+
+def ev44(ts_ms, tofs, pixels, source="detector", offset=0):
+    return {
+        "schema": "ev44",
+        "topic": "local_detector",
+        "kafka_timestamp": ts_ms,
+        "source_name": source,
+        "timestamp": ts_ms,
+        "message_id": offset,
+        "reference_time": ts_ms,
+        "time_of_flight": tofs,
+        "pixel_ids": pixels,
+        "offset": offset,
+    }
+
+
+@pytest.fixture()
+def buffered_job(spark, tmp_path):
+    tpl = json.loads((DOMAIN_TEMPLATES / "buffered_template.json").read_text())
+    start = StartMessage(
+        job_id="stream-job", filename="f", nexus_structure=tpl,
+        start_time_ms=10_000, stop_time_ms=15_000,
+    )
+    return StreamingJob(spark, start, str(tmp_path / "out"))
+
+
+def read_dataset(spark, job, group, dataset):
+    return spark.read.parquet(str(staging.dataset_dir(job.out_dir, group, dataset)))
+
+
+def test_asof_buffer_across_batches(spark, buffered_job):
+    job = buffered_job
+    # batch 0: only pre-start data → buffered, nothing written
+    job.process_batch(messages_from_json(spark, [f144(8_000, 1, offset=0),
+                                                 f144(9_000, 3, offset=1)]), 0)
+    assert job.state.asof_buffer  # buffered latest (value 3)
+    # batch 1: first in-window message → buffered row emitted first
+    job.process_batch(messages_from_json(spark, [f144(11_000, 7, offset=2)]), 1)
+    log = read_dataset(spark, job, "/entry/instrument/chopper/delay", "log")
+    rows = sorted(log.collect(), key=lambda r: r.time)
+    assert [(r.time, r.value) for r in rows] == [
+        (9_000_000_000, 3.0), (11_000_000_000, 7.0)]
+
+
+def test_asof_flush_at_finalize(spark, buffered_job):
+    job = buffered_job
+    # only pre-start data ever arrives → flushed at stop (test_buffered.py:17)
+    job.process_batch(messages_from_json(spark, [f144(9_000, 3)]), 0)
+    job.finalize()
+    log = read_dataset(spark, job, "/entry/instrument/chopper/delay", "log")
+    assert [(r.time, r.value) for r in log.collect()] == [(9_000_000_000, 3.0)]
+
+
+def test_stop_watchdog(spark, buffered_job):
+    job = buffered_job
+    job.process_batch(messages_from_json(spark, [f144(11_000, 1)]), 0)
+    assert not job.state.finished
+    # event past stop+leeway (15s + 10s) finishes the job (F6/F7)
+    job.process_batch(messages_from_json(spark, [f144(26_000, 2)]), 1)
+    assert job.state.finished
+    # further batches ignored
+    job.process_batch(messages_from_json(spark, [f144(12_000, 9)]), 2)
+    log = read_dataset(spark, job, "/entry/instrument/chopper/delay", "log")
+    assert 9.0 not in [r.value for r in log.collect()]
+
+
+def test_ev44_cumulative_index_across_batches(spark, tmp_path):
+    tpl = json.loads(
+        (DOMAIN_TEMPLATES / "messages_before_and_after_template.json").read_text()
+    )
+    start = StartMessage(
+        job_id="stream-ev44", filename="f", nexus_structure=tpl,
+        start_time_ms=10_000, stop_time_ms=15_000,
+    )
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+    src = "local:detector:events"  # match template's ev44 source
+    ev_src = [s for s in job.plan.streams if s.module == "ev44"][0].source
+    job.process_batch(messages_from_json(
+        spark, [ev44(11_000, [1, 2, 3], [1, 2, 3], source=ev_src, offset=0)]), 0)
+    job.process_batch(messages_from_json(
+        spark, [ev44(12_000, [4, 5], [4, 5], source=ev_src, offset=1)]), 1)
+    ev_path = [s for s in job.plan.streams if s.module == "ev44"][0].path
+    pulses = read_dataset(spark, job, ev_path, "pulses")
+    idx = [r.event_index for r in sorted(pulses.collect(), key=lambda r: r.event_time_zero)]
+    assert idx == [0, 3]  # second batch shifted by 3 events from batch one
+    assert job.state.events_written[("ev44", ev_src)] == 5
