@@ -38,19 +38,33 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over md5(shingle || seed) per seed.
-
-    md5-hex min is engine-portable (same result in any SQL engine) and
-    uniform enough for Jaccard estimation; a narrow map-only stage.
+    """Per-doc MinHash signature, engine-portable and md5-thrifty: one md5
+    per distinct shingle yields FOUR independent 32-bit hashes (disjoint
+    8-hex-char slices of the digest); beyond 4, extra digests are salted
+    md5(shingle || group). A narrow map-only stage — no shuffle.
     """
-    sh = shingles(F.col(text_col), shingle_k)
-    cols = [
-        F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(str(seed)))))
-        ).alias(f"m{seed}")
-        for seed in range(num_hashes)
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    n_groups = (num_hashes + 3) // 4
+
+    # NB: factories, not multi-arg lambdas — PySpark treats a two-arg
+    # transform lambda as (element, index).
+    def digest_fn(g: int):
+        if g == 0:
+            return lambda s: F.md5(s)
+        return lambda s: F.md5(F.concat(s, F.lit(str(g))))
+
+    def slice_fn(r: int):
+        return lambda h: F.substring(h, 8 * r + 1, 8)
+
+    digest_cols = [
+        F.transform(sh, digest_fn(g)).alias(f"_d{g}") for g in range(n_groups)
     ]
-    return df.select(F.col(id_col), *cols)
+    with_digests = df.select(F.col(id_col), *digest_cols)
+    cols = [
+        F.array_min(F.transform(F.col(f"_d{i // 4}"), slice_fn(i % 4))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return with_digests.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -143,15 +157,17 @@ def simhash(
     """
     # SQL expression form: the Python shiftleft/shiftright helpers only
     # accept literal bit counts, but the SQL functions take expressions.
+    # Single fold over the token hashes carrying a bits-wide vote array —
+    # each token is hashed exactly once (not once per bit).
     fingerprint = F.expr(
         f"""
         aggregate(
           zip_with(
-            transform(sequence(0, {bits - 1}), b ->
-              aggregate(
-                transform(split({text_col}, ' '), t -> xxhash64(t)),
-                0,
-                (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)),
+            aggregate(
+              transform(split({text_col}, ' '), t -> xxhash64(t)),
+              transform(sequence(0, {bits - 1}), b -> 0),
+              (votes, h) -> zip_with(votes, sequence(0, {bits - 1}),
+                (v, b) -> v + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)),
             sequence(0, {bits - 1}),
             (v, b) -> CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), b)
                       ELSE CAST(0 AS BIGINT) END),

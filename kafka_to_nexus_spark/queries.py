@@ -54,22 +54,34 @@ TIMESTAMP_COLS = {
 }
 
 
+# Memoize per (session, sf_dir, table): schema inference costs a driver-side
+# parquet footer read per call — registering only a query's dependencies,
+# once, keeps repeated invocations scan-only.
+_REGISTERED: set[tuple[int, str, str]] = set()
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
     for t in tables:
+        key = (id(spark), sf_dir, t)
+        if key in _REGISTERED:
+            continue
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for c in TIMESTAMP_COLS.get(t, ()):
             if dict(df.dtypes).get(c) == "bigint":
                 # integer div: double division loses precision at ~1.7e18 ns
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
         df.createOrReplaceTempView(t)
+        _REGISTERED.add(key)
 
 
 def _sql(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    deps = tuple(t for t in TABLES if t in SPARK_SQL[name])
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, deps)
         return spark.sql(SPARK_SQL[name])
 
     run.__name__ = f"query_{name}"
@@ -314,30 +326,36 @@ SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_copies,
 FROM documents GROUP BY md5(text)
 """
 
+# One md5 per DISTINCT shingle; the 4 per-seed hashes are disjoint 8-hex
+# slices of that digest (independent uniform bits — 4× cheaper than 4 md5s,
+# identical in both engines).
 _MINHASH_SPARK_SHINGLES = """
 SELECT doc_id,
-       transform(sequence(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5)) AS shingles
+       transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
+                                          i -> substr(text, i, 5))),
+                 s -> md5(s)) AS hashes
 FROM documents
 """
 SPARK_SQL["minhash_signatures"] = f"""
 SELECT doc_id,
-       array_min(transform(shingles, s -> md5(concat(s, '0')))) AS m0,
-       array_min(transform(shingles, s -> md5(concat(s, '1')))) AS m1,
-       array_min(transform(shingles, s -> md5(concat(s, '2')))) AS m2,
-       array_min(transform(shingles, s -> md5(concat(s, '3')))) AS m3
+       array_min(transform(hashes, h -> substr(h, 1, 8))) AS m0,
+       array_min(transform(hashes, h -> substr(h, 9, 8))) AS m1,
+       array_min(transform(hashes, h -> substr(h, 17, 8))) AS m2,
+       array_min(transform(hashes, h -> substr(h, 25, 8))) AS m3
 FROM ({_MINHASH_SPARK_SHINGLES})
 """
 _MINHASH_DUCK_SHINGLES = """
 SELECT doc_id,
-       [substr(text, i, 5) for i in range(1, greatest(length(text) - 4, 1) + 1)] AS shingles
+       [md5(s) for s in list_distinct([substr(text, i, 5)
+            for i in range(1, greatest(length(text) - 4, 1) + 1)])] AS hashes
 FROM documents
 """
 ORACLE["minhash_signatures"] = f"""
 SELECT doc_id,
-       list_min([md5(s || '0') for s in shingles]) AS m0,
-       list_min([md5(s || '1') for s in shingles]) AS m1,
-       list_min([md5(s || '2') for s in shingles]) AS m2,
-       list_min([md5(s || '3') for s in shingles]) AS m3
+       list_min([substr(h, 1, 8) for h in hashes]) AS m0,
+       list_min([substr(h, 9, 8) for h in hashes]) AS m1,
+       list_min([substr(h, 17, 8) for h in hashes]) AS m2,
+       list_min([substr(h, 25, 8) for h in hashes]) AS m3
 FROM ({_MINHASH_DUCK_SHINGLES})
 """
 
@@ -465,7 +483,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm import text as llm_text
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     return llm_text.lang_id(docs).select(
         "doc_id", "predicted_lang", F.col("lang_score").cast("long").alias("lang_score")
@@ -503,7 +521,7 @@ ORACLE["lang_id_heuristic"] = _lang_id_oracle()
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import dedup as llm_dedup
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     # xxhash64 has no DuckDB equivalent → no oracle; driver records a
     # rows-only check for this entry.
     return llm_dedup.simhash(spark.table("documents"))
@@ -514,7 +532,7 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm import text as llm_text
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     out = llm_text.quality_score(spark.table("documents"))
     return out.select(
         "doc_id",
@@ -571,7 +589,7 @@ def oracle_sql() -> dict[str, str]:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the engine's signature pipeline — as-of windowed scan +
     per-source running aggregates (F2+F3+W1) on the events stream."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("events",))
     return spark.sql(
         f"""
         WITH windowed AS ({_ASOF_BODY})
