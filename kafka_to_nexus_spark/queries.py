@@ -208,6 +208,42 @@ SELECT CAST(count(*) AS BIGINT) AS n_messages,
 FROM events
 """
 
+# --- W4 ad00 trailing-dim zero-fill (ExtensibleDataset.h:412-441) -----------
+# Each message carries its own frame width; the dataset extends to the max
+# observed width and smaller slabs are zero-filled. Declared vs padded
+# width + fill count per frame, slab checksum = value × declared width.
+SPARK_SQL["w4_ad00_zero_fill"] = ORACLE["w4_ad00_zero_fill"] = """
+WITH f AS (
+  SELECT event_type, event_id, value, 1 + event_id % 3 AS w FROM events
+),
+m AS (SELECT event_type, max(w) AS maxw FROM f GROUP BY event_type)
+SELECT event_id,
+       CAST(w AS BIGINT) AS declared_width,
+       CAST(maxw AS BIGINT) AS padded_width,
+       CAST(maxw - w AS BIGINT) AS n_zero_fill,
+       round(value * w, 6) AS slab_sum
+FROM f JOIN m USING (event_type)
+"""
+
+# --- W5 da00 constants: write-once + consistency check (da00_Writer.cpp:65-130)
+SPARK_SQL["w5_da00_constants"] = ORACLE["w5_da00_constants"] = """
+SELECT user_id,
+       min_by(event_type, event_id) AS constant_value,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_variants,
+       count(DISTINCT event_type) = 1 AS consistent
+FROM events GROUP BY user_id
+"""
+
+# --- W8 tdct per-chunk cue: (cumulative element count, chunk ts) ------------
+# (tdct_Writer.cpp:67-83: cue pair appended per timestamps[] chunk)
+SPARK_SQL["w8_tdct_chunk_cue"] = ORACLE["w8_tdct_chunk_cue"] = """
+SELECT event_id,
+       CAST(coalesce(sum(sz) OVER (PARTITION BY event_type ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cue_index,
+       ts AS cue_timestamp_zero
+FROM (SELECT event_type, event_id, ts, 1 + event_id % 5 AS sz FROM events)
+"""
+
 # --- streaming-style ops in batch form --------------------------------------
 SPARK_SQL["sessionize"] = """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -241,6 +277,33 @@ SELECT date_trunc('day', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY date_trunc('day', ts), event_type
+"""
+
+SPARK_SQL["sliding_window"] = """
+SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT explode(sequence(date_trunc('day', ts) - INTERVAL 1 DAY,
+                          date_trunc('day', ts), INTERVAL 1 DAY)) AS window_start,
+         value
+  FROM events
+) GROUP BY window_start
+"""
+ORACLE["sliding_window"] = """
+SELECT t.ws AS window_start, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events,
+     unnest(generate_series(date_trunc('day', ts) - INTERVAL 1 DAY,
+                            date_trunc('day', ts), INTERVAL 1 DAY)) AS t(ws)
+GROUP BY t.ws
+"""
+
+SPARK_SQL["topk_per_group"] = ORACLE["topk_per_group"] = """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
 """
 
 # --- TPC-H-ish plans (join/agg/top-k coverage at bench scale) ---------------
@@ -368,6 +431,93 @@ ORACLE["minhash_lsh_buckets"] = f"""
 WITH sig AS ({ORACLE["minhash_signatures"]})
 SELECT m0, m1, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
 FROM sig GROUP BY m0, m1 HAVING count(*) > 1
+"""
+
+# --- n-gram Jaccard verification on LSH candidate pairs ---------------------
+# Exact Jaccard computed ONLY within (m0, m1) buckets — candidate pruning
+# keeps the self-join linear in bucket sizes, not O(n²), at 100 TB.
+SPARK_SQL["ngram_jaccard_pairs"] = f"""
+WITH sig AS ({SPARK_SQL["minhash_signatures"]}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
+                                  i -> substr(text, i, 5))) AS sh
+  FROM documents
+)
+SELECT id_a, id_b,
+       round(CAST(size(array_intersect(x.sh, y.sh)) AS DOUBLE)
+             / size(array_union(x.sh, y.sh)), 6) AS jaccard
+FROM pairs JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id
+"""
+ORACLE["ngram_jaccard_pairs"] = f"""
+WITH sig AS ({ORACLE["minhash_signatures"]}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
+  FROM documents
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM pairs JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id
+"""
+
+# --- embedding-cosine near-dup (blocked by label) ----------------------------
+# Pairwise cosine only WITHIN label blocks (O(sum block²), not O(n²));
+# top-k most-similar pairs with stable tie order.
+SPARK_SQL["embedding_cosine_pairs"] = """
+WITH n AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         aggregate(zip_with(a.e, b.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)
+         / (sqrt(aggregate(transform(a.e, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))
+            * sqrt(aggregate(transform(b.e, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))) AS cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine
+FROM p ORDER BY cosine DESC, id_a, id_b LIMIT 20
+"""
+ORACLE["embedding_cosine_pairs"] = """
+WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine
+FROM p ORDER BY cosine DESC, id_a, id_b LIMIT 20
+"""
+
+# --- BPE-ish regex token counting --------------------------------------------
+# Letter runs / digit runs / single punctuation marks — the pre-tokenizer
+# split every BPE vocabulary starts from. Same RE2/Java-safe pattern both
+# engines.
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+SPARK_SQL["bpe_token_count"] = f"""
+SELECT source,
+       CAST(sum(size(regexp_extract_all(text, '{_BPE_PAT}', 0))) AS BIGINT) AS total_tokens,
+       CAST(max(size(regexp_extract_all(text, '{_BPE_PAT}', 0))) AS BIGINT) AS max_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+ORACLE["bpe_token_count"] = f"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT) AS total_tokens,
+       CAST(max(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT) AS max_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
 """
 
 SPARK_SQL["text_quality"] = f"""
@@ -565,10 +715,71 @@ SELECT doc_id, n_tokens,
 FROM s
 """
 
+def _media_frame(spark: SparkSession, sf_dir: str, with_payload: bool = True) -> DataFrame:
+    """Synthesize a media table from documents: opaque binary payload +
+    typed metadata (MEDIA_SCHEMA shape) — the multimodal column model."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    cols = [
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    ]
+    if with_payload:
+        cols.append(F.encode("text", "UTF-8").alias("payload"))
+    return docs.select(*cols)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction (decode stubbed —
+    no codec libs in container; the Arrow plumbing is real). Non-SQL path
+    → no oracle; driver records a rows-only check."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    feats = mm.extract_features(_media_frame(spark, sf_dir), dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import multimodal as mm
+
+    return mm.resize_spec(_media_frame(spark, sf_dir, with_payload=False), max_side=224)
+
+
+ORACLE["multimodal_resize_spec"] = """
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(round(w * s) AS INT) AS target_width,
+       CAST(round(h * s) AS INT) AS target_height
+FROM (
+  SELECT doc_id, n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
+         least(224.0 / (n_chars % 640 + 1), 224.0 / (n_chars % 480 + 1), 1.0) AS s
+  FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": _q_lang_id,
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
+    "multimodal_features": _q_multimodal_features,
+    "multimodal_resize_spec": _q_multimodal_resize,
 }
 
 
