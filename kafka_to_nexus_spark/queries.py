@@ -44,6 +44,21 @@ T_STOP = "2024-01-10 00:00:00"
 STOPWORDS = "'the','a','of','and','is'"
 
 
+def _ns_ge(t: str) -> str:
+    """Foldable ns lower bound for `col >= TIMESTAMP t` (also safe-wider for >)."""
+    return f"unix_micros(TIMESTAMP '{t}') * 1000"
+
+
+def _ns_le(t: str) -> str:
+    """Foldable ns upper bound for `col <= TIMESTAMP t` (+999 covers sub-µs ns)."""
+    return f"unix_micros(TIMESTAMP '{t}') * 1000 + 999"
+
+
+def _ns_lt(t: str) -> str:
+    """Foldable ns bound for `col < TIMESTAMP t` (exact for whole-µs bounds)."""
+    return f"unix_micros(TIMESTAMP '{t}') * 1000"
+
+
 # The driver's parquet files store TIMESTAMP(NANOS), which Spark's vectorized
 # reader rejects; read them as long (legacy flag) and convert ns → µs
 # timestamps to match DuckDB's TIMESTAMP (µs) view of the same files.
@@ -71,8 +86,15 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for c in TIMESTAMP_COLS.get(t, ()):
             if dict(df.dtypes).get(c) == "bigint":
+                # Keep the raw ns long alongside: predicates on the derived
+                # timestamp cannot reach the parquet scan (Catalyst won't
+                # invert timestamp_micros), but a redundant range conjunct
+                # on <c>_ns is a plain long comparison → PushedFilters →
+                # row-group pruning. Decisive at 100 TB.
                 # integer div: double division loses precision at ~1.7e18 ns
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+                df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
+                    c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                )
         df.createOrReplaceTempView(t)
         _REGISTERED.add(key)
 
@@ -102,7 +124,16 @@ FROM events WHERE event_type = 'purchase'
 """
 
 # --- F2 time-window predicate (SourceFilter.cpp:101-118) --------------------
-SPARK_SQL["f2_time_window"] = ORACLE["f2_time_window"] = f"""
+# Spark variant carries a redundant ns-long conjunct so the range reaches
+# the parquet scan (row-group pruning); the timestamp predicate stays for
+# exactness. Oracle sees native TIMESTAMP_NS — no conjunct needed.
+SPARK_SQL["f2_time_window"] = f"""
+SELECT event_id, ts, value
+FROM events
+WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_STOP}'
+  AND ts_ns >= {_ns_ge(T_START)} AND ts_ns <= {_ns_le(T_STOP)}
+"""
+ORACLE["f2_time_window"] = f"""
 SELECT event_id, ts, value
 FROM events
 WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_STOP}'
@@ -110,19 +141,31 @@ WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_STOP}'
 
 # --- F3 as-of buffering: window rows + latest pre-start row per source ------
 # (SourceFilter.cpp:61-66,101-116)
-_ASOF_BODY = f"""
+def _asof_body(spark_side: bool) -> str:
+    pre_push = f" AND ts_ns < {_ns_lt(T_START)}" if spark_side else ""
+    win_push = (
+        f" AND ts_ns >= {_ns_ge(T_START)} AND ts_ns <= {_ns_le(T_STOP)}"
+        if spark_side
+        else ""
+    )
+    return f"""
 WITH pre AS (
   SELECT event_id, user_id, ts, value FROM (
-    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-    FROM events e WHERE ts < TIMESTAMP '{T_START}'
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{T_START}'{pre_push}
   ) WHERE rn = 1
 )
 SELECT event_id, user_id, ts, value, TRUE AS is_buffered FROM pre
 UNION ALL
 SELECT event_id, user_id, ts, value, FALSE AS is_buffered FROM events
-WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_STOP}'
+WHERE ts >= TIMESTAMP '{T_START}' AND ts <= TIMESTAMP '{T_STOP}'{win_push}
 """
-SPARK_SQL["f3_asof_buffer"] = ORACLE["f3_asof_buffer"] = _ASOF_BODY
+
+
+_ASOF_BODY = _asof_body(spark_side=True)
+SPARK_SQL["f3_asof_buffer"] = _ASOF_BODY
+ORACLE["f3_asof_buffer"] = _asof_body(spark_side=False)
 
 # --- F4 repeated-timestamp dedup (SourceFilter.cpp:90-95) -------------------
 SPARK_SQL["f4_dedup_repeated"] = ORACLE["f4_dedup_repeated"] = """
@@ -307,6 +350,9 @@ SELECT event_type, event_id, value FROM (
 """
 
 # --- TPC-H-ish plans (join/agg/top-k coverage at bench scale) ---------------
+# (l_shipdate / o_orderdate are native timestamp_ntz parquet columns — the
+# date predicates reach PushedFilters as-is; only events.ts needs the _ns
+# conjunct treatment, see f2.)
 SPARK_SQL["q1_pricing_summary"] = ORACLE["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB.
+
+These assert on `.explain` output, not results — a correct query whose
+time-window predicate no longer reaches the parquet scan is a perf
+regression we want to catch at test time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_to_nexus_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, sql: str) -> str:
+    # formatted mode: one attribute per line, no truncation of filter lists
+    qe = spark.sql(sql)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    Q.register_views(spark, SF_DIR)
+
+
+def test_time_window_pushes_ns_range_to_parquet(spark):
+    """f2's window predicate must reach PushedFilters as a long range on the
+    raw ns column (row-group pruning), despite the ns→µs view projection."""
+    plan = _plan(spark, Q.SPARK_SQL["f2_time_window"])
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[-1]
+    assert "GreaterThanOrEqual(ts," in line and "LessThanOrEqual(ts," in line, line
+
+
+def test_asof_buffer_pushes_ns_bounds(spark):
+    plan = _plan(spark, Q.SPARK_SQL["f3_asof_buffer"])
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # both branches (pre-start scan, in-window scan) must prune
+    assert any("LessThan(ts," in l for l in pushed), plan
+    assert any("GreaterThanOrEqual(ts," in l for l in pushed), plan
+
+
+def test_tpch_date_filters_push_down(spark):
+    for name, col in [
+        ("q6_forecast_revenue", "l_shipdate"),
+        ("q5_local_supplier", "o_orderdate"),
+    ]:
+        plan = _plan(spark, Q.SPARK_SQL[name])
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l and col in l]
+        assert any(
+            f"GreaterThanOrEqual({col}" in l or f"LessThan({col}" in l for l in pushed
+        ), f"{name}: no pushed range on {col}"
+
+
+def test_q5_broadcasts_small_dims(spark):
+    """nation/region/supplier are small dims — the join must broadcast them,
+    not shuffle 100 TB of lineitem against a 25-row table."""
+    plan = _plan(spark, Q.SPARK_SQL["q5_local_supplier"])
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """f1 projects 4 columns; the events scan must not read props (the wide
+    string column)."""
+    plan = _plan(spark, Q.SPARK_SQL["f1_source_filter"])
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "props" not in scan, scan
+
+
+def test_agg_is_partial_before_shuffle(spark):
+    """Running min/max/mean must combine map-side (partial_*) so the shuffle
+    carries one row per (partition, source), not the full stream."""
+    plan = _plan(spark, Q.SPARK_SQL["w1_f144_stats"])
+    assert "partial_min" in plan and "partial_max" in plan, plan
