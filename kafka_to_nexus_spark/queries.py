@@ -417,6 +417,111 @@ ORDER BY total_qty DESC, o_orderkey
 LIMIT 100
 """
 
+SPARK_SQL["q4_priority_exists"] = ORACLE["q4_priority_exists"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+SPARK_SQL["q10_returned_revenue"] = ORACLE["q10_returned_revenue"] = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+SPARK_SQL["q13_order_distribution"] = ORACLE["q13_order_distribution"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+SPARK_SQL["q14_promo_ratio"] = ORACLE["q14_promo_ratio"] = """
+SELECT round(
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+SPARK_SQL["q16_brand_suppliers"] = ORACLE["q16_brand_suppliers"] = """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_size
+"""
+
+SPARK_SQL["q19_disjunctive_pred"] = ORACLE["q19_disjunctive_pred"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 1)
+"""
+
+SPARK_SQL["q22_idle_customers"] = ORACLE["q22_idle_customers"] = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+# --- grouping sets / rollup --------------------------------------------------
+SPARK_SQL["rollup_daily_totals"] = ORACLE["rollup_daily_totals"] = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+"""
+
+# --- set operations ----------------------------------------------------------
+SPARK_SQL["set_intersect_users"] = ORACLE["set_intersect_users"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+SPARK_SQL["set_except_users"] = ORACLE["set_except_users"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+# --- window-function battery -------------------------------------------------
+SPARK_SQL["window_rank_battery"] = ORACLE["window_rank_battery"] = """
+SELECT event_id,
+       CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS dr,
+       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS quartile,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id), 6) AS pr,
+       round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_avg3
+FROM events
+"""
+
 # --- LLM-pipeline: text analysis --------------------------------------------
 SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
