@@ -587,41 +587,40 @@ FROM sig GROUP BY m0, m1 HAVING count(*) > 1
 # --- n-gram Jaccard verification on LSH candidate pairs ---------------------
 # Exact Jaccard computed ONLY within (m0, m1) buckets — candidate pruning
 # keeps the self-join linear in bucket sizes, not O(n²), at 100 TB.
-SPARK_SQL["ngram_jaccard_pairs"] = f"""
-WITH sig AS ({SPARK_SQL["minhash_signatures"]}),
+# DataFrame form (see _q_ngram_jaccard): the hash arrays are computed ONCE,
+# persisted, and broadcast into both sides of the pair join — the pure-SQL
+# form re-evaluated the signature CTE per self-join side (4 full md5
+# passes) and shuffled ~3 KB shingle arrays per pair. Jaccard is computed
+# over the md5 hash arrays in BOTH engines (md5 is injective on 5-grams).
+# Shingle identity = top 60 bits of md5 as a BIGINT: integer arrays make
+# the per-pair intersection ~5× cheaper than 32-char string arrays, and
+# |A ∪ B| = |A| + |B| − |A ∩ B| halves the set work. Band keys are the
+# top-32/next-28 bit slices of the same hash (order-isomorphic to the hex
+# prefixes used by minhash_signatures).
+ORACLE["ngram_jaccard_pairs"] = """
+WITH h AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT
+          for s in list_distinct([substr(text, i, 5)
+               for i in range(1, greatest(length(text) - 4, 1) + 1)])] AS hashes
+  FROM documents
+),
+hn AS (SELECT doc_id, hashes, len(hashes) AS n FROM h),
+sig AS (
+  SELECT doc_id,
+         list_min([x >> 28 for x in hashes]) AS m0,
+         list_min([x & 268435455 for x in hashes]) AS m1
+  FROM h
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sig a JOIN sig b
     ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
-),
-sh AS (
-  SELECT doc_id,
-         array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
-                                  i -> substr(text, i, 5))) AS sh
-  FROM documents
 )
 SELECT id_a, id_b,
-       round(CAST(size(array_intersect(x.sh, y.sh)) AS DOUBLE)
-             / size(array_union(x.sh, y.sh)), 6) AS jaccard
-FROM pairs JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id
-"""
-ORACLE["ngram_jaccard_pairs"] = f"""
-WITH sig AS ({ORACLE["minhash_signatures"]}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sig a JOIN sig b
-    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct([substr(text, i, 5)
-                        for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
-  FROM documents
-)
-SELECT id_a, id_b,
-       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-FROM pairs JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id
+       round(CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+             / (x.n + y.n - len(list_intersect(x.hashes, y.hashes))), 6) AS jaccard
+FROM pairs JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
 """
 
 # --- embedding-cosine near-dup (blocked by label) ----------------------------
@@ -889,6 +888,42 @@ def _media_frame(spark: SparkSession, sf_dir: str, with_payload: bool = True) ->
     return docs.select(*cols)
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-once n-gram Jaccard on LSH candidates (see ORACLE comment)."""
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+            " i -> substr(text, i, 5))), s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("hashes"),
+    ).withColumn("n", F.size("hashes")).persist()
+    sig = h.select(
+        "doc_id",
+        F.expr("array_min(transform(hashes, x -> shiftright(x, 28)))").alias("m0"),
+        F.expr("array_min(transform(hashes, x -> x & 268435455))").alias("m1"),
+    )
+    pairs = llm_dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=2)
+    x, y = F.broadcast(h).alias("x"), F.broadcast(h).alias("y")
+    inter = F.size(F.array_intersect("x.hashes", "y.hashes"))
+    return (
+        pairs.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter.cast("double") / (F.col("x.n") + F.col("y.n") - inter), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → mapInPandas feature extraction (decode stubbed —
     no codec libs in container; the Arrow plumbing is real). Non-SQL path
@@ -929,6 +964,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": _q_lang_id,
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
+    "ngram_jaccard_pairs": _q_ngram_jaccard,
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
 }
