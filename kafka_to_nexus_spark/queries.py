@@ -277,6 +277,19 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+# --- W7 ep01 connection-status change log (ep01_Writer.cpp:38-46) -----------
+# EPICS writes only state CHANGES: run-length dedup of consecutive equal
+# statuses per source in consumption order.
+SPARK_SQL["w7_ep01_state_changes"] = ORACLE["w7_ep01_state_changes"] = """
+SELECT user_id, event_id, ts AS connection_status_time,
+       CAST(CASE event_type WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 0 END AS SMALLINT) AS status
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+  FROM events
+) WHERE prev_type IS NULL OR event_type <> prev_type
+"""
+
 # --- W8 tdct per-chunk cue: (cumulative element count, chunk ts) ------------
 # (tdct_Writer.cpp:67-83: cue pair appended per timestamps[] chunk)
 SPARK_SQL["w8_tdct_chunk_cue"] = ORACLE["w8_tdct_chunk_cue"] = """

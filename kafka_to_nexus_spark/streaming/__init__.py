@@ -1,1 +1,1 @@
-from . import job  # noqa: F401
+from . import job, stateful  # noqa: F401

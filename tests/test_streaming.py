@@ -115,3 +115,70 @@ def test_ev44_cumulative_index_across_batches(spark, tmp_path):
     idx = [r.event_index for r in sorted(pulses.collect(), key=lambda r: r.event_time_zero)]
     assert idx == [0, 3]  # second batch shifted by 3 events from batch one
     assert job.state.events_written[("ev44", ev_src)] == 5
+
+
+# --------------------------------------------------------------------------
+# applyInPandasWithState: keyed running aggregates across micro-batches
+# --------------------------------------------------------------------------
+
+def test_stateful_running_stats_across_triggers(spark, tmp_path):
+    """Drive streaming.stateful.running_stats through a real file-stream
+    source, two triggers: state must carry between micro-batches (final
+    running aggregate = whole-input aggregate)."""
+    import time
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [("f144", "s1", 10, 10.0), ("f144", "s1", 11, 30.0), ("f144", "s2", 12, 5.0)]
+    rows2 = [("f144", "s1", 13, 20.0), ("f144", "s2", 14, 45.0)]
+    schema = "schema string, source_name string, timestamp long, value double"
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.json(str(src_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src_dir / "*"))
+    )
+    out = stateful.running_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.json(str(src_dir / "b2"))
+        q.processAllAvailable()
+        got = {
+            r.source_name: r
+            for r in spark.sql(
+                # "update" mode appends each trigger's rows to the memory
+                # sink; the last emission per key is the running total
+                """SELECT * FROM (
+                     SELECT *, row_number() OVER (PARTITION BY source_name ORDER BY n_values DESC) rn
+                     FROM running_stats_test) WHERE rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    assert got["s1"].minimum_value == 10.0
+    assert got["s1"].maximum_value == 30.0
+    assert got["s1"].average_value == pytest.approx(20.0)
+    assert got["s1"].n_values == 3
+    assert got["s2"].minimum_value == 5.0
+    assert got["s2"].maximum_value == 45.0
+    assert got["s2"].n_values == 2
+
+    # parity with the batch plan on the same data
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    expect = {r.source_name: r for r in stateful.batch_equivalent(batch).collect()}
+    for k in ("s1", "s2"):
+        assert got[k].average_value == pytest.approx(expect[k].average_value)
