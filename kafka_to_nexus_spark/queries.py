@@ -638,25 +638,36 @@ FROM pairs JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
 
 # --- embedding-cosine near-dup (blocked by label) ----------------------------
 # Pairwise cosine only WITHIN label blocks (O(sum block²), not O(n²));
-# top-k most-similar pairs with stable tie order.
+# top-k most-similar pairs with stable tie order. Vectors are L2-normalized
+# ONCE in a narrow map stage so the per-pair work is a single dot product —
+# each vector sits in ~block_size pairs, so computing its norm per pair
+# would redo the same work block_size times.
 SPARK_SQL["embedding_cosine_pairs"] = """
-WITH n AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
+WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
+n AS (
+  SELECT vec_id, label,
+         transform(e, x -> x / sqrt(aggregate(transform(e, v -> v * v),
+                                              CAST(0.0 AS DOUBLE), (s, v) -> s + v))) AS en
+  FROM e
+),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         aggregate(zip_with(a.e, b.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)
-         / (sqrt(aggregate(transform(a.e, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))
-            * sqrt(aggregate(transform(b.e, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))) AS cos
+         aggregate(zip_with(a.en, b.en, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x) AS cos
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cosine
 FROM p ORDER BY cosine DESC, id_a, id_b LIMIT 20
 """
 ORACLE["embedding_cosine_pairs"] = """
-WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (
+  SELECT vec_id, label,
+         [x / sqrt(list_dot_product(e, e)) for x in e] AS en
+  FROM e
+),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.e, b.e)
-         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+         list_dot_product(a.en, b.en) AS cos
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cosine
