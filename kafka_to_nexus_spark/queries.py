@@ -783,6 +783,64 @@ SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
 FROM scored WHERE rn = 1 GROUP BY centroid_id
 """
 
+# IVF probe: the 100 TB ANN path — assign every vector to its nearest
+# centroid (one narrow pass + broadcast of the tiny centroid set), then
+# search ONLY the buckets nearest the query vector. Brute force scans all
+# N; IVF scans N/n_buckets per probe.
+SPARK_SQL["ivf_probe_topk"] = """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS ARRAY<DOUBLE>) AS ce
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
+assign AS (
+  SELECT v.vec_id,
+         max_by(c.centroid_id,
+                struct(aggregate(zip_with(v.e, c.ce, (x, y) -> x * y),
+                                 CAST(0.0 AS DOUBLE), (s, x) -> s + x),
+                       -c.centroid_id)) AS centroid_id
+  FROM v CROSS JOIN c GROUP BY v.vec_id
+),
+probe AS (SELECT centroid_id FROM assign WHERE vec_id = 0),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+cand AS (
+  SELECT v.vec_id, v.e FROM v
+  JOIN assign a ON v.vec_id = a.vec_id
+  JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE v.vec_id <> 0
+)
+SELECT vec_id,
+       round(aggregate(zip_with(e, qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)
+             / (sqrt(aggregate(transform(e, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))
+                * sqrt(aggregate(transform(qe, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))),
+             6) AS cosine
+FROM cand CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+ORACLE["ivf_probe_topk"] = """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.e, c.ce) DESC, c.centroid_id) AS rn
+  FROM v, c
+),
+assign AS (SELECT vec_id, centroid_id FROM scored WHERE rn = 1),
+probe AS (SELECT centroid_id FROM assign WHERE vec_id = 0),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+cand AS (
+  SELECT v.vec_id, v.e FROM v
+  JOIN assign a ON v.vec_id = a.vec_id
+  JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE v.vec_id <> 0
+)
+SELECT vec_id,
+       round(list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+FROM cand, q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
 SPARK_SQL["embedding_label_stats"] = """
 SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        round(CAST(sum(CAST(sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x),
