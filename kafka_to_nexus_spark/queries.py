@@ -970,6 +970,41 @@ def _media_frame(spark: SparkSession, sf_dir: str, with_payload: bool = True) ->
     return docs.select(*cols)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-stream as-of join: each purchase event joined to the
+    latest signup value at-or-before it per user. Oracle uses DuckDB's
+    native ASOF JOIN; Spark side is the tag-union + last_value window
+    (operators/asof_join.py) — one shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof_join import asof_join_backward
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # one reading per (user, ts): latest-by-offset wins, so equal-ts ties
+    # are deterministic in both engines
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return asof_join_backward(
+        left, right, keys=["user_id"], ts="ts", right_values=["value"]
+    ).select("event_id", "user_id", "value", F.col("asof_value"))
+
+
+ORACLE["asof_join_streams"] = """
+SELECT e.event_id, e.user_id, e.value, s.value AS asof_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
+                FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-once n-gram Jaccard on LSH candidates (see ORACLE comment)."""
     from pyspark.sql import functions as F
@@ -1046,6 +1081,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": _q_lang_id,
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
+    "asof_join_streams": _q_asof_join,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,

@@ -1,0 +1,69 @@
+"""As-of join operator vs pandas merge_asof (the semantics oracle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kafka_to_nexus_spark.operators.asof_join import asof_join_backward
+
+LEFT_SCHEMA = "key string, ts long, lv double"
+RIGHT_SCHEMA = "key string, ts long, rv double"
+
+LEFT = [
+    ("a", 5, 1.0),
+    ("a", 10, 2.0),
+    ("a", 20, 3.0),
+    ("b", 7, 4.0),
+    ("b", 8, 5.0),
+    ("c", 1, 6.0),  # no right rows for c at all
+]
+RIGHT = [
+    ("a", 4, 40.0),
+    ("a", 10, 100.0),  # exact-ts match must be visible to left@10
+    ("a", 15, 150.0),
+    ("b", 8, 80.0),
+]
+
+
+def _expected(tolerance=None):
+    lf = pd.DataFrame(LEFT, columns=["key", "ts", "lv"]).sort_values("ts")
+    rf = pd.DataFrame(RIGHT, columns=["key", "ts", "rv"]).sort_values("ts")
+    kwargs = {} if tolerance is None else {"tolerance": tolerance}
+    m = pd.merge_asof(lf, rf, on="ts", by="key", direction="backward", **kwargs)
+    return {(r.key, r.ts): (None if pd.isna(r.rv) else r.rv) for r in m.itertuples()}
+
+
+def _got(spark, tolerance=None):
+    out = asof_join_backward(
+        spark.createDataFrame(LEFT, LEFT_SCHEMA),
+        spark.createDataFrame(RIGHT, RIGHT_SCHEMA),
+        keys=["key"],
+        ts="ts",
+        right_values=["rv"],
+        tolerance=tolerance,
+    ).collect()
+    return {(r.key, r.ts): r.asof_rv for r in out}
+
+
+def test_backward_asof_matches_pandas(spark):
+    assert _got(spark) == _expected()
+
+
+def test_exact_ts_match_is_visible(spark):
+    got = _got(spark)
+    assert got[("a", 10)] == 100.0  # reading AT the event ts, not before
+
+
+def test_unmatched_left_rows_survive_with_null(spark):
+    got = _got(spark)
+    assert got[("c", 1)] is None
+    assert len(got) == len(LEFT)
+
+
+def test_tolerance_expires_old_matches(spark):
+    got = _got(spark, tolerance=3)
+    exp = _expected(tolerance=3)
+    assert got == exp
+    # a@20: nearest reading is 15 (within 5 > 3) → expired
+    assert got[("a", 20)] is None
