@@ -1005,6 +1005,55 @@ ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
 """
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join: count purchases inside each signup's
+    2-day window per user. Spark side is the bucketed equi-join
+    (operators/range_join.py); oracle is the naive containment join."""
+    from pyspark.sql import functions as F
+
+    from .operators.range_join import bucketed_range_join
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    us = F.unix_micros  # µs since epoch, matches DuckDB epoch_us
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), us("ts").alias("pts"), "user_id"
+    )
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("iid"),
+        us("ts").alias("w_start"),
+        (us("ts") + F.lit(2 * 86_400_000_000)).alias("w_end"),
+        "user_id",
+    )
+    joined = bucketed_range_join(
+        points,
+        intervals,
+        ts="pts",
+        start="w_start",
+        end="w_end",
+        bucket_width=86_400_000_000,  # 1 day ≈ half the interval width
+        keys=["user_id"],
+    )
+    return joined.groupBy("iid").agg(
+        F.count("*").alias("n_purchases_in_window"),
+        F.min("pid").alias("first_pid"),
+    )
+
+
+ORACLE["range_join_attribution"] = """
+SELECT i.event_id AS iid,
+       CAST(count(*) AS BIGINT) AS n_purchases_in_window,
+       min(p.event_id) AS first_pid
+FROM (SELECT event_id, user_id, epoch_us(ts) AS w_start,
+             epoch_us(ts) + 2 * 86400000000 AS w_end
+      FROM events WHERE event_type = 'signup') i
+JOIN (SELECT event_id, user_id, epoch_us(ts) AS pts
+      FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = i.user_id AND p.pts BETWEEN i.w_start AND i.w_end
+GROUP BY i.event_id
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-once n-gram Jaccard on LSH candidates (see ORACLE comment)."""
     from pyspark.sql import functions as F
@@ -1082,6 +1131,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
     "asof_join_streams": _q_asof_join,
+    "range_join_attribution": _q_range_join,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
