@@ -511,6 +511,25 @@ FROM events
 GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 """
 
+# --- hypertable-style two-level rollup ---------------------------------------
+# Continuous-aggregate pattern: daily totals computed FROM hourly partials
+# (sum of sums, min of mins) — at scale the hourly layer is materialized
+# once and every coarser resolution reaggregates it instead of the raw
+# stream.
+SPARK_SQL["hypertable_rollup"] = ORACLE["hypertable_rollup"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT date_trunc('day', hour) AS day, event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(sv) AS DOUBLE) AS sum_value,
+       min(mn) AS min_value, max(mx) AS max_value
+FROM hourly GROUP BY date_trunc('day', hour), event_type
+"""
+
 # --- set operations ----------------------------------------------------------
 SPARK_SQL["set_intersect_users"] = ORACLE["set_intersect_users"] = """
 SELECT user_id FROM events WHERE event_type = 'purchase'
