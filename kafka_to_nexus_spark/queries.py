@@ -79,8 +79,9 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
+    app_id = spark.sparkContext.applicationId
     for t in tables:
-        key = (id(spark), sf_dir, t)
+        key = (app_id, sf_dir, t)
         if key in _REGISTERED:
             continue
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
