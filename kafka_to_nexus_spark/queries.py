@@ -555,6 +555,51 @@ SELECT event_id,
 FROM events
 """
 
+# --- KMV distinct-count sketch ----------------------------------------------
+# k-minimum-values estimator: distinct ≈ (k−1)·2^60 / kth-smallest hash.
+# Unlike HLL (engine-specific registers), KMV over md5 is DETERMINISTIC and
+# engine-portable, so the approximate answer itself is oracle-checkable —
+# the shuffle carries k values per group instead of the distinct set.
+_KMV_K = 64
+SPARK_SQL["kmv_distinct_sketch"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+)
+SELECT event_type,
+       CAST(CASE WHEN n_exact < {_KMV_K} THEN n_exact
+                 ELSE round(({_KMV_K} - 1) * 1152921504606846976.0 / hv)
+            END AS BIGINT) AS estimated_distinct,
+       CAST(n_exact AS BIGINT) AS exact_distinct
+FROM ranked WHERE rn = least(n_exact, {_KMV_K})
+"""
+ORACLE["kmv_distinct_sketch"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+)
+SELECT event_type,
+       CAST(CASE WHEN n_exact < {_KMV_K} THEN n_exact
+                 ELSE round(({_KMV_K} - 1) * 1152921504606846976.0 / hv)
+            END AS BIGINT) AS estimated_distinct,
+       CAST(n_exact AS BIGINT) AS exact_distinct
+FROM ranked WHERE rn = least(n_exact, {_KMV_K})
+"""
+
 # --- LLM-pipeline: text analysis --------------------------------------------
 SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
