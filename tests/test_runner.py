@@ -133,3 +133,30 @@ def test_static_information(spark, tmp_path):
     assert meta["links"], "links present"
     for link in meta["links"]:
         assert link["path"] and link["target"]
+
+
+def test_ad00_staged_golden(spark, writer_modules_result):
+    # domain-tests/test_writer_modules.py:112-127 — two 2×2 frames
+    out = writer_modules_result.out_dir
+    g = "/entry/instrument/image_detector/data"
+    df = spark.read.parquet(str(staging.dataset_dir(out, g, "frames")))
+    rows = df.orderBy("time").collect()
+    assert [r.time for r in rows] == [10_300_000_000, 10_310_000_000]
+    assert [r.shape for r in rows] == [[2, 2], [2, 2]]
+    assert [r.data for r in rows] == [
+        [10.0, 11.0, 12.0, 13.0],
+        [13.0, 12.0, 11.0, 10.0],
+    ]
+
+
+def test_da00_staged_golden(spark, writer_modules_result):
+    # domain-tests/test_writer_modules.py:138-160 — signal variable frames
+    out = writer_modules_result.out_dir
+    g = "/entry/instrument/beam_monitor"
+    df = spark.read.parquet(str(staging.dataset_dir(out, g, "frames")))
+    rows = df.filter("variable = 'signal'").orderBy("time").collect()
+    assert [r.time for r in rows] == [10_500_000_000, 10_600_000_000]
+    assert [r.data for r in rows] == [
+        [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0],
+        [4.0, 3.0, 2.0, 1.0, 2.0, 3.0, 4.0],
+    ]
