@@ -8,7 +8,9 @@ that capability surface Spark-first:
 - plan/        job ("query") model: StartMessage + nexus_structure walk
 - sources/     message-envelope DataFrames (fixtures, Kafka batch+stream)
 - operators/   filter/route plane (source filter, time window, as-of
-               buffering, dedup, out-of-order/offset-gap detection)
+               buffering, dedup, out-of-order/offset-gap detection) plus
+               custom joins (stream-to-stream as-of join, bucketed range
+               join)
 - modules/     the 10 writer modules as DataFrame transforms
                (f144 ev44 se00 ad00 da00 al00 ep01 tdct mdat template)
 - sinks/       parquet-staging sink (primary) + gated h5py NeXus sink
