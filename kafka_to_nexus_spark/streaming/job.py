@@ -35,7 +35,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..modules import accepts_repeated_timestamps, get_module
@@ -140,6 +140,11 @@ class StreamingJobState:
     asof_buffer: dict[tuple[str, str], Row] = field(default_factory=dict)
     asof_emitted: set = field(default_factory=set)
     events_written: dict[tuple[str, str], int] = field(default_factory=dict)
+    # F4 across micro-batches: ts of the last row written per dedup'ing
+    # source — the reference's SourceFilter keeps this across polls
+    # (SourceFilter.cpp:90-95), so a repeat straddling a batch boundary
+    # must still be dropped.
+    last_written_ts: dict[tuple[str, str], int] = field(default_factory=dict)
     batches_processed: int = 0
     max_event_time_ns: int = 0
     finished: bool = False
@@ -239,10 +244,30 @@ class StreamingJob:
         for binding in self.plan.streams:
             module = get_module(binding.module)
             src = filters.source_filter(windowed, binding.module, binding.source)
+            key = (binding.module, binding.source)
             if not accepts_repeated_timestamps(binding.module):
                 src = filters.drop_repeated_timestamps(src)
+                # cross-batch repeat: the batch's FIRST row (lag == null,
+                # so the window op keeps it) still repeats if its ts equals
+                # the last ts written in an earlier batch
+                last = self.state.last_written_ts.get(key)
+                if last is not None:
+                    w = Window.orderBy("partition", "offset")
+                    src = (
+                        src.withColumn("_rn", F.row_number().over(w))
+                        .filter(~((F.col("_rn") == 1) & (F.col("timestamp") == F.lit(last))))
+                        .drop("_rn")
+                    )
+                tail = (
+                    src.agg(
+                        F.max_by(
+                            "timestamp", F.struct("partition", "offset")
+                        ).alias("ts")
+                    ).collect()[0]["ts"]
+                )
+                if tail is not None:
+                    self.state.last_written_ts[key] = int(tail)
             outputs = module.transform(src, binding.config)
-            key = (binding.module, binding.source)
             for dataset, df in outputs.items():
                 # W2: shift this batch's indices by the cumulative count
                 if binding.module == "ev44" and dataset == "pulses":

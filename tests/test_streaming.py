@@ -182,3 +182,20 @@ def test_stateful_running_stats_across_triggers(spark, tmp_path):
     expect = {r.source_name: r for r in stateful.batch_equivalent(batch).collect()}
     for k in ("s1", "s2"):
         assert got[k].average_value == pytest.approx(expect[k].average_value)
+
+
+def test_repeated_ts_dropped_across_batch_boundary(spark, buffered_job):
+    """F4 across micro-batches: a repeat straddling the boundary is dropped
+    (the reference's SourceFilter keeps last-ts state across polls)."""
+    job = buffered_job
+    b1 = [f144(11_000, 10.0, offset=1), f144(12_000, 20.0, offset=2)]
+    # batch 2 starts with ts == last written ts (12000) → must be dropped;
+    # the next new ts passes
+    b2 = [f144(12_000, 99.0, offset=3), f144(13_000, 30.0, offset=4)]
+    job.process_batch(messages_from_json(spark, b1), 0)
+    job.process_batch(messages_from_json(spark, b2), 1)
+
+    df = read_dataset(spark, job, "/entry/instrument/chopper/delay", "log")
+    rows = df.orderBy("time").collect()
+    assert [r.time for r in rows] == [11_000_000_000, 12_000_000_000, 13_000_000_000]
+    assert [r.value for r in rows] == [10.0, 20.0, 30.0]  # 99.0 dropped
