@@ -19,6 +19,70 @@ from kafka_to_nexus_spark import queries as Q
 from kafka_to_nexus_spark.session import get_spark
 
 
+def _run_e2e_job(spark, sf_dir: str) -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.plan import StartMessage
+    from kafka_to_nexus_spark.runner import run_job
+    from kafka_to_nexus_spark.schemas import MESSAGE_SCHEMA
+
+    n_streams = 4
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = {
+        "topic": F.lit("events"),
+        "partition": F.lit(0).cast("int"),
+        "offset": F.col("event_id"),
+        "kafka_timestamp": F.expr("ts div 1000000"),
+        "schema": F.lit("f144"),
+        "source_name": F.concat(F.lit("sensor_"), (F.col("user_id") % n_streams)),
+        "timestamp": F.col("ts"),
+        "value": F.col("value"),
+    }
+    messages = ev.select(
+        *[
+            cols.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in MESSAGE_SCHEMA.fields
+        ]
+    )
+    sensors = [
+        {
+            "type": "group",
+            "name": f"sensor_{i}",
+            "attributes": [{"name": "NX_class", "values": "NXlog"}],
+            "children": [
+                {
+                    "module": "f144",
+                    "config": {
+                        "topic": "events",
+                        "source": f"sensor_{i}",
+                        "dtype": "double",
+                    },
+                }
+            ],
+        }
+        for i in range(n_streams)
+    ]
+    structure = {
+        "children": [{"type": "group", "name": "entry", "children": sensors}]
+    }
+    start = StartMessage(
+        job_id="bench-e2e",
+        filename="bench",
+        nexus_structure=structure,
+        start_time_ms=1704240000000,  # 2024-01-03 (pre-start rows feed F3)
+        stop_time_ms=1704844800000,  # 2024-01-10
+    )
+    out = tempfile.mkdtemp(prefix="bench_job_")
+    try:
+        run_job(spark, start, messages, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -43,6 +107,15 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
+
+    # End-to-end ENGINE benchmark: a full batch job (plan → shared windowed
+    # scan with as-of buffering → per-stream f144 transforms + running
+    # aggregates → staged parquet sink) over the events table as 4 sources.
+    t0 = time.perf_counter()
+    _run_e2e_job(spark, sf_dir)
+    dt = round(time.perf_counter() - t0, 3)
+    timings["job_e2e_f144_4streams"] = dt
+    total += dt
     spark.stop()
     print(
         json.dumps(

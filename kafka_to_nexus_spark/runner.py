@@ -16,6 +16,7 @@ Execution shape (Spark-first):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,11 +78,16 @@ def run_job(
     observed, obs = quality.observe_stream_metrics(messages)
     valid = quality.valid_only(observed)
     windowed = filters.with_asof_buffer(valid, start_ns, stop_ns).persist()
+    # Materialize the shared scan ONCE before fanning out: the observe
+    # metrics node must be traversed by exactly one deterministic action —
+    # concurrent first-touch from the binding pool races the cache and can
+    # skip it.
+    windowed.count()
 
     stream_outputs: dict[str, list[str]] = {}
     metadata_values: dict[str, object] = {}
 
-    for binding in plan.streams:
+    def process_binding(binding: StreamBinding) -> tuple[str, list[str], dict]:
         module = get_module(binding.module)
         src = filters.source_filter(windowed, binding.module, binding.source)
         if not accepts_repeated_timestamps(binding.module):
@@ -96,15 +102,26 @@ def run_job(
             df = df.drop(*[c for c in HELPER_COLS if c in df.columns])
             staging.write_dataset(df, out_dir, binding.path, dataset)
             written.append(dataset)
-        stream_outputs[_stream_key(binding)] = written
 
         # T6 job-summary aggregates (e.g. f144 min/max/mean, ev44 counts)
+        values: dict[str, object] = {}
         if hasattr(module, "aggregates"):
             agg_input = outputs.get("log", src)
             agg_row = module.aggregates(agg_input, binding.config).collect()
             if agg_row:
                 for name, value in agg_row[0].asDict().items():
-                    metadata_values[f"{binding.path}/{name}"] = value
+                    values[f"{binding.path}/{name}"] = value
+        return _stream_key(binding), written, values
+
+    # Per-stream jobs are small relative to the cluster — submit them
+    # CONCURRENTLY so the scheduler interleaves their tasks instead of
+    # leaving slots idle between serial actions. The reference gets the
+    # same effect from its per-partition threads feeding one writer.
+    if plan.streams:
+        with ThreadPoolExecutor(max_workers=min(8, len(plan.streams))) as pool:
+            for key, written, values in pool.map(process_binding, plan.streams):
+                stream_outputs[key] = written
+                metadata_values.update(values)
 
     # W9 mdat run metadata (plan-level constants)
     for m in plan.mdat:
