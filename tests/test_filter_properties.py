@@ -88,3 +88,56 @@ def test_out_of_order_flag_matches_naive_model(spark, msgs):
     assert {r.offset for r in out if r.is_out_of_order} == flagged
     # F5 never drops rows
     assert len(out) == len(msgs)
+
+
+# --------------------------------------------------------------------------
+# ev44 cumulative-index invariants (W2) on arbitrary pulse batches
+# --------------------------------------------------------------------------
+
+ev44_batches = st.lists(
+    st.lists(st.integers(0, 5), min_size=1, max_size=4),  # events per pulse msg
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(sizes=ev44_batches)
+@PROP_SETTINGS
+def test_ev44_index_invariants(spark, sizes):
+    from kafka_to_nexus_spark.modules import ev44
+
+    rows = []
+    for off, pulse_events in enumerate(sizes):
+        n = sum(pulse_events)
+        rows.append(
+            {
+                "schema": "ev44",
+                "topic": "t",
+                "source_name": "d",
+                "partition": 0,
+                "offset": off,
+                "kafka_timestamp": 10_000 + off,
+                "timestamp": (10_000 + off) * 1_000_000,
+                "reference_time": [(10_000 + off) * 1_000_000] * len(pulse_events),
+                "reference_time_index": [sum(pulse_events[:i]) for i in range(len(pulse_events))],
+                "time_of_flight": list(range(n)),
+                "pixel_ids": list(range(n)),
+            }
+        )
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    out = ev44.transform(messages_from_json(spark, rows))
+    events = out["events"].orderBy("_global_index").collect()
+    pulses = out["pulses"].orderBy("event_index").collect()
+
+    total = sum(sum(p) for p in sizes)
+    # every event appears exactly once, globally indexed 0..total-1
+    assert [e._global_index for e in events] == list(range(total))
+    # pulse event_index = cumulative events before that pulse, monotone
+    expect_idx = []
+    before = 0
+    for pulse_events in sizes:
+        for i, _ in enumerate(pulse_events):
+            expect_idx.append(before + sum(pulse_events[:i]))
+        before += sum(pulse_events)
+    assert [p.event_index for p in pulses] == sorted(expect_idx)
