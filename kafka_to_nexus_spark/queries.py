@@ -503,6 +503,69 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
 GROUP BY c_nationkey
 """
 
+SPARK_SQL["q2_min_cost_supplier"] = ORACLE["q2_min_cost_supplier"] = """
+SELECT p_partkey, p_brand, s_suppkey, round(l_extendedprice, 2) AS price
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size = 10
+  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = part.p_partkey)
+ORDER BY p_partkey, s_suppkey
+LIMIT 50
+"""
+
+SPARK_SQL["q11_important_stock"] = ORACLE["q11_important_stock"] = """
+SELECT l_partkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS stock_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) >
+       (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 0.0005
+        FROM lineitem)
+ORDER BY stock_value DESC, l_partkey
+LIMIT 100
+"""
+
+SPARK_SQL["q15_top_supplier"] = ORACLE["q15_top_supplier"] = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+SPARK_SQL["q17_small_quantity_revenue"] = ORACLE["q17_small_quantity_revenue"] = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+SPARK_SQL["q21_waiting_orders"] = ORACLE["q21_waiting_orders"] = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
 # --- grouping sets / rollup --------------------------------------------------
 SPARK_SQL["rollup_daily_totals"] = ORACLE["rollup_daily_totals"] = """
 SELECT event_type, date_trunc('day', ts) AS day,
