@@ -71,6 +71,21 @@ def test_column_pruning_reaches_scan(spark):
     assert "props" not in scan, scan
 
 
+def test_exists_subqueries_become_semi_joins(spark):
+    """q21's EXISTS / NOT EXISTS must decorrelate to semi/anti hash joins,
+    not per-row re-scans of lineitem."""
+    plan = _plan(spark, Q.SPARK_SQL["q21_waiting_orders"])
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_correlated_avg_decorrelates_to_aggregate_join(spark):
+    """q17's correlated scalar avg must plan as one grouped aggregate
+    joined back, not a subquery per probe row."""
+    plan = _plan(spark, Q.SPARK_SQL["q17_small_quantity_revenue"])
+    assert "HashAggregate" in plan and "Join" in plan, plan
+
+
 def test_agg_is_partial_before_shuffle(spark):
     """Running min/max/mean must combine map-side (partial_*) so the shuffle
     carries one row per (partition, source), not the full stream."""
