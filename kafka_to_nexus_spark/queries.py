@@ -329,6 +329,51 @@ FROM (
 ) GROUP BY user_id
 """
 
+# Spark's built-in session_window (30 min gap); DuckDB mirrors it with
+# gap-based session ids (cumsum of new-session flags). Session end =
+# last event + gap in both.
+SPARK_SQL["session_windows"] = """
+SELECT user_id, session_window.start AS session_start,
+       session_window.end AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, session_window(ts, '30 minutes')
+"""
+ORACLE["session_windows"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+# semi-structured payload extraction (props is a JSON string column)
+SPARK_SQL["json_props_extract"] = """
+SELECT event_type,
+       CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(count(get_json_object(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events GROUP BY event_type
+"""
+ORACLE["json_props_extract"] = """
+SELECT event_type,
+       CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+       CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
 SPARK_SQL["tumbling_window"] = ORACLE["tumbling_window"] = """
 SELECT date_trunc('day', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
