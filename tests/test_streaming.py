@@ -199,3 +199,45 @@ def test_repeated_ts_dropped_across_batch_boundary(spark, buffered_job):
     rows = df.orderBy("time").collect()
     assert [r.time for r in rows] == [11_000_000_000, 12_000_000_000, 13_000_000_000]
     assert [r.value for r in rows] == [10.0, 20.0, 30.0]  # 99.0 dropped
+
+
+def test_streaming_matches_batch_runner_output(spark, tmp_path):
+    """Equivalence invariant: the same messages, run through the batch
+    runner vs split across streaming micro-batches, stage identical
+    f144 rows (as-of buffering and dedup included)."""
+    from kafka_to_nexus_spark.runner import run_job
+
+    tpl = json.loads((DOMAIN_TEMPLATES / "buffered_template.json").read_text())
+    msgs = [
+        f144(8_000, 1.0, offset=0),   # pre-start, superseded
+        f144(9_000, 2.0, offset=1),   # pre-start, buffered (as-of)
+        f144(11_000, 3.0, offset=2),
+        f144(12_000, 4.0, offset=3),
+        f144(12_000, 9.0, offset=4),  # repeated ts -> dropped
+        f144(14_000, 5.0, offset=5),
+        f144(16_000, 6.0, offset=6),  # past stop -> dropped
+    ]
+    start = StartMessage(
+        job_id="equiv", filename="f", nexus_structure=tpl,
+        start_time_ms=10_000, stop_time_ms=15_000,
+    )
+
+    batch_res = run_job(spark, start, messages_from_json(spark, msgs), str(tmp_path / "batch"))
+
+    sj = StreamingJob(spark, start, str(tmp_path / "stream"))
+    # split mid-stream, with the repeated-ts pair straddling the boundary
+    sj.process_batch(messages_from_json(spark, msgs[:4]), 0)
+    sj.process_batch(messages_from_json(spark, msgs[4:]), 1)
+    sj.finalize()
+
+    g = "/entry/instrument/chopper/delay"
+    def rows(out_dir):
+        df = spark.read.parquet(str(staging.dataset_dir(out_dir, g, "log")))
+        return [(r.time, r.value) for r in df.orderBy("time").collect()]
+
+    assert rows(batch_res.out_dir) == rows(sj.out_dir) == [
+        (9_000_000_000, 2.0),   # buffered as-of value
+        (11_000_000_000, 3.0),
+        (12_000_000_000, 4.0),  # repeat dropped in both modes
+        (14_000_000_000, 5.0),
+    ]
