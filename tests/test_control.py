@@ -133,3 +133,56 @@ def test_job_pool_claim_semantics():
     assert pool.claim(a) is None
     r2 = pool.claim(b)
     assert r2.accepted and b.state is WorkerState.WRITING
+
+
+def test_full_job_lifecycle_pool_to_wrdn(spark, tmp_path):
+    """Integration-style: pool claim → status(writing) → batch job runs →
+    wrdn report → idle → next pool job claimable. Mirrors the reference's
+    integration tests (two writers / start-stop / pool rejoin) Kafka-free."""
+    import json as _json
+    import uuid as _uuid
+
+    from conftest import DOMAIN_DATA, DOMAIN_TEMPLATES
+    from kafka_to_nexus_spark.runner import run_job
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_file
+
+    structure = _json.loads(
+        (DOMAIN_TEMPLATES / "writer_modules_template.json").read_text()
+    )
+    pool, ctl = JobPool(), JobController()
+    job_ids = [str(_uuid.uuid4()), str(_uuid.uuid4())]
+    for i, jid in enumerate(job_ids):
+        pool.offer(
+            {
+                "job_id": jid,
+                "filename": f"out_{i}.nxs",
+                "nexus_structure": structure,
+                "start_time": 10_000,
+                "stop_time": 15_000,
+            }
+        )
+
+    for i, jid in enumerate(job_ids):
+        resp = pool.claim(ctl)
+        assert resp is not None and resp.accepted and resp.job_id == jid
+        # claiming while writing yields nothing (pool rejoin happens at idle)
+        assert pool.claim(ctl) is None
+        st = ctl.status()
+        assert st["state"] == "writing" and st["file_being_written"] == f"out_{i}.nxs"
+
+        res = run_job(
+            spark,
+            ctl.current_job,
+            messages_from_file(spark, DOMAIN_DATA / "writer_modules_data.json"),
+            str(tmp_path / f"job_{i}"),
+        )
+        assert res.metrics["messages_received"] > 0
+
+        wrdn = ctl.finished_writing(metadata=_json.dumps(
+            {k: v for k, v in res.metadata_values.items() if "average" in k}
+        ))
+        assert wrdn["job_id"] == jid and not wrdn["error_encountered"]
+        ctl.set_idle()
+        assert ctl.status()["state"] == "idle"
+
+    assert pool.claim(ctl) is None  # pool drained
