@@ -663,6 +663,47 @@ SELECT event_id,
 FROM events
 """
 
+# --- scalar expression battery ----------------------------------------------
+# The reference has no generic expression library (SURVEY.md §2.8); this
+# pins a broad slab of the engine's scalar surface — math, string, date —
+# to exact cross-engine parity.
+SPARK_SQL["scalar_function_battery"] = """
+SELECT event_id,
+       round(ln(abs(value) + 1), 6) AS ln_v,
+       round(sqrt(abs(value)), 6) AS sqrt_v,
+       round(power(value, 2), 6) AS pow_v,
+       CAST(floor(value) AS BIGINT) AS floor_v,
+       CAST(ceil(value) AS BIGINT) AS ceil_v,
+       upper(event_type) AS upper_t,
+       substr(event_type, 1, 3) AS sub_t,
+       CAST(length(event_type) AS BIGINT) AS len_t,
+       concat(event_type, ':', CAST(user_id AS STRING)) AS tagged,
+       lpad(CAST(user_id AS STRING), 6, '0') AS padded,
+       replace(event_type, 'e', '_') AS replaced,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(dayofweek(ts) AS BIGINT) AS dow
+FROM events
+"""
+ORACLE["scalar_function_battery"] = """
+SELECT event_id,
+       round(ln(abs(value) + 1), 6) AS ln_v,
+       round(sqrt(abs(value)), 6) AS sqrt_v,
+       round(power(value, 2), 6) AS pow_v,
+       CAST(floor(value) AS BIGINT) AS floor_v,
+       CAST(ceil(value) AS BIGINT) AS ceil_v,
+       upper(event_type) AS upper_t,
+       substr(event_type, 1, 3) AS sub_t,
+       CAST(length(event_type) AS BIGINT) AS len_t,
+       concat(event_type, ':', CAST(user_id AS VARCHAR)) AS tagged,
+       lpad(CAST(user_id AS VARCHAR), 6, '0') AS padded,
+       replace(event_type, 'e', '_') AS replaced,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+FROM events
+"""
+
 # --- KMV distinct-count sketch ----------------------------------------------
 # k-minimum-values estimator: distinct ≈ (k−1)·2^60 / kth-smallest hash.
 # Unlike HLL (engine-specific registers), KMV over md5 is DETERMINISTIC and
