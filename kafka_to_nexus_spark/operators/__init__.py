@@ -1,1 +1,1 @@
-from . import asof_join, filters, quality, range_join  # noqa: F401
+from . import asof_join, filters, quality, range_join, skew  # noqa: F401

@@ -141,3 +141,42 @@ def test_ev44_index_invariants(spark, sizes):
             expect_idx.append(before + sum(pulse_events[:i]))
         before += sum(pulse_events)
     assert [p.event_index for p in pulses] == sorted(expect_idx)
+
+
+# --------------------------------------------------------------------------
+# salted aggregation: exact equivalence with direct aggregation
+# --------------------------------------------------------------------------
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["hot", "a", "b"]), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_salts=st.integers(1, 8),
+)
+@PROP_SETTINGS
+def test_salted_agg_equals_direct_agg(spark, rows, n_salts):
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    direct = {
+        (r.k): (r.s, r.mn, r.mx, r.c)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.min("v").alias("mn"),
+             F.max("v").alias("mx"), F.count("v").alias("c"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.s, r.mn, r.mx, r.c)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": F.sum("v"), "mn": F.min("v"), "mx": F.max("v"), "c": F.count("v")},
+            {"s": F.sum("s"), "mn": F.min("mn"), "mx": F.max("mx"), "c": F.sum("c")},
+            n_salts=n_salts,
+        ).collect()
+    }
+    assert salted == direct
