@@ -1327,6 +1327,22 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_spec(_media_frame(spark, sf_dir, with_payload=False), max_side=224)
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import multimodal as mm
+
+    return mm.frame_sample_plan(
+        _media_frame(spark, sf_dir, with_payload=False), every_ms=1000
+    )
+
+
+ORACLE["multimodal_frame_sample"] = """
+SELECT doc_id AS media_id, t.f AS frame_ts_ms
+FROM documents,
+     unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000)) AS t(f)
+WHERE doc_id % 3 = 2
+"""
+
+
 ORACLE["multimodal_resize_spec"] = """
 SELECT doc_id AS media_id,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -1349,6 +1365,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
+    "multimodal_frame_sample": _q_multimodal_frames,
 }
 
 
