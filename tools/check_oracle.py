@@ -32,6 +32,28 @@ def normalize(df) -> list[tuple]:
     return sorted(rows)
 
 
+_DTYPE_CANON = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "Int64": "int", "Int32": "int",
+    "float32": "float", "float64": "float",
+    "bool": "bool", "boolean": "bool",
+    "object": "object", "string": "object",
+}
+
+
+def schema_of(df) -> dict[str, str]:
+    """Canonicalized pandas dtypes per column (driver-style schema check,
+    tolerant of width differences the value hash also tolerates)."""
+    out = {}
+    for c in df.columns:
+        name = str(df[c].dtype)
+        if name.startswith("datetime64"):
+            name = "datetime"
+        out[c] = _DTYPE_CANON.get(name, name)
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -62,6 +84,12 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        sa, sb = schema_of(spark_df), schema_of(duck_df)
+        if sa != sb:
+            failures.append(name)
+            diff = {c: (sa.get(c), sb.get(c)) for c in set(sa) | set(sb) if sa.get(c) != sb.get(c)}
+            print(f"FAIL {name}: schema mismatch: {diff}")
             continue
         a, b = normalize(spark_df), normalize(duck_df)
         if len(a) != len(b):
