@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .modules import REGISTRY as MODULE_REGISTRY
 from .modules import accepts_repeated_timestamps, get_module
 from .operators import filters, quality
 from .plan import Plan, StartMessage, build_plan
@@ -69,6 +70,12 @@ def run_job(
 ) -> JobResult:
     t0 = time.perf_counter()
     plan = build_plan(start.nexus_structure)
+
+    # Plan-time validation, like the reference's JobCreator (unknown module
+    # → job rejected before any work starts, JobCreator.cpp:148-189).
+    unknown = sorted({s.module for s in plan.streams} - set(MODULE_REGISTRY))
+    if unknown:
+        raise ValueError(f"unknown writer module id(s) in nexus_structure: {unknown}")
 
     start_ns = start.start_time_ms * MS_TO_NS
     stop_ns = None if start.stop_time_ms is None else start.stop_time_ms * MS_TO_NS

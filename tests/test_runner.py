@@ -160,3 +160,18 @@ def test_da00_staged_golden(spark, writer_modules_result):
         [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0],
         [4.0, 3.0, 2.0, 1.0, 2.0, 3.0, 4.0],
     ]
+
+
+def test_unknown_module_rejected_at_plan_time(spark, tmp_path):
+    # reference: JobCreator throws before any writing starts → answ rejected
+    structure = {
+        "children": [{
+            "type": "group", "name": "entry",
+            "children": [{"module": "zz99", "config": {"topic": "t", "source": "s"}}],
+        }]
+    }
+    job = StartMessage(job_id="bad", filename="f", nexus_structure=structure,
+                       start_time_ms=0, stop_time_ms=1)
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+    with pytest.raises(ValueError, match="zz99"):
+        run_job(spark, job, messages_from_json(spark, []), str(tmp_path / "o"))
