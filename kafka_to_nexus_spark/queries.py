@@ -908,6 +908,34 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# Winnowing-style content-defined sampling: hash every 8-gram, keep
+# hashes ≡ 0 (mod 16) — sparse fuzzy-dup fingerprints (llm/text.py uses
+# xxhash64; this portable md5-slice form is oracle-checkable).
+SPARK_SQL["winnow_fingerprints"] = """
+WITH h AS (
+  SELECT doc_id,
+         filter(transform(sequence(1, greatest(length(text) - 7, 1)),
+                          i -> CAST(conv(substr(md5(substr(lower(text), i, 8)), 1, 15), 16, 10) AS BIGINT)),
+                x -> x % 16 = 0) AS fp
+  FROM documents
+)
+SELECT doc_id, CAST(size(fp) AS BIGINT) AS n_fp,
+       array_min(fp) AS min_fp, array_max(fp) AS max_fp
+FROM h
+"""
+ORACLE["winnow_fingerprints"] = """
+WITH h AS (
+  SELECT doc_id,
+         [x for x in [('0x' || substr(md5(substr(lower(text), i, 8)), 1, 15))::BIGINT
+                      for i in range(1, greatest(length(text) - 7, 1) + 1)]
+          if x % 16 = 0] AS fp
+  FROM documents
+)
+SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+       list_min(fp) AS min_fp, list_max(fp) AS max_fp
+FROM h
+"""
+
 SPARK_SQL["text_quality"] = f"""
 SELECT doc_id,
        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
