@@ -169,6 +169,18 @@ class StreamingJob:
             None if start.stop_time_ms is None else start.stop_time_ms * MS_TO_NS
         )
 
+    # -- control-plane hooks ------------------------------------------------
+
+    def retarget_stop(self, stop_time_ms: int) -> None:
+        """6s4t stop retarget on a RUNNING job (Commands.h:32-37,
+        Master.cpp stop-time update): subsequent micro-batches filter
+        against the new stop; the watchdog re-arms against it. Stop-now =
+        retarget to the current wall clock."""
+        self.stop_ns = stop_time_ms * MS_TO_NS
+        self.state.finished = (
+            self.state.max_event_time_ns > self.stop_ns + AFTER_STOP_LEEWAY_NS
+        )
+
     # -- helpers -----------------------------------------------------------
 
     def _update_asof_buffer(self, batch: DataFrame) -> None:

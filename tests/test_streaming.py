@@ -241,3 +241,32 @@ def test_streaming_matches_batch_runner_output(spark, tmp_path):
         (12_000_000_000, 4.0),  # repeat dropped in both modes
         (14_000_000_000, 5.0),
     ]
+
+
+def test_stop_retarget_on_running_job(spark, buffered_job):
+    """6s4t retarget: tighten the stop time mid-stream — later batches
+    filter against the new stop and the watchdog finishes the job."""
+    job = buffered_job  # original window [10s, 15s]
+    job.process_batch(messages_from_json(spark, [f144(11_000, 1.0, offset=1)]), 0)
+    job.retarget_stop(12_000)  # tighten stop to 12s
+    job.process_batch(
+        messages_from_json(
+            spark,
+            [
+                f144(11_500, 2.0, offset=2),   # still inside new window
+                f144(13_000, 3.0, offset=3),   # beyond new stop → dropped
+                f144(23_000, 4.0, offset=4),   # past stop+leeway → finishes job
+            ],
+        ),
+        1,
+    )
+    assert job.state.finished
+    # a batch after finish is ignored entirely
+    job.process_batch(messages_from_json(spark, [f144(11_800, 9.0, offset=5)]), 2)
+
+    df = read_dataset(spark, job, "/entry/instrument/chopper/delay", "log")
+    rows = df.orderBy("time").collect()
+    assert [(r.time, r.value) for r in rows] == [
+        (11_000_000_000, 1.0),
+        (11_500_000_000, 2.0),
+    ]
