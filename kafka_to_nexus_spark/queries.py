@@ -663,6 +663,53 @@ SELECT event_id,
 FROM events
 """
 
+# --- exact ordered statistics ------------------------------------------------
+# percentile() (Spark) and quantile_cont() (DuckDB) both compute the exact
+# interpolated quantile — ordered-statistics coverage with exact parity.
+SPARK_SQL["value_quantiles"] = """
+SELECT event_type,
+       round(percentile(value, 0.5), 6) AS p50,
+       round(percentile(value, 0.9), 6) AS p90,
+       round(percentile(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+ORACLE["value_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+# --- TF-IDF top term per document --------------------------------------------
+# Classic text weighting: tf(term, doc) × ln(N / df(term)); top-1 term per
+# doc with stable ties. Shuffles: one explode+groupBy for (doc, term)
+# counts, a broadcastable df table, one window for top-1.
+_TFIDF_SPARK_BASE = """
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+SPARK_SQL["tfidf_top_term"] = _TFIDF_SPARK_BASE
+ORACLE["tfidf_top_term"] = _TFIDF_SPARK_BASE.replace(
+    "explode(split(lower(text), ' '))", "unnest(string_split(lower(text), ' '))"
+)
+
 # --- scalar expression battery ----------------------------------------------
 # The reference has no generic expression library (SURVEY.md §2.8); this
 # pins a broad slab of the engine's scalar surface — math, string, date —
