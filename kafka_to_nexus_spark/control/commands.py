@@ -197,3 +197,13 @@ class JobPool:
         if resp.accepted:
             self._queue.pop(0)  # commit ≈ claim
         return resp
+
+
+def apply_stop_to_job(controller: JobController, job, msg: dict, now_ms: int | None = None) -> Response:
+    """C3 glue: validate a 6s4t stop against the FSM and, if accepted,
+    retarget the RUNNING streaming job (Master.cpp stop-time update →
+    StreamController). ``job`` is a streaming.job.StreamingJob."""
+    resp = controller.handle_stop(msg, now_ms=now_ms)
+    if resp.accepted and controller.current_job is not None:
+        job.retarget_stop(controller.current_job.stop_time_ms)
+    return resp

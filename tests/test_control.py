@@ -186,3 +186,30 @@ def test_full_job_lifecycle_pool_to_wrdn(spark, tmp_path):
         assert ctl.status()["state"] == "idle"
 
     assert pool.claim(ctl) is None  # pool drained
+
+
+def test_stop_command_retargets_running_streaming_job(spark, tmp_path):
+    import json as _json
+    import uuid as _uuid
+
+    from conftest import DOMAIN_TEMPLATES
+    from kafka_to_nexus_spark.control.commands import apply_stop_to_job
+    from kafka_to_nexus_spark.streaming.job import StreamingJob
+
+    tpl = _json.loads((DOMAIN_TEMPLATES / "buffered_template.json").read_text())
+    jid = str(_uuid.uuid4())
+    ctl = JobController()
+    resp = ctl.handle_start({
+        "job_id": jid, "filename": "f", "nexus_structure": tpl,
+        "start_time": 10_000, "stop_time": 60_000,
+    })
+    assert resp.accepted
+    job = StreamingJob(spark, ctl.current_job, str(tmp_path / "out"))
+    assert job.stop_ns == 60_000 * 1_000_000
+
+    # wrong job id rejected, job untouched
+    bad = apply_stop_to_job(ctl, job, {"job_id": str(_uuid.uuid4()), "stop_time": 12_000})
+    assert not bad.accepted and job.stop_ns == 60_000 * 1_000_000
+
+    ok = apply_stop_to_job(ctl, job, {"job_id": jid, "stop_time": 12_000})
+    assert ok.accepted and job.stop_ns == 12_000 * 1_000_000
