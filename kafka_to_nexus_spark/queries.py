@@ -639,6 +639,14 @@ SELECT date_trunc('day', hour) AS day, event_type,
 FROM hourly GROUP BY date_trunc('day', hour), event_type
 """
 
+SPARK_SQL["cube_type_user_totals"] = ORACLE["cube_type_user_totals"] = """
+SELECT event_type, user_id % 10 AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+"""
+
 # --- set operations ----------------------------------------------------------
 SPARK_SQL["set_intersect_users"] = ORACLE["set_intersect_users"] = """
 SELECT user_id FROM events WHERE event_type = 'purchase'
