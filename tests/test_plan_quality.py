@@ -91,3 +91,26 @@ def test_agg_is_partial_before_shuffle(spark):
     carries one row per (partition, source), not the full stream."""
     plan = _plan(spark, Q.SPARK_SQL["w1_f144_stats"])
     assert "partial_min" in plan and "partial_max" in plan, plan
+
+
+def test_partition_pruning_on_date_partitioned_layout(spark, tmp_path):
+    """At 100 TB the stream table is date-partitioned; a day predicate must
+    prune partitions at plan time (PartitionFilters), not scan-and-filter."""
+    from pyspark.sql import functions as F
+
+    src = spark.table("events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    src.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-03")
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "2024-01-03" in pf[-1], plan
+    # and the pruned read returns only that day (partition values are
+    # type-inferred back as DATE)
+    days = {str(r.day) for r in df.select("day").distinct().collect()}
+    assert days == {"2024-01-03"}
