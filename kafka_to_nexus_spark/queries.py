@@ -1456,9 +1456,74 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
+# The driver records correctness rows for the FIRST 50 entries (dict
+# insertion order).  Order the registry so every family lands coverage over
+# the rounds: the LLM/dedup/ANN + custom-join family first (uncovered in
+# round 1), then the writer-module domain family, then windowing/analytics;
+# the TPC-H battery (green in round 1) rotates to the back.
+_PRIORITY = (
+    # LLM-pipeline + custom joins (SQL entries)
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_buckets",
+    "embedding_cosine_pairs",
+    "bpe_token_count",
+    "winnow_fingerprints",
+    "text_quality",
+    "token_count_by_source",
+    "lang_profile",
+    "ann_cosine_topk",
+    "ivf_bucket_counts",
+    "ivf_probe_topk",
+    "embedding_label_stats",
+    # LLM-pipeline + custom joins (DataFrame-API entries)
+    "lang_id_heuristic",
+    "simhash_fingerprints",
+    "quality_score",
+    "asof_join_streams",
+    "range_join_attribution",
+    "ngram_jaccard_pairs",
+    "multimodal_features",
+    "multimodal_resize_spec",
+    "multimodal_frame_sample",
+    # Writer-module / stream-operator domain family
+    "f1_source_filter",
+    "f2_time_window",
+    "f3_asof_buffer",
+    "f4_dedup_repeated",
+    "f5_out_of_order",
+    "d5_offset_gaps",
+    "w1_f144_stats",
+    "k4_cue_index",
+    "w2_event_index",
+    "w3_timestamp_synthesis",
+    "w6_severity_code",
+    "t6_job_summary",
+    "w4_ad00_zero_fill",
+    "w5_da00_constants",
+    "w7_ep01_state_changes",
+    "w8_tdct_chunk_cue",
+    # Windowing / sessionization / analytics
+    "sessionize",
+    "session_windows",
+    "json_props_extract",
+    "tumbling_window",
+    "sliding_window",
+    "topk_per_group",
+    "rollup_daily_totals",
+    "hypertable_rollup",
+    "window_rank_battery",
+    "value_quantiles",
+    "tfidf_top_term",
+    "kmv_distinct_sketch",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: _sql(name) for name in SPARK_SQL}
-    out.update(QUERY_FUNCS)
+    all_funcs = {name: _sql(name) for name in SPARK_SQL}
+    all_funcs.update(QUERY_FUNCS)
+    out = {name: all_funcs.pop(name) for name in _PRIORITY if name in all_funcs}
+    out.update(all_funcs)
     return out
 
 
