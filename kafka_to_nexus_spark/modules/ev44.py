@@ -9,18 +9,19 @@ Reference: src/WriterModule/ev44/ev44_Writer.cpp:92-144 (index shift :107-117),
 config ev44_Writer.h:48-57 (chunk 1M, cue 1e8 events). Buffered (pre-start
 as-of) messages are NOT written (ev44_Writer.cpp:94-97).
 
-Spark form: the cumulative shift is a running sum of per-message event counts
-over arrival order — `sum(size(time_of_flight)) over (rows unbounded
-preceding, -1)`. Single global ordering is required for exact parity with the
-reference's single-writer append order; at scale, order per (topic,
-partition) instead and the index is monotone per partition (same guarantee
-the reference gives across partitions: none).
+Spark form: the cumulative shift is a running sum of per-message event
+counts over (partition, offset) arrival order, computed with the two-pass
+``with_cumulative_before`` scheme — per-Kafka-partition windows in parallel
+plus a broadcast of tiny per-partition base offsets. Exact parity with the
+reference's single-writer append order, no single-reducer sort.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import with_cumulative_before
 
 ACCEPTS_REPEATED_TIMESTAMPS = True
 WRITES_BUFFERED = False
@@ -35,14 +36,8 @@ def _drop_buffered(df: DataFrame) -> DataFrame:
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
     df = _drop_buffered(df)
-    w = Window.orderBy("partition", "offset")
     n_events = F.size("time_of_flight")
-    with_cum = df.withColumn(
-        "_events_before",
-        F.coalesce(
-            F.sum(n_events).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        ).cast("long"),
-    )
+    with_cum = with_cumulative_before(df, n_events, "_events_before")
     events = with_cum.select(
         F.posexplode(F.arrays_zip("time_of_flight", "pixel_ids")).alias("_pos", "_e"),
         "_events_before",
@@ -51,7 +46,10 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
         F.col("_e.pixel_ids").alias("event_id"),
         (F.col("_events_before") + F.col("_pos")).alias("_global_index"),
     )
-    pulses = with_cum.select(
+    # Pulse data is appended only for messages that carry events
+    # (ev44_Writer.cpp writeImpl guards on CurrentNumberOfEvents > 0);
+    # the events-before accounting above still counts every message.
+    pulses = with_cum.filter(n_events > 0).select(
         F.posexplode(F.col("reference_time")).alias("_pos", "event_time_zero"),
         F.coalesce(
             F.element_at(F.col("reference_time_index"), F.col("_pos") + 1), F.lit(0)

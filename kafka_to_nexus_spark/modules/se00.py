@@ -52,18 +52,10 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
 
 def cue(df: DataFrame) -> DataFrame:
     """Per-chunk cue: (elements written before this chunk, packet_ts).
-    Reference: se00_Writer.cpp:205-206."""
-    from pyspark.sql import Window
+    Reference: se00_Writer.cpp:205-206. Two-pass cumulative index — no
+    single-reducer window (see functions.with_cumulative_before)."""
+    from ..functions import with_cumulative_before
 
-    w = Window.orderBy("partition", "offset")
-    return df.select(
-        "partition",
-        "offset",
-        F.size("values").alias("_n"),
-        F.col("packet_timestamp").alias("cue_timestamp_zero"),
-    ).select(
-        F.coalesce(
-            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        ).cast("long").alias("cue_index"),
-        "cue_timestamp_zero",
+    return with_cumulative_before(df, F.size("values"), "cue_index").select(
+        "cue_index", F.col("packet_timestamp").alias("cue_timestamp_zero")
     )

@@ -7,8 +7,10 @@ Reference: src/WriterModule/tdct/tdct_Writer.cpp:67-83.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import with_cumulative_before
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
 
@@ -22,16 +24,9 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
 
 
 def cue(df: DataFrame) -> DataFrame:
+    """Per-chunk cue via the two-pass cumulative index — no single-reducer
+    window (see functions.with_cumulative_before)."""
     nonempty = df.filter(F.col("timestamps").isNotNull() & (F.size("timestamps") > 0))
-    w = Window.orderBy("partition", "offset")
-    return nonempty.select(
-        F.size("timestamps").alias("_n"),
-        F.element_at("timestamps", 1).alias("cue_timestamp_zero"),
-        "partition",
-        "offset",
-    ).select(
-        F.coalesce(
-            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        ).cast("long").alias("cue_index"),
-        "cue_timestamp_zero",
+    return with_cumulative_before(nonempty, F.size("timestamps"), "cue_index").select(
+        "cue_index", F.element_at("timestamps", 1).alias("cue_timestamp_zero")
     )

@@ -1372,7 +1372,11 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_min(transform(hashes, x -> x & 268435455))").alias("m1"),
     )
     pairs = llm_dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=2)
-    x, y = F.broadcast(h).alias("x"), F.broadcast(h).alias("y")
+    # Plain shuffle hash joins on doc_id: the candidate pairs are already
+    # LSH-pruned, and broadcasting the corpus-wide shingle-hash relation
+    # would OOM at 100 TB. The explicit hint keeps small-SF runs from
+    # auto-broadcasting the same relation the big-SF plan must shuffle.
+    x, y = h.hint("shuffle_hash").alias("x"), h.hint("shuffle_hash").alias("y")
     inter = F.size(F.array_intersect("x.hashes", "y.hashes"))
     return (
         pairs.join(x, F.col("id_a") == F.col("x.doc_id"))

@@ -32,7 +32,6 @@ config assembly, exercised wherever a broker exists.
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window
@@ -46,6 +45,10 @@ from ..sinks import staging
 
 MS_TO_NS = 1_000_000
 DEFAULT_TRIGGER = "10 seconds"  # reference DataFlushInterval (StreamerOptions.h:20)
+
+
+def _stream_key(binding) -> str:
+    return f"{binding.path}:{binding.module}:{binding.source}"
 AFTER_STOP_LEEWAY_NS = 10_000_000_000  # AfterStopTime (StreamerOptions.h:25)
 BEFORE_START_LEEWAY_NS = 10_000_000_000  # BeforeStartTime (StreamerOptions.h:24)
 
@@ -72,10 +75,14 @@ def kafka_stream_reader(
         .option("failOnDataLoss", "false")
     )
     if start_time_ms is not None:
+        # Global startingTimestamp: Spark resolves it per partition without
+        # requiring partition enumeration (startingOffsetsByTimestamp demands
+        # explicit partition numbers — there is no "-1" wildcard). Partitions
+        # with no message at/after the timestamp start at latest, matching
+        # the reference's offsetsForTimes fallback (Topic.cpp:109-155).
         lookback_ms = max(start_time_ms - BEFORE_START_LEEWAY_NS // MS_TO_NS, 0)
-        reader = reader.option(
-            "startingOffsetsByTimestamp",
-            json.dumps({t: {"-1": lookback_ms} for t in topics}),
+        reader = reader.option("startingTimestamp", str(lookback_ms)).option(
+            "startingOffsetsByTimestampStrategy", "latest"
         )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
@@ -98,16 +105,12 @@ def kafka_batch_reader(
     )
     if start_time_ms is not None:
         lookback = max(start_time_ms - BEFORE_START_LEEWAY_NS // MS_TO_NS, 0)
-        reader = reader.option(
-            "startingOffsetsByTimestamp",
-            json.dumps({t: {"-1": lookback} for t in topics}),
+        reader = reader.option("startingTimestamp", str(lookback)).option(
+            "startingOffsetsByTimestampStrategy", "latest"
         )
     if stop_time_ms is not None:
         leeway = stop_time_ms + AFTER_STOP_LEEWAY_NS // MS_TO_NS
-        reader = reader.option(
-            "endingOffsetsByTimestamp",
-            json.dumps({t: {"-1": leeway} for t in topics}),
-        )
+        reader = reader.option("endingTimestamp", str(leeway))
     return reader
 
 
@@ -164,6 +167,7 @@ class StreamingJob:
         self.out_dir = out_dir
         self.plan: Plan = build_plan(start.nexus_structure)
         self.state = StreamingJobState()
+        self._written_datasets: dict[str, list[str]] = {}
         self.start_ns = start.start_time_ms * MS_TO_NS
         self.stop_ns = (
             None if start.stop_time_ms is None else start.stop_time_ms * MS_TO_NS
@@ -183,22 +187,57 @@ class StreamingJob:
 
     # -- helpers -----------------------------------------------------------
 
-    def _update_asof_buffer(self, batch: DataFrame) -> None:
-        """Fold this batch's pre-start rows into the per-source buffer
-        (latest wins). Pre-start data is bounded by the 10 s leeway, so
-        this collect is a handful of rows, like the reference's one
-        buffered message per source."""
-        pre = filters.last_before_start(
-            batch, self.start_ns, filters.SOURCE_COLS, filters.TS, filters.ORDER_COLS
-        ).collect()
-        for row in pre:
-            key = (row["schema"], row["source_name"])
-            cur = self.state.asof_buffer.get(key)
-            if cur is None or (row["timestamp"], row["offset"]) > (
-                cur["timestamp"],
-                cur["offset"],
-            ):
-                self.state.asof_buffer[key] = row
+    def _batch_stats(self, batch: DataFrame) -> list[Row]:
+        """ONE driver action per micro-batch for ALL cross-batch state: the
+        per-source pre-start buffer row, in-window presence/counts, the tail
+        timestamp (F4 boundary state), ev44 event counts, and the watchdog
+        max event time. One groupBy over (schema, source_name) — driver
+        round-trips stay O(1) in both binding count and batch size (the
+        aggregate is map-side-combined; output is one row per source)."""
+        ts = F.col(filters.TS)
+        win = ts >= F.lit(self.start_ns)
+        if self.stop_ns is not None:
+            win = win & (ts <= F.lit(self.stop_ns))
+        pre = ts < F.lit(self.start_ns)
+        envelope = F.struct(*[F.col(c) for c in MESSAGE_SCHEMA.fieldNames()])
+        arrival = F.struct("partition", "offset")
+        n_events = F.when(
+            F.col("time_of_flight").isNotNull(), F.size("time_of_flight")
+        ).otherwise(F.lit(0))
+        return (
+            batch.groupBy("schema", "source_name")
+            .agg(
+                F.max(ts).alias("max_ts"),
+                F.sum(F.when(win, 1).otherwise(0)).alias("n_in_window"),
+                F.max_by(F.when(win, ts), F.when(win, arrival)).alias("tail_ts"),
+                F.sum(F.when(win, n_events).otherwise(0)).alias("n_events"),
+                F.max_by(
+                    F.when(pre, envelope), F.when(pre, F.struct(ts, "partition", "offset"))
+                ).alias("buffered"),
+            )
+            .collect()
+        )
+
+    def _fold_stats(self, stats: list[Row]) -> set[tuple[str, str]]:
+        """Update cross-batch state from the stats rows; return the set of
+        sources with in-window data this batch."""
+        st = self.state
+        present: set[tuple[str, str]] = set()
+        for r in stats:
+            key = (r["schema"], r["source_name"])
+            if r["max_ts"] is not None:
+                st.max_event_time_ns = max(st.max_event_time_ns, int(r["max_ts"]))
+            if r["n_in_window"]:
+                present.add(key)
+            buf = r["buffered"]
+            if buf is not None:
+                cur = st.asof_buffer.get(key)
+                if cur is None or (buf["timestamp"], buf["offset"]) > (
+                    cur["timestamp"],
+                    cur["offset"],
+                ):
+                    st.asof_buffer[key] = buf
+        return present
 
     def _buffered_df(self, keys: set[tuple[str, str]]) -> DataFrame | None:
         rows = [
@@ -220,28 +259,30 @@ class StreamingJob:
         batch = quality.valid_only(quality.with_error_code(batch))
         batch = batch.persist()
         try:
-            self._update_asof_buffer(batch)
+            stats = self._batch_stats(batch)
+            present = self._fold_stats(stats)
 
             in_window = filters.window_filter(batch, self.start_ns, self.stop_ns)
             in_window = in_window.withColumn("is_buffered_message", F.lit(False))
 
             # sources with in-window data this batch get their buffered
             # row emitted first (SourceFilter: emit on first accepted msg)
-            present = {
-                (r["schema"], r["source_name"])
-                for r in in_window.select("schema", "source_name").distinct().collect()
-            }
             buffered = self._buffered_df(present)
             if buffered is not None:
                 in_window = buffered.unionByName(in_window)
                 st.asof_emitted.update(present)
 
-            self._write_streams(in_window)
+            self._write_streams(
+                in_window,
+                tails={
+                    (r["schema"], r["source_name"]): r["tail_ts"] for r in stats
+                },
+                event_counts={
+                    (r["schema"], r["source_name"]): r["n_events"] or 0 for r in stats
+                },
+            )
 
-            # stop watchdog input: max event time seen (F6/F7)
-            mx = batch.agg(F.max("timestamp")).collect()[0][0]
-            if mx is not None:
-                st.max_event_time_ns = max(st.max_event_time_ns, int(mx))
+            # stop watchdog against the folded max event time (F6/F7)
             if (
                 self.stop_ns is not None
                 and st.max_event_time_ns > self.stop_ns + AFTER_STOP_LEEWAY_NS
@@ -251,57 +292,133 @@ class StreamingJob:
         finally:
             batch.unpersist()
 
-    def _write_streams(self, windowed: DataFrame) -> None:
+    def _write_streams(
+        self,
+        windowed: DataFrame,
+        tails: dict[tuple[str, str], int | None] | None = None,
+        event_counts: dict[tuple[str, str], int] | None = None,
+    ) -> None:
         st = self.state
+        batch_seq = st.batches_processed
+        tails = tails or {}
+        event_counts = event_counts or {}
         for binding in self.plan.streams:
             module = get_module(binding.module)
             src = filters.source_filter(windowed, binding.module, binding.source)
             key = (binding.module, binding.source)
             if not accepts_repeated_timestamps(binding.module):
                 src = filters.drop_repeated_timestamps(src)
-                # cross-batch repeat: the batch's FIRST row (lag == null,
-                # so the window op keeps it) still repeats if its ts equals
-                # the last ts written in an earlier batch
-                last = self.state.last_written_ts.get(key)
+                # cross-batch repeat: the batch's FIRST row per Kafka
+                # partition (lag == null, so the window op keeps it) still
+                # repeats if its ts equals the last ts written earlier.
+                # Per-partition window — a source lives on one partition
+                # (reference: one SourceFilter per (source, partition)).
+                last = st.last_written_ts.get(key)
                 if last is not None:
-                    w = Window.orderBy("partition", "offset")
+                    w = Window.partitionBy("partition").orderBy("offset")
                     src = (
                         src.withColumn("_rn", F.row_number().over(w))
                         .filter(~((F.col("_rn") == 1) & (F.col("timestamp") == F.lit(last))))
                         .drop("_rn")
                     )
-                tail = (
-                    src.agg(
-                        F.max_by(
-                            "timestamp", F.struct("partition", "offset")
-                        ).alias("ts")
-                    ).collect()[0]["ts"]
-                )
+                tail = tails.get(key)
                 if tail is not None:
-                    self.state.last_written_ts[key] = int(tail)
+                    st.last_written_ts[key] = int(tail)
             outputs = module.transform(src, binding.config)
+            written = self._written_datasets.setdefault(_stream_key(binding), [])
             for dataset, df in outputs.items():
+                if dataset == "cue":
+                    # batch-local cue indices are meaningless across
+                    # micro-batches; the cumulative cue table is derived
+                    # from the staged log at finalize()
+                    continue
                 # W2: shift this batch's indices by the cumulative count
                 if binding.module == "ev44" and dataset == "pulses":
                     df = df.withColumn(
                         "event_index",
                         F.col("event_index") + F.lit(st.events_written.get(key, 0)),
                     )
+                # monotone staging order: (_batch_id, _row_order) — parquet
+                # part-file names are unordered, so read-back/pack sorts on
+                # these to reproduce single-writer append order
+                order_src = next(
+                    (c for c in ("_global_index", "row_index") if c in df.columns), None
+                )
+                if order_src is not None:
+                    df = df.withColumn("_row_order", F.col(order_src))
                 df = df.drop(*[c for c in ("_global_index", "row_index") if c in df.columns])
+                df = df.withColumn("_batch_id", F.lit(batch_seq))
                 target = staging.dataset_dir(self.out_dir, binding.path, dataset)
                 df.write.mode("append").parquet(str(target))
+                if dataset not in written:
+                    written.append(dataset)
             if binding.module == "ev44":
-                n = module.aggregates(src, binding.config).collect()[0]["events"]
-                st.events_written[key] = st.events_written.get(key, 0) + int(n)
+                st.events_written[key] = st.events_written.get(key, 0) + int(
+                    event_counts.get(key, 0)
+                )
 
     def finalize(self) -> None:
         """At stop: emit still-unconsumed buffered rows (SourceFilter
-        flushes its buffer at finish, SourceFilter.cpp:53,61-66)."""
-        remaining = set(self.state.asof_buffer) - self.state.asof_emitted
+        flushes its buffer at finish, SourceFilter.cpp:53,61-66), derive
+        cumulative cue tables from the staged logs, and write the
+        hierarchical metadata so a staged streaming directory packs exactly
+        like a batch one."""
+        st = self.state
+        remaining = set(st.asof_buffer) - st.asof_emitted
         buffered = self._buffered_df(remaining)
         if buffered is not None:
             self._write_streams(buffered)
-            self.state.asof_emitted.update(remaining)
+            st.asof_emitted.update(remaining)
+
+        metadata_values: dict[str, object] = {}
+        for binding in self.plan.streams:
+            module = get_module(binding.module)
+            key = (binding.module, binding.source)
+            written = self._written_datasets.get(_stream_key(binding), [])
+            # K4: cumulative cue from the staged log in staging order
+            cue_interval = (binding.config or {}).get("cue_interval")
+            if cue_interval and "log" in written:
+                from ..functions import cue_table, with_row_index
+
+                log_dir = staging.dataset_dir(self.out_dir, binding.path, "log")
+                log = self.spark.read.parquet(str(log_dir))
+                indexed = with_row_index(log, order_cols=("_batch_id", "time"))
+                cue = cue_table(indexed, cue_interval).select(
+                    "cue_index", "cue_timestamp_zero"
+                )
+                staging.write_dataset(cue, self.out_dir, binding.path, "cue")
+                if "cue" not in written:
+                    written.append("cue")
+            # T6 job-summary aggregates from staged output / counters
+            if binding.module == "ev44":
+                n = st.events_written.get(key, 0)
+                metadata_values[f"{binding.path}/events"] = n
+            elif hasattr(module, "aggregates") and "log" in written:
+                log_dir = staging.dataset_dir(self.out_dir, binding.path, "log")
+                log = self.spark.read.parquet(str(log_dir))
+                row = module.aggregates(log, binding.config).collect()
+                if row:
+                    for name, value in row[0].asDict().items():
+                        metadata_values[f"{binding.path}/{name}"] = value
+
+        from ..modules import mdat as mdat_module
+
+        for m in self.plan.mdat:
+            for name, value in mdat_module.values(
+                {"items": m.items}, self.start.start_time_ms, self.start.stop_time_ms
+            ).items():
+                metadata_values[f"{m.path.rstrip('/')}/{name}"] = value
+
+        job_info = {
+            "job_id": self.start.job_id,
+            "filename": self.start.filename,
+            "start_time_ms": self.start.start_time_ms,
+            "stop_time_ms": self.start.stop_time_ms,
+            "instrument_name": self.start.instrument_name,
+        }
+        staging.write_meta(
+            self.out_dir, self.plan, job_info, self._written_datasets, metadata_values
+        )
 
 
 def run_streaming_job(

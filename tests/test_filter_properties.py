@@ -134,11 +134,14 @@ def test_ev44_index_invariants(spark, sizes):
     # every event appears exactly once, globally indexed 0..total-1
     assert [e._global_index for e in events] == list(range(total))
     # pulse event_index = cumulative events before that pulse, monotone
+    # (reference ev44_Writer writeImpl: pulse data is appended only for
+    # messages that carry events — zero-event messages emit no pulse rows)
     expect_idx = []
     before = 0
     for pulse_events in sizes:
-        for i, _ in enumerate(pulse_events):
-            expect_idx.append(before + sum(pulse_events[:i]))
+        if sum(pulse_events) > 0:
+            for i, _ in enumerate(pulse_events):
+                expect_idx.append(before + sum(pulse_events[:i]))
         before += sum(pulse_events)
     assert [p.event_index for p in pulses] == sorted(expect_idx)
 

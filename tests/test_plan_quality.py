@@ -114,3 +114,106 @@ def test_partition_pruning_on_date_partitioned_layout(spark, tmp_path):
     # type-inferred back as DATE)
     days = {str(r.day) for r in df.select("day").distinct().collect()}
     assert days == {"2024-01-03"}
+
+
+# ---------------------------------------------------------------------------
+# Module transforms must not sort the stream through a single reducer.
+# ---------------------------------------------------------------------------
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split 'Window [a], [b], [c]' into its top-level bracket groups."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _assert_no_stream_global_window(df):
+    """Every Window node must either partition by a shard key or read from
+    an Aggregate (the tiny per-shard-totals relation). A no-PARTITION-BY
+    window directly over the stream = Exchange SinglePartition = one task
+    sorting 100 TB."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        stripped = ln.lstrip(" :+-")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _top_level_groups(stripped[len("Window "):])
+        # logical Window prints [funcs], [partitionSpec], [orderSpec];
+        # the partitionSpec group is omitted entirely when empty.
+        if len(groups) >= 3 and groups[-2].strip():
+            continue  # partitioned window — parallel
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert "Aggregate" in below, f"global Window over non-aggregated input:\n{plan}"
+
+
+def _envelope_fixture(spark, n=200, parts=5):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        (F.col("id") % parts).alias("partition"),
+        F.col("id").alias("offset"),
+        F.col("id").cast("double").alias("value"),
+        (F.col("id") * 1000).alias("timestamp"),
+        F.array_repeat(F.col("id"), ((F.col("id") % 3) + 1).cast("int")).alias("timestamps"),
+        F.array_repeat(F.col("id").cast("double"), 4).alias("values"),
+        (F.col("id") * 100).alias("packet_timestamp"),
+        F.lit(10.0).alias("time_delta"),
+        F.array_repeat(F.col("id"), (F.col("id") % 4).cast("int")).alias("time_of_flight"),
+    )
+
+
+def test_module_transforms_have_no_single_reducer_window(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.functions import with_row_index
+    from kafka_to_nexus_spark.modules import ev44, f144, se00, tdct
+
+    env = _envelope_fixture(spark)
+    ev = ev44.transform(
+        env.withColumn("pixel_ids", F.col("time_of_flight"))
+        .withColumn("reference_time", F.array(F.col("offset")))
+        .withColumn("reference_time_index", F.array(F.lit(0)))
+    )
+    _assert_no_stream_global_window(ev["events"])
+    _assert_no_stream_global_window(ev["pulses"])
+    f = f144.transform(env, {"cue_interval": 16})
+    _assert_no_stream_global_window(f["log"])
+    _assert_no_stream_global_window(f["cue"])
+    _assert_no_stream_global_window(se00.cue(env))
+    _assert_no_stream_global_window(tdct.cue(env))
+    _assert_no_stream_global_window(with_row_index(env))
+
+
+def test_cumulative_index_matches_global_window(spark):
+    """Two-pass per-shard form must equal the exact global-order running sum."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.functions import with_cumulative_before
+
+    env = _envelope_fixture(spark, n=300, parts=7)
+    got = {
+        (r["partition"], r["offset"]): r["cum"]
+        for r in with_cumulative_before(env, F.size("timestamps"), "cum").collect()
+    }
+    w = Window.orderBy("partition", "offset").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r["partition"], r["offset"]): r["cum"]
+        for r in env.withColumn(
+            "cum", F.coalesce(F.sum(F.size("timestamps")).over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want

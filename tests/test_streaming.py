@@ -270,3 +270,80 @@ def test_stop_retarget_on_running_job(spark, buffered_job):
         (11_000_000_000, 1.0),
         (11_500_000_000, 2.0),
     ]
+
+
+def _cue_template(cue_interval=2):
+    return {
+        "children": [{
+            "name": "entry", "type": "group",
+            "attributes": [{"name": "NX_class", "dtype": "string", "values": "NXentry"}],
+            "children": [{
+                "name": "speed", "type": "group",
+                "attributes": [{"name": "NX_class", "dtype": "string", "values": "NXlog"}],
+                "children": [{
+                    "module": "f144",
+                    "config": {"topic": "t", "source": "spd", "dtype": "double",
+                               "cue_interval": cue_interval},
+                }],
+            }],
+        }]
+    }
+
+
+def test_streaming_cue_is_cumulative_across_batches(spark, tmp_path):
+    """K4 in streaming: cue_index continues across micro-batches like the
+    reference's LastCueIndex, instead of restarting per batch."""
+    start = StartMessage(job_id="cue", filename="f", nexus_structure=_cue_template(2),
+                         start_time_ms=10_000, stop_time_ms=60_000)
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+    mk = lambda ts, v, o: f144(ts, v, source="spd", offset=o)
+    job.process_batch(messages_from_json(
+        spark, [mk(11_000, 1.0, 0), mk(12_000, 2.0, 1), mk(13_000, 3.0, 2)]), 0)
+    job.process_batch(messages_from_json(
+        spark, [mk(14_000, 4.0, 3), mk(15_000, 5.0, 4), mk(16_000, 6.0, 5)]), 1)
+    job.finalize()
+    cue = read_dataset(spark, job, "/entry/speed", "cue").orderBy("cue_index").collect()
+    # 6 rows, interval 2 → cue at global rows 1, 3, 5
+    assert [r.cue_index for r in cue] == [1, 3, 5]
+    assert [r.cue_timestamp_zero for r in cue] == [
+        12_000_000_000, 14_000_000_000, 16_000_000_000]
+
+
+def test_streaming_finalize_writes_meta(spark, tmp_path):
+    """A finalized streaming directory carries the same _nexus_meta.json
+    contract as the batch runner (so sinks.hdf5.pack works on it)."""
+    start = StartMessage(job_id="meta", filename="f.nxs", nexus_structure=_cue_template(4),
+                         start_time_ms=10_000, stop_time_ms=60_000)
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+    job.process_batch(messages_from_json(
+        spark, [f144(11_000, 10.0, source="spd", offset=0),
+                f144(12_000, 30.0, source="spd", offset=1)]), 0)
+    job.finalize()
+    meta = staging.read_meta(job.out_dir)
+    assert meta["job"]["job_id"] == "meta"
+    vals = meta["metadata_values"]
+    assert vals["/entry/speed/minimum_value"] == 10.0
+    assert vals["/entry/speed/maximum_value"] == 30.0
+    assert vals["/entry/speed/average_value"] == pytest.approx(20.0)
+    # cue dataset exists (empty — no row reached the interval) like the
+    # reference's always-created cue datasets
+    assert meta["streams"][0]["datasets"] == ["log", "cue"]
+
+
+def test_one_collect_action_per_batch(spark, monkeypatch, tmp_path):
+    """Driver round-trips per micro-batch must be O(1) in binding count:
+    all cross-batch state comes from ONE groupBy collect."""
+    tpl = json.loads((DOMAIN_TEMPLATES / "writer_modules_template.json").read_text())
+    start = StartMessage(job_id="acts", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+    assert len(job.plan.streams) > 3  # many bindings
+
+    batch = messages_from_json(
+        spark, [f144(11_000, 1.0, source="delay_source", offset=0)])
+    calls = []
+    cls = type(batch)  # concrete DataFrame class (classic impl in Spark 4)
+    orig = cls.collect
+    monkeypatch.setattr(cls, "collect", lambda self: calls.append(1) or orig(self))
+    job.process_batch(batch, 0)
+    assert len(calls) == 1, f"{len(calls)} collect() actions for one micro-batch"
