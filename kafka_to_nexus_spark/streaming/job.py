@@ -6,9 +6,9 @@ Shape:
   ``offsetsForTimes(start - BeforeStartTime)``, src/Stream/Topic.cpp:109-155)
   and backpressure via ``maxOffsetsPerTrigger`` (F10 analog of
   MaxQueuedWrites throttling, src/StreamController.cpp:186-201);
-- decode: envelope columns from the Kafka value (JSON payload decoder
-  built-in; a FlatBuffers decoder slots in behind the same interface when
-  the ``flatbuffers`` package is present);
+- decode: envelope columns from the Kafka value — binary FlatBuffers via
+  the pure-Python runtime (``fbs`` package, default) or the JSON fixture
+  encoding, both behind the same envelope contract;
 - sink: ``foreachBatch`` → the SAME per-stream filter+transform pipeline as
   the batch runner, plus the two pieces of genuinely cross-batch state the
   reference keeps (SURVEY.md §7 "hard parts"):
@@ -116,8 +116,8 @@ def kafka_batch_reader(
 
 def envelope_from_kafka_json(kafka_df: DataFrame) -> DataFrame:
     """Decode Kafka rows whose value is a JSON-encoded message fixture into
-    the engine envelope (D1–D3). A FlatBuffers decoder implements the same
-    contract via mapInPandas when the ``flatbuffers`` package exists."""
+    the engine envelope (D1–D3). ``fbs.decode_kafka_flatbuffers`` implements
+    the same contract for real binary messages."""
     parsed = kafka_df.select(
         F.col("topic"),
         F.col("partition"),
@@ -429,13 +429,23 @@ def run_streaming_job(
     checkpoint_dir: str,
     trigger: str = DEFAULT_TRIGGER,
     available_now: bool = False,
+    value_format: str = "flatbuffers",
 ):
     """Wire Kafka source → decode → foreachBatch(StreamingJob). Returns
-    (StreamingQuery, StreamingJob); caller awaits + finalizes."""
+    (StreamingQuery, StreamingJob); caller awaits + finalizes.
+
+    ``value_format``: "flatbuffers" decodes real binary messages via the
+    pure-Python runtime (fbs package, D1–D3); "json" consumes the JSON
+    fixture encoding (S5)."""
     plan = build_plan(start.nexus_structure)
     job = StreamingJob(spark, start, out_dir)
     source = kafka_stream_reader(spark, brokers, plan.topics, start.start_time_ms).load()
-    envelope = envelope_from_kafka_json(source)
+    if value_format == "flatbuffers":
+        from ..fbs import decode_kafka_flatbuffers
+
+        envelope = decode_kafka_flatbuffers(source)
+    else:
+        envelope = envelope_from_kafka_json(source)
     writer = envelope.writeStream.option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1,0 +1,199 @@
+"""FlatBuffers binary path: runtime invariants, per-schema round-trips,
+and the binary twin of the domain-test pipeline (generator → decoder →
+run_job goldens — reference domain-tests/test_writer_modules.py:18-41)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conftest import DOMAIN_DATA, DOMAIN_TEMPLATES
+from kafka_to_nexus_spark import fbs
+from kafka_to_nexus_spark.fbs import ess
+from kafka_to_nexus_spark.fbs.runtime import file_identifier
+
+
+def test_file_identifier_at_bytes_4_to_8():
+    buf = ess.encode_f144_double("src", 1.5, 1000)
+    assert buf[4:8] == b"f144"
+    assert file_identifier(buf) == "f144"
+    for schema, buf in [
+        ("ev44", ess.encode_ev44("d", 1, [10], [0], [1, 2], [3, 4])),
+        ("al00", ess.encode_al00("a", 5, "Severity::MINOR", "m")),
+        ("ep01", ess.encode_ep01("e", "ConnectionInfo::CONNECTED", 5)),
+        ("tdct", ess.encode_tdct("t", [1, 2, 3])),
+        ("se00", ess.encode_se00("s", 100, [1.0, 2.0])),
+        ("ad00", ess.encode_ad00_uint16("i", [[1, 2], [3, 4]], 7)),
+        ("da00", ess.encode_da00_int32("m", "signal", "x", 7, [1, 2, 3])),
+    ]:
+        assert buf[4:8] == schema.encode(), schema
+        assert ess.decode(buf)["schema"] == schema
+
+
+def test_f144_roundtrip():
+    buf = ess.encode_f144_double("local:choppers:rotation_speed", 10.0, 10_100)
+    d = ess.decode(buf)
+    assert d["source_name"] == "local:choppers:rotation_speed"
+    assert d["value"] == 10.0
+    assert d["timestamp"] == 10_100 * 1_000_000
+
+
+def test_f144_array_roundtrip():
+    buf = ess.encode_f144_array_double("s", [1.5, -2.5, 3.0], 42)
+    d = ess.decode(buf)
+    assert d["values"] == [1.5, -2.5, 3.0]
+    assert "value" not in d
+
+
+def test_ev44_roundtrip():
+    buf = ess.encode_ev44("det", 7, [10_100_000_000], [0], [100, 200, 300], [1, 2, 3])
+    d = ess.decode(buf)
+    assert d["message_id"] == 7
+    assert d["reference_time"] == [10_100_000_000]
+    assert d["timestamp"] == 10_100_000_000
+    assert d["time_of_flight"] == [100, 200, 300]
+    assert d["pixel_ids"] == [1, 2, 3]
+
+
+def test_al00_ep01_tdct_se00_roundtrip():
+    d = ess.decode(ess.encode_al00("alarm", 12, "Severity::MAJOR", "too hot"))
+    assert (d["severity"], d["message"], d["timestamp"]) == (
+        "Severity::MAJOR", "too hot", 12_000_000)
+    d = ess.decode(ess.encode_ep01("pv", "ConnectionInfo::DISCONNECTED", 9))
+    assert d["connection_status"] == "ConnectionInfo::DISCONNECTED"
+    d = ess.decode(ess.encode_tdct("chop", [5, 6, 7], sequence_counter=2))
+    assert d["timestamps"] == [5, 6, 7] and d["timestamp"] == 5
+    d = ess.decode(ess.encode_se00("env", 1_000, [1.0, 2.0, 3.0], time_delta=0.5))
+    assert d["packet_timestamp"] == 1_000
+    assert d["values"] == [1.0, 2.0, 3.0]
+    assert d["time_delta"] == 0.5
+
+
+def test_ad00_da00_roundtrip():
+    d = ess.decode(ess.encode_ad00_uint16("img", [[10, 11], [12, 13]], 10_300))
+    assert d["dimensions"] == [2, 2]
+    assert d["data"] == [10.0, 11.0, 12.0, 13.0]
+    d = ess.decode(ess.encode_da00_int32("mon", "signal", "x", 10_500, [1, 2, 3, 4]))
+    assert d["name"] == "signal"
+    assert d["axis_name"] == "x"
+    assert d["data"] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_short_buffer_rejected():
+    with pytest.raises(ValueError):
+        ess.decode(b"\x00\x00\x00")
+
+
+def test_unknown_schema_rejected():
+    buf = bytearray(ess.encode_f144_double("s", 1.0, 1))
+    buf[4:8] = b"zz99"
+    with pytest.raises(KeyError):
+        ess.decode(bytes(buf))
+
+
+@given(
+    source=st.text(min_size=0, max_size=37),
+    value=st.floats(allow_nan=False, allow_infinity=False),
+    ts=st.integers(min_value=1, max_value=2**40),
+)
+@settings(max_examples=200, deadline=None)
+def test_f144_roundtrip_property(source, value, ts):
+    """Alignment shake: arbitrary-length strings exercise every padding
+    path in the back-to-front builder."""
+    d = ess.decode(ess.encode_f144_double(source, value, ts))
+    assert d["source_name"] == source
+    assert d["value"] == value
+    assert d["timestamp"] == ts * 1_000_000
+
+
+@given(
+    n=st.integers(min_value=0, max_value=65),
+    msg_id=st.integers(min_value=0, max_value=2**62),
+)
+@settings(max_examples=50, deadline=None)
+def test_ev44_roundtrip_property(n, msg_id):
+    tofs = list(range(n))
+    d = ess.decode(ess.encode_ev44("d", msg_id, [1, 2], [0, n // 2], tofs, tofs))
+    assert d["time_of_flight"] == tofs
+    assert d["reference_time_index"] == [0, n // 2]
+    assert d["message_id"] == msg_id
+
+
+# ---------------------------------------------------------------------------
+# Binary pipeline: Kafka-shaped rows → decode_kafka_flatbuffers → run_job
+# ---------------------------------------------------------------------------
+
+def _binary_kafka_df(spark, items: list[dict]):
+    from pyspark.sql import functions as F
+
+    offsets: dict = {}
+    rows = []
+    for it in items:
+        topic = it.get("topic", "")
+        off = offsets.setdefault(topic, 0)
+        offsets[topic] = off + 1
+        rows.append((topic, 0, off, int(it.get("kafka_timestamp", 0)),
+                     bytearray(fbs.encode_fixture(it))))
+    df = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, kafka_ms long, value binary"
+    )
+    return df.select(
+        "topic", "partition", "offset",
+        F.timestamp_millis("kafka_ms").alias("timestamp"), "value",
+    )
+
+
+def test_binary_pipeline_reproduces_domain_goldens(spark, tmp_path):
+    """generator → FlatBuffers decode → run_job reproduces the JSON-path
+    goldens from binary input (reference test_writer_modules.py:18-41)."""
+    from kafka_to_nexus_spark.plan import StartMessage
+    from kafka_to_nexus_spark.runner import run_job
+    from kafka_to_nexus_spark.sinks import staging
+
+    items = json.loads((DOMAIN_DATA / "writer_modules_data.json").read_text())
+    tpl = json.loads((DOMAIN_TEMPLATES / "writer_modules_template.json").read_text())
+
+    envelope = fbs.decode_kafka_flatbuffers(_binary_kafka_df(spark, items))
+    start = StartMessage(job_id="bin", filename="f.nxs", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    res = run_job(spark, start, envelope, str(tmp_path / "out"))
+
+    def staged(group, dataset):
+        df = spark.read.parquet(str(staging.dataset_dir(res.out_dir, group, dataset)))
+        return df
+
+    log = staged("/entry/instrument/chopper/rotation_speed", "log").orderBy("time")
+    assert [(r.time, r.value) for r in log.collect()] == [
+        (10_100_000_000, 10.0), (10_110_000_000, 15.0)]
+    agg = {k.split("/")[-1]: v for k, v in res.metadata_values.items()
+           if "rotation_speed" in k}
+    assert agg == {"minimum_value": 10.0, "maximum_value": 15.0,
+                   "average_value": 12.5}
+    status = staged("/entry/instrument/chopper/rotation_speed", "status")
+    assert [r.connection_status for r in status.orderBy("connection_status_time").collect()] == [2, 2]
+    alarms = staged("/entry/instrument/chopper/rotation_speed", "alarms")
+    assert [r.alarm_severity for r in alarms.orderBy("alarm_time").collect()] == [1, 0]
+    pulses = staged("/entry/instrument/event_detector/events", "pulses")
+    idx = [r.event_index for r in pulses.orderBy("event_time_zero").collect()]
+    assert idx == sorted(idx) and idx[0] == 0
+
+
+def test_undecodable_message_counted_not_fatal(spark):
+    """A garbage buffer yields a null-schema envelope row (D2 taxonomy
+    input) and does not kill the decode of its neighbors."""
+    from pyspark.sql import functions as F
+
+    good = ess.encode_f144_double("s", 1.0, 11_000)
+    rows = [("t", 0, 0, 11_000, bytearray(good)),
+            ("t", 0, 1, 11_001, bytearray(b"\x00" * 3)),
+            ("t", 0, 2, 11_002, bytearray(b"garbagegarbage"))]
+    df = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, kafka_ms long, value binary"
+    ).select("topic", "partition", "offset",
+             F.timestamp_millis("kafka_ms").alias("timestamp"), "value")
+    out = fbs.decode_kafka_flatbuffers(df).orderBy("offset").collect()
+    assert out[0]["schema"] == "f144" and out[0]["value"] == 1.0
+    assert out[1]["schema"] is None and out[2]["schema"] is None
