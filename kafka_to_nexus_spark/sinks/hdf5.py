@@ -1,4 +1,4 @@
-"""Gated h5py NeXus packer: staged parquet directory → one HDF5 file.
+"""NeXus packer: staged parquet directory → one HDF5 file.
 
 Single-threaded by design — HDF5 is not thread-safe and the reference
 funnels every append through one writer thread
@@ -7,22 +7,29 @@ filter, transform, columnar staging) has already happened in Spark; this
 pack step is a sequential column copy, the same amount of single-threaded
 HDF5 I/O the reference performs.
 
-Import requires h5py (NOT installed in the dev container — the staging
-sink is the tested path; this module is exercised only where h5py exists).
+Backend: ``h5py`` when installed, else the built-in spec-based
+``hdf5lib`` writer (same facade) — the pack path executes either way.
 
-Covers: K1 single-writer, K3 chunking, T2 static datasets (shape from JSON
-nesting), T3 attributes (incl. auto NX_class/topic/source/writer_module,
+Covers: K1 single-writer, T2 static datasets (shape from JSON nesting),
+T3 attributes (incl. auto NX_class/topic/source/writer_module,
 JobCreator.cpp:277-312), T4 hard links at finalize (HDFFile.cpp:238-247),
-T5 file-level metadata (HDFFile.cpp:129-181), unsigned-dtype narrowing
-(SURVEY.md §1.5).
+T5 file-level metadata (HDFFile.cpp:129-181), W4 ad00 N-D stacking with
+trailing-dim extend + zero-fill (ExtensibleDataset.h:412-519),
+unsigned-dtype narrowing (SURVEY.md §1.5). Chunked storage (K3) applies
+on the h5py backend; hdf5lib writes contiguous (the staged parquet row
+groups already give chunked, stat-indexed storage).
 """
 
 from __future__ import annotations
 
 from pathlib import Path
 
-import h5py  # noqa: F401  (gated: ImportError caught by package __init__)
 import numpy as np
+
+try:  # pragma: no cover - exercised where h5py exists
+    import h5py as _h5
+except ImportError:
+    from . import hdf5lib as _h5
 
 from . import staging
 
@@ -41,6 +48,22 @@ NUMPY_DTYPES = {
     "double": np.float64,
 }
 
+# Helper columns the staging layer adds for cross-file ordering.
+_ORDER_HELPERS = ("_batch_id", "_row_order")
+
+# Per-(module, dataset) fallback sort for streaming-staged data when no
+# explicit _row_order column exists (same keys as runner.ORDER_COLS).
+_FALLBACK_ORDER: dict[tuple[str, str], list[str]] = {
+    ("f144", "log"): ["time"],
+    ("ev44", "pulses"): ["event_time_zero"],
+    ("se00", "log"): ["time"],
+    ("tdct", "tdc"): ["time"],
+    ("ad00", "frames"): ["time"],
+    ("da00", "frames"): ["time"],
+    ("al00", "alarms"): ["alarm_time"],
+    ("ep01", "status"): ["connection_status_time"],
+}
+
 
 def _write_attrs(node, attrs: list[dict]) -> None:
     for a in attrs:
@@ -50,12 +73,80 @@ def _write_attrs(node, attrs: list[dict]) -> None:
         node.attrs[a["name"]] = values
 
 
+def _ordered_frame(table, module: str, dataset: str):
+    """Staged parquet → pandas frame in single-writer append order.
+
+    Batch staging is pre-sorted (runner.ORDER_COLS before write → parquet
+    part files hold ordered ranges). Streaming staging carries
+    (_batch_id, _row_order) — sort on those, falling back to the
+    module's natural time column within a batch."""
+    pdf = table.to_pandas()
+    sort_cols: list[str] = []
+    if "_batch_id" in pdf.columns:
+        sort_cols.append("_batch_id")
+        if "_row_order" in pdf.columns:
+            sort_cols.append("_row_order")
+        else:
+            sort_cols.extend(
+                c for c in _FALLBACK_ORDER.get((module, dataset), []) if c in pdf.columns
+            )
+        pdf = pdf.sort_values(sort_cols, kind="stable")
+    return pdf.drop(columns=[c for c in _ORDER_HELPERS if c in pdf.columns])
+
+
+def _chunks(n: int, chunk_size: int):
+    if _h5.__name__ != "h5py" or n == 0:
+        return None
+    return (min(chunk_size, max(n, 1)),)
+
+
+def _pack_ad00_frames(grp, pdf, chunk_size: int) -> None:
+    """W4: stack per-message N-D frames into one (n+1)-D ``value`` dataset,
+    extending trailing dims to the max extent and zero-filling smaller
+    slabs (ExtensibleDataset.h:412-519: larger frame → extend, smaller
+    frame → hyperslab at origin, remainder stays fill=0)."""
+    shapes = [tuple(int(d) for d in s) for s in pdf["shape"]]
+    rank = max((len(s) for s in shapes), default=0)
+    shapes = [s + (1,) * (rank - len(s)) for s in shapes]
+    max_shape = tuple(
+        max((s[i] for s in shapes), default=0) for i in range(rank)
+    )
+    stack = np.zeros((len(shapes), *max_shape), dtype=np.float64)
+    for i, (s, flat) in enumerate(zip(shapes, pdf["data"])):
+        frame = np.asarray(flat, dtype=np.float64).reshape(s)
+        stack[(i,) + tuple(slice(0, d) for d in s)] = frame
+    grp.create_dataset("value", data=stack).attrs["units"] = ""
+    grp.create_dataset(
+        "time",
+        data=np.asarray(pdf["time"], dtype=np.int64),
+        chunks=_chunks(len(pdf), chunk_size),
+    ).attrs["units"] = "ns"
+
+
+def _pack_da00_frames(grp, pdf, chunk_size: int) -> None:
+    """W5 (fixture single-variable-per-message form): stack each variable's
+    per-message arrays into a 2-D ``<name>`` dataset + one ``time`` axis
+    (da00_Writer.cpp:210-287)."""
+    times_written = False
+    for name in dict.fromkeys(pdf["variable"]):  # insertion order
+        rows = pdf[pdf["variable"] == name]
+        stack = np.asarray([np.asarray(v, dtype=np.float64) for v in rows["data"]])
+        grp.create_dataset(name, data=stack)
+        if not times_written:
+            grp.create_dataset(
+                "time",
+                data=np.asarray(rows["time"], dtype=np.int64),
+                chunks=_chunks(len(rows), chunk_size),
+            ).attrs["units"] = "ns"
+            times_written = True
+
+
 def pack(out_dir: str | Path, hdf_path: str | Path, chunk_size: int = 1024) -> None:
     """Materialize a staged job directory as a NeXus HDF5 file."""
     import pyarrow.parquet as pq
 
     meta = staging.read_meta(out_dir)
-    with h5py.File(hdf_path, "w") as f:
+    with _h5.File(hdf_path, "w") as f:
         # T5 file-level metadata
         f.attrs["file_name"] = str(hdf_path)
         f.attrs["creator"] = "kafka_to_nexus_spark"
@@ -68,40 +159,62 @@ def pack(out_dir: str | Path, hdf_path: str | Path, chunk_size: int = 1024) -> N
         # T2 static datasets
         for d in meta["static_datasets"]:
             dtype = NUMPY_DTYPES.get(d.get("dtype") or "")
-            data = (
-                np.asarray(d["values"], dtype=dtype)
-                if dtype
-                else d["values"]
-            )
+            data = np.asarray(d["values"], dtype=dtype) if dtype else d["values"]
             ds = f.create_dataset(d["path"], data=data)
             _write_attrs(ds, d.get("attributes", []))
 
-        # stream datasets from staged parquet (sequential single writer)
+        # stream datasets from staged parquet (sequential single writer).
+        # Columns flatten directly into the stream group — the reference
+        # writes value/time, event_*, alarm_*, connection_status* as sibling
+        # datasets of the NXlog/NXevent_data group.
+        units_by_path: dict[str, str] = {}
         for s in meta["streams"]:
             grp = f.require_group(s["path"])
             grp.attrs.setdefault("topic", s["topic"])
             grp.attrs.setdefault("source", s["source"])
             grp.attrs.setdefault("writer_module", s["module"])
+            cfg = s.get("config") or {}
+            value_units = cfg.get("value_units") or cfg.get("unit") or ""
+            if s["module"] == "f144":  # aggregates belong to the f144 stream
+                units_by_path[s["path"].rstrip("/")] = value_units
             for dataset in s["datasets"]:
-                table = pq.read_table(
-                    staging.dataset_dir(out_dir, s["path"], dataset)
-                )
-                for col in table.column_names:
-                    arr = table.column(col).to_numpy(zero_copy_only=False)
-                    dtype = NUMPY_DTYPES.get(s["config"].get("dtype", ""), None)
+                table = pq.read_table(staging.dataset_dir(out_dir, s["path"], dataset))
+                pdf = _ordered_frame(table, s["module"], dataset)
+                if s["module"] == "ad00" and dataset == "frames":
+                    _pack_ad00_frames(grp, pdf, chunk_size)
+                    continue
+                if s["module"] == "da00" and dataset == "frames":
+                    _pack_da00_frames(grp, pdf, chunk_size)
+                    continue
+                for col in pdf.columns:
+                    series = pdf[col]
+                    if len(series) and isinstance(series.iloc[0], (list, np.ndarray)):
+                        arr = np.asarray([np.asarray(v) for v in series])
+                    else:
+                        arr = series.to_numpy()
+                    if arr.dtype == object:
+                        arr = np.asarray(list(arr))
+                    dtype = NUMPY_DTYPES.get(cfg.get("dtype", ""), None)
                     if dtype is not None and col == "value":
                         arr = arr.astype(dtype)  # narrow widened unsigned
-                    name = col if len(table.column_names) > 1 else dataset
-                    grp.create_dataset(
-                        f"{dataset}/{col}" if len(table.column_names) > 1 else name,
-                        data=arr,
-                        chunks=(min(chunk_size, max(len(arr), 1)),) if len(arr) else None,
+                    ds = grp.create_dataset(
+                        col, data=arr, chunks=_chunks(len(arr), chunk_size)
                     )
+                    if col == "value":
+                        ds.attrs["units"] = value_units
+                    elif col == "time":
+                        ds.attrs["units"] = "ns"
 
-        # job-summary metadata values (T6)
+        # job-summary metadata values (T6) — f144 aggregates inherit the
+        # stream's value units (f144_Writer.cpp metadata datasets)
         for path, value in meta.get("metadata_values", {}).items():
             if path not in f:
-                f.create_dataset(path, data=value)
+                ds = f.create_dataset(path, data=value)
+                parent = str(Path(path).parent).rstrip("/")
+                if parent in units_by_path and path.rsplit("/", 1)[-1] in (
+                    "minimum_value", "maximum_value", "average_value"
+                ):
+                    ds.attrs["units"] = units_by_path[parent]
 
         # T4 hard links at finalize
         for link in meta["links"]:

@@ -1,0 +1,618 @@
+"""Minimal pure-Python HDF5 writer/reader (no h5py in the container).
+
+Implements the subset of the public HDF5 File Format Specification the
+NeXus pack step needs, in the modern (1.8+) encoding:
+
+- superblock version 2 (Jenkins lookup3 checksummed),
+- version-2 object headers (``OHDR``),
+- compact "new style" groups: Link Info + Group Info + Link messages,
+- contiguous-layout N-D datasets of the fixed-point / IEEE-float types,
+- fixed-length string datasets/attributes (null-terminated),
+- attribute messages (v3), hard links (shared object header address).
+
+The writer exposes an h5py-like facade (``File``, ``require_group``,
+``create_dataset``, ``attrs``, ``f[link] = f[target]``) over an in-memory
+tree; serialization happens once at ``close()``, bottom-up, so every
+object header address is known before anything references it. Hard links
+fall out naturally: linking stores the same node object, and the
+serializer memoizes node → address.
+
+The reader parses the same subset independently (per spec, not by
+reversing the writer) and is used by tests to verify packed files; any
+HDF5-1.8+ tool can read these files where one exists.
+
+Reference parity targets: src/NeXusDataset/NeXusDataset.h:22-153 (dataset
+creation), src/HDFFile.cpp:129-181 (file metadata), :238-247 (links).
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Jenkins lookup3 (hashlittle) — the checksum HDF5 uses for v2 metadata
+# ---------------------------------------------------------------------------
+
+def _rot(x: int, k: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def jenkins_lookup3(data: bytes, initval: int = 0) -> int:
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & 0xFFFFFFFF
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & 0xFFFFFFFF
+        # mix
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        i += 12
+        length -= 12
+    tail = data[i:] + b"\x00" * (12 - length)
+    if length > 0:
+        a = (a + int.from_bytes(tail[0:4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(tail[4:8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(tail[8:12], "little")) & 0xFFFFFFFF
+        # final
+        c ^= b; c = (c - _rot(b, 14)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 11)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 25)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 16)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 4)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 14)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Datatype / dataspace / message encoding
+# ---------------------------------------------------------------------------
+
+_FIXED = {  # numpy kind/size → (signed,)
+    ("i", 1): True, ("i", 2): True, ("i", 4): True, ("i", 8): True,
+    ("u", 1): False, ("u", 2): False, ("u", 4): False, ("u", 8): False,
+}
+_FLOAT_PROPS = {
+    4: (32, 23, 8, 0, 23, 127, 31),
+    8: (64, 52, 11, 0, 52, 1023, 63),
+}
+
+
+def _dt_message(dtype: np.dtype) -> bytes:
+    """Datatype message body for a little-endian numpy dtype."""
+    kind, size = dtype.kind, dtype.itemsize
+    if kind == "b":
+        kind, size = "u", 1
+    if (kind, size) in _FIXED:
+        signed = 0x08 if kind == "i" else 0x00
+        head = struct.pack("<BBBBI", 0x10, signed, 0, 0, size)
+        return head + struct.pack("<HH", 0, 8 * size)
+    if kind == "f" and size in _FLOAT_PROPS:
+        prec, mant_sz, exp_sz, mant_loc, exp_loc_sz, bias, sign_loc = _FLOAT_PROPS[size]
+        exp_loc = mant_sz
+        head = struct.pack("<BBBBI", 0x11, 0x20, sign_loc, 0, size)
+        return head + struct.pack(
+            "<HHBBBBI", 0, prec, exp_loc, exp_sz, mant_loc, mant_sz, bias
+        )
+    if kind == "S":
+        # fixed-length string, null-padded, ASCII/UTF-8
+        head = struct.pack("<BBBBI", 0x13, 0x10, 0, 0, size)
+        return head
+    raise TypeError(f"unsupported dtype for minimal HDF5 writer: {dtype}")
+
+
+def _dt_decode(body: bytes):
+    ver_class = body[0]
+    cls = ver_class & 0x0F
+    bits0 = body[1]
+    size = struct.unpack_from("<I", body, 4)[0]
+    if cls == 0:
+        signed = bool(bits0 & 0x08)
+        return np.dtype(f"<{'i' if signed else 'u'}{size}")
+    if cls == 1:
+        return np.dtype(f"<f{size}")
+    if cls == 3:
+        return np.dtype(f"S{size}")
+    raise TypeError(f"unsupported datatype class {cls}")
+
+
+def _dataspace_message(shape: tuple[int, ...]) -> bytes:
+    if shape == ():
+        return struct.pack("<BBBB", 2, 0, 0, 0)  # v2 scalar
+    return struct.pack("<BBBB", 2, len(shape), 0, 1) + b"".join(
+        struct.pack("<Q", d) for d in shape
+    )
+
+
+def _dataspace_decode(body: bytes) -> tuple[int, ...]:
+    version = body[0]
+    if version == 2:
+        rank, _flags, stype = body[1], body[2], body[3]
+        if stype == 0:
+            return ()
+        return tuple(
+            struct.unpack_from("<Q", body, 4 + 8 * i)[0] for i in range(rank)
+        )
+    if version == 1:
+        rank, flags = body[1], body[2]
+        return tuple(
+            struct.unpack_from("<Q", body, 8 + 8 * i)[0] for i in range(rank)
+        )
+    raise ValueError(f"unsupported dataspace version {version}")
+
+
+def _fill_message() -> bytes:
+    # v3: alloc time = early (1), write time = on alloc (0), fill undefined
+    return struct.pack("<BB", 3, 0b00010001)
+
+
+def _layout_message(addr: int, nbytes: int) -> bytes:
+    return struct.pack("<BBQQ", 3, 1, addr if nbytes else UNDEF, nbytes)
+
+
+def _link_info_message() -> bytes:
+    return struct.pack("<BBQQ", 1, 0, UNDEF, UNDEF)
+
+
+def _group_info_message() -> bytes:
+    return struct.pack("<BB", 1, 0)
+
+
+def _link_message(name: str, header_addr: int) -> bytes:
+    raw = name.encode("utf-8")
+    if len(raw) < 256:
+        return struct.pack("<BBB", 1, 0, len(raw)) + raw + struct.pack("<Q", header_addr)
+    return (
+        struct.pack("<BBH", 1, 0b01, len(raw)) + raw + struct.pack("<Q", header_addr)
+    )
+
+
+def _coerce_attr(value):
+    if isinstance(value, str):
+        raw = value.encode("utf-8") + b"\x00"
+        return np.frombuffer(raw, dtype=f"S{len(raw)}")[0], np.dtype(f"S{len(raw)}"), ()
+    arr = np.asarray(value)
+    if arr.dtype.kind == "U":
+        raw = [s.encode("utf-8") for s in arr.ravel()]
+        width = max((len(r) for r in raw), default=0) + 1
+        arr = arr.astype(f"S{width}")
+    if arr.dtype.kind in "iu f".replace(" ", "") or arr.dtype.kind == "S" or arr.dtype.kind == "b":
+        return arr, arr.dtype, arr.shape
+    raise TypeError(f"unsupported attribute type {arr.dtype}")
+
+
+def _attr_message(name: str, value) -> bytes:
+    arr, dtype, shape = _coerce_attr(value)
+    raw_name = name.encode("utf-8") + b"\x00"
+    dt = _dt_message(np.dtype(dtype))
+    ds = _dataspace_message(tuple(shape))
+    data = np.asarray(arr, dtype=dtype).tobytes()
+    return (
+        struct.pack("<BBHHHB", 3, 0, len(raw_name), len(dt), len(ds), 1)
+        + raw_name
+        + dt
+        + ds
+        + data
+    )
+
+
+def _object_header(messages: list[tuple[int, bytes]]) -> bytes:
+    body = b"".join(
+        struct.pack("<BHB", mtype, len(mbody), 0) + mbody for mtype, mbody in messages
+    )
+    # flags 0x02: "size of chunk 0" stored in 4 bytes
+    prefix = b"OHDR" + struct.pack("<BB", 2, 0x02) + struct.pack("<I", len(body))
+    return prefix + body + struct.pack("<I", jenkins_lookup3(prefix + body))
+
+
+# ---------------------------------------------------------------------------
+# In-memory tree + h5py-like facade
+# ---------------------------------------------------------------------------
+
+class _GroupNode:
+    __slots__ = ("links", "attrs")
+
+    def __init__(self) -> None:
+        self.links: dict[str, object] = {}
+        self.attrs: dict[str, object] = {}
+
+
+class _DatasetNode:
+    __slots__ = ("data", "attrs")
+
+    def __init__(self, data: np.ndarray) -> None:
+        self.data = data
+        self.attrs: dict[str, object] = {}
+
+
+class AttributeView:
+    def __init__(self, node) -> None:
+        self._attrs = node.attrs
+
+    def __setitem__(self, key: str, value) -> None:
+        self._attrs[key] = value
+
+    def __getitem__(self, key: str):
+        return self._attrs[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._attrs
+
+    def get(self, key: str, default=None):
+        return self._attrs.get(key, default)
+
+    def setdefault(self, key: str, value):
+        return self._attrs.setdefault(key, value)
+
+    def keys(self):
+        return self._attrs.keys()
+
+    def items(self):
+        return self._attrs.items()
+
+
+def _coerce_dataset(data) -> np.ndarray:
+    if isinstance(data, str):
+        raw = data.encode("utf-8") + b"\x00"
+        return np.array(raw, dtype=f"S{len(raw)}")
+    arr = np.asarray(data)
+    if arr.dtype.kind == "U":
+        width = max((len(s.encode()) for s in arr.ravel()), default=0) + 1
+        arr = np.char.encode(arr, "utf-8").astype(f"S{width}")
+    if arr.dtype == object:
+        raise TypeError("object arrays are not supported")
+    if arr.dtype.kind == "b":
+        arr = arr.astype(np.uint8)
+    return arr
+
+
+class Group:
+    def __init__(self, file: "File", node: _GroupNode, path: str) -> None:
+        self._file = file
+        self._node = node
+        self._path = path
+
+    # -- h5py-compatible surface ------------------------------------------
+
+    @property
+    def name(self) -> str:
+        return self._path or "/"
+
+    @property
+    def attrs(self) -> AttributeView:
+        return AttributeView(self._node)
+
+    def _resolve(self, path: str, create: bool = False):
+        node = self._node if not path.startswith("/") else self._file._root
+        parts = [p for p in path.split("/") if p]
+        for i, part in enumerate(parts):
+            if part not in node.links:
+                if not create:
+                    raise KeyError(path)
+                node.links[part] = _GroupNode()
+            node = node.links[part]
+            if not isinstance(node, _GroupNode) and i < len(parts) - 1:
+                raise KeyError(f"{path}: {part} is not a group")
+        return node
+
+    def require_group(self, path: str) -> "Group":
+        node = self._resolve(path, create=True)
+        if not isinstance(node, _GroupNode):
+            raise TypeError(f"{path} exists and is not a group")
+        return Group(self._file, node, self._join(path))
+
+    create_group = require_group
+
+    def create_dataset(self, path: str, data=None, chunks=None, dtype=None) -> "Dataset":
+        parts = [p for p in path.split("/") if p]
+        parent = self._resolve("/".join(parts[:-1]), create=True) if len(parts) > 1 else (
+            self._node if not path.startswith("/") else self._file._root
+        )
+        name = parts[-1]
+        if name in parent.links:
+            raise ValueError(f"dataset {path} already exists")
+        arr = _coerce_dataset(data if data is not None else [])
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        node = _DatasetNode(arr)
+        parent.links[name] = node
+        return Dataset(self._file, node, self._join(path))
+
+    def _join(self, path: str) -> str:
+        if path.startswith("/"):
+            return path.rstrip("/")
+        return f"{self._path}/{path}".rstrip("/")
+
+    def __getitem__(self, path: str):
+        node = self._resolve(path)
+        full = self._join(path)
+        if isinstance(node, _GroupNode):
+            return Group(self._file, node, full)
+        return Dataset(self._file, node, full)
+
+    def __setitem__(self, path: str, value) -> None:
+        """Hard link: the same node under another name (HDFFile.cpp:238)."""
+        if not isinstance(value, (Group, Dataset)):
+            self.create_dataset(path, data=value)
+            return
+        parts = [p for p in path.split("/") if p]
+        parent = self._resolve("/".join(parts[:-1]), create=True) if len(parts) > 1 else (
+            self._node if not path.startswith("/") else self._file._root
+        )
+        parent.links[parts[-1]] = value._node
+
+    def __contains__(self, path: str) -> bool:
+        try:
+            self._resolve(path)
+            return True
+        except KeyError:
+            return False
+
+    def keys(self):
+        return self._node.links.keys()
+
+    def items(self):
+        for k in self.keys():
+            yield k, self[k]
+
+
+class Dataset:
+    def __init__(self, file: "File", node: _DatasetNode, path: str) -> None:
+        self._file = file
+        self._node = node
+        self._path = path
+
+    @property
+    def name(self) -> str:
+        return self._path
+
+    @property
+    def attrs(self) -> AttributeView:
+        return AttributeView(self._node)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self._node.data.shape
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._node.data.dtype
+
+    def __getitem__(self, key) -> np.ndarray:
+        return self._node.data[key]
+
+    def __len__(self) -> int:
+        return len(self._node.data)
+
+    def asstr(self):
+        data = self._node.data
+
+        class _Str:
+            def __getitem__(_self, key):
+                picked = data[key]
+                if isinstance(picked, bytes):
+                    return picked.rstrip(b"\x00").decode("utf-8")
+                return np.char.decode(
+                    np.char.rstrip(picked, b"\x00"), "utf-8"
+                )
+
+        return _Str()
+
+
+class File(Group):
+    """h5py-like writable ('w') / readable ('r') HDF5 file."""
+
+    def __init__(self, path: str | Path, mode: str = "r") -> None:
+        self._fspath = Path(path)
+        self._mode = mode
+        self._root = _GroupNode()
+        if mode == "r":
+            self._root = _Reader(self._fspath.read_bytes()).root()
+        elif mode != "w":
+            raise ValueError("mode must be 'r' or 'w'")
+        super().__init__(self, self._root, "")
+
+    def close(self) -> None:
+        if self._mode == "w":
+            self._fspath.write_bytes(_serialize(self._root))
+            self._mode = "closed"
+
+    def __enter__(self) -> "File":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# Serialization (bottom-up; memoized for hard links)
+# ---------------------------------------------------------------------------
+
+def _serialize(root: _GroupNode) -> bytes:
+    buf = bytearray(b"\x00" * 48)  # superblock v2 placeholder
+    addr_of: dict[int, int] = {}
+
+    def alloc(data: bytes) -> int:
+        addr = len(buf)
+        buf.extend(data)
+        return addr
+
+    def write_node(node) -> int:
+        if id(node) in addr_of:
+            return addr_of[id(node)]
+        messages: list[tuple[int, bytes]] = []
+        if isinstance(node, _DatasetNode):
+            shape = node.data.shape  # ascontiguousarray promotes 0-d to 1-d
+            arr = np.ascontiguousarray(node.data)
+            if arr.dtype.byteorder == ">":
+                arr = arr.astype(arr.dtype.newbyteorder("<"))
+            raw = arr.tobytes()
+            data_addr = alloc(raw) if raw else UNDEF
+            messages.append((0x0001, _dataspace_message(shape)))
+            messages.append((0x0003, _dt_message(arr.dtype)))
+            messages.append((0x0005, _fill_message()))
+            messages.append((0x0008, _layout_message(data_addr, len(raw))))
+        else:
+            child_addrs = [(name, write_node(c)) for name, c in node.links.items()]
+            messages.append((0x0002, _link_info_message()))
+            messages.append((0x000A, _group_info_message()))
+            for name, caddr in child_addrs:
+                messages.append((0x0006, _link_message(name, caddr)))
+        for name, value in node.attrs.items():
+            messages.append((0x000C, _attr_message(name, value)))
+        addr = alloc(_object_header(messages))
+        addr_of[id(node)] = addr
+        return addr
+
+    root_addr = write_node(root)
+    eof = len(buf)
+    sb = MAGIC + struct.pack("<BBBB", 2, 8, 8, 0) + struct.pack(
+        "<QQQQ", 0, UNDEF, eof, root_addr
+    )
+    sb += struct.pack("<I", jenkins_lookup3(sb))
+    buf[: len(sb)] = sb
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# Reader (independent spec-based parse of the written subset)
+# ---------------------------------------------------------------------------
+
+class _Reader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        if buf[:8] != MAGIC:
+            raise ValueError("not an HDF5 file (bad signature)")
+        version = buf[8]
+        if version != 2:
+            raise ValueError(f"unsupported superblock version {version}")
+        stored = struct.unpack_from("<I", buf, 44)[0]
+        if stored != jenkins_lookup3(buf[:44]):
+            raise ValueError("superblock checksum mismatch")
+        self.root_addr = struct.unpack_from("<Q", buf, 36)[0]
+        self._nodes: dict[int, object] = {}
+
+    def root(self) -> _GroupNode:
+        return self._read_object(self.root_addr)
+
+    def _read_object(self, addr: int):
+        if addr in self._nodes:
+            return self._nodes[addr]
+        buf = self.buf
+        if buf[addr : addr + 4] != b"OHDR":
+            raise ValueError(f"no OHDR at {addr:#x}")
+        version, flags = buf[addr + 4], buf[addr + 5]
+        if version != 2:
+            raise ValueError(f"unsupported object header version {version}")
+        size_bytes = 1 << (flags & 0x03)
+        pos = addr + 6
+        chunk0 = int.from_bytes(buf[pos : pos + size_bytes], "little")
+        pos += size_bytes
+        end = pos + chunk0
+        stored = struct.unpack_from("<I", buf, end)[0]
+        if stored != jenkins_lookup3(buf[addr:end]):
+            raise ValueError(f"object header checksum mismatch at {addr:#x}")
+
+        links: list[tuple[str, int]] = []
+        attrs: dict[str, object] = {}
+        shape = dtype = None
+        data_addr = data_size = None
+        is_group = False
+        while pos < end:
+            mtype, msize, _mflags = struct.unpack_from("<BHB", buf, pos)
+            body = buf[pos + 4 : pos + 4 + msize]
+            pos += 4 + msize
+            if mtype == 0x0006:
+                links.append(self._parse_link(body))
+                is_group = True
+            elif mtype in (0x0002, 0x000A):
+                is_group = True
+            elif mtype == 0x0001:
+                shape = _dataspace_decode(body)
+            elif mtype == 0x0003:
+                dtype = _dt_decode(body)
+            elif mtype == 0x0008:
+                lver, lclass = body[0], body[1]
+                if lclass != 1:
+                    raise ValueError("only contiguous layout supported")
+                data_addr, data_size = struct.unpack_from("<QQ", body, 2)
+            elif mtype == 0x000C:
+                name, value = self._parse_attr(body)
+                attrs[name] = value
+
+        if is_group or (shape is None and dtype is None):
+            node = _GroupNode()
+            self._nodes[addr] = node
+            node.attrs = attrs
+            for name, caddr in links:
+                node.links[name] = self._read_object(caddr)
+            return node
+        if data_addr is None or data_addr == UNDEF or not data_size:
+            arr = np.zeros(shape, dtype=dtype)
+        else:
+            arr = np.frombuffer(
+                buf[data_addr : data_addr + data_size], dtype=dtype
+            ).reshape(shape)
+        node = _DatasetNode(arr)
+        node.attrs = attrs
+        self._nodes[addr] = node
+        return node
+
+    @staticmethod
+    def _parse_link(body: bytes) -> tuple[str, int]:
+        version, flags = body[0], body[1]
+        if version != 1:
+            raise ValueError(f"unsupported link message version {version}")
+        pos = 2
+        if flags & 0x08:  # link type present → only hard (0) supported
+            ltype = body[pos]
+            pos += 1
+            if ltype != 0:
+                raise ValueError("only hard links supported")
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        nbytes = 1 << (flags & 0x03)
+        nlen = int.from_bytes(body[pos : pos + nbytes], "little")
+        pos += nbytes
+        name = body[pos : pos + nlen].decode("utf-8")
+        pos += nlen
+        addr = struct.unpack_from("<Q", body, pos)[0]
+        return name, addr
+
+    @staticmethod
+    def _parse_attr(body: bytes):
+        version = body[0]
+        if version != 3:
+            raise ValueError(f"unsupported attribute version {version}")
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        pos = 9
+        name = body[pos : pos + name_size].rstrip(b"\x00").decode("utf-8")
+        pos += name_size
+        dtype = _dt_decode(body[pos : pos + dt_size])
+        pos += dt_size
+        shape = _dataspace_decode(body[pos : pos + ds_size])
+        pos += ds_size
+        count = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(
+            body[pos : pos + count * dtype.itemsize], dtype=dtype
+        ).reshape(shape)
+        if dtype.kind == "S":
+            decoded = np.char.decode(np.char.rstrip(arr, b"\x00"), "utf-8")
+            return name, (decoded[()] if shape == () else decoded)
+        return name, (arr[()] if shape == () else arr)

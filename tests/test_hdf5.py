@@ -1,0 +1,207 @@
+"""HDF5 pack path, executed end-to-end with the built-in spec-based
+writer/reader (h5py is absent in this container; the file format is the
+public HDF5 spec — see sinks/hdf5lib.py).
+
+Ports the reference domain tests against real packed files:
+- domain-tests/test_writer_modules.py:18-147 (f144/ep01/al00/ev44/ad00/
+  da00 values, units attributes, aggregates),
+- domain-tests/test_static_information.py:18-60 (hard links, statics).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from conftest import DOMAIN_DATA, DOMAIN_TEMPLATES
+from kafka_to_nexus_spark.plan import StartMessage
+from kafka_to_nexus_spark.runner import run_job
+from kafka_to_nexus_spark.sinks import hdf5, hdf5lib
+from kafka_to_nexus_spark.sources.fixtures import messages_from_file
+
+
+def _write_file(spark, tmp_path, template: str, data: str) -> str:
+    tpl = json.loads((DOMAIN_TEMPLATES / template).read_text())
+    msgs = messages_from_file(spark, DOMAIN_DATA / data)
+    start = StartMessage(job_id="pack", filename="out.nxs", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    run_job(spark, start, msgs, str(out))
+    hdf = tmp_path / "out.nxs"
+    hdf5.pack(out, hdf)
+    return str(hdf)
+
+
+@pytest.fixture(scope="module")
+def writer_modules_file(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("wm")
+    return _write_file(
+        spark, tmp, "writer_modules_template.json", "writer_modules_data.json"
+    )
+
+
+@pytest.fixture(scope="module")
+def static_file(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("si")
+    return _write_file(
+        spark, tmp, "static_information_template.json", "static_information_data.json"
+    )
+
+
+def test_f144_writes(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = "/entry/instrument/chopper/rotation_speed"
+        assert f[f"{g}/value"].shape == (2,)
+        assert np.array_equal(f[f"{g}/value"][:], [10, 15])
+        assert np.array_equal(f[f"{g}/time"][:], [10_100_000_000, 10_110_000_000])
+        assert f[f"{g}/minimum_value"][()] == 10
+        assert f[f"{g}/maximum_value"][()] == 15
+        assert f[f"{g}/average_value"][()] == 12.5
+
+
+def test_f144_units_attributes(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = "/entry/instrument/chopper/rotation_speed"
+        assert f[f"{g}/value"].attrs["units"] == "Hz"
+        assert f[f"{g}/time"].attrs["units"] == "ns"
+        assert f[f"{g}/minimum_value"].attrs["units"] == "Hz"
+        assert f[f"{g}/maximum_value"].attrs["units"] == "Hz"
+        assert f[f"{g}/average_value"].attrs["units"] == "Hz"
+        # delay has no units in json → empty string
+        assert f["/entry/instrument/chopper/delay/value"].attrs["units"] == ""
+
+
+def test_ep01_writes(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = "/entry/instrument/chopper/rotation_speed"
+        assert np.array_equal(f[f"{g}/connection_status"][:], [2, 2])
+        assert np.array_equal(
+            f[f"{g}/connection_status_time"][:], [10101000000, 10111000000]
+        )
+
+
+def test_al00_writes(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = "/entry/instrument/chopper/rotation_speed"
+        messages = f[f"{g}/alarm_message"][:]
+        assert messages[0].rstrip(b"\x00").decode() == "Chopper speed is too low"
+        assert messages[1].rstrip(b"\x00").decode() == "Chopper speed is perfect"
+        assert np.array_equal(f[f"{g}/alarm_severity"][:], [1, 0])
+        assert np.array_equal(
+            f[f"{g}/alarm_time"][:], [10102000000, 10112000000]
+        )
+
+
+def test_ev44_writes(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = "/entry/instrument/event_detector/events"
+        assert np.array_equal(
+            f[f"{g}/event_time_offset"][:], [i * 10 for i in range(1, 17)]
+        )
+        assert np.array_equal(
+            f[f"{g}/event_time_zero"][:],
+            [10_200_000_000, 10_210_000_000, 10_220_000_000, 10_230_000_000],
+        )
+        assert np.array_equal(f[f"{g}/event_index"][:], [0, 4, 8, 12])
+        assert np.array_equal(f[f"{g}/event_id"][:], [1, 2, 3, 4] * 4)
+
+
+def test_ad00_writes_stacked_and_zero_filled(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = "/entry/instrument/image_detector/data"
+        expected = np.array([[[10, 11], [12, 13]], [[13, 12], [11, 10]]])
+        assert np.array_equal(f[f"{g}/value"][:], expected)
+        assert np.array_equal(
+            f[f"{g}/time"][:], [10_300_000_000, 10_310_000_000]
+        )
+        assert f[f"{g}/value"].attrs["units"] == ""
+        assert f[f"{g}/time"].attrs["units"] == "ns"
+
+
+def test_da00_writes(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = "/entry/instrument/beam_monitor"
+        assert np.array_equal(
+            f[f"{g}/signal"][:],
+            [[1, 2, 3, 4, 3, 2, 1], [4, 3, 2, 1, 2, 3, 4]],
+        )
+        assert np.array_equal(
+            f[f"{g}/time"][:], [10_500_000_000, 10_600_000_000]
+        )
+
+
+def test_group_attributes_and_statics(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        assert f["/entry"].attrs["NX_class"] == "NXentry"
+        assert f["/entry/title"].asstr()[()] == "This is a title"
+        assert f.attrs["creator"] == "kafka_to_nexus_spark"
+
+
+def test_stream_group_provenance_attrs(writer_modules_file):
+    with hdf5lib.File(writer_modules_file, "r") as f:
+        g = f["/entry/instrument/chopper/rotation_speed"]
+        assert g.attrs["writer_module"] in ("f144", "ep01", "al00")
+        assert "topic" in g.attrs and "source" in g.attrs
+
+
+def test_can_create_links(static_file):
+    with hdf5lib.File(static_file, "r") as f:
+        assert len(f["/entry/instrument/links/linked_value"]) == 4
+        assert len(f["/entry/instrument/links/linked_time"]) == 4
+        assert np.array_equal(
+            f["/entry/instrument/chopper/delay/value"][:],
+            f["/entry/instrument/links/linked_value"][:],
+        )
+        assert np.array_equal(
+            f["/entry/instrument/chopper/delay/time"][:],
+            f["/entry/instrument/links/linked_time"][:],
+        )
+
+
+def test_static_data_is_written(static_file):
+    with hdf5lib.File(static_file, "r") as f:
+        det = "/entry/instrument/example_detector"
+        assert np.array_equal(f[f"{det}/detector_number"][:], [1, 2, 3, 4, 5])
+        assert np.array_equal(
+            f[f"{det}/x_pixel_offset"][:], [10, 20, 30, 40, 50]
+        )
+        assert np.array_equal(
+            f[f"{det}/pixel_shape/cylinders"][:], np.array([[0, 1, 2]])
+        )
+        assert np.allclose(
+            f[f"{det}/pixel_shape/vertices"][:],
+            np.array([[0, 0, 0], [0, 0.05, 0], [0.002, 0, 0]]),
+        )
+
+
+def test_streaming_staged_directory_packs(spark, tmp_path):
+    """A finalized streaming out_dir packs through the same path (order
+    restored from (_batch_id, _row_order))."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+    from kafka_to_nexus_spark.streaming.job import StreamingJob
+
+    tpl = json.loads((DOMAIN_TEMPLATES / "buffered_template.json").read_text())
+    start = StartMessage(job_id="spack", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+
+    def f144(ts, v, o):
+        return {"schema": "f144", "topic": "local_choppers",
+                "kafka_timestamp": ts, "source_name": "local:choppers:delay",
+                "timestamp": ts, "value": v, "offset": o}
+
+    job.process_batch(messages_from_json(spark, [f144(11_000, 1.0, 0)]), 0)
+    job.process_batch(messages_from_json(spark, [f144(12_000, 2.0, 1),
+                                                 f144(13_000, 3.0, 2)]), 1)
+    job.finalize()
+    hdf = tmp_path / "out.nxs"
+    hdf5.pack(job.out_dir, hdf)
+    with hdf5lib.File(str(hdf), "r") as f:
+        g = "/entry/instrument/chopper/delay"
+        assert np.array_equal(f[f"{g}/value"][:], [1.0, 2.0, 3.0])
+        assert np.array_equal(
+            f[f"{g}/time"][:],
+            [11_000_000_000, 12_000_000_000, 13_000_000_000],
+        )
