@@ -97,9 +97,35 @@ class Da00Config:
 
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
-    """Fixture-form data path: one variable per message with (time,
-    name, axis, data). Full multi-variable messages pivot into
-    ``data_<name>`` columns keyed by message time."""
+    """da00 data path.
+
+    Multi-variable form (config declares ``variables``): one output row per
+    message, pivoted to ``data_<name>`` columns — an explicit-values pivot
+    over the exploded Variable structs, so Catalyst needs no extra
+    value-discovery job and the shape is one shuffle on the message key
+    (da00_Writer.cpp:210-287 appends each configured variable per message).
+
+    Fixture single-variable form (no ``variables`` config): rows of
+    (time, variable, axis, data), stacked by the sink."""
+    cfg = Da00Config.from_json(config or {})
+    if cfg.variables and "da00_variables" in df.columns:
+        names = [v.name for v in cfg.variables]
+        exploded = df.select(
+            "partition",
+            "offset",
+            F.col("timestamp").alias("time"),
+            F.explode("da00_variables").alias("v"),
+        ).withColumn("vname", F.col("v.name"))
+        frames = (
+            exploded.filter(F.col("vname").isin(names))
+            .groupBy("partition", "offset", "time")
+            .pivot("vname", names)
+            .agg(F.first("v.data"))
+        )
+        frames = frames.select(
+            "time", *[F.col(n).alias(f"data_{n}") for n in names]
+        )
+        return {"frames": frames}
     out = df.select(
         F.col("timestamp").alias("time"),
         F.col("name").alias("variable"),
@@ -107,6 +133,72 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
         F.col("data").alias("data"),
     )
     return {"frames": out}
+
+
+def statics(df: DataFrame, config: dict | None = None) -> dict[str, object]:
+    """Constants: written once per job (da00_Writer.cpp constants path).
+    Explicit ``data`` (list or {first,last,size} linspace — da00_Edge) wins;
+    otherwise the constant is taken from the first message, refining the
+    spec (update_from, da00_Writer.cpp:92-130). Returns dataset-name →
+    values for the job metadata surface; one single-row driver action only
+    when a constant actually needs message data."""
+    cfg = Da00Config.from_json(config or {})
+    out: dict[str, object] = {}
+    need_first = [c for c in cfg.constants if c.data is None]
+    first_by_name: dict[str, dict] = {}
+    if need_first and "da00_variables" in df.columns:
+        row = df.agg(
+            F.min_by("da00_variables", F.struct("partition", "offset")).alias("first")
+        ).collect()
+        if row and row[0]["first"] is not None:
+            for v in row[0]["first"]:
+                first_by_name[v["name"]] = v.asDict()
+    for c in cfg.constants:
+        if c.data is not None:
+            out[c.name] = expand_edge(c.data)
+        elif c.name in first_by_name:
+            observed = first_by_name[c.name]
+            c.refine_from(
+                VariableConfig(
+                    name=c.name,
+                    unit=observed.get("unit"),
+                    axes=list(observed["axes"]) if observed.get("axes") else None,
+                    shape=list(observed["shape"]) if observed.get("shape") else None,
+                )
+            )
+            out[c.name] = list(observed.get("data") or [])
+    return out
+
+
+def group_attributes(config: dict | None = None) -> list[dict]:
+    """NXdata attribute synthesis (da00_Writer.cpp:140-227): configured
+    attributes pass through; ``signal`` defaults to the first variable;
+    ``axes`` defaults to the signal variable's axes; a variable signal gets
+    the implicit leading ``time`` axis prepended."""
+    cfg = Da00Config.from_json(config or {})
+    attrs: list[dict] = []
+    signal_name = None
+    signal_is_variable = False
+    var_names = {v.name: v for v in cfg.variables}
+    for a in cfg.attributes:
+        name = a.get("name")
+        values = a.get("data", a.get("values"))
+        attrs.append({"name": name, "values": values})
+        if name == "signal" and isinstance(values, str):
+            signal_name = values
+            signal_is_variable = values in var_names
+    if signal_name is None and cfg.variables:
+        signal_name = cfg.variables[0].name
+        signal_is_variable = True
+        attrs.append({"name": "signal", "values": signal_name})
+    if not any(a["name"] == "axes" for a in attrs):
+        spec = var_names.get(signal_name)
+        if spec is not None and spec.axes:
+            attrs.append({"name": "axes", "values": list(spec.axes)})
+    for a in attrs:
+        if a["name"] == "axes" and signal_is_variable and isinstance(a["values"], list):
+            a["values"] = ["time", *a["values"]]
+    return attrs
 
 
 def constants_check(df: DataFrame) -> DataFrame:

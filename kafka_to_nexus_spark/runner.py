@@ -118,17 +118,31 @@ def run_job(
             if agg_row:
                 for name, value in agg_row[0].asDict().items():
                     values[f"{binding.path}/{name}"] = value
-        return _stream_key(binding), written, values
+        # write-once statics (da00 constants) + synthesized group attrs
+        if hasattr(module, "statics"):
+            for name, value in module.statics(src, binding.config).items():
+                values[f"{binding.path}/{name}"] = value
+        attrs = [
+            {"path": binding.path, **a}
+            for a in (
+                module.group_attributes(binding.config)
+                if hasattr(module, "group_attributes")
+                else []
+            )
+        ]
+        return _stream_key(binding), written, values, attrs
 
     # Per-stream jobs are small relative to the cluster — submit them
     # CONCURRENTLY so the scheduler interleaves their tasks instead of
     # leaving slots idle between serial actions. The reference gets the
     # same effect from its per-partition threads feeding one writer.
+    extra_group_attrs: list[dict] = []
     if plan.streams:
         with ThreadPoolExecutor(max_workers=min(8, len(plan.streams))) as pool:
-            for key, written, values in pool.map(process_binding, plan.streams):
+            for key, written, values, attrs in pool.map(process_binding, plan.streams):
                 stream_outputs[key] = written
                 metadata_values.update(values)
+                extra_group_attrs.extend(attrs)
 
     # W9 mdat run metadata (plan-level constants)
     for m in plan.mdat:
@@ -146,7 +160,10 @@ def run_job(
         "stop_time_ms": start.stop_time_ms,
         "instrument_name": start.instrument_name,
     }
-    staging.write_meta(out_dir, plan, job_info, stream_outputs, metadata_values)
+    staging.write_meta(
+        out_dir, plan, job_info, stream_outputs, metadata_values,
+        extra_group_attributes=extra_group_attrs,
+    )
 
     try:
         metrics = dict(obs.get)

@@ -59,6 +59,25 @@ PAYLOAD_FIELDS = [
     T.StructField("name", T.StringType()),
     T.StructField("axis_name", T.StringType()),
     T.StructField("axis_values", T.ArrayType(T.DoubleType())),
+    # da00 full multi-variable form: every Variable in the message
+    # (da00_Writer.cpp:45-140; one struct per da00_Variable table entry)
+    T.StructField(
+        "da00_variables",
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType()),
+                    T.StructField("unit", T.StringType()),
+                    T.StructField("label", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                    T.StructField("data_type", T.StringType()),
+                    T.StructField("axes", T.ArrayType(T.StringType())),
+                    T.StructField("shape", T.ArrayType(T.LongType())),
+                    T.StructField("data", T.ArrayType(T.DoubleType())),
+                ]
+            )
+        ),
+    ),
     # se00 sample environment
     T.StructField("packet_timestamp", T.LongType()),
     T.StructField("time_delta", T.DoubleType()),

@@ -124,21 +124,37 @@ def _pack_ad00_frames(grp, pdf, chunk_size: int) -> None:
 
 
 def _pack_da00_frames(grp, pdf, chunk_size: int) -> None:
-    """W5 (fixture single-variable-per-message form): stack each variable's
-    per-message arrays into a 2-D ``<name>`` dataset + one ``time`` axis
-    (da00_Writer.cpp:210-287)."""
-    times_written = False
-    for name in dict.fromkeys(pdf["variable"]):  # insertion order
-        rows = pdf[pdf["variable"] == name]
-        stack = np.asarray([np.asarray(v, dtype=np.float64) for v in rows["data"]])
-        grp.create_dataset(name, data=stack)
-        if not times_written:
-            grp.create_dataset(
-                "time",
-                data=np.asarray(rows["time"], dtype=np.int64),
-                chunks=_chunks(len(rows), chunk_size),
-            ).attrs["units"] = "ns"
-            times_written = True
+    """W5: stack each variable's per-message arrays into a 2-D ``<name>``
+    dataset + one ``time`` axis (da00_Writer.cpp:210-287). Handles both
+    the pivoted multi-variable staging (``data_<name>`` columns) and the
+    fixture single-variable-per-message rows."""
+    if "variable" in pdf.columns:
+        times_written = False
+        for name in dict.fromkeys(pdf["variable"]):  # insertion order
+            rows = pdf[pdf["variable"] == name]
+            stack = np.asarray([np.asarray(v, dtype=np.float64) for v in rows["data"]])
+            grp.create_dataset(name, data=stack)
+            if not times_written:
+                grp.create_dataset(
+                    "time",
+                    data=np.asarray(rows["time"], dtype=np.int64),
+                    chunks=_chunks(len(rows), chunk_size),
+                ).attrs["units"] = "ns"
+                times_written = True
+        return
+    pdf = pdf.sort_values("time", kind="stable")
+    for col in pdf.columns:
+        if not col.startswith("data_"):
+            continue
+        stack = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[col] if v is not None]
+        )
+        grp.create_dataset(col[len("data_"):], data=stack)
+    grp.create_dataset(
+        "time",
+        data=np.asarray(pdf["time"], dtype=np.int64),
+        chunks=_chunks(len(pdf), chunk_size),
+    ).attrs["units"] = "ns"
 
 
 def pack(out_dir: str | Path, hdf_path: str | Path, chunk_size: int = 1024) -> None:

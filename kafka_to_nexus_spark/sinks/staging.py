@@ -64,12 +64,16 @@ def write_meta(
     job: dict,
     stream_outputs: dict[str, list[str]],
     metadata_values: dict[str, object],
+    extra_group_attributes: list[dict] | None = None,
 ) -> None:
-    """Driver-side hierarchical metadata: the T1–T6 surface."""
+    """Driver-side hierarchical metadata: the T1–T6 surface.
+    ``extra_group_attributes``: module-synthesized attrs (da00 NXdata
+    signal/axes) appended after the plan's own."""
     meta = {
         "job": job,
         "groups": plan.groups,
-        "group_attributes": [asdict(a) for a in plan.group_attributes],
+        "group_attributes": [asdict(a) for a in plan.group_attributes]
+        + list(extra_group_attributes or []),
         "static_datasets": [asdict(d) for d in plan.static_datasets],
         "links": [asdict(link) for link in plan.links],
         "streams": [

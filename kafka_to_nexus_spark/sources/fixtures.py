@@ -68,6 +68,30 @@ def _normalize_row(item: dict, offset_by_partition: dict) -> dict:
         row["name"] = item.get("name")
         row["axis_name"] = item.get("axis_name")
         row["data"] = [float(x) for x in item.get("data", [])] or None
+        variables = item.get("variables")
+        if variables is None and item.get("name") is not None:
+            # fixture single-variable form → one-entry multi-var list
+            variables = [
+                {
+                    "name": item.get("name"),
+                    "axes": [item["axis_name"]] if item.get("axis_name") else None,
+                    "data": item.get("data", []),
+                }
+            ]
+        if variables is not None:
+            row["da00_variables"] = [
+                {
+                    "name": v.get("name"),
+                    "unit": v.get("unit"),
+                    "label": v.get("label"),
+                    "source": v.get("source"),
+                    "data_type": v.get("data_type") or v.get("dtype"),
+                    "axes": v.get("axes"),
+                    "shape": [int(d) for d in v["shape"]] if v.get("shape") else None,
+                    "data": [float(x) for x in v.get("data", [])] or None,
+                }
+                for v in variables
+            ]
     elif schema == "se00":
         pts = item.get("packet_timestamp")
         row["packet_timestamp"] = int(pts) if pts is not None else row["timestamp"]

@@ -371,10 +371,23 @@ class StreamingJob:
             st.asof_emitted.update(remaining)
 
         metadata_values: dict[str, object] = {}
+        extra_group_attrs: list[dict] = []
         for binding in self.plan.streams:
             module = get_module(binding.module)
             key = (binding.module, binding.source)
             written = self._written_datasets.get(_stream_key(binding), [])
+            if hasattr(module, "group_attributes"):
+                extra_group_attrs.extend(
+                    {"path": binding.path, **a}
+                    for a in module.group_attributes(binding.config)
+                )
+            if hasattr(module, "statics"):
+                # config-declared constants (explicit / linspace edges);
+                # first-message constants need batch data and are folded in
+                # batch mode only
+                empty = self.spark.createDataFrame([], MESSAGE_SCHEMA)
+                for name, value in module.statics(empty, binding.config).items():
+                    metadata_values[f"{binding.path}/{name}"] = value
             # K4: cumulative cue from the staged log in staging order
             cue_interval = (binding.config or {}).get("cue_interval")
             if cue_interval and "log" in written:
@@ -417,7 +430,8 @@ class StreamingJob:
             "instrument_name": self.start.instrument_name,
         }
         staging.write_meta(
-            self.out_dir, self.plan, job_info, self._written_datasets, metadata_values
+            self.out_dir, self.plan, job_info, self._written_datasets,
+            metadata_values, extra_group_attributes=extra_group_attrs,
         )
 
 

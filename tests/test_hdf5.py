@@ -205,3 +205,117 @@ def test_streaming_staged_directory_packs(spark, tmp_path):
             f[f"{g}/time"][:],
             [11_000_000_000, 12_000_000_000, 13_000_000_000],
         )
+
+
+def test_da00_multi_variable_end_to_end(spark, tmp_path):
+    """da00 golden (VERDICT r01 next-round #5): 2 variables + constants
+    (explicit list + {first,last,size} linspace edge) + NXdata attrs with
+    the implicit leading time axis (da00_Writer.cpp:45-387)."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    tpl = {
+        "children": [{
+            "name": "entry", "type": "group",
+            "attributes": [{"name": "NX_class", "dtype": "string", "values": "NXentry"}],
+            "children": [{
+                "name": "monitor", "type": "group",
+                "attributes": [{"name": "NX_class", "dtype": "string", "values": "NXdata"}],
+                "children": [{
+                    "module": "da00",
+                    "config": {
+                        "topic": "mon", "source": "histo",
+                        "variables": [
+                            {"name": "signal", "data_type": "float64",
+                             "axes": ["x"], "shape": [4]},
+                            {"name": "errors", "data_type": "float64",
+                             "axes": ["x"], "shape": [4]},
+                        ],
+                        "constants": [
+                            {"name": "x", "axes": ["x"], "data": [0.0, 1.0, 2.0, 3.0]},
+                            {"name": "x_edges", "axes": ["x"],
+                             "data": {"first": -0.5, "last": 3.5, "size": 5}},
+                        ],
+                    },
+                }],
+            }],
+        }]
+    }
+
+    def msg(ts, sig, err, off):
+        return {
+            "schema": "da00", "topic": "mon", "kafka_timestamp": ts,
+            "source_name": "histo", "timestamp": ts, "offset": off,
+            "variables": [
+                {"name": "signal", "axes": ["x"], "data": sig},
+                {"name": "errors", "axes": ["x"], "data": err},
+            ],
+        }
+
+    msgs = messages_from_json(spark, [
+        msg(11_000, [1, 2, 3, 4], [0.1, 0.2, 0.3, 0.4], 0),
+        msg(12_000, [4, 3, 2, 1], [0.4, 0.3, 0.2, 0.1], 1),
+    ])
+    start = StartMessage(job_id="da00", filename="f.nxs", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    res = run_job(spark, start, msgs, str(tmp_path / "staged"))
+
+    # constants landed in job metadata (write-once)
+    assert res.metadata_values["/entry/monitor/x"] == [0.0, 1.0, 2.0, 3.0]
+    assert res.metadata_values["/entry/monitor/x_edges"] == [-0.5, 0.5, 1.5, 2.5, 3.5]
+
+    hdf = tmp_path / "out.nxs"
+    hdf5.pack(tmp_path / "staged", hdf)
+    with hdf5lib.File(str(hdf), "r") as f:
+        assert np.array_equal(
+            f["/entry/monitor/signal"][:], [[1, 2, 3, 4], [4, 3, 2, 1]]
+        )
+        assert np.array_equal(
+            f["/entry/monitor/errors"][:],
+            [[0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1]],
+        )
+        assert np.array_equal(
+            f["/entry/monitor/time"][:], [11_000_000_000, 12_000_000_000]
+        )
+        assert np.array_equal(f["/entry/monitor/x"][:], [0.0, 1.0, 2.0, 3.0])
+        assert np.array_equal(
+            f["/entry/monitor/x_edges"][:], [-0.5, 0.5, 1.5, 2.5, 3.5]
+        )
+        # NXdata attrs: default signal + axes with implicit time axis
+        attrs = f["/entry/monitor"].attrs
+        assert attrs["signal"] == "signal"
+        assert list(attrs["axes"]) == ["time", "x"]
+
+
+def test_da00_constant_from_first_message(spark, tmp_path):
+    """A constant without configured data is taken from the first message
+    (da00_Writer.cpp:92-130 write_constant_dataset path)."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    tpl = {
+        "children": [{
+            "name": "entry", "type": "group", "attributes": [],
+            "children": [{
+                "name": "mon", "type": "group", "attributes": [],
+                "children": [{
+                    "module": "da00",
+                    "config": {
+                        "topic": "t", "source": "s",
+                        "variables": [{"name": "signal", "axes": ["x"], "shape": [3]}],
+                        "constants": [{"name": "x"}],
+                    },
+                }],
+            }],
+        }]
+    }
+    msgs = messages_from_json(spark, [{
+        "schema": "da00", "topic": "t", "kafka_timestamp": 11_000,
+        "source_name": "s", "timestamp": 11_000, "offset": 0,
+        "variables": [
+            {"name": "signal", "axes": ["x"], "data": [5, 6, 7]},
+            {"name": "x", "axes": ["x"], "data": [10.0, 20.0, 30.0]},
+        ],
+    }])
+    start = StartMessage(job_id="da00c", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    res = run_job(spark, start, msgs, str(tmp_path / "staged"))
+    assert res.metadata_values["/entry/mon/x"] == [10.0, 20.0, 30.0]

@@ -154,9 +154,10 @@ def test_da00_staged_golden(spark, writer_modules_result):
     out = writer_modules_result.out_dir
     g = "/entry/instrument/beam_monitor"
     df = spark.read.parquet(str(staging.dataset_dir(out, g, "frames")))
-    rows = df.filter("variable = 'signal'").orderBy("time").collect()
+    # template declares the signal variable → multi-var pivoted staging
+    rows = df.orderBy("time").collect()
     assert [r.time for r in rows] == [10_500_000_000, 10_600_000_000]
-    assert [r.data for r in rows] == [
+    assert [r.data_signal for r in rows] == [
         [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0],
         [4.0, 3.0, 2.0, 1.0, 2.0, 3.0, 4.0],
     ]
