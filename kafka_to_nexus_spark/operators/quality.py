@@ -66,16 +66,29 @@ def observe_stream_metrics(df: DataFrame, name: str = "stream_metrics"):
     """
     if "error_code" not in df.columns:
         df = with_error_code(df)
-    obs = observation.Observation(name)
-    observed = df.observe(
-        obs,
+    def count_where(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(alias)
+
+    counters = [
         F.count(F.lit(1)).alias("messages_received"),
-        F.sum(F.when(F.col("error_code").isNull(), 0).otherwise(1)).alias("flatbuffer_errors"),
-        F.sum(F.when(F.col("error_code") == "UnknownFlatbufferID", 1).otherwise(0)).alias(
-            "unknown_schema"
-        ),
-        F.sum(F.when(F.col("error_code") == "InvalidTimestamp", 1).otherwise(0)).alias(
-            "invalid_timestamp"
-        ),
-    )
+        count_where(F.col("error_code").isNotNull(), "flatbuffer_errors"),
+        count_where(F.col("error_code") == "UnknownFlatbufferID", "unknown_schema"),
+        count_where(F.col("error_code") == "InvalidTimestamp", "invalid_timestamp"),
+        count_where(F.col("error_code") == "NotValidFlatbuffer", "not_valid_flatbuffer"),
+    ]
+    if "is_out_of_order" in df.columns:
+        counters.append(count_where(F.col("is_out_of_order"), "unordered_timestamp"))
+    if "has_offset_gap" in df.columns:
+        counters.append(count_where(F.col("has_offset_gap"), "bad_offsets"))
+    obs = observation.Observation(name)
+    observed = df.observe(obs, *counters)
     return observed, obs
+
+
+ZERO_METRICS = {
+    "messages_received": 0,
+    "flatbuffer_errors": 0,
+    "unknown_schema": 0,
+    "invalid_timestamp": 0,
+    "not_valid_flatbuffer": 0,
+}

@@ -170,12 +170,10 @@ def run_job(
     except Exception:
         # Catalyst's empty-relation propagation can eliminate the observe
         # node entirely (e.g. zero-message job) — report zero counters.
-        metrics = {
-            "messages_received": 0,
-            "flatbuffer_errors": 0,
-            "unknown_schema": 0,
-            "invalid_timestamp": 0,
-        }
+        metrics = dict(quality.ZERO_METRICS)
+    # K6 — approximate output size gauge (FileWriterTask.h:103-111
+    # approx_file_size_mb, recomputed periodically by StreamController)
+    metrics["approx_file_size_mb"] = staging.approximate_size_mb(out_dir)
     return JobResult(
         out_dir=out_dir,
         plan=plan,

@@ -157,12 +157,44 @@ def _pack_da00_frames(grp, pdf, chunk_size: int) -> None:
     ).attrs["units"] = "ns"
 
 
-def pack(out_dir: str | Path, hdf_path: str | Path, chunk_size: int = 1024) -> None:
-    """Materialize a staged job directory as a NeXus HDF5 file."""
+def template_path(prefix: str | Path, instrument_name: str) -> Path:
+    """S6 — per-instrument template file location
+    ``{prefix}/{instrument}/{instrument}.hdf`` (Master.cpp:92-98)."""
+    return Path(prefix) / instrument_name / f"{instrument_name}.hdf"
+
+
+def _copy_template(dst, src_group) -> None:
+    """Recursively copy a template file's groups/datasets/attributes into
+    the output — the reference initialises the output HDF from the
+    instrument template before writing (JobCreator.cpp:32-43)."""
+    for name, value in src_group.attrs.items():
+        dst.attrs[name] = value
+    for name, child in src_group.items():
+        if hasattr(child, "keys"):  # group
+            _copy_template(dst.require_group(name), child)
+        else:
+            ds = dst.create_dataset(name, data=child[()])
+            for aname, avalue in child.attrs.items():
+                ds.attrs[aname] = avalue
+
+
+def pack(
+    out_dir: str | Path,
+    hdf_path: str | Path,
+    chunk_size: int = 1024,
+    template_file: str | Path | None = None,
+) -> None:
+    """Materialize a staged job directory as a NeXus HDF5 file.
+
+    ``template_file``: optional instrument template (S6) the output file is
+    initialised from; job content is written over/alongside it."""
     import pyarrow.parquet as pq
 
     meta = staging.read_meta(out_dir)
     with _h5.File(hdf_path, "w") as f:
+        if template_file is not None and Path(template_file).exists():
+            with _h5.File(template_file, "r") as tpl:
+                _copy_template(f, tpl)
         # T5 file-level metadata
         f.attrs["file_name"] = str(hdf_path)
         f.attrs["creator"] = "kafka_to_nexus_spark"
@@ -172,8 +204,10 @@ def pack(out_dir: str | Path, hdf_path: str | Path, chunk_size: int = 1024) -> N
         for a in meta["group_attributes"]:
             _write_attrs(f[a["path"]], [a])
 
-        # T2 static datasets
+        # T2 static datasets (job structure wins over template content)
         for d in meta["static_datasets"]:
+            if d["path"] in f:
+                continue
             dtype = NUMPY_DTYPES.get(d.get("dtype") or "")
             data = np.asarray(d["values"], dtype=dtype) if dtype else d["values"]
             ds = f.create_dataset(d["path"], data=data)

@@ -97,3 +97,13 @@ def write_meta(
 
 def read_meta(out_dir: str | Path) -> dict:
     return json.loads((Path(out_dir) / META_FILE).read_text())
+
+
+def approximate_size_mb(out_dir: str | Path) -> int:
+    """K6 — staged output size gauge, the analog of the reference's
+    approx_file_size_mb metric/metadata (FileWriterTask.h:103-111)."""
+    total = 0
+    for p in Path(out_dir).rglob("*"):
+        if p.is_file():
+            total += p.stat().st_size
+    return round(total / (1024 * 1024))

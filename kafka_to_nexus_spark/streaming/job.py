@@ -151,6 +151,16 @@ class StreamingJobState:
     batches_processed: int = 0
     max_event_time_ns: int = 0
     finished: bool = False
+    # C6 cumulative counters (fed from the per-batch stats action)
+    metrics: dict[str, int] = field(
+        default_factory=lambda: {
+            "messages_received": 0,
+            "flatbuffer_errors": 0,
+            "unknown_schema": 0,
+            "invalid_timestamp": 0,
+            "not_valid_flatbuffer": 0,
+        }
+    )
 
 
 class StreamingJob:
@@ -195,25 +205,36 @@ class StreamingJob:
         round-trips stay O(1) in both binding count and batch size (the
         aggregate is map-side-combined; output is one row per source)."""
         ts = F.col(filters.TS)
-        win = ts >= F.lit(self.start_ns)
+        ok = F.col("error_code").isNull()
+        win = ok & (ts >= F.lit(self.start_ns))
         if self.stop_ns is not None:
             win = win & (ts <= F.lit(self.stop_ns))
-        pre = ts < F.lit(self.start_ns)
+        pre = ok & (ts < F.lit(self.start_ns))
         envelope = F.struct(*[F.col(c) for c in MESSAGE_SCHEMA.fieldNames()])
         arrival = F.struct("partition", "offset")
         n_events = F.when(
             F.col("time_of_flight").isNotNull(), F.size("time_of_flight")
         ).otherwise(F.lit(0))
+
+        def count_where(cond, alias):
+            return F.sum(F.when(cond, 1).otherwise(0)).alias(alias)
+
         return (
             batch.groupBy("schema", "source_name")
             .agg(
-                F.max(ts).alias("max_ts"),
-                F.sum(F.when(win, 1).otherwise(0)).alias("n_in_window"),
+                F.count(F.lit(1)).alias("n_messages"),
+                F.max(F.when(ok, ts)).alias("max_ts"),
+                count_where(win, "n_in_window"),
                 F.max_by(F.when(win, ts), F.when(win, arrival)).alias("tail_ts"),
                 F.sum(F.when(win, n_events).otherwise(0)).alias("n_events"),
                 F.max_by(
                     F.when(pre, envelope), F.when(pre, F.struct(ts, "partition", "offset"))
                 ).alias("buffered"),
+                # D2 taxonomy counters (C6), folded into cumulative metrics
+                count_where(~ok, "n_errors"),
+                count_where(F.col("error_code") == "UnknownFlatbufferID", "n_unknown_schema"),
+                count_where(F.col("error_code") == "InvalidTimestamp", "n_invalid_timestamp"),
+                count_where(F.col("error_code") == "NotValidFlatbuffer", "n_not_valid"),
             )
             .collect()
         )
@@ -225,6 +246,11 @@ class StreamingJob:
         present: set[tuple[str, str]] = set()
         for r in stats:
             key = (r["schema"], r["source_name"])
+            st.metrics["messages_received"] += r["n_messages"]
+            st.metrics["flatbuffer_errors"] += r["n_errors"]
+            st.metrics["unknown_schema"] += r["n_unknown_schema"]
+            st.metrics["invalid_timestamp"] += r["n_invalid_timestamp"]
+            st.metrics["not_valid_flatbuffer"] += r["n_not_valid"]
             if r["max_ts"] is not None:
                 st.max_event_time_ns = max(st.max_event_time_ns, int(r["max_ts"]))
             if r["n_in_window"]:
@@ -256,13 +282,13 @@ class StreamingJob:
         st = self.state
         if st.finished:
             return
-        batch = quality.valid_only(quality.with_error_code(batch))
-        batch = batch.persist()
+        batch = quality.with_error_code(batch).persist()
         try:
             stats = self._batch_stats(batch)
             present = self._fold_stats(stats)
 
-            in_window = filters.window_filter(batch, self.start_ns, self.stop_ns)
+            valid = quality.valid_only(batch)
+            in_window = filters.window_filter(valid, self.start_ns, self.stop_ns)
             in_window = in_window.withColumn("is_buffered_message", F.lit(False))
 
             # sources with in-window data this batch get their buffered
@@ -433,6 +459,8 @@ class StreamingJob:
             self.out_dir, self.plan, job_info, self._written_datasets,
             metadata_values, extra_group_attributes=extra_group_attrs,
         )
+        # K6 staged-size gauge (FileWriterTask approx_file_size_mb)
+        st.metrics["approx_file_size_mb"] = staging.approximate_size_mb(self.out_dir)
 
 
 def run_streaming_job(

@@ -4,6 +4,7 @@ pool claim, invalid-input rejection)."""
 
 from __future__ import annotations
 
+import json
 import uuid
 
 import pytest
@@ -213,3 +214,85 @@ def test_stop_command_retargets_running_streaming_job(spark, tmp_path):
 
     ok = apply_stop_to_job(ctl, job, {"job_id": jid, "stop_time": 12_000})
     assert ok.accepted and job.stop_ns == 12_000 * 1_000_000
+
+
+# --------------------------------------------------------------------------
+# C1/C4 transport: claim-once semantics + response production
+# --------------------------------------------------------------------------
+
+def _start_msg(job_id=None):
+    import uuid as _uuid
+
+    return {
+        "job_id": job_id or str(_uuid.uuid4()),
+        "filename": "f.nxs",
+        "nexus_structure": {"children": []},
+        "start_time": 10_000,
+        "stop_time": 20_000,
+    }
+
+
+def test_file_pool_claim_once(tmp_path):
+    """Exactly one of N contending workers claims a job (the offset-commit
+    guarantee of Handler.cpp:45-53, via atomic rename)."""
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+
+    producer = FilePoolTransport(tmp_path, "producer")
+    producer.offer(_start_msg())
+
+    workers = [FilePoolTransport(tmp_path, f"w{i}") for i in range(3)]
+    claims = [w.try_claim() for w in workers]
+    assert sum(c is not None for c in claims) == 1
+
+
+def test_claim_into_drives_fsm_and_answers(tmp_path):
+    from kafka_to_nexus_spark.control.commands import JobController, WorkerState
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+
+    t = FilePoolTransport(tmp_path, "w0")
+    msg = _start_msg()
+    t.offer(msg)
+    ctl = JobController()
+    resp = t.claim_into(ctl)
+    assert resp is not None and resp.accepted
+    assert ctl.state is WorkerState.WRITING
+    assert ctl.current_job.job_id == msg["job_id"]
+    answers = t.read_responses()
+    assert answers and answers[0]["type"] == "answ" and answers[0]["accepted"]
+
+    # second poll: pool drained
+    assert t.claim_into(ctl) is None
+
+    # busy worker rejects a second job; the command is consumed + answered
+    t.offer(_start_msg())
+    resp2 = t.claim_into(ctl)
+    assert resp2 is not None and not resp2.accepted
+    assert len(t.read_responses()) == 2
+
+
+def test_malformed_start_rejected_with_answ(tmp_path):
+    from kafka_to_nexus_spark.control.commands import JobController
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+
+    t = FilePoolTransport(tmp_path, "w0")
+    t.offer({"job_id": "not-a-uuid", "filename": "f",
+             "nexus_structure": {"children": []}})
+    resp = t.claim_into(JobController())
+    assert resp is not None and not resp.accepted
+    assert "UUID" in resp.message
+
+
+def test_wrdn_and_status_production(tmp_path):
+    from kafka_to_nexus_spark.control.commands import JobController
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+
+    t = FilePoolTransport(tmp_path, "w0")
+    ctl = JobController()
+    t.offer(_start_msg())
+    t.claim_into(ctl)
+    t.send_status(ctl.status())
+    t.send_finished(ctl.finished_writing())
+    kinds = [r["type"] for r in t.read_responses()]
+    assert kinds == ["answ", "wrdn"]
+    status = (tmp_path / "status.jsonl").read_text().splitlines()
+    assert json.loads(status[0])["state"] == "writing"

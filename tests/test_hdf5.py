@@ -319,3 +319,25 @@ def test_da00_constant_from_first_message(spark, tmp_path):
                          start_time_ms=10_000, stop_time_ms=15_000)
     res = run_job(spark, start, msgs, str(tmp_path / "staged"))
     assert res.metadata_values["/entry/mon/x"] == [10.0, 20.0, 30.0]
+
+
+def test_pack_from_instrument_template(spark, tmp_path):
+    """S6: the output file is initialised from the per-instrument template
+    ({prefix}/{instrument}/{instrument}.hdf, Master.cpp:92-98); job content
+    is written alongside."""
+    tpl_file = hdf5.template_path(tmp_path, "dream")
+    tpl_file.parent.mkdir(parents=True)
+    with hdf5lib.File(tpl_file, "w") as t:
+        g = t.require_group("/entry/instrument")
+        g.attrs["NX_class"] = "NXinstrument"
+        t.create_dataset("/entry/instrument/name", data="DREAM")
+
+    hdf = _write_file(spark, tmp_path, "writer_modules_template.json",
+                      "writer_modules_data.json")
+    out = tmp_path / "templated.nxs"
+    hdf5.pack(tmp_path / "staged", out, template_file=tpl_file)
+    with hdf5lib.File(str(out), "r") as f:
+        assert f["/entry/instrument/name"].asstr()[()] == "DREAM"  # template
+        assert np.array_equal(
+            f["/entry/instrument/chopper/rotation_speed/value"][:], [10, 15]
+        )  # job content

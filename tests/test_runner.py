@@ -176,3 +176,38 @@ def test_unknown_module_rejected_at_plan_time(spark, tmp_path):
     from kafka_to_nexus_spark.sources.fixtures import messages_from_json
     with pytest.raises(ValueError, match="zz99"):
         run_job(spark, job, messages_from_json(spark, []), str(tmp_path / "o"))
+
+
+def test_error_taxonomy_counters(spark, tmp_path):
+    """C6: one fixture per error class → per-type counters + size gauge."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    tpl = {
+        "children": [{
+            "type": "group", "name": "entry",
+            "children": [{
+                "name": "g", "type": "group", "attributes": [],
+                "children": [{"module": "f144",
+                              "config": {"topic": "t", "source": "s"}}],
+            }],
+        }]
+    }
+    msgs = [
+        {"schema": "f144", "topic": "t", "source_name": "s",
+         "kafka_timestamp": 11_000, "timestamp": 11_000, "value": 1.0, "offset": 0},
+        {"schema": "zz99", "topic": "t", "source_name": "s",
+         "kafka_timestamp": 11_001, "timestamp": 11_001, "offset": 1},
+        {"schema": "f144", "topic": "t", "source_name": "",
+         "kafka_timestamp": 11_002, "timestamp": 11_002, "value": 2.0, "offset": 2},
+        {"schema": "f144", "topic": "t", "source_name": "s",
+         "kafka_timestamp": 11_003, "timestamp": 0, "value": 3.0, "offset": 3},
+    ]
+    start = StartMessage(job_id="m", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    res = run_job(spark, start, messages_from_json(spark, msgs), str(tmp_path / "o"))
+    assert res.metrics["messages_received"] == 4
+    assert res.metrics["flatbuffer_errors"] == 3
+    assert res.metrics["unknown_schema"] == 1
+    assert res.metrics["not_valid_flatbuffer"] == 1
+    assert res.metrics["invalid_timestamp"] == 1
+    assert res.metrics["approx_file_size_mb"] >= 0

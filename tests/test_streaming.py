@@ -347,3 +347,19 @@ def test_one_collect_action_per_batch(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(cls, "collect", lambda self: calls.append(1) or orig(self))
     job.process_batch(batch, 0)
     assert len(calls) == 1, f"{len(calls)} collect() actions for one micro-batch"
+
+
+def test_streaming_error_metrics_accumulate(spark, buffered_job):
+    """C6 in streaming: per-batch taxonomy counts fold into cumulative
+    counters from the same single stats action."""
+    job = buffered_job
+    bad = {"schema": "zz99", "topic": "t", "source_name": "x",
+           "kafka_timestamp": 11_000, "timestamp": 11_000, "offset": 9}
+    zero_ts = dict(f144(0, 5.0, offset=10))
+    job.process_batch(messages_from_json(spark, [f144(11_000, 1.0, offset=1), bad]), 0)
+    job.process_batch(messages_from_json(spark, [zero_ts]), 1)
+    m = job.state.metrics
+    assert m["messages_received"] == 3
+    assert m["unknown_schema"] == 1
+    assert m["invalid_timestamp"] == 1
+    assert m["flatbuffer_errors"] == 2
