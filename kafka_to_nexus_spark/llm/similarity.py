@@ -83,6 +83,244 @@ def pandas_cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def nearest_centroid_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Argmax-dot centroid id as a pure codegen expression over LITERAL
+    centroids — a map-only stage with no join and no shuffle (the shape
+    MLlib's k-means uses: broadcast centers, scan once per iteration).
+    Ties break to the lowest centroid id."""
+    scored = [
+        F.named_struct(
+            F.lit("s"), dot(vec, F.array(*[F.lit(float(x)) for x in c])),
+            F.lit("nc"), F.lit(-cid),
+        )
+        for cid, c in centroids
+    ]
+    # struct max compares fields in order: best dot, then lowest id
+    return (-F.array_max(F.array(*scored))["nc"]).cast("int")
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column, Spark-shaped:
+
+    - init: deterministic hash-ordered top-k sample (TakeOrdered — per-
+      partition top-k, no global sort materialization);
+    - assign: :func:`nearest_centroid_expr` — map-only, centroids ride
+      along as literals (the broadcast-centers pattern), zero shuffle;
+    - update: posexplode → partial-agg sum/count per (cluster, dim) —
+      the only shuffle, sized k × dim × partitions, independent of row
+      count; the k × dim result is collected to the driver (tiny by
+      construction) to become the next iteration's literals.
+
+    At 100 TB each iteration is one full scan plus a k×dim×parts shuffle
+    — the same cost envelope as MLlib KMeans. Empty clusters keep their
+    previous centroid. Returns ``[(centroid_id, vector), ...]``.
+    """
+    vec = _as_double(F.col(vec_col))
+    seed_rows = (
+        df.select(vec.alias("_v"))
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(9973)), id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
+    for _ in range(n_iter):
+        sums = (
+            df.select(
+                nearest_centroid_expr(vec, centroids).alias("_cid"),
+                F.posexplode(vec).alias("_pos", "_x"),
+            )
+            .groupBy("_cid", "_pos")
+            .agg(F.sum("_x").alias("_sx"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = (r["_sx"], r["_n"])
+        centroids = [
+            (
+                cid,
+                [by_cid[cid][p][0] / by_cid[cid][p][1] for p in sorted(by_cid[cid])]
+                if cid in by_cid
+                else prev,
+            )
+            for cid, prev in centroids
+        ]
+    return centroids
+
+
+def kmeans_assignment_stats(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster sizes + mean cosine-to-centroid for trained centroids —
+    one map-only assign + one k-row aggregate."""
+    vec = _as_double(F.col(vec_col))
+    cos_exprs = [
+        F.named_struct(
+            F.lit("cid"), F.lit(cid),
+            F.lit("cos"),
+            dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+            / (norm(vec) * F.lit(float(np.linalg.norm(c)))),
+        )
+        for cid, c in centroids
+    ]
+    assigned = df.select(
+        nearest_centroid_expr(vec, centroids).alias("centroid_id"),
+        F.array(*cos_exprs).alias("_all"),
+    ).select(
+        "centroid_id",
+        F.element_at(
+            F.filter("_all", lambda s: s["cid"] == F.col("centroid_id")), 1
+        )["cos"].alias("_cos"),
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("_cos"), 6).alias("avg_cosine"),
+    )
+
+
+def write_ivf_layout(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF partition-by-centroid layout: one parquet
+    partition per centroid so a probe reads ONLY its buckets (partition
+    pruning turns the probe into a fraction-of-data scan at 100 TB)."""
+    vec = _as_double(F.col(vec_col))
+    (
+        df.withColumn("centroid_id", nearest_centroid_expr(vec, centroids))
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed random projections (SRP): LSH in embedding space — the
+# embedding-analog of simhash. sign(v · h_j) per hyperplane j gives a
+# bit; nearby vectors (small angle) agree on most bits, so banding the
+# signature buckets near-duplicates without an all-pairs join.
+# ---------------------------------------------------------------------------
+
+def srp_planes(dim: int, bits: int = 16, seed: str = "srp") -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — portable, so the DuckDB
+    oracle can embed the identical literals."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def srp_signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-packed SRP signature (bit j = sign(v · h_j)) as a long — pure
+    codegen fold, no shuffle, no UDF."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, h) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit * F.lit(2**j).cast("long")
+    return sig
+
+
+def srp_signatures(
+    df: DataFrame,
+    bits: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    return df.select(
+        id_col,
+        srp_signature_col(_as_double(F.col(vec_col)), srp_planes(dim, bits)).alias(
+            "srp_sig"
+        ),
+    )
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    bits: int = 16,
+    bands: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Band the SRP signature and bucket-join: only same-band-value pairs
+    meet (shuffle key = (band, band value)), never all-pairs. The vectors
+    ride through the explode (dim floats ≪ a shuffle-join back to the
+    corpus) so the verify stage needs no second join."""
+    band_bits = bits // bands
+    sig = df.select(
+        id_col,
+        _as_double(F.col(vec_col)).alias("_v"),
+        srp_signature_col(_as_double(F.col(vec_col)), srp_planes(dim, bits)).alias("_sig"),
+    )
+    banded = sig.select(
+        id_col,
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sig"), b * band_bits)
+                        .bitwiseAND(F.lit(2**band_bits - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "_v", "bk.band", "bk.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(
+            F.first(F.col("a._v")).alias("_va"),
+            F.first(F.col("b._v")).alias("_vb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (norm(F.col("_va")) * norm(F.col("_vb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -1443,7 +1443,88 @@ FROM (
 """
 
 
+# --- SRP (signed random projections): embedding-space LSH -------------------
+# Deterministic ±1 hyperplanes (llm/similarity.srp_planes) are embedded as
+# LITERALS in both engines, so the bit-exact signature is oracle-checkable:
+# float→double cast is exact and both engines fold the dot product in array
+# order, giving bitwise-identical sums.
+
+def _srp_sig_sql_duckdb(planes: list[list[float]]) -> str:
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN 1 ELSE 0 END)"
+            f" * CAST({2**j} AS BIGINT)"
+        )
+    return " + ".join(terms)
+
+
+def _q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return sim.srp_signatures(spark.table("embeddings"), bits=16, dim=64)
+
+
+def _q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    pairs = sim.srp_candidate_pairs(
+        spark.table("embeddings"), bits=16, bands=2, dim=64
+    )
+    return pairs.orderBy(F.desc("cosine"), "id_a", "id_b").limit(20)
+
+
+def _srp_oracles() -> None:
+    from .llm.similarity import srp_planes
+
+    planes = srp_planes(64, 16)
+    sig = _srp_sig_sql_duckdb(planes)
+    ORACLE["srp_signatures"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, {sig} AS srp_sig FROM e
+"""
+    ORACLE["srp_near_dup_pairs"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, {sig} AS sig FROM e),
+b AS (SELECT vec_id, v, t.band, (sig // CAST(pow(2, t.band * 8) AS BIGINT)) % 256 AS band_val
+      FROM s, unnest([0, 1]) AS t(band)),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2 ON a.band = b2.band AND a.band_val = b2.band_val
+                            AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+             6) AS cosine
+FROM pairs JOIN s x ON id_a = x.vec_id JOIN s y ON id_b = y.vec_id
+ORDER BY cosine DESC, id_a, id_b LIMIT 20
+"""
+
+
+_srp_oracles()
+
+
+def _q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING (Lloyd's, llm/similarity.kmeans_train):
+    map-only assignment against literal centroids + one k×dim partial-agg
+    shuffle per iteration. Iterative → no SQL oracle; driver records a
+    rows-only check (k stable clusters)."""
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    centroids = sim.kmeans_train(emb, k=8, n_iter=2)
+    return sim.kmeans_assignment_stats(emb, centroids)
+
+
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "srp_signatures": _q_srp_signatures,
+    "srp_near_dup_pairs": _q_srp_near_dup,
+    "ivf_kmeans_train": _q_ivf_kmeans,
     "lang_id_heuristic": _q_lang_id,
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
@@ -1480,6 +1561,9 @@ _PRIORITY = (
     "ivf_bucket_counts",
     "ivf_probe_topk",
     "embedding_label_stats",
+    "srp_signatures",
+    "srp_near_dup_pairs",
+    "ivf_kmeans_train",
     # LLM-pipeline + custom joins (DataFrame-API entries)
     "lang_id_heuristic",
     "simhash_fingerprints",

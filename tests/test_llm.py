@@ -129,3 +129,78 @@ def test_multimodal_features_and_specs(spark):
     resize = {r.media_id: r for r in multimodal.resize_spec(df, max_side=224).collect()}
     assert resize[0].target_width == 224 and resize[0].target_height == 168
     assert resize[2].target_width == 100  # already under max: unchanged
+
+
+# ---------------------------------------------------------------------------
+# k-means training + IVF layout + SRP LSH
+# ---------------------------------------------------------------------------
+
+def test_kmeans_train_partitions_all_vectors(spark, embeddings):
+    cents = similarity.kmeans_train(embeddings, k=4, n_iter=2)
+    assert len(cents) == 4 and all(len(v) == 64 for _, v in cents)
+    stats = similarity.kmeans_assignment_stats(embeddings, cents).collect()
+    assert sum(r.n_vecs for r in stats) == embeddings.count()
+    assert all(-1.0 <= r.avg_cosine <= 1.0 for r in stats)
+    # deterministic: same data → same centroids
+    again = similarity.kmeans_train(embeddings, k=4, n_iter=2)
+    assert cents == again
+
+
+def test_kmeans_iteration_improves_cohesion(spark, embeddings):
+    c0 = similarity.kmeans_train(embeddings, k=4, n_iter=0)
+    c3 = similarity.kmeans_train(embeddings, k=4, n_iter=3)
+
+    def mean_cos(cents):
+        rows = similarity.kmeans_assignment_stats(embeddings, cents).collect()
+        n = sum(r.n_vecs for r in rows)
+        return sum(r.avg_cosine * r.n_vecs for r in rows) / n
+
+    assert mean_cos(c3) >= mean_cos(c0) - 1e-9
+
+
+def test_ivf_layout_prunes_partitions(spark, embeddings, tmp_path):
+    """The partition-by-centroid layout turns a probe into a pruned scan:
+    the parquet read must show a PartitionFilters entry and scan only the
+    probed bucket's files."""
+    cents = similarity.kmeans_train(embeddings, k=4, n_iter=1)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_layout(embeddings, cents, path)
+    probe = spark.read.parquet(path).filter(F.col("centroid_id") == 2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert probe.count() > 0
+
+
+def test_srp_signature_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    planes = similarity.srp_planes(64, 16)
+    got = {
+        r.vec_id: r.srp_sig
+        for r in similarity.srp_signatures(embeddings, bits=16).collect()
+    }
+    sample = embeddings.limit(5).collect()
+    H = np.array(planes)
+    for row in sample:
+        v = np.asarray(row.embedding, dtype=np.float64)
+        expect = sum(int(H[j] @ v >= 0) << j for j in range(16))
+        assert got[row.vec_id] == expect
+
+
+def test_srp_candidates_rank_similar_vectors(spark):
+    """A vector and its tiny perturbation share all SRP bits → the pair
+    must surface as a candidate with cosine ≈ 1."""
+    base = [float((i * 37) % 13 - 6) for i in range(64)]
+    near = [x + 0.001 for x in base]
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["vec_id", "embedding"]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.srp_candidate_pairs(df, bits=16, bands=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert (0, 2) not in pairs  # opposite vector flips every bit
