@@ -182,8 +182,29 @@ class StreamingJob:
         self.stop_ns = (
             None if start.stop_time_ms is None else start.stop_time_ms * MS_TO_NS
         )
+        # F6 — poll-status stop machine (PartitionFilter.cpp:46-68): the
+        # micro-batch loop is the poll loop; empty batch = EOF→timeout,
+        # source exception = error with a 30 s persistence timeout.
+        from .partition_filter import PartitionFilter
+
+        self.partition_filter = PartitionFilter(
+            stop_time_s=None
+            if start.stop_time_ms is None
+            else start.stop_time_ms / 1000.0
+        )
+        self._was_empty = False
 
     # -- control-plane hooks ------------------------------------------------
+
+    def notify_source_error(self) -> bool:
+        """Feed a consumer/source ERROR into the F6 machine. Returns True
+        (and latches ``finished``) once errors have persisted past the
+        error timeout (BrokerSettings.h KafkaErrorTimeout = 30 s)."""
+        from .partition_filter import PollStatus
+
+        if self.partition_filter.should_stop_partition(PollStatus.ERROR):
+            self.state.finished = True
+        return self.state.finished
 
     def retarget_stop(self, stop_time_ms: int) -> None:
         """6s4t stop retarget on a RUNNING job (Commands.h:32-37,
@@ -313,6 +334,22 @@ class StreamingJob:
                 self.stop_ns is not None
                 and st.max_event_time_ns > self.stop_ns + AFTER_STOP_LEEWAY_NS
             ):
+                st.finished = True
+
+            # F6 poll-status machine: a non-empty batch resets it; the
+            # first empty batch marks EOF, subsequent ones are timeouts —
+            # which stop the job only past stop-time + leeway (wall clock).
+            from .partition_filter import PollStatus
+
+            if any(r["n_messages"] for r in stats):
+                self.partition_filter.should_stop_partition(PollStatus.MESSAGE)
+                self._was_empty = False
+            elif not self._was_empty:
+                self.partition_filter.should_stop_partition(
+                    PollStatus.END_OF_PARTITION
+                )
+                self._was_empty = True
+            elif self.partition_filter.should_stop_partition(PollStatus.TIMED_OUT):
                 st.finished = True
             st.batches_processed += 1
         finally:
@@ -472,14 +509,21 @@ def run_streaming_job(
     trigger: str = DEFAULT_TRIGGER,
     available_now: bool = False,
     value_format: str = "flatbuffers",
+    topic_lister=None,
 ):
     """Wire Kafka source → decode → foreachBatch(StreamingJob). Returns
     (StreamingQuery, StreamingJob); caller awaits + finalizes.
 
     ``value_format``: "flatbuffers" decodes real binary messages via the
     pure-Python runtime (fbs package, D1–D3); "json" consumes the JSON
-    fixture encoding (S5)."""
+    fixture encoding (S5). ``topic_lister``: optional callable returning
+    available topic names — when given, the job's topics are verified to
+    exist (S3, exponential-backoff retry) before the query starts."""
     plan = build_plan(start.nexus_structure)
+    if topic_lister is not None:
+        from ..sources.discovery import await_topics
+
+        await_topics(plan.topics, topic_lister)
     job = StreamingJob(spark, start, out_dir)
     source = kafka_stream_reader(spark, brokers, plan.topics, start.start_time_ms).load()
     if value_format == "flatbuffers":

@@ -363,3 +363,14 @@ def test_streaming_error_metrics_accumulate(spark, buffered_job):
     assert m["unknown_schema"] == 1
     assert m["invalid_timestamp"] == 1
     assert m["flatbuffer_errors"] == 2
+
+
+def test_empty_batches_stop_job_past_stop_time(spark, buffered_job):
+    """F6 wall-clock path: EOF then timeout with wall clock past
+    stop+leeway finishes the job even with no event past stop."""
+    job = buffered_job
+    empty = messages_from_json(spark, [])
+    job.process_batch(empty, 0)          # EOF
+    assert not job.state.finished
+    job.process_batch(empty, 1)          # timeout; wall clock >> fixture stop
+    assert job.state.finished
