@@ -197,3 +197,101 @@ def test_undecodable_message_counted_not_fatal(spark):
     out = fbs.decode_kafka_flatbuffers(df).orderBy("offset").collect()
     assert out[0]["schema"] == "f144" and out[0]["value"] == 1.0
     assert out[1]["schema"] is None and out[2]["schema"] is None
+
+
+# ---------------------------------------------------------------------------
+# Command-plane schemas: pl72 / 6s4t / x5f2 / answ / wrdn (C2/C4/C5)
+# ---------------------------------------------------------------------------
+
+def test_pl72_roundtrip_and_validation():
+    from kafka_to_nexus_spark.fbs import commands as fbc
+
+    buf = fbc.encode_pl72(
+        job_id="j-1", filename="f.nxs", nexus_structure='{"children": []}',
+        start_time_ms=1000, stop_time_ms=2000, instrument_name="DREAM",
+        service_id="svc", control_topic="ctl", metadata='{"run": 7}',
+    )
+    assert buf[4:8] == b"pl72"
+    out = fbc.decode_pl72(buf)
+    assert out["job_id"] == "j-1" and out["filename"] == "f.nxs"
+    assert out["start_time"] == 1000 and out["stop_time"] == 2000
+    assert out["instrument_name"] == "DREAM" and out["control_topic"] == "ctl"
+
+    import pytest as _pytest
+    bad = fbc.encode_pl72(job_id="", filename="", nexus_structure="")
+    with _pytest.raises(ValueError) as e:
+        fbc.decode_pl72(bad)
+    msg = str(e.value)
+    assert "Job ID missing" in msg and "Filename missing" in msg
+    assert "NeXus Structure missing" in msg
+
+
+def test_6s4t_x5f2_answ_wrdn_roundtrip():
+    from kafka_to_nexus_spark.fbs import commands as fbc
+
+    stop = fbc.decode_6s4t(fbc.encode_6s4t(
+        job_id="j", stop_time_ms=5000, command_id="c-9", service_id="svc"))
+    assert stop == {"stop_time": 5000, "run_name": None, "job_id": "j",
+                    "service_id": "svc", "command_id": "c-9"}
+
+    st = fbc.decode_x5f2(fbc.encode_x5f2(
+        "kafka-to-nexus-spark", "2.0", "svc", "host-1", 42, 2000, '{"state": "idle"}'))
+    assert st["process_id"] == 42 and st["status_json"] == '{"state": "idle"}'
+
+    an = fbc.decode_answ(fbc.encode_answ(
+        "svc", "j", fbc.ACTION_START_JOB, fbc.OUTCOME_FAILURE,
+        status_code=400, message="no", command_id="c"))
+    assert an["outcome"] == fbc.OUTCOME_FAILURE and an["status_code"] == 400
+
+    wr = fbc.decode_wrdn(fbc.encode_wrdn(
+        "svc", "j", True, "/data/f.nxs", metadata='{"m": 1}', message="boom"))
+    assert wr["error_encountered"] and wr["file_name"] == "/data/f.nxs"
+
+
+def test_command_dispatch_by_identifier():
+    from kafka_to_nexus_spark.fbs import commands as fbc
+
+    buf = fbc.encode_6s4t(job_id="j", command_id="c")
+    assert fbc.command_schema_id(buf) == "6s4t"
+    out = fbc.decode_command(buf)
+    assert out["type"] == "6s4t" and out["job_id"] == "j"
+    with pytest.raises(ValueError, match="unknown command schema"):
+        fbc.decode_command(b"\x00\x00\x00\x00zzzz")
+
+
+def test_wire_layer_drives_fsm_from_buffers():
+    """pl72 bytes → FSM start → answ bytes; 6s4t stop; x5f2/wrdn encode
+    (Handler.cpp:107-189 flow, binary end to end)."""
+    import json
+    import uuid as _uuid
+
+    from kafka_to_nexus_spark.control.commands import JobController, WorkerState
+    from kafka_to_nexus_spark.control.wire import (
+        finished_writing_buffer, handle_command_buffer, status_buffer)
+    from kafka_to_nexus_spark.fbs import commands as fbc
+
+    ctl = JobController()
+    jid = str(_uuid.uuid4())
+    start = fbc.encode_pl72(
+        job_id=jid, filename="f.nxs", nexus_structure='{"children": []}',
+        start_time_ms=10_000, stop_time_ms=20_000)
+    resp, answ = handle_command_buffer(ctl, start)
+    assert resp.accepted and ctl.state is WorkerState.WRITING
+    decoded = fbc.decode_answ(answ)
+    assert decoded["outcome"] == fbc.OUTCOME_SUCCESS
+    assert decoded["action"] == fbc.ACTION_START_JOB
+    assert decoded["job_id"] == jid
+
+    st = fbc.decode_x5f2(status_buffer(ctl))
+    assert json.loads(st["status_json"])["state"] == "writing"
+
+    stop = fbc.encode_6s4t(job_id=jid, stop_time_ms=15_000, command_id="c1")
+    resp2, answ2 = handle_command_buffer(ctl, stop)
+    assert resp2.accepted
+    assert fbc.decode_answ(answ2)["action"] == fbc.ACTION_SET_STOP_TIME
+
+    wr = fbc.decode_wrdn(finished_writing_buffer(ctl))
+    assert wr["job_id"] == jid and not wr["error_encountered"]
+
+    # feedback traffic on the same topic is ignored, not answered
+    assert handle_command_buffer(ctl, status_buffer(ctl)) == (None, None)
