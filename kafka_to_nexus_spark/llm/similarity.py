@@ -101,6 +101,26 @@ def nearest_centroid_expr(
     return (-F.array_max(F.array(*scored))["nc"]).cast("int")
 
 
+def _assign_pandas_col(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Arrow-batched argmax-dot assignment: one BLAS matmul per record
+    batch instead of a k×dim codegen fold — the fast path for wide
+    vectors (and it skips the per-iteration whole-stage-codegen compile
+    that literal centroid arrays would trigger). Ties go to the lowest
+    centroid id (centroids are sorted; argmax returns the first max)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(centroids)
+    C = np.array([c for _, c in ordered], dtype=np.float64)
+    ids = np.array([cid for cid, _ in ordered])
+
+    @pandas_udf(T.IntegerType())
+    def assign(batch: pd.Series) -> pd.Series:
+        M = np.vstack(batch.to_numpy()).astype(np.float64)
+        return pd.Series(ids[(M @ C.T).argmax(axis=1)])
+
+    return assign(F.col(vec_col))
+
+
 def kmeans_train(
     df: DataFrame,
     k: int = 8,
@@ -134,7 +154,7 @@ def kmeans_train(
     for _ in range(n_iter):
         sums = (
             df.select(
-                nearest_centroid_expr(vec, centroids).alias("_cid"),
+                _assign_pandas_col(vec_col, centroids).alias("_cid"),
                 F.posexplode(vec).alias("_pos", "_x"),
             )
             .groupBy("_cid", "_pos")
@@ -164,28 +184,26 @@ def kmeans_assignment_stats(
 ) -> DataFrame:
     """Cluster sizes + mean cosine-to-centroid for trained centroids —
     one map-only assign + one k-row aggregate."""
-    vec = _as_double(F.col(vec_col))
-    cos_exprs = [
-        F.named_struct(
-            F.lit("cid"), F.lit(cid),
-            F.lit("cos"),
-            dot(vec, F.array(*[F.lit(float(x)) for x in c]))
-            / (norm(vec) * F.lit(float(np.linalg.norm(c)))),
-        )
-        for cid, c in centroids
-    ]
-    assigned = df.select(
-        nearest_centroid_expr(vec, centroids).alias("centroid_id"),
-        F.array(*cos_exprs).alias("_all"),
-    ).select(
-        "centroid_id",
-        F.element_at(
-            F.filter("_all", lambda s: s["cid"] == F.col("centroid_id")), 1
-        )["cos"].alias("_cos"),
-    )
-    return assigned.groupBy("centroid_id").agg(
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(centroids)
+    C = np.array([c for _, c in ordered], dtype=np.float64)
+    ids = np.array([cid for cid, _ in ordered])
+    Cn = np.linalg.norm(C, axis=1)
+
+    @pandas_udf("centroid_id int, cos double")
+    def assign_cos(batch: pd.Series) -> pd.DataFrame:
+        M = np.vstack(batch.to_numpy()).astype(np.float64)
+        S = M @ C.T
+        best = S.argmax(axis=1)
+        rows = np.arange(len(best))
+        cos = S[rows, best] / (np.linalg.norm(M, axis=1) * Cn[best])
+        return pd.DataFrame({"centroid_id": ids[best], "cos": cos})
+
+    assigned = df.select(assign_cos(F.col(vec_col)).alias("_a"))
+    return assigned.groupBy(F.col("_a.centroid_id").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("_cos"), 6).alias("avg_cosine"),
+        F.round(F.avg("_a.cos"), 6).alias("avg_cosine"),
     )
 
 
