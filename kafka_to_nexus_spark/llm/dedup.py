@@ -206,3 +206,59 @@ def simhash_near_dups(
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster verified duplicate pairs into components — the step that
+    turns pairwise dedup output into "keep one doc per group".
+
+    Min-label propagation: every vertex starts labelled with its own id;
+    each round takes the min label across neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are dense, so
+    typically 1–2). Each round is one shuffle join + groupBy-min, with
+    ``localCheckpoint`` truncating the lineage so plans stay flat across
+    iterations, and ONE tiny driver action (sum of labels) for the
+    convergence test. Labels only ever decrease, so an unchanged sum is
+    a correct fixpoint test. At extreme diameters, swap the loop body
+    for the large-star/small-star steps (alternation halves tree height
+    per round); the per-round cost envelope is identical.
+
+    Returns ``(id_col, component_id)`` for every vertex — singletons
+    keep their own id as the component id, and min-label makes the
+    component id the canonical (lowest) doc id of its group.
+    """
+    both = edges.select(
+        F.col("id_a").alias("v"), F.col("id_b").alias("u")
+    ).unionByName(edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
+    labels = vertices.select(
+        F.col(id_col).cast("long").alias("v"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("v").alias(id_col), F.col("label").alias("component_id")
+    )

@@ -1443,6 +1443,97 @@ FROM (
 """
 
 
+# --- dedup clustering: candidate pairs → connected components ---------------
+# The step after pairwise dedup: group verified duplicates transitively and
+# elect the lowest doc id as canonical. Spark side is iterative min-label
+# propagation (llm/dedup.connected_components — O(diameter) shuffle rounds,
+# lineage-truncated); the oracle is a recursive CTE over the IDENTICAL
+# LSH-pruned edge set (same CTEs as ngram_jaccard_pairs), so both engines
+# see the same graph.
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    edges = _q_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    return llm_dedup.connected_components(edges, docs, "doc_id")
+
+
+ORACLE["dedup_components"] = """
+WITH RECURSIVE h AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT
+          for s in list_distinct([substr(text, i, 5)
+               for i in range(1, greatest(length(text) - 4, 1) + 1)])] AS hashes
+  FROM documents
+),
+hn AS (SELECT doc_id, hashes, len(hashes) AS n FROM h),
+sig AS (
+  SELECT doc_id,
+         list_min([x >> 28 for x in hashes]) AS m0,
+         list_min([x & 268435455 for x in hashes]) AS m1
+  FROM h
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+        / (x.n + y.n - len(list_intersect(x.hashes, y.hashes))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+"""
+
+
+# --- decontamination: n-gram overlap against a benchmark set ----------------
+# The training-data hygiene check: how many of a document's 8-gram shingles
+# appear in an eval/benchmark corpus (here: docs 0-4 stand in for the
+# benchmark). The benchmark side is small by construction → broadcast join
+# at any scale; the document side is a narrow explode.
+SPARK_SQL["decontamination_overlap"] = """
+WITH d AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),
+                                  i -> substr(text, i, 8))) AS sh
+  FROM documents
+),
+bench AS (SELECT DISTINCT explode(sh) AS g FROM d WHERE doc_id < 5),
+e AS (SELECT doc_id, size(sh) AS n, explode(sh) AS g FROM d WHERE doc_id >= 5)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+       round(CAST(count(*) AS DOUBLE) / n, 6) AS overlap_ratio
+FROM e JOIN bench USING (g) GROUP BY doc_id, n
+"""
+ORACLE["decontamination_overlap"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 8)
+              for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+  FROM documents
+),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id < 5),
+e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d WHERE doc_id >= 5)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+       round(CAST(count(*) AS DOUBLE) / n, 6) AS overlap_ratio
+FROM e JOIN bench USING (g) GROUP BY doc_id, n
+"""
+
+
 # --- SRP (signed random projections): embedding-space LSH -------------------
 # Deterministic ±1 hyperplanes (llm/similarity.srp_planes) are embedded as
 # LITERALS in both engines, so the bit-exact signature is oracle-checkable:
@@ -1522,6 +1613,7 @@ def _q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_components": _q_dedup_components,
     "srp_signatures": _q_srp_signatures,
     "srp_near_dup_pairs": _q_srp_near_dup,
     "ivf_kmeans_train": _q_ivf_kmeans,
@@ -1564,6 +1656,8 @@ _PRIORITY = (
     "srp_signatures",
     "srp_near_dup_pairs",
     "ivf_kmeans_train",
+    "dedup_components",
+    "decontamination_overlap",
     # LLM-pipeline + custom joins (DataFrame-API entries)
     "lang_id_heuristic",
     "simhash_fingerprints",

@@ -204,3 +204,30 @@ def test_srp_candidates_rank_similar_vectors(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
     assert (0, 2) not in pairs  # opposite vector flips every bit
+
+
+def test_connected_components_transitive(spark):
+    """a-b and b-c edges must land a, b, c in one component labelled by
+    the lowest id; isolated vertices keep their own id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11]], ["doc_id"])
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(edges, verts).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[7] == 7
+
+
+def test_connected_components_chain_diameter(spark):
+    """A length-6 path needs multiple propagation rounds — exercises the
+    fixpoint loop, not just one iteration."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    comp = dedup.connected_components(edges, verts).collect()
+    assert {r.component_id for r in comp} == {0}
