@@ -49,7 +49,7 @@ NUMPY_DTYPES = {
 }
 
 # Helper columns the staging layer adds for cross-file ordering.
-_ORDER_HELPERS = ("_batch_id", "_row_order")
+_ORDER_HELPERS = ("batch", "_row_order")
 
 # Per-(module, dataset) fallback sort for streaming-staged data when no
 # explicit _row_order column exists (same keys as runner.ORDER_COLS).
@@ -78,12 +78,12 @@ def _ordered_frame(table, module: str, dataset: str):
 
     Batch staging is pre-sorted (runner.ORDER_COLS before write → parquet
     part files hold ordered ranges). Streaming staging carries
-    (_batch_id, _row_order) — sort on those, falling back to the
+    (batch, _row_order) — sort on those, falling back to the
     module's natural time column within a batch."""
     pdf = table.to_pandas()
     sort_cols: list[str] = []
-    if "_batch_id" in pdf.columns:
-        sort_cols.append("_batch_id")
+    if "batch" in pdf.columns:
+        sort_cols.append("batch")
         if "_row_order" in pdf.columns:
             sort_cols.append("_row_order")
         else:

@@ -33,6 +33,7 @@ config assembly, exercised wherever a broker exists.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
@@ -149,6 +150,10 @@ class StreamingJobState:
     # must still be dropped.
     last_written_ts: dict[tuple[str, str], int] = field(default_factory=dict)
     batches_processed: int = 0
+    # highest Spark batch_id fully processed AND state-saved — replays of
+    # completed batches (restart between state save and checkpoint commit)
+    # are skipped, giving exactly-once folding of the driver counters
+    last_spark_batch_id: int = -1
     max_event_time_ns: int = 0
     finished: bool = False
     # C6 cumulative counters (fed from the per-batch stats action)
@@ -161,6 +166,57 @@ class StreamingJobState:
             "not_valid_flatbuffer": 0,
         }
     )
+
+
+STATE_FILE = "_stream_state.json"
+
+
+def _save_job_state(state: StreamingJobState, out_dir: str) -> None:
+    """Persist the driver-side cross-batch state (tiny: O(sources)) so a
+    restarted foreachBatch query resumes instead of double-counting —
+    the driver-state complement of Spark's offset checkpoint. Atomic
+    rename so a crash mid-write leaves the previous state intact."""
+    import json as _json
+    import os as _os
+
+    def buf_dict(row) -> dict:
+        return row if isinstance(row, dict) else row.asDict(recursive=True)
+
+    payload = {
+        "asof_buffer": [[list(k), buf_dict(v)] for k, v in state.asof_buffer.items()],
+        "asof_emitted": [list(k) for k in state.asof_emitted],
+        "events_written": [[list(k), v] for k, v in state.events_written.items()],
+        "last_written_ts": [[list(k), v] for k, v in state.last_written_ts.items()],
+        "batches_processed": state.batches_processed,
+        "last_spark_batch_id": state.last_spark_batch_id,
+        "max_event_time_ns": state.max_event_time_ns,
+        "finished": state.finished,
+        "metrics": state.metrics,
+    }
+    target = Path(out_dir) / STATE_FILE
+    tmp = target.with_suffix(".tmp")
+    tmp.write_text(_json.dumps(payload))
+    _os.rename(tmp, target)
+
+
+def _load_job_state(out_dir: str) -> StreamingJobState | None:
+    import json as _json
+
+    path = Path(out_dir) / STATE_FILE
+    if not path.exists():
+        return None
+    raw = _json.loads(path.read_text())
+    st = StreamingJobState()
+    st.asof_buffer = {tuple(k): v for k, v in raw["asof_buffer"]}
+    st.asof_emitted = {tuple(k) for k in raw["asof_emitted"]}
+    st.events_written = {tuple(k): v for k, v in raw["events_written"]}
+    st.last_written_ts = {tuple(k): v for k, v in raw["last_written_ts"]}
+    st.batches_processed = raw["batches_processed"]
+    st.last_spark_batch_id = raw.get("last_spark_batch_id", -1)
+    st.max_event_time_ns = raw["max_event_time_ns"]
+    st.finished = raw["finished"]
+    st.metrics.update(raw["metrics"])
+    return st
 
 
 class StreamingJob:
@@ -176,7 +232,9 @@ class StreamingJob:
         self.start = start
         self.out_dir = out_dir
         self.plan: Plan = build_plan(start.nexus_structure)
-        self.state = StreamingJobState()
+        # resume driver-side state if a previous run of this job left it
+        # (foreachBatch restart with the same out_dir + checkpoint)
+        self.state = _load_job_state(out_dir) or StreamingJobState()
         self._written_datasets: dict[str, list[str]] = {}
         self.start_ns = start.start_time_ms * MS_TO_NS
         self.stop_ns = (
@@ -303,6 +361,8 @@ class StreamingJob:
         st = self.state
         if st.finished:
             return
+        if batch_id <= st.last_spark_batch_id:
+            return  # replay of a batch whose state save completed
         batch = quality.with_error_code(batch).persist()
         try:
             stats = self._batch_stats(batch)
@@ -352,6 +412,8 @@ class StreamingJob:
             elif self.partition_filter.should_stop_partition(PollStatus.TIMED_OUT):
                 st.finished = True
             st.batches_processed += 1
+            st.last_spark_batch_id = batch_id
+            _save_job_state(st, self.out_dir)
         finally:
             batch.unpersist()
 
@@ -401,7 +463,7 @@ class StreamingJob:
                         "event_index",
                         F.col("event_index") + F.lit(st.events_written.get(key, 0)),
                     )
-                # monotone staging order: (_batch_id, _row_order) — parquet
+                # monotone staging order: (batch, _row_order) — parquet
                 # part-file names are unordered, so read-back/pack sorts on
                 # these to reproduce single-writer append order
                 order_src = next(
@@ -410,9 +472,18 @@ class StreamingJob:
                 if order_src is not None:
                     df = df.withColumn("_row_order", F.col(order_src))
                 df = df.drop(*[c for c in ("_global_index", "row_index") if c in df.columns])
-                df = df.withColumn("_batch_id", F.lit(batch_seq))
+                df = df.withColumn("batch", F.lit(batch_seq))
                 target = staging.dataset_dir(self.out_dir, binding.path, dataset)
-                df.write.mode("append").parquet(str(target))
+                # dynamic partition overwrite on batch: a replayed
+                # micro-batch rewrites ONLY its own partition, making the
+                # staged output idempotent under failure/restart (plain
+                # append would duplicate the crashed attempt's files)
+                (
+                    df.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch")
+                    .parquet(str(target))
+                )
                 if dataset not in written:
                     written.append(dataset)
             if binding.module == "ev44":
@@ -458,7 +529,7 @@ class StreamingJob:
 
                 log_dir = staging.dataset_dir(self.out_dir, binding.path, "log")
                 log = self.spark.read.parquet(str(log_dir))
-                indexed = with_row_index(log, order_cols=("_batch_id", "time"))
+                indexed = with_row_index(log, order_cols=("batch", "time"))
                 cue = cue_table(indexed, cue_interval).select(
                     "cue_index", "cue_timestamp_zero"
                 )

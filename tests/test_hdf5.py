@@ -178,7 +178,7 @@ def test_static_data_is_written(static_file):
 
 def test_streaming_staged_directory_packs(spark, tmp_path):
     """A finalized streaming out_dir packs through the same path (order
-    restored from (_batch_id, _row_order))."""
+    restored from (batch, _row_order))."""
     from kafka_to_nexus_spark.sources.fixtures import messages_from_json
     from kafka_to_nexus_spark.streaming.job import StreamingJob
 

@@ -374,3 +374,47 @@ def test_empty_batches_stop_job_past_stop_time(spark, buffered_job):
     assert not job.state.finished
     job.process_batch(empty, 1)          # timeout; wall clock >> fixture stop
     assert job.state.finished
+
+
+def test_state_restored_across_restart(spark, tmp_path):
+    """A new StreamingJob over the same out_dir resumes the saved driver
+    state: dedup boundary, buffered rows, counters — a foreachBatch
+    restart continues instead of double-counting."""
+    tpl = json.loads((DOMAIN_TEMPLATES / "buffered_template.json").read_text())
+    start = StartMessage(job_id="restart-job", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = str(tmp_path / "out")
+    job1 = StreamingJob(spark, start, out)
+    job1.process_batch(messages_from_json(
+        spark, [f144(9_000, 3, offset=0), f144(11_000, 7, offset=1)]), 0)
+
+    job2 = StreamingJob(spark, start, out)  # "restart"
+    assert job2.state.batches_processed == 1
+    assert job2.state.metrics["messages_received"] == 2
+    assert job2.state.last_written_ts == job1.state.last_written_ts
+    assert job2.state.asof_emitted == job1.state.asof_emitted
+    # repeated ts across the restart boundary still dedups (F4)
+    job2.process_batch(messages_from_json(spark, [f144(11_000, 7, offset=2)]), 1)
+    log = read_dataset(spark, job2, "/entry/instrument/chopper/delay", "log")
+    assert log.count() == 2  # buffered(9s) + 11s once, not twice
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Replaying a completed Spark batch (restart between state save and
+    checkpoint commit) must change nothing: counters skip, staged rows
+    overwrite their own batch partition."""
+    tpl = json.loads((DOMAIN_TEMPLATES / "buffered_template.json").read_text())
+    start = StartMessage(job_id="replay-job", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = str(tmp_path / "out")
+    job1 = StreamingJob(spark, start, out)
+    b0 = [f144(11_000, 1.0, offset=0)]
+    job1.process_batch(messages_from_json(spark, b0), 0)
+
+    job2 = StreamingJob(spark, start, out)
+    job2.process_batch(messages_from_json(spark, b0), 0)  # replay: skipped
+    assert job2.state.metrics["messages_received"] == 1
+    job2.process_batch(messages_from_json(spark, [f144(12_000, 2.0, offset=1)]), 1)
+    log = read_dataset(spark, job2, "/entry/instrument/chopper/delay", "log")
+    assert log.count() == 2
+    assert job2.state.metrics["messages_received"] == 2
