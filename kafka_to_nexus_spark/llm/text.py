@@ -110,3 +110,37 @@ def rolling_hash_fingerprints(
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
     kept = F.filter(hashes, lambda h: (h % keep_every) == 0)
     return df.select(F.col(id_col), kept.alias("fingerprints"))
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — regex redaction, entirely JVM-side (no UDF)
+# --------------------------------------------------------------------------
+
+# Conservative patterns that parse identically under Java regex and RE2:
+# no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "url": r"https?://[^\s]+",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4", "url"),
+) -> DataFrame:
+    """Redact PII-shaped spans to ``[<KIND>]`` tokens and count them.
+    One narrow map stage: chained ``regexp_replace``/``regexp_count``
+    inside whole-stage codegen — the shape that survives 100 TB (the
+    regex engine is the constant factor, not a shuffle)."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return out.withColumn("scrubbed_text", scrubbed)

@@ -1443,6 +1443,35 @@ FROM (
 """
 
 
+# --- repetition signals (Gopher/RefinedWeb-style quality heuristics) --------
+# Word-level repetition ratios per document: duplicate-word fraction and
+# most-frequent-word fraction — the cheap high-signal filters a training
+# pipeline runs before anything expensive. One explode + two hash aggs,
+# all partial-aggregated.
+SPARK_SQL["repetition_signals"] = """
+WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id, explode(ws) AS wd FROM w),
+c AS (SELECT doc_id, wd, count(*) AS n FROM e GROUP BY doc_id, wd),
+t AS (SELECT doc_id, max(n) AS top_n, sum(n) AS tot, count(*) AS n_distinct
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(tot AS BIGINT) AS n_words,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / tot, 6) AS dup_word_ratio,
+       round(CAST(top_n AS DOUBLE) / tot, 6) AS top_word_ratio
+FROM t
+"""
+ORACLE["repetition_signals"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+c AS (SELECT doc_id, wd, count(*) AS n FROM e GROUP BY doc_id, wd),
+t AS (SELECT doc_id, max(n) AS top_n, sum(n) AS tot, count(*) AS n_distinct
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(tot AS BIGINT) AS n_words,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / tot, 6) AS dup_word_ratio,
+       round(CAST(top_n AS DOUBLE) / tot, 6) AS top_word_ratio
+FROM t
+"""
+
+
 # --- dedup clustering: candidate pairs → connected components ---------------
 # The step after pairwise dedup: group verified duplicates transitively and
 # elect the lowest doc id as canonical. Spark side is iterative min-label
@@ -1658,6 +1687,7 @@ _PRIORITY = (
     "ivf_kmeans_train",
     "dedup_components",
     "decontamination_overlap",
+    "repetition_signals",
     # LLM-pipeline + custom joins (DataFrame-API entries)
     "lang_id_heuristic",
     "simhash_fingerprints",

@@ -231,3 +231,20 @@ def test_connected_components_chain_diameter(spark):
     verts = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
     comp = dedup.connected_components(edges, verts).collect()
     assert {r.component_id for r in comp} == {0}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (0, "contact bob@example.com or +1 (555) 123-4567 now"),
+        (1, "server at 192.168.1.10 see https://example.com/x?q=1 end"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+    assert out[0].n_email == 1 and out[0].n_phone == 1
+    assert "[EMAIL]" in out[0].scrubbed_text and "bob@" not in out[0].scrubbed_text
+    assert "[PHONE]" in out[0].scrubbed_text
+    assert out[1].n_ipv4 == 1 and out[1].n_url == 1
+    assert "[IPV4]" in out[1].scrubbed_text and "[URL]" in out[1].scrubbed_text
+    assert out[2].scrubbed_text == "nothing sensitive here"
+    assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == out[2].n_url == 0
