@@ -67,7 +67,11 @@ def run_job(
     start: StartMessage,
     messages: DataFrame,
     out_dir: str,
+    registrar=None,
 ) -> JobResult:
+    """``registrar``: optional ``metrics.Registrar`` — the job's folded
+    counters are published under ``writer.<job_id>.*`` for the C6
+    reporting surface (log/Carbon/file sinks)."""
     t0 = time.perf_counter()
     plan = build_plan(start.nexus_structure)
 
@@ -174,6 +178,12 @@ def run_job(
     # K6 — approximate output size gauge (FileWriterTask.h:103-111
     # approx_file_size_mb, recomputed periodically by StreamController)
     metrics["approx_file_size_mb"] = staging.approximate_size_mb(out_dir)
+    if registrar is not None:
+        from .metrics import registrar_from_counts
+
+        registrar_from_counts(
+            metrics, f"writer.{start.job_id}", registrar
+        )
     return JobResult(
         out_dir=out_dir,
         plan=plan,

@@ -569,6 +569,12 @@ class StreamingJob:
         )
         # K6 staged-size gauge (FileWriterTask approx_file_size_mb)
         st.metrics["approx_file_size_mb"] = staging.approximate_size_mb(self.out_dir)
+        if getattr(self, "registrar", None) is not None:
+            from ..metrics import registrar_from_counts
+
+            registrar_from_counts(
+                st.metrics, f"writer.{self.start.job_id}", self.registrar
+            )
 
 
 def run_streaming_job(
