@@ -233,11 +233,21 @@ def connected_components(
     component id the canonical (lowest) doc id of its group.
     """
     both = edges.select(
-        F.col("id_a").alias("v"), F.col("id_b").alias("u")
-    ).unionByName(edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
-    labels = vertices.select(
-        F.col(id_col).cast("long").alias("v"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint()
+        F.col("id_a").cast("long").alias("v"), F.col("id_b").cast("long").alias("u")
+    ).unionByName(
+        edges.select(
+            F.col("id_b").cast("long").alias("v"), F.col("id_a").cast("long").alias("u")
+        )
+    )
+    # propagate only over edge-touched vertices: the frontier is O(edges),
+    # not O(corpus) — untouched vertices are singletons by definition and
+    # join back at the end
+    labels = (
+        both.select("v")
+        .distinct()
+        .select(F.col("v"), F.col("v").alias("label"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
@@ -259,6 +269,9 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select(
-        F.col("v").alias(id_col), F.col("label").alias("component_id")
+    return vertices.select(F.col(id_col).cast("long").alias(id_col)).join(
+        labels.withColumnRenamed("v", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("label", F.col(id_col)).alias("component_id"),
     )
