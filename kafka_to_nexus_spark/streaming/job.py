@@ -577,6 +577,33 @@ class StreamingJob:
             )
 
 
+def run_streaming_job_from_files(
+    spark: SparkSession,
+    start: StartMessage,
+    fixture_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """S4 — the broker-free streaming path: a REAL StructuredStreaming
+    query (readStream JSON-lines directory → foreachBatch(StreamingJob))
+    with an AvailableNow trigger, exercising the full query lifecycle
+    (offset tracking, trigger, checkpoint, finalize) that the Kafka path
+    shares. The reference's stub-consumer apps (file-maker.cpp:100-120
+    StubConsumerFactory) fill exactly this role.
+
+    Returns (StreamingQuery, StreamingJob); caller awaits + finalizes.
+    """
+    job = StreamingJob(spark, start, out_dir)
+    envelope = spark.readStream.schema(MESSAGE_SCHEMA).json(fixture_dir)
+    query = (
+        envelope.writeStream.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(job.process_batch)
+        .start()
+    )
+    return query, job
+
+
 def run_streaming_job(
     spark: SparkSession,
     start: StartMessage,

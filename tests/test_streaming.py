@@ -418,3 +418,34 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     log = read_dataset(spark, job2, "/entry/instrument/chopper/delay", "log")
     assert log.count() == 2
     assert job2.state.metrics["messages_received"] == 2
+
+
+def test_real_streaming_query_from_file_source(spark, tmp_path):
+    """End-to-end StructuredStreaming lifecycle without a broker: JSON
+    fixture dir → readStream → foreachBatch → finalize → pack-ready
+    staging that matches the batch runner's values."""
+    from kafka_to_nexus_spark.streaming.job import run_streaming_job_from_files
+
+    tpl = json.loads((DOMAIN_TEMPLATES / "buffered_template.json").read_text())
+    start = StartMessage(job_id="fstream", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    rows = [f144(9_000, 3.0, offset=0), f144(11_000, 7.0, offset=1),
+            f144(12_000, 9.0, offset=2)]
+    from kafka_to_nexus_spark.sources.fixtures import _normalize_row
+    offsets: dict = {}
+    (fixture_dir / "part1.json").write_text(
+        "\n".join(json.dumps(_normalize_row(r, offsets)) for r in rows))
+
+    query, job = run_streaming_job_from_files(
+        spark, start, str(fixture_dir), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    query.awaitTermination(120)
+    job.finalize()
+
+    log = read_dataset(spark, job, "/entry/instrument/chopper/delay", "log")
+    got = [(r.time, r.value) for r in log.orderBy("time").collect()]
+    assert got == [(9_000_000_000, 3.0), (11_000_000_000, 7.0),
+                   (12_000_000_000, 9.0)]
+    assert job.state.metrics["messages_received"] == 3
