@@ -19,17 +19,11 @@ from kafka_to_nexus_spark import queries as Q
 from kafka_to_nexus_spark.session import get_spark
 
 
-def _run_e2e_job(spark, sf_dir: str) -> None:
-    import shutil
-    import tempfile
-
+def _e2e_inputs(spark, sf_dir: str, n_streams: int = 4):
     from pyspark.sql import functions as F
 
     from kafka_to_nexus_spark.plan import StartMessage
-    from kafka_to_nexus_spark.runner import run_job
     from kafka_to_nexus_spark.schemas import MESSAGE_SCHEMA
-
-    n_streams = 4
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     cols = {
@@ -76,9 +70,48 @@ def _run_e2e_job(spark, sf_dir: str) -> None:
         start_time_ms=1704240000000,  # 2024-01-03 (pre-start rows feed F3)
         stop_time_ms=1704844800000,  # 2024-01-10
     )
+    return messages, start
+
+
+def _run_e2e_job(spark, sf_dir: str) -> None:
+    import shutil
+    import tempfile
+
+    from kafka_to_nexus_spark.runner import run_job
+
+    messages, start = _e2e_inputs(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="bench_job_")
     try:
         run_job(spark, start, messages, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_e2e_streaming(spark, sf_dir: str, n_batches: int = 5) -> None:
+    """Same 4-stream job through the micro-batch processor: the scan is
+    sliced into time windows (each one a pushed-down filter), measuring
+    per-batch overhead (stats action, state fold, per-stream writes)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming.job import MS_TO_NS, StreamingJob
+
+    messages, start = _e2e_inputs(spark, sf_dir)
+    lo_ns = (start.start_time_ms - 86_400_000) * MS_TO_NS  # include pre-start
+    hi_ns = (start.stop_time_ms + 86_400_000) * MS_TO_NS
+    step = (hi_ns - lo_ns) // n_batches + 1
+    out = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        job = StreamingJob(spark, start, out)
+        for i in range(n_batches):
+            batch = messages.filter(
+                (F.col("timestamp") >= lo_ns + i * step)
+                & (F.col("timestamp") < lo_ns + (i + 1) * step)
+            )
+            job.process_batch(batch, i)
+        job.finalize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -115,6 +148,12 @@ def main() -> None:
     _run_e2e_job(spark, sf_dir)
     dt = round(time.perf_counter() - t0, 3)
     timings["job_e2e_f144_4streams"] = dt
+    total += dt
+
+    t0 = time.perf_counter()
+    _run_e2e_streaming(spark, sf_dir)
+    dt = round(time.perf_counter() - t0, 3)
+    timings["job_e2e_streaming_5batches"] = dt
     total += dt
     spark.stop()
     print(

@@ -427,6 +427,7 @@ class StreamingJob:
         batch_seq = st.batches_processed
         tails = tails or {}
         event_counts = event_counts or {}
+        write_tasks: list[tuple[DataFrame, str]] = []
         for binding in self.plan.streams:
             module = get_module(binding.module)
             src = filters.source_filter(windowed, binding.module, binding.source)
@@ -474,22 +475,38 @@ class StreamingJob:
                 df = df.drop(*[c for c in ("_global_index", "row_index") if c in df.columns])
                 df = df.withColumn("batch", F.lit(batch_seq))
                 target = staging.dataset_dir(self.out_dir, binding.path, dataset)
-                # dynamic partition overwrite on batch: a replayed
-                # micro-batch rewrites ONLY its own partition, making the
-                # staged output idempotent under failure/restart (plain
-                # append would duplicate the crashed attempt's files)
-                (
-                    df.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch")
-                    .parquet(str(target))
-                )
+                write_tasks.append((df, str(target)))
                 if dataset not in written:
                     written.append(dataset)
             if binding.module == "ev44":
                 st.events_written[key] = st.events_written.get(key, 0) + int(
                     event_counts.get(key, 0)
                 )
+
+        # One write per (binding, dataset), all independent Spark jobs —
+        # run them concurrently (the scheduler interleaves their stages
+        # over the same persisted batch) instead of serially paying each
+        # job's latency. State mutation stayed above, on one thread.
+        # Dynamic partition overwrite on batch: a replayed micro-batch
+        # rewrites ONLY its own partition, making the staged output
+        # idempotent under failure/restart (plain append would duplicate
+        # the crashed attempt's files).
+        def _write(task):
+            df, target = task
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(target)
+            )
+
+        if len(write_tasks) == 1:
+            _write(write_tasks[0])
+        elif write_tasks:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(write_tasks))) as pool:
+                list(pool.map(_write, write_tasks))
 
     def finalize(self) -> None:
         """At stop: emit still-unconsumed buffered rows (SourceFilter
