@@ -217,3 +217,49 @@ def test_cumulative_index_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# New-op plan shapes: SRP, k-means assignment, decontamination
+# ---------------------------------------------------------------------------
+
+def test_srp_signatures_plan_is_shuffle_free(spark):
+    """The SRP signature is a pure map over literal hyperplanes — any
+    Exchange in the plan means a regression to a join/shuffle form."""
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    df = sim.srp_signatures(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_assignment_stage_is_map_only(spark):
+    """Centroid assignment must not shuffle the vectors: the centroid
+    matrix rides in the UDF closure; the only Exchange allowed is the
+    k×dim partial aggregation AFTER assignment."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [(i, [float(i + 1)] * 64) for i in range(4)]
+    assigned = emb.select(
+        sim._assign_pandas_col("embedding", cents).alias("cid")
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is small by construction — the overlap
+    join must be a BroadcastHashJoin, never a shuffle of the corpus."""
+    plan = _plan(spark, Q.SPARK_SQL["decontamination_overlap"])
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_signals_aggregates_partially(spark):
+    """Explode + two hash aggs — each must have a partial_ (map-side)
+    phase so the shuffle carries per-word partial counts."""
+    plan = _plan(spark, Q.SPARK_SQL["repetition_signals"])
+    assert "partial_count" in plan or "partial_sum" in plan, plan
