@@ -101,7 +101,7 @@ def worker(args) -> int:
     """Live worker loop: poll the pool transport, claim, run, report."""
     from .control.commands import JobController
     from .control.transport import make_transport
-    from .streaming.job import run_streaming_job
+    from .streaming.job import run_streaming_job, run_streaming_job_from_files
 
     spark = _spark(args.master)
     transport = make_transport(
@@ -128,13 +128,20 @@ def worker(args) -> int:
             continue
         start = controller.current_job
         out_dir = str(Path(args.out_root) / start.job_id)
-        query, job = run_streaming_job(
-            spark, start, args.brokers, out_dir,
-            checkpoint_dir=str(Path(args.out_root) / f"{start.job_id}_ckpt"),
-        )
-        while query.isActive and not job.state.finished:
-            _time.sleep(1.0)
-        query.stop()
+        ckpt = str(Path(args.out_root) / f"{start.job_id}_ckpt")
+        if args.fixture_dir:
+            # broker-free mode: JSON-lines directory source, AvailableNow
+            query, job = run_streaming_job_from_files(
+                spark, start, args.fixture_dir, out_dir, ckpt
+            )
+            query.awaitTermination()
+        else:
+            query, job = run_streaming_job(
+                spark, start, args.brokers, out_dir, checkpoint_dir=ckpt
+            )
+            while query.isActive and not job.state.finished:
+                _time.sleep(1.0)
+            query.stop()
         job.finalize()
         transport.send_finished(controller.finished_writing())
         controller.set_idle()
@@ -167,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
     wk.add_argument("--poll-interval-s", type=float, default=1.0)
     wk.add_argument("--master", default="local[*]")
     wk.add_argument("--once", action="store_true", help="exit after one job")
+    wk.add_argument("--fixture-dir", default="",
+                    help="broker-free: stream JSON-lines fixtures from this dir")
     wk.set_defaults(fn=worker)
 
     args = parser.parse_args(argv)

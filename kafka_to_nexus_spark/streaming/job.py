@@ -64,17 +64,23 @@ def kafka_stream_reader(
     topics: list[str],
     start_time_ms: int | None = None,
     max_offsets_per_trigger: int | None = 100_000,
+    min_partitions: int | None = None,
 ):
     """readStream with time→offset pushdown and backpressure.
 
     startingOffsetsByTimestamp applies start - BeforeStartTime per topic —
-    the planner-side predicate pushdown of S2 (no history scan)."""
+    the planner-side predicate pushdown of S2 (no history scan).
+    ``min_partitions`` splits hot Kafka partitions across more Spark tasks
+    than the 1:1 default — the scale knob when a topic has fewer
+    partitions than the cluster has cores."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", ",".join(topics))
         .option("failOnDataLoss", "false")
     )
+    if min_partitions:
+        reader = reader.option("minPartitions", str(min_partitions))
     if start_time_ms is not None:
         # Global startingTimestamp: Spark resolves it per partition without
         # requiring partition enumeration (startingOffsetsByTimestamp demands

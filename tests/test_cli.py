@@ -45,3 +45,49 @@ def test_template_maker_statics_only(tmp_path, capsys):
     assert rc == 0
     with hdf5lib.File(str(out), "r") as f:
         assert f["/entry"] is not None
+
+
+def test_worker_full_loop_broker_free(tmp_path, spark):
+    """C1→K1 end to end: pool claim → streaming query over fixtures →
+    finalize → wrdn on the response channel."""
+    import uuid
+
+    from kafka_to_nexus_spark.__main__ import main
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+    from kafka_to_nexus_spark.sources.fixtures import _normalize_row
+
+    pool = tmp_path / "pool"
+    fixtures = tmp_path / "in"
+    fixtures.mkdir()
+    rows = [
+        {"schema": "f144", "topic": "local_choppers",
+         "source_name": "local:choppers:delay", "kafka_timestamp": 11_000,
+         "timestamp": 11_000, "value": 5.0, "offset": 0},
+        {"schema": "f144", "topic": "local_choppers",
+         "source_name": "local:choppers:delay", "kafka_timestamp": 12_000,
+         "timestamp": 12_000, "value": 6.0, "offset": 1},
+    ]
+    offsets: dict = {}
+    (fixtures / "data.json").write_text(
+        "\n".join(json.dumps(_normalize_row(r, offsets)) for r in rows))
+
+    tpl = json.loads(open(
+        "/root/reference/domain-tests/nexus_templates/buffered_template.json"
+    ).read())
+    producer = FilePoolTransport(pool, "producer")
+    jid = str(uuid.uuid4())
+    producer.offer({"job_id": jid, "filename": "f.nxs", "nexus_structure": tpl,
+                    "start_time": 10_000, "stop_time": 15_000})
+
+    rc = main([
+        "kafka-to-nexus", "--transport", "file", "--pool-dir", str(pool),
+        "--worker-id", "w0", "--out-root", str(tmp_path / "jobs"),
+        "--fixture-dir", str(fixtures), "--once", "--master", "local[4]",
+    ])
+    assert rc == 0
+    responses = producer.read_responses()
+    kinds = [r["type"] for r in responses]
+    assert kinds == ["answ", "wrdn"]
+    assert responses[1]["job_id"] == jid and not responses[1]["error_encountered"]
+    out_dir = tmp_path / "jobs" / jid
+    assert (out_dir / "_nexus_meta.json").exists()
