@@ -73,3 +73,51 @@ def asof_join_backward(
         .drop(_TAG)
         .withColumnsRenamed({a: f"asof_{c}" for c, a in zip(right_values, val)})
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    right_values: Sequence[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Left rows + EARLIEST right ``right_values`` at-or-after each left
+    ts — the "next reading" direction (pandas ``merge_asof
+    (direction='forward')``). Same tag-union + single-shuffle shape as
+    backward, with the window scanning forward instead."""
+    val = [f"_asof_{c}" for c in right_values]
+    l_tagged = left.withColumn(_TAG, F.lit(1))
+    for c, a in zip(right_values, val):
+        l_tagged = l_tagged.withColumn(a, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts),
+        *[F.col(c).alias(a) for c, a in zip(right_values, val)],
+    ).withColumn(_TAG, F.lit(0))
+
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows sort AFTER left rows at equal ts in a descending-ts frame
+    # scan → exact matches visible to the left row
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).asc(), F.col(_TAG).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = unioned
+    for a in val:
+        out = out.withColumn(a, F.first(a, ignorenulls=True).over(w))
+    if tolerance is not None:
+        ref_ts = F.first(
+            F.when(F.col(_TAG) == 0, F.col(ts)), ignorenulls=True
+        ).over(w)
+        for a in val:
+            out = out.withColumn(
+                a, F.when(ref_ts <= F.col(ts) + F.lit(tolerance), F.col(a))
+            )
+    return (
+        out.filter(F.col(_TAG) == 1)
+        .drop(_TAG)
+        .withColumnsRenamed({a: f"asof_{c}" for c, a in zip(right_values, val)})
+    )

@@ -1302,6 +1302,38 @@ ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
 """
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase joined to the EARLIEST signup value
+    at-or-after it per user (operators/asof_join.asof_join_forward);
+    oracle is DuckDB's native ASOF with the <= inequality."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof_join import asof_join_forward
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return asof_join_forward(
+        left, right, keys=["user_id"], ts="ts", right_values=["value"]
+    ).select("event_id", "user_id", "value", F.col("asof_value"))
+
+
+ORACLE["asof_join_forward"] = """
+SELECT e.event_id, e.user_id, e.value, s.value AS asof_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
+                FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) s
+  ON e.user_id = s.user_id AND e.ts <= s.ts
+"""
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution range join: count purchases inside each signup's
     2-day window per user. Spark side is the bucketed equi-join
@@ -1650,6 +1682,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
     "asof_join_streams": _q_asof_join,
+    "asof_join_forward": _q_asof_forward,
     "range_join_attribution": _q_range_join,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "multimodal_features": _q_multimodal_features,
@@ -1693,6 +1726,7 @@ _PRIORITY = (
     "simhash_fingerprints",
     "quality_score",
     "asof_join_streams",
+    "asof_join_forward",
     "range_join_attribution",
     "ngram_jaccard_pairs",
     "multimodal_features",

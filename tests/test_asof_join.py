@@ -67,3 +67,43 @@ def test_tolerance_expires_old_matches(spark):
     assert got == exp
     # a@20: nearest reading is 15 (within 5 > 3) → expired
     assert got[("a", 20)] is None
+
+
+def test_forward_asof_matches_pandas(spark):
+    import pandas as pd
+
+    left = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2,
+                         "ts": [1, 5, 9, 20, 2, 8],
+                         "lv": [10, 11, 12, 13, 20, 21]})
+    right = pd.DataFrame({"k": ["a"] * 3 + ["b"],
+                          "ts": [2, 5, 10, 50],
+                          "value": [1.0, 2.0, 3.0, 4.0]})
+    from kafka_to_nexus_spark.operators.asof_join import asof_join_forward
+
+    got = (
+        asof_join_forward(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            keys=["k"], ts="ts", right_values=["value"])
+        .orderBy("k", "ts").toPandas()
+    )
+    expect = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="forward").sort_values(["k", "ts"])
+    assert list(got["asof_value"].fillna(-1)) == list(expect["value"].fillna(-1))
+
+
+def test_forward_asof_tolerance(spark):
+    import pandas as pd
+
+    left = pd.DataFrame({"k": ["a", "a"], "ts": [1, 6], "lv": [0, 1]})
+    right = pd.DataFrame({"k": ["a"], "ts": [8], "value": [5.0]})
+    from kafka_to_nexus_spark.operators.asof_join import asof_join_forward
+
+    got = (
+        asof_join_forward(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            keys=["k"], ts="ts", right_values=["value"], tolerance=3)
+        .orderBy("ts").collect()
+    )
+    assert got[0].asof_value is None  # next reading at 8 is 7 ahead > 3
+    assert got[1].asof_value == 5.0   # 8 within 6 + 3
