@@ -140,6 +140,9 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
+        # Release per-query persisted intermediates so one query's cache
+        # doesn't eat executor memory for every query after it.
+        spark.catalog.clearCache()
 
     # End-to-end ENGINE benchmark: a full batch job (plan → shared windowed
     # scan with as-of buffering → per-stream f144 transforms + running
