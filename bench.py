@@ -7,6 +7,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -141,8 +142,12 @@ def main() -> None:
         timings[name] = dt
         total += dt
         # Release per-query persisted intermediates so one query's cache
-        # doesn't eat executor memory for every query after it.
+        # doesn't eat executor memory for every query after it. clearCache
+        # misses localCheckpoint RDDs — those are freed by the ContextCleaner
+        # once Python drops the references, so force a GC pass.
+        del df
         spark.catalog.clearCache()
+        gc.collect()
 
     # End-to-end ENGINE benchmark: a full batch job (plan → shared windowed
     # scan with as-of buffering → per-stream f144 transforms + running

@@ -238,7 +238,8 @@ def connected_components(
         edges.select(
             F.col("id_b").cast("long").alias("v"), F.col("id_a").cast("long").alias("u")
         )
-    )
+    ).localCheckpoint()  # materialize the edge list ONCE — without this every
+    # propagation round re-executes the upstream candidate-generation pipeline
     # propagate only over edge-touched vertices: the frontier is O(edges),
     # not O(corpus) — untouched vertices are singletons by definition and
     # join back at the end
