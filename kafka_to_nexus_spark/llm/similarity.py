@@ -226,6 +226,120 @@ def write_ivf_layout(
     )
 
 
+def ivf_partitioned_probe(
+    spark,
+    layout_path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a :func:`write_ivf_layout` directory: rank centroids against
+    the query on the driver (k rows — no Spark job), then scan ONLY the
+    ``n_probe`` winning partitions. The ``centroid_id`` filter is a
+    partition-directory predicate, so the scan's PartitionFilters prunes
+    every other bucket — at 100 TB the probe touches n_probe/k of the
+    data instead of re-assigning the corpus per query (the batch-side
+    analog of an IVF index lookup)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    ranked = sorted(
+        centroids,
+        key=lambda c: (-float(np.dot(q, np.asarray(c[1]))
+                              / (np.linalg.norm(q) * np.linalg.norm(c[1]) or 1.0)),
+                       c[0]),
+    )
+    probe_ids = [cid for cid, _ in ranked[:n_probe]]
+    lay = spark.read.parquet(layout_path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return brute_force_topk(lay, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + asymmetric distance (ADC). Per-dimension
+# affine codes cut embedding storage 4× (the difference between keeping
+# a 100 TB corpus' vectors in cluster memory or not); search stays
+# asymmetric — the float query scores against dequantized codes, so only
+# the corpus side pays the precision loss.
+# ---------------------------------------------------------------------------
+
+def quantize_params(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-dimension (min, max, scale) over the corpus — one posexplode +
+    partial-agg shuffle of dim×partitions rows, independent of corpus
+    size. ``scale = (max-min)/255`` (0 for constant dimensions)."""
+    return (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim_pos", "_x"))
+        .groupBy("dim_pos")
+        .agg(F.min("_x").alias("dim_min"), F.max("_x").alias("dim_max"))
+        .select(
+            "dim_pos",
+            "dim_min",
+            "dim_max",
+            ((F.col("dim_max") - F.col("dim_min")) / F.lit(255.0)).alias("dim_scale"),
+        )
+    )
+
+
+def quantize_codes_col(
+    vec: Column, mins: list[float], scales: list[float]
+) -> Column:
+    """int8 code vector: ``floor((x - min_j)/scale_j + 0.5) - 128`` per
+    dimension, clamped to [-128, 127]. floor(x+0.5) (not round()) pins
+    half-way semantics to one rule both engines implement identically.
+    Params ride as literals — map-only, no join."""
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    zipped = F.zip_with(
+        vec,
+        F.zip_with(mins_arr, scales_arr, lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
+        lambda x, ms: F.when(
+            ms["s"] > 0,
+            F.greatest(
+                F.lit(-128),
+                F.least(
+                    F.lit(127),
+                    F.floor((x - ms["m"]) / ms["s"] + F.lit(0.5)).cast("int") - 128,
+                ),
+            ),
+        ).otherwise(F.lit(-128)),
+    )
+    return zipped.cast("array<tinyint>")
+
+
+def adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    mins: list[float],
+    scales: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: score = Σ_j q_j · (min_j + (code_j+128)·scale_j)
+    — the float query against dequantized int8 codes. Quantize + score in
+    one narrow map (codes would be the stored column at scale; computing
+    them inline here keeps the query self-contained), then TakeOrdered."""
+    codes = quantize_codes_col(_as_double(F.col(vec_col)), mins, scales)
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
+    dequant = F.zip_with(
+        codes.cast("array<double>"),
+        F.zip_with(mins_arr, scales_arr, lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
+        lambda c, ms: ms["m"] + (c + F.lit(128.0)) * ms["s"],
+    )
+    score = dot(q_arr, dequant)
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Signed random projections (SRP): LSH in embedding space — the
 # embedding-analog of simhash. sign(v · h_j) per hyperplane j gives a

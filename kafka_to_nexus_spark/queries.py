@@ -1163,6 +1163,164 @@ FROM embeddings GROUP BY label
 """
 
 
+# --- int8 scalar quantization (4× embedding storage cut at 100 TB) ----------
+# Per-dimension affine params over the corpus: one dim×partitions partial-agg
+# shuffle, independent of corpus size.
+SPARK_SQL["embedding_quant_params"] = """
+SELECT dim_pos, round(dim_min, 6) AS dim_min, round(dim_max, 6) AS dim_max,
+       round((dim_max - dim_min) / 255.0, 6) AS dim_scale
+FROM (
+  SELECT pos AS dim_pos, min(x) AS dim_min, max(x) AS dim_max
+  FROM embeddings LATERAL VIEW posexplode(CAST(embedding AS ARRAY<DOUBLE>)) t AS pos, x
+  GROUP BY pos
+)
+"""
+ORACLE["embedding_quant_params"] = """
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i)
+SELECT i - 1 AS dim_pos,
+       round(min(e[i]), 6) AS dim_min, round(max(e[i]), 6) AS dim_max,
+       round((max(e[i]) - min(e[i])) / 255.0, 6) AS dim_scale
+FROM v, idx GROUP BY i
+"""
+
+
+def _q_quantized_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search: int8-quantize the corpus side (floor(x+0.5) affine
+    codes), score the float query against the dequantized codes. The
+    params are a 64-row driver collect → literals; the search itself is
+    one narrow map + TakeOrdered."""
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    prows = sorted(
+        sim.quantize_params(emb).collect(), key=lambda r: r["dim_pos"]
+    )
+    mins = [float(r["dim_min"]) for r in prows]
+    scales = [(float(r["dim_max"]) - float(r["dim_min"])) / 255.0 for r in prows]
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    ]
+    return sim.adc_topk(
+        emb.filter(F.col("vec_id") != 0), qv, mins, scales, k=10
+    )
+
+
+ORACLE["quantized_adc_topk"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+p AS (SELECT i, min(e[i]) AS mn, max(e[i]) AS mx FROM v, idx GROUP BY i),
+parr AS (SELECT list(mn ORDER BY i) AS mns,
+                list((mx - mn) / 255.0 ORDER BY i) AS scs FROM p),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id,
+         list_sum(list_transform(range(1, 65), i ->
+           qe[i] * (CASE WHEN scs[i] > 0
+                    THEN mns[i] + (LEAST(127, GREATEST(-128,
+                           CAST(floor((v.e[i] - mns[i]) / scs[i] + 0.5) AS BIGINT) - 128))
+                         + 128) * scs[i]
+                    ELSE mns[i] END))) AS s
+  FROM v, parr, q WHERE v.vec_id <> 0
+)
+SELECT vec_id, round(s, 6) AS adc_score
+FROM scored ORDER BY adc_score DESC, vec_id LIMIT 10
+"""
+
+
+# --- IVF partitioned layout + pruned probe (the stored-index ANN shape) -----
+
+def _ivf_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"k2n_ivf_layout_v1_{tag}")
+
+
+def _q_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-IVF probe: the corpus is laid out partitionBy(centroid_id)
+    once (write-if-absent, reused across queries); a probe ranks the tiny
+    centroid set on the driver and scans ONLY the n_probe winning
+    partition directories — PartitionFilters prunes the rest, so the scan
+    cost is n_probe/k of the corpus instead of a re-assignment pass.
+    Centroids = embeddings 0..7, query = embedding 0 (as ivf_probe_topk)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    crows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ce"))
+        .collect()
+    )
+    centroids = sorted((int(r["vec_id"]), list(r["ce"])) for r in crows)
+    layout = _ivf_layout_path(sf_dir)
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(prefix="k2n_ivf_build_")
+        build = os.path.join(tmp, "layout")
+        sim.write_ivf_layout(emb, centroids, build)
+        shutil.rmtree(layout, ignore_errors=True)
+        try:
+            os.rename(build, layout)
+        except OSError:  # lost a concurrent-build race: keep the winner
+            shutil.rmtree(tmp, ignore_errors=True)
+    qv = dict(centroids)[0]
+    out = sim.ivf_partitioned_probe(spark, layout, centroids, qv, k=11, n_probe=2)
+    return (
+        out.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+ORACLE["ivf_partitioned_probe"] = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn
+  FROM v, c
+),
+assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+cprobe AS (
+  SELECT c.cid,
+         row_number() OVER (
+           ORDER BY list_dot_product(c.ce, q.qe)
+                    / (sqrt(list_dot_product(c.ce, c.ce))
+                       * sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid) AS rn
+  FROM c, q
+),
+probe AS (SELECT cid FROM cprobe WHERE rn <= 2),
+cand AS (
+  SELECT v.vec_id, v.e FROM v
+  JOIN assign a USING (vec_id) JOIN probe p ON a.cid = p.cid
+  WHERE v.vec_id <> 0
+)
+SELECT vec_id,
+       round(list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+FROM cand, q ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-API-backed queries (llm package operators)
 # ---------------------------------------------------------------------------
@@ -1698,6 +1856,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
     "multimodal_frame_sample": _q_multimodal_frames,
+    "quantized_adc_topk": _q_quantized_adc_topk,
+    "ivf_partitioned_probe": _q_ivf_partitioned_probe,
 }
 
 
@@ -1742,6 +1902,9 @@ _PRIORITY = (
     "multimodal_features",
     "multimodal_resize_spec",
     "multimodal_frame_sample",
+    "embedding_quant_params",
+    "quantized_adc_topk",
+    "ivf_partitioned_probe",
     # Writer-module / stream-operator domain family
     "f1_source_filter",
     "f2_time_window",

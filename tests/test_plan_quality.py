@@ -263,3 +263,91 @@ def test_repetition_signals_aggregates_partially(spark):
     phase so the shuffle carries per-word partial counts."""
     plan = _plan(spark, Q.SPARK_SQL["repetition_signals"])
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
+    """The stored-IVF probe must reach the layout scan as PartitionFilters
+    on centroid_id — only the probed bucket directories are read."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    crows = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ce"))
+        .collect()
+    )
+    centroids = sorted((int(r["vec_id"]), list(r["ce"])) for r in crows)
+    layout = str(tmp_path / "ivf_layout")
+    sim.write_ivf_layout(emb, centroids, layout)
+
+    probe = sim.ivf_partitioned_probe(
+        spark, layout, centroids, centroids[0][1], k=5, n_probe=2
+    )
+    qe = probe._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "centroid_id" in pf[-1], plan
+    # pruned read touches only the probed buckets
+    read_cids = {r["centroid_id"] for r in
+                 spark.read.parquet(layout).limit(0).select("centroid_id").collect()}
+    probed = {
+        r["centroid_id"]
+        for r in probe.join(
+            spark.read.parquet(layout).select("vec_id", "centroid_id"), "vec_id"
+        ).collect()
+    }
+    assert len(probed) <= 2
+
+
+def test_quantization_round_trip_error_bounded(spark):
+    """Dequantized int8 codes must sit within scale/2 of the original in
+    every dimension (the defining property of floor(x+0.5) quantization)."""
+    import numpy as np
+
+    from kafka_to_nexus_spark.llm import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    prows = sorted(sim.quantize_params(emb).collect(), key=lambda r: r["dim_pos"])
+    mins = [float(r["dim_min"]) for r in prows]
+    scales = [(float(r["dim_max"]) - float(r["dim_min"])) / 255.0 for r in prows]
+    sample = emb.limit(32).select(
+        F.col("embedding").cast("array<double>").alias("e"),
+        sim.quantize_codes_col(
+            F.col("embedding").cast("array<double>"), mins, scales
+        ).alias("codes"),
+    ).collect()
+    mn, sc = np.asarray(mins), np.asarray(scales)
+    for r in sample:
+        orig = np.asarray(r["e"], dtype=np.float64)
+        deq = mn + (np.asarray(r["codes"], dtype=np.float64) + 128.0) * sc
+        tol = np.where(sc > 0, sc / 2 + 1e-12, np.inf)
+        assert (np.abs(orig - deq) <= tol).all()
+
+
+def test_adc_topk_agrees_with_exact_topk(spark):
+    """int8 ADC keeps enough precision that the approximate top-10 (by
+    dot) overlaps the exact dot-product top-10 on the test corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    prows = sorted(sim.quantize_params(emb).collect(), key=lambda r: r["dim_pos"])
+    mins = [float(r["dim_min"]) for r in prows]
+    scales = [(float(r["dim_max"]) - float(r["dim_min"])) / 255.0 for r in prows]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select(F.col("embedding").cast("array<double>")).collect()[0][0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    adc = {r["vec_id"] for r in sim.adc_topk(corpus, qv, mins, scales, k=10).collect()}
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    exact = {
+        r["vec_id"]
+        for r in corpus.select(
+            "vec_id", sim.dot(F.col("embedding").cast("array<double>"), q).alias("d")
+        ).orderBy(F.desc("d"), "vec_id").limit(10).collect()
+    }
+    assert len(adc & exact) >= 7, (adc, exact)
