@@ -213,6 +213,7 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    broadcast_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Cluster verified duplicate pairs into components — the step that
     turns pairwise dedup output into "keep one doc per group".
@@ -220,13 +221,26 @@ def connected_components(
     Min-label propagation: every vertex starts labelled with its own id;
     each round takes the min label across neighbors; converges in
     O(component diameter) rounds (near-dup clusters are dense, so
-    typically 1–2). Each round is one shuffle join + groupBy-min, with
-    ``localCheckpoint`` truncating the lineage so plans stay flat across
-    iterations, and ONE tiny driver action (sum of labels) for the
-    convergence test. Labels only ever decrease, so an unchanged sum is
-    a correct fixpoint test. At extreme diameters, swap the loop body
-    for the large-star/small-star steps (alternation halves tree height
-    per round); the per-round cost envelope is identical.
+    typically 1–2). ``localCheckpoint`` truncates the lineage so plans
+    stay flat across iterations, and ONE tiny driver action (sum of
+    labels) per round is the convergence test. Labels only ever
+    decrease, so an unchanged sum is a correct fixpoint test. At extreme
+    diameters, swap the loop body for the large-star/small-star steps
+    (alternation halves tree height per round); the per-round cost
+    envelope is identical.
+
+    Two size regimes, picked from the materialized edge count (the same
+    decision AQE makes from runtime stats, made explicit because the
+    loop re-plans per round):
+
+    - small frontier (≤ ``broadcast_edge_threshold`` edge rows): the
+      label relation is broadcast into both joins and the frontier is
+      coalesced to a handful of partitions — each round is a couple of
+      one-stage map jobs, no shuffle, so loop overhead stays ~constant
+      instead of 3 × shuffle.partitions tasks per round;
+    - large frontier: shuffle hash joins keyed on the vertex id — the
+      only shape that holds when the edge-touched vertex set itself is
+      cluster-scale.
 
     Returns ``(id_col, component_id)`` for every vertex — singletons
     keep their own id as the component id, and min-label makes the
@@ -240,6 +254,12 @@ def connected_components(
         )
     ).localCheckpoint()  # materialize the edge list ONCE — without this every
     # propagation round re-executes the upstream candidate-generation pipeline
+    n_edge_rows = both.count()  # cheap: counts the checkpointed RDD
+    small = n_edge_rows <= broadcast_edge_threshold
+    if small:
+        parts = max(1, n_edge_rows // 250_000 + 1)
+        if parts < both.rdd.getNumPartitions():
+            both = both.coalesce(parts).localCheckpoint()
     # propagate only over edge-touched vertices: the frontier is O(edges),
     # not O(corpus) — untouched vertices are singletons by definition and
     # join back at the end
@@ -251,13 +271,16 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
+        lbl_u = labels.withColumnRenamed("v", "u")
         neighbor_min = (
-            both.join(labels.withColumnRenamed("v", "u"), "u")
+            both.join(F.broadcast(lbl_u) if small else lbl_u, "u")
             .groupBy("v")
             .agg(F.min("label").alias("_nl"))
         )
         labels = (
-            labels.join(neighbor_min, "v", "left")
+            labels.join(
+                F.broadcast(neighbor_min) if small else neighbor_min, "v", "left"
+            )
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias(
