@@ -96,16 +96,20 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
                 df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
                     c, F.timestamp_micros(F.expr(f"{c} div 1000"))
                 )
-        # The driver-generated parquet is one row group per table → one scan
-        # split → every narrow transform (shingling, minhash, decimal aggs)
-        # runs on a single core. Production inputs are many files/row groups
-        # and split naturally; here we restore scan parallelism by shuffling
-        # the (tiny) table once. Explicit partition count so AQE keeps it
-        # (REPARTITION_BY_NUM is never coalesced); filters still push below
-        # the exchange to the scan.
-        parallelism = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < parallelism:
-            df = df.repartition(parallelism)
+        # The driver-generated parquet is one row group per table → one
+        # scan split. For the CPU-bound map tables (documents: per-shingle
+        # md5/regex work; embeddings: per-vector fold chains) that means
+        # the whole narrow stage runs on a single core, so spread the scan
+        # once with an explicit repartition (REPARTITION_BY_NUM — AQE
+        # never coalesces it; filters still push below the exchange).
+        # Production inputs are many files/row groups and split naturally.
+        # The relational tables (TPC-H, events) are NOT repartitioned:
+        # their work parallelizes at the first aggregation/join shuffle
+        # anyway, and the extra Exchange would pollute every join plan.
+        if t in ("documents", "embeddings"):
+            parallelism = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < parallelism:
+                df = df.repartition(parallelism)
         df.createOrReplaceTempView(t)
         _REGISTERED.add(key)
 
