@@ -119,7 +119,18 @@ def worker(args) -> int:
     controller = JobController(service_id=args.worker_id)
     import time as _time
 
+    # x5f2 heartbeat cadence (StatusMasterInterval default 2 s, MainOpt.h:76)
+    last_status = 0.0
+
+    def heartbeat(force: bool = False) -> None:
+        nonlocal last_status
+        now = _time.monotonic()
+        if force or now - last_status >= args.status_interval_s:
+            transport.send_status(controller.status())
+            last_status = now
+
     while True:
+        heartbeat()  # idle heartbeats too (integration test :61)
         resp = transport.claim_into(controller)
         if resp is None:
             _time.sleep(args.poll_interval_s)
@@ -127,6 +138,11 @@ def worker(args) -> int:
         if not resp.accepted:
             continue
         start = controller.current_job
+        # C5: a start with control_topic redirects status until idle
+        # (Master.cpp:74-76; reverted at setToIdle)
+        if getattr(start, "control_topic", ""):
+            transport.use_alternative_status_channel(start.control_topic)
+        heartbeat(force=True)  # announce writing state immediately
         out_dir = str(Path(args.out_root) / start.job_id)
         ckpt = str(Path(args.out_root) / f"{start.job_id}_ckpt")
         if args.fixture_dir:
@@ -140,11 +156,14 @@ def worker(args) -> int:
                 spark, start, args.brokers, out_dir, checkpoint_dir=ckpt
             )
             while query.isActive and not job.state.finished:
+                heartbeat()
                 _time.sleep(1.0)
             query.stop()
         job.finalize()
         transport.send_finished(controller.finished_writing())
         controller.set_idle()
+        transport.revert_status_channel()
+        heartbeat(force=True)  # idle state announced on the default channel
         if args.once:
             return 0
 
@@ -172,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
     wk.add_argument("--worker-id", default="kafka-to-nexus-spark")
     wk.add_argument("--out-root", default=".")
     wk.add_argument("--poll-interval-s", type=float, default=1.0)
+    wk.add_argument("--status-interval-s", type=float, default=2.0,
+                    help="x5f2 heartbeat interval (StatusMasterInterval)")
     wk.add_argument("--master", default="local[*]")
     wk.add_argument("--once", action="store_true", help="exit after one job")
     wk.add_argument("--fixture-dir", default="",

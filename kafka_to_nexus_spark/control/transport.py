@@ -36,6 +36,18 @@ class FilePoolTransport:
         self.worker_id = worker_id
         self._claim_dir = self.pool / "claimed"
         self._claim_dir.mkdir(exist_ok=True)
+        self._status_channel: str | None = None
+
+    # -- alternative status channel (C5) -----------------------------------
+    # A start message may carry control_topic; status then goes there until
+    # the job ends (Master.cpp:74-76 useAlternativeStatusTopic; reverted at
+    # setToIdle, Master.cpp:139-160 / StatusReporterBase).
+
+    def use_alternative_status_channel(self, name: str) -> None:
+        self._status_channel = name
+
+    def revert_status_channel(self) -> None:
+        self._status_channel = None
 
     # -- producer side ----------------------------------------------------
 
@@ -83,7 +95,12 @@ class FilePoolTransport:
             f.write(json.dumps({"type": "answ", **asdict(resp)}) + "\n")
 
     def send_status(self, status: dict) -> None:
-        with open(self.pool / "status.jsonl", "a") as f:
+        name = (
+            f"status_{self._status_channel}.jsonl"
+            if self._status_channel
+            else "status.jsonl"
+        )
+        with open(self.pool / name, "a") as f:
             f.write(json.dumps({"type": "x5f2", **status}) + "\n")
 
     def send_finished(self, wrdn: dict) -> None:

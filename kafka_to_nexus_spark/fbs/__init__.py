@@ -81,6 +81,8 @@ def encode_fixture(item: dict) -> bytes:
             data = [data]
         return ess.encode_ad00_uint16(source, data, ts_ms)
     if schema == "da00":
+        if item.get("variables"):  # full multi-variable frame form
+            return ess.encode_da00(source, ts_ms, item["variables"])
         return ess.encode_da00_int32(
             source, item.get("name", ""), item.get("axis_name", ""), ts_ms,
             item.get("data", []),

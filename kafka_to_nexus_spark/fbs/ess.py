@@ -207,6 +207,68 @@ def encode_ad00_uint16(source: str, values_2d: list[list[int]], timestamp_ms: in
     return b.finish(b.end_table(), "ad00")
 
 
+DA00_DTYPE_CODES = {
+    "int8": 1, "uint8": 2, "int16": 3, "uint16": 4, "int32": 5,
+    "uint32": 6, "int64": 7, "uint64": 8, "float32": 9, "float64": 10,
+}
+DA00_DTYPE_NAMES = {v: k for k, v in DA00_DTYPE_CODES.items()}
+
+
+def _encode_da00_variable(b: Builder, spec: dict) -> int:
+    """One da00 Variable table (slots: 0 name, 1 unit, 2 label, 3 source,
+    4 data_type, 5 axes, 6 shape, 7 data). ``spec`` mirrors the
+    da00_variables envelope struct; data packs per declared data_type
+    (default float64)."""
+    import struct as _struct
+
+    dtype = spec.get("data_type") or "float64"
+    code = DA00_DTYPE_CODES[dtype]
+    fmt = DA00_DTYPE_FMT[code]
+    data = spec.get("data") or []
+    cast = float if fmt in ("f", "d") else int
+    raw_bytes = _struct.pack(f"<{len(data)}{fmt}", *[cast(v) for v in data])
+    name = b.create_string(spec["name"])
+    unit = b.create_string(spec["unit"]) if spec.get("unit") else None
+    label = b.create_string(spec["label"]) if spec.get("label") else None
+    src = b.create_string(spec["source"]) if spec.get("source") else None
+    axes = (
+        b.create_offset_vector([b.create_string(a) for a in spec["axes"]])
+        if spec.get("axes")
+        else None
+    )
+    shape = b.create_vector("q", [int(d) for d in (spec.get("shape") or [len(data)])])
+    raw = b.create_vector("B", raw_bytes)
+    b.start_table(8)
+    b.add_offset(7, raw)
+    b.add_offset(6, shape)
+    if axes:
+        b.add_offset(5, axes)
+    b.add_scalar(4, "B", code, default=None)
+    if src:
+        b.add_offset(3, src)
+    if label:
+        b.add_offset(2, label)
+    if unit:
+        b.add_offset(1, unit)
+    b.add_offset(0, name)
+    return b.end_table()
+
+
+def encode_da00(source: str, timestamp_ms: int, variables: list[dict]) -> bytes:
+    """da00 DataArray with N variables (the reference's full multi-variable
+    frame form, da00_Writer.cpp:210-287). DataArray slots: 0 source_name,
+    1 timestamp, 2 variables."""
+    b = Builder()
+    src = b.create_string(source)
+    var_offsets = [_encode_da00_variable(b, v) for v in variables]
+    variables_vec = b.create_offset_vector(var_offsets)
+    b.start_table(3)
+    b.add_offset(2, variables_vec)
+    b.add_scalar(1, "q", timestamp_ms * MS_TO_NS, default=None)
+    b.add_offset(0, src)
+    return b.finish(b.end_table(), "da00")
+
+
 def encode_da00_int32(
     source: str, name: str, axis_name: str, timestamp_ms: int, data: list[int]
 ) -> bytes:
@@ -327,29 +389,48 @@ def _decode_ad00(t: Table) -> dict:
     }
 
 
-def _decode_da00(t: Table) -> dict:
+def _decode_da00_variable(v: Table) -> dict:
     import struct as _struct
 
+    code = v.scalar(4, "B")
+    fmt = DA00_DTYPE_FMT.get(code)
+    raw = bytes(v.vector(7, "B") or [])
+    data = None
+    if fmt is not None and raw:
+        n = len(raw) // _struct.calcsize("<" + fmt)
+        data = [
+            float(x)
+            for x in _struct.unpack(f"<{n}{fmt}", raw[: n * _struct.calcsize("<" + fmt)])
+        ]
+    return {
+        "name": v.string(0),
+        "unit": v.string(1),
+        "label": v.string(2),
+        "source": v.string(3),
+        "data_type": DA00_DTYPE_NAMES.get(code),
+        "axes": v.string_vector(5),
+        "shape": v.vector(6, "q"),
+        "data": data,
+    }
+
+
+def _decode_da00(t: Table) -> dict:
     out: dict = {
         "source_name": t.string(0),
         "timestamp": t.scalar(1, "q", None),
         "name": None,
         "axis_name": None,
         "data": None,
+        "da00_variables": None,
     }
-    variables = t.table_vector(2)
+    variables = [_decode_da00_variable(v) for v in t.table_vector(2) or []]
     if variables:
-        v = variables[0]  # envelope fixture form carries one variable
-        out["name"] = v.string(0)
-        axes = v.string_vector(5)
-        out["axis_name"] = axes[0] if axes else None
-        fmt = DA00_DTYPE_FMT.get(v.scalar(4, "B"))
-        raw = bytes(v.vector(7, "B") or [])
-        if fmt is not None and raw:
-            n = len(raw) // _struct.calcsize("<" + fmt)
-            out["data"] = [
-                float(x) for x in _struct.unpack(f"<{n}{fmt}", raw[: n * _struct.calcsize('<' + fmt)])
-            ]
+        out["da00_variables"] = variables
+        # single-variable convenience fields (fixture-form compatibility)
+        first = variables[0]
+        out["name"] = first["name"]
+        out["axis_name"] = first["axes"][0] if first["axes"] else None
+        out["data"] = first["data"]
     return out
 
 

@@ -34,6 +34,55 @@ def _drop_buffered(df: DataFrame) -> DataFrame:
     return df
 
 
+def cue(df: DataFrame, config: dict | None = None) -> DataFrame:
+    """K4 — event cue index (ev44_Writer.cpp:127-134): after appending a
+    message, when ``EventsWritten > LastCueIndex + CueInterval`` emit
+    ``(cue_index = EventsWritten - 1, cue_timestamp_zero = last
+    reference_time + last time_of_flight)`` and move the threshold.
+
+    The threshold recurrence is data-dependent (each emission's position
+    feeds the next test), so it is inherently sequential in message
+    order — exactly the reference's single-writer loop. The Spark form
+    runs it over the per-MESSAGE summary (3 longs per message, ~10³×
+    smaller than the event stream; the cumulative counts come from the
+    parallel two-pass ``with_cumulative_before``), as one applyInPandas
+    group. Past ~10⁸ messages per source, block the summary and carry
+    (events_after, last_cue) across blocks — same recurrence, chunked."""
+    import pandas as pd
+
+    interval = (config or {}).get("cue_interval") or DEFAULTS["cue_interval"]
+    df = _drop_buffered(df)
+    n_events = F.size("time_of_flight")
+    summary = (
+        with_cumulative_before(df.filter(n_events > 0), n_events, "_events_before")
+        .select(
+            "partition",
+            "offset",
+            (F.col("_events_before") + F.size("time_of_flight")).alias("_events_after"),
+            (
+                F.element_at("reference_time", -1)
+                + F.element_at("time_of_flight", -1)
+            ).alias("_last_event_ts"),
+        )
+    )
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["partition", "offset"])
+        last = -1  # LastCueIndex initial value (ev44_Writer.h:51)
+        idx, ts = [], []
+        for ea, t in zip(pdf["_events_after"], pdf["_last_event_ts"]):
+            if ea > last + interval:
+                idx.append(int(ea) - 1)
+                ts.append(int(t))
+                last = int(ea) - 1
+        return pd.DataFrame({"cue_index": idx, "cue_timestamp_zero": ts})
+
+    return (
+        summary.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(emit, "cue_index long, cue_timestamp_zero long")
+    )
+
+
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
     df = _drop_buffered(df)
     n_events = F.size("time_of_flight")
@@ -59,7 +108,10 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
         "event_time_zero",
         (F.col("_rti") + F.col("_events_before")).alias("event_index"),
     )
-    return {"events": events, "pulses": pulses}
+    out = {"events": events, "pulses": pulses}
+    if (config or {}).get("cue_interval"):
+        out["cue"] = cue(df, config)
+    return out
 
 
 def aggregates(df: DataFrame, config: dict | None = None) -> DataFrame:

@@ -91,3 +91,50 @@ def test_worker_full_loop_broker_free(tmp_path, spark):
     assert responses[1]["job_id"] == jid and not responses[1]["error_encountered"]
     out_dir = tmp_path / "jobs" / jid
     assert (out_dir / "_nexus_meta.json").exists()
+
+
+def test_worker_status_heartbeats_and_alt_channel(tmp_path, spark):
+    """C5: idle/writing x5f2 heartbeats; a start with control_topic
+    redirects status there until idle (Master.cpp:74-76, reverted at
+    setToIdle), then the idle heartbeat lands back on the default
+    channel."""
+    import uuid
+
+    from kafka_to_nexus_spark.__main__ import main
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+    from kafka_to_nexus_spark.sources.fixtures import _normalize_row
+
+    pool = tmp_path / "pool"
+    fixtures = tmp_path / "in"
+    fixtures.mkdir()
+    offsets: dict = {}
+    (fixtures / "data.json").write_text(json.dumps(_normalize_row(
+        {"schema": "f144", "topic": "local_choppers",
+         "source_name": "local:choppers:delay", "kafka_timestamp": 11_000,
+         "timestamp": 11_000, "value": 5.0, "offset": 0}, offsets)))
+
+    tpl = json.loads(open(
+        "/root/reference/domain-tests/nexus_templates/buffered_template.json"
+    ).read())
+    producer = FilePoolTransport(pool, "producer")
+    jid = str(uuid.uuid4())
+    producer.offer({"job_id": jid, "filename": "f.nxs", "nexus_structure": tpl,
+                    "start_time": 10_000, "stop_time": 15_000,
+                    "control_topic": "alt_status"})
+
+    rc = main([
+        "kafka-to-nexus", "--transport", "file", "--pool-dir", str(pool),
+        "--worker-id", "w0", "--out-root", str(tmp_path / "jobs"),
+        "--fixture-dir", str(fixtures), "--once", "--master", "local[4]",
+    ])
+    assert rc == 0
+    default = [json.loads(l) for l in
+               (pool / "status.jsonl").read_text().splitlines()]
+    alt = [json.loads(l) for l in
+           (pool / "status_alt_status.jsonl").read_text().splitlines()]
+    # writing status went to the alternative channel
+    assert any(s["state"] == "writing" and s["job_id"] == jid for s in alt)
+    # idle heartbeat (pre-claim) and the post-job idle revert on default
+    assert default[0]["state"] == "idle"
+    assert default[-1]["state"] == "idle"
+    assert all(s["state"] != "writing" for s in default)

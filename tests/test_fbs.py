@@ -295,3 +295,53 @@ def test_wire_layer_drives_fsm_from_buffers():
 
     # feedback traffic on the same topic is ignored, not answered
     assert handle_command_buffer(ctl, status_buffer(ctl)) == (None, None)
+
+
+def test_da00_multi_variable_roundtrip():
+    """Full multi-variable DataArray frame: N Variable tables with unit/
+    label/axes/shape/dtype survive encode → decode (da00_Writer.cpp
+    multi-variable form); the first variable also populates the
+    single-variable convenience fields."""
+    variables = [
+        {"name": "signal", "unit": "counts", "label": "histogram",
+         "data_type": "int32", "axes": ["x"], "shape": [4],
+         "data": [1, 2, 3, 4]},
+        {"name": "errors", "data_type": "float64", "axes": ["x"],
+         "shape": [4], "data": [0.1, 0.2, 0.3, 0.4]},
+        {"name": "x", "data_type": "float32", "shape": [5],
+         "data": [0.0, 1.0, 2.0, 3.0, 4.0]},
+    ]
+    d = ess.decode(ess.encode_da00("hist", 10_500, variables))
+    assert d["timestamp"] == 10_500_000_000
+    vs = d["da00_variables"]
+    assert [v["name"] for v in vs] == ["signal", "errors", "x"]
+    assert vs[0]["unit"] == "counts" and vs[0]["label"] == "histogram"
+    assert vs[0]["data_type"] == "int32" and vs[0]["axes"] == ["x"]
+    assert vs[0]["data"] == [1.0, 2.0, 3.0, 4.0]
+    assert vs[1]["data"] == [0.1, 0.2, 0.3, 0.4]
+    assert vs[2]["data_type"] == "float32" and vs[2]["shape"] == [5]
+    # convenience fields mirror the first variable
+    assert d["name"] == "signal" and d["axis_name"] == "x"
+    assert d["data"] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_da00_multi_variable_binary_to_pivot(spark):
+    """Binary multi-variable frames → decode → da00.transform pivots to
+    data_<name> columns (the staging form the pack step stacks)."""
+    from kafka_to_nexus_spark.modules import da00
+
+    items = [
+        {"schema": "da00", "source_name": "hist", "timestamp": 11_000 + i,
+         "variables": [
+             {"name": "signal", "data_type": "int32", "axes": ["x"],
+              "data": [i, i + 1]},
+             {"name": "errors", "data_type": "float64", "axes": ["x"],
+              "data": [0.5 * i, 0.5 * i + 0.25]},
+         ]}
+        for i in range(3)
+    ]
+    env = fbs.decode_kafka_flatbuffers(_binary_kafka_df(spark, items))
+    out = da00.transform(env, {"variables": [{"name": "signal"}, {"name": "errors"}]})
+    rows = out["frames"].orderBy("time").collect()
+    assert [r.data_signal for r in rows] == [[0.0, 1.0], [1.0, 2.0], [2.0, 3.0]]
+    assert [r.data_errors for r in rows] == [[0.0, 0.25], [0.5, 0.75], [1.0, 1.25]]

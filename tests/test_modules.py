@@ -212,3 +212,56 @@ def test_mdat_values():
     assert out == {"start_time": "1970-01-01T00:00:10.000Z", "end_time": "1970-01-01T00:00:15.000Z"}
     out2 = mdat.values({"items": ["start_time", "end_time"]}, 10_000, None)
     assert "end_time" not in out2
+
+
+def test_ev44_cue_matches_reference_recurrence(spark):
+    """ev44_Writer.cpp:127-134: cue emitted when EventsWritten passes
+    LastCueIndex (init -1) + CueInterval; cue_index = EventsWritten-1,
+    cue_timestamp_zero = last reference_time + last time_of_flight."""
+    import random
+
+    rng = random.Random(42)
+    rows, counts = [], []
+    for i in range(40):
+        n = rng.choice([0, 1, 2, 3, 5, 8])
+        counts.append(n)
+        rows.append({
+            "schema": "ev44", "topic": "t", "source_name": "d",
+            "kafka_timestamp": 10_000 + i, "timestamp": 10_000 + i,
+            "message_id": i, "reference_time": 10_000 + i,
+            "time_of_flight": list(range(100, 100 + n)),
+            "pixel_ids": list(range(n)), "offset": i,
+        })
+    interval = 7
+    got = [
+        (r.cue_index, r.cue_timestamp_zero)
+        for r in ev44.cue(
+            messages_from_json(spark, rows), {"cue_interval": interval}
+        ).orderBy("cue_index").collect()
+    ]
+    # straight single-writer simulation
+    want, written, last = [], 0, -1
+    for i, n in enumerate(counts):
+        if n == 0:
+            continue
+        written += n
+        if written > last + interval:
+            ts = (10_000 + i) * 1_000_000 + (100 + n - 1)
+            want.append((written - 1, ts))
+            last = written - 1
+    assert got == want and len(want) >= 3
+
+
+def test_ev44_transform_emits_cue_when_configured(spark):
+    rows = [
+        {"schema": "ev44", "topic": "t", "source_name": "d",
+         "kafka_timestamp": 10_000 + i, "timestamp": 10_000 + i,
+         "message_id": i, "reference_time": 10_000 + i,
+         "time_of_flight": [1, 2, 3], "pixel_ids": [1, 2, 3], "offset": i}
+        for i in range(4)
+    ]
+    out = ev44.transform(messages_from_json(spark, rows), {"cue_interval": 5})
+    assert "cue" in out
+    cues = out["cue"].orderBy("cue_index").collect()
+    # events_after: 3,6,9,12 → cues at 6-1=5 and 12-1=11
+    assert [c.cue_index for c in cues] == [5, 11]
