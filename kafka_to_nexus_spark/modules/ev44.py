@@ -34,7 +34,12 @@ def _drop_buffered(df: DataFrame) -> DataFrame:
     return df
 
 
-def cue(df: DataFrame, config: dict | None = None) -> DataFrame:
+def cue(
+    df: DataFrame,
+    config: dict | None = None,
+    events_base: int = 0,
+    last_cue: int = -1,
+) -> DataFrame:
     """K4 — event cue index (ev44_Writer.cpp:127-134): after appending a
     message, when ``EventsWritten > LastCueIndex + CueInterval`` emit
     ``(cue_index = EventsWritten - 1, cue_timestamp_zero = last
@@ -47,7 +52,11 @@ def cue(df: DataFrame, config: dict | None = None) -> DataFrame:
     smaller than the event stream; the cumulative counts come from the
     parallel two-pass ``with_cumulative_before``), as one applyInPandas
     group. Past ~10⁸ messages per source, block the summary and carry
-    (events_after, last_cue) across blocks — same recurrence, chunked."""
+    (events_after, last_cue) across blocks — same recurrence, chunked.
+
+    ``events_base``/``last_cue`` carry the writer state across micro-
+    batches (streaming mode): EventsWritten before this batch and the
+    LastCueIndex reached so far."""
     import pandas as pd
 
     interval = (config or {}).get("cue_interval") or DEFAULTS["cue_interval"]
@@ -58,7 +67,9 @@ def cue(df: DataFrame, config: dict | None = None) -> DataFrame:
         .select(
             "partition",
             "offset",
-            (F.col("_events_before") + F.size("time_of_flight")).alias("_events_after"),
+            (
+                F.col("_events_before") + F.size("time_of_flight") + F.lit(events_base)
+            ).alias("_events_after"),
             (
                 F.element_at("reference_time", -1)
                 + F.element_at("time_of_flight", -1)
@@ -68,7 +79,7 @@ def cue(df: DataFrame, config: dict | None = None) -> DataFrame:
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["partition", "offset"])
-        last = -1  # LastCueIndex initial value (ev44_Writer.h:51)
+        last = last_cue  # LastCueIndex; initial -1 (ev44_Writer.h:51)
         idx, ts = [], []
         for ea, t in zip(pdf["_events_after"], pdf["_last_event_ts"]):
             if ea > last + interval:

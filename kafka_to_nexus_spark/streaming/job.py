@@ -150,6 +150,8 @@ class StreamingJobState:
     asof_buffer: dict[tuple[str, str], Row] = field(default_factory=dict)
     asof_emitted: set = field(default_factory=set)
     events_written: dict[tuple[str, str], int] = field(default_factory=dict)
+    # K4 ev44 cue state: LastCueIndex per source (ev44_Writer.h:51)
+    cue_last: dict[tuple[str, str], int] = field(default_factory=dict)
     # F4 across micro-batches: ts of the last row written per dedup'ing
     # source — the reference's SourceFilter keeps this across polls
     # (SourceFilter.cpp:90-95), so a repeat straddling a batch boundary
@@ -192,6 +194,7 @@ def _save_job_state(state: StreamingJobState, out_dir: str) -> None:
         "asof_buffer": [[list(k), buf_dict(v)] for k, v in state.asof_buffer.items()],
         "asof_emitted": [list(k) for k in state.asof_emitted],
         "events_written": [[list(k), v] for k, v in state.events_written.items()],
+        "cue_last": [[list(k), v] for k, v in state.cue_last.items()],
         "last_written_ts": [[list(k), v] for k, v in state.last_written_ts.items()],
         "batches_processed": state.batches_processed,
         "last_spark_batch_id": state.last_spark_batch_id,
@@ -216,6 +219,7 @@ def _load_job_state(out_dir: str) -> StreamingJobState | None:
     st.asof_buffer = {tuple(k): v for k, v in raw["asof_buffer"]}
     st.asof_emitted = {tuple(k) for k in raw["asof_emitted"]}
     st.events_written = {tuple(k): v for k, v in raw["events_written"]}
+    st.cue_last = {tuple(k): v for k, v in raw.get("cue_last", [])}
     st.last_written_ts = {tuple(k): v for k, v in raw["last_written_ts"]}
     st.batches_processed = raw["batches_processed"]
     st.last_spark_batch_id = raw.get("last_spark_batch_id", -1)
@@ -485,6 +489,35 @@ class StreamingJob:
                 if dataset not in written:
                     written.append(dataset)
             if binding.module == "ev44":
+                # K4 streaming cue: run the threshold recurrence for this
+                # batch with the carried writer state (EventsWritten /
+                # LastCueIndex); cue rows are ≈ batch_events/interval — a
+                # bounded driver collect — and stage like any dataset.
+                interval = (binding.config or {}).get("cue_interval")
+                if interval:
+                    from ..modules import ev44 as ev44_mod
+
+                    cue_rows = ev44_mod.cue(
+                        src,
+                        binding.config,
+                        events_base=st.events_written.get(key, 0),
+                        last_cue=st.cue_last.get(key, -1),
+                    ).collect()
+                    if cue_rows:
+                        st.cue_last[key] = max(r["cue_index"] for r in cue_rows)
+                        cue_df = (
+                            self.spark.createDataFrame(
+                                cue_rows, "cue_index long, cue_timestamp_zero long"
+                            )
+                            .withColumn("_row_order", F.col("cue_index"))
+                            .withColumn("batch", F.lit(batch_seq))
+                        )
+                        write_tasks.append((
+                            cue_df,
+                            str(staging.dataset_dir(self.out_dir, binding.path, "cue")),
+                        ))
+                        if "cue" not in written:
+                            written.append("cue")
                 st.events_written[key] = st.events_written.get(key, 0) + int(
                     event_counts.get(key, 0)
                 )

@@ -449,3 +449,55 @@ def test_real_streaming_query_from_file_source(spark, tmp_path):
     assert got == [(9_000_000_000, 3.0), (11_000_000_000, 7.0),
                    (12_000_000_000, 9.0)]
     assert job.state.metrics["messages_received"] == 3
+
+
+def test_streaming_ev44_cue_matches_batch_recurrence(spark, tmp_path):
+    """K4 across micro-batches: the ev44 cue recurrence carries
+    (EventsWritten, LastCueIndex) in StreamingJobState, so slicing the
+    stream into batches yields the same cue table as one batch pass."""
+    tpl = json.loads(
+        (DOMAIN_TEMPLATES / "messages_before_and_after_template.json").read_text()
+    )
+    # give the ev44 binding a small cue interval
+    def set_cue(node):
+        if isinstance(node, dict):
+            if node.get("module") == "ev44":
+                node.setdefault("config", {})["cue_interval"] = 4
+            for v in node.values():
+                set_cue(v)
+        elif isinstance(node, list):
+            for v in node:
+                set_cue(v)
+    set_cue(tpl)
+    start = StartMessage(
+        job_id="stream-ev44-cue", filename="f", nexus_structure=tpl,
+        start_time_ms=10_000, stop_time_ms=15_000,
+    )
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+    ev_binding = [s for s in job.plan.streams if s.module == "ev44"][0]
+    ev_src = ev_binding.source
+    batches = [
+        [ev44(11_000, [1, 2, 3], [1, 2, 3], source=ev_src, offset=0)],
+        [ev44(12_000, [4, 5], [4, 5], source=ev_src, offset=1)],
+        [ev44(13_000, [6, 7, 8], [6, 7, 8], source=ev_src, offset=2)],
+        [ev44(14_000, [9, 10, 11], [9, 10, 11], source=ev_src, offset=3)],
+    ]
+    for i, rows in enumerate(batches):
+        job.process_batch(messages_from_json(spark, rows), i)
+    got = [
+        (r.cue_index, r.cue_timestamp_zero)
+        for r in read_dataset(spark, job, ev_binding.path, "cue")
+        .orderBy("cue_index").collect()
+    ]
+    # one-shot batch recurrence over the concatenated stream
+    from kafka_to_nexus_spark.modules import ev44 as ev44_mod
+
+    all_rows = [r for b in batches for r in b]
+    want = [
+        (r.cue_index, r.cue_timestamp_zero)
+        for r in ev44_mod.cue(
+            messages_from_json(spark, all_rows), {"cue_interval": 4}
+        ).orderBy("cue_index").collect()
+    ]
+    assert got == want and len(want) >= 2
+    assert job.state.cue_last[("ev44", ev_src)] == want[-1][0]
