@@ -471,6 +471,110 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+# q7 volume shipping: bilateral trade volume between two nations by year.
+# Full TPC-H shape (two nation aliases, 5-way join, year grouping); the
+# reduced schema carries every needed column.
+SPARK_SQL["q7_volume_shipping"] = ORACLE["q7_volume_shipping"] = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# q8 national market share: share of one nation's suppliers in a region's
+# order volume for one part type, by year.
+SPARK_SQL["q8_market_share"] = ORACLE["q8_market_share"] = """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND p_type IN ('PROMO', 'ECONOMY')
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# q9 product-type profit: TPC-H computes amount from ps_supplycost; the
+# reduced schema has no partsupp, so cost is proxied by p_retailprice
+# (deterministic, same join/agg shape: 4-way join, LIKE filter on p_name,
+# group by nation and year).
+SPARK_SQL["q9_product_profit"] = ORACLE["q9_product_profit"] = """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+         - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,1)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+# q12 shipping delay by priority: the reduced schema has no l_shipmode /
+# commit/receipt dates, so "late" = shipped more than 90 days after the
+# order date; the CASE-split priority counting is the q12 shape.
+SPARK_SQL["q12_late_shipping"] = ORACLE["q12_late_shipping"] = """
+SELECT year(l_shipdate) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+"""
+
+# q20 potential part promotion: suppliers who shipped more than 1.1x the
+# per-supplier average quantity of 'forest'-prefixed parts (partsupp-free
+# adaptation keeping the nested-aggregate + semi-join shape).
+SPARK_SQL["q20_part_promotion"] = ORACLE["q20_part_promotion"] = """
+WITH forest_ship AS (
+  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_suppkey
+)
+SELECT s_name, CAST(qty AS DOUBLE) AS forest_qty
+FROM supplier JOIN forest_ship ON s_suppkey = l_suppkey
+WHERE qty > (SELECT avg(qty) * 1.1 FROM forest_ship)
+ORDER BY s_name
+"""
+
 SPARK_SQL["q6_forecast_revenue"] = ORACLE["q6_forecast_revenue"] = """
 SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem
