@@ -1610,6 +1610,60 @@ ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
 """
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of: like asof_join_streams but matches older
+    than 30 days are nulled (pandas merge_asof(tolerance=...) semantics;
+    operators/asof_join.py tolerance arm). Oracle: DuckDB ASOF keeps the
+    match unconditionally, a CASE re-applies the bound."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof_join import asof_join_backward
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    tol_us = 30 * 86_400_000_000  # 30 days in µs
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return asof_join_backward(
+        left, right, keys=["user_id"], ts="ts_us",
+        right_values=["value"], tolerance=tol_us,
+    ).select("event_id", "user_id", "value", F.col("asof_value"))
+
+
+ORACLE["asof_join_tolerance"] = """
+SELECT e.event_id, e.user_id, e.value,
+       CASE WHEN s.ts >= e.ts - INTERVAL 30 DAY THEN s.value END AS asof_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
+                FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+# Second-moment aggregate battery: corr / covariance / variance families —
+# standard analytics surface, both engines implement the same co-moment
+# definitions. Map-side partial aggregation applies (AggregateExpression
+# partials), so the shuffle carries per-task moment tuples.
+SPARK_SQL["stats_battery"] = ORACLE["stats_battery"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(avg(value) AS DOUBLE), 6) AS avg_value,
+       round(CAST(stddev_samp(value) AS DOUBLE), 5) AS sd_value,
+       round(CAST(var_samp(value) AS DOUBLE), 4) AS var_value,
+       round(CAST(corr(value, CAST(hour(ts) AS DOUBLE)) AS DOUBLE), 6) AS corr_value_hour,
+       round(CAST(covar_samp(value, CAST(hour(ts) AS DOUBLE)) AS DOUBLE), 5) AS covar_value_hour
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution range join: count purchases inside each signup's
     2-day window per user. Spark side is the bucketed equi-join
@@ -1959,6 +2013,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _q_quality,
     "asof_join_streams": _q_asof_join,
     "asof_join_forward": _q_asof_forward,
+    "asof_join_tolerance": _q_asof_tolerance,
     "range_join_attribution": _q_range_join,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "multimodal_features": _q_multimodal_features,
@@ -2005,6 +2060,7 @@ _PRIORITY = (
     "quality_score",
     "asof_join_streams",
     "asof_join_forward",
+    "asof_join_tolerance",
     "range_join_attribution",
     "ngram_jaccard_pairs",
     "multimodal_features",
