@@ -102,3 +102,158 @@ def batch_equivalent(df: DataFrame) -> DataFrame:
         (F.sum("value") / F.count("value")).alias("average_value"),
         F.count("value").alias("n_values"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermarked windowed aggregation — the built-in late-data path.
+# ---------------------------------------------------------------------------
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Per-source tumbling-window counts/sums with a watermark bounding
+    late data. In append output mode a window is emitted exactly once,
+    when the watermark passes its end; data arriving after that
+    finalization is discarded and never re-emitted. (The guarantee is
+    one-directional: a late-but-pre-eviction row may still aggregate.)
+    The state store holds only open windows, so state is
+    O(open windows × sources) regardless of stream length.
+
+    The engine analog of the reference's leeway handling
+    (BeforeStartTime/AfterStopTime, src/StreamerOptions.h:24-25): late
+    arrivals inside the leeway participate, older ones are dropped —
+    except Spark applies it per window instead of only at the job edge.
+    """
+    from pyspark.sql import functions as F
+
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    ).withWatermark("event_time", watermark)
+    return (
+        with_time.groupBy(
+            F.window("event_time", window).alias("win"), F.col("source_name")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "source_name",
+            "n_messages",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful session windows — applyInPandasWithState + event-time timeout.
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("source_name", StringType()),
+        StructField("session_start_ns", LongType()),
+        StructField("session_end_ns", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# state: open session (start, end, count) in ns
+_SESSION_STATE = "start long, end long, n long"
+
+
+def _make_session_fn(gap_ns: int):
+    def update(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # Event-time timeout: the watermark passed the open session's
+        # gap horizon with no new data → the session is final.
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "source_name": [key[0]],
+                    "session_start_ns": [s],
+                    "session_end_ns": [e],
+                    "n_events": [n],
+                }
+            )
+            return
+        cur = state.get if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        ts_all = (
+            pd.concat([pdf["timestamp"] for pdf in pdfs]).dropna().sort_values()
+        )
+        for t in ts_all:
+            t = int(t)
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_ns:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:  # intra-batch gap: previous session is definitively over
+                closed.append(cur)
+                cur = (t, t, 1)
+        if cur is not None:
+            state.update(cur)
+            # wake when the watermark passes end + gap (ms precision)
+            state.setTimeoutTimestamp((cur[1] + gap_ns) // 1_000_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "source_name": [key[0]] * len(closed),
+                    "session_start_ns": [c[0] for c in closed],
+                    "session_end_ns": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return update
+
+
+def session_windows(
+    stream: DataFrame,
+    gap: str = "1 minute",
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Event-time session windows per source with a custom stateful
+    operator: rows within ``gap`` of the open session extend it; a gap
+    inside a batch closes the previous session immediately; an idle
+    session closes when the watermark passes its gap horizon
+    (``GroupStateTimeout.EventTimeTimeout``). State is one (start, end,
+    count) tuple per source in the checkpointed state store — the shape
+    ``applyInPandasWithState`` exists for: semantics the built-in
+    ``session_window`` aggregation can't express per-key (e.g. emitting
+    intra-batch closures eagerly, or extending to per-session payloads).
+    """
+    from pyspark.sql import functions as F
+
+    gap_ns = _parse_duration_ns(gap)
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    ).withWatermark("event_time", watermark)
+    return with_time.groupBy("source_name").applyInPandasWithState(
+        _make_session_fn(gap_ns),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _parse_duration_ns(text: str) -> int:
+    qty, unit = text.split()
+    mult = {
+        "second": 1_000_000_000, "seconds": 1_000_000_000,
+        "minute": 60_000_000_000, "minutes": 60_000_000_000,
+        "hour": 3_600_000_000_000, "hours": 3_600_000_000_000,
+    }[unit]
+    return int(qty) * mult

@@ -501,3 +501,110 @@ def test_streaming_ev44_cue_matches_batch_recurrence(spark, tmp_path):
     ]
     assert got == want and len(want) >= 2
     assert job.state.cue_last[("ev44", ev_src)] == want[-1][0]
+
+
+def _file_stream(spark, fixture_dir):
+    from kafka_to_nexus_spark.schemas import MESSAGE_SCHEMA
+
+    return (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file = one micro-batch
+        .json(str(fixture_dir))
+    )
+
+
+def _write_fixture(fixture_dir, name, rows, seq=0):
+    """One JSON-lines file per micro-batch. The file source orders files
+    by modification time, so stamp strictly increasing mtimes to pin the
+    batch sequence."""
+    import os
+    import time
+
+    from kafka_to_nexus_spark.sources.fixtures import _normalize_row
+
+    offsets: dict = {}
+    path = fixture_dir / name
+    path.write_text(
+        "\n".join(json.dumps(_normalize_row(r, offsets)) for r in rows))
+    base = time.time() - 1000
+    os.utime(path, (base + seq * 10, base + seq * 10))
+
+
+def test_watermarked_window_drops_late_and_finalizes(spark, tmp_path):
+    """Watermark + tumbling window in append mode: a window is emitted
+    exactly once, when the watermark passes its end; data arriving after
+    that finalization is discarded and the window is never re-emitted
+    (Spark's one-directional late-data guarantee — rows late-but-within
+    still-live state may aggregate, rows after eviction cannot)."""
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    # batch 1: two rows in window [0,60s) — watermark ends at 20s-10s
+    _write_fixture(fixture_dir, "f1.json", [
+        f144(10_000, 1.0, offset=0), f144(20_000, 2.0, offset=1)], seq=0)
+    # batch 2: far-ahead row pushes the watermark to 190s
+    _write_fixture(fixture_dir, "f2.json", [f144(200_000, 5.0, offset=2)], seq=1)
+    # batch 3: another on-time row; during this batch the 190s watermark
+    # evicts + emits window [0,60) with exactly the two on-time rows
+    _write_fixture(fixture_dir, "f3.json", [f144(210_000, 6.0, offset=3)], seq=2)
+    # batch 4: late row at 30s — its window is already finalized → dropped,
+    # and append mode guarantees no re-emission
+    _write_fixture(fixture_dir, "f4.json", [f144(30_000, 9.0, offset=4)], seq=3)
+
+    out = stateful.windowed_counts(
+        _file_stream(spark, fixture_dir), window="1 minute",
+        watermark="10 seconds")
+    q = (out.writeStream.format("memory").queryName("wm_windows")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.window_start.isoformat(), r.n_messages, r.sum_value)
+        for r in spark.table("wm_windows").collect()
+    ]
+    # the [0,60) window finalized with exactly the two on-time rows,
+    # emitted exactly once; the late 9.0 row appears nowhere
+    assert rows.count(("1970-01-01T00:00:00", 2, 3.0)) == 1, rows
+    assert not any(s == 9.0 or n == 3 for _, n, s in rows)
+
+
+def test_stateful_session_windows_close_by_gap_and_timeout(spark, tmp_path):
+    """Custom sessionization via applyInPandasWithState with an
+    event-time timeout: an intra-batch gap closes a session eagerly; an
+    idle session closes when the watermark passes its gap horizon."""
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    # batch 1: session A = rows at 10s,20s (within 60s gap)
+    _write_fixture(fixture_dir, "f1.json", [
+        f144(10_000, 1.0, offset=0), f144(20_000, 1.0, offset=1)], seq=0)
+    # batch 2: row at 300s — gap > 60s closes session A in-batch and
+    # opens session B
+    _write_fixture(fixture_dir, "f2.json", [f144(300_000, 1.0, offset=2)], seq=1)
+    # batch 3: row at 900s advances the watermark past B's horizon
+    # (300s + 60s gap) → B closes via EventTimeTimeout
+    _write_fixture(fixture_dir, "f3.json", [f144(900_000, 1.0, offset=3)], seq=2)
+
+    out = stateful.session_windows(
+        _file_stream(spark, fixture_dir), gap="1 minute",
+        watermark="10 seconds")
+    q = (out.writeStream.format("memory").queryName("sess_windows")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.session_start_ns, r.session_end_ns, r.n_events)
+        for r in spark.table("sess_windows").collect()
+    }
+    assert (10_000_000_000, 20_000_000_000, 2) in got, got   # closed by gap
+    assert (300_000_000_000, 300_000_000_000, 1) in got, got  # closed by timeout
