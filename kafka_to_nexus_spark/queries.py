@@ -1892,6 +1892,59 @@ SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 """
 
 
+def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: one row per document with its component id
+    and a keep/drop decision (keep = lowest doc id of the duplicate
+    group; min-label makes the component id that canonical doc).
+    Downstream training-mix building filters ``keep``. Same edge graph
+    as dedup_components — only a projection on top, so the scale shape
+    is unchanged."""
+    from pyspark.sql import functions as F
+
+    comp = _q_dedup_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )
+
+
+ORACLE["dedup_keep_canonical"] = ORACLE["dedup_components"].replace(
+    "SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src",
+    """SELECT src AS doc_id, min(dst) AS component_id,
+       src = min(dst) AS keep FROM reach GROUP BY src""",
+)
+
+
+# --- deterministic stratified sampling: the training-mix builder ------------
+# Hash-gated per-stratum sampling: md5(doc_id) mod 1000 under a per-lang
+# rate. Deterministic (re-runs pick the same docs), join-free (rates ride
+# as a CASE), and executor-local — the scalable alternative to
+# sample()/reservoir approaches whose output depends on partitioning.
+SPARK_SQL["training_mix_sample"] = """
+WITH gated AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000 AS gate
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM gated
+WHERE gate < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+                       WHEN 'fr' THEN 500 ELSE 250 END
+"""
+ORACLE["training_mix_sample"] = """
+WITH gated AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS gate
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM gated
+WHERE gate < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+                       WHEN 'fr' THEN 500 ELSE 250 END
+"""
+
+
 # --- decontamination: n-gram overlap against a benchmark set ----------------
 # The training-data hygiene check: how many of a document's 8-gram shingles
 # appear in an eval/benchmark corpus (here: docs 0-4 stand in for the
@@ -2005,6 +2058,7 @@ def _q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": _q_dedup_components,
+    "dedup_keep_canonical": _q_dedup_keep_canonical,
     "srp_signatures": _q_srp_signatures,
     "srp_near_dup_pairs": _q_srp_near_dup,
     "ivf_kmeans_train": _q_ivf_kmeans,
@@ -2050,8 +2104,9 @@ _PRIORITY = (
     "embedding_label_stats",
     "srp_signatures",
     "srp_near_dup_pairs",
-    "ivf_kmeans_train",
     "dedup_components",
+    "dedup_keep_canonical",
+    "training_mix_sample",
     "decontamination_overlap",
     "repetition_signals",
     # LLM-pipeline + custom joins (DataFrame-API entries)
@@ -2063,7 +2118,6 @@ _PRIORITY = (
     "asof_join_tolerance",
     "range_join_attribution",
     "ngram_jaccard_pairs",
-    "multimodal_features",
     "multimodal_resize_spec",
     "multimodal_frame_sample",
     "embedding_quant_params",
@@ -2086,6 +2140,8 @@ _PRIORITY = (
     "w5_da00_constants",
     "w7_ep01_state_changes",
     "w8_tdct_chunk_cue",
+    "ivf_kmeans_train",
+    "multimodal_features",
     # Windowing / sessionization / analytics
     "sessionize",
     "session_windows",
