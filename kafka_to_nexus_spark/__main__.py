@@ -145,27 +145,35 @@ def worker(args) -> int:
         heartbeat(force=True)  # announce writing state immediately
         out_dir = str(Path(args.out_root) / start.job_id)
         ckpt = str(Path(args.out_root) / f"{start.job_id}_ckpt")
-        if args.fixture_dir:
-            # broker-free mode: JSON-lines directory source, AvailableNow
-            query, job = run_streaming_job_from_files(
-                spark, start, args.fixture_dir, out_dir, ckpt
-            )
-            query.awaitTermination()
-        else:
-            query, job = run_streaming_job(
-                spark, start, args.brokers, out_dir, checkpoint_dir=ckpt
-            )
-            while query.isActive and not job.state.finished:
-                heartbeat()
-                _time.sleep(1.0)
-            query.stop()
-        job.finalize()
-        transport.send_finished(controller.finished_writing())
+        # A failed job reports wrdn with error_encountered and returns the
+        # worker to the pool (Master catches startWriting/run errors and
+        # stays alive; FeedbackProducer publishStoppedMsg carries the
+        # error) — one bad job never kills the worker.
+        error_message = ""
+        try:
+            if args.fixture_dir:
+                # broker-free mode: JSON-lines directory source, AvailableNow
+                query, job = run_streaming_job_from_files(
+                    spark, start, args.fixture_dir, out_dir, ckpt
+                )
+                query.awaitTermination()
+            else:
+                query, job = run_streaming_job(
+                    spark, start, args.brokers, out_dir, checkpoint_dir=ckpt
+                )
+                while query.isActive and not job.state.finished:
+                    heartbeat()
+                    _time.sleep(1.0)
+                query.stop()
+            job.finalize()
+        except Exception as exc:  # noqa: BLE001 - worker must survive bad jobs
+            error_message = str(exc) or exc.__class__.__name__
+        transport.send_finished(controller.finished_writing(error_message))
         controller.set_idle()
         transport.revert_status_channel()
         heartbeat(force=True)  # idle state announced on the default channel
         if args.once:
-            return 0
+            return 0 if not error_message else 1
 
 
 def main(argv: list[str] | None = None) -> int:

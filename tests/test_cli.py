@@ -138,3 +138,42 @@ def test_worker_status_heartbeats_and_alt_channel(tmp_path, spark):
     assert default[0]["state"] == "idle"
     assert default[-1]["state"] == "idle"
     assert all(s["state"] != "writing" for s in default)
+
+
+def test_worker_survives_failing_job_and_reports_wrdn_error(tmp_path, spark):
+    """A job that raises mid-run produces wrdn with error_encountered and
+    returns the worker to idle instead of killing the loop (Master
+    catches job errors; FeedbackProducer carries them in wrdn)."""
+    import uuid
+
+    from kafka_to_nexus_spark.__main__ import main
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+
+    pool = tmp_path / "pool"
+    fixtures = tmp_path / "in"
+    fixtures.mkdir()
+    (fixtures / "data.json").write_text("{}")  # schemaless row: harmless
+
+    producer = FilePoolTransport(pool, "producer")
+    jid = str(uuid.uuid4())
+    # unknown writer module → plan-time failure inside the job run
+    producer.offer({
+        "job_id": jid, "filename": "f.nxs",
+        "nexus_structure": {"children": [{
+            "type": "group", "name": "g",
+            "children": [{"module": "nope", "config": {"topic": "t", "source": "s"}}],
+        }]},
+        "start_time": 10_000, "stop_time": 15_000,
+    })
+    rc = main([
+        "kafka-to-nexus", "--transport", "file", "--pool-dir", str(pool),
+        "--worker-id", "w0", "--out-root", str(tmp_path / "jobs"),
+        "--fixture-dir", str(fixtures), "--once", "--master", "local[4]",
+    ])
+    assert rc == 1
+    wrdn = [r for r in producer.read_responses() if r["type"] == "wrdn"]
+    assert wrdn and wrdn[0]["error_encountered"]
+    assert "nope" in wrdn[0]["message"]
+    # worker reverted to idle on the default status channel
+    statuses = [json.loads(l) for l in (pool / "status.jsonl").read_text().splitlines()]
+    assert statuses[-1]["state"] == "idle"
