@@ -341,3 +341,66 @@ def test_pack_from_instrument_template(spark, tmp_path):
         assert np.array_equal(
             f["/entry/instrument/chopper/rotation_speed/value"][:], [10, 15]
         )  # job content
+
+
+# ---------------------------------------------------------------------------
+# Property: the spec-based writer and the independent spec-based reader
+# round-trip arbitrary trees — shapes, dtypes, attributes, nesting.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DTYPES = [np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32,
+           np.int64, np.uint64, np.float32, np.float64]
+
+
+@st.composite
+def _dataset(draw):
+    dt = draw(st.sampled_from(_DTYPES))
+    rank = draw(st.integers(min_value=1, max_value=3))
+    shape = tuple(draw(st.integers(min_value=0, max_value=4)) for _ in range(rank))
+    if np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        elems = st.integers(min_value=int(info.min), max_value=int(info.max))
+    else:
+        elems = st.floats(allow_nan=False, allow_infinity=False, width=32)
+    n = int(np.prod(shape))
+    values = draw(st.lists(elems, min_size=n, max_size=n))
+    return np.asarray(values, dtype=dt).reshape(shape)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), _dataset()),
+        min_size=1, max_size=4,
+    ),
+    attr_num=st.integers(min_value=-2**31, max_value=2**31 - 1),
+    attr_text=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+        max_size=24,
+    ),
+    depth=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_hdf5lib_round_trip_property(tmp_path_factory, data, attr_num, attr_text, depth):
+    tmp = tmp_path_factory.mktemp("prop")
+    path = tmp / "t.h5"
+    group_path = "/".join(f"g{i}" for i in range(depth)) or "root_grp"
+    with hdf5lib.File(path, "w") as f:
+        g = f.require_group(group_path)
+        g.attrs["n"] = attr_num
+        g.attrs["s"] = attr_text
+        for i, (tag, arr) in enumerate(data):
+            ds = g.create_dataset(f"d{i}_{tag}", data=arr)
+            ds.attrs["units"] = "m"
+    with hdf5lib.File(path, "r") as f:
+        g = f[group_path]
+        assert g.attrs["n"] == attr_num
+        assert g.attrs["s"] == attr_text
+        for i, (tag, arr) in enumerate(data):
+            got = g[f"d{i}_{tag}"][()]
+            assert got.dtype == arr.dtype
+            assert got.shape == arr.shape
+            np.testing.assert_array_equal(got, arr)
+            assert g[f"d{i}_{tag}"].attrs["units"] == "m"
