@@ -20,19 +20,19 @@ DEFAULTS = {"dtype": "double", "cue_interval": None, "value_units": None, "chunk
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
     cfg = {**DEFAULTS, **(config or {})}
-    out = (
-        with_row_index(df)
-        .select(
-            "row_index",
-            F.col("timestamp").alias("time"),
-            F.col("value").cast(spark_type_for(cfg["dtype"])).alias("value"),
-        )
-    )
-    result = {"log": out.drop("row_index") if not cfg["cue_interval"] else out}
-    if cfg["cue_interval"]:
-        result["cue"] = cue_table(out, cfg["cue_interval"])
-        result["log"] = out.drop("row_index")
-    return result
+    projection = [
+        F.col("timestamp").alias("time"),
+        F.col("value").cast(spark_type_for(cfg["dtype"])).alias("value"),
+    ]
+    if not cfg["cue_interval"]:
+        # the default (cue_interval ≈ off, f144_Writer.h:82): a pure
+        # narrow map — no row-index machinery, no extra shuffle
+        return {"log": df.select(*projection)}
+    out = with_row_index(df).select("row_index", *projection)
+    return {
+        "log": out.drop("row_index"),
+        "cue": cue_table(out, cfg["cue_interval"]),
+    }
 
 
 def aggregates(df: DataFrame, config: dict | None = None) -> DataFrame:
