@@ -24,17 +24,20 @@ def _e2e_inputs(spark, sf_dir: str, n_streams: int = 4):
     from pyspark.sql import functions as F
 
     from kafka_to_nexus_spark.plan import StartMessage
+    from kafka_to_nexus_spark.queries import normalize_event_time
     from kafka_to_nexus_spark.schemas import MESSAGE_SCHEMA
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # normalize_event_time handles both fixture encodings (ns-as-long and
+    # µs-timestamp); the envelope wants ns longs (schemas.ENVELOPE_FIELDS).
+    ev = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
     cols = {
         "topic": F.lit("events"),
         "partition": F.lit(0).cast("int"),
         "offset": F.col("event_id"),
-        "kafka_timestamp": F.expr("ts div 1000000"),
+        "kafka_timestamp": F.expr("ts_ns div 1000000"),
         "schema": F.lit("f144"),
         "source_name": F.concat(F.lit("sensor_"), (F.col("user_id") % n_streams)),
-        "timestamp": F.col("ts"),
+        "timestamp": F.col("ts_ns"),
         "value": F.col("value"),
     }
     messages = ev.select(
@@ -131,50 +134,66 @@ def main() -> None:
     spark.sql("SELECT count(*) FROM events").collect()
     spark.sql("SELECT count(*) FROM lineitem").collect()
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must cost its own entry,
+    # never the whole artifact (round 2 shipped no numbers because the first
+    # failure aborted the run). Errors are recorded as strings; timings stay
+    # floats.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in Q.queries().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: full execution, no driver materialization cost
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        # Release per-query persisted intermediates so one query's cache
-        # doesn't eat executor memory for every query after it. clearCache
-        # misses localCheckpoint RDDs — those are freed by the ContextCleaner
-        # once Python drops the references, so force a GC pass.
-        del df
-        spark.catalog.clearCache()
-        gc.collect()
+        try:
+            df = fn(spark, sf_dir)
+            # noop sink: full execution, no driver materialization cost
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            timings[name] = None
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        else:
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = dt
+            total += dt
+        finally:
+            # Release per-query persisted intermediates so one query's cache
+            # doesn't eat executor memory for every query after it. clearCache
+            # misses localCheckpoint RDDs — those are freed by the
+            # ContextCleaner once Python drops the references → force a GC.
+            df = None
+            spark.catalog.clearCache()
+            gc.collect()
 
-    # End-to-end ENGINE benchmark: a full batch job (plan → shared windowed
+    # End-to-end ENGINE benchmarks: a full batch job (plan → shared windowed
     # scan with as-of buffering → per-stream f144 transforms + running
-    # aggregates → staged parquet sink) over the events table as 4 sources.
-    t0 = time.perf_counter()
-    _run_e2e_job(spark, sf_dir)
-    dt = round(time.perf_counter() - t0, 3)
-    timings["job_e2e_f144_4streams"] = dt
-    total += dt
-
-    t0 = time.perf_counter()
-    _run_e2e_streaming(spark, sf_dir)
-    dt = round(time.perf_counter() - t0, 3)
-    timings["job_e2e_streaming_5batches"] = dt
-    total += dt
+    # aggregates → staged parquet sink) over the events table as 4 sources,
+    # then the same job through the micro-batch processor.
+    for name, job in (
+        ("job_e2e_f144_4streams", _run_e2e_job),
+        ("job_e2e_streaming_5batches", _run_e2e_streaming),
+    ):
+        t0 = time.perf_counter()
+        try:
+            job(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            timings[name] = None
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        else:
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = dt
+            total += dt
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_e2e",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "inventory_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
