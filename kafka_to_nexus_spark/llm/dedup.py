@@ -148,13 +148,25 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, majority vote per bit — all
-    JVM-side expressions (codegen), no Python in the loop.
+    """SimHash: per-token hash, majority vote per bit — all JVM-side
+    expressions (codegen), no Python in the loop.
 
-    near-dup = small Hamming distance; use ``simhash_buckets`` for
+    ``token_hash`` selects the per-token hash engine:
+    - ``"xxhash64"`` (default): fastest, JVM-native — the production path.
+    - ``"md5_60"``: top 60 bits of md5 as a signed long. Same plan shape
+      and cost class (one digest per token), but portable across engines
+      (DuckDB computes identical fingerprints) — the correctness-gate twin.
+      Use ``bits<=60`` with it so every bit carries hash entropy.
+
+    near-dup = small Hamming distance; use ``simhash_near_dups`` for
     candidate pruning before computing distances.
     """
+    hash_sql = {
+        "xxhash64": "xxhash64(t)",
+        "md5_60": "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)",
+    }[token_hash]
     # SQL expression form: the Python shiftleft/shiftright helpers only
     # accept literal bit counts, but the SQL functions take expressions.
     # Single fold over the token hashes carrying a bits-wide vote array —
@@ -164,7 +176,7 @@ def simhash(
         aggregate(
           zip_with(
             aggregate(
-              transform(split({text_col}, ' '), t -> xxhash64(t)),
+              transform(split({text_col}, ' '), t -> {hash_sql}),
               transform(sequence(0, {bits - 1}), b -> 0),
               (votes, h) -> zip_with(votes, sequence(0, {bits - 1}),
                 (v, b) -> v + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)),

@@ -13,6 +13,8 @@ batching + numpy beats codegen fold chains.
 
 # NOTE: no `from __future__ import annotations` here — it would stringify
 # the Pandas-UDF type hints, which PySpark resolves at decoration time.
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -204,6 +206,115 @@ def kmeans_assignment_stats(
     return assigned.groupBy(F.col("_a.centroid_id").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("_a.cos"), 6).alias("avg_cosine"),
+    )
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Strictly sequential fold — matches the codegen `dot` expression and
+    DuckDB's list_dot_product bitwise (IEEE doubles, same add order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def kmeans_train_portable(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Engine-portable deterministic Lloyd training — the correctness-gate
+    twin of :func:`kmeans_train`. Same plan shape (literal-centroid map-only
+    assign, one k×dim partial-agg shuffle per iteration, k×dim driver
+    collect), but every float path is made bit-reproducible across engines:
+
+    - seeding orders by md5(id) (portable) instead of xxhash64;
+    - assignment uses the ordered-fold dot (codegen), not BLAS;
+    - the centroid update sums DECIMAL(38,18) casts — exact and
+      summation-order-independent — then divides as DOUBLE.
+
+    A DuckDB oracle (queries.ORACLE['ivf_kmeans_train']) replays the
+    identical computation in SQL; production training stays
+    :func:`kmeans_train` (xxhash seeding, float sums, BLAS assign).
+    """
+    vec = _as_double(F.col(vec_col))
+    gate = F.pmod(
+        F.expr(
+            f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ),
+        F.lit(9973),
+    )
+    seed_rows = (
+        df.select(vec.alias("_v"), gate.alias("_g"), F.col(id_col))
+        .orderBy("_g", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
+    for _ in range(n_iter):
+        sums = (
+            df.select(
+                nearest_centroid_expr(vec, centroids).alias("_cid"),
+                F.posexplode(vec).alias("_pos", "_x"),
+            )
+            .groupBy("_cid", "_pos")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,18)")).alias("_sx"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            # float(Decimal) is correctly-rounded nearest-double — the same
+            # value DuckDB's CAST(decimal AS DOUBLE) produces.
+            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = float(r["_sx"]) / r["_n"]
+        centroids = [
+            (cid, [by_cid[cid][p] for p in sorted(by_cid[cid])] if cid in by_cid else prev)
+            for cid, prev in centroids
+        ]
+    return centroids
+
+
+def kmeans_assignment_stats_portable(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bit-reproducible variant of :func:`kmeans_assignment_stats`:
+    ordered-fold cosine, DECIMAL-summed mean (order-independent), rounded
+    to 6 — hash-comparable against a SQL oracle."""
+    vec = _as_double(F.col(vec_col))
+    ordered = sorted(centroids)
+    scored = [
+        F.named_struct(
+            F.lit("s"), dot(vec, F.array(*[F.lit(float(x)) for x in c])),
+            F.lit("nc"), F.lit(-cid),
+        )
+        for cid, c in ordered
+    ]
+    best = F.array_max(F.array(*scored))
+    cid = (-best["nc"]).cast("int")
+    # centroid norms as literals: Python's sequential fold is the same
+    # ordered IEEE sum as the SQL sqrt(list_dot_product(c, c)).
+    norm_arr = F.array(
+        *[F.lit(math.sqrt(_seq_dot(c, c))) for _, c in ordered]
+    )
+    cos = best["s"] / (norm(vec) * F.element_at(norm_arr, cid + F.lit(1)))
+    assigned = df.select(cid.alias("centroid_id"), cos.alias("_cos"))
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("_cos").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cos"),
+        )
     )
 
 

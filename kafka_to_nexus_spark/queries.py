@@ -1507,9 +1507,26 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import dedup as llm_dedup
 
     register_views(spark, sf_dir, ("documents",))
-    # xxhash64 has no DuckDB equivalent → no oracle; driver records a
-    # rows-only check for this entry.
-    return llm_dedup.simhash(spark.table("documents"))
+    # Portable md5-based token hash (dedup.simhash(token_hash="md5_60")) so
+    # the fold/vote/bit-pack ALGORITHM is exactly oracle-checked; the
+    # xxhash64 production engine (engine-specific hash, no DuckDB twin) is
+    # covered by tests/test_llm.py instead.
+    return llm_dedup.simhash(spark.table("documents"), bits=60, token_hash="md5_60")
+
+
+ORACLE["simhash_fingerprints"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, unnest(range(0, 60)) AS b(b)
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1785,8 +1802,9 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → mapInPandas feature extraction (decode stubbed —
-    no codec libs in container; the Arrow plumbing is real). Non-SQL path
-    → no oracle; driver records a rows-only check."""
+    no codec libs in container; the Arrow plumbing is real). The stub
+    histogram is deterministic, so DuckDB can replay it byte-for-byte from
+    hex(payload) — giving the Arrow batch path a full value-hash oracle."""
     from pyspark.sql import functions as F
 
     from .llm import multimodal as mm
@@ -1798,6 +1816,28 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
+
+
+# Replays decode_stub exactly: byte histogram mod 8 over the UTF-8 payload
+# (bytes via hex-pair extraction), bucket-0 ratio rounded half-to-even to
+# match Python's round() in the stub.
+ORACLE["multimodal_features"] = """
+WITH p AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, ('0x' || substr(hx, 2 * i.i + 1, 2))::INT % 8 AS bucket
+  FROM p, unnest(range(0, n)) AS i(i)
+),
+h AS (SELECT doc_id, count(*) AS c FROM bytes WHERE bucket = 0 GROUP BY doc_id)
+SELECT p.doc_id AS media_id, p.kind, CAST(p.n AS BIGINT) AS n_bytes,
+       round(round_even(coalesce(h.c, 0) / greatest(p.n, 1), 6), 6) AS f0
+FROM p LEFT JOIN h ON p.doc_id = h.doc_id
+"""
 
 
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2074,16 +2114,51 @@ _srp_oracles()
 
 
 def _q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF centroid TRAINING (Lloyd's, llm/similarity.kmeans_train):
-    map-only assignment against literal centroids + one k×dim partial-agg
-    shuffle per iteration. Iterative → no SQL oracle; driver records a
-    rows-only check (k stable clusters)."""
+    """IVF centroid TRAINING (Lloyd's): map-only assignment against literal
+    centroids + one k×dim partial-agg shuffle per iteration. Uses the
+    deterministic engine-portable twin (md5 seeding, ordered-fold dots,
+    DECIMAL-exact update — llm/similarity.kmeans_train_portable) so a
+    DuckDB oracle replays the identical iteration; the production
+    xxhash/BLAS path (kmeans_train) is covered by tests/test_llm.py."""
     from .llm import similarity as sim
 
     register_views(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
-    centroids = sim.kmeans_train(emb, k=8, n_iter=2)
-    return sim.kmeans_assignment_stats(emb, centroids)
+    centroids = sim.kmeans_train_portable(emb, k=8, n_iter=1)
+    return sim.kmeans_assignment_stats_portable(emb, centroids)
+
+
+ORACLE["ivf_kmeans_train"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seed AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 9973,
+                    vec_id) - 1 AS cid, v
+  FROM e
+),
+s0 AS (SELECT cid, v FROM seed WHERE cid < 8),
+asg0 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, s.cid, list_dot_product(e.v, s.v) AS d
+    FROM e CROSS JOIN s0 s)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
+),
+u AS (SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM asg0),
+m AS (SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cx
+      FROM u GROUP BY cid, pos),
+mlist AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM m GROUP BY cid),
+c1 AS (SELECT s.cid, coalesce(ml.cv, s.v) AS cv FROM s0 s LEFT JOIN mlist ml USING (cid)),
+asg1 AS (
+  SELECT vec_id, v, cid, cv, d FROM (
+    SELECT e.vec_id, e.v, c.cid, c.cv, list_dot_product(e.v, c.cv) AS d
+    FROM e CROSS JOIN c1 c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
+)
+SELECT CAST(cid AS INT) AS centroid_id, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(d / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                          AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_cos
+FROM asg1 GROUP BY cid
+"""
 
 
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
