@@ -114,11 +114,12 @@ class FilePoolTransport:
         return [json.loads(line) for line in path.read_text().splitlines() if line]
 
 
-class KafkaPoolTransport:  # pragma: no cover - needs a broker + kafka-python
+class KafkaPoolTransport:
     """Kafka job-pool transport: claim = offset commit on the pool topic.
 
     Mirrors FilePoolTransport's surface. Import-gated: raises ImportError
-    where kafka-python is unavailable (this container).
+    where kafka-python is unavailable (this container) — exercised against
+    an in-process fake broker in tests/test_kafka_arm.py.
     """
 
     def __init__(self, brokers: str, pool_topic: str, worker_id: str,

@@ -16,8 +16,8 @@ JobCreator.cpp:277-312), T4 hard links at finalize (HDFFile.cpp:238-247),
 T5 file-level metadata (HDFFile.cpp:129-181), W4 ad00 N-D stacking with
 trailing-dim extend + zero-fill (ExtensibleDataset.h:412-519),
 unsigned-dtype narrowing (SURVEY.md §1.5). Chunked storage (K3) applies
-on the h5py backend; hdf5lib writes contiguous (the staged parquet row
-groups already give chunked, stat-indexed storage).
+on both backends (h5py filters/B-tree; hdf5lib v1-B-tree chunk index,
+matching the reference's chunked datasets, ExtensibleDataset.h:144-291).
 """
 
 from __future__ import annotations
@@ -95,7 +95,7 @@ def _ordered_frame(table, module: str, dataset: str):
 
 
 def _chunks(n: int, chunk_size: int):
-    if _h5.__name__ != "h5py" or n == 0:
+    if n == 0:
         return None
     return (min(chunk_size, max(n, 1)),)
 

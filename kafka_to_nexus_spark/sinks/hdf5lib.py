@@ -7,7 +7,10 @@ NeXus pack step needs, in the modern (1.8+) encoding:
 - version-2 object headers (``OHDR``),
 - compact "new style" groups: Link Info + Group Info + Link messages,
 - contiguous-layout N-D datasets of the fixed-point / IEEE-float types,
-- fixed-length string datasets/attributes (null-terminated),
+- chunked-layout datasets (v1 B-tree chunk index, single level-0 node),
+- variable-length UTF-8 string datasets/attributes (global-heap backed,
+  h5py-compatible default for str data — HDFOperations.cpp:238-287),
+- fixed-length string datasets/attributes (null-terminated, via S dtypes),
 - attribute messages (v3), hard links (shared object header address).
 
 The writer exposes an h5py-like facade (``File``, ``require_group``,
@@ -115,6 +118,22 @@ def _dt_message(dtype: np.dtype) -> bytes:
     raise TypeError(f"unsupported dtype for minimal HDF5 writer: {dtype}")
 
 
+# Sentinel dtype marker for variable-length UTF-8 strings (node data is a
+# numpy object array of Python str; file data is 16-byte global-heap IDs).
+VLEN_STR = "vlen_str"
+
+# vlen descriptor on disk: uint32 byte length + global heap ID
+# (8-byte collection address + 4-byte object index) = 16 bytes.
+_VLEN_DESC = struct.Struct("<IQI")
+
+
+def _dt_message_vlen_str() -> bytes:
+    """Class-9 (variable-length) datatype: type=string, null-terminated,
+    UTF-8; base type = 1-byte UTF-8 string (libhdf5 convention)."""
+    head = struct.pack("<BBBBI", 0x19, 0x01, 0x01, 0, _VLEN_DESC.size)
+    return head + _dt_message(np.dtype("S1"))
+
+
 def _dt_decode(body: bytes):
     ver_class = body[0]
     cls = ver_class & 0x0F
@@ -127,6 +146,8 @@ def _dt_decode(body: bytes):
         return np.dtype(f"<f{size}")
     if cls == 3:
         return np.dtype(f"S{size}")
+    if cls == 9 and (bits0 & 0x0F) == 1:
+        return VLEN_STR
     raise TypeError(f"unsupported datatype class {cls}")
 
 
@@ -164,6 +185,42 @@ def _layout_message(addr: int, nbytes: int) -> bytes:
     return struct.pack("<BBQQ", 3, 1, addr if nbytes else UNDEF, nbytes)
 
 
+def _layout_message_chunked(
+    btree_addr: int, chunk_shape: tuple[int, ...], itemsize: int
+) -> bytes:
+    # v3 layout, class 2 (chunked): dimensionality counts the trailing
+    # element-size dimension; chunk dims are 4-byte values.
+    dims = (*chunk_shape, itemsize)
+    return (
+        struct.pack("<BBB", 3, 2, len(dims))
+        + struct.pack("<Q", btree_addr)
+        + b"".join(struct.pack("<I", d) for d in dims)
+    )
+
+
+def _gcol(strings: list[bytes]) -> bytes:
+    """Global Heap Collection holding one object per string (index 1..N),
+    exact-sized, terminated by the free-space object 0 whose size is its
+    own 16-byte header."""
+    objs = bytearray()
+    for i, s in enumerate(strings, start=1):
+        pad = (-len(s)) % 8
+        objs += struct.pack("<HHIQ", i, 1, 0, len(s)) + s + b"\x00" * pad
+    objs += struct.pack("<HHIQ", 0, 0, 0, 16)
+    total = 16 + len(objs)
+    return b"GCOL" + struct.pack("<BBB", 1, 0, 0) + b"\x00" + struct.pack(
+        "<Q", total
+    ) + bytes(objs)
+
+
+def _chunk_grid(shape: tuple[int, ...], chunk_shape: tuple[int, ...]):
+    """Yield chunk-origin coordinates in row-major order."""
+    from itertools import product
+
+    ranges = [range(0, max(d, 1), c) for d, c in zip(shape, chunk_shape)]
+    yield from product(*ranges)
+
+
 def _link_info_message() -> bytes:
     return struct.pack("<BBQQ", 1, 0, UNDEF, UNDEF)
 
@@ -182,25 +239,45 @@ def _link_message(name: str, header_addr: int) -> bytes:
 
 
 def _coerce_attr(value):
+    """Returns (payload, dtype, shape); dtype is VLEN_STR for str values
+    (h5py's default for Python strings), a numpy dtype otherwise. Pass
+    numpy ``S`` data explicitly for fixed-length strings."""
     if isinstance(value, str):
-        raw = value.encode("utf-8") + b"\x00"
-        return np.frombuffer(raw, dtype=f"S{len(raw)}")[0], np.dtype(f"S{len(raw)}"), ()
+        return [value], VLEN_STR, ()
     arr = np.asarray(value)
-    if arr.dtype.kind == "U":
-        raw = [s.encode("utf-8") for s in arr.ravel()]
-        width = max((len(r) for r in raw), default=0) + 1
-        arr = arr.astype(f"S{width}")
-    if arr.dtype.kind in "iu f".replace(" ", "") or arr.dtype.kind == "S" or arr.dtype.kind == "b":
+    if arr.dtype.kind == "U" or (
+        arr.dtype == object and all(isinstance(v, str) for v in arr.ravel())
+    ):
+        return [str(v) for v in arr.ravel()], VLEN_STR, arr.shape
+    if arr.dtype.kind in ("i", "u", "f", "S", "b"):
         return arr, arr.dtype, arr.shape
     raise TypeError(f"unsupported attribute type {arr.dtype}")
 
 
-def _attr_message(name: str, value) -> bytes:
+def _vlen_payload(strings: list[str], alloc) -> bytes:
+    """Allocate one global-heap collection for ``strings`` and return the
+    16-byte-per-element descriptor block referencing it."""
+    raw = [s.encode("utf-8") for s in strings]
+    if not raw:
+        return b""
+    addr = alloc(_gcol(raw))
+    return b"".join(
+        _VLEN_DESC.pack(len(s), addr, i) for i, s in enumerate(raw, start=1)
+    )
+
+
+def _attr_message(name: str, value, alloc=None) -> bytes:
     arr, dtype, shape = _coerce_attr(value)
     raw_name = name.encode("utf-8") + b"\x00"
-    dt = _dt_message(np.dtype(dtype))
+    if dtype == VLEN_STR:
+        if alloc is None:
+            raise TypeError("vlen string attribute requires a heap allocator")
+        dt = _dt_message_vlen_str()
+        data = _vlen_payload(arr, alloc)
+    else:
+        dt = _dt_message(np.dtype(dtype))
+        data = np.asarray(arr, dtype=dtype).tobytes()
     ds = _dataspace_message(tuple(shape))
-    data = np.asarray(arr, dtype=dtype).tobytes()
     return (
         struct.pack("<BBHHHB", 3, 0, len(raw_name), len(dt), len(ds), 1)
         + raw_name
@@ -232,11 +309,12 @@ class _GroupNode:
 
 
 class _DatasetNode:
-    __slots__ = ("data", "attrs")
+    __slots__ = ("data", "attrs", "chunks")
 
-    def __init__(self, data: np.ndarray) -> None:
+    def __init__(self, data: np.ndarray, chunks=None) -> None:
         self.data = data
         self.attrs: dict[str, object] = {}
+        self.chunks = chunks
 
 
 class AttributeView:
@@ -266,15 +344,21 @@ class AttributeView:
 
 
 def _coerce_dataset(data) -> np.ndarray:
+    """str data becomes variable-length UTF-8 (object arrays of str —
+    h5py's default for Python strings); pass numpy ``S`` arrays explicitly
+    for fixed-length storage."""
     if isinstance(data, str):
-        raw = data.encode("utf-8") + b"\x00"
-        return np.array(raw, dtype=f"S{len(raw)}")
+        return np.array(data, dtype=object)
     arr = np.asarray(data)
     if arr.dtype.kind == "U":
-        width = max((len(s.encode()) for s in arr.ravel()), default=0) + 1
-        arr = np.char.encode(arr, "utf-8").astype(f"S{width}")
+        out = np.empty(arr.shape, dtype=object)
+        for idx in np.ndindex(arr.shape):
+            out[idx] = str(arr[idx])
+        return out
     if arr.dtype == object:
-        raise TypeError("object arrays are not supported")
+        if not all(isinstance(v, str) for v in arr.ravel()):
+            raise TypeError("object arrays must contain only str (vlen)")
+        return arr
     if arr.dtype.kind == "b":
         arr = arr.astype(np.uint8)
     return arr
@@ -328,7 +412,7 @@ class Group:
         arr = _coerce_dataset(data if data is not None else [])
         if dtype is not None:
             arr = arr.astype(dtype)
-        node = _DatasetNode(arr)
+        node = _DatasetNode(arr, chunks=chunks)
         parent.links[name] = node
         return Dataset(self._file, node, self._join(path))
 
@@ -406,6 +490,10 @@ class Dataset:
                 picked = data[key]
                 if isinstance(picked, bytes):
                     return picked.rstrip(b"\x00").decode("utf-8")
+                if isinstance(picked, str):
+                    return picked
+                if getattr(picked, "dtype", None) == object:
+                    return picked
                 return np.char.decode(
                     np.char.rstrip(picked, b"\x00"), "utf-8"
                 )
@@ -451,21 +539,77 @@ def _serialize(root: _GroupNode) -> bytes:
         buf.extend(data)
         return addr
 
+    def write_chunked(arr: np.ndarray, chunks) -> bytes:
+        """Chunk the array (zero-padding partial edge chunks, as HDF5
+        stores full-size chunks), alloc each chunk + a level-0 v1 B-tree
+        index node, and return the chunked layout message."""
+        shape = arr.shape
+        if isinstance(chunks, int):
+            chunks = (chunks,)
+        # dims beyond the given chunk tuple stay unchunked (full extent)
+        chunk_shape = (
+            tuple(min(max(int(c), 1), d) for c, d in zip(chunks, shape))
+            + shape[len(chunks) :]
+        )
+        entries: list[tuple[tuple[int, ...], int]] = []
+        csize = int(np.prod(chunk_shape)) * arr.itemsize
+        for origin in _chunk_grid(shape, chunk_shape):
+            sl = tuple(
+                slice(o, min(o + c, d))
+                for o, c, d in zip(origin, chunk_shape, shape)
+            )
+            block = arr[sl]
+            if block.shape != chunk_shape:
+                full = np.zeros(chunk_shape, dtype=arr.dtype)
+                full[tuple(slice(0, s) for s in block.shape)] = block
+                block = full
+            entries.append((origin, alloc(np.ascontiguousarray(block).tobytes())))
+        rank = len(shape)
+
+        def key(offsets: tuple[int, ...]) -> bytes:
+            return struct.pack("<II", csize, 0) + b"".join(
+                struct.pack("<Q", o) for o in (*offsets, 0)
+            )
+
+        node = b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+        node += struct.pack("<QQ", UNDEF, UNDEF)
+        for origin, caddr in entries:
+            node += key(origin) + struct.pack("<Q", caddr)
+        # final key: the grid end (first offset past the last chunk row)
+        end = tuple(-(-d // c) * c for d, c in zip(shape, chunk_shape))
+        node += key(end)
+        btree_addr = alloc(node)
+        return _layout_message_chunked(btree_addr, chunk_shape, arr.itemsize)
+
     def write_node(node) -> int:
         if id(node) in addr_of:
             return addr_of[id(node)]
         messages: list[tuple[int, bytes]] = []
         if isinstance(node, _DatasetNode):
             shape = node.data.shape  # ascontiguousarray promotes 0-d to 1-d
-            arr = np.ascontiguousarray(node.data)
-            if arr.dtype.byteorder == ">":
-                arr = arr.astype(arr.dtype.newbyteorder("<"))
-            raw = arr.tobytes()
-            data_addr = alloc(raw) if raw else UNDEF
-            messages.append((0x0001, _dataspace_message(shape)))
-            messages.append((0x0003, _dt_message(arr.dtype)))
-            messages.append((0x0005, _fill_message()))
-            messages.append((0x0008, _layout_message(data_addr, len(raw))))
+            if node.data.dtype == object:
+                # variable-length UTF-8 strings: global heap + descriptors
+                messages.append((0x0001, _dataspace_message(shape)))
+                messages.append((0x0003, _dt_message_vlen_str()))
+                messages.append((0x0005, _fill_message()))
+                raw = _vlen_payload(list(node.data.ravel()), alloc)
+                data_addr = alloc(raw) if raw else UNDEF
+                messages.append((0x0008, _layout_message(data_addr, len(raw))))
+            else:
+                arr = np.ascontiguousarray(node.data)
+                if arr.dtype.byteorder == ">":
+                    arr = arr.astype(arr.dtype.newbyteorder("<"))
+                messages.append((0x0001, _dataspace_message(shape)))
+                messages.append((0x0003, _dt_message(arr.dtype)))
+                messages.append((0x0005, _fill_message()))
+                if node.chunks and arr.size and arr.ndim:
+                    messages.append((0x0008, write_chunked(arr, node.chunks)))
+                else:
+                    raw = arr.tobytes()
+                    data_addr = alloc(raw) if raw else UNDEF
+                    messages.append(
+                        (0x0008, _layout_message(data_addr, len(raw)))
+                    )
         else:
             child_addrs = [(name, write_node(c)) for name, c in node.links.items()]
             messages.append((0x0002, _link_info_message()))
@@ -473,7 +617,7 @@ def _serialize(root: _GroupNode) -> bytes:
             for name, caddr in child_addrs:
                 messages.append((0x0006, _link_message(name, caddr)))
         for name, value in node.attrs.items():
-            messages.append((0x000C, _attr_message(name, value)))
+            messages.append((0x000C, _attr_message(name, value, alloc)))
         addr = alloc(_object_header(messages))
         addr_of[id(node)] = addr
         return addr
@@ -505,6 +649,7 @@ class _Reader:
             raise ValueError("superblock checksum mismatch")
         self.root_addr = struct.unpack_from("<Q", buf, 36)[0]
         self._nodes: dict[int, object] = {}
+        self._gcols: dict[int, dict[int, bytes]] = {}
 
     def root(self) -> _GroupNode:
         return self._read_object(self.root_addr)
@@ -531,6 +676,7 @@ class _Reader:
         attrs: dict[str, object] = {}
         shape = dtype = None
         data_addr = data_size = None
+        btree_addr = chunk_shape = None
         is_group = False
         while pos < end:
             mtype, msize, _mflags = struct.unpack_from("<BHB", buf, pos)
@@ -547,9 +693,15 @@ class _Reader:
                 dtype = _dt_decode(body)
             elif mtype == 0x0008:
                 lver, lclass = body[0], body[1]
-                if lclass != 1:
-                    raise ValueError("only contiguous layout supported")
-                data_addr, data_size = struct.unpack_from("<QQ", body, 2)
+                if lclass == 1:
+                    data_addr, data_size = struct.unpack_from("<QQ", body, 2)
+                elif lclass == 2:
+                    ndims = body[2]
+                    btree_addr = struct.unpack_from("<Q", body, 3)[0]
+                    dims = struct.unpack_from(f"<{ndims}I", body, 11)
+                    chunk_shape = dims[:-1]  # last dim is the element size
+                else:
+                    raise ValueError("only contiguous/chunked layout supported")
             elif mtype == 0x000C:
                 name, value = self._parse_attr(body)
                 attrs[name] = value
@@ -561,7 +713,19 @@ class _Reader:
             for name, caddr in links:
                 node.links[name] = self._read_object(caddr)
             return node
-        if data_addr is None or data_addr == UNDEF or not data_size:
+        if dtype == VLEN_STR:
+            count = int(np.prod(shape)) if shape else 1
+            if data_addr is None or data_addr == UNDEF or not data_size:
+                strs: list[str] = [""] * count
+            else:
+                strs = [
+                    self._vlen_str(buf[data_addr + i * 16 : data_addr + i * 16 + 16])
+                    for i in range(min(count, data_size // 16))
+                ]
+            arr = np.array(strs, dtype=object).reshape(shape)
+        elif chunk_shape is not None:
+            arr = self._read_chunked(btree_addr, shape, chunk_shape, dtype)
+        elif data_addr is None or data_addr == UNDEF or not data_size:
             arr = np.zeros(shape, dtype=dtype)
         else:
             arr = np.frombuffer(
@@ -571,6 +735,58 @@ class _Reader:
         node.attrs = attrs
         self._nodes[addr] = node
         return node
+
+    def _read_chunked(self, btree_addr, shape, chunk_shape, dtype) -> np.ndarray:
+        """Reassemble a chunked dataset from its (level-0) v1 B-tree."""
+        buf = self.buf
+        out = np.zeros(shape, dtype=dtype)
+        if buf[btree_addr : btree_addr + 4] != b"TREE":
+            raise ValueError(f"no B-tree at {btree_addr:#x}")
+        ntype, level, entries = struct.unpack_from("<BBH", buf, btree_addr + 4)
+        if ntype != 1 or level != 0:
+            raise ValueError("only level-0 chunk B-trees supported")
+        rank = len(shape)
+        pos = btree_addr + 8 + 16  # skip left/right sibling addresses
+        key_size = 8 + 8 * (rank + 1)
+        n_elems = int(np.prod(chunk_shape))
+        for _ in range(entries):
+            csize = struct.unpack_from("<I", buf, pos)[0]
+            offsets = struct.unpack_from(f"<{rank}Q", buf, pos + 8)
+            caddr = struct.unpack_from("<Q", buf, pos + key_size)[0]
+            pos += key_size + 8
+            block = np.frombuffer(buf[caddr : caddr + csize], dtype=dtype)[
+                :n_elems
+            ].reshape(chunk_shape)
+            sl = tuple(
+                slice(o, min(o + c, d))
+                for o, c, d in zip(offsets, chunk_shape, shape)
+            )
+            out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+        return out
+
+    def _gcol_objects(self, addr: int) -> dict[int, bytes]:
+        cached = self._gcols.get(addr)
+        if cached is not None:
+            return cached
+        buf = self.buf
+        if buf[addr : addr + 4] != b"GCOL":
+            raise ValueError(f"no global heap collection at {addr:#x}")
+        size = struct.unpack_from("<Q", buf, addr + 8)[0]
+        end, pos = addr + size, addr + 16
+        objs: dict[int, bytes] = {}
+        while pos + 16 <= end:
+            idx, _refs, _res, osize = struct.unpack_from("<HHIQ", buf, pos)
+            pos += 16
+            if idx == 0:
+                break
+            objs[idx] = buf[pos : pos + osize]
+            pos += osize + ((-osize) % 8)
+        self._gcols[addr] = objs
+        return objs
+
+    def _vlen_str(self, desc: bytes) -> str:
+        length, gaddr, idx = _VLEN_DESC.unpack(desc)
+        return self._gcol_objects(gaddr)[idx][:length].decode("utf-8")
 
     @staticmethod
     def _parse_link(body: bytes) -> tuple[str, int]:
@@ -595,8 +811,7 @@ class _Reader:
         addr = struct.unpack_from("<Q", body, pos)[0]
         return name, addr
 
-    @staticmethod
-    def _parse_attr(body: bytes):
+    def _parse_attr(self, body: bytes):
         version = body[0]
         if version != 3:
             raise ValueError(f"unsupported attribute version {version}")
@@ -609,6 +824,14 @@ class _Reader:
         shape = _dataspace_decode(body[pos : pos + ds_size])
         pos += ds_size
         count = int(np.prod(shape)) if shape else 1
+        if dtype == VLEN_STR:
+            strs = [
+                self._vlen_str(body[pos + i * 16 : pos + i * 16 + 16])
+                for i in range(count)
+            ]
+            if shape == ():
+                return name, strs[0]
+            return name, np.array(strs, dtype=str).reshape(shape)
         arr = np.frombuffer(
             body[pos : pos + count * dtype.itemsize], dtype=dtype
         ).reshape(shape)

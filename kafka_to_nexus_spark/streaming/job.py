@@ -58,6 +58,50 @@ BEFORE_START_LEEWAY_NS = 10_000_000_000  # BeforeStartTime (StreamerOptions.h:24
 # Kafka source assembly (S1–S3)
 # --------------------------------------------------------------------------
 
+def kafka_reader_options(
+    brokers: str,
+    topics: list[str],
+    start_time_ms: int | None = None,
+    stop_time_ms: int | None = None,
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
+    streaming: bool = True,
+) -> dict[str, str]:
+    """The time→offset pushdown contract as a pure option dict — one
+    source of truth for the stream and batch readers, unit-testable
+    without a broker (tests/test_kafka_arm.py).
+
+    - Global ``startingTimestamp``: Spark resolves start - BeforeStartTime
+      per partition without partition enumeration
+      (startingOffsetsByTimestamp demands explicit partition numbers —
+      there is no "-1" wildcard). Partitions with no message at/after the
+      timestamp start at latest, matching the reference's offsetsForTimes
+      fallback (Topic.cpp:109-155).
+    - ``endingTimestamp`` (batch only): stop + AfterStopTime — F7's early
+      termination as a scan bound.
+    - ``minPartitions`` splits hot Kafka partitions across more Spark
+      tasks than the 1:1 default — the scale knob when a topic has fewer
+      partitions than the cluster has cores.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": ",".join(topics),
+    }
+    if streaming:
+        opts["failOnDataLoss"] = "false"
+    if min_partitions:
+        opts["minPartitions"] = str(min_partitions)
+    if start_time_ms is not None:
+        lookback_ms = max(start_time_ms - BEFORE_START_LEEWAY_NS // MS_TO_NS, 0)
+        opts["startingTimestamp"] = str(lookback_ms)
+        opts["startingOffsetsByTimestampStrategy"] = "latest"
+    if stop_time_ms is not None and not streaming:
+        opts["endingTimestamp"] = str(stop_time_ms + AFTER_STOP_LEEWAY_NS // MS_TO_NS)
+    if max_offsets_per_trigger and streaming:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     brokers: str,
@@ -66,34 +110,18 @@ def kafka_stream_reader(
     max_offsets_per_trigger: int | None = 100_000,
     min_partitions: int | None = None,
 ):
-    """readStream with time→offset pushdown and backpressure.
-
-    startingOffsetsByTimestamp applies start - BeforeStartTime per topic —
-    the planner-side predicate pushdown of S2 (no history scan).
-    ``min_partitions`` splits hot Kafka partitions across more Spark tasks
-    than the 1:1 default — the scale knob when a topic has fewer
-    partitions than the cluster has cores."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", ",".join(topics))
-        .option("failOnDataLoss", "false")
-    )
-    if min_partitions:
-        reader = reader.option("minPartitions", str(min_partitions))
-    if start_time_ms is not None:
-        # Global startingTimestamp: Spark resolves it per partition without
-        # requiring partition enumeration (startingOffsetsByTimestamp demands
-        # explicit partition numbers — there is no "-1" wildcard). Partitions
-        # with no message at/after the timestamp start at latest, matching
-        # the reference's offsetsForTimes fallback (Topic.cpp:109-155).
-        lookback_ms = max(start_time_ms - BEFORE_START_LEEWAY_NS // MS_TO_NS, 0)
-        reader = reader.option("startingTimestamp", str(lookback_ms)).option(
-            "startingOffsetsByTimestampStrategy", "latest"
+    """readStream with time→offset pushdown and backpressure
+    (see kafka_reader_options)."""
+    return spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            brokers,
+            topics,
+            start_time_ms=start_time_ms,
+            max_offsets_per_trigger=max_offsets_per_trigger,
+            min_partitions=min_partitions,
+            streaming=True,
         )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader
+    )
 
 
 def kafka_batch_reader(
@@ -105,20 +133,15 @@ def kafka_batch_reader(
 ):
     """Batch Kafka read with BOTH bounds pushed down
     (endingOffsetsByTimestamp = early-termination F7 as a scan bound)."""
-    reader = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", ",".join(topics))
-    )
-    if start_time_ms is not None:
-        lookback = max(start_time_ms - BEFORE_START_LEEWAY_NS // MS_TO_NS, 0)
-        reader = reader.option("startingTimestamp", str(lookback)).option(
-            "startingOffsetsByTimestampStrategy", "latest"
+    return spark.read.format("kafka").options(
+        **kafka_reader_options(
+            brokers,
+            topics,
+            start_time_ms=start_time_ms,
+            stop_time_ms=stop_time_ms,
+            streaming=False,
         )
-    if stop_time_ms is not None:
-        leeway = stop_time_ms + AFTER_STOP_LEEWAY_NS // MS_TO_NS
-        reader = reader.option("endingTimestamp", str(leeway))
-    return reader
+    )
 
 
 def envelope_from_kafka_json(kafka_df: DataFrame) -> DataFrame:

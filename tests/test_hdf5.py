@@ -85,9 +85,9 @@ def test_ep01_writes(writer_modules_file):
 def test_al00_writes(writer_modules_file):
     with hdf5lib.File(writer_modules_file, "r") as f:
         g = "/entry/instrument/chopper/rotation_speed"
-        messages = f[f"{g}/alarm_message"][:]
-        assert messages[0].rstrip(b"\x00").decode() == "Chopper speed is too low"
-        assert messages[1].rstrip(b"\x00").decode() == "Chopper speed is perfect"
+        messages = f[f"{g}/alarm_message"].asstr()[:]
+        assert messages[0] == "Chopper speed is too low"
+        assert messages[1] == "Chopper speed is perfect"
         assert np.array_equal(f[f"{g}/alarm_severity"][:], [1, 0])
         assert np.array_equal(
             f[f"{g}/alarm_time"][:], [10102000000, 10112000000]
@@ -404,3 +404,69 @@ def test_hdf5lib_round_trip_property(tmp_path_factory, data, attr_num, attr_text
             assert got.shape == arr.shape
             np.testing.assert_array_equal(got, arr)
             assert g[f"d{i}_{tag}"].attrs["units"] == "m"
+
+
+@given(
+    # min_size=1: an empty python list carries no element type (numpy
+    # defaults it to float64), same as h5py needing an explicit dtype
+    strings=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=40,
+        ),
+        min_size=1, max_size=12,
+    ),
+    scalar=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+        max_size=60,
+    ),
+    attr_strings=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=30,
+        ),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_hdf5lib_vlen_string_round_trip_property(
+    tmp_path_factory, strings, scalar, attr_strings
+):
+    """Verdict #6: mixed-length UTF-8 strings round-trip through the
+    global-heap-backed vlen path — datasets (scalar + 1-d) and attributes
+    (scalar + 1-d) — with no h5py involved."""
+    tmp = tmp_path_factory.mktemp("vlen")
+    path = tmp / "t.h5"
+    with hdf5lib.File(path, "w") as f:
+        g = f.require_group("entry")
+        g.create_dataset("scalar", data=scalar)
+        g.create_dataset("listed", data=strings)
+        g.attrs["s"] = scalar
+        g.attrs["many"] = attr_strings
+    with hdf5lib.File(path, "r") as f:
+        g = f["entry"]
+        assert g["scalar"].asstr()[()] == scalar
+        assert list(g["listed"].asstr()[:]) == strings
+        assert g.attrs["s"] == scalar
+        assert list(g.attrs["many"]) == attr_strings
+
+
+@given(
+    arr=_dataset(),
+    chunk_rows=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_hdf5lib_chunked_round_trip_property(tmp_path_factory, arr, chunk_rows):
+    """Verdict #7: chunked layout (v1 B-tree index, zero-padded edge
+    chunks) round-trips every dtype/shape the contiguous path supports,
+    including chunk sizes larger than the dataset and partial final
+    chunks."""
+    tmp = tmp_path_factory.mktemp("chunked")
+    path = tmp / "t.h5"
+    with hdf5lib.File(path, "w") as f:
+        f.create_dataset("d", data=arr, chunks=chunk_rows)
+    with hdf5lib.File(path, "r") as f:
+        got = f["d"][()]
+        assert got.dtype == arr.dtype
+        assert got.shape == arr.shape
+        np.testing.assert_array_equal(got, arr)
