@@ -16,10 +16,13 @@ without Spark); the data path is a per-variable-column DataFrame transform.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
 DEFAULTS = {"cue_interval": 1000, "chunk_size": 1 << 20}
@@ -37,6 +40,9 @@ class VariableConfig:
     axes: list[str] | None = None
     shape: list[int] | None = None
     data: object | None = None  # inline data → constant
+    # fields filled in from the first message by refine_from (the
+    # reference's "changed" signal, da00_Variable.h update_from)
+    refined_fields: list[str] = field(default_factory=list)
 
     @classmethod
     def from_json(cls, spec: dict | str) -> "VariableConfig":
@@ -55,17 +61,25 @@ class VariableConfig:
 
     def refine_from(self, observed: "VariableConfig") -> list[str]:
         """First-message schema refinement: fill unset fields from the
-        observed message; report (don't fail on) mismatches of set fields.
-        Mirrors da00_Writer.cpp:65-130 (update/verify pass)."""
+        observed message (recorded in ``refined_fields`` — the reference's
+        "changed" flag that drives its dataset update); report (don't fail
+        on) mismatches of set fields — configured wins, like the
+        reference's "Using configured value" path. Mirrors
+        da00_Writer.cpp:65-130 / da00_Variable.h update_from."""
         warnings: list[str] = []
+        self.refined_fields = []
         for f_name in ("unit", "label", "source", "data_type", "axes", "shape"):
             mine, theirs = getattr(self, f_name), getattr(observed, f_name)
             if theirs is None:
                 continue
             if mine is None:
                 setattr(self, f_name, theirs)
+                self.refined_fields.append(f_name)
             elif mine != theirs:
-                warnings.append(f"{self.name}.{f_name}: configured {mine!r} != observed {theirs!r}")
+                warnings.append(
+                    f"{self.name}.{f_name}: configured {mine!r} != observed"
+                    f" {theirs!r} — using configured value"
+                )
         return warnings
 
 
@@ -135,38 +149,70 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
     return {"frames": out}
 
 
-def statics(df: DataFrame, config: dict | None = None) -> dict[str, object]:
+def statics(
+    df: DataFrame,
+    config: dict | None = None,
+    check_consistency: bool | None = None,
+) -> dict[str, object]:
     """Constants: written once per job (da00_Writer.cpp constants path).
     Explicit ``data`` (list or {first,last,size} linspace — da00_Edge) wins;
     otherwise the constant is taken from the first message, refining the
-    spec (update_from, da00_Writer.cpp:92-130). Returns dataset-name →
-    values for the job metadata surface; one single-row driver action only
-    when a constant actually needs message data."""
+    spec (update_from, da00_Writer.cpp:92-130). When the first message is
+    fetched anyway, fully-configured constants are also verified against it
+    and mismatches logged ("Data for constant X is not consistent",
+    da00_Writer.cpp:101-107) — configured data still wins.
+
+    ``check_consistency``: None (default) = verify only when the first
+    message is already being fetched — the check is free in streaming
+    (first batch) but would cost a full scan in batch mode when every
+    constant is configured; True forces the scan for the reference's
+    always-verify behavior; False skips verification entirely.
+
+    Returns dataset-name → values for the job metadata surface; one
+    single-row driver action at most."""
     cfg = Da00Config.from_json(config or {})
     out: dict[str, object] = {}
     need_first = [c for c in cfg.constants if c.data is None]
+    if check_consistency is None:
+        check_consistency = bool(need_first)
     first_by_name: dict[str, dict] = {}
-    if need_first and "da00_variables" in df.columns:
+    fetch = need_first or (check_consistency and cfg.constants)
+    if fetch and "da00_variables" in df.columns:
         row = df.agg(
             F.min_by("da00_variables", F.struct("partition", "offset")).alias("first")
         ).collect()
         if row and row[0]["first"] is not None:
             for v in row[0]["first"]:
                 first_by_name[v["name"]] = v.asDict()
+
+    def _observed(c_name: str) -> VariableConfig:
+        o = first_by_name[c_name]
+        return VariableConfig(
+            name=c_name,
+            unit=o.get("unit"),
+            label=o.get("label"),
+            source=o.get("source"),
+            data_type=o.get("data_type"),
+            axes=list(o["axes"]) if o.get("axes") else None,
+            shape=list(o["shape"]) if o.get("shape") else None,
+        )
+
     for c in cfg.constants:
         if c.data is not None:
             out[c.name] = expand_edge(c.data)
+            if check_consistency and c.name in first_by_name:
+                for w in c.refine_from(_observed(c.name)):
+                    log.info("da00 constant refinement: %s", w)
+                observed_data = list(first_by_name[c.name].get("data") or [])
+                if observed_data and observed_data != list(out[c.name]):
+                    log.info(
+                        "Data for constant %s is not consistent."
+                        " Using configured value.", c.name,
+                    )
         elif c.name in first_by_name:
-            observed = first_by_name[c.name]
-            c.refine_from(
-                VariableConfig(
-                    name=c.name,
-                    unit=observed.get("unit"),
-                    axes=list(observed["axes"]) if observed.get("axes") else None,
-                    shape=list(observed["shape"]) if observed.get("shape") else None,
-                )
-            )
-            out[c.name] = list(observed.get("data") or [])
+            for w in c.refine_from(_observed(c.name)):
+                log.info("da00 constant refinement: %s", w)
+            out[c.name] = list(first_by_name[c.name].get("data") or [])
     return out
 
 

@@ -22,6 +22,7 @@ matching the reference's chunked datasets, ExtensibleDataset.h:144-291).
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -272,3 +273,7 @@ def pack(
             target = str((Path(parent) / link["target"]).resolve())
             if target in f:
                 f[link["path"]] = f[target]
+
+    # Finished files are immutable: r--r--r--, matching the reference's
+    # chmod-at-close (HDFFile.cpp:39-48).
+    os.chmod(hdf_path, 0o444)

@@ -202,6 +202,36 @@ def test_da00_config_refinement():
     assert cfg.unit == "m"
 
 
+def test_da00_refinement_records_changed_fields():
+    cfg = da00.VariableConfig.from_json({"name": "v", "unit": "m"})
+    cfg.refine_from(da00.VariableConfig(name="v", data_type="int32", shape=[10]))
+    # the reference's "changed" signal (drives its dataset update)
+    assert cfg.refined_fields == ["data_type", "shape"]
+
+
+def test_da00_constant_data_consistency_warns_keeps_configured(spark, caplog):
+    """da00_Writer.cpp:101-107: a configured constant whose data disagrees
+    with the first message warns and keeps the configured value."""
+    import logging
+
+    rows = [{
+        "schema": "da00", "topic": "t", "source_name": "h", "partition": 0,
+        "kafka_timestamp": 11_000, "timestamp": 11_000, "offset": 0,
+        "variables": [
+            {"name": "edges", "unit": "mm", "axes": ["x"], "shape": [3],
+             "data": [9.0, 9.5, 10.0]},
+        ],
+    }]
+    df = messages_from_json(spark, rows)
+    config = {"constants": [{"name": "edges", "data": [1.0, 2.0, 3.0]}]}
+    with caplog.at_level(logging.INFO, logger="kafka_to_nexus_spark.modules.da00"):
+        out = da00.statics(df, config, check_consistency=True)
+    assert out["edges"] == [1.0, 2.0, 3.0]  # configured wins
+    assert any("not consistent" in r.message for r in caplog.records)
+    # default (auto) mode skips the scan when everything is configured
+    assert da00.statics(df, config) == {"edges": [1.0, 2.0, 3.0]}
+
+
 def test_da00_edge_linspace():
     assert da00.expand_edge([1.0, 2.0, 3.0]) == [1.0, 2.0, 3.0]
     assert da00.expand_edge({"first": 0, "last": 10, "size": 5}) == [0.0, 2.5, 5.0, 7.5, 10.0]
