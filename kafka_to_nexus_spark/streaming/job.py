@@ -64,6 +64,8 @@ def kafka_reader_options(
     start_time_ms: int | None = None,
     stop_time_ms: int | None = None,
     max_offsets_per_trigger: int | None = None,
+    min_offsets_per_trigger: int | None = None,
+    max_trigger_delay: str | None = None,
     min_partitions: int | None = None,
     streaming: bool = True,
 ) -> dict[str, str]:
@@ -97,8 +99,15 @@ def kafka_reader_options(
         opts["startingOffsetsByTimestampStrategy"] = "latest"
     if stop_time_ms is not None and not streaming:
         opts["endingTimestamp"] = str(stop_time_ms + AFTER_STOP_LEEWAY_NS // MS_TO_NS)
+    # F10 backpressure, Spark-native: a per-trigger offset ceiling caps
+    # batch size (the reference throttles by consumer poll pacing); the
+    # optional floor + max delay batch tiny trickles instead of spinning
+    # one micro-batch per message.
     if max_offsets_per_trigger and streaming:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_offsets_per_trigger and streaming:
+        opts["minOffsetsPerTrigger"] = str(min_offsets_per_trigger)
+        opts["maxTriggerDelay"] = max_trigger_delay or "15m"
     return opts
 
 

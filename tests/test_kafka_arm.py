@@ -207,6 +207,33 @@ def test_reader_options_clamp_lookback_at_epoch():
     assert opts["startingTimestamp"] == "0"
 
 
+def test_reader_options_backpressure_floor_and_ceiling():
+    """F10: offset ceiling caps batch size; the floor batches trickles and
+    always rides with a max trigger delay so data can't stall forever."""
+    from kafka_to_nexus_spark.streaming.job import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "b:9092", ["t"],
+        max_offsets_per_trigger=100_000,
+        min_offsets_per_trigger=1_000,
+        max_trigger_delay="30s",
+        streaming=True,
+    )
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["minOffsetsPerTrigger"] == "1000"
+    assert opts["maxTriggerDelay"] == "30s"
+    # floor without an explicit delay gets a bounded default
+    opts = kafka_reader_options(
+        "b:9092", ["t"], min_offsets_per_trigger=1_000, streaming=True
+    )
+    assert opts["maxTriggerDelay"] == "15m"
+    # batch mode ignores trigger pacing entirely
+    opts = kafka_reader_options(
+        "b:9092", ["t"], min_offsets_per_trigger=1_000, streaming=False
+    )
+    assert "minOffsetsPerTrigger" not in opts
+
+
 def test_stream_and_batch_readers_build_from_options(spark):
     """The reader builders execute against the real DataStreamReader /
     DataFrameReader surface (no broker needed to BUILD the plan source)."""
