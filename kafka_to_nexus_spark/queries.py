@@ -1590,6 +1590,147 @@ def _media_frame(spark: SparkSession, sf_dir: str, with_payload: bool = True) ->
     return docs.select(*cols)
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII/URLs, so the PII queries plant
+    deterministic spans (keyed on doc_id) before detection — same
+    fixture-augmentation pattern as _media_frame."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" call 555-867-5309 soon")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0.0."), (did % 255).cast("string"),
+                    F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" see https://site"), (did % 50).cast("string"),
+                    F.lit(".example.org/page-"), did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+# SQL twin of the planted spans above — keep the two in sync.
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 soon' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) || ' up'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                      || '.example.org/page-' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction signals (llm/text.scrub_pii): one narrow
+    codegen map of chained regexp_count/regexp_replace — the pre-training
+    hygiene filter that runs before anything expensive at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    out = llm_text.scrub_pii(_pii_augmented_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_url").cast("long").alias("n_url"),
+        (
+            F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_url")
+            > 0
+        ).alias("has_pii"),
+        F.length("scrubbed_text").cast("long").alias("scrubbed_len"),
+    )
+
+
+ORACLE["pii_scrub_signals"] = f"""
+WITH aug AS ({_PII_AUG_SQL}),
+sig AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+         len(regexp_extract_all(text, '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]')) AS n_phone,
+         len(regexp_extract_all(text, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ipv4,
+         len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]', '[PHONE]', 'g'),
+             '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '[IPV4]', 'g'),
+           'https?://[^\\s]+', '[URL]', 'g') AS scrubbed
+  FROM aug
+)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_url AS BIGINT) AS n_url,
+       n_email + n_phone + n_ipv4 + n_url > 0 AS has_pii,
+       CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+FROM sig
+"""
+
+
+def _q_url_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus profile: extract URL hosts, one explode + one
+    hash agg (partial-aggregated) — the domain-mix census a training-data
+    curation pass runs before sampling."""
+    from pyspark.sql import functions as F
+
+    aug = _pii_augmented_docs(spark, sf_dir)
+    hosts = aug.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)")
+        ).alias("domain"),
+    )
+    return hosts.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE["url_domain_profile"] = f"""
+WITH aug AS ({_PII_AUG_SQL}),
+hosts AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)) AS domain
+  FROM aug
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+FROM hosts GROUP BY domain
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-to-stream as-of join: each purchase event joined to the
     latest signup value at-or-before it per user. Oracle uses DuckDB's
@@ -2162,6 +2303,8 @@ FROM asg1 GROUP BY cid
 
 
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pii_scrub_signals": _q_pii_scrub,
+    "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "srp_signatures": _q_srp_signatures,
