@@ -36,3 +36,35 @@ def accepts_repeated_timestamps(module_id: str) -> bool:
     """F4 opt-in flag (reference WriterModuleBase.h:36,55): ev44 accepts
     repeated timestamps; scalar-log-style modules do not."""
     return getattr(REGISTRY[module_id], "ACCEPTS_REPEATED_TIMESTAMPS", False)
+
+
+def group_streams(streams):
+    """Split stream bindings into (groups, singles) for the 1000-source
+    fast path: same-module, same-shape-config, row-wise ("GROUPABLE")
+    bindings of size ≥ 2 run as ONE filter + transform + partitioned write
+    per module instead of one Spark-job pipeline per source. Identity keys
+    (topic/source) name the stream without changing the transform, so they
+    are excluded from the shape key. Modules with per-source driver state
+    (cue recurrences) or statics stay on the per-binding path."""
+    import json as _json
+
+    groups: dict[tuple[str, str], list] = {}
+    singles: list = []
+    for b in streams:
+        module = REGISTRY.get(b.module)
+        cfg = b.config or {}
+        if (
+            module is not None
+            and getattr(module, "GROUPABLE", False)
+            and not cfg.get("cue_interval")
+            and not hasattr(module, "statics")
+        ):
+            shape = {k: v for k, v in cfg.items() if k not in ("topic", "source")}
+            groups.setdefault(
+                (b.module, _json.dumps(shape, sort_keys=True)), []
+            ).append(b)
+        else:
+            singles.append(b)
+    for key in [k for k, v in groups.items() if len(v) == 1]:
+        singles.extend(groups.pop(key))
+    return groups, singles

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..schemas import SEVERITY_CODES
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
+GROUPABLE = True  # row-wise map - multi-source safe with a passthrough key
 
 
 def severity_code(col):
@@ -21,7 +22,9 @@ def severity_code(col):
 
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
+    keep = [F.col(c) for c in ("__source",) if c in df.columns]
     out = df.select(
+        *keep,
         F.col("timestamp").alias("alarm_time"),
         severity_code(F.col("severity")).alias("alarm_severity"),
         F.coalesce(F.nullif(F.col("message"), F.lit("")), F.lit("NO ALARM MESSAGE")).alias(

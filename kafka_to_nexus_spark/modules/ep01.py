@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..schemas import CONNECTION_INFO_CODES
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
+GROUPABLE = True  # row-wise map - multi-source safe with a passthrough key
 
 
 def status_code(col):
@@ -21,7 +22,9 @@ def status_code(col):
 
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
+    keep = [F.col(c) for c in ("__source",) if c in df.columns]
     out = df.select(
+        *keep,
         F.col("timestamp").alias("connection_status_time"),
         status_code(F.col("connection_status")).alias("connection_status"),
     )

@@ -15,12 +15,17 @@ from ..functions import cue_table, with_row_index
 from ..schemas import spark_type_for
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
+# row-wise transform (no cross-row state when cue is off): safe to run on a
+# multi-source frame with a passthrough key (runner grouped fast path)
+GROUPABLE = True
 DEFAULTS = {"dtype": "double", "cue_interval": None, "value_units": None, "chunk_size": 1024}
 
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
     cfg = {**DEFAULTS, **(config or {})}
     projection = [
+        F.col(c) for c in ("__source",) if c in df.columns
+    ] + [
         F.col("timestamp").alias("time"),
         F.col("value").cast(spark_type_for(cfg["dtype"])).alias("value"),
     ]
@@ -35,13 +40,20 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
     }
 
 
-def aggregates(df: DataFrame, config: dict | None = None) -> DataFrame:
+def aggregates(
+    df: DataFrame, config: dict | None = None, group_key: str | None = None
+) -> DataFrame:
     """Running min/max/mean over written values → job-summary metadata (T6).
     mean = sum/count exactly as the reference accumulates it
     (f144_Writer.cpp:265-287). Partial aggregation (map-side combine) makes
-    this a near-free pass at scale."""
-    return df.agg(
+    this a near-free pass at scale. With ``group_key`` the SAME aggregate
+    runs once for a whole group of sources (one job collecting one tiny
+    row per source, instead of one job per source)."""
+    aggs = [
         F.min("value").alias("minimum_value"),
         F.max("value").alias("maximum_value"),
         (F.sum("value") / F.count("value")).alias("average_value"),
-    )
+    ]
+    if group_key is not None:
+        return df.groupBy(group_key).agg(*aggs)
+    return df.agg(*aggs)

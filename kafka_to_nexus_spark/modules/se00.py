@@ -19,12 +19,15 @@ from pyspark.sql import functions as F
 from ..schemas import spark_type_for
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
+GROUPABLE = True  # row-wise map (explode + when) — multi-source safe
 DEFAULTS = {"dtype": "double", "cue_interval": None}
 
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
     cfg = {**DEFAULTS, **(config or {})}
+    keep = [c for c in ("__source",) if c in df.columns]
     exploded = df.select(
+        *keep,
         "partition",
         "offset",
         "packet_timestamp",
@@ -37,6 +40,7 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
         + F.round(F.col("pos") * F.col("time_delta")).cast("long")
     )
     out = exploded.select(
+        *keep,
         "partition",
         "offset",
         F.when(
@@ -47,7 +51,7 @@ def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]
         .alias("time"),
         F.col("raw_value").cast(spark_type_for(cfg["dtype"])).alias("value"),
     )
-    return {"log": out.select("time", "value")}
+    return {"log": out.select(*keep, "time", "value")}
 
 
 def cue(df: DataFrame) -> DataFrame:

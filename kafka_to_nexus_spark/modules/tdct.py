@@ -13,14 +13,16 @@ from pyspark.sql import functions as F
 from ..functions import with_cumulative_before
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
+GROUPABLE = True  # row-wise map (filter + explode) — multi-source safe
 
 
 def transform(df: DataFrame, config: dict | None = None) -> dict[str, DataFrame]:
+    keep = [c for c in ("__source",) if c in df.columns]
     nonempty = df.filter(F.col("timestamps").isNotNull() & (F.size("timestamps") > 0))
     out = nonempty.select(
-        "partition", "offset", F.posexplode("timestamps").alias("pos", "time")
-    ).select("partition", "offset", "pos", "time")
-    return {"tdc": out.select(F.col("time").alias("time"))}
+        *keep, "partition", "offset", F.posexplode("timestamps").alias("pos", "time")
+    ).select(*keep, "partition", "offset", "pos", "time")
+    return {"tdc": out.select(*keep, F.col("time").alias("time"))}
 
 
 def cue(df: DataFrame) -> DataFrame:

@@ -42,6 +42,16 @@ def source_filter(df: DataFrame, schema_id: str, source_name: str) -> DataFrame:
     return df.filter((F.col("schema") == schema_id) & (F.col("source_name") == source_name))
 
 
+def source_filter_many(
+    df: DataFrame, schema_id: str, source_names: Sequence[str]
+) -> DataFrame:
+    """F1 over a whole source group in one predicate (schema equality +
+    IN-set) — the grouped fast path's scan filter."""
+    return df.filter(
+        (F.col("schema") == schema_id) & F.col("source_name").isin(list(source_names))
+    )
+
+
 def drop_invalid(df: DataFrame, ts_col: str = TS) -> DataFrame:
     """D4 — zero/null timestamp is invalid (src/FlatbufferMessage.cpp:57-59)."""
     return df.filter(F.col(ts_col).isNotNull() & (F.col(ts_col) != 0))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .modules import REGISTRY as MODULE_REGISTRY
-from .modules import accepts_repeated_timestamps, get_module
+from .modules import accepts_repeated_timestamps, get_module, group_streams
 from .operators import filters, quality
 from .plan import Plan, StartMessage, build_plan
 from .plan.model import StreamBinding
@@ -136,17 +136,81 @@ def run_job(
         ]
         return _stream_key(binding), written, values, attrs
 
-    # Per-stream jobs are small relative to the cluster — submit them
-    # CONCURRENTLY so the scheduler interleaves their tasks instead of
-    # leaving slots idle between serial actions. The reference gets the
-    # same effect from its per-partition threads feeding one writer.
+    def process_group(module_id: str, group: list[StreamBinding]):
+        """1000-source fast path: same-module same-config row-wise bindings
+        run as ONE filter + transform + partitionBy write (plus one grouped
+        aggregate job), instead of one Spark job pipeline per source. The
+        per-source path degrades linearly in job-scheduler overhead; this
+        path is O(modules) per job regardless of source count."""
+        module = get_module(module_id)
+        config = group[0].config
+        sources = [b.source for b in group]
+        src = windowed.filter(
+            (F.col("schema") == module_id) & F.col("source_name").isin(sources)
+        )
+        if not accepts_repeated_timestamps(module_id):
+            # already partitions by (schema, source) internally
+            src = filters.drop_repeated_timestamps(src)
+        keyed = src.withColumn("__source", F.col("source_name"))
+        outputs = module.transform(keyed, config)
+        path_by_source = {b.source: b.path for b in group}
+        written: list[str] = []
+        for dataset, df in outputs.items():
+            order = [c for c in ORDER_COLS.get((module_id, dataset), []) if c in df.columns]
+            if order:
+                df = df.sortWithinPartitions("__source", *order)
+            df = df.drop(*[c for c in HELPER_COLS if c in df.columns])
+            staging.write_dataset_grouped(df, out_dir, path_by_source, dataset)
+            written.append(dataset)
+        values: dict[str, object] = {}
+        if hasattr(module, "aggregates"):
+            agg_input = outputs.get("log", keyed)
+            rows = module.aggregates(agg_input, config, group_key="__source").collect()
+            by_source = {r["__source"]: r.asDict() for r in rows}
+            for b in group:
+                for name, value in by_source.get(b.source, {}).items():
+                    if name != "__source":
+                        values[f"{b.path}/{name}"] = value
+        attrs = [
+            {"path": b.path, **a}
+            for b in group
+            for a in (
+                module.group_attributes(config)
+                if hasattr(module, "group_attributes")
+                else []
+            )
+        ]
+        # group-wide values/attrs ride on the first tuple only
+        return [
+            (_stream_key(b), written, values if i == 0 else {}, attrs if i == 0 else [])
+            for i, b in enumerate(group)
+        ]
+
+    # Group same-module, same-shape, row-wise bindings into one pass each
+    # (modules.group_streams); everything else takes the per-binding path.
+    # Per-stream jobs are submitted CONCURRENTLY so the scheduler
+    # interleaves their tasks instead of leaving slots idle between serial
+    # actions — the reference gets the same effect from its per-partition
+    # threads feeding one writer.
+    groups, singles = group_streams(plan.streams)
+
     extra_group_attrs: list[dict] = []
     if plan.streams:
-        with ThreadPoolExecutor(max_workers=min(8, len(plan.streams))) as pool:
-            for key, written, values, attrs in pool.map(process_binding, plan.streams):
-                stream_outputs[key] = written
-                metadata_values.update(values)
-                extra_group_attrs.extend(attrs)
+        with ThreadPoolExecutor(
+            max_workers=min(8, max(len(singles) + len(groups), 1))
+        ) as pool:
+            futures = [pool.submit(process_binding, b) for b in singles]
+            gfutures = [
+                pool.submit(process_group, mod, grp)
+                for (mod, _cfg), grp in groups.items()
+            ]
+            results = [f.result() for f in futures]
+            for gf in gfutures:
+                results.extend(gf.result())
+        for key, written, values, attrs in results:
+            stream_outputs[key] = written
+            metadata_values.update(values)
+            extra_group_attrs.extend(attrs)
 
     # W9 mdat run metadata (plan-level constants)
     for m in plan.mdat:

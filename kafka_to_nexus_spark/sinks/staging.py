@@ -58,6 +58,93 @@ def write_dataset(
     df.write.mode("overwrite").parquet(str(target))
 
 
+def write_dataset_grouped(
+    df: DataFrame,
+    out_dir: str | Path,
+    path_by_source: dict[str, str],
+    dataset: str,
+    source_col: str = "__source",
+) -> None:
+    """ONE partitioned write for a whole group of same-module sources —
+    the 1000-source fast path (one Spark job instead of one per source).
+
+    ``partitionBy(source_col)`` splits the output into per-source
+    directories in a single pass; the partition dirs are then moved into
+    the canonical ``data/<group>/<dataset>`` layout (a local/posix rename,
+    the same cheap-commit trick FileOutputCommitter uses). Sources with no
+    rows this pass still get their dataset directory: parquet readers and
+    the pack step expect the dataset to exist with a schema, so one empty
+    single-file write (driver-side limit(0), one tiny job) is copied into
+    each empty slot.
+    """
+    import shutil
+    import tempfile
+    from urllib.parse import unquote
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    tmp = Path(tempfile.mkdtemp(prefix="_grouped_", dir=str(Path(out_dir))))
+    try:
+        df.write.mode("overwrite").partitionBy(source_col).parquet(str(tmp / "p"))
+        produced: dict[str, Path] = {}
+        for part in (tmp / "p").glob(f"{source_col}=*"):
+            # Hive-style partition dirs URI-escape special characters
+            produced[unquote(part.name.split("=", 1)[1])] = part
+        empty_src: Path | None = None
+        for source, group_path in path_by_source.items():
+            target = dataset_dir(out_dir, group_path, dataset)
+            target.parent.mkdir(parents=True, exist_ok=True)
+            if target.exists():
+                shutil.rmtree(target)
+            part = produced.get(source)
+            if part is not None:
+                part.rename(target)
+                continue
+            if empty_src is None:
+                # schema-preserving empty dataset, written once per group
+                df.drop(source_col).limit(0).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(str(tmp / "empty"))
+                empty_src = tmp / "empty"
+            shutil.copytree(empty_src, target)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_dataset_grouped_batched(
+    df: DataFrame,
+    out_dir: str | Path,
+    path_by_source: dict[str, str],
+    dataset: str,
+    source_col: str = "__source",
+) -> None:
+    """Streaming variant of :func:`write_dataset_grouped`: one write
+    partitioned by (source, batch); each produced ``batch=N`` directory
+    REPLACES its target — the same idempotent-replay semantics the
+    per-stream path gets from dynamic partition overwrite, for the whole
+    source group in one Spark job."""
+    import shutil
+    import tempfile
+    from urllib.parse import unquote
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    tmp = Path(tempfile.mkdtemp(prefix="_grouped_", dir=str(Path(out_dir))))
+    try:
+        df.write.mode("overwrite").partitionBy(source_col, "batch").parquet(
+            str(tmp / "p")
+        )
+        for part in (tmp / "p").glob(f"{source_col}=*"):
+            source = unquote(part.name.split("=", 1)[1])
+            target_ds = dataset_dir(out_dir, path_by_source[source], dataset)
+            target_ds.mkdir(parents=True, exist_ok=True)
+            for bdir in part.glob("batch=*"):
+                tgt = target_ds / bdir.name
+                if tgt.exists():
+                    shutil.rmtree(tgt)
+                bdir.rename(tgt)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_meta(
     out_dir: str | Path,
     plan: Plan,

@@ -38,7 +38,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..modules import accepts_repeated_timestamps, get_module
+from ..modules import accepts_repeated_timestamps, get_module, group_streams
 from ..operators import filters, quality
 from ..plan import Plan, StartMessage, build_plan
 from ..schemas import MESSAGE_SCHEMA
@@ -470,7 +470,83 @@ class StreamingJob:
         tails = tails or {}
         event_counts = event_counts or {}
         write_tasks: list[tuple[DataFrame, str]] = []
-        for binding in self.plan.streams:
+        grouped_tasks: list[tuple[DataFrame, dict[str, str], str]] = []
+        groups, singles = group_streams(self.plan.streams)
+
+        # -- 1000-source fast path: one filter + transform + partitioned
+        # write per same-shape module group, instead of one Spark-job
+        # pipeline per source per batch (see modules.group_streams).
+        for (module_id, _shape), group in groups.items():
+            module = get_module(module_id)
+            config = group[0].config
+            src = filters.source_filter_many(
+                windowed, module_id, [b.source for b in group]
+            )
+            if not accepts_repeated_timestamps(module_id):
+                src = filters.drop_repeated_timestamps(src)
+                # cross-batch repeat filter, group-wide: per-source last
+                # written ts rides as a map literal (see the per-binding
+                # variant below for the semantics)
+                lasts = {
+                    b.source: st.last_written_ts.get((module_id, b.source))
+                    for b in group
+                }
+                lasts = {s: t for s, t in lasts.items() if t is not None}
+                if lasts:
+                    w = Window.partitionBy("partition", "source_name").orderBy(
+                        "offset"
+                    )
+                    last_map = F.create_map(
+                        *[F.lit(x) for kv in lasts.items() for x in kv]
+                    )
+                    # coalesce guard: element_at is null for sources with
+                    # no prior tail; ts == null would null the predicate
+                    # and silently drop the row
+                    src = (
+                        src.withColumn("_rn", F.row_number().over(w))
+                        .filter(
+                            ~(
+                                (F.col("_rn") == 1)
+                                & (
+                                    F.col("timestamp")
+                                    == F.coalesce(
+                                        F.element_at(
+                                            last_map, F.col("source_name")
+                                        ),
+                                        F.lit(-1),
+                                    )
+                                )
+                            )
+                        )
+                        .drop("_rn")
+                    )
+                for b in group:
+                    tail = tails.get((module_id, b.source))
+                    if tail is not None:
+                        st.last_written_ts[(module_id, b.source)] = int(tail)
+            keyed = src.withColumn("__source", F.col("source_name"))
+            outputs = module.transform(keyed, config)
+            path_by_source = {b.source: b.path for b in group}
+            for dataset, df in outputs.items():
+                if dataset == "cue":
+                    continue
+                order_src = next(
+                    (c for c in ("_global_index", "row_index") if c in df.columns),
+                    None,
+                )
+                if order_src is not None:
+                    df = df.withColumn("_row_order", F.col(order_src))
+                df = df.drop(
+                    *[c for c in ("_global_index", "row_index") if c in df.columns]
+                )
+                df = df.withColumn("batch", F.lit(batch_seq))
+                grouped_tasks.append((df, path_by_source, dataset))
+                for b in group:
+                    written = self._written_datasets.setdefault(_stream_key(b), [])
+                    if dataset not in written:
+                        written.append(dataset)
+
+        for binding in singles:
             module = get_module(binding.module)
             src = filters.source_filter(windowed, binding.module, binding.source)
             key = (binding.module, binding.source)
@@ -571,13 +647,23 @@ class StreamingJob:
                 .parquet(target)
             )
 
-        if len(write_tasks) == 1:
-            _write(write_tasks[0])
-        elif write_tasks:
+        def _write_grouped(task):
+            df, path_by_source, dataset = task
+            staging.write_dataset_grouped_batched(
+                df, self.out_dir, path_by_source, dataset
+            )
+
+        tasks = [(_write, t) for t in write_tasks] + [
+            (_write_grouped, t) for t in grouped_tasks
+        ]
+        if len(tasks) == 1:
+            fn, t = tasks[0]
+            fn(t)
+        elif tasks:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(8, len(write_tasks))) as pool:
-                list(pool.map(_write, write_tasks))
+            with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
+                list(pool.map(lambda ft: ft[0](ft[1]), tasks))
 
     def finalize(self) -> None:
         """At stop: emit still-unconsumed buffered rows (SourceFilter
@@ -591,6 +677,25 @@ class StreamingJob:
         if buffered is not None:
             self._write_streams(buffered)
             st.asof_emitted.update(remaining)
+
+        # Grouped writes emit no partition dir for a source with zero rows
+        # across the whole job — backfill schema-complete empty datasets so
+        # the pack step and readers find every dataset the meta declares.
+        empty_src = None
+        for binding in self.plan.streams:
+            module = get_module(binding.module)
+            for dataset in self._written_datasets.get(_stream_key(binding), []):
+                d = staging.dataset_dir(self.out_dir, binding.path, dataset)
+                if d.exists():
+                    continue
+                if empty_src is None:
+                    empty_src = self.spark.createDataFrame([], MESSAGE_SCHEMA)
+                out = module.transform(empty_src, binding.config).get(dataset)
+                if out is not None:
+                    staging.write_dataset(
+                        out.withColumn("batch", F.lit(0)),
+                        self.out_dir, binding.path, dataset,
+                    )
 
         metadata_values: dict[str, object] = {}
         extra_group_attrs: list[dict] = []

@@ -211,3 +211,61 @@ def test_error_taxonomy_counters(spark, tmp_path):
     assert res.metrics["not_valid_flatbuffer"] == 1
     assert res.metrics["invalid_timestamp"] == 1
     assert res.metrics["approx_file_size_mb"] >= 0
+
+
+def test_grouped_same_module_sources_match_per_source_semantics(spark, tmp_path):
+    """The 1000-source fast path: same-config f144 bindings run as ONE
+    partitioned write + one grouped aggregate. Each source's staged log and
+    job-summary aggregates must be exactly what the per-source path would
+    produce (content, per-source isolation, time order, empty sources)."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    n_src = 5
+    rows = []
+    for m in range(20):
+        src = f"pv_{m % 4}"  # pv_4 stays empty
+        rows.append({
+            "schema": "f144", "topic": "t", "source_name": src,
+            "kafka_timestamp": 10_000 + m * 100, "offset": m,
+            "value": float(m),
+        })
+    structure = {
+        "children": [{
+            "type": "group", "name": "entry",
+            "children": [
+                {
+                    "type": "group", "name": f"pv_{i}",
+                    "children": [{
+                        "module": "f144",
+                        "config": {"topic": "t", "source": f"pv_{i}",
+                                   "dtype": "double"},
+                    }],
+                }
+                for i in range(n_src)
+            ],
+        }]
+    }
+    start = StartMessage(job_id="grp", filename="g", nexus_structure=structure,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    res = run_job(spark, start, messages_from_json(spark, rows), str(out))
+
+    for i in range(n_src):
+        df = spark.read.parquet(
+            str(staging.dataset_dir(out, f"entry/pv_{i}", "log"))
+        ).orderBy("time")
+        got = [(r["time"], r["value"]) for r in df.collect()]
+        expect = sorted(
+            ((10_000 + m * 100) * 1_000_000, float(m))
+            for m in range(20) if m % 4 == i
+        )
+        assert got == expect, f"pv_{i}"
+        assert "__source" not in df.columns
+    # grouped aggregates land per source, exactly as per-source aggs would
+    for i in range(4):
+        vals = [float(m) for m in range(20) if m % 4 == i]
+        assert res.metadata_values[f"/entry/pv_{i}/minimum_value"] == min(vals)
+        assert res.metadata_values[f"/entry/pv_{i}/maximum_value"] == max(vals)
+        assert res.metadata_values[f"/entry/pv_{i}/average_value"] == sum(vals) / len(vals)
+    # the empty source has a schema-complete empty dataset and no aggregates
+    assert "/entry/pv_4/minimum_value" not in res.metadata_values
