@@ -269,3 +269,82 @@ def test_grouped_same_module_sources_match_per_source_semantics(spark, tmp_path)
         assert res.metadata_values[f"/entry/pv_{i}/average_value"] == sum(vals) / len(vals)
     # the empty source has a schema-complete empty dataset and no aggregates
     assert "/entry/pv_4/minimum_value" not in res.metadata_values
+
+
+@pytest.mark.parametrize("modules_mix", [
+    ["f144"], ["f144", "al00"], ["ep01", "f144", "se00"],
+])
+def test_grouped_path_equivalent_to_per_source(spark, tmp_path, modules_mix, monkeypatch):
+    """Equivalence guard for the 1000-source fast path: for mixed
+    multi-source jobs, the grouped and per-source paths must produce
+    identical staged datasets (row multisets per stream) and identical
+    job metadata."""
+    import kafka_to_nexus_spark.modules as M
+    import kafka_to_nexus_spark.runner as R
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    n_src = 3
+    rows = []
+    m = 0
+    for mod in modules_mix:
+        for k in range(12):
+            src = f"{mod}_src_{k % n_src}"
+            base = {
+                "schema": mod, "topic": "t", "source_name": src,
+                "kafka_timestamp": 10_000 + m * 37, "offset": m,
+            }
+            if mod == "f144":
+                base["value"] = float(m)
+            elif mod == "al00":
+                base.update(severity=["OK", "MINOR", "MAJOR"][m % 3],
+                            message=f"msg{m}" if m % 2 else "")
+            elif mod == "ep01":
+                base["connection_status"] = ["CONNECTED", "DISCONNECTED"][m % 2]
+            elif mod == "se00":
+                base.update(values=[float(m), float(m + 1)],
+                            packet_timestamp=(10_000 + m * 37) * 1_000_000,
+                            time_delta=1000.0)
+            rows.append(base)
+            m += 1
+    children = [
+        {
+            "type": "group", "name": f"{mod}_{i}",
+            "children": [{"module": mod,
+                          "config": {"topic": "t", "source": f"{mod}_src_{i}"}}],
+        }
+        for mod in modules_mix for i in range(n_src)
+    ]
+    structure = {"children": [{"type": "group", "name": "entry",
+                               "children": children}]}
+
+    def run_with(path_name, force_per_source):
+        if force_per_source:
+            monkeypatch.setattr(M, "group_streams",
+                                lambda streams: ({}, list(streams)))
+            monkeypatch.setattr(R, "group_streams", M.group_streams)
+        else:
+            monkeypatch.undo()
+        start = StartMessage(job_id=path_name, filename=path_name,
+                             nexus_structure=structure,
+                             start_time_ms=10_000, stop_time_ms=15_000)
+        out = tmp_path / path_name
+        res = run_job(spark, start, messages_from_json(spark, rows), str(out))
+        staged = {}
+        for mod in modules_mix:
+            for i in range(n_src):
+                group = f"entry/{mod}_{i}"
+                ds_root = (out / "data" / staging.escape_path(group))
+                for ds_dir in sorted(p for p in ds_root.iterdir() if p.is_dir()):
+                    df = spark.read.parquet(str(ds_dir))
+                    key = (group, ds_dir.name)
+                    staged[key] = sorted(
+                        tuple(r) for r in df.select(sorted(df.columns)).collect()
+                    )
+        return staged, dict(res.metadata_values)
+
+    grouped_data, grouped_meta = run_with("grouped", force_per_source=False)
+    plain_data, plain_meta = run_with("plain", force_per_source=True)
+    assert grouped_data.keys() == plain_data.keys()
+    for key in grouped_data:
+        assert grouped_data[key] == plain_data[key], key
+    assert grouped_meta == plain_meta
