@@ -839,21 +839,26 @@ FROM events GROUP BY event_type
 
 # --- TF-IDF top term per document --------------------------------------------
 # Classic text weighting: tf(term, doc) × ln(N / df(term)); top-1 term per
-# doc with stable ties. Shuffles: one explode+groupBy for (doc, term)
-# counts, a broadcastable df table, one window for top-1.
-_TFIDF_SPARK_BASE = """
+# doc with stable ties. The corpus is exploded ONCE: df(term) is a window
+# count over tf (tf holds one row per (doc, term), so count(*) per term ==
+# count(DISTINCT doc_id) over raw terms) — no tf⋈df self-join, so the
+# explode subtree appears once in the plan instead of twice (the round-3
+# plan re-ran the explode for df: 8 exchanges, 2 corpus scans). N is a
+# separate metadata-cheap count job folded in as a literal, keeping the
+# main plan at one corpus scan and three shuffles: Exchange(doc_id,term)
+# for tf, Exchange(term) for the df window, Exchange(doc_id) for top-1.
+_TFIDF_MAIN_SQL = """
 WITH terms AS (
   SELECT doc_id, term FROM (
     SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents
   ) WHERE term <> ''
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
-n AS (SELECT count(*) AS n FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
-  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+         round(tf.tf * ln(CAST({n} AS DOUBLE)
+                          / count(*) OVER (PARTITION BY tf.term)), 6) AS tfidf
+  FROM tf
 )
 SELECT doc_id, term, tfidf FROM (
   SELECT doc_id, term, tfidf,
@@ -861,10 +866,38 @@ SELECT doc_id, term, tfidf FROM (
   FROM scored
 ) WHERE rn = 1
 """
-SPARK_SQL["tfidf_top_term"] = _TFIDF_SPARK_BASE
-ORACLE["tfidf_top_term"] = _TFIDF_SPARK_BASE.replace(
-    "explode(split(lower(text), ' '))", "unnest(string_split(lower(text), ' '))"
+
+
+def _q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-1 term per doc; single corpus explode, df via window
+    count over tf. N comes from a separate count(*) job (parquet
+    metadata count — no row materialization) so the main plan carries no
+    second corpus scan and no single-row cross join."""
+    register_views(spark, sf_dir, ("documents",))
+    n_docs = spark.table("documents").count()
+    return spark.sql(_TFIDF_MAIN_SQL.format(n=n_docs))
+
+
+ORACLE["tfidf_top_term"] = """
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE)
+                          / count(*) OVER (PARTITION BY tf.term)), 6) AS tfidf
+  FROM tf CROSS JOIN n
 )
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
 
 # --- scalar expression battery ----------------------------------------------
 # The reference has no generic expression library (SURVEY.md §2.8); this
@@ -2053,15 +2086,35 @@ FROM t
 # LSH-pruned edge set (same CTEs as ngram_jaccard_pairs), so both engines
 # see the same graph.
 
-def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The CC label table is the shared product of the dedup family:
+# ``dedup_components`` returns it directly and ``dedup_keep_canonical`` is a
+# projection over it. Computing the iterative label-propagation loop twice in
+# one session doubles the most expensive pipeline in the registry, so the
+# labels are memoized per (session, sf_dir) as a localCheckpointed DataFrame
+# — materialized once, O(corpus) rows of two longs, lineage-free so each
+# consumer's plan is a flat scan of the checkpoint.
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dedup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .llm import dedup as llm_dedup
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     edges = _q_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
-    return llm_dedup.connected_components(edges, docs, "doc_id")
+    labels = llm_dedup.connected_components(edges, docs, "doc_id").localCheckpoint()
+    _CC_LABELS_CACHE[key] = labels
+    return labels
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_component_labels(spark, sf_dir)
 
 
 ORACLE["dedup_components"] = """
@@ -2107,12 +2160,13 @@ def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END PRODUCT: one row per document with its component id
     and a keep/drop decision (keep = lowest doc id of the duplicate
     group; min-label makes the component id that canonical doc).
-    Downstream training-mix building filters ``keep``. Same edge graph
-    as dedup_components — only a projection on top, so the scale shape
-    is unchanged."""
+    Downstream training-mix building filters ``keep``. A projection over
+    the memoized CC label table (_dedup_component_labels) — when both
+    dedup queries run in one session the label-propagation loop executes
+    exactly once."""
     from pyspark.sql import functions as F
 
-    comp = _q_dedup_components(spark, sf_dir)
+    comp = _dedup_component_labels(spark, sf_dir)
     return comp.select(
         "doc_id",
         "component_id",
@@ -2303,6 +2357,7 @@ FROM asg1 GROUP BY cid
 
 
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tfidf_top_term": _q_tfidf_top_term,
     "pii_scrub_signals": _q_pii_scrub,
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
@@ -2338,80 +2393,71 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   2. then every query whose last driver check is OLDEST — no formerly
 #      green query may go two consecutive rounds unverified;
 #   3. remaining slots go to §2-mapped representatives across families.
-# Round-3 window: 5 timestamp-fix proofs + 2 new oracles + 2 first checks,
-# the 34 round-1-green queries that fell out of round 2's window, and 7 §2
-# representatives (f/d/w/k/t families). Rotated out for exactly one round
-# (green in r1+r2, back in r4): w2/w4/w5/w6/w7/w8 event-index/zero-fill/
-# constants/severity/state/cue queries, q7/q8/q9/q12/q20, and the round-2-
-# green LLM family (dedup/minhash/SRP/IVF/quant/text batteries).
+# Round-4 window: the 7 never-driver-checked queries first (q7/q8/q9/q12/
+# q20 TPC-H + the two r3 additions pii_scrub_signals/url_domain_profile),
+# then tfidf_top_term (plan rewritten this round — must be re-proven), the
+# 36 queries whose last green row is round 2 (LLM dedup/minhash/SRP/IVF/
+# quant/text batteries + w2/w4/w5/w6/w7/w8), two cross-round canaries, and
+# 4 r3-green §2 family representatives. Rotated out for exactly one round
+# (green in r1+r3, back in r5): the TPC-H/windowing battery verified in r3.
 _PRIORITY = (
-    # -- timestamp-encoding fix proofs (ERR in r2, root cause VERDICT #1)
-    "f2_time_window",
-    "f3_asof_buffer",
-    "w3_timestamp_synthesis",
-    "asof_join_tolerance",
-    "range_join_attribution",
-    # -- first-ever oracle (no_oracle in r2)
-    "simhash_fingerprints",
-    "ivf_kmeans_train",
-    # -- first-ever driver check
-    "multimodal_features",
-    "stats_battery",
-    # -- round-1-green, unverified in round 2 (freshness rule #2)
-    "sessionize",
-    "session_windows",
-    "json_props_extract",
-    "tumbling_window",
-    "sliding_window",
-    "topk_per_group",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "q4_priority_exists",
-    "q10_returned_revenue",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    "q16_brand_suppliers",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_waiting_orders",
-    "rollup_daily_totals",
-    "hypertable_rollup",
-    "cube_type_user_totals",
-    "set_intersect_users",
-    "set_except_users",
-    "window_rank_battery",
-    "value_quantiles",
+    # -- never driver-checked before this round (rule #1: always get slots)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipping",
+    "q20_part_promotion",
+    "pii_scrub_signals",
+    "url_domain_profile",
+    # -- behavior changed this round (df-from-tf rewrite; must re-prove)
     "tfidf_top_term",
-    "scalar_function_battery",
-    "kmv_distinct_sketch",
-    "doc_fingerprint",
-    # -- §2 family representatives (green r1+r2; keep one per family fresh)
-    "f1_source_filter",
-    "f4_dedup_repeated",
-    "f5_out_of_order",
-    "d5_offset_gaps",
-    "w1_f144_stats",
-    "k4_cue_index",
-    "t6_job_summary",
-    # ---- 50-slot window boundary (everything below is unchecked this round)
+    "dedup_components",
+    "dedup_keep_canonical",
+    "ivf_partitioned_probe",
+    "ivf_probe_topk",
+    # -- last green in round 2 (rule #2: oldest-check first)
     "w2_event_index",
     "w4_ad00_zero_fill",
     "w5_da00_constants",
     "w6_severity_code",
     "w7_ep01_state_changes",
     "w8_tdct_chunk_cue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_shipping",
-    "q20_part_promotion",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_buckets",
+    "ngram_jaccard_pairs",
+    "srp_signatures",
+    "srp_near_dup_pairs",
+    "winnow_fingerprints",
+    "ann_cosine_topk",
+    "embedding_cosine_pairs",
+    "embedding_label_stats",
+    "embedding_quant_params",
+    "ivf_bucket_counts",
+    "quantized_adc_topk",
+    "decontamination_overlap",
+    "training_mix_sample",
+    "lang_id_heuristic",
+    "lang_profile",
+    "quality_score",
+    "text_quality",
+    "token_count_by_source",
+    "bpe_token_count",
+    "repetition_signals",
+    "asof_join_streams",
+    "asof_join_forward",
+    "multimodal_resize_spec",
+    "multimodal_frame_sample",
+    # -- cross-round canaries (green every round so far; keep them so)
+    "f3_asof_buffer",
+    "w3_timestamp_synthesis",
+    # -- §2 family representatives (green r3; one per family stays fresh)
+    "f1_source_filter",
+    "w1_f144_stats",
+    "k4_cue_index",
+    "t6_job_summary",
+    # ---- 50-slot window boundary (everything below is unchecked this round;
+    # all were green in round 3, so a one-round gap is within policy)
 )
 
 
