@@ -1264,35 +1264,9 @@ FROM scored WHERE rn = 1 GROUP BY centroid_id
 # IVF probe: the 100 TB ANN path — assign every vector to its nearest
 # centroid (one narrow pass + broadcast of the tiny centroid set), then
 # search ONLY the buckets nearest the query vector. Brute force scans all
-# N; IVF scans N/n_buckets per probe.
-SPARK_SQL["ivf_probe_topk"] = """
-WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS ARRAY<DOUBLE>) AS ce
-           FROM embeddings WHERE vec_id < 8),
-v AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
-assign AS (
-  SELECT v.vec_id,
-         max_by(c.centroid_id,
-                struct(aggregate(zip_with(v.e, c.ce, (x, y) -> x * y),
-                                 CAST(0.0 AS DOUBLE), (s, x) -> s + x),
-                       -c.centroid_id)) AS centroid_id
-  FROM v CROSS JOIN c GROUP BY v.vec_id
-),
-probe AS (SELECT centroid_id FROM assign WHERE vec_id = 0),
-q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-cand AS (
-  SELECT v.vec_id, v.e FROM v
-  JOIN assign a ON v.vec_id = a.vec_id
-  JOIN probe p ON a.centroid_id = p.centroid_id
-  WHERE v.vec_id <> 0
-)
-SELECT vec_id,
-       round(aggregate(zip_with(e, qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)
-             / (sqrt(aggregate(transform(e, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))
-                * sqrt(aggregate(transform(qe, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x))),
-             6) AS cosine
-FROM cand CROSS JOIN q
-ORDER BY cosine DESC, vec_id LIMIT 10
-"""
+# N; IVF scans N/n_buckets per probe. The Spark side (_q_ivf_probe_topk)
+# probes the stored partition-pruned layout; this oracle keeps the round-1
+# re-derivation as the independent cross-check of the same semantics.
 ORACLE["ivf_probe_topk"] = """
 WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
            FROM embeddings WHERE vec_id < 8),
@@ -1416,13 +1390,10 @@ def _ivf_layout_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"k2n_ivf_layout_v1_{tag}")
 
 
-def _q_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stored-IVF probe: the corpus is laid out partitionBy(centroid_id)
-    once (write-if-absent, reused across queries); a probe ranks the tiny
-    centroid set on the driver and scans ONLY the n_probe winning
-    partition directories — PartitionFilters prunes the rest, so the scan
-    cost is n_probe/k of the corpus instead of a re-assignment pass.
-    Centroids = embeddings 0..7, query = embedding 0 (as ivf_probe_topk)."""
+def _ivf_layout(spark: SparkSession, sf_dir: str):
+    """Centroids (= embeddings 0..7) + the materialized partition-by-centroid
+    layout directory, built write-if-absent and shared by every IVF probe
+    query in the session."""
     import os
     import shutil
     import tempfile
@@ -1449,8 +1420,52 @@ def _q_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(build, layout)
         except OSError:  # lost a concurrent-build race: keep the winner
             shutil.rmtree(tmp, ignore_errors=True)
+    return centroids, layout
+
+
+def _q_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-IVF probe: the corpus is laid out partitionBy(centroid_id)
+    once (write-if-absent, reused across queries); a probe ranks the tiny
+    centroid set on the driver and scans ONLY the n_probe winning
+    partition directories — PartitionFilters prunes the rest, so the scan
+    cost is n_probe/k of the corpus instead of a re-assignment pass.
+    Centroids = embeddings 0..7, query = embedding 0 (as ivf_probe_topk)."""
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+
+    centroids, layout = _ivf_layout(spark, sf_dir)
     qv = dict(centroids)[0]
     out = sim.ivf_partitioned_probe(spark, layout, centroids, qv, k=11, n_probe=2)
+    return (
+        out.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+def _q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy single-bucket probe, DEMOTED to a semantics cross-check of the
+    stored-IVF path: the round-1 form re-assigned the whole corpus per probe
+    (6 scans, 10 exchanges, 3 BroadcastNestedLoopJoins — PLANS.md r3); this
+    form probes the SAME materialized layout as ivf_partitioned_probe, so
+    the plan is one partition-pruned scan. Probe bucket = the bucket vec 0
+    is assigned to (argmax dot(centroid, vec0), ties to the lower centroid
+    id — exactly the layout's assignment rule, computed driver-side with the
+    same sequential fold, so the probe always lands on vec 0's own
+    partition). The DuckDB oracle is unchanged from round 1: same candidate
+    set, same cosine top-10."""
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+    from .llm.similarity import _seq_dot
+
+    centroids, layout = _ivf_layout(spark, sf_dir)
+    qv = dict(centroids)[0]
+    probe_cid = min(centroids, key=lambda c: (-_seq_dot(c[1], qv), c[0]))[0]
+    lay = spark.read.parquet(layout).filter(F.col("centroid_id") == probe_cid)
+    out = sim.brute_force_topk(lay, qv, k=11)
     return (
         out.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -2378,6 +2393,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": _q_multimodal_frames,
     "quantized_adc_topk": _q_quantized_adc_topk,
     "ivf_partitioned_probe": _q_ivf_partitioned_probe,
+    "ivf_probe_topk": _q_ivf_probe_topk,
 }
 
 
