@@ -65,6 +65,24 @@ def group_streams(streams):
             ).append(b)
         else:
             singles.append(b)
+    # The grouped write keys its partition-dir renames and aggregate rows by
+    # source name, so a source may appear at most ONCE per group. Two
+    # bindings with the same (module, source) at different paths are legal
+    # plans (one PV written into two groups) — route every binding of a
+    # duplicated source to the per-binding path, where each path gets its
+    # own write.
+    for key, members in list(groups.items()):
+        seen: dict[str, int] = {}
+        for b in members:
+            seen[b.source] = seen.get(b.source, 0) + 1
+        dup = {s for s, n in seen.items() if n > 1}
+        if dup:
+            keep = [b for b in members if b.source not in dup]
+            singles.extend(b for b in members if b.source in dup)
+            if keep:
+                groups[key] = keep
+            else:
+                groups.pop(key)
     for key in [k for k, v in groups.items() if len(v) == 1]:
         singles.extend(groups.pop(key))
     return groups, singles

@@ -167,8 +167,22 @@ def run_job(
             agg_input = outputs.get("log", keyed)
             rows = module.aggregates(agg_input, config, group_key="__source").collect()
             by_source = {r["__source"]: r.asDict() for r in rows}
+            # groupBy drops zero-row sources, but the per-binding path's
+            # global aggregate still yields one row for them (None min/max,
+            # 0 counts). Emit the identical row for parity — computed once
+            # from an empty slice and shared by every empty source.
+            empty_row: dict[str, object] | None = None
             for b in group:
-                for name, value in by_source.get(b.source, {}).items():
+                got = by_source.get(b.source)
+                if got is None:
+                    if empty_row is None:
+                        empty_row = (
+                            module.aggregates(agg_input.limit(0), config)
+                            .collect()[0]
+                            .asDict()
+                        )
+                    got = empty_row
+                for name, value in got.items():
                     if name != "__source":
                         values[f"{b.path}/{name}"] = value
         attrs = [

@@ -192,6 +192,11 @@ def pack(
     import pyarrow.parquet as pq
 
     meta = staging.read_meta(out_dir)
+    # A prior pack() leaves the file read-only (chmod-at-close below);
+    # re-packing the same path is legal overwrite semantics, so restore
+    # write permission before opening with mode "w".
+    if os.path.exists(hdf_path):
+        os.chmod(hdf_path, 0o644)
     with _h5.File(hdf_path, "w") as f:
         if template_file is not None and Path(template_file).exists():
             with _h5.File(template_file, "r") as tpl:

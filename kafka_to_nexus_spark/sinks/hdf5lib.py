@@ -541,8 +541,15 @@ def _serialize(root: _GroupNode) -> bytes:
 
     def write_chunked(arr: np.ndarray, chunks) -> bytes:
         """Chunk the array (zero-padding partial edge chunks, as HDF5
-        stores full-size chunks), alloc each chunk + a level-0 v1 B-tree
-        index node, and return the chunked layout message."""
+        stores full-size chunks), alloc each chunk + a v1 B-tree chunk
+        index, and return the chunked layout message.
+
+        Nodes hold at most ``BT_MAX`` entries (2K with the libhdf5
+        default K=32 for chunk trees); datasets with more chunks get a
+        proper multi-level tree — leaves sibling-chained left/right,
+        internal keys = the first key of each child subtree — instead of
+        one oversized node whose 16-bit entries-used field would
+        overflow at 65536 chunks."""
         shape = arr.shape
         if isinstance(chunks, int):
             chunks = (chunks,)
@@ -565,20 +572,51 @@ def _serialize(root: _GroupNode) -> bytes:
                 block = full
             entries.append((origin, alloc(np.ascontiguousarray(block).tobytes())))
         rank = len(shape)
+        key_size = 8 + 8 * (rank + 1)
+        # final key: the grid end (first offset past the last chunk row)
+        end = tuple(-(-d // c) * c for d, c in zip(shape, chunk_shape))
 
         def key(offsets: tuple[int, ...]) -> bytes:
             return struct.pack("<II", csize, 0) + b"".join(
                 struct.pack("<Q", o) for o in (*offsets, 0)
             )
 
-        node = b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
-        node += struct.pack("<QQ", UNDEF, UNDEF)
-        for origin, caddr in entries:
-            node += key(origin) + struct.pack("<Q", caddr)
-        # final key: the grid end (first offset past the last chunk row)
-        end = tuple(-(-d // c) * c for d, c in zip(shape, chunk_shape))
-        node += key(end)
-        btree_addr = alloc(node)
+        BT_MAX = 64
+
+        def build_level(
+            items: list[tuple[tuple[int, ...], int]], level: int
+        ) -> list[tuple[tuple[int, ...], int]]:
+            """Pack (first_origin, child_addr) items into sibling-linked
+            nodes of one level; returns the next level's items."""
+            groups = [items[i : i + BT_MAX] for i in range(0, len(items), BT_MAX)]
+            # node addresses are knowable up front: alloc is append-only
+            # and each node's size is determined by its entry count
+            addrs, base = [], len(buf)
+            for g in groups:
+                addrs.append(base)
+                base += 24 + len(g) * (key_size + 8) + key_size
+            out: list[tuple[tuple[int, ...], int]] = []
+            for i, g in enumerate(groups):
+                left = addrs[i - 1] if i > 0 else UNDEF
+                right = addrs[i + 1] if i + 1 < len(groups) else UNDEF
+                node = b"TREE" + struct.pack("<BBH", 1, level, len(g))
+                node += struct.pack("<QQ", left, right)
+                for origin, caddr in g:
+                    node += key(origin) + struct.pack("<Q", caddr)
+                # trailing key: the next sibling's first key, or the grid end
+                nxt = groups[i + 1][0][0] if i + 1 < len(groups) else end
+                node += key(nxt)
+                assert alloc(node) == addrs[i]
+                out.append((g[0][0], addrs[i]))
+            return out
+
+        items, level = entries, 0
+        while True:
+            items = build_level(items, level)
+            if len(items) == 1:
+                btree_addr = items[0][1]
+                break
+            level += 1
         return _layout_message_chunked(btree_addr, chunk_shape, arr.itemsize)
 
     def write_node(node) -> int:
@@ -737,16 +775,21 @@ class _Reader:
         return node
 
     def _read_chunked(self, btree_addr, shape, chunk_shape, dtype) -> np.ndarray:
-        """Reassemble a chunked dataset from its (level-0) v1 B-tree."""
-        buf = self.buf
+        """Reassemble a chunked dataset from its v1 B-tree chunk index,
+        walking internal (level > 0) nodes down to the chunk leaves."""
         out = np.zeros(shape, dtype=dtype)
-        if buf[btree_addr : btree_addr + 4] != b"TREE":
-            raise ValueError(f"no B-tree at {btree_addr:#x}")
-        ntype, level, entries = struct.unpack_from("<BBH", buf, btree_addr + 4)
-        if ntype != 1 or level != 0:
-            raise ValueError("only level-0 chunk B-trees supported")
+        self._walk_chunk_btree(btree_addr, out, shape, chunk_shape, dtype)
+        return out
+
+    def _walk_chunk_btree(self, addr, out, shape, chunk_shape, dtype) -> None:
+        buf = self.buf
+        if buf[addr : addr + 4] != b"TREE":
+            raise ValueError(f"no B-tree at {addr:#x}")
+        ntype, level, entries = struct.unpack_from("<BBH", buf, addr + 4)
+        if ntype != 1:
+            raise ValueError("not a chunk B-tree node")
         rank = len(shape)
-        pos = btree_addr + 8 + 16  # skip left/right sibling addresses
+        pos = addr + 8 + 16  # skip left/right sibling addresses
         key_size = 8 + 8 * (rank + 1)
         n_elems = int(np.prod(chunk_shape))
         for _ in range(entries):
@@ -754,6 +797,9 @@ class _Reader:
             offsets = struct.unpack_from(f"<{rank}Q", buf, pos + 8)
             caddr = struct.unpack_from("<Q", buf, pos + key_size)[0]
             pos += key_size + 8
+            if level > 0:
+                self._walk_chunk_btree(caddr, out, shape, chunk_shape, dtype)
+                continue
             block = np.frombuffer(buf[caddr : caddr + csize], dtype=dtype)[
                 :n_elems
             ].reshape(chunk_shape)
@@ -762,7 +808,6 @@ class _Reader:
                 for o, c, d in zip(offsets, chunk_shape, shape)
             )
             out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
-        return out
 
     def _gcol_objects(self, addr: int) -> dict[int, bytes]:
         cached = self._gcols.get(addr)

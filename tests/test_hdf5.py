@@ -451,6 +451,61 @@ def test_hdf5lib_vlen_string_round_trip_property(
         assert list(g.attrs["many"]) == attr_strings
 
 
+def test_hdf5lib_multilevel_chunk_btree_round_trip(tmp_path):
+    """Datasets with more chunks than one v1 B-tree node holds (64/node)
+    get a multi-level index — 5000 single-row chunks needs leaves, an
+    internal level, and a root (level 2). The 16-bit entries-used field
+    must never see more than 64, and the reader walks the full tree."""
+    import struct as _struct
+
+    path = tmp_path / "deep.h5"
+    arr = np.arange(5000, dtype=np.int64)
+    with hdf5lib.File(path, "w") as f:
+        f.create_dataset("d", data=arr, chunks=1)
+    raw = path.read_bytes()
+    n_nodes, max_entries, max_level = 0, 0, 0
+    pos = raw.find(b"TREE")
+    while pos != -1:
+        ntype, level, entries = _struct.unpack_from("<BBH", raw, pos + 4)
+        if ntype == 1:
+            n_nodes += 1
+            max_entries = max(max_entries, entries)
+            max_level = max(max_level, level)
+        pos = raw.find(b"TREE", pos + 4)
+    assert n_nodes > 64  # 79 leaves + 2 internal + root
+    assert max_entries <= 64
+    assert max_level == 2
+    with hdf5lib.File(path, "r") as f:
+        np.testing.assert_array_equal(f["d"][()], arr)
+
+
+def test_pack_twice_same_path(tmp_path, spark):
+    """pack() chmods the finished file to 0o444; a second pack() to the
+    same path is legal overwrite semantics and must restore write
+    permission instead of failing with PermissionError."""
+    from kafka_to_nexus_spark.sinks import hdf5, staging
+
+    import json
+
+    out = tmp_path / "staged"
+    df = spark.createDataFrame([(1, 2.0)], "time: long, value: double")
+    staging.write_dataset(df, str(out), "/entry/s", "log")
+    meta = {
+        "job": {}, "groups": ["/entry", "/entry/s"], "group_attributes": [],
+        "static_datasets": [], "links": [], "mdat": {}, "metadata_values": {},
+        "streams": [{"path": "/entry/s", "topic": "t", "source": "s",
+                     "module": "f144", "config": {}, "datasets": ["log"]}],
+    }
+    (out / staging.META_FILE).write_text(json.dumps(meta))
+    hdf = tmp_path / "out.h5"
+    hdf5.pack(str(out), str(hdf))
+    assert (hdf.stat().st_mode & 0o777) == 0o444
+    hdf5.pack(str(out), str(hdf))  # re-pack: must not raise
+    assert (hdf.stat().st_mode & 0o777) == 0o444
+    with hdf5lib.File(hdf, "r") as f:
+        np.testing.assert_array_equal(f["/entry/s/value"][()], [2.0])
+
+
 @given(
     arr=_dataset(),
     chunk_rows=st.integers(min_value=1, max_value=6),

@@ -267,8 +267,75 @@ def test_grouped_same_module_sources_match_per_source_semantics(spark, tmp_path)
         assert res.metadata_values[f"/entry/pv_{i}/minimum_value"] == min(vals)
         assert res.metadata_values[f"/entry/pv_{i}/maximum_value"] == max(vals)
         assert res.metadata_values[f"/entry/pv_{i}/average_value"] == sum(vals) / len(vals)
-    # the empty source has a schema-complete empty dataset and no aggregates
-    assert "/entry/pv_4/minimum_value" not in res.metadata_values
+    # the empty source has a schema-complete empty dataset and the same
+    # null-valued aggregate row the per-binding global aggregate emits
+    assert res.metadata_values["/entry/pv_4/minimum_value"] is None
+    assert res.metadata_values["/entry/pv_4/maximum_value"] is None
+    assert res.metadata_values["/entry/pv_4/average_value"] is None
+
+
+def test_duplicate_source_bindings_each_get_full_data(spark, tmp_path):
+    """One PV bound into two different groups (same module, same source,
+    two paths) is a legal plan: both datasets must receive the full stream.
+    The grouped fast path keys renames/aggregates by source name, so
+    duplicated sources must fall back to the per-binding path — a collapsed
+    duplicate would leave one path's dataset silently empty."""
+    from kafka_to_nexus_spark.modules import group_streams
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    rows = [
+        {"schema": "f144", "topic": "t", "source_name": "pv_a",
+         "kafka_timestamp": 10_000 + m * 100, "offset": m, "value": float(m)}
+        for m in range(6)
+    ] + [
+        {"schema": "f144", "topic": "t", "source_name": "pv_b",
+         "kafka_timestamp": 10_000 + m * 100, "offset": 10 + m,
+         "value": float(100 + m)}
+        for m in range(6)
+    ]
+    structure = {"children": [{
+        "type": "group", "name": "entry",
+        "children": [
+            {"type": "group", "name": name,
+             "children": [{"module": "f144",
+                           "config": {"topic": "t", "source": src}}]}
+            for name, src in (("first", "pv_a"), ("second", "pv_a"),
+                              ("other", "pv_b"), ("other2", "pv_b"),
+                              ("solo", "pv_b"))
+        ],
+    }]}
+    start = StartMessage(job_id="dup", filename="d", nexus_structure=structure,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    res = run_job(spark, start, messages_from_json(spark, rows), str(out))
+
+    expect_a = [((10_000 + m * 100) * 1_000_000, float(m)) for m in range(6)]
+    expect_b = [((10_000 + m * 100) * 1_000_000, float(100 + m)) for m in range(6)]
+    for name, expect in (("first", expect_a), ("second", expect_a),
+                         ("other", expect_b), ("other2", expect_b),
+                         ("solo", expect_b)):
+        df = spark.read.parquet(
+            str(staging.dataset_dir(out, f"entry/{name}", "log"))
+        ).orderBy("time")
+        got = [(r["time"], r["value"]) for r in df.collect()]
+        assert got == expect, name
+        # every duplicated binding carries its own T6 aggregates
+        assert res.metadata_values[f"/entry/{name}/minimum_value"] == expect[0][1]
+
+    # unit check: group_streams refuses to group duplicated sources
+    class B:
+        def __init__(self, module, source, path):
+            self.module, self.source, self.path = module, source, path
+            self.config = {"topic": "t", "source": source}
+
+    streams = [B("f144", "s1", "p1"), B("f144", "s1", "p2"),
+               B("f144", "s2", "p3"), B("f144", "s3", "p4")]
+    groups, singles = group_streams(streams)
+    grouped = [b for v in groups.values() for b in v]
+    assert {b.path for b in singles} >= {"p1", "p2"}
+    assert all(b.source != "s1" for b in grouped)
+    # the non-duplicated sources still group together
+    assert {b.source for b in grouped} == {"s2", "s3"}
 
 
 @pytest.mark.parametrize("modules_mix", [
