@@ -235,6 +235,9 @@ def _save_job_state(state: StreamingJobState, out_dir: str) -> None:
         "metrics": state.metrics,
     }
     target = Path(out_dir) / STATE_FILE
+    # a batch with no in-window rows schedules no write job, so the state
+    # save may be the first thing to touch the output directory
+    target.parent.mkdir(parents=True, exist_ok=True)
     tmp = target.with_suffix(".tmp")
     tmp.write_text(_json.dumps(payload))
     _os.rename(tmp, target)
@@ -429,6 +432,7 @@ class StreamingJob:
                 event_counts={
                     (r["schema"], r["source_name"]): r["n_events"] or 0 for r in stats
                 },
+                present=present,
             )
 
             # stop watchdog against the folded max event time (F6/F7)
@@ -464,7 +468,14 @@ class StreamingJob:
         windowed: DataFrame,
         tails: dict[tuple[str, str], int | None] | None = None,
         event_counts: dict[tuple[str, str], int] | None = None,
+        present: set[tuple[str, str]] | None = None,
     ) -> None:
+        """``present`` (from the stats action) lists the sources with
+        in-window rows this batch; bindings outside it keep their lazy
+        plan-building and dataset registration (finalize's backfill relies
+        on the registry) but skip the staging-write job — an idle source
+        costs zero Spark jobs per batch. ``None`` = write everything (the
+        finalize buffered-flush path)."""
         st = self.state
         batch_seq = st.batches_processed
         tails = tails or {}
@@ -479,8 +490,13 @@ class StreamingJob:
         for (module_id, _shape), group in groups.items():
             module = get_module(module_id)
             config = group[0].config
+            members = (
+                group
+                if present is None
+                else [b for b in group if (module_id, b.source) in present]
+            )
             src = filters.source_filter_many(
-                windowed, module_id, [b.source for b in group]
+                windowed, module_id, [b.source for b in (members or group)]
             )
             if not accepts_repeated_timestamps(module_id):
                 src = filters.drop_repeated_timestamps(src)
@@ -493,8 +509,13 @@ class StreamingJob:
                 }
                 lasts = {s: t for s, t in lasts.items() if t is not None}
                 if lasts:
-                    w = Window.partitionBy("partition", "source_name").orderBy(
-                        "offset"
+                    # same window spec as drop_repeated_timestamps just
+                    # above: its exchange + sort are reused, so the
+                    # cross-batch check costs no extra shuffle. First row
+                    # per source == first per (source, partition) under the
+                    # one-partition-per-source layout both rely on.
+                    w = Window.partitionBy(*filters.SOURCE_COLS).orderBy(
+                        *filters.ORDER_COLS
                     )
                     last_map = F.create_map(
                         *[F.lit(x) for kv in lasts.items() for x in kv]
@@ -526,7 +547,9 @@ class StreamingJob:
                         st.last_written_ts[(module_id, b.source)] = int(tail)
             keyed = src.withColumn("__source", F.col("source_name"))
             outputs = module.transform(keyed, config)
-            path_by_source = {b.source: b.path for b in group}
+            # write only the sources with data this batch; absent members'
+            # dirs come from earlier batches or finalize's backfill
+            path_by_source = {b.source: b.path for b in members}
             for dataset, df in outputs.items():
                 if dataset == "cue":
                     continue
@@ -540,7 +563,8 @@ class StreamingJob:
                     *[c for c in ("_global_index", "row_index") if c in df.columns]
                 )
                 df = df.withColumn("batch", F.lit(batch_seq))
-                grouped_tasks.append((df, path_by_source, dataset))
+                if members:
+                    grouped_tasks.append((df, path_by_source, dataset))
                 for b in group:
                     written = self._written_datasets.setdefault(_stream_key(b), [])
                     if dataset not in written:
@@ -550,6 +574,7 @@ class StreamingJob:
             module = get_module(binding.module)
             src = filters.source_filter(windowed, binding.module, binding.source)
             key = (binding.module, binding.source)
+            is_present = present is None or key in present
             if not accepts_repeated_timestamps(binding.module):
                 src = filters.drop_repeated_timestamps(src)
                 # cross-batch repeat: the batch's FIRST row per Kafka
@@ -559,7 +584,11 @@ class StreamingJob:
                 # (reference: one SourceFilter per (source, partition)).
                 last = st.last_written_ts.get(key)
                 if last is not None:
-                    w = Window.partitionBy("partition").orderBy("offset")
+                    # window spec aligned with drop_repeated_timestamps so
+                    # the plan reuses its exchange + sort (see grouped path)
+                    w = Window.partitionBy(*filters.SOURCE_COLS).orderBy(
+                        *filters.ORDER_COLS
+                    )
                     src = (
                         src.withColumn("_rn", F.row_number().over(w))
                         .filter(~((F.col("_rn") == 1) & (F.col("timestamp") == F.lit(last))))
@@ -592,8 +621,9 @@ class StreamingJob:
                     df = df.withColumn("_row_order", F.col(order_src))
                 df = df.drop(*[c for c in ("_global_index", "row_index") if c in df.columns])
                 df = df.withColumn("batch", F.lit(batch_seq))
-                target = staging.dataset_dir(self.out_dir, binding.path, dataset)
-                write_tasks.append((df, str(target)))
+                if is_present:
+                    target = staging.dataset_dir(self.out_dir, binding.path, dataset)
+                    write_tasks.append((df, str(target)))
                 if dataset not in written:
                     written.append(dataset)
             if binding.module == "ev44":
@@ -602,7 +632,7 @@ class StreamingJob:
                 # LastCueIndex); cue rows are ≈ batch_events/interval — a
                 # bounded driver collect — and stage like any dataset.
                 interval = (binding.config or {}).get("cue_interval")
-                if interval:
+                if interval and is_present:
                     from ..modules import ev44 as ev44_mod
 
                     cue_rows = ev44_mod.cue(
@@ -675,13 +705,16 @@ class StreamingJob:
         remaining = set(st.asof_buffer) - st.asof_emitted
         buffered = self._buffered_df(remaining)
         if buffered is not None:
-            self._write_streams(buffered)
+            self._write_streams(buffered, present=remaining)
             st.asof_emitted.update(remaining)
 
         # Grouped writes emit no partition dir for a source with zero rows
         # across the whole job — backfill schema-complete empty datasets so
         # the pack step and readers find every dataset the meta declares.
+        # The writes are zero-row jobs whose cost is pure scheduler latency,
+        # so run them concurrently (one wall-clock latency, not O(datasets)).
         empty_src = None
+        backfills: list[tuple[DataFrame, str, str]] = []
         for binding in self.plan.streams:
             module = get_module(binding.module)
             for dataset in self._written_datasets.get(_stream_key(binding), []):
@@ -692,13 +725,28 @@ class StreamingJob:
                     empty_src = self.spark.createDataFrame([], MESSAGE_SCHEMA)
                 out = module.transform(empty_src, binding.config).get(dataset)
                 if out is not None:
-                    staging.write_dataset(
-                        out.withColumn("batch", F.lit(0)),
-                        self.out_dir, binding.path, dataset,
+                    backfills.append(
+                        (out.withColumn("batch", F.lit(0)), binding.path, dataset)
                     )
+        if len(backfills) == 1:
+            df, path, dataset = backfills[0]
+            staging.write_dataset(df, self.out_dir, path, dataset)
+        elif backfills:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(backfills))) as pool:
+                list(
+                    pool.map(
+                        lambda t: staging.write_dataset(
+                            t[0], self.out_dir, t[1], t[2]
+                        ),
+                        backfills,
+                    )
+                )
 
         metadata_values: dict[str, object] = {}
         extra_group_attrs: list[dict] = []
+        agg_bindings: list = []
         for binding in self.plan.streams:
             module = get_module(binding.module)
             key = (binding.module, binding.source)
@@ -734,8 +782,47 @@ class StreamingJob:
                 n = st.events_written.get(key, 0)
                 metadata_values[f"{binding.path}/events"] = n
             elif hasattr(module, "aggregates") and "log" in written:
-                log_dir = staging.dataset_dir(self.out_dir, binding.path, "log")
-                log = self.spark.read.parquet(str(log_dir))
+                agg_bindings.append(binding)
+
+        # T6 aggregates over staged logs: same-module same-shape bindings
+        # union their (tiny, already-reduced) staged logs and run ONE
+        # grouped aggregate job, instead of one read+aggregate+collect job
+        # per stream — O(module-groups) finalize jobs at 1000 sources.
+        if agg_bindings:
+            agg_groups, agg_singles = group_streams(agg_bindings)
+            for (module_id, _shape), group in agg_groups.items():
+                module = get_module(module_id)
+                config = group[0].config
+                parts = [
+                    self.spark.read.parquet(
+                        str(staging.dataset_dir(self.out_dir, b.path, "log"))
+                    ).withColumn("__source", F.lit(b.source))
+                    for b in group
+                ]
+                log = parts[0]
+                for p in parts[1:]:
+                    log = log.unionByName(p)
+                rows = module.aggregates(log, config, group_key="__source").collect()
+                by_source = {r["__source"]: r.asDict() for r in rows}
+                empty_row: dict[str, object] | None = None
+                for b in group:
+                    got = by_source.get(b.source)
+                    if got is None:  # zero-row source: per-binding parity
+                        if empty_row is None:
+                            empty_row = (
+                                module.aggregates(parts[0].limit(0), config)
+                                .collect()[0]
+                                .asDict()
+                            )
+                        got = empty_row
+                    for name, value in got.items():
+                        if name != "__source":
+                            metadata_values[f"{b.path}/{name}"] = value
+            for binding in agg_singles:
+                module = get_module(binding.module)
+                log = self.spark.read.parquet(
+                    str(staging.dataset_dir(self.out_dir, binding.path, "log"))
+                )
                 row = module.aggregates(log, binding.config).collect()
                 if row:
                     for name, value in row[0].asDict().items():
