@@ -635,11 +635,15 @@ class StreamingJob:
                 if interval and is_present:
                     from ..modules import ev44 as ev44_mod
 
-                    cue_rows = ev44_mod.cue(
+                    block = (binding.config or {}).get("cue_block_size")
+                    cue_fn = ev44_mod.cue_blocked if block else ev44_mod.cue
+                    kw = {"block_size": int(block)} if block else {}
+                    cue_rows = cue_fn(
                         src,
                         binding.config,
                         events_base=st.events_written.get(key, 0),
                         last_cue=st.cue_last.get(key, -1),
+                        **kw,
                     ).collect()
                     if cue_rows:
                         st.cue_last[key] = max(r["cue_index"] for r in cue_rows)

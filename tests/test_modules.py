@@ -282,6 +282,49 @@ def test_ev44_cue_matches_reference_recurrence(spark):
     assert got == want and len(want) >= 3
 
 
+def test_ev44_cue_blocked_matches_single_group_property(spark):
+    """Chunked-carry property (VERDICT r3 #7): the blocked recurrence —
+    bounded summary blocks with LastCueIndex carried between them — must
+    emit exactly what the single applyInPandas group emits, for randomized
+    multi-partition summaries, intervals, block sizes, and carried state."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        rows = []
+        off = {0: 0, 1: 0}
+        for i in range(rng.randint(10, 60)):
+            part = rng.choice([0, 1])
+            n = rng.choice([0, 1, 2, 3, 5, 8, 13])
+            rows.append({
+                "schema": "ev44", "topic": "t", "source_name": "d",
+                "kafka_timestamp": 10_000 + i, "timestamp": 10_000 + i,
+                "message_id": i, "reference_time": 10_000 + i,
+                "time_of_flight": list(range(100, 100 + n)),
+                "pixel_ids": list(range(n)),
+                "offset": off[part], "partition": part,
+            })
+            off[part] += 1
+        cfg = {"cue_interval": rng.choice([1, 3, 7, 11])}
+        events_base = rng.choice([0, 5, 100])
+        last_cue = rng.choice([-1, 2, 50])
+        block_size = rng.choice([1, 2, 3, 7])
+        df = messages_from_json(spark, rows)
+        single = [
+            (r.cue_index, r.cue_timestamp_zero)
+            for r in ev44.cue(df, cfg, events_base, last_cue)
+            .orderBy("cue_index").collect()
+        ]
+        blocked = [
+            (r.cue_index, r.cue_timestamp_zero)
+            for r in ev44.cue_blocked(
+                df, cfg, events_base, last_cue, block_size=block_size
+            ).orderBy("cue_index").collect()
+        ]
+        assert blocked == single, f"seed={seed}"
+        assert single or events_base <= last_cue + cfg["cue_interval"]
+
+
 def test_ev44_transform_emits_cue_when_configured(spark):
     rows = [
         {"schema": "ev44", "topic": "t", "source_name": "d",
