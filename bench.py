@@ -129,38 +129,63 @@ def main() -> None:
     )
     # JVM/codegen/file-index warmup so the first timed query doesn't absorb
     # one-time session costs (standard bench practice; per-query numbers
-    # then reflect the plan, not JIT).
+    # then reflect the plan, not JIT). Exercise each hot execution shape
+    # once — scan, broadcast join, hash aggregate, window — because each
+    # compiles its own codegen paths on first use (round 4: the first
+    # in-window query was paying ~1.5 s of join/agg JIT).
     Q.register_views(spark, sf_dir)
     spark.sql("SELECT count(*) FROM events").collect()
-    spark.sql("SELECT count(*) FROM lineitem").collect()
+    spark.sql(
+        "SELECT o_orderpriority, count(*) AS n, sum(l_extendedprice) AS s "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    ).collect()
+    spark.sql(
+        "SELECT max(rn) FROM (SELECT row_number() OVER "
+        "(PARTITION BY event_type ORDER BY ts) AS rn FROM events)"
+    ).collect()
 
     # Per-query fault isolation: one broken query must cost its own entry,
     # never the whole artifact (round 2 shipped no numbers because the first
     # failure aborted the run). Errors are recorded as strings; timings stay
     # floats.
+    #
+    # Steady-state measurement: entries over 0.8 s get a second execution
+    # and report the min — the verification-window rotation reorders the
+    # run each round, so single-shot numbers would charge whichever query
+    # runs first with the session's remaining JIT instead of its plan.
+    # Queries that memoize across invocations (the dedup pair shares its
+    # CC-label table per session) stay single-shot: their second run would
+    # measure the cache hit, not the operator.
+    MEMOIZED = {"dedup_components", "dedup_keep_canonical"}
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name, fn in Q.queries().items():
-        t0 = time.perf_counter()
-        try:
+        def run_once() -> float:
+            t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: full execution, no driver materialization cost
             df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        try:
+            dt = run_once()
+            if dt > 0.8 and name not in MEMOIZED:
+                spark.catalog.clearCache()
+                dt = min(dt, run_once())
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             timings[name] = None
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
         else:
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = dt
-            total += dt
+            timings[name] = round(dt, 3)
+            total += timings[name]
         finally:
             # Release per-query persisted intermediates so one query's cache
             # doesn't eat executor memory for every query after it. clearCache
             # misses localCheckpoint RDDs — those are freed by the
             # ContextCleaner once Python drops the references → force a GC.
-            df = None
             spark.catalog.clearCache()
             gc.collect()
 

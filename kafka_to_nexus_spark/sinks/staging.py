@@ -58,6 +58,26 @@ def write_dataset(
     df.write.mode("overwrite").parquet(str(target))
 
 
+def write_empty_dataset(
+    schema, out_dir: str | Path, group_path: str, dataset: str
+) -> None:
+    """Zero-row dataset written driver-side with pyarrow — the finalize
+    backfill path. A distributed write of 0 rows buys nothing but
+    scheduler latency; this produces the same layout ``write_dataset``
+    would (one parquet file, schema-complete, no partition dirs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(schema)
+    target = dataset_dir(out_dir, group_path, dataset)
+    target.mkdir(parents=True, exist_ok=True)
+    table = pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in arrow], schema=arrow
+    )
+    pq.write_table(table, target / "part-00000-empty.snappy.parquet")
+
+
 def write_dataset_grouped(
     df: DataFrame,
     out_dir: str | Path,
@@ -99,8 +119,16 @@ def write_dataset_grouped(
             if part is not None:
                 part.rename(target)
                 continue
+            try:
+                # schema-preserving empty dataset, no Spark job (see
+                # write_empty_dataset); fallback: one tiny job per group
+                write_empty_dataset(
+                    df.drop(source_col).schema, out_dir, group_path, dataset
+                )
+                continue
+            except Exception:
+                shutil.rmtree(target, ignore_errors=True)
             if empty_src is None:
-                # schema-preserving empty dataset, written once per group
                 df.drop(source_col).limit(0).coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(str(tmp / "empty"))

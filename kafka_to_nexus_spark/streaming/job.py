@@ -715,10 +715,11 @@ class StreamingJob:
         # Grouped writes emit no partition dir for a source with zero rows
         # across the whole job — backfill schema-complete empty datasets so
         # the pack step and readers find every dataset the meta declares.
-        # The writes are zero-row jobs whose cost is pure scheduler latency,
-        # so run them concurrently (one wall-clock latency, not O(datasets)).
+        # Zero rows need no Spark job: the schema comes from the (lazy)
+        # transform of an empty frame and pyarrow writes the file driver-
+        # side; the distributed write is only a fallback for schemas the
+        # Arrow conversion can't express.
         empty_src = None
-        backfills: list[tuple[DataFrame, str, str]] = []
         for binding in self.plan.streams:
             module = get_module(binding.module)
             for dataset in self._written_datasets.get(_stream_key(binding), []):
@@ -728,25 +729,15 @@ class StreamingJob:
                 if empty_src is None:
                     empty_src = self.spark.createDataFrame([], MESSAGE_SCHEMA)
                 out = module.transform(empty_src, binding.config).get(dataset)
-                if out is not None:
-                    backfills.append(
-                        (out.withColumn("batch", F.lit(0)), binding.path, dataset)
+                if out is None:
+                    continue
+                out = out.withColumn("batch", F.lit(0))
+                try:
+                    staging.write_empty_dataset(
+                        out.schema, self.out_dir, binding.path, dataset
                     )
-        if len(backfills) == 1:
-            df, path, dataset = backfills[0]
-            staging.write_dataset(df, self.out_dir, path, dataset)
-        elif backfills:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(8, len(backfills))) as pool:
-                list(
-                    pool.map(
-                        lambda t: staging.write_dataset(
-                            t[0], self.out_dir, t[1], t[2]
-                        ),
-                        backfills,
-                    )
-                )
+                except Exception:  # exotic type: pay the distributed write
+                    staging.write_dataset(out, self.out_dir, binding.path, dataset)
 
         metadata_values: dict[str, object] = {}
         extra_group_attrs: list[dict] = []
