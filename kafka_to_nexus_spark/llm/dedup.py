@@ -258,14 +258,20 @@ def connected_components(
     keep their own id as the component id, and min-label makes the
     component id the canonical (lowest) doc id of its group.
     """
+    # Materialize the edge relation BEFORE mirroring it: the union's two
+    # branches are otherwise independent copies of the upstream candidate-
+    # generation plan, so checkpointing only the union executes that whole
+    # pipeline twice (measured: the CC stage cost ~5.5 s at sf0.1, ~4 s of
+    # which was the second run of the shingle/LSH/verify pipeline).
+    edges = edges.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).localCheckpoint()
     both = edges.select(
-        F.col("id_a").cast("long").alias("v"), F.col("id_b").cast("long").alias("u")
+        F.col("id_a").alias("v"), F.col("id_b").alias("u")
     ).unionByName(
-        edges.select(
-            F.col("id_b").cast("long").alias("v"), F.col("id_a").cast("long").alias("u")
-        )
-    ).localCheckpoint()  # materialize the edge list ONCE — without this every
-    # propagation round re-executes the upstream candidate-generation pipeline
+        edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
+    ).localCheckpoint()  # the loop re-reads this every round — keep it flat
     n_edge_rows = both.count()  # cheap: counts the checkpointed RDD
     small = n_edge_rows <= broadcast_edge_threshold
     if small:
