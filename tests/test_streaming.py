@@ -117,6 +117,51 @@ def test_ev44_cumulative_index_across_batches(spark, tmp_path):
     assert job.state.events_written[("ev44", ev_src)] == 5
 
 
+def _ev44_cue_template(cue_interval, cue_block_size=None):
+    cfg = {"topic": "t", "source": "det", "cue_interval": cue_interval}
+    if cue_block_size:
+        cfg["cue_block_size"] = cue_block_size
+    return {
+        "children": [{
+            "name": "entry", "type": "group",
+            "children": [{
+                "name": "events", "type": "group",
+                "children": [{"module": "ev44", "config": cfg}],
+            }],
+        }]
+    }
+
+
+def test_streaming_ev44_cue_blocked_matches_single_group(spark, tmp_path):
+    """The chunked-carry cue path (cue_block_size) staged through the
+    streaming job must equal the single-group path, across micro-batches
+    (EventsWritten/LastCueIndex carried in both)."""
+    def run(tag, block):
+        start = StartMessage(
+            job_id=tag, filename=tag,
+            nexus_structure=_ev44_cue_template(4, cue_block_size=block),
+            start_time_ms=10_000, stop_time_ms=60_000,
+        )
+        job = StreamingJob(spark, start, str(tmp_path / tag))
+        job.process_batch(messages_from_json(spark, [
+            ev44(11_000, [1, 2, 3], [1, 2, 3], source="det", offset=0),
+            ev44(12_000, [4, 5], [4, 5], source="det", offset=1),
+        ]), 0)
+        job.process_batch(messages_from_json(spark, [
+            ev44(13_000, [6], [6], source="det", offset=2),
+            ev44(14_000, [7, 8, 9, 10], [7, 8, 9, 10], source="det", offset=3),
+        ]), 1)
+        job.finalize()
+        return sorted(
+            (r.cue_index, r.cue_timestamp_zero)
+            for r in read_dataset(spark, job, "/entry/events", "cue").collect()
+        )
+
+    single = run("cue-single", None)
+    blocked = run("cue-blocked", 2)
+    assert blocked == single and len(single) >= 2
+
+
 # --------------------------------------------------------------------------
 # applyInPandasWithState: keyed running aggregates across micro-batches
 # --------------------------------------------------------------------------
