@@ -197,17 +197,23 @@ def main() -> None:
         ("job_e2e_f144_4streams", _run_e2e_job),
         ("job_e2e_streaming_5batches", _run_e2e_streaming),
     ):
-        t0 = time.perf_counter()
         try:
-            job(spark, sf_dir)
+            # min-of-two, like the query loop: single-shot numbers are
+            # hostage to hypervisor CPU-steal spikes (observed 3 s → 29 s
+            # on the same commit under steal)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                job(spark, sf_dir)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             timings[name] = None
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
         else:
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = dt
-            total += dt
+            timings[name] = round(best, 3)
+            total += timings[name]
     spark.stop()
     out = {
         "metric": "inventory_e2e",
