@@ -150,22 +150,36 @@ def worker(args) -> int:
         # stays alive; FeedbackProducer publishStoppedMsg carries the
         # error) — one bad job never kills the worker.
         error_message = ""
+        # HDF output prefix semantics (MainOpt.h hdf_output_prefix): the
+        # pl72 filename lands under out_root; live snapshots (K5 SWMR
+        # analog) republish the same path mid-run when armed.
+        final_path = str(Path(args.out_root) / start.filename)
+        snap = (
+            {"snapshot_path": final_path,
+             "snapshot_every": args.live_snapshot_interval}
+            if args.live_snapshot_interval > 0
+            else {}
+        )
         try:
             if args.fixture_dir:
                 # broker-free mode: JSON-lines directory source, AvailableNow
                 query, job = run_streaming_job_from_files(
-                    spark, start, args.fixture_dir, out_dir, ckpt
+                    spark, start, args.fixture_dir, out_dir, ckpt, **snap
                 )
                 query.awaitTermination()
             else:
                 query, job = run_streaming_job(
-                    spark, start, args.brokers, out_dir, checkpoint_dir=ckpt
+                    spark, start, args.brokers, out_dir, checkpoint_dir=ckpt,
+                    **snap,
                 )
                 while query.isActive and not job.state.finished:
                     heartbeat()
                     _time.sleep(1.0)
                 query.stop()
             job.finalize()
+            from .sinks import hdf5
+
+            hdf5.pack(out_dir, final_path)
         except Exception as exc:  # noqa: BLE001 - worker must survive bad jobs
             error_message = str(exc) or exc.__class__.__name__
         transport.send_finished(controller.finished_writing(error_message))
@@ -205,6 +219,9 @@ def main(argv: list[str] | None = None) -> int:
     wk.add_argument("--once", action="store_true", help="exit after one job")
     wk.add_argument("--fixture-dir", default="",
                     help="broker-free: stream JSON-lines fixtures from this dir")
+    wk.add_argument("--live-snapshot-interval", type=int, default=0,
+                    help="K5 SWMR analog: republish a readable HDF5 file at "
+                         "the output path every N micro-batches (0 = off)")
     wk.set_defaults(fn=worker)
 
     args = parser.parse_args(argv)

@@ -184,11 +184,14 @@ def pack(
     hdf_path: str | Path,
     chunk_size: int = 1024,
     template_file: str | Path | None = None,
+    file_name: str | None = None,
 ) -> None:
     """Materialize a staged job directory as a NeXus HDF5 file.
 
     ``template_file``: optional instrument template (S6) the output file is
-    initialised from; job content is written over/alongside it."""
+    initialised from; job content is written over/alongside it.
+    ``file_name``: value for the root ``file_name`` attribute when the
+    write target is a temp path (live-snapshot publish via rename)."""
     import pyarrow.parquet as pq
 
     meta = staging.read_meta(out_dir)
@@ -202,7 +205,7 @@ def pack(
             with _h5.File(template_file, "r") as tpl:
                 _copy_template(f, tpl)
         # T5 file-level metadata
-        f.attrs["file_name"] = str(hdf_path)
+        f.attrs["file_name"] = file_name or str(hdf_path)
         f.attrs["creator"] = "kafka_to_nexus_spark"
 
         for group_path in meta["groups"]:

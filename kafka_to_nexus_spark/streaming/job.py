@@ -296,6 +296,11 @@ class StreamingJob:
             else start.stop_time_ms / 1000.0
         )
         self._was_empty = False
+        # K5 SWMR analog (see snapshot()): when set, a readable HDF5 file
+        # is republished at this path every N micro-batches.
+        self._snapshot_path: str | None = None
+        self._snapshot_every = 1
+        self._snapshot_template: str | None = None
 
     # -- control-plane hooks ------------------------------------------------
 
@@ -460,6 +465,11 @@ class StreamingJob:
             st.batches_processed += 1
             st.last_spark_batch_id = batch_id
             _save_job_state(st, self.out_dir)
+            if (
+                self._snapshot_path
+                and st.batches_processed % self._snapshot_every == 0
+            ):
+                self.snapshot()
         finally:
             batch.unpersist()
 
@@ -699,6 +709,111 @@ class StreamingJob:
             with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
                 list(pool.map(lambda ft: ft[0](ft[1]), tasks))
 
+    def enable_snapshots(
+        self,
+        hdf_path: str | Path,
+        every_n_batches: int = 1,
+        template_file: str | Path | None = None,
+    ) -> None:
+        """Arm per-batch live snapshots: after every ``every_n_batches``
+        micro-batches, ``snapshot()`` republishes a readable HDF5 file at
+        ``hdf_path`` (typically the job's final output path)."""
+        self._snapshot_path = str(hdf_path)
+        self._snapshot_every = max(1, int(every_n_batches))
+        self._snapshot_template = (
+            None if template_file is None else str(template_file)
+        )
+
+    def snapshot(
+        self,
+        hdf_path: str | Path | None = None,
+        template_file: str | Path | None = None,
+    ) -> str:
+        """K5 SWMR analog: publish a valid, readable HDF5 file at the
+        output path while the job is still running.
+
+        The reference reopens its output SWMR so external readers can
+        follow the write live (src/HDFFile.cpp:183-281). Spark's staged
+        outputs are immutable, so the equivalent contract is an atomic
+        snapshot: pack the full structure plus all data staged so far into
+        a temp file and ``os.replace`` it over the target — a concurrent
+        reader always sees a complete, internally-consistent HDF5 file,
+        never a torn write. Job state is NOT mutated (no as-of flush, no
+        cue/aggregate derivation — those are finalize-time); the snapshot
+        metadata carries the plan structure, config statics, mdat values,
+        and cumulative ev44 event counts.
+
+        Cost is O(data staged so far) per call, so the intended cadence is
+        one per trigger interval or slower; the staging parquet remains the
+        continuously-live cheap view. Returns the published path."""
+        import os
+
+        from ..modules import mdat as mdat_module
+        from ..sinks import hdf5
+
+        target = str(hdf_path or self._snapshot_path)
+        if not target or target == "None":
+            raise ValueError("snapshot() needs hdf_path or enable_snapshots()")
+
+        metadata_values: dict[str, object] = {}
+        extra_group_attrs: list[dict] = []
+        written: dict[str, list[str]] = {}
+        empty = None
+        for binding in self.plan.streams:
+            module = get_module(binding.module)
+            if hasattr(module, "group_attributes"):
+                extra_group_attrs.extend(
+                    {"path": binding.path, **a}
+                    for a in module.group_attributes(binding.config)
+                )
+            if hasattr(module, "statics"):
+                if empty is None:
+                    empty = self.spark.createDataFrame([], MESSAGE_SCHEMA)
+                for name, value in module.statics(empty, binding.config).items():
+                    metadata_values[f"{binding.path}/{name}"] = value
+            if binding.module == "ev44":
+                metadata_values[f"{binding.path}/events"] = (
+                    self.state.events_written.get(
+                        (binding.module, binding.source), 0
+                    )
+                )
+            skey = _stream_key(binding)
+            # only datasets whose staged dir exists — a registered-but-
+            # never-written dataset is backfilled at finalize, not here
+            written[skey] = [
+                d
+                for d in self._written_datasets.get(skey, [])
+                if staging.dataset_dir(self.out_dir, binding.path, d).exists()
+            ]
+        for m in self.plan.mdat:
+            for name, value in mdat_module.values(
+                {"items": m.items}, self.start.start_time_ms, self.start.stop_time_ms
+            ).items():
+                metadata_values[f"{m.path.rstrip('/')}/{name}"] = value
+
+        staging.write_meta(
+            self.out_dir,
+            self.plan,
+            {
+                "job_id": self.start.job_id,
+                "filename": self.start.filename,
+                "start_time_ms": self.start.start_time_ms,
+                "stop_time_ms": self.start.stop_time_ms,
+                "instrument_name": self.start.instrument_name,
+            },
+            written,
+            metadata_values,
+            extra_group_attributes=extra_group_attrs,
+        )
+        tmp = f"{target}.snapshot.tmp"
+        hdf5.pack(
+            self.out_dir, tmp,
+            template_file=template_file or self._snapshot_template,
+            file_name=target,
+        )
+        os.replace(tmp, target)
+        return target
+
     def finalize(self) -> None:
         """At stop: emit still-unconsumed buffered rows (SourceFilter
         flushes its buffer at finish, SourceFilter.cpp:53,61-66), derive
@@ -858,6 +973,8 @@ def run_streaming_job_from_files(
     fixture_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    snapshot_path: str | None = None,
+    snapshot_every: int = 1,
 ):
     """S4 — the broker-free streaming path: a REAL StructuredStreaming
     query (readStream JSON-lines directory → foreachBatch(StreamingJob))
@@ -869,6 +986,8 @@ def run_streaming_job_from_files(
     Returns (StreamingQuery, StreamingJob); caller awaits + finalizes.
     """
     job = StreamingJob(spark, start, out_dir)
+    if snapshot_path:
+        job.enable_snapshots(snapshot_path, snapshot_every)
     envelope = spark.readStream.schema(MESSAGE_SCHEMA).json(fixture_dir)
     query = (
         envelope.writeStream.option("checkpointLocation", checkpoint_dir)
@@ -889,6 +1008,8 @@ def run_streaming_job(
     available_now: bool = False,
     value_format: str = "flatbuffers",
     topic_lister=None,
+    snapshot_path: str | None = None,
+    snapshot_every: int = 1,
 ):
     """Wire Kafka source → decode → foreachBatch(StreamingJob). Returns
     (StreamingQuery, StreamingJob); caller awaits + finalizes.
@@ -904,6 +1025,8 @@ def run_streaming_job(
 
         await_topics(plan.topics, topic_lister)
     job = StreamingJob(spark, start, out_dir)
+    if snapshot_path:
+        job.enable_snapshots(snapshot_path, snapshot_every)
     source = kafka_stream_reader(spark, brokers, plan.topics, start.start_time_ms).load()
     if value_format == "flatbuffers":
         from ..fbs import decode_kafka_flatbuffers

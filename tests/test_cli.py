@@ -83,6 +83,7 @@ def test_worker_full_loop_broker_free(tmp_path, spark):
         "kafka-to-nexus", "--transport", "file", "--pool-dir", str(pool),
         "--worker-id", "w0", "--out-root", str(tmp_path / "jobs"),
         "--fixture-dir", str(fixtures), "--once", "--master", "local[4]",
+        "--live-snapshot-interval", "1",
     ])
     assert rc == 0
     responses = producer.read_responses()
@@ -91,6 +92,10 @@ def test_worker_full_loop_broker_free(tmp_path, spark):
     assert responses[1]["job_id"] == jid and not responses[1]["error_encountered"]
     out_dir = tmp_path / "jobs" / jid
     assert (out_dir / "_nexus_meta.json").exists()
+    # the worker materializes the pl72 filename under out_root (K5 pack at
+    # close; mid-run, --live-snapshot-interval republished the same path)
+    with hdf5lib.File(str(tmp_path / "jobs" / "f.nxs"), "r") as f:
+        assert list(f["/entry/instrument/chopper/delay/value"][:]) == [5.0, 6.0]
 
 
 def test_worker_status_heartbeats_and_alt_channel(tmp_path, spark):

@@ -653,3 +653,65 @@ def test_stateful_session_windows_close_by_gap_and_timeout(spark, tmp_path):
     }
     assert (10_000_000_000, 20_000_000_000, 2) in got, got   # closed by gap
     assert (300_000_000_000, 300_000_000_000, 1) in got, got  # closed by timeout
+
+
+# --------------------------------------------------------------------------
+# K5 SWMR analog: live snapshots of the output file mid-run
+# --------------------------------------------------------------------------
+
+
+def test_live_snapshot_mid_run(spark, buffered_job, tmp_path):
+    """The reference reopens its output SWMR so readers can follow the
+    write live (HDFFile.cpp:183-281); the Spark analog republishes an
+    atomic, complete HDF5 snapshot at the output path after each batch.
+    Every read mid-run must see a valid file with the data staged so far,
+    and finalize+pack supersedes it at the same path."""
+    from kafka_to_nexus_spark.sinks import hdf5, hdf5lib
+
+    job = buffered_job
+    target = tmp_path / "live.nxs"
+    job.enable_snapshots(target, every_n_batches=1)
+
+    job.process_batch(messages_from_json(spark, [f144(11_000, 7, offset=0)]), 0)
+    with hdf5lib.File(str(target), "r") as f:
+        assert list(f["/entry/instrument/chopper/delay/value"][:]) == [7.0]
+        # file_name names the published path, not the temp write target
+        assert f.attrs["file_name"] == str(target)
+
+    # state untouched by the snapshot: nothing emitted/flushed early
+    assert not job.state.finished
+
+    job.process_batch(messages_from_json(spark, [f144(12_000, 9, offset=1)]), 1)
+    with hdf5lib.File(str(target), "r") as f:
+        assert list(f["/entry/instrument/chopper/delay/value"][:]) == [7.0, 9.0]
+
+    job.finalize()
+    hdf5.pack(job.out_dir, str(target))
+    with hdf5lib.File(str(target), "r") as f:
+        assert list(f["/entry/instrument/chopper/delay/value"][:]) == [7.0, 9.0]
+        # finalize-only surface present in the final file
+        assert "average_value" in f["/entry/instrument/chopper/delay"].keys()
+
+
+def test_snapshot_interval_and_republish_over_readonly(spark, buffered_job, tmp_path):
+    """every_n_batches gates publication; re-snapshot atomically replaces
+    the previous (chmod 0o444) file via rename."""
+    from kafka_to_nexus_spark.sinks import hdf5lib
+
+    job = buffered_job
+    target = tmp_path / "live.nxs"
+    job.enable_snapshots(target, every_n_batches=2)
+
+    job.process_batch(messages_from_json(spark, [f144(11_000, 7, offset=0)]), 0)
+    assert not target.exists()  # batch 1 of 2: not yet published
+    job.process_batch(messages_from_json(spark, [f144(12_000, 9, offset=1)]), 1)
+    assert target.exists()
+    first_stat = target.stat()
+    assert first_stat.st_mode & 0o222 == 0  # published files are immutable
+
+    job.process_batch(messages_from_json(spark, [f144(13_000, 4, offset=2)]), 2)
+    job.process_batch(messages_from_json(spark, [f144(14_000, 5, offset=3)]), 3)
+    assert target.stat().st_ino != first_stat.st_ino  # atomically replaced
+    with hdf5lib.File(str(target), "r") as f:
+        assert list(f["/entry/instrument/chopper/delay/value"][:]) == [
+            7.0, 9.0, 4.0, 5.0]
