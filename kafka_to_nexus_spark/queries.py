@@ -985,6 +985,116 @@ SELECT event_type,
 FROM ranked WHERE rn = least(n_exact, {_KMV_K})
 """
 
+# --- Count-min sketch heavy hitters ------------------------------------------
+# Deterministic CMS (depth 4 × width 256): the 4 per-row hashes are disjoint
+# 8-hex (32-bit) slices of ONE md5 per distinct term, so the sketch is
+# bit-identical in both engines. Scale shape: the only corpus-sized stage is
+# the word count (map-side-combined groupBy); sketch build + point queries
+# run over the tiny distinct-term relation (cells = sum(cnt) per bucket;
+# estimate = min over the 4 bucket counts, CMS guarantee est >= exact).
+_CMS_W = 256
+_CMS_SPARK_COUNTS = """
+  SELECT term, count(*) AS cnt
+  FROM (SELECT explode(split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+"""
+_CMS_DUCK_COUNTS = """
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+"""
+# Single-reference CTE chain (Spark inlines WITH, so every extra reference
+# re-runs the whole subtree from the scan — the naive 4-way UNION + self-join
+# form cost 8 scans / 17 exchanges): the 4 sketch rows come from ONE explode
+# over the counts relation, the cell totals ride a sum() window over (r, b)
+# instead of a join back, and the final min-over-rows is a plain groupBy.
+_CMS_SPARK_BUCKET = (
+    f"CAST(conv(substr(md5(term), 1 + 8 * r, 8), 16, 10) AS BIGINT) % {_CMS_W}"
+)
+_CMS_DUCK_BUCKET = f"('0x' || substr(md5(term), 1 + 8 * r, 8))::BIGINT % {_CMS_W}"
+
+
+def _cms_sql(counts_cte: str, rows_expr: str, bucket_expr: str) -> str:
+    return f"""
+WITH counts AS ({counts_cte}),
+hb AS (
+  SELECT term, cnt, r, {bucket_expr} AS b
+  FROM (SELECT term, cnt, {rows_expr} AS r FROM counts)
+),
+withcell AS (
+  SELECT term, cnt, sum(cnt) OVER (PARTITION BY r, b) AS c FROM hb
+),
+est AS (
+  SELECT term, min(c) AS est, min(cnt) AS exact FROM withcell GROUP BY term
+)
+SELECT term, CAST(est AS BIGINT) AS cms_count, CAST(exact AS BIGINT) AS exact_count
+FROM est ORDER BY cms_count DESC, term LIMIT 20
+"""
+
+
+SPARK_SQL["cms_heavy_hitters"] = _cms_sql(
+    _CMS_SPARK_COUNTS, "explode(sequence(0, 3))", _CMS_SPARK_BUCKET
+)
+ORACLE["cms_heavy_hitters"] = _cms_sql(
+    _CMS_DUCK_COUNTS, "unnest(generate_series(0, 3))", _CMS_DUCK_BUCKET
+)
+
+# --- Exact-substring duplicate-span coverage ---------------------------------
+# The distributed analog of suffix-array substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): token 8-gram
+# rolling fingerprints, a gram is "duplicated" when it appears in >= 2
+# distinct docs; per-doc coverage = duplicated gram positions / positions.
+# Scale shape: gram explode is a narrow map emitting one 15-hex md5 key per
+# token position; the duplicate set comes from one map-side-combined groupBy
+# on that key; no all-pairs comparison anywhere. At 100 TB the gram->count
+# shuffle is the standard substring-dedup cost; everything after runs on the
+# (much smaller) duplicated-gram relation.
+_SPAN_K = 8
+
+
+def _span_sql(split_fn: str, slice_expr: str, pos_src: str, size_fn: str) -> str:
+    # Single-reference chain (no join back to the corpus): gram rows carry
+    # the doc's token count n, collapse to one row per (gram, doc) with the
+    # position count, a count() window over gram gives the distinct-doc
+    # frequency without re-evaluating the explode, and the per-doc rollup is
+    # one groupBy. Every doc with n >= K has >= 1 gram, so no docs are lost.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {split_fn}(text, ' ') AS w FROM documents
+),
+sized AS (SELECT doc_id, w, {size_fn} AS n FROM toks WHERE {size_fn} >= {_SPAN_K}),
+grams AS (
+  SELECT doc_id, n, md5({slice_expr}) AS g
+  FROM ({pos_src}) p
+),
+gcount AS (
+  SELECT g, doc_id, min(n) AS n, count(*) AS n_pos FROM grams GROUP BY g, doc_id
+),
+gdup AS (
+  SELECT doc_id, n, n_pos, count(*) OVER (PARTITION BY g) AS n_docs FROM gcount
+)
+SELECT doc_id,
+       CAST(min(n) - {_SPAN_K - 1} AS BIGINT) AS total_grams,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) AS BIGINT) AS dup_grams,
+       round(sum(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END)
+             / CAST(min(n) - {_SPAN_K - 1} AS DOUBLE), 6) AS dup_ratio
+FROM gdup GROUP BY doc_id
+"""
+
+
+SPARK_SQL["dup_span_coverage"] = _span_sql(
+    split_fn="split",
+    slice_expr=f"concat_ws(' ', slice(w, i, {_SPAN_K}))",
+    pos_src=f"SELECT doc_id, n, w, explode(sequence(1, n - {_SPAN_K - 1})) AS i FROM sized",
+    size_fn="size(w)",
+)
+ORACLE["dup_span_coverage"] = _span_sql(
+    split_fn="string_split",
+    slice_expr=f"array_to_string(w[i:i + {_SPAN_K - 1}], ' ')",
+    pos_src=f"SELECT doc_id, n, w, unnest(generate_series(1, n - {_SPAN_K - 1})) AS i FROM sized",
+    size_fn="len(w)",
+)
+
 # --- LLM-pipeline: text analysis --------------------------------------------
 SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
@@ -2410,12 +2520,14 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #      green query may go two consecutive rounds unverified;
 #   3. remaining slots go to §2-mapped representatives across families.
 # Round-4 window: the 7 never-driver-checked queries first (q7/q8/q9/q12/
-# q20 TPC-H + the two r3 additions pii_scrub_signals/url_domain_profile),
-# then tfidf_top_term (plan rewritten this round — must be re-proven), the
-# 36 queries whose last green row is round 2 (LLM dedup/minhash/SRP/IVF/
-# quant/text batteries + w2/w4/w5/w6/w7/w8), two cross-round canaries, and
-# 4 r3-green §2 family representatives. Rotated out for exactly one round
-# (green in r1+r3, back in r5): the TPC-H/windowing battery verified in r3.
+# q20 TPC-H + the two r3 additions pii_scrub_signals/url_domain_profile)
+# plus the two NEW r4 queries (cms_heavy_hitters/dup_span_coverage — new
+# queries enter the window the round they land), then tfidf_top_term (plan
+# rewritten this round — must be re-proven), the 36 queries whose last
+# green row is round 2 (LLM dedup/minhash/SRP/IVF/quant/text batteries +
+# w2/w4/w5/w6/w7/w8), two cross-round canaries, and 2 r3-green §2 family
+# representatives. Rotated out for exactly one round (green in r3, back in
+# r5): the TPC-H/windowing battery and the k4/t6 representatives.
 _PRIORITY = (
     # -- never driver-checked before this round (rule #1: always get slots)
     "q7_volume_shipping",
@@ -2425,6 +2537,8 @@ _PRIORITY = (
     "q20_part_promotion",
     "pii_scrub_signals",
     "url_domain_profile",
+    "cms_heavy_hitters",
+    "dup_span_coverage",
     # -- behavior changed this round (df-from-tf rewrite; must re-prove)
     "tfidf_top_term",
     "dedup_components",
@@ -2467,11 +2581,11 @@ _PRIORITY = (
     # -- cross-round canaries (green every round so far; keep them so)
     "f3_asof_buffer",
     "w3_timestamp_synthesis",
-    # -- §2 family representatives (green r3; one per family stays fresh)
+    # -- §2 family representatives (green r3; one per family stays fresh;
+    # k4_cue_index/t6_job_summary rotated below the boundary this round to
+    # make room for the two new r4 queries — green r3, back in r5)
     "f1_source_filter",
     "w1_f144_stats",
-    "k4_cue_index",
-    "t6_job_summary",
     # ---- 50-slot window boundary (everything below is unchecked this round;
     # all were green in round 3, so a one-round gap is within policy)
 )

@@ -351,3 +351,28 @@ def test_adc_topk_agrees_with_exact_topk(spark):
         ).orderBy(F.desc("d"), "vec_id").limit(10).collect()
     }
     assert len(adc & exact) >= 7, (adc, exact)
+
+
+def test_cms_heavy_hitters_single_scan_no_join(spark):
+    """L29: Spark inlines CTEs, so the naive UNION/self-join CMS form cost
+    8 scans; the single-reference chain (explode rows + sum window over
+    (r, b)) must read documents exactly once, join nothing, and combine the
+    word count map-side."""
+    import re
+
+    plan = _plan(spark, Q.SPARK_SQL["cms_heavy_hitters"])
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_dup_span_coverage_single_scan_no_join(spark):
+    """L30: the gram explode is the corpus-sized stage — it must run once
+    (no join back to the corpus, no re-evaluated CTE), with the duplicate
+    test riding a count window over the (gram, doc) relation."""
+    import re
+
+    plan = _plan(spark, Q.SPARK_SQL["dup_span_coverage"])
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
