@@ -715,3 +715,50 @@ def test_snapshot_interval_and_republish_over_readonly(spark, buffered_job, tmp_
     with hdf5lib.File(str(target), "r") as f:
         assert list(f["/entry/instrument/chopper/delay/value"][:]) == [
             7.0, 9.0, 4.0, 5.0]
+
+
+def test_live_snapshot_ev44_statics_and_counts(spark, tmp_path):
+    """Snapshot with a multi-module plan: the mid-run file carries the ev44
+    pulse/event datasets staged so far, the cumulative events counter
+    (ev44_Writer EventsWritten), plan statics, and mdat values — while cue
+    derivation stays finalize-only."""
+    from kafka_to_nexus_spark.sinks import hdf5lib
+
+    structure = {
+        "children": [{
+            "name": "entry", "type": "group",
+            "children": [
+                {"module": "dataset",
+                 "config": {"name": "title", "values": "snap run",
+                            "dtype": "string"}},
+                {"module": "mdat", "config": {"items": ["start_time"]}},
+                {"name": "events", "type": "group",
+                 "children": [{"module": "ev44",
+                               "config": {"topic": "t", "source": "det"}}]},
+            ],
+        }]
+    }
+    start = StartMessage(
+        job_id="snap-ev44", filename="live.nxs", nexus_structure=structure,
+        start_time_ms=10_000, stop_time_ms=60_000,
+    )
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+    target = tmp_path / "live.nxs"
+    job.enable_snapshots(target)
+
+    job.process_batch(messages_from_json(spark, [
+        ev44(11_000, [1, 2, 3], [1, 2, 3], source="det", offset=0)]), 0)
+    with hdf5lib.File(str(target), "r") as f:
+        assert list(f["/entry/events/event_index"][:]) == [0]
+        assert int(f["/entry/events/events"][()]) == 3  # cumulative counter
+        assert f["/entry/title"][()] in ("snap run", b"snap run")
+        start_iso = f["/entry/start_time"][()]
+        if isinstance(start_iso, bytes):
+            start_iso = start_iso.decode()
+        assert start_iso == "1970-01-01T00:00:10.000Z"
+
+    job.process_batch(messages_from_json(spark, [
+        ev44(12_000, [4, 5], [4, 5], source="det", offset=1)]), 1)
+    with hdf5lib.File(str(target), "r") as f:
+        assert list(f["/entry/events/event_index"][:]) == [0, 3]
+        assert int(f["/entry/events/events"][()]) == 5
