@@ -469,7 +469,16 @@ class StreamingJob:
                 self._snapshot_path
                 and st.batches_processed % self._snapshot_every == 0
             ):
-                self.snapshot()
+                # Fail-soft: the staged write and state save above already
+                # succeeded, so a snapshot publish error (disk pressure,
+                # reader holding the target on a quirky FS) must not fail
+                # the batch — count it and retry at the next cadence point.
+                try:
+                    self.snapshot()
+                except Exception:  # noqa: BLE001
+                    st.metrics["snapshot_errors"] = (
+                        st.metrics.get("snapshot_errors", 0) + 1
+                    )
         finally:
             batch.unpersist()
 

@@ -762,3 +762,34 @@ def test_live_snapshot_ev44_statics_and_counts(spark, tmp_path):
     with hdf5lib.File(str(target), "r") as f:
         assert list(f["/entry/events/event_index"][:]) == [0, 3]
         assert int(f["/entry/events/events"][()]) == 5
+
+
+def test_snapshot_failure_does_not_fail_the_batch(spark, buffered_job, tmp_path, monkeypatch):
+    """A snapshot publish error is counted and retried at the next cadence
+    point — the staged write and state save already succeeded, so the
+    micro-batch must not fail."""
+    from kafka_to_nexus_spark.sinks import hdf5, hdf5lib
+
+    job = buffered_job
+    target = tmp_path / "live.nxs"
+    job.enable_snapshots(target)
+
+    real_pack = hdf5.pack
+    calls = {"n": 0}
+
+    def flaky_pack(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk pressure")
+        return real_pack(*args, **kwargs)
+
+    monkeypatch.setattr(hdf5, "pack", flaky_pack)
+    job.process_batch(messages_from_json(spark, [f144(11_000, 7, offset=0)]), 0)
+    assert job.state.metrics.get("snapshot_errors") == 1
+    assert not target.exists()
+    assert job.state.batches_processed == 1  # batch completed despite it
+
+    job.process_batch(messages_from_json(spark, [f144(12_000, 9, offset=1)]), 1)
+    assert job.state.metrics.get("snapshot_errors") == 1  # no new error
+    with hdf5lib.File(str(target), "r") as f:
+        assert list(f["/entry/instrument/chopper/delay/value"][:]) == [7.0, 9.0]
