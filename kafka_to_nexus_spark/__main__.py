@@ -151,9 +151,16 @@ def worker(args) -> int:
         # error) — one bad job never kills the worker.
         error_message = ""
         # HDF output prefix semantics (MainOpt.h hdf_output_prefix): the
-        # pl72 filename lands under out_root; live snapshots (K5 SWMR
-        # analog) republish the same path mid-run when armed.
-        final_path = str(Path(args.out_root) / start.filename)
+        # pl72 filename is relative to out_root — an absolute filename is
+        # re-rooted (it must not escape the prefix), and any directory
+        # components are created. Live snapshots (K5 SWMR analog)
+        # republish the same path mid-run when armed.
+        rel = Path(start.filename)
+        if rel.is_absolute():
+            rel = Path(*rel.parts[1:])
+        final_path = Path(args.out_root) / rel
+        final_path.parent.mkdir(parents=True, exist_ok=True)
+        final_path = str(final_path)
         snap = (
             {"snapshot_path": final_path,
              "snapshot_every": args.live_snapshot_interval}

@@ -429,7 +429,7 @@ class StreamingJob:
                 in_window = buffered.unionByName(in_window)
                 st.asof_emitted.update(present)
 
-            self._write_streams(
+            wrote = self._write_streams(
                 in_window,
                 tails={
                     (r["schema"], r["source_name"]): r["tail_ts"] for r in stats
@@ -467,18 +467,26 @@ class StreamingJob:
             _save_job_state(st, self.out_dir)
             if (
                 self._snapshot_path
+                and wrote  # an empty batch changes nothing readers can see
+                # the finished latch means the worker is about to stop the
+                # query and run finalize+pack; an in-flight snapshot racing
+                # that sequence could replace the finished file with a
+                # mid-run image, so never start one once finished is set
+                and not st.finished
                 and st.batches_processed % self._snapshot_every == 0
             ):
                 # Fail-soft: the staged write and state save above already
                 # succeeded, so a snapshot publish error (disk pressure,
                 # reader holding the target on a quirky FS) must not fail
-                # the batch — count it and retry at the next cadence point.
+                # the batch — count it, persist the counter, and retry at
+                # the next cadence point.
                 try:
                     self.snapshot()
                 except Exception:  # noqa: BLE001
                     st.metrics["snapshot_errors"] = (
                         st.metrics.get("snapshot_errors", 0) + 1
                     )
+                    _save_job_state(st, self.out_dir)
         finally:
             batch.unpersist()
 
@@ -488,7 +496,7 @@ class StreamingJob:
         tails: dict[tuple[str, str], int | None] | None = None,
         event_counts: dict[tuple[str, str], int] | None = None,
         present: set[tuple[str, str]] | None = None,
-    ) -> None:
+    ) -> bool:
         """``present`` (from the stats action) lists the sources with
         in-window rows this batch; bindings outside it keep their lazy
         plan-building and dataset registration (finalize's backfill relies
@@ -717,6 +725,55 @@ class StreamingJob:
 
             with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
                 list(pool.map(lambda ft: ft[0](ft[1]), tasks))
+        return bool(tasks)  # did this batch stage anything new?
+
+    def _job_info(self) -> dict:
+        return {
+            "job_id": self.start.job_id,
+            "filename": self.start.filename,
+            "start_time_ms": self.start.start_time_ms,
+            "stop_time_ms": self.start.stop_time_ms,
+            "instrument_name": self.start.instrument_name,
+        }
+
+    def _meta_base(self) -> tuple[dict, list]:
+        """Metadata shared by live snapshots and finalize: module group
+        attributes, config-declared statics, cumulative ev44 event
+        counters, and mdat values. The finalize-only surface (cue
+        derivation, T6 aggregates, empty-dataset backfill) stays in
+        finalize() — a snapshot must not mutate job state."""
+        from ..modules import mdat as mdat_module
+
+        metadata_values: dict[str, object] = {}
+        extra_group_attrs: list[dict] = []
+        empty = None
+        for binding in self.plan.streams:
+            module = get_module(binding.module)
+            if hasattr(module, "group_attributes"):
+                extra_group_attrs.extend(
+                    {"path": binding.path, **a}
+                    for a in module.group_attributes(binding.config)
+                )
+            if hasattr(module, "statics"):
+                # config-declared constants (explicit / linspace edges);
+                # first-message constants need batch data and are folded in
+                # batch mode only
+                if empty is None:
+                    empty = self.spark.createDataFrame([], MESSAGE_SCHEMA)
+                for name, value in module.statics(empty, binding.config).items():
+                    metadata_values[f"{binding.path}/{name}"] = value
+            if binding.module == "ev44":
+                metadata_values[f"{binding.path}/events"] = (
+                    self.state.events_written.get(
+                        (binding.module, binding.source), 0
+                    )
+                )
+        for m in self.plan.mdat:
+            for name, value in mdat_module.values(
+                {"items": m.items}, self.start.start_time_ms, self.start.stop_time_ms
+            ).items():
+                metadata_values[f"{m.path.rstrip('/')}/{name}"] = value
+        return metadata_values, extra_group_attrs
 
     def enable_snapshots(
         self,
@@ -757,35 +814,15 @@ class StreamingJob:
         continuously-live cheap view. Returns the published path."""
         import os
 
-        from ..modules import mdat as mdat_module
         from ..sinks import hdf5
 
         target = str(hdf_path or self._snapshot_path)
         if not target or target == "None":
             raise ValueError("snapshot() needs hdf_path or enable_snapshots()")
 
-        metadata_values: dict[str, object] = {}
-        extra_group_attrs: list[dict] = []
+        metadata_values, extra_group_attrs = self._meta_base()
         written: dict[str, list[str]] = {}
-        empty = None
         for binding in self.plan.streams:
-            module = get_module(binding.module)
-            if hasattr(module, "group_attributes"):
-                extra_group_attrs.extend(
-                    {"path": binding.path, **a}
-                    for a in module.group_attributes(binding.config)
-                )
-            if hasattr(module, "statics"):
-                if empty is None:
-                    empty = self.spark.createDataFrame([], MESSAGE_SCHEMA)
-                for name, value in module.statics(empty, binding.config).items():
-                    metadata_values[f"{binding.path}/{name}"] = value
-            if binding.module == "ev44":
-                metadata_values[f"{binding.path}/events"] = (
-                    self.state.events_written.get(
-                        (binding.module, binding.source), 0
-                    )
-                )
             skey = _stream_key(binding)
             # only datasets whose staged dir exists — a registered-but-
             # never-written dataset is backfilled at finalize, not here
@@ -794,22 +831,11 @@ class StreamingJob:
                 for d in self._written_datasets.get(skey, [])
                 if staging.dataset_dir(self.out_dir, binding.path, d).exists()
             ]
-        for m in self.plan.mdat:
-            for name, value in mdat_module.values(
-                {"items": m.items}, self.start.start_time_ms, self.start.stop_time_ms
-            ).items():
-                metadata_values[f"{m.path.rstrip('/')}/{name}"] = value
 
         staging.write_meta(
             self.out_dir,
             self.plan,
-            {
-                "job_id": self.start.job_id,
-                "filename": self.start.filename,
-                "start_time_ms": self.start.start_time_ms,
-                "stop_time_ms": self.start.stop_time_ms,
-                "instrument_name": self.start.instrument_name,
-            },
+            self._job_info(),
             written,
             metadata_values,
             extra_group_attributes=extra_group_attrs,
@@ -863,25 +889,13 @@ class StreamingJob:
                 except Exception:  # exotic type: pay the distributed write
                     staging.write_dataset(out, self.out_dir, binding.path, dataset)
 
-        metadata_values: dict[str, object] = {}
-        extra_group_attrs: list[dict] = []
+        # shared-with-snapshot surface (group attrs, statics, ev44 event
+        # counters, mdat) + the finalize-only additions below
+        metadata_values, extra_group_attrs = self._meta_base()
         agg_bindings: list = []
         for binding in self.plan.streams:
             module = get_module(binding.module)
-            key = (binding.module, binding.source)
             written = self._written_datasets.get(_stream_key(binding), [])
-            if hasattr(module, "group_attributes"):
-                extra_group_attrs.extend(
-                    {"path": binding.path, **a}
-                    for a in module.group_attributes(binding.config)
-                )
-            if hasattr(module, "statics"):
-                # config-declared constants (explicit / linspace edges);
-                # first-message constants need batch data and are folded in
-                # batch mode only
-                empty = self.spark.createDataFrame([], MESSAGE_SCHEMA)
-                for name, value in module.statics(empty, binding.config).items():
-                    metadata_values[f"{binding.path}/{name}"] = value
             # K4: cumulative cue from the staged log in staging order
             cue_interval = (binding.config or {}).get("cue_interval")
             if cue_interval and "log" in written:
@@ -896,11 +910,13 @@ class StreamingJob:
                 staging.write_dataset(cue, self.out_dir, binding.path, "cue")
                 if "cue" not in written:
                     written.append("cue")
-            # T6 job-summary aggregates from staged output / counters
-            if binding.module == "ev44":
-                n = st.events_written.get(key, 0)
-                metadata_values[f"{binding.path}/events"] = n
-            elif hasattr(module, "aggregates") and "log" in written:
+            # T6 job-summary aggregates from staged output (ev44's events
+            # counter already comes from _meta_base)
+            if (
+                binding.module != "ev44"
+                and hasattr(module, "aggregates")
+                and "log" in written
+            ):
                 agg_bindings.append(binding)
 
         # T6 aggregates over staged logs: same-module same-shape bindings
@@ -947,23 +963,8 @@ class StreamingJob:
                     for name, value in row[0].asDict().items():
                         metadata_values[f"{binding.path}/{name}"] = value
 
-        from ..modules import mdat as mdat_module
-
-        for m in self.plan.mdat:
-            for name, value in mdat_module.values(
-                {"items": m.items}, self.start.start_time_ms, self.start.stop_time_ms
-            ).items():
-                metadata_values[f"{m.path.rstrip('/')}/{name}"] = value
-
-        job_info = {
-            "job_id": self.start.job_id,
-            "filename": self.start.filename,
-            "start_time_ms": self.start.start_time_ms,
-            "stop_time_ms": self.start.stop_time_ms,
-            "instrument_name": self.start.instrument_name,
-        }
         staging.write_meta(
-            self.out_dir, self.plan, job_info, self._written_datasets,
+            self.out_dir, self.plan, self._job_info(), self._written_datasets,
             metadata_values, extra_group_attributes=extra_group_attrs,
         )
         # K6 staged-size gauge (FileWriterTask approx_file_size_mb)

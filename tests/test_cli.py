@@ -76,7 +76,10 @@ def test_worker_full_loop_broker_free(tmp_path, spark):
     ).read())
     producer = FilePoolTransport(pool, "producer")
     jid = str(uuid.uuid4())
-    producer.offer({"job_id": jid, "filename": "f.nxs", "nexus_structure": tpl,
+    # filename with a directory component: the worker must create it
+    # under out_root (hdf_output_prefix semantics)
+    producer.offer({"job_id": jid, "filename": "runs/f.nxs",
+                    "nexus_structure": tpl,
                     "start_time": 10_000, "stop_time": 15_000})
 
     rc = main([
@@ -94,7 +97,7 @@ def test_worker_full_loop_broker_free(tmp_path, spark):
     assert (out_dir / "_nexus_meta.json").exists()
     # the worker materializes the pl72 filename under out_root (K5 pack at
     # close; mid-run, --live-snapshot-interval republished the same path)
-    with hdf5lib.File(str(tmp_path / "jobs" / "f.nxs"), "r") as f:
+    with hdf5lib.File(str(tmp_path / "jobs" / "runs" / "f.nxs"), "r") as f:
         assert list(f["/entry/instrument/chopper/delay/value"][:]) == [5.0, 6.0]
 
 

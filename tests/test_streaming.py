@@ -793,3 +793,24 @@ def test_snapshot_failure_does_not_fail_the_batch(spark, buffered_job, tmp_path,
     assert job.state.metrics.get("snapshot_errors") == 1  # no new error
     with hdf5lib.File(str(target), "r") as f:
         assert list(f["/entry/instrument/chopper/delay/value"][:]) == [7.0, 9.0]
+
+
+def test_snapshot_skipped_on_empty_batch_and_after_finish(spark, buffered_job, tmp_path):
+    """An empty batch changes nothing readers can see, so no snapshot is
+    published; and the batch that trips the stop watchdog must not publish
+    either — the worker is about to stop/finalize/pack the same path, and
+    an in-flight snapshot racing that sequence could replace the finished
+    file with a mid-run image."""
+    job = buffered_job
+    target = tmp_path / "live.nxs"
+    job.enable_snapshots(target)
+
+    job.process_batch(messages_from_json(spark, []), 0)
+    assert not target.exists()  # nothing staged, nothing published
+
+    # in-window data AND past-stop data in one batch: staged writes happen,
+    # the watchdog latches finished, and the snapshot is suppressed
+    job.process_batch(messages_from_json(spark, [
+        f144(11_000, 7, offset=0), f144(26_000, 2, offset=1)]), 1)
+    assert job.state.finished
+    assert not target.exists()
