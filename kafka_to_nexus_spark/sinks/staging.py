@@ -207,7 +207,12 @@ def write_meta(
     }
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / META_FILE).write_text(json.dumps(meta, indent=2, default=str))
+    # Atomic publish: the staging dir is the live view during a streaming
+    # run (snapshots rewrite this file per batch), so a concurrent reader
+    # must never see truncated JSON.
+    tmp = out / (META_FILE + ".tmp")
+    tmp.write_text(json.dumps(meta, indent=2, default=str))
+    tmp.replace(out / META_FILE)
 
 
 def read_meta(out_dir: str | Path) -> dict:
