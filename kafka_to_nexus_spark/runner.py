@@ -114,9 +114,12 @@ def run_job(
             staging.write_dataset(df, out_dir, binding.path, dataset)
             written.append(dataset)
 
-        # T6 job-summary aggregates (e.g. f144 min/max/mean, ev44 counts)
+        # T6 job-summary aggregates (e.g. f144 min/max/mean, ev44 counts);
+        # "meta_data": false suppresses them (f144_Writer.cpp:264,282)
         values: dict[str, object] = {}
-        if hasattr(module, "aggregates"):
+        if hasattr(module, "aggregates") and (binding.config or {}).get(
+            "meta_data", True
+        ):
             agg_input = outputs.get("log", src)
             agg_row = module.aggregates(agg_input, binding.config).collect()
             if agg_row:
@@ -163,7 +166,7 @@ def run_job(
             staging.write_dataset_grouped(df, out_dir, path_by_source, dataset)
             written.append(dataset)
         values: dict[str, object] = {}
-        if hasattr(module, "aggregates"):
+        if hasattr(module, "aggregates") and (config or {}).get("meta_data", True):
             agg_input = outputs.get("log", keyed)
             rows = module.aggregates(agg_input, config, group_key="__source").collect()
             by_source = {r["__source"]: r.asDict() for r in rows}

@@ -911,11 +911,13 @@ class StreamingJob:
                 if "cue" not in written:
                     written.append("cue")
             # T6 job-summary aggregates from staged output (ev44's events
-            # counter already comes from _meta_base)
+            # counter already comes from _meta_base); "meta_data": false
+            # suppresses them (f144_Writer.cpp:264,282)
             if (
                 binding.module != "ev44"
                 and hasattr(module, "aggregates")
                 and "log" in written
+                and (binding.config or {}).get("meta_data", True)
             ):
                 agg_bindings.append(binding)
 

@@ -415,3 +415,73 @@ def test_grouped_path_equivalent_to_per_source(spark, tmp_path, modules_mix, mon
     for key in grouped_data:
         assert grouped_data[key] == plain_data[key], key
     assert grouped_meta == plain_meta
+
+
+def test_meta_data_false_suppresses_summary(spark, tmp_path):
+    """f144's "meta_data": false suppresses the minimum/maximum/average
+    job-summary values (f144_Writer.cpp:264,282); the default (true)
+    keeps them — covered across the grouped/per-binding split, since the
+    differing configs land the two bindings in different shapes."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    def f144_stream(name, source, **extra):
+        return {
+            "name": name, "type": "group",
+            "children": [{"module": "f144",
+                          "config": {"topic": "t", "source": source,
+                                     "dtype": "double", **extra}}],
+        }
+
+    structure = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [
+            f144_stream("quiet", "pv:quiet", meta_data=False),
+            f144_stream("loud", "pv:loud"),
+        ],
+    }]}
+    msgs = [
+        {"schema": "f144", "topic": "t", "source_name": src,
+         "kafka_timestamp": ts, "timestamp": ts, "value": v, "offset": i}
+        for i, (src, ts, v) in enumerate([
+            ("pv:quiet", 11_000, 1.0), ("pv:quiet", 12_000, 3.0),
+            ("pv:loud", 11_500, 5.0), ("pv:loud", 12_500, 7.0),
+        ])
+    ]
+    start = StartMessage(job_id="md-false", filename="f",
+                         nexus_structure=structure,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    result = run_job(spark, start, messages_from_json(spark, msgs),
+                     str(tmp_path / "staged"))
+    mv = result.metadata_values
+    assert "/entry/loud/minimum_value" in mv and mv["/entry/loud/average_value"] == 6.0
+    assert not any(k.startswith("/entry/quiet/") for k in mv), mv
+    # data itself still staged for the suppressed stream
+    assert read_col(spark, result.out_dir, "/entry/quiet", "log", "value", "time") == [1.0, 3.0]
+
+
+def test_meta_data_false_streaming_finalize(spark, tmp_path):
+    """The streaming finalize honors the same flag."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+    from kafka_to_nexus_spark.streaming.job import StreamingJob
+
+    structure = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{
+            "name": "quiet", "type": "group",
+            "children": [{"module": "f144",
+                          "config": {"topic": "t", "source": "pv:q",
+                                     "dtype": "double", "meta_data": False}}],
+        }],
+    }]}
+    start = StartMessage(job_id="md-false-stream", filename="f",
+                         nexus_structure=structure,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+    job.process_batch(messages_from_json(spark, [
+        {"schema": "f144", "topic": "t", "source_name": "pv:q",
+         "kafka_timestamp": 11_000, "timestamp": 11_000, "value": 2.0,
+         "offset": 0}]), 0)
+    job.finalize()
+    meta = staging.read_meta(job.out_dir)
+    assert not any("minimum_value" in k for k in meta["metadata_values"]), meta[
+        "metadata_values"]
