@@ -43,6 +43,10 @@ def encode_fixture(item: dict) -> bytes:
     source = item.get("source_name", "")
     ts_ms = int(item.get("timestamp", item.get("kafka_timestamp", 0)))
     if schema == "f144":
+        if item.get("values") is not None:  # array PV form
+            return ess.encode_f144_array_double(
+                source, [float(x) for x in item["values"]], ts_ms
+            )
         return ess.encode_f144_double(source, float(item["value"]), ts_ms)
     if schema == "ev44":
         ref = item.get("reference_time", ts_ms)

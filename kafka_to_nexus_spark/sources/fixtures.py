@@ -42,6 +42,9 @@ def _normalize_row(item: dict, offset_by_partition: dict) -> dict:
 
     if schema == "f144":
         row["value"] = float(item["value"]) if item.get("value") is not None else None
+        # array PVs (config array_size > 1) carry the whole array per message
+        vals = item.get("values")
+        row["values"] = [float(x) for x in vals] if vals is not None else None
     elif schema == "ep01":
         row["connection_status"] = item.get("connection_status")
     elif schema == "al00":

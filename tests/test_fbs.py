@@ -345,3 +345,17 @@ def test_da00_multi_variable_binary_to_pivot(spark):
     rows = out["frames"].orderBy("time").collect()
     assert [r.data_signal for r in rows] == [[0.0, 1.0], [1.0, 2.0], [2.0, 3.0]]
     assert [r.data_errors for r in rows] == [[0.0, 0.25], [0.5, 0.75], [1.0, 1.25]]
+
+
+def test_f144_array_fixture_round_trip():
+    """Fixture-level array f144: encode_fixture routes the "values" form
+    through the array encoder, and decode restores it for the envelope."""
+    from kafka_to_nexus_spark import fbs
+    from kafka_to_nexus_spark.fbs import ess
+
+    buf = fbs.encode_fixture({"schema": "f144", "source_name": "pv:w",
+                              "timestamp": 42, "values": [1.5, -2.5, 3.0]})
+    out = ess.decode(buf)
+    assert out["values"] == [1.5, -2.5, 3.0]
+    assert out["source_name"] == "pv:w"
+    assert "value" not in out

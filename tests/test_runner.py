@@ -485,3 +485,48 @@ def test_meta_data_false_streaming_finalize(spark, tmp_path):
     meta = staging.read_meta(job.out_dir)
     assert not any("minimum_value" in k for k in meta["metadata_values"]), meta[
         "metadata_values"]
+
+
+def test_f144_array_pv_staged_and_aggregated(spark, tmp_path):
+    """Array f144 PVs (config array_size > 1, f144_Writer.h:81): each
+    message's array lands as one row of the {rows, array_size} value
+    dataset, and the T6 min/max/mean run over every element written
+    (f144_Writer.cpp:265-276)."""
+    from kafka_to_nexus_spark.sinks import hdf5, hdf5lib
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    structure = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{
+            "name": "wave", "type": "group",
+            "children": [{"module": "f144",
+                          "config": {"topic": "t", "source": "pv:wave",
+                                     "dtype": "double", "array_size": 3}}],
+        }],
+    }]}
+    msgs = [
+        {"schema": "f144", "topic": "t", "source_name": "pv:wave",
+         "kafka_timestamp": ts, "timestamp": ts, "values": vals, "offset": i}
+        for i, (ts, vals) in enumerate([
+            (11_000, [1.0, 2.0, 3.0]), (12_000, [4.0, 5.0, 9.0]),
+        ])
+    ]
+    start = StartMessage(job_id="arr-f144", filename="f",
+                         nexus_structure=structure,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    result = run_job(spark, start, messages_from_json(spark, msgs),
+                     str(tmp_path / "staged"))
+    rows = spark.read.parquet(
+        str(staging.dataset_dir(result.out_dir, "/entry/wave", "log"))
+    ).orderBy("time").collect()
+    assert [list(r.value) for r in rows] == [[1.0, 2.0, 3.0], [4.0, 5.0, 9.0]]
+    mv = result.metadata_values
+    assert mv["/entry/wave/minimum_value"] == 1.0
+    assert mv["/entry/wave/maximum_value"] == 9.0
+    assert mv["/entry/wave/average_value"] == 4.0
+    # pack stacks per-row arrays into a 2-D dataset
+    hdf = tmp_path / "arr.nxs"
+    hdf5.pack(result.out_dir, str(hdf))
+    with hdf5lib.File(str(hdf), "r") as f:
+        arr = f["/entry/wave/value"][:]
+        assert arr.shape == (2, 3) and arr[1][2] == 9.0
