@@ -20,6 +20,10 @@ from ..schemas import spark_type_for
 
 ACCEPTS_REPEATED_TIMESTAMPS = False
 GROUPABLE = True  # row-wise map (explode + when) — multi-source safe
+# dtype default deviates from the reference (int64, se00_Writer.h:71) on
+# purpose: the envelope carries values as double, and defaulting to int64
+# would silently truncate fractional samples when a template omits "type".
+# ESS templates set the type explicitly, where both engines agree.
 DEFAULTS = {"dtype": "double", "cue_interval": None}
 
 
