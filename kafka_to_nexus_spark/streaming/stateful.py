@@ -257,3 +257,111 @@ def _parse_duration_ns(text: str) -> int:
         "hour": 3_600_000_000_000, "hours": 3_600_000_000_000,
     }[unit]
     return int(qty) * mult
+
+
+# ---------------------------------------------------------------------------
+# Streaming deduplication — the streaming complement of the batch dedup
+# family (llm/dedup.py L1): first occurrence passes through, duplicates are
+# suppressed across micro-batches, and the census variant reports copy
+# counts when a fingerprint's watermark horizon passes.
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream(
+    stream: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    watermark: str = "10 minutes",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """First-occurrence pass-through dedup over a streaming DataFrame.
+
+    Built-in operators all the way: a watermark bounds the dedup state, and
+    ``dropDuplicates`` on the fingerprint keeps exactly the first arrival.
+    State-store footprint = one entry per DISTINCT fingerprint younger than
+    the watermark — TTL-bounded, so an unbounded stream holds bounded
+    state; a duplicate arriving after its original's horizon passed is
+    treated as new (the price of bounded state, same trade the batch
+    MinHash/LSH pipeline makes by banding).
+
+    The caller derives ``fingerprint_col`` (e.g. ``md5(text)`` — the same
+    fingerprint the batch ``dedup_exact`` census groups on)."""
+    from pyspark.sql import functions as F
+
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    ).withWatermark("event_time", watermark)
+    return with_time.dropDuplicates([fingerprint_col]).drop("event_time")
+
+
+DEDUP_CENSUS_SCHEMA = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("first_seen_ns", LongType()),
+        StructField("n_copies", LongType()),
+    ]
+)
+
+# state per distinct fingerprint: (first_seen_ns, count)
+_DEDUP_STATE = "first long, n long"
+
+
+def _dedup_census_update(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    # horizon passed: the census row for this fingerprint is final
+    if state.hasTimedOut:
+        first, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "fingerprint": [key[0]],
+                "first_seen_ns": [first],
+                "n_copies": [n],
+            }
+        )
+        return
+    first, n = state.get if state.exists else (None, 0)
+    last = None
+    for pdf in pdfs:
+        ts = pdf["timestamp"].dropna()
+        if len(ts) == 0:
+            continue
+        b_min, b_max = int(ts.min()), int(ts.max())
+        first = b_min if first is None else min(first, b_min)
+        last = b_max if last is None else max(last, b_max)
+        n += int(len(ts))
+    if first is not None:
+        state.update((first, n))
+        if last is not None:
+            # finalize once the watermark passes the latest copy (ms)
+            state.setTimeoutTimestamp(last // 1_000_000 + 1)
+
+
+def dedup_census(
+    stream: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming exact-dedup census: one (fingerprint, first_seen_ns,
+    n_copies) row per distinct fingerprint, emitted when the watermark
+    passes its last copy (``GroupStateTimeout.EventTimeTimeout``) — the
+    streaming analog of the batch ``dedup_exact`` groupBy. State is one
+    (first, n) tuple per in-horizon fingerprint in the checkpointed state
+    store; emitted fingerprints are evicted, so state stays TTL-bounded on
+    unbounded streams."""
+    from pyspark.sql import functions as F
+
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    ).withWatermark("event_time", watermark)
+    keyed = with_time.withColumnRenamed(fingerprint_col, "fingerprint")
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        _dedup_census_update,
+        outputStructType=DEDUP_CENSUS_SCHEMA,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -814,3 +814,77 @@ def test_snapshot_skipped_on_empty_batch_and_after_finish(spark, buffered_job, t
         f144(11_000, 7, offset=0), f144(26_000, 2, offset=1)]), 1)
     assert job.state.finished
     assert not target.exists()
+
+
+def test_dedup_stream_first_occurrence_across_batches(spark, tmp_path):
+    """Streaming dedup (watermarked dropDuplicates): the first arrival of
+    each fingerprint passes through, duplicates are suppressed within AND
+    across micro-batches while the fingerprint is inside the watermark
+    horizon."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    _write_fixture(fixture_dir, "b1.json", [
+        f144(10_000, 1.0, offset=0), f144(11_000, 2.0, offset=1),
+        f144(12_000, 1.0, offset=2),  # intra-batch dup
+    ])
+    _write_fixture(fixture_dir, "b2.json", [
+        f144(13_000, 1.0, offset=3),  # cross-batch dup
+        f144(14_000, 3.0, offset=4),
+    ], seq=1)
+
+    stream = _file_stream(spark, fixture_dir).withColumn(
+        "fingerprint", F.md5(F.col("value").cast("string")))
+    out = stateful.dedup_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.timestamp, r.value)
+                 for r in spark.table("dedup_stream").collect())
+    assert got == [(10_000_000_000, 1.0), (11_000_000_000, 2.0),
+                   (14_000_000_000, 3.0)], got
+
+
+def test_dedup_census_emits_counts_at_horizon(spark, tmp_path):
+    """Streaming exact-dedup census: when the watermark passes a
+    fingerprint's last copy, one (fingerprint, first_seen_ns, n_copies)
+    row is emitted and the state evicted — the streaming analog of the
+    batch dedup_exact groupBy."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    _write_fixture(fixture_dir, "b1.json", [
+        f144(10_000, 1.0, offset=0), f144(11_000, 2.0, offset=1),
+        f144(12_000, 1.0, offset=2),
+    ])
+    # watermark pusher: drives the horizon past both fingerprints
+    _write_fixture(fixture_dir, "b2.json", [f144(400_000, 9.0, offset=3)], seq=1)
+
+    stream = _file_stream(spark, fixture_dir).withColumn(
+        "fingerprint", F.md5(F.col("value").cast("string")))
+    out = stateful.dedup_census(stream, watermark="10 seconds")
+    q = (out.writeStream.format("memory").queryName("dedup_census")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.first_seen_ns, r.n_copies)
+           for r in spark.table("dedup_census").collect()}
+    assert (10_000_000_000, 2) in got, got  # value 1.0: two copies
+    assert (11_000_000_000, 1) in got, got  # value 2.0: singleton
+    # the pusher's own fingerprint is still open (horizon not passed)
+    assert not any(f == 400_000_000_000 for f, _ in got), got
