@@ -1095,6 +1095,44 @@ ORACLE["dup_span_coverage"] = _span_sql(
     size_fn="len(w)",
 )
 
+# --- Training-sequence packing -----------------------------------------------
+# Greedy sequential packing of documents into fixed-token-budget training
+# sequences (GPT-style sequence packing). A global greedy pack would need a
+# corpus-wide ordered cumulative sum — one reducer; instead docs are salted
+# into shards and packed within each shard (the standard distributed form:
+# packing quality is per-shard greedy, parallelism is O(shards)). The window
+# is a per-shard running sum — deterministic (ordered by doc_id), no UDF,
+# identical in both engines.
+_PACK_BUDGET = 512
+_PACK_SHARDS = 64
+
+
+def _pack_sql(tokens_expr: str) -> str:
+    return f"""
+WITH sized AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, {tokens_expr} AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(shard * 1000000 + floor((cum_tokens - n_tokens) / {_PACK_BUDGET})
+            AS BIGINT) AS sequence_id,
+       CAST(cum_tokens - n_tokens
+            - floor((cum_tokens - n_tokens) / {_PACK_BUDGET}) * {_PACK_BUDGET}
+            AS BIGINT) AS offset_in_sequence
+FROM cum
+"""
+
+
+SPARK_SQL["sequence_packing"] = _pack_sql("size(split(text, ' '))")
+ORACLE["sequence_packing"] = _pack_sql("len(string_split(text, ' '))")
+
 # --- LLM-pipeline: text analysis --------------------------------------------
 SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
@@ -2539,6 +2577,7 @@ _PRIORITY = (
     "url_domain_profile",
     "cms_heavy_hitters",
     "dup_span_coverage",
+    "sequence_packing",
     # -- behavior changed this round (df-from-tf rewrite; must re-prove)
     "tfidf_top_term",
     "dedup_components",
@@ -2582,9 +2621,9 @@ _PRIORITY = (
     "f3_asof_buffer",
     "w3_timestamp_synthesis",
     # -- §2 family representatives (green r3; one per family stays fresh;
-    # k4_cue_index/t6_job_summary rotated below the boundary this round to
-    # make room for the two new r4 queries — green r3, back in r5)
-    "f1_source_filter",
+    # k4_cue_index/t6_job_summary/f1_source_filter rotated below the
+    # boundary this round to make room for the three new r4 queries —
+    # green r3, back in r5)
     "w1_f144_stats",
     # ---- 50-slot window boundary (everything below is unchecked this round;
     # all were green in round 3, so a one-round gap is within policy)

@@ -376,3 +376,16 @@ def test_dup_span_coverage_single_scan_no_join(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_sequence_packing_single_scan_sharded_window(spark):
+    """L33: the packing cumsum must be a per-shard window (parallel over
+    shards), not a global-order single-reducer window, over one scan."""
+    import re
+
+    plan = _plan(spark, Q.SPARK_SQL["sequence_packing"])
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    # the window's required ordering is within a hash-partitioned shard:
+    # no SinglePartition exchange feeding a Window
+    assert "SinglePartition" not in plan, plan
