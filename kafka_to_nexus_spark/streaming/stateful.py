@@ -276,7 +276,11 @@ def dedup_stream(
     """First-occurrence pass-through dedup over a streaming DataFrame.
 
     Built-in operators all the way: a watermark bounds the dedup state, and
-    ``dropDuplicates`` on the fingerprint keeps exactly the first arrival.
+    ``dropDuplicates`` on the fingerprint passes exactly ONE copy per
+    in-horizon fingerprint. Which intra-batch copy survives follows Spark's
+    arrival order (partition-race, not globally deterministic) — rows from
+    LATER batches are always suppressed by the state store; use
+    ``dedup_census`` when the deterministic first-seen timestamp matters.
     State-store footprint = one entry per DISTINCT fingerprint younger than
     the watermark — TTL-bounded, so an unbounded stream holds bounded
     state; a duplicate arriving after its original's horizon passed is

@@ -849,8 +849,14 @@ def test_dedup_stream_first_occurrence_across_batches(spark, tmp_path):
         q.stop()
     got = sorted((r.timestamp, r.value)
                  for r in spark.table("dedup_stream").collect())
-    assert got == [(10_000_000_000, 1.0), (11_000_000_000, 2.0),
-                   (14_000_000_000, 3.0)], got
+    # exactly one copy per fingerprint; which intra-batch copy of 1.0
+    # survives is arrival-order-dependent (Spark dropDuplicates), but a
+    # batch-2 copy can never win — the state store suppresses it
+    assert sorted(v for _, v in got) == [1.0, 2.0, 3.0], got
+    by_value = dict((v, t) for t, v in got)
+    assert by_value[1.0] in (10_000_000_000, 12_000_000_000)  # batch 1 only
+    assert by_value[2.0] == 11_000_000_000
+    assert by_value[3.0] == 14_000_000_000
 
 
 def test_dedup_census_emits_counts_at_horizon(spark, tmp_path):
