@@ -67,21 +67,24 @@ def minhash_signatures(
     return with_digests.select(F.col(id_col), *cols)
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     sig: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Band the signature, bucket-join within bands, emit candidate pairs.
-
-    Shuffle key = (band_id, band_hash): only same-bucket docs ever meet,
-    so the self-join is linear in bucket sizes, not O(n²).
-    """
-    sig_cols = [c for c in sig.columns if c != id_col]
+    """Explode a signature frame into one (id, band, band_key) row per
+    band — the LSH bucketing projection shared by the batch pair join and
+    the streaming candidate operator. ``keep_cols`` ride along (e.g. the
+    event timestamp for streaming state TTLs). Narrow map — streaming-safe."""
+    sig_cols = [
+        c for c in sig.columns if c != id_col and c not in keep_cols
+    ]
     assert len(sig_cols) >= bands * rows_per_band, "not enough hashes for banding"
-    banded = sig.select(
+    return sig.select(
         id_col,
+        *keep_cols,
         F.explode(
             F.array(
                 *[
@@ -95,7 +98,21 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
+    ).select(id_col, *keep_cols, "bk.band", "bk.band_key")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature, bucket-join within bands, emit candidate pairs.
+
+    Shuffle key = (band_id, band_hash): only same-bucket docs ever meet,
+    so the self-join is linear in bucket sizes, not O(n²).
+    """
+    banded = banded_signatures(sig, id_col, bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

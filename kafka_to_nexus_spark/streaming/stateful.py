@@ -369,3 +369,121 @@ def dedup_census(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate candidates — LSH bucket state with TTL.
+# The streaming analog of the batch minhash → band → bucket-join pipeline
+# (llm/dedup.py L2/L3): bucket membership lives in the state store instead
+# of a self-join, so candidates stream out as soon as both docs have
+# arrived, and state stays TTL-bounded on unbounded streams.
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("band", LongType()),
+    ]
+)
+
+# state per (band, band_key) bucket: member doc ids + last event time (ns)
+_BUCKET_STATE = "docs array<long>, last long"
+
+
+def _make_bucket_fn(max_bucket: int, horizon_ms: int):
+    def update(
+        key: tuple[int, str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # idle bucket past its horizon: evict
+            state.remove()
+            return
+        docs, last = (state.get if state.exists else ([], 0))
+        docs = list(docs)
+        rows: list[tuple[int, int]] = []  # (timestamp, doc_id)
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), int(d))
+                for t, d in zip(pdf["timestamp"], pdf["doc_id"])
+                if not pd.isna(t)
+            )
+        rows.sort()
+        pairs: list[tuple[int, int]] = []
+        seen = set(docs)
+        for t, d in rows:
+            last = max(last, t)
+            if d in seen:  # duplicate arrival of the same doc in the bucket
+                continue
+            pairs.extend((min(d, o), max(d, o)) for o in docs)
+            docs.append(d)
+            seen.add(d)
+        if len(docs) > max_bucket:
+            # cap hot buckets: keep the most recent members (the batch
+            # pipeline's analog is AQE skew handling / band widening)
+            docs = docs[-max_bucket:]
+        state.update((docs, last))
+        if last:
+            state.setTimeoutTimestamp(last // 1_000_000 + horizon_ms)
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "id_a": [a for a, _ in pairs],
+                    "id_b": [b for _, b in pairs],
+                    "band": [int(key[0])] * len(pairs),
+                }
+            )
+
+    return update
+
+
+def near_dup_candidates(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    horizon: str = "10 minutes",
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming LSH near-dup candidate pairs.
+
+    Input: a streaming frame with ``id_col``, ``ts_col`` and MinHash
+    signature columns (``llm.dedup.minhash_signatures`` — a narrow map, so
+    it composes with readStream). Signatures are banded
+    (``llm.dedup.banded_signatures``) and keyed by (band, band_key); each
+    bucket's membership is an applyInPandasWithState entry, so a new doc
+    pairs immediately with every in-horizon member of its buckets —
+    exactly the batch bucket-join's candidates, emitted incrementally.
+    Downstream dedups (id_a, id_b) across bands, as the batch pipeline
+    does with ``distinct()``.
+
+    Scale: state = member ids per ACTIVE bucket, evicted ``horizon`` after
+    the bucket's last arrival; hot buckets are capped at ``max_bucket``
+    most-recent members (candidate recall inside a pathological bucket is
+    traded for bounded state, the streaming analog of skew handling)."""
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import banded_signatures
+
+    sig_cols = [c for c in stream.columns if c not in (id_col, ts_col)]
+    keyed = banded_signatures(
+        stream.select(id_col, ts_col, *sig_cols),
+        id_col,
+        bands,
+        rows_per_band,
+        keep_cols=(ts_col,),
+    )
+    with_time = keyed.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    ).withWatermark("event_time", watermark)
+    horizon_ms = _parse_duration_ns(horizon) // 1_000_000
+    return with_time.groupBy("band", "band_key").applyInPandasWithState(
+        _make_bucket_fn(max_bucket, horizon_ms),
+        outputStructType=NEAR_DUP_SCHEMA,
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

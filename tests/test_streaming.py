@@ -894,3 +894,52 @@ def test_dedup_census_emits_counts_at_horizon(spark, tmp_path):
     assert (11_000_000_000, 1) in got, got  # value 2.0: singleton
     # the pusher's own fingerprint is still open (horizon not passed)
     assert not any(f == 400_000_000_000 for f, _ in got), got
+
+
+def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
+    """Streaming LSH candidates: a new doc pairs with every in-horizon
+    member of its buckets the moment it arrives — intra-batch pairs in
+    batch 1, cross-batch pairs in batch 2 — and the distinct (id_a, id_b)
+    set equals the batch pipeline's bucket-join candidates."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+    from kafka_to_nexus_spark.streaming import stateful
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_c = "completely different content with no shingles shared at all?!"
+    rows1 = [(1, 10_000_000_000, text_a), (2, 11_000_000_000, text_a),
+             (9, 11_500_000_000, text_c)]
+    rows2 = [(3, 13_000_000_000, text_a)]
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    for seq, (name, rows) in enumerate((("b1.json", rows1), ("b2.json", rows2))):
+        p = fixture_dir / name
+        p.write_text("\n".join(
+            _json.dumps({"doc_id": d, "timestamp": t, "text": x})
+            for d, t, x in rows))
+        base = _time.time() - 1000
+        os.utime(p, (base + seq * 10, base + seq * 10))
+
+    raw = (spark.readStream.schema("doc_id long, timestamp long, text string")
+           .option("maxFilesPerTrigger", 1).json(str(fixture_dir)))
+    # minhash_signatures is a narrow map, so it composes with readStream;
+    # it projects (doc_id, m0..m7) — re-attach the event timestamp
+    sig = llm_dedup.minhash_signatures(raw, text_col="text").join(
+        raw.select("doc_id", "timestamp"), "doc_id")
+    out = stateful.near_dup_candidates(sig, horizon="10 minutes")
+    q = (out.writeStream.format("memory").queryName("near_dup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {(r.id_a, r.id_b) for r in spark.table("near_dup").collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}, pairs
