@@ -1121,7 +1121,9 @@ cum AS (
 )
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(shard * 1000000 + floor((cum_tokens - n_tokens) / {_PACK_BUDGET})
+       -- shard lives in the top bits (2^40 multiplier): a shard would need
+       -- >1T sequences (~0.5 PB of tokens) before colliding with the next
+       CAST(shard * 1099511627776 + floor((cum_tokens - n_tokens) / {_PACK_BUDGET})
             AS BIGINT) AS sequence_id,
        CAST(cum_tokens - n_tokens
             - floor((cum_tokens - n_tokens) / {_PACK_BUDGET}) * {_PACK_BUDGET}

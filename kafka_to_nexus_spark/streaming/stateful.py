@@ -104,6 +104,18 @@ def batch_equivalent(df: DataFrame) -> DataFrame:
     )
 
 
+def _with_event_time(stream: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Project the engine's int64-ns timestamp to a µs ``event_time``
+    column and attach the watermark — the shared front door of every
+    event-time operator here. Integer division (``div``): double division
+    loses precision at ~1.7e18 ns."""
+    from pyspark.sql import functions as F
+
+    return stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+    ).withWatermark("event_time", watermark)
+
+
 # ---------------------------------------------------------------------------
 # Watermarked windowed aggregation — the built-in late-data path.
 # ---------------------------------------------------------------------------
@@ -129,9 +141,7 @@ def windowed_counts(
     """
     from pyspark.sql import functions as F
 
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    ).withWatermark("event_time", watermark)
+    with_time = _with_event_time(stream, ts_col, watermark)
     return (
         with_time.groupBy(
             F.window("event_time", window).alias("win"), F.col("source_name")
@@ -237,9 +247,7 @@ def session_windows(
     from pyspark.sql import functions as F
 
     gap_ns = _parse_duration_ns(gap)
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    ).withWatermark("event_time", watermark)
+    with_time = _with_event_time(stream, ts_col, watermark)
     return with_time.groupBy("source_name").applyInPandasWithState(
         _make_session_fn(gap_ns),
         outputStructType=SESSION_SCHEMA,
@@ -275,26 +283,27 @@ def dedup_stream(
 ) -> DataFrame:
     """First-occurrence pass-through dedup over a streaming DataFrame.
 
-    Built-in operators all the way: a watermark bounds the dedup state, and
-    ``dropDuplicates`` on the fingerprint passes exactly ONE copy per
-    in-horizon fingerprint. Which intra-batch copy survives follows Spark's
-    arrival order (partition-race, not globally deterministic) — rows from
-    LATER batches are always suppressed by the state store; use
-    ``dedup_census`` when the deterministic first-seen timestamp matters.
-    State-store footprint = one entry per DISTINCT fingerprint younger than
-    the watermark — TTL-bounded, so an unbounded stream holds bounded
-    state; a duplicate arriving after its original's horizon passed is
-    treated as new (the price of bounded state, same trade the batch
-    MinHash/LSH pipeline makes by banding).
+    Built-in operators all the way: ``dropDuplicatesWithinWatermark`` on
+    the fingerprint passes exactly ONE copy per fingerprint within the
+    watermark window AND evicts each entry once the watermark passes it —
+    plain ``dropDuplicates`` would keep streaming-dedup state forever when
+    the event-time column is not part of the subset. Which intra-batch
+    copy survives follows Spark's arrival order (partition-race, not
+    globally deterministic) — rows from LATER in-horizon batches are
+    always suppressed; use ``dedup_census`` when the deterministic
+    first-seen timestamp matters. State-store footprint = one entry per
+    DISTINCT fingerprint younger than the watermark; a duplicate arriving
+    after its original's eviction is treated as new (the price of bounded
+    state, same trade the batch MinHash/LSH pipeline makes by banding).
 
     The caller derives ``fingerprint_col`` (e.g. ``md5(text)`` — the same
     fingerprint the batch ``dedup_exact`` census groups on)."""
     from pyspark.sql import functions as F
 
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    ).withWatermark("event_time", watermark)
-    return with_time.dropDuplicates([fingerprint_col]).drop("event_time")
+    with_time = _with_event_time(stream, ts_col, watermark)
+    return with_time.dropDuplicatesWithinWatermark([fingerprint_col]).drop(
+        "event_time"
+    )
 
 
 DEDUP_CENSUS_SCHEMA = StructType(
@@ -305,8 +314,10 @@ DEDUP_CENSUS_SCHEMA = StructType(
     ]
 )
 
-# state per distinct fingerprint: (first_seen_ns, count)
-_DEDUP_STATE = "first long, n long"
+# state per distinct fingerprint: (first_seen_ns, count, last_seen_ns) —
+# last is persisted so an out-of-order in-horizon duplicate can never move
+# the event-time timeout EARLIER than an already-armed one
+_DEDUP_STATE = "first long, n long, last long"
 
 
 def _dedup_census_update(
@@ -316,7 +327,7 @@ def _dedup_census_update(
 ) -> Iterator[pd.DataFrame]:
     # horizon passed: the census row for this fingerprint is final
     if state.hasTimedOut:
-        first, n = state.get
+        first, n, _last = state.get
         state.remove()
         yield pd.DataFrame(
             {
@@ -326,21 +337,19 @@ def _dedup_census_update(
             }
         )
         return
-    first, n = state.get if state.exists else (None, 0)
-    last = None
+    first, n, last = state.get if state.exists else (None, 0, 0)
     for pdf in pdfs:
         ts = pdf["timestamp"].dropna()
         if len(ts) == 0:
             continue
         b_min, b_max = int(ts.min()), int(ts.max())
         first = b_min if first is None else min(first, b_min)
-        last = b_max if last is None else max(last, b_max)
+        last = max(last, b_max)
         n += int(len(ts))
     if first is not None:
-        state.update((first, n))
-        if last is not None:
-            # finalize once the watermark passes the latest copy (ms)
-            state.setTimeoutTimestamp(last // 1_000_000 + 1)
+        state.update((first, n, last))
+        # finalize once the watermark passes the latest copy (ms)
+        state.setTimeoutTimestamp(last // 1_000_000 + 1)
 
 
 def dedup_census(
@@ -358,10 +367,16 @@ def dedup_census(
     unbounded streams."""
     from pyspark.sql import functions as F
 
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    ).withWatermark("event_time", watermark)
-    keyed = with_time.withColumnRenamed(fingerprint_col, "fingerprint")
+    from pyspark.sql import functions as F
+
+    with_time = _with_event_time(stream, ts_col, watermark)
+    # canonical column names: the state function reads "fingerprint" and
+    # "timestamp" (custom ts_col/fingerprint_col names are remapped here)
+    keyed = with_time.select(
+        F.col(fingerprint_col).alias("fingerprint"),
+        F.col(ts_col).alias("timestamp"),
+        "event_time",
+    )
     return keyed.groupBy("fingerprint").applyInPandasWithState(
         _dedup_census_update,
         outputStructType=DEDUP_CENSUS_SCHEMA,
@@ -407,8 +422,12 @@ def _make_bucket_fn(max_bucket: int, horizon_ms: int):
             rows.extend(
                 (int(t), int(d))
                 for t, d in zip(pdf["timestamp"], pdf["doc_id"])
-                if not pd.isna(t)
+                if not (pd.isna(t) or pd.isna(d))
             )
+        if not rows and not state.exists:
+            # nothing valid ever seen for this bucket: creating state here
+            # would leave an entry with no armed timeout — never evictable
+            return
         rows.sort()
         pairs: list[tuple[int, int]] = []
         seen = set(docs)
@@ -468,17 +487,18 @@ def near_dup_candidates(
 
     from ..llm.dedup import banded_signatures
 
+    # canonical column names: the state function reads "doc_id" and
+    # "timestamp" (custom id_col/ts_col names are remapped here)
     sig_cols = [c for c in stream.columns if c not in (id_col, ts_col)]
-    keyed = banded_signatures(
-        stream.select(id_col, ts_col, *sig_cols),
-        id_col,
-        bands,
-        rows_per_band,
-        keep_cols=(ts_col,),
+    canon = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(ts_col).alias("timestamp"),
+        *sig_cols,
     )
-    with_time = keyed.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    ).withWatermark("event_time", watermark)
+    keyed = banded_signatures(
+        canon, "doc_id", bands, rows_per_band, keep_cols=("timestamp",)
+    )
+    with_time = _with_event_time(keyed, "timestamp", watermark)
     horizon_ms = _parse_duration_ns(horizon) // 1_000_000
     return with_time.groupBy("band", "band_key").applyInPandasWithState(
         _make_bucket_fn(max_bucket, horizon_ms),
