@@ -120,6 +120,79 @@ def _run_e2e_streaming(spark, sf_dir: str, n_batches: int = 5) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
+_NEARDUP_INPUTS: dict = {}  # cleaned at exit (inputs shared across runs)
+
+
+def _cleanup_neardup_inputs() -> None:
+    import shutil
+
+    for d in _NEARDUP_INPUTS.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_neardup_inputs)
+
+
+def _run_e2e_streaming_neardup(spark, sf_dir: str, n_batches: int = 2) -> None:
+    """Streaming near-dup candidates over the documents corpus: minhash
+    signatures (narrow map) feed the LSH-bucket state operator through a
+    real file-stream query — benches the applyInPandasWithState machinery
+    (state store, Arrow batches, per-bucket pairing) at corpus scale."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+    from kafka_to_nexus_spark.streaming import stateful
+
+    # Input JSON batches are cached per (sf_dir, n_batches): both min-of-two
+    # runs stream the same files; only the checkpoint is fresh per run.
+    cache_key = (sf_dir, n_batches)
+    indir = _NEARDUP_INPUTS.get(cache_key)
+    if indir is None:
+        indir = tempfile.mkdtemp(prefix="bench_nd_in_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "text",
+            (F.lit(1_000_000_000) * (1 + F.col("doc_id"))).alias("timestamp"),
+        )
+        for i in range(n_batches):  # sequential writes: ascending mtimes
+            (docs.filter(F.col("doc_id") % n_batches == i)
+             .coalesce(1).write.mode("overwrite").json(f"{indir}/in/b{i}"))
+        _NEARDUP_INPUTS[cache_key] = indir
+    work = tempfile.mkdtemp(prefix="bench_nd_")
+    # State-store partition count is pinned by shuffle.partitions at query
+    # start, and each partition costs a fixed commit per micro-batch —
+    # size it to the corpus (SCALE.md shuffle-sizing rule) so the entry
+    # measures the operator, not 32 near-empty state commits per batch.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        raw = (spark.readStream
+               .schema("doc_id long, timestamp long, text string")
+               .option("maxFilesPerTrigger", 1).json(f"{indir}/in/*"))
+        # one JSON file = one scan partition: spread the md5 shingle work
+        # across cores before the (narrow) signature map
+        sig = llm_dedup.minhash_signatures(
+            raw.repartition(8), keep_cols=("timestamp",))
+        # 2 bands x 4 rows: the selective config for this clustered corpus
+        # (4x2 banding puts ~440 docs in one bucket and ~860k candidate
+        # pairs through the verifier — the cap would dominate the timing)
+        out = stateful.near_dup_candidates(
+            sig, horizon="10 minutes", watermark="1 second",
+            bands=2, rows_per_band=4)
+        q = (out.writeStream.format("noop")
+             .option("checkpointLocation", f"{work}/ckpt").start())
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -196,6 +269,7 @@ def main() -> None:
     for name, job in (
         ("job_e2e_f144_4streams", _run_e2e_job),
         ("job_e2e_streaming_5batches", _run_e2e_streaming),
+        ("job_e2e_streaming_neardup", _run_e2e_streaming_neardup),
     ):
         try:
             # min-of-two, like the query loop: single-shot numbers are

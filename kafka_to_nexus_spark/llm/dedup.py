@@ -37,6 +37,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 5,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc MinHash signature, engine-portable and md5-thrifty: one md5
     per distinct shingle yields FOUR independent 32-bit hashes (disjoint
@@ -59,12 +60,14 @@ def minhash_signatures(
     digest_cols = [
         F.transform(sh, digest_fn(g)).alias(f"_d{g}") for g in range(n_groups)
     ]
-    with_digests = df.select(F.col(id_col), *digest_cols)
+    # keep_cols ride along (e.g. the event timestamp on a streaming frame —
+    # a post-hoc join back to the source would be a stream-stream join)
+    with_digests = df.select(F.col(id_col), *keep_cols, *digest_cols)
     cols = [
         F.array_min(F.transform(F.col(f"_d{i // 4}"), slice_fn(i % 4))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
-    return with_digests.select(F.col(id_col), *cols)
+    return with_digests.select(F.col(id_col), *keep_cols, *cols)
 
 
 def banded_signatures(

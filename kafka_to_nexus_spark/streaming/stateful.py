@@ -213,8 +213,14 @@ def _make_session_fn(gap_ns: int):
                 cur = (t, t, 1)
         if cur is not None:
             state.update(cur)
-            # wake when the watermark passes end + gap (ms precision)
-            state.setTimeoutTimestamp((cur[1] + gap_ns) // 1_000_000)
+            # wake when the watermark passes end + gap (ms precision);
+            # clamped — a timeout at/before the current watermark raises
+            # INVALID_TIMEOUT_TIMESTAMP (a batch can deliver rows whose
+            # horizon the watermark has already passed)
+            state.setTimeoutTimestamp(max(
+                (cur[1] + gap_ns) // 1_000_000,
+                state.getCurrentWatermarkMs() + 1,
+            ))
         if closed:
             yield pd.DataFrame(
                 {
@@ -348,8 +354,11 @@ def _dedup_census_update(
         n += int(len(ts))
     if first is not None:
         state.update((first, n, last))
-        # finalize once the watermark passes the latest copy (ms)
-        state.setTimeoutTimestamp(last // 1_000_000 + 1)
+        # finalize once the watermark passes the latest copy (ms); clamped
+        # above the current watermark or Spark rejects the timestamp
+        state.setTimeoutTimestamp(max(
+            last // 1_000_000 + 1, state.getCurrentWatermarkMs() + 1
+        ))
 
 
 def dedup_census(
@@ -444,7 +453,12 @@ def _make_bucket_fn(max_bucket: int, horizon_ms: int):
             docs = docs[-max_bucket:]
         state.update((docs, last))
         if last:
-            state.setTimeoutTimestamp(last // 1_000_000 + horizon_ms)
+            # clamped above the current watermark (a batch can carry rows
+            # whose horizon already passed — Spark rejects earlier stamps)
+            state.setTimeoutTimestamp(max(
+                last // 1_000_000 + horizon_ms,
+                state.getCurrentWatermarkMs() + 1,
+            ))
         if pairs:
             yield pd.DataFrame(
                 {

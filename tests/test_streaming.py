@@ -929,11 +929,11 @@ def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
     raw = (spark.readStream.schema("doc_id long, timestamp long, text string")
            .option("maxFilesPerTrigger", 1).json(str(fixture_dir)))
     # minhash_signatures is a narrow map, so it composes with readStream;
-    # it projects (doc_id, m0..m7) — re-attach the event timestamp.
-    # Custom id/ts column names on purpose: the operator must remap them
-    # to its canonical state-function names.
-    sig = (llm_dedup.minhash_signatures(raw, text_col="text")
-           .join(raw.select("doc_id", "timestamp"), "doc_id")
+    # keep_cols carries the timestamp through (a join back to the source
+    # would be a stream-stream join). Custom id/ts column names on
+    # purpose: the operator must remap them to its canonical names.
+    sig = (llm_dedup.minhash_signatures(raw, text_col="text",
+                                        keep_cols=("timestamp",))
            .withColumnRenamed("doc_id", "document")
            .withColumnRenamed("timestamp", "event_ns"))
     out = stateful.near_dup_candidates(
