@@ -948,3 +948,47 @@ def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
         q.stop()
     pairs = {(r.id_a, r.id_b) for r in spark.table("near_dup").collect()}
     assert pairs == {(1, 2), (1, 3), (2, 3)}, pairs
+
+
+def test_dedup_stream_state_survives_query_restart(spark, tmp_path):
+    """The dedup state store is checkpointed: stop the query after batch 1,
+    start a NEW query on the same checkpoint, and a batch-2 duplicate of a
+    batch-1 fingerprint must still be suppressed."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def start_query():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and recovery is exactly what this test exercises
+        stream = _file_stream(spark, fixture_dir).withColumn(
+            "fingerprint", F.md5(F.col("value").cast("string")))
+        out = stateful.dedup_stream(stream, watermark="10 minutes")
+        return (out.writeStream.format("parquet").outputMode("append")
+                .option("path", sink).option("checkpointLocation", ckpt)
+                .start())
+
+    _write_fixture(fixture_dir, "b1.json", [
+        f144(10_000, 1.0, offset=0), f144(11_000, 2.0, offset=1)])
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _write_fixture(fixture_dir, "b2.json", [
+        f144(12_000, 1.0, offset=2),  # duplicate from before the restart
+        f144(13_000, 3.0, offset=3),
+    ], seq=1)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.value for r in spark.read.parquet(sink).collect())
+    assert got == [1.0, 2.0, 3.0], got  # 1.0 emitted once, pre-restart
