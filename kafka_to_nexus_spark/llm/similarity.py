@@ -616,3 +616,36 @@ def ivf_topk(
         assigned.filter(F.col(centroid_id_col).isin(probe_ids)), id_col
     )
     return brute_force_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def stream_ivf_append(
+    stream: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """Streaming IVF index maintenance: assign each arriving vector to its
+    nearest centroid (the same broadcast-constant narrow map the batch
+    layout uses) and APPEND it into the partition-by-centroid parquet
+    layout — the directory :func:`ivf_partitioned_probe` prunes, kept
+    fresh incrementally instead of rebuilt per batch job.
+
+    Scale shape: assignment is codegen-side (centroid matrix is a literal
+    ≪ broadcast threshold), the sink shuffles nothing (file sink appends
+    within the arriving partitioning; ``partitionBy`` routes rows to
+    centroid directories), and probes stay fraction-of-data scans while
+    ingestion runs. Exactly-once via the file-sink manifest + checkpoint.
+
+    Returns the started StreamingQuery; caller awaits/stops it."""
+    vec = _as_double(F.col(vec_col))
+    assigned = stream.withColumn(
+        "centroid_id", nearest_centroid_expr(vec, centroids)
+    )
+    return (
+        assigned.writeStream.format("parquet")
+        .partitionBy("centroid_id")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

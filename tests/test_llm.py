@@ -248,3 +248,55 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "[IPV4]" in out[1].scrubbed_text and "[URL]" in out[1].scrubbed_text
     assert out[2].scrubbed_text == "nothing sensitive here"
     assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == out[2].n_url == 0
+
+
+def test_stream_ivf_append_maintains_pruned_layout(spark, embeddings, tmp_path):
+    """Streaming IVF maintenance: vectors streamed in two micro-batches
+    land in the same partition-by-centroid layout the batch writer
+    produces — identical assignments, probe still partition-pruned."""
+    import os
+    import time as _time
+
+    cents = similarity.kmeans_train(embeddings, k=4, n_iter=1)
+
+    # batch ground truth
+    batch_assign = {
+        (r.vec_id, r.centroid_id)
+        for r in embeddings.withColumn(
+            "centroid_id",
+            similarity.nearest_centroid_expr(
+                F.col("embedding").cast("array<double>"), cents),
+        ).select("vec_id", "centroid_id").collect()
+    }
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    half = embeddings.count() // 2
+    for seq, pred in enumerate((F.col("vec_id") < half, F.col("vec_id") >= half)):
+        d = src / f"b{seq}"
+        embeddings.filter(pred).coalesce(1).write.mode("overwrite").json(str(d))
+        for f in d.iterdir():
+            base = _time.time() - 1000
+            os.utime(f, (base + seq * 10, base + seq * 10))
+
+    layout = str(tmp_path / "ivf_stream")
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>, label string")
+              .option("maxFilesPerTrigger", 1).json(str(src / "*")))
+    q = similarity.stream_ivf_append(
+        stream, cents, layout, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.read.parquet(layout).select("vec_id", "centroid_id").collect()
+    }
+    assert got == batch_assign
+    # probe over the streamed layout is still a pruned scan
+    probe = spark.read.parquet(layout).filter(F.col("centroid_id") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split(
+        "PartitionFilters")[1][:120]
