@@ -649,3 +649,27 @@ def stream_ivf_append(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_ivf_layout(
+    spark,
+    src_path: str,
+    dst_path: str,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Compact a streamed IVF layout: every micro-batch appends at least
+    one small parquet file per touched centroid partition, and a pruned
+    probe's cost is (files opened), not just (bytes read). Read the layout
+    through its file-sink manifest and rewrite right-sized files per
+    centroid into ``dst_path`` — one shuffle keyed by centroid_id. The
+    destination is a fresh directory so probes keep reading the old layout
+    until the caller atomically swaps paths; rewriting in place would race
+    the sink's _spark_metadata manifest."""
+    df = spark.read.parquet(src_path)
+    (
+        df.repartition("centroid_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy("centroid_id")
+        .parquet(dst_path)
+    )

@@ -300,3 +300,50 @@ def test_stream_ivf_append_maintains_pruned_layout(spark, embeddings, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "centroid_id" in plan.split(
         "PartitionFilters")[1][:120]
+
+
+def test_compact_ivf_layout_shrinks_files_keeps_data(spark, embeddings, tmp_path):
+    """Compaction rewrites the streamed layout's per-batch small files as
+    one right-sized file per centroid partition; contents and partition
+    pruning are unchanged."""
+    import os
+    import time as _time
+
+    cents = similarity.kmeans_train(embeddings, k=4, n_iter=1)
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    third = embeddings.count() // 3
+    preds = (F.col("vec_id") < third,
+             (F.col("vec_id") >= third) & (F.col("vec_id") < 2 * third),
+             F.col("vec_id") >= 2 * third)
+    for seq, pred in enumerate(preds):
+        d = src / f"b{seq}"
+        embeddings.filter(pred).coalesce(1).write.mode("overwrite").json(str(d))
+        for f in d.iterdir():
+            base = _time.time() - 1000
+            os.utime(f, (base + seq * 10, base + seq * 10))
+    layout = str(tmp_path / "ivf_stream")
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>, label string")
+              .option("maxFilesPerTrigger", 1).json(str(src / "*")))
+    q = similarity.stream_ivf_append(
+        stream, cents, layout, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def parquet_files(root):
+        return [p for p in __import__("pathlib").Path(root).rglob("*.parquet")]
+
+    compacted = str(tmp_path / "ivf_compact")
+    similarity.compact_ivf_layout(spark, layout, compacted)
+    assert len(parquet_files(compacted)) < len(parquet_files(layout))
+    before = {(r.vec_id, r.centroid_id) for r in
+              spark.read.parquet(layout).select("vec_id", "centroid_id").collect()}
+    after = {(r.vec_id, r.centroid_id) for r in
+             spark.read.parquet(compacted).select("vec_id", "centroid_id").collect()}
+    assert before == after and len(after) == embeddings.count()
+    plan = (spark.read.parquet(compacted).filter(F.col("centroid_id") == 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan
