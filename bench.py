@@ -159,8 +159,14 @@ def _run_e2e_streaming_neardup(spark, sf_dir: str, n_batches: int = 2) -> None:
             "text",
             (F.lit(1_000_000_000) * (1 + F.col("doc_id"))).alias("timestamp"),
         )
+        # CONTIGUOUS id ranges per batch, not doc_id % n: event times must
+        # ascend across batches or batch 2 arrives below the watermark and
+        # is dropped as late data before it ever reaches the state operator
+        total = docs.count()
+        step = total // n_batches + 1
         for i in range(n_batches):  # sequential writes: ascending mtimes
-            (docs.filter(F.col("doc_id") % n_batches == i)
+            (docs.filter((F.col("doc_id") >= i * step)
+                         & (F.col("doc_id") < (i + 1) * step))
              .coalesce(1).write.mode("overwrite").json(f"{indir}/in/b{i}"))
         _NEARDUP_INPUTS[cache_key] = indir
     work = tempfile.mkdtemp(prefix="bench_nd_")
@@ -181,13 +187,17 @@ def _run_e2e_streaming_neardup(spark, sf_dir: str, n_batches: int = 2) -> None:
         # 2 bands x 4 rows: the selective config for this clustered corpus
         # (4x2 banding puts ~440 docs in one bucket and ~860k candidate
         # pairs through the verifier — the cap would dominate the timing)
+        # horizon covers the whole synthetic time span (1s per doc), so
+        # batch-1 buckets are still live when batch 2 pairs against them
         out = stateful.near_dup_candidates(
-            sig, horizon="10 minutes", watermark="1 second",
+            sig, horizon="2 hours", watermark="1 second",
             bands=2, rows_per_band=4)
         q = (out.writeStream.format("noop")
              .option("checkpointLocation", f"{work}/ckpt").start())
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)

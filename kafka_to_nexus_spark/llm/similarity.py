@@ -661,10 +661,16 @@ def compact_ivf_layout(
     one small parquet file per touched centroid partition, and a pruned
     probe's cost is (files opened), not just (bytes read). Read the layout
     through its file-sink manifest and rewrite right-sized files per
-    centroid into ``dst_path`` — one shuffle keyed by centroid_id. The
-    destination is a fresh directory so probes keep reading the old layout
-    until the caller atomically swaps paths; rewriting in place would race
-    the sink's _spark_metadata manifest."""
+    centroid into ``dst_path`` — one shuffle keyed by centroid_id.
+
+    ``dst_path`` is a READ-OPTIMIZED SERVING COPY for probes, not a resume
+    target: the streaming sink must keep appending to ``src_path`` (its
+    _spark_metadata manifest owns that directory — swapping the compacted
+    files under a live or resumable sink would hide them, since a resumed
+    sink's manifest lists only its own files). Periodically re-compact and
+    repoint probes at the fresh copy; the copy itself has no manifest, so
+    ``spark.read.parquet(dst_path)`` lists files directly and sees
+    everything."""
     df = spark.read.parquet(src_path)
     (
         df.repartition("centroid_id")

@@ -177,6 +177,15 @@ SESSION_SCHEMA = StructType(
 _SESSION_STATE = "start long, end long, n long"
 
 
+def _set_clamped_timeout(state: GroupState, ts_ms: int) -> None:
+    """Arm an event-time timeout, clamped above the current watermark — a
+    micro-batch can deliver rows whose horizon the watermark has already
+    passed, and Spark rejects a stamp at/before the watermark
+    (INVALID_TIMEOUT_TIMESTAMP); the clamp finalizes such state at the
+    next timeout sweep instead of failing the batch."""
+    state.setTimeoutTimestamp(max(ts_ms, state.getCurrentWatermarkMs() + 1))
+
+
 def _make_session_fn(gap_ns: int):
     def update(
         key: tuple[str],
@@ -213,14 +222,8 @@ def _make_session_fn(gap_ns: int):
                 cur = (t, t, 1)
         if cur is not None:
             state.update(cur)
-            # wake when the watermark passes end + gap (ms precision);
-            # clamped — a timeout at/before the current watermark raises
-            # INVALID_TIMEOUT_TIMESTAMP (a batch can deliver rows whose
-            # horizon the watermark has already passed)
-            state.setTimeoutTimestamp(max(
-                (cur[1] + gap_ns) // 1_000_000,
-                state.getCurrentWatermarkMs() + 1,
-            ))
+            # wake when the watermark passes end + gap (ms precision)
+            _set_clamped_timeout(state, (cur[1] + gap_ns) // 1_000_000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -354,11 +357,8 @@ def _dedup_census_update(
         n += int(len(ts))
     if first is not None:
         state.update((first, n, last))
-        # finalize once the watermark passes the latest copy (ms); clamped
-        # above the current watermark or Spark rejects the timestamp
-        state.setTimeoutTimestamp(max(
-            last // 1_000_000 + 1, state.getCurrentWatermarkMs() + 1
-        ))
+        # finalize once the watermark passes the latest copy (ms)
+        _set_clamped_timeout(state, last // 1_000_000 + 1)
 
 
 def dedup_census(
@@ -453,12 +453,7 @@ def _make_bucket_fn(max_bucket: int, horizon_ms: int):
             docs = docs[-max_bucket:]
         state.update((docs, last))
         if last:
-            # clamped above the current watermark (a batch can carry rows
-            # whose horizon already passed — Spark rejects earlier stamps)
-            state.setTimeoutTimestamp(max(
-                last // 1_000_000 + horizon_ms,
-                state.getCurrentWatermarkMs() + 1,
-            ))
+            _set_clamped_timeout(state, last // 1_000_000 + horizon_ms)
         if pairs:
             yield pd.DataFrame(
                 {

@@ -259,16 +259,6 @@ def test_stream_ivf_append_maintains_pruned_layout(spark, embeddings, tmp_path):
 
     cents = similarity.kmeans_train(embeddings, k=4, n_iter=1)
 
-    # batch ground truth
-    batch_assign = {
-        (r.vec_id, r.centroid_id)
-        for r in embeddings.withColumn(
-            "centroid_id",
-            similarity.nearest_centroid_expr(
-                F.col("embedding").cast("array<double>"), cents),
-        ).select("vec_id", "centroid_id").collect()
-    }
-
     src = tmp_path / "stream_in"
     src.mkdir()
     half = embeddings.count() // 2
@@ -290,6 +280,19 @@ def test_stream_ivf_append_maintains_pruned_layout(spark, embeddings, tmp_path):
     finally:
         q.stop()
 
+    # batch ground truth from the SAME JSON the stream consumed — the
+    # decimal round-trip of the float32 fixture can flip a near-tied
+    # argmax, so comparing against the parquet-sourced frame would be
+    # fixture-fragile
+    json_docs = spark.read.schema(
+        "vec_id long, embedding array<double>, label string").json(str(src / "*"))
+    batch_assign = {
+        (r.vec_id, r.centroid_id)
+        for r in json_docs.withColumn(
+            "centroid_id",
+            similarity.nearest_centroid_expr(F.col("embedding"), cents),
+        ).select("vec_id", "centroid_id").collect()
+    }
     got = {
         (r.vec_id, r.centroid_id)
         for r in spark.read.parquet(layout).select("vec_id", "centroid_id").collect()
