@@ -992,3 +992,86 @@ def test_dedup_stream_state_survives_query_restart(spark, tmp_path):
         q.stop()
     got = sorted(r.value for r in spark.read.parquet(sink).collect())
     assert got == [1.0, 2.0, 3.0], got  # 1.0 emitted once, pre-restart
+
+
+class _FakeGroupState:
+    """Just enough of GroupState for pure-Python state-function tests."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_bucket_pairing_matches_brute_force(seed):
+    """Property: feeding a bucket's rows through _make_bucket_fn in any
+    batch split emits exactly the brute-force pair set of its distinct
+    docs (uncapped), each pair once, regardless of arrival order or
+    duplicate re-deliveries."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark.streaming.stateful import _make_bucket_fn
+
+    rng = random.Random(seed)
+    docs = rng.sample(range(100), rng.randint(2, 12))
+    rows = [(rng.randint(1, 10**12), d) for d in docs]
+    rows += [rng.choice(rows) for _ in range(rng.randint(0, 4))]  # dup deliveries
+    rng.shuffle(rows)
+    n_batches = rng.randint(1, 4)
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+
+    fn = _make_bucket_fn(max_bucket=1000, horizon_ms=60_000)
+    state = _FakeGroupState()
+    emitted = set()
+    for batch in batches:
+        if not batch:
+            continue
+        pdf = pd.DataFrame({"timestamp": [t for t, _ in batch],
+                            "doc_id": [d for _, d in batch]})
+        for out in fn((0, "k"), iter([pdf]), state):
+            emitted.update(zip(out["id_a"], out["id_b"]))
+    expect = {(min(a, b), max(a, b)) for a, b in itertools.combinations(set(docs), 2)}
+    assert emitted == expect
+    assert state.timeout_ms is not None  # horizon armed
+
+
+def test_bucket_cap_bounds_state_and_pairs():
+    """max_bucket keeps state bounded: membership never exceeds the cap,
+    and a new arrival emits at most max_bucket pairs."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark.streaming.stateful import _make_bucket_fn
+
+    fn = _make_bucket_fn(max_bucket=5, horizon_ms=60_000)
+    state = _FakeGroupState()
+    for i in range(30):
+        pdf = pd.DataFrame({"timestamp": [1_000_000_000 * (i + 1)],
+                            "doc_id": [i]})
+        outs = list(fn((0, "k"), iter([pdf]), state))
+        n_pairs = sum(len(o) for o in outs)
+        assert n_pairs <= 5
+    assert len(state.get[0]) <= 5
