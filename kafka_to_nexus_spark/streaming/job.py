@@ -189,6 +189,10 @@ class StreamingJobState:
     # (SourceFilter.cpp:90-95), so a repeat straddling a batch boundary
     # must still be dropped.
     last_written_ts: dict[tuple[str, str], int] = field(default_factory=dict)
+    # W5 da00 first-message constants: batch mode folds them inside
+    # run_job; streaming captures them on the source's first present batch
+    # (path → {dataset: value}; {} marks a done, constant-free binding)
+    statics_by_path: dict[str, dict] = field(default_factory=dict)
     batches_processed: int = 0
     # highest Spark batch_id fully processed AND state-saved — replays of
     # completed batches (restart between state save and checkpoint commit)
@@ -228,6 +232,7 @@ def _save_job_state(state: StreamingJobState, out_dir: str) -> None:
         "events_written": [[list(k), v] for k, v in state.events_written.items()],
         "cue_last": [[list(k), v] for k, v in state.cue_last.items()],
         "last_written_ts": [[list(k), v] for k, v in state.last_written_ts.items()],
+        "statics_by_path": state.statics_by_path,
         "batches_processed": state.batches_processed,
         "last_spark_batch_id": state.last_spark_batch_id,
         "max_event_time_ns": state.max_event_time_ns,
@@ -256,6 +261,7 @@ def _load_job_state(out_dir: str) -> StreamingJobState | None:
     st.events_written = {tuple(k): v for k, v in raw["events_written"]}
     st.cue_last = {tuple(k): v for k, v in raw.get("cue_last", [])}
     st.last_written_ts = {tuple(k): v for k, v in raw["last_written_ts"]}
+    st.statics_by_path = raw.get("statics_by_path", {})
     st.batches_processed = raw["batches_processed"]
     st.last_spark_batch_id = raw.get("last_spark_batch_id", -1)
     st.max_event_time_ns = raw["max_event_time_ns"]
@@ -624,6 +630,17 @@ class StreamingJob:
                 tail = tails.get(key)
                 if tail is not None:
                     st.last_written_ts[key] = int(tail)
+            # W5: constants refined from the source's FIRST message
+            # (da00_Writer.cpp:92-130) — one driver action, once per job,
+            # on the first batch where the source has data
+            if (
+                hasattr(module, "statics")
+                and is_present
+                and binding.path not in st.statics_by_path
+            ):
+                st.statics_by_path[binding.path] = module.statics(
+                    src, binding.config
+                )
             outputs = module.transform(src, binding.config)
             written = self._written_datasets.setdefault(_stream_key(binding), [])
             for dataset, df in outputs.items():
@@ -755,12 +772,16 @@ class StreamingJob:
                     for a in module.group_attributes(binding.config)
                 )
             if hasattr(module, "statics"):
-                # config-declared constants (explicit / linspace edges);
-                # first-message constants need batch data and are folded in
-                # batch mode only
-                if empty is None:
-                    empty = self.spark.createDataFrame([], MESSAGE_SCHEMA)
-                for name, value in module.statics(empty, binding.config).items():
+                # first-message-refined constants captured on the source's
+                # first present batch (statics_by_path, W5); a source that
+                # never produced data falls back to the config-declared
+                # constants (explicit / linspace edges) from an empty frame
+                stored = self.state.statics_by_path.get(binding.path)
+                if stored is None:
+                    if empty is None:
+                        empty = self.spark.createDataFrame([], MESSAGE_SCHEMA)
+                    stored = module.statics(empty, binding.config)
+                for name, value in stored.items():
                     metadata_values[f"{binding.path}/{name}"] = value
             if binding.module == "ev44":
                 metadata_values[f"{binding.path}/events"] = (

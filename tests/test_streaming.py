@@ -1075,3 +1075,53 @@ def test_bucket_cap_bounds_state_and_pairs():
         n_pairs = sum(len(o) for o in outs)
         assert n_pairs <= 5
     assert len(state.get[0]) <= 5
+
+
+def test_da00_first_message_constants_in_streaming(spark, tmp_path):
+    """W5 parity with batch mode: a da00 constant with no configured data
+    is refined from the source's FIRST message (da00_Writer.cpp:92-130) —
+    captured on the first present micro-batch, carried in job state, and
+    present in the finalize metadata (previously streaming wrote nothing
+    for such constants)."""
+    structure = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{
+            "name": "hist", "type": "group",
+            "children": [{
+                "module": "da00",
+                "config": {
+                    "topic": "t", "source": "h",
+                    "variables": [{"name": "signal"}],
+                    "constants": [{"name": "edges"}],  # no data: refine
+                },
+            }],
+        }],
+    }]}
+    start = StartMessage(
+        job_id="da00-statics", filename="f", nexus_structure=structure,
+        start_time_ms=10_000, stop_time_ms=60_000,
+    )
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+
+    def da00_msg(ts, offset, edges):
+        return {
+            "schema": "da00", "topic": "t", "source_name": "h",
+            "partition": 0, "kafka_timestamp": ts, "timestamp": ts,
+            "offset": offset,
+            "variables": [
+                {"name": "signal", "unit": "counts", "axes": ["x"],
+                 "shape": [2], "data": [1.0, 2.0]},
+                {"name": "edges", "unit": "mm", "axes": ["x"], "shape": [3],
+                 "data": edges},
+            ],
+        }
+
+    job.process_batch(messages_from_json(spark, []), 0)  # empty first batch
+    job.process_batch(messages_from_json(
+        spark, [da00_msg(11_000, 0, [9.0, 9.5, 10.0])]), 1)
+    # a later message with different edges must NOT override the first
+    job.process_batch(messages_from_json(
+        spark, [da00_msg(12_000, 1, [7.0, 7.5, 8.0])]), 2)
+    job.finalize()
+    meta = staging.read_meta(job.out_dir)
+    assert meta["metadata_values"]["/entry/hist/edges"] == [9.0, 9.5, 10.0]
