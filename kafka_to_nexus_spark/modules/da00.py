@@ -216,6 +216,13 @@ def statics(
     return out
 
 
+def statics_names(config: dict | None = None) -> list[str]:
+    """Names of every constant the config declares — lets the streaming
+    capture know when all constants have resolved (a data-less first
+    message must not latch a missing constant forever)."""
+    return [c.name for c in Da00Config.from_json(config or {}).constants]
+
+
 def group_attributes(config: dict | None = None) -> list[dict]:
     """NXdata attribute synthesis (da00_Writer.cpp:140-227): configured
     attributes pass through; ``signal`` defaults to the first variable;

@@ -631,16 +631,32 @@ class StreamingJob:
                 if tail is not None:
                     st.last_written_ts[key] = int(tail)
             # W5: constants refined from the source's FIRST message
-            # (da00_Writer.cpp:92-130) — one driver action, once per job,
-            # on the first batch where the source has data
-            if (
-                hasattr(module, "statics")
-                and is_present
-                and binding.path not in st.statics_by_path
-            ):
-                st.statics_by_path[binding.path] = module.statics(
-                    src, binding.config
+            # (da00_Writer.cpp:92-130) — one driver action per present
+            # batch until every declared constant has resolved (a
+            # data-less first message must not latch a constant as
+            # permanently missing). check_consistency=True: the batch is
+            # being read anyway, matching the reference's always-verify.
+            if hasattr(module, "statics") and is_present:
+                prev = st.statics_by_path.get(binding.path)
+                expected = (
+                    module.statics_names(binding.config)
+                    if hasattr(module, "statics_names")
+                    else None
                 )
+                unresolved = prev is None or (
+                    expected is not None
+                    and any(not prev.get(n) for n in expected)
+                )
+                if unresolved:
+                    got = module.statics(
+                        src, binding.config, check_consistency=True
+                    )
+                    # first capture wins: merge only still-missing keys
+                    merged = dict(prev or {})
+                    for name, value in got.items():
+                        if not merged.get(name) and value not in (None, []):
+                            merged[name] = value
+                    st.statics_by_path[binding.path] = merged
             outputs = module.transform(src, binding.config)
             written = self._written_datasets.setdefault(_stream_key(binding), [])
             for dataset, df in outputs.items():

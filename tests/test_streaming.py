@@ -1008,6 +1008,8 @@ class _FakeGroupState:
 
     @property
     def get(self):
+        if self._value is None:  # real GroupState raises when no state set
+            raise ValueError("state is either not defined or has already been removed")
         return self._value
 
     def update(self, v):
@@ -1122,6 +1124,50 @@ def test_da00_first_message_constants_in_streaming(spark, tmp_path):
     # a later message with different edges must NOT override the first
     job.process_batch(messages_from_json(
         spark, [da00_msg(12_000, 1, [7.0, 7.5, 8.0])]), 2)
+    job.finalize()
+    meta = staging.read_meta(job.out_dir)
+    assert meta["metadata_values"]["/entry/hist/edges"] == [9.0, 9.5, 10.0]
+
+
+def test_da00_constant_resolves_from_a_later_batch(spark, tmp_path):
+    """A data-less first message must not latch a constant as permanently
+    missing: the capture retries on later present batches until every
+    declared constant has resolved (first resolved value wins)."""
+    structure = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{
+            "name": "hist", "type": "group",
+            "children": [{
+                "module": "da00",
+                "config": {"topic": "t", "source": "h",
+                           "variables": [{"name": "signal"}],
+                           "constants": [{"name": "edges"}]},
+            }],
+        }],
+    }]}
+    start = StartMessage(
+        job_id="da00-late-const", filename="f", nexus_structure=structure,
+        start_time_ms=10_000, stop_time_ms=60_000,
+    )
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+
+    def msg(ts, offset, variables):
+        return {"schema": "da00", "topic": "t", "source_name": "h",
+                "partition": 0, "kafka_timestamp": ts, "timestamp": ts,
+                "offset": offset, "variables": variables}
+
+    sig = {"name": "signal", "unit": "counts", "axes": ["x"], "shape": [2],
+           "data": [1.0, 2.0]}
+    # batch 0: signal only — edges unresolved
+    job.process_batch(messages_from_json(spark, [msg(11_000, 0, [sig])]), 0)
+    # batch 1: edges arrives
+    job.process_batch(messages_from_json(spark, [msg(12_000, 1, [
+        sig, {"name": "edges", "unit": "mm", "axes": ["x"], "shape": [3],
+              "data": [9.0, 9.5, 10.0]}])]), 1)
+    # batch 2: different edges — must not override the first resolution
+    job.process_batch(messages_from_json(spark, [msg(13_000, 2, [
+        sig, {"name": "edges", "unit": "mm", "axes": ["x"], "shape": [3],
+              "data": [7.0, 7.5, 8.0]}])]), 2)
     job.finalize()
     meta = staging.read_meta(job.out_dir)
     assert meta["metadata_values"]["/entry/hist/edges"] == [9.0, 9.5, 10.0]
