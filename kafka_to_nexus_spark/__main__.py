@@ -189,7 +189,14 @@ def worker(args) -> int:
             hdf5.pack(out_dir, final_path)
         except Exception as exc:  # noqa: BLE001 - worker must survive bad jobs
             error_message = str(exc) or exc.__class__.__name__
-        transport.send_finished(controller.finished_writing(error_message))
+        # wrdn carries the FULL written path and the pl72 metadata string
+        # (Master.cpp:144-153 passes writtenFilePath +
+        # metadata_from_start_msg into publishStoppedMsg)
+        wrdn = controller.finished_writing(
+            error_message, metadata=start.metadata or "{}"
+        )
+        wrdn["file_name"] = final_path
+        transport.send_finished(wrdn)
         controller.set_idle()
         transport.revert_status_channel()
         heartbeat(force=True)  # idle state announced on the default channel

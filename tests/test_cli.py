@@ -79,7 +79,7 @@ def test_worker_full_loop_broker_free(tmp_path, spark):
     # filename with a directory component: the worker must create it
     # under out_root (hdf_output_prefix semantics)
     producer.offer({"job_id": jid, "filename": "runs/f.nxs",
-                    "nexus_structure": tpl,
+                    "nexus_structure": tpl, "metadata": '{"proposal": 42}',
                     "start_time": 10_000, "stop_time": 15_000})
 
     rc = main([
@@ -93,6 +93,10 @@ def test_worker_full_loop_broker_free(tmp_path, spark):
     kinds = [r["type"] for r in responses]
     assert kinds == ["answ", "wrdn"]
     assert responses[1]["job_id"] == jid and not responses[1]["error_encountered"]
+    # wrdn reports the FULL written path and echoes the pl72 metadata
+    # (Master.cpp:144-153)
+    assert responses[1]["file_name"] == str(tmp_path / "jobs" / "runs" / "f.nxs")
+    assert responses[1]["metadata"] == '{"proposal": 42}'
     out_dir = tmp_path / "jobs" / jid
     assert (out_dir / "_nexus_meta.json").exists()
     # the worker materializes the pl72 filename under out_root (K5 pack at
