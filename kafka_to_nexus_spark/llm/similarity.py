@@ -318,6 +318,59 @@ def kmeans_assignment_stats_portable(
     )
 
 
+def semantic_dedup_prune(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
+    then prune within-cluster semantic near-duplicates — a vector is
+    dropped when a LOWER-id vector in the same cluster has cosine >=
+    threshold (the deterministic, order-free form of the paper's
+    keep-one-per-near-dup-set rule; min-id is the canonical survivor,
+    mirroring the exact-dedup keep rule).
+
+    Returns (id, centroid_id, keep). Scale shape: assignment is a map-only
+    codegen stage against literal centroids; the near-dup test is an
+    equi-join on centroid_id — candidate pairs are bounded per cluster
+    (corpus/k on average), never all-pairs, and the join shuffles on the
+    cluster key so clusters compare executor-locally. At 100 TB, k grows
+    with the corpus (the paper uses ~10^5 clusters for 10^9 docs) so the
+    per-cluster quadratic term stays bounded.
+
+    Float portability: ordered-fold dot + sqrt-norm product — the same
+    sequential IEEE sums DuckDB's list_dot_product produces, so the
+    cosine threshold test is bit-identical in the SQL oracle.
+    """
+    vec = _as_double(F.col(vec_col))
+    assigned = df.select(
+        F.col(id_col), vec.alias("_v"),
+        nearest_centroid_expr(vec, centroids).alias("centroid_id"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = dot(F.col("a._v"), F.col("b._v")) / (
+        norm(F.col("a._v")) * norm(F.col("b._v"))
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(pruned.withColumn("_pruned", F.lit(True)), id_col, "left").select(
+        F.col(id_col),
+        "centroid_id",
+        F.coalesce(~F.col("_pruned"), F.lit(True)).alias("keep"),
+    )
+
+
 def write_ivf_layout(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -942,9 +942,10 @@ FROM events
 
 # --- KMV distinct-count sketch ----------------------------------------------
 # k-minimum-values estimator: distinct ≈ (k−1)·2^60 / kth-smallest hash.
-# Unlike HLL (engine-specific registers), KMV over md5 is DETERMINISTIC and
-# engine-portable, so the approximate answer itself is oracle-checkable —
-# the shuffle carries k values per group instead of the distinct set.
+# KMV over md5 is DETERMINISTIC and engine-portable, so the approximate
+# answer itself is oracle-checkable — the shuffle carries k values per
+# group instead of the distinct set. (hll_distinct_sketch below is the
+# 1-byte-per-register alternative, made portable the same way.)
 _KMV_K = 64
 SPARK_SQL["kmv_distinct_sketch"] = f"""
 WITH h AS (
@@ -1037,6 +1038,108 @@ SPARK_SQL["cms_heavy_hitters"] = _cms_sql(
 )
 ORACLE["cms_heavy_hitters"] = _cms_sql(
     _CMS_DUCK_COUNTS, "unnest(generate_series(0, 3))", _CMS_DUCK_BUCKET
+)
+
+# --- HyperLogLog distinct-count sketch ---------------------------------------
+# Completes the sketch family (KMV = k values/group, CMS = frequency): HLL
+# (Flajolet et al. 2007) carries ONE byte per register per group. The usual
+# objection to oracle-checking HLL — engine-specific registers — is removed
+# by deriving both the register index and the rank from disjoint 32-bit
+# slices of the SAME md5, with the rank computed EXACTLY via the binary
+# string length (``33 - length(bin(w))``: no float log anywhere near the
+# registers). The 2^-rank indicator sum is exact in IEEE doubles (64 terms,
+# each a power of two within a 41-bit exponent window), so the estimate is
+# bit-identical in both engines. Scale shape: the only corpus-sized stage is
+# the (group, register) max — map-side-combined; everything after runs on
+# ≤ m rows per group.
+_HLL_M = 64  # registers; alpha_64 = 0.709 (Flajolet et al., fig. 3)
+
+
+def _hll_sql(slice1: str, slice2: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT event_type, {slice1} AS idx_src, {slice2} AS w
+  FROM events
+),
+regs AS (
+  SELECT event_type, idx_src % {_HLL_M} AS idx,
+         max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+  FROM h GROUP BY event_type, idx_src % {_HLL_M}
+),
+sums AS (
+  SELECT event_type,
+         sum(pow(2.0, -r)) + ({_HLL_M} - count(*)) AS s,
+         {_HLL_M} - count(*) AS v
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN 0.709 * {_HLL_M * _HLL_M} / s <= {2.5 * _HLL_M} AND v > 0
+              THEN {_HLL_M} * ln({float(_HLL_M)} / v)
+              ELSE 0.709 * {_HLL_M * _HLL_M} / s END AS e,
+         v
+  FROM sums
+),
+exact AS (
+  SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type
+)
+SELECT est.event_type,
+       CAST(round(est.e) AS BIGINT) AS hll_distinct,
+       CAST(est.v AS BIGINT) AS empty_registers,
+       CAST(exact.n AS BIGINT) AS exact_distinct
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+
+SPARK_SQL["hll_distinct_sketch"] = _hll_sql(
+    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)",
+    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 9, 8), 16, 10) AS BIGINT)",
+)
+ORACLE["hll_distinct_sketch"] = _hll_sql(
+    "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT",
+    "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))::BIGINT",
+)
+
+# --- Temperature-weighted domain mixture -------------------------------------
+# The multilingual-LM sampling scheme (mBERT / T5: p_d^alpha re-weighting,
+# alpha = 0.7): domain shares are raised to alpha and renormalized, boosting
+# low-resource domains; each domain then gets a deterministic md5-gated
+# sample at rate min(1, target_total * share_d / n_d). Complements the
+# fixed-rate `training_mix_sample` (rates as config) — here the rates are
+# DERIVED from the corpus itself in the same query. Scale shape: the counts
+# aggregate is map-side-combined to O(domains) rows; the rates relation is
+# tiny → broadcast join back; the gate is a narrow per-row map. One corpus
+# scan for counts + one for the gated join — no corpus-sized shuffle.
+_MIX_ALPHA = 0.7
+_MIX_TARGET = 0.5  # target corpus size as a fraction of the input
+
+
+def _temperature_mix_sql(gate_expr: str) -> str:
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+shares AS (
+  SELECT lang, n,
+         pow(CAST(n AS DOUBLE), {_MIX_ALPHA}) / sum(pow(CAST(n AS DOUBLE), {_MIX_ALPHA})) OVER () AS share,
+         sum(n) OVER () AS total
+  FROM counts
+),
+rates AS (
+  SELECT lang, least(1.0, {_MIX_TARGET} * total * share / n) AS rate FROM shares
+),
+gated AS (
+  SELECT doc_id, lang, {gate_expr} % 1000000 AS gate FROM documents
+)
+SELECT g.doc_id, g.lang, round(rates.rate, 6) AS sample_rate
+FROM gated g JOIN rates ON g.lang = rates.lang
+WHERE g.gate < CAST(floor(rates.rate * 1000000) AS BIGINT)
+"""
+
+
+SPARK_SQL["temperature_mix_sample"] = _temperature_mix_sql(
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+)
+ORACLE["temperature_mix_sample"] = _temperature_mix_sql(
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
 )
 
 # --- Exact-substring duplicate-span coverage ---------------------------------
@@ -2488,7 +2591,11 @@ def _q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assignment_stats_portable(emb, centroids)
 
 
-ORACLE["ivf_kmeans_train"] = """
+# Shared DuckDB replay of kmeans_train_portable(k=8, n_iter=1) +
+# per-vector assignment: asg1 yields (vec_id, v, cid, cv, d). Reused by the
+# training-stats oracle and the SemDeDup oracle so both check the identical
+# iteration.
+_KMEANS_ASG1_DUCK = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seed AS (
   SELECT row_number() OVER (
@@ -2513,11 +2620,46 @@ asg1 AS (
     SELECT e.vec_id, e.v, c.cid, c.cv, list_dot_product(e.v, c.cv) AS d
     FROM e CROSS JOIN c1 c)
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
-)
+)"""
+
+ORACLE["ivf_kmeans_train"] = _KMEANS_ASG1_DUCK + """
 SELECT CAST(cid AS INT) AS centroid_id, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(CAST(d / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
                           AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_cos
 FROM asg1 GROUP BY cid
+"""
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): kmeans-cluster the embedding space,
+    prune within-cluster cosine near-duplicates keeping the min-id
+    survivor. Uses the portable kmeans twin so the DuckDB oracle replays
+    the identical clustering + threshold test bit-for-bit. tau = 0.4 here
+    because the synthetic embeddings are near-isotropic (within-cluster
+    cosine tops out ~0.48 at sf0.01); a real corpus runs this at the
+    paper's 0.95+."""
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    centroids = sim.kmeans_train_portable(emb, k=8, n_iter=1)
+    return sim.semantic_dedup_prune(emb, centroids, threshold=_SEMDEDUP_TAU)
+
+
+ORACLE["semantic_dedup_prune"] = _KMEANS_ASG1_DUCK + f""",
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg1 a JOIN asg1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_SEMDEDUP_TAU}
+)
+SELECT asg1.vec_id, CAST(cid AS INT) AS centroid_id,
+       pruned.vec_id IS NULL AS keep
+FROM asg1 LEFT JOIN pruned ON asg1.vec_id = pruned.vec_id
 """
 
 
@@ -2530,6 +2672,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_signatures": _q_srp_signatures,
     "srp_near_dup_pairs": _q_srp_near_dup,
     "ivf_kmeans_train": _q_ivf_kmeans,
+    "semantic_dedup_prune": _q_semantic_dedup,
     "lang_id_heuristic": _q_lang_id,
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
@@ -2561,13 +2704,15 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   3. remaining slots go to §2-mapped representatives across families.
 # Round-4 window: the 7 never-driver-checked queries first (q7/q8/q9/q12/
 # q20 TPC-H + the two r3 additions pii_scrub_signals/url_domain_profile)
-# plus the two NEW r4 queries (cms_heavy_hitters/dup_span_coverage — new
-# queries enter the window the round they land), then tfidf_top_term (plan
-# rewritten this round — must be re-proven), the 36 queries whose last
-# green row is round 2 (LLM dedup/minhash/SRP/IVF/quant/text batteries +
-# w2/w4/w5/w6/w7/w8), two cross-round canaries, and 2 r3-green §2 family
-# representatives. Rotated out for exactly one round (green in r3, back in
-# r5): the TPC-H/windowing battery and the k4/t6 representatives.
+# plus the SIX new r4 queries (cms_heavy_hitters/dup_span_coverage/
+# sequence_packing/hll_distinct_sketch/temperature_mix_sample/
+# semantic_dedup_prune — new queries enter the window the round they
+# land), then tfidf_top_term (plan rewritten this round — must be
+# re-proven), the 36 queries whose last green row is round 2 (LLM dedup/
+# minhash/SRP/IVF/quant/text batteries + w2/w4/w5/w6/w7/w8). Rotated out
+# for exactly one round (green in r1+r2+r3 — the most-proven entries in
+# the registry — back in r5): the f3/w3/w1 canaries, the TPC-H/windowing
+# battery, and the k4/t6 representatives.
 _PRIORITY = (
     # -- never driver-checked before this round (rule #1: always get slots)
     "q7_volume_shipping",
@@ -2580,6 +2725,9 @@ _PRIORITY = (
     "cms_heavy_hitters",
     "dup_span_coverage",
     "sequence_packing",
+    "hll_distinct_sketch",
+    "temperature_mix_sample",
+    "semantic_dedup_prune",
     # -- behavior changed this round (df-from-tf rewrite; must re-prove)
     "tfidf_top_term",
     "dedup_components",
@@ -2619,16 +2767,9 @@ _PRIORITY = (
     "asof_join_forward",
     "multimodal_resize_spec",
     "multimodal_frame_sample",
-    # -- cross-round canaries (green every round so far; keep them so)
-    "f3_asof_buffer",
-    "w3_timestamp_synthesis",
-    # -- §2 family representatives (green r3; one per family stays fresh;
-    # k4_cue_index/t6_job_summary/f1_source_filter rotated below the
-    # boundary this round to make room for the three new r4 queries —
-    # green r3, back in r5)
-    "w1_f144_stats",
     # ---- 50-slot window boundary (everything below is unchecked this round;
-    # all were green in round 3, so a one-round gap is within policy)
+    # all were green in round 3 — f3_asof_buffer/w3_timestamp_synthesis/
+    # w1_f144_stats in r1+r2+r3 — so a one-round gap is within policy)
 )
 
 

@@ -350,3 +350,28 @@ def test_compact_ivf_layout_shrinks_files_keeps_data(spark, embeddings, tmp_path
     plan = (spark.read.parquet(compacted).filter(F.col("centroid_id") == 1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [" in plan
+
+
+def test_semantic_dedup_prunes_min_id_survivor(spark):
+    """SemDeDup rule: within a cluster, a vector is pruned iff a LOWER-id
+    vector has cosine >= tau; the min-id member of a near-dup set always
+    survives, and cross-cluster near-identical vectors are NOT compared."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0 -> pruned
+        (2, [0.0, 1.0, 0.0]),      # other direction, same-or-other cluster
+        (3, [0.0, 0.999, 0.01]),   # near-dup of 2 -> pruned
+        (4, [0.7, 0.7, 0.0]),      # mid-direction, below tau to both
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["keep"])
+        for r in similarity.semantic_dedup_prune(df, centroids, threshold=0.98).collect()
+    }
+    assert len(out) == 5
+    assert out[0][1] and not out[1][1], out
+    assert out[2][1] and not out[3][1], out
+    assert out[4][1], out
+    # same cluster as its near-dup partner
+    assert out[0][0] == out[1][0] and out[2][0] == out[3][0]

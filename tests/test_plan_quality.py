@@ -389,3 +389,41 @@ def test_sequence_packing_single_scan_sharded_window(spark):
     # the window's required ordering is within a hash-partitioned shard:
     # no SinglePartition exchange feeding a Window
     assert "SinglePartition" not in plan, plan
+
+
+def test_hll_sketch_registers_combine_map_side(spark):
+    """L36: the only corpus-sized stage is the (group, register) max — it
+    must partial-aggregate before its shuffle; the est x exact join is over
+    O(groups) rows so any join strategy is fine, but nothing may be a
+    nested-loop over the corpus."""
+    plan = _plan(spark, Q.SPARK_SQL["hll_distinct_sketch"])
+    assert "partial_max" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """L37: the derived per-domain rates relation is O(domains) — the join
+    back to the corpus must broadcast it, and the domain counts must
+    combine map-side before their shuffle."""
+    plan = _plan(spark, Q.SPARK_SQL["temperature_mix_sample"])
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_joins_on_cluster_key(spark):
+    """L38 (SemDeDup): the near-dup test must be an equi-join on the
+    cluster key (per-cluster candidate generation), never a corpus-level
+    nested loop; centroid assignment is a literal-fold map stage."""
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    emb = spark.table("embeddings")
+    centroids = sim.kmeans_train_portable(emb, k=4, n_iter=1)
+    df = sim.semantic_dedup_prune(emb, centroids, threshold=0.4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "centroid_id" in plan, plan
