@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 from pathlib import Path
@@ -150,24 +151,32 @@ def worker(args) -> int:
         # stays alive; FeedbackProducer publishStoppedMsg carries the
         # error) — one bad job never kills the worker.
         error_message = ""
-        # HDF output prefix semantics (MainOpt.h hdf_output_prefix): the
-        # pl72 filename is relative to out_root — an absolute filename is
-        # re-rooted (it must not escape the prefix), and any directory
-        # components are created. Live snapshots (K5 SWMR analog)
-        # republish the same path mid-run when armed.
-        rel = Path(start.filename)
-        if rel.is_absolute():
-            rel = Path(*rel.parts[1:])
-        final_path = Path(args.out_root) / rel
-        final_path.parent.mkdir(parents=True, exist_ok=True)
-        final_path = str(final_path)
-        snap = (
-            {"snapshot_path": final_path,
-             "snapshot_every": args.live_snapshot_interval}
-            if args.live_snapshot_interval > 0
-            else {}
-        )
+        final_path = ""
         try:
+            # HDF output prefix semantics (MainOpt.h hdf_output_prefix):
+            # the pl72 filename is relative to out_root — an absolute
+            # filename is re-rooted, and any directory components are
+            # created. The filename is a Kafka-controlled field, so
+            # containment is CHECKED, not assumed: a path that escapes
+            # the prefix (e.g. via '..') is a job error reported in wrdn,
+            # inside this try so one bad job never kills the worker.
+            rel = Path(start.filename)
+            if rel.is_absolute():
+                rel = Path(*rel.parts[1:])
+            out_root = Path(args.out_root).resolve()
+            resolved = (out_root / rel).resolve()
+            if not resolved.is_relative_to(out_root):
+                raise ValueError(
+                    f"pl72 filename {start.filename!r} escapes hdf_output_prefix"
+                )
+            resolved.parent.mkdir(parents=True, exist_ok=True)
+            final_path = str(resolved)
+            snap = (
+                {"snapshot_path": final_path,
+                 "snapshot_every": args.live_snapshot_interval}
+                if args.live_snapshot_interval > 0
+                else {}
+            )
             if args.fixture_dir:
                 # broker-free mode: JSON-lines directory source, AvailableNow
                 query, job = run_streaming_job_from_files(
@@ -186,7 +195,14 @@ def worker(args) -> int:
             job.finalize()
             from .sinks import hdf5
 
-            hdf5.pack(out_dir, final_path)
+            # Pack to a sibling temp file and atomically publish, like the
+            # mid-run snapshot() path: with live snapshots armed, external
+            # readers may be polling final_path — a direct mode-'w' pack
+            # would truncate the last published snapshot in place and show
+            # them a torn file (and lose it if the pack crashed midway).
+            tmp_pack = final_path + ".packing"
+            hdf5.pack(out_dir, tmp_pack)
+            os.replace(tmp_pack, final_path)
         except Exception as exc:  # noqa: BLE001 - worker must survive bad jobs
             error_message = str(exc) or exc.__class__.__name__
         # wrdn carries the FULL written path and the pl72 metadata string

@@ -345,10 +345,14 @@ def semantic_dedup_prune(
     cosine threshold test is bit-identical in the SQL oracle.
     """
     vec = _as_double(F.col(vec_col))
+    # localCheckpoint: 'assigned' feeds both self-join sides AND the final
+    # left join — unmaterialized, the centroid-assignment map would run
+    # three times over the corpus (the same double-execution
+    # connected_components avoids the same way).
     assigned = df.select(
         F.col(id_col), vec.alias("_v"),
         nearest_centroid_expr(vec, centroids).alias("centroid_id"),
-    )
+    ).localCheckpoint()
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = dot(F.col("a._v"), F.col("b._v")) / (

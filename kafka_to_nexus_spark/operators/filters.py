@@ -113,17 +113,26 @@ def with_asof_buffer(
     return buffered.unionByName(in_window)
 
 
+F4_SOURCE_COLS = SOURCE_COLS + ("partition",)
+F4_ORDER_COLS = ("offset",)
+
+
 def drop_repeated_timestamps(
     df: DataFrame,
-    source_cols: Sequence[str] = SOURCE_COLS,
+    source_cols: Sequence[str] = F4_SOURCE_COLS,
     ts_col: str = TS,
-    order_cols: Sequence[str] = ORDER_COLS,
+    order_cols: Sequence[str] = F4_ORDER_COLS,
 ) -> DataFrame:
     """F4 — drop a message whose timestamp equals the previous one (in
-    consumption order) for the same source. Modules that accept repeats
-    (ev44) simply skip this operator.
+    consumption order) for the same source AND Kafka partition: the
+    reference runs one SourceFilter per (source, partition), so a source
+    spanning partitions dedups each partition's sequence independently
+    (offsets order within a partition; cross-partition order is
+    undefined). Modules that accept repeats (ev44) simply skip this
+    operator.
 
-    Reference: src/Stream/SourceFilter.cpp:90-95; opt-in flag
+    Reference: src/Stream/SourceFilter.cpp:90-95 (one filter per
+    (source, partition): src/Stream/Partition.cpp); opt-in flag
     src/WriterModuleBase.h:36,55 (acceptsRepeatedTimestamps).
     """
     w = _source_window(source_cols, order_cols)

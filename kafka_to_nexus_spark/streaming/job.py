@@ -188,7 +188,10 @@ class StreamingJobState:
     # source — the reference's SourceFilter keeps this across polls
     # (SourceFilter.cpp:90-95), so a repeat straddling a batch boundary
     # must still be dropped.
-    last_written_ts: dict[tuple[str, str], int] = field(default_factory=dict)
+    # F4 carry across batches, keyed (module, source, partition) — the
+    # reference keeps one SourceFilter (and so one repeated-ts state) per
+    # (source, partition)
+    last_written_ts: dict[tuple[str, str, int], int] = field(default_factory=dict)
     # W5 da00 first-message constants: batch mode folds them inside
     # run_job; streaming captures them on the source's first present batch
     # (path → {dataset: value}; {} marks a done, constant-free binding)
@@ -335,10 +338,12 @@ class StreamingJob:
     def _batch_stats(self, batch: DataFrame) -> list[Row]:
         """ONE driver action per micro-batch for ALL cross-batch state: the
         per-source pre-start buffer row, in-window presence/counts, the tail
-        timestamp (F4 boundary state), ev44 event counts, and the watchdog
-        max event time. One groupBy over (schema, source_name) — driver
-        round-trips stay O(1) in both binding count and batch size (the
-        aggregate is map-side-combined; output is one row per source)."""
+        timestamp (F4 boundary state, per Kafka partition — the reference
+        keeps one SourceFilter per (source, partition)), ev44 event counts,
+        and the watchdog max event time. One groupBy over (schema,
+        source_name, partition) — driver round-trips stay O(1) in binding
+        count and batch size (the aggregate is map-side-combined; output is
+        one row per source-partition; the driver folds rows per source)."""
         ts = F.col(filters.TS)
         ok = F.col("error_code").isNull()
         win = ok & (ts >= F.lit(self.start_ns))
@@ -355,7 +360,7 @@ class StreamingJob:
             return F.sum(F.when(cond, 1).otherwise(0)).alias(alias)
 
         return (
-            batch.groupBy("schema", "source_name")
+            batch.groupBy("schema", "source_name", "partition")
             .agg(
                 F.count(F.lit(1)).alias("n_messages"),
                 F.max(F.when(ok, ts)).alias("max_ts"),
@@ -392,11 +397,14 @@ class StreamingJob:
                 present.add(key)
             buf = r["buffered"]
             if buf is not None:
+                # stats rows are per (source, partition): fold to the
+                # per-source latest pre-start row by (ts, partition,
+                # offset) — the same total order the old single-row
+                # max_by(struct(ts, partition, offset)) used
                 cur = st.asof_buffer.get(key)
-                if cur is None or (buf["timestamp"], buf["offset"]) > (
-                    cur["timestamp"],
-                    cur["offset"],
-                ):
+                if cur is None or (
+                    buf["timestamp"], buf["partition"], buf["offset"]
+                ) > (cur["timestamp"], cur["partition"], cur["offset"]):
                     st.asof_buffer[key] = buf
         return present
 
@@ -435,14 +443,21 @@ class StreamingJob:
                 in_window = buffered.unionByName(in_window)
                 st.asof_emitted.update(present)
 
+            # stats rows are per (source, partition): tails stay
+            # partition-keyed (F4 boundary state is per partition, like
+            # the reference's SourceFilter-per-(source, partition));
+            # event counts fold per source.
+            event_counts: dict[tuple[str, str], int] = {}
+            for r in stats:
+                k = (r["schema"], r["source_name"])
+                event_counts[k] = event_counts.get(k, 0) + (r["n_events"] or 0)
             wrote = self._write_streams(
                 in_window,
                 tails={
-                    (r["schema"], r["source_name"]): r["tail_ts"] for r in stats
+                    (r["schema"], r["source_name"], r["partition"]): r["tail_ts"]
+                    for r in stats
                 },
-                event_counts={
-                    (r["schema"], r["source_name"]): r["n_events"] or 0 for r in stats
-                },
+                event_counts=event_counts,
                 present=present,
             )
 
@@ -499,7 +514,7 @@ class StreamingJob:
     def _write_streams(
         self,
         windowed: DataFrame,
-        tails: dict[tuple[str, str], int | None] | None = None,
+        tails: dict[tuple[str, str, int], int | None] | None = None,
         event_counts: dict[tuple[str, str], int] | None = None,
         present: set[tuple[str, str]] | None = None,
     ) -> bool:
@@ -533,29 +548,32 @@ class StreamingJob:
             )
             if not accepts_repeated_timestamps(module_id):
                 src = filters.drop_repeated_timestamps(src)
-                # cross-batch repeat filter, group-wide: per-source last
-                # written ts rides as a map literal (see the per-binding
-                # variant below for the semantics)
+                # cross-batch repeat filter, group-wide: the last written
+                # ts per (source, partition) rides as a map literal keyed
+                # "source\x1fpartition" (see the per-binding variant below
+                # for the semantics)
+                group_sources = {b.source for b in group}
                 lasts = {
-                    b.source: st.last_written_ts.get((module_id, b.source))
-                    for b in group
+                    f"{s}\x1f{p}": t
+                    for (m, s, p), t in st.last_written_ts.items()
+                    if m == module_id and s in group_sources
                 }
-                lasts = {s: t for s, t in lasts.items() if t is not None}
                 if lasts:
                     # same window spec as drop_repeated_timestamps just
                     # above: its exchange + sort are reused, so the
-                    # cross-batch check costs no extra shuffle. First row
-                    # per source == first per (source, partition) under the
-                    # one-partition-per-source layout both rely on.
-                    w = Window.partitionBy(*filters.SOURCE_COLS).orderBy(
-                        *filters.ORDER_COLS
+                    # cross-batch check costs no extra shuffle. The first
+                    # row per (source, partition) is checked against THAT
+                    # partition's last written ts — the reference's
+                    # one-SourceFilter-per-(source, partition) state.
+                    w = Window.partitionBy(*filters.F4_SOURCE_COLS).orderBy(
+                        *filters.F4_ORDER_COLS
                     )
                     last_map = F.create_map(
                         *[F.lit(x) for kv in lasts.items() for x in kv]
                     )
-                    # coalesce guard: element_at is null for sources with
-                    # no prior tail; ts == null would null the predicate
-                    # and silently drop the row
+                    # coalesce guard: element_at is null for partitions
+                    # with no prior tail; ts == null would null the
+                    # predicate and silently drop the row
                     src = (
                         src.withColumn("_rn", F.row_number().over(w))
                         .filter(
@@ -565,7 +583,12 @@ class StreamingJob:
                                     F.col("timestamp")
                                     == F.coalesce(
                                         F.element_at(
-                                            last_map, F.col("source_name")
+                                            last_map,
+                                            F.concat_ws(
+                                                "\x1f",
+                                                F.col("source_name"),
+                                                F.col("partition"),
+                                            ),
                                         ),
                                         F.lit(-1),
                                     )
@@ -574,10 +597,9 @@ class StreamingJob:
                         )
                         .drop("_rn")
                     )
-                for b in group:
-                    tail = tails.get((module_id, b.source))
-                    if tail is not None:
-                        st.last_written_ts[(module_id, b.source)] = int(tail)
+                for (m, s, p), tail in tails.items():
+                    if m == module_id and tail is not None and s in group_sources:
+                        st.last_written_ts[(m, s, p)] = int(tail)
             keyed = src.withColumn("__source", F.col("source_name"))
             outputs = module.transform(keyed, config)
             # write only the sources with data this batch; absent members'
@@ -610,26 +632,45 @@ class StreamingJob:
             is_present = present is None or key in present
             if not accepts_repeated_timestamps(binding.module):
                 src = filters.drop_repeated_timestamps(src)
-                # cross-batch repeat: the batch's FIRST row per Kafka
-                # partition (lag == null, so the window op keeps it) still
-                # repeats if its ts equals the last ts written earlier.
-                # Per-partition window — a source lives on one partition
-                # (reference: one SourceFilter per (source, partition)).
-                last = st.last_written_ts.get(key)
-                if last is not None:
+                # cross-batch repeat: each partition's FIRST row this
+                # batch (lag == null within its partition, so the window
+                # op keeps it) still repeats if its ts equals the last ts
+                # written from THAT partition — per-partition carry state,
+                # like the reference's one SourceFilter per
+                # (source, partition).
+                lasts = {
+                    p: t
+                    for (m, s, p), t in st.last_written_ts.items()
+                    if (m, s) == key
+                }
+                if lasts:
                     # window spec aligned with drop_repeated_timestamps so
                     # the plan reuses its exchange + sort (see grouped path)
-                    w = Window.partitionBy(*filters.SOURCE_COLS).orderBy(
-                        *filters.ORDER_COLS
+                    w = Window.partitionBy(*filters.F4_SOURCE_COLS).orderBy(
+                        *filters.F4_ORDER_COLS
+                    )
+                    last_map = F.create_map(
+                        *[F.lit(x) for kv in lasts.items() for x in kv]
                     )
                     src = (
                         src.withColumn("_rn", F.row_number().over(w))
-                        .filter(~((F.col("_rn") == 1) & (F.col("timestamp") == F.lit(last))))
+                        .filter(
+                            ~(
+                                (F.col("_rn") == 1)
+                                & (
+                                    F.col("timestamp")
+                                    == F.coalesce(
+                                        F.element_at(last_map, F.col("partition")),
+                                        F.lit(-1),
+                                    )
+                                )
+                            )
+                        )
                         .drop("_rn")
                     )
-                tail = tails.get(key)
-                if tail is not None:
-                    st.last_written_ts[key] = int(tail)
+                for (m, s, p), tail in tails.items():
+                    if (m, s) == key and tail is not None:
+                        st.last_written_ts[(m, s, p)] = int(tail)
             # W5: constants refined from the source's FIRST message
             # (da00_Writer.cpp:92-130) — one driver action per present
             # batch until every declared constant has resolved (a
@@ -657,7 +698,16 @@ class StreamingJob:
                         if not merged.get(name) and value not in (None, []):
                             merged[name] = value
                     st.statics_by_path[binding.path] = merged
-            outputs = module.transform(src, binding.config)
+            cfg = binding.config
+            if binding.module == "ev44" and (cfg or {}).get("cue_interval"):
+                # The batch-local "cue" output is dropped below and
+                # recomputed at finalize with the cross-batch carry
+                # (events_base/last_cue). ev44's cue_blocked is EAGER
+                # (persist + per-block collect), so computing it here just
+                # to discard it would double every batch's cue cost —
+                # strip the trigger for the transform call only.
+                cfg = {k: v for k, v in cfg.items() if k != "cue_interval"}
+            outputs = module.transform(src, cfg)
             written = self._written_datasets.setdefault(_stream_key(binding), [])
             for dataset, df in outputs.items():
                 if dataset == "cue":

@@ -375,8 +375,6 @@ def dedup_census(
     unbounded streams."""
     from pyspark.sql import functions as F
 
-    from pyspark.sql import functions as F
-
     with_time = _with_event_time(stream, ts_col, watermark)
     # canonical column names: the state function reads "fingerprint" and
     # "timestamp" (custom ts_col/fingerprint_col names are remapped here)

@@ -189,3 +189,41 @@ def test_worker_survives_failing_job_and_reports_wrdn_error(tmp_path, spark):
     # worker reverted to idle on the default status channel
     statuses = [json.loads(l) for l in (pool / "status.jsonl").read_text().splitlines()]
     assert statuses[-1]["state"] == "idle"
+
+
+def test_worker_rejects_escaping_filename_via_wrdn(tmp_path, spark):
+    """The pl72 filename is Kafka-controlled: a relative path that climbs
+    out of out_root via '..' is a JOB error (wrdn error_encountered, worker
+    survives to idle), and nothing is written outside the prefix."""
+    import uuid
+
+    from kafka_to_nexus_spark.__main__ import main
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+
+    pool = tmp_path / "pool"
+    fixtures = tmp_path / "in"
+    fixtures.mkdir()
+    (fixtures / "data.json").write_text("{}")
+
+    out_root = tmp_path / "jobs"
+    escape_target = tmp_path / "evil.nxs"  # would land OUTSIDE out_root
+    tpl = json.loads(open(
+        "/root/reference/domain-tests/nexus_templates/buffered_template.json"
+    ).read())
+    producer = FilePoolTransport(pool, "producer")
+    jid = str(uuid.uuid4())
+    producer.offer({"job_id": jid, "filename": "../evil.nxs",
+                    "nexus_structure": tpl,
+                    "start_time": 10_000, "stop_time": 15_000})
+    rc = main([
+        "kafka-to-nexus", "--transport", "file", "--pool-dir", str(pool),
+        "--worker-id", "w0", "--out-root", str(out_root),
+        "--fixture-dir", str(fixtures), "--once", "--master", "local[4]",
+    ])
+    assert rc == 1
+    wrdn = [r for r in producer.read_responses() if r["type"] == "wrdn"]
+    assert wrdn and wrdn[0]["error_encountered"]
+    assert "escapes" in wrdn[0]["message"]
+    assert not escape_target.exists()
+    statuses = [json.loads(l) for l in (pool / "status.jsonl").read_text().splitlines()]
+    assert statuses[-1]["state"] == "idle"

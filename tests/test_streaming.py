@@ -246,6 +246,82 @@ def test_repeated_ts_dropped_across_batch_boundary(spark, buffered_job):
     assert [r.value for r in rows] == [10.0, 20.0, 30.0]  # 99.0 dropped
 
 
+def test_repeated_ts_dropped_per_partition_across_batches(spark, buffered_job):
+    """F4 carry state is PER (source, partition), like the reference's one
+    SourceFilter per (source, partition): a source spanning two Kafka
+    partitions dedups each partition's sequence independently — partition
+    1's boundary repeat is dropped even when partition 0 contributes an
+    earlier row in the same batch (a single per-source carry would only
+    check the batch's globally-first row and let the repeat through)."""
+    job = buffered_job
+    b1 = [
+        dict(f144(11_000, 1.0, offset=0), partition=0),
+        dict(f144(12_000, 2.0, offset=0), partition=1),
+    ]
+    b2 = [
+        dict(f144(13_000, 3.0, offset=1), partition=0),
+        # partition 1's first row repeats its own last written ts → dropped
+        dict(f144(12_000, 99.0, offset=1), partition=1),
+        dict(f144(14_000, 4.0, offset=2), partition=1),
+    ]
+    job.process_batch(messages_from_json(spark, b1), 0)
+    job.process_batch(messages_from_json(spark, b2), 1)
+
+    df = read_dataset(spark, job, "/entry/instrument/chopper/delay", "log")
+    rows = df.orderBy("time").collect()
+    assert [r.value for r in rows] == [1.0, 2.0, 3.0, 4.0]  # 99.0 dropped
+    assert job.state.last_written_ts == {
+        ("f144", "local:choppers:delay", 0): 13_000_000_000,
+        ("f144", "local:choppers:delay", 1): 14_000_000_000,
+    }
+
+
+def test_grouped_path_repeat_dedup_per_partition(spark, tmp_path):
+    """The grouped (1000-source) fast path's cross-batch repeat filter
+    keys its last-written map by (source, partition): with two grouped
+    f144 sources, source a's partition-1 boundary repeat is dropped while
+    source b's identical ts on partition 0 — a different source — and
+    a's own new partition-0 row both pass."""
+    structure = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [
+            {"name": n, "type": "group",
+             "children": [{"module": "f144",
+                           "config": {"topic": "t", "source": s}}]}
+            for n, s in (("a", "src_a"), ("b", "src_b"))
+        ],
+    }]}
+    start = StartMessage(
+        job_id="grouped-f4", filename="f", nexus_structure=structure,
+        start_time_ms=10_000, stop_time_ms=60_000,
+    )
+    job = StreamingJob(spark, start, str(tmp_path / "out"))
+
+    def msg(src, ts, value, part, offset):
+        return {"schema": "f144", "topic": "t", "source_name": src,
+                "partition": part, "offset": offset,
+                "kafka_timestamp": ts, "timestamp": ts, "value": value}
+
+    b1 = [msg("src_a", 11_000, 1.0, 0, 0), msg("src_a", 12_000, 2.0, 1, 0),
+          msg("src_b", 12_000, 5.0, 0, 1)]
+    b2 = [msg("src_a", 13_000, 3.0, 0, 2),
+          msg("src_a", 12_000, 99.0, 1, 1),   # a/p1 boundary repeat → drop
+          msg("src_b", 12_000, 88.0, 0, 3),   # b/p0 boundary repeat → drop
+          msg("src_b", 14_000, 6.0, 0, 4)]
+    job.process_batch(messages_from_json(spark, b1), 0)
+    job.process_batch(messages_from_json(spark, b2), 1)
+    job.finalize()
+
+    vals = {
+        g: sorted(r.value for r in read_dataset(spark, job, f"/entry/{g}", "log").collect())
+        for g in ("a", "b")
+    }
+    assert vals["a"] == [1.0, 2.0, 3.0]   # 99.0 dropped
+    assert vals["b"] == [5.0, 6.0]        # 88.0 dropped
+    assert job.state.last_written_ts[("f144", "src_a", 1)] == 12_000_000_000
+    assert job.state.last_written_ts[("f144", "src_a", 0)] == 13_000_000_000
+
+
 def test_streaming_matches_batch_runner_output(spark, tmp_path):
     """Equivalence invariant: the same messages, run through the batch
     runner vs split across streaming micro-batches, stage identical
