@@ -183,3 +183,34 @@ def test_salted_agg_equals_direct_agg(spark, rows, n_salts):
         ).collect()
     }
     assert salted == direct
+
+
+part_msg_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(["a", "b"]), st.integers(0, 2)),
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(msgs=part_msg_lists)
+@PROP_SETTINGS
+def test_drop_repeated_is_per_partition(spark, msgs):
+    """F4 semantics match one SourceFilter per (source, partition): each
+    partition's sequence dedups independently — a ts repeated across two
+    partitions of the same source is NOT a repeat."""
+    rows = [
+        ("f144", src, part, i, ts, float(ts))
+        for i, (ts, src, part) in enumerate(msgs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "schema string, source_name string, partition int, offset long, timestamp long, value double",
+    )
+    out = filters.drop_repeated_timestamps(df).collect()
+    keep = set()
+    prev: dict[tuple[str, int], int] = {}
+    for off, (ts, src, part) in enumerate(msgs):
+        if (src, part) not in prev or prev[(src, part)] != ts:
+            keep.add(off)
+        prev[(src, part)] = ts
+    assert {r.offset for r in out} == keep

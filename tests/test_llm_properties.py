@@ -86,3 +86,87 @@ def test_srp_signature_matches_numpy_model(spark, vecs):
         arr = np.asarray(v, dtype=np.float64)
         expect = sum(int(H[j] @ arr >= 0) << j for j in range(8))
         assert got[i] == expect
+
+
+# --- sketch estimators vs pure-Python models --------------------------------
+# The DuckDB oracles prove ENGINE-PORTABILITY of the sketch queries; these
+# prove the ESTIMATOR ITSELF — an independent Python implementation of the
+# same md5-sliced HLL / CMS must reproduce the SQL's numbers exactly (every
+# float path is either exact (2^-r sums, bin-length ranks) or provably
+# round-stable: min |round-boundary distance| for 64*ln(64/V) over all V is
+# ~9.5e-5, far above a 1-ulp log difference).
+
+import hashlib
+import math
+
+
+def _hll_model(ids: list[int], m: int = 64) -> tuple[int, int]:
+    regs: dict[int, int] = {}
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        idx = int(h[:8], 16) % m
+        w = int(h[8:16], 16)
+        rho = 33 if w == 0 else 33 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    v = m - len(regs)
+    s = sum(2.0 ** -r for r in regs.values()) + v
+    raw = 0.709 * m * m / s
+    est = m * math.log(m / v) if raw <= 2.5 * m and v > 0 else raw
+    return int(round(est)), v
+
+
+@given(ids=st.lists(st.integers(0, 40), min_size=1, max_size=60))
+@PROP_SETTINGS
+def test_hll_sql_matches_python_model(spark, ids):
+    from kafka_to_nexus_spark import queries as Q
+
+    rows = [(int(i), "t") for i in ids]
+    spark.createDataFrame(rows, "event_id long, event_type string") \
+        .createOrReplaceTempView("events")
+    try:
+        got = spark.sql(Q.SPARK_SQL["hll_distinct_sketch"]).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert len(got) == 1
+    est, v = _hll_model(sorted(set(ids)))
+    assert got[0]["hll_distinct"] == est
+    assert got[0]["empty_registers"] == v
+    assert got[0]["exact_distinct"] == len(set(ids))
+
+
+def _cms_model(texts: list[tuple[int, str]], w: int = 256) -> list[tuple[str, int, int]]:
+    counts: dict[str, int] = {}
+    for _, t in texts:
+        for term in t.lower().split(" "):
+            if term:
+                counts[term] = counts.get(term, 0) + 1
+    cells: list[dict[int, int]] = [{} for _ in range(4)]
+    for term, c in counts.items():
+        h = hashlib.md5(term.encode()).hexdigest()
+        for r in range(4):
+            b = int(h[8 * r: 8 * r + 8], 16) % w
+            cells[r][b] = cells[r].get(b, 0) + c
+    out = []
+    for term, c in counts.items():
+        h = hashlib.md5(term.encode()).hexdigest()
+        est = min(cells[r][int(h[8 * r: 8 * r + 8], 16) % w] for r in range(4))
+        out.append((term, est, c))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:20]
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab X", min_size=0, max_size=12), min_size=1, max_size=12))
+@PROP_SETTINGS
+def test_cms_sql_matches_python_model(spark, texts):
+    from kafka_to_nexus_spark import queries as Q
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        got = [(r["term"], r["cms_count"], r["exact_count"])
+               for r in spark.sql(Q.SPARK_SQL["cms_heavy_hitters"]).collect()]
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got == _cms_model(rows)
