@@ -263,7 +263,15 @@ def _load_job_state(out_dir: str) -> StreamingJobState | None:
     st.asof_emitted = {tuple(k) for k in raw["asof_emitted"]}
     st.events_written = {tuple(k): v for k, v in raw["events_written"]}
     st.cue_last = {tuple(k): v for k, v in raw.get("cue_last", [])}
-    st.last_written_ts = {tuple(k): v for k, v in raw["last_written_ts"]}
+    # pre-partition-keyed state files carried (module, source) 2-tuples;
+    # map them to partition 0 so a restart on newer code loads instead of
+    # crashing on unpack. For the common one-partition-per-source layout
+    # partition 0 is exact; a multi-partition source under the OLD format
+    # had a single (already partition-ambiguous) carry value anyway.
+    st.last_written_ts = {
+        (tuple(k) if len(k) == 3 else (k[0], k[1], 0)): v
+        for k, v in raw["last_written_ts"]
+    }
     st.statics_by_path = raw.get("statics_by_path", {})
     st.batches_processed = raw["batches_processed"]
     st.last_spark_batch_id = raw.get("last_spark_batch_id", -1)

@@ -1247,3 +1247,26 @@ def test_da00_constant_resolves_from_a_later_batch(spark, tmp_path):
     job.finalize()
     meta = staging.read_meta(job.out_dir)
     assert meta["metadata_values"]["/entry/hist/edges"] == [9.0, 9.5, 10.0]
+
+
+def test_old_format_state_file_migrates_to_partition_keys(spark, tmp_path):
+    """A state file written before F4 carry state was partition-keyed
+    (2-tuple keys) must load, mapping its carry values to partition 0."""
+    import json as _json
+
+    from kafka_to_nexus_spark.streaming.job import (
+        STATE_FILE, StreamingJob, _load_job_state,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / STATE_FILE).write_text(_json.dumps({
+        "asof_buffer": [], "asof_emitted": [], "events_written": [],
+        "cue_last": [],
+        "last_written_ts": [[["f144", "src_a"], 12_000_000_000]],
+        "statics_by_path": {}, "batches_processed": 3,
+        "last_spark_batch_id": 2, "max_event_time_ns": 0,
+        "finished": False, "metrics": {},
+    }))
+    st = _load_job_state(str(out))
+    assert st.last_written_ts == {("f144", "src_a", 0): 12_000_000_000}
