@@ -2511,6 +2511,76 @@ FROM e JOIN bench USING (g) GROUP BY doc_id, n
 """
 
 
+# --- token-budget corpus selection (histogram threshold) --------------------
+# "Select the highest-quality documents until the token budget is spent."
+# The naive form is a global sort by quality + running token sum — a
+# single-partition window at any scale. The scale-safe form used here:
+# (1) bucket the quality score into 1000 fixed-width bins (narrow map);
+# (2) aggregate token counts per bin (one map-side-combined shuffle to
+#     <=1000 rows); (3) run the cumulative sum highest-bin-first over that
+#     TINY histogram (single-partition window over <=1000 rows, O(1));
+# (4) broadcast-join the kept-bin set back and filter (whole-bin
+#     granularity keeps the selection deterministic and order-free).
+# Quality proxy = distinct-word ratio; budget = 30% of corpus tokens.
+_BUDGET_FRAC = 0.30
+
+
+def _token_budget_sql(toks: str, uniq: str) -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id, {toks} AS toks,
+         CAST(least(999, floor(CAST({uniq} AS DOUBLE) / {toks} * 1000)) AS INT) AS qb
+  FROM documents
+),
+hist AS (SELECT qb, sum(toks) AS btoks FROM b GROUP BY qb),
+cum AS (
+  SELECT qb,
+         sum(btoks) OVER (ORDER BY qb DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks,
+         sum(btoks) OVER () AS total_toks
+  FROM hist
+),
+kept AS (SELECT qb FROM cum WHERE cum_toks <= {_BUDGET_FRAC} * total_toks)
+SELECT b.doc_id, b.qb AS quality_bucket, CAST(b.toks AS BIGINT) AS doc_tokens
+FROM b JOIN kept ON b.qb = kept.qb
+"""
+
+
+SPARK_SQL["token_budget_select"] = _token_budget_sql(
+    "size(split(text, ' '))", "size(array_distinct(split(text, ' ')))"
+)
+ORACLE["token_budget_select"] = _token_budget_sql(
+    "len(string_split(text, ' '))", "len(list_distinct(string_split(text, ' ')))"
+)
+
+
+# --- incremental corpus merge: dedup-on-arrival -----------------------------
+# The continuously-ingesting pipeline's admission check: an incoming batch
+# is admitted doc-by-doc iff its content hash is unseen in the corpus AND
+# it is the batch's first occurrence of that hash (deterministic keeper =
+# min doc_id). Here docs with doc_id % 10 >= 8 stand in for the incoming
+# batch; the rest are the standing corpus. Scale shape: the corpus side is
+# reduced to distinct hashes BEFORE the join (map-side combine), the
+# incoming batch is tiny relative to the corpus → Spark broadcasts it and
+# the corpus-side scan streams through; no corpus-sized shuffle. At 100 TB
+# the corpus hash set would live as a hash-bucketed table so the probe is
+# a co-located join on the bucket prefix.
+SPARK_SQL["incremental_dedup_merge"] = ORACLE["incremental_dedup_merge"] = """
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8 GROUP BY md5(text)
+),
+incoming AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8
+),
+firsts AS (SELECT h, min(doc_id) AS keeper FROM incoming GROUP BY h)
+SELECT i.doc_id, i.h AS content_hash,
+       (c.h IS NULL AND i.doc_id = f.keeper) AS accept
+FROM incoming i
+LEFT JOIN corpus c ON i.h = c.h
+JOIN firsts f ON i.h = f.h
+"""
+
+
 # --- SRP (signed random projections): embedding-space LSH -------------------
 # Deterministic ±1 hyperplanes (llm/similarity.srp_planes) are embedded as
 # LITERALS in both engines, so the bit-exact signature is oracle-checkable:
@@ -2728,6 +2798,8 @@ _PRIORITY = (
     "hll_distinct_sketch",
     "temperature_mix_sample",
     "semantic_dedup_prune",
+    "token_budget_select",
+    "incremental_dedup_merge",
     # -- behavior changed this round (df-from-tf rewrite; must re-prove)
     "tfidf_top_term",
     "dedup_components",
@@ -2765,11 +2837,14 @@ _PRIORITY = (
     "repetition_signals",
     "asof_join_streams",
     "asof_join_forward",
-    "multimodal_resize_spec",
-    "multimodal_frame_sample",
     # ---- 50-slot window boundary (everything below is unchecked this round;
     # all were green in round 3 — f3_asof_buffer/w3_timestamp_synthesis/
-    # w1_f144_stats in r1+r2+r3 — so a one-round gap is within policy)
+    # w1_f144_stats in r1+r2+r3 — so a one-round gap is within policy).
+    # multimodal_resize_spec/multimodal_frame_sample (r2-green, metadata-only
+    # ops, code untouched, pytest-covered) ceded their slots to the two new
+    # r4 queries above — first window candidates for r5.
+    "multimodal_resize_spec",
+    "multimodal_frame_sample",
 )
 
 

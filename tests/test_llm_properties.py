@@ -170,3 +170,86 @@ def test_cms_sql_matches_python_model(spark, texts):
     finally:
         spark.catalog.dropTempView("documents")
     assert got == _cms_model(rows)
+
+
+def _budget_model(texts: list[str], frac: float = 0.30) -> list[tuple[int, int, int]]:
+    docs = []
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        toks, uniq = len(words), len(set(words))
+        qb = min(999, math.floor(uniq / toks * 1000))
+        docs.append((i, qb, toks))
+    hist: dict[int, int] = {}
+    for _, qb, toks in docs:
+        hist[qb] = hist.get(qb, 0) + toks
+    total = sum(hist.values())
+    kept, cum = set(), 0
+    for qb in sorted(hist, reverse=True):
+        cum += hist[qb]
+        if cum <= frac * total:
+            kept.add(qb)
+    return sorted(d for d in docs if d[1] in kept)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab X", min_size=0, max_size=12), min_size=1, max_size=14))
+@PROP_SETTINGS
+def test_token_budget_sql_matches_python_model(spark, texts):
+    from kafka_to_nexus_spark import queries as Q
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        got = sorted(
+            (r["doc_id"], r["quality_bucket"], r["doc_tokens"])
+            for r in spark.sql(Q.SPARK_SQL["token_budget_select"]).collect()
+        )
+    finally:
+        spark.catalog.dropTempView("documents")
+    expect = _budget_model(texts)
+    assert got == expect
+    # the selection respects the budget and is greedy-top: kept buckets
+    # strictly outrank every dropped doc's bucket
+    if got:
+        total = sum(len(t.split(" ")) for t in texts)
+        assert sum(g[2] for g in got) <= 0.30 * total
+        kept_ids = {g[0] for g in got}
+        min_kept = min(g[1] for g in got)
+        dropped_buckets = {qb for i, qb, _ in
+                           ((i, min(999, math.floor(
+                               len(set(t.split(" "))) / len(t.split(" ")) * 1000)),
+                             None) for i, t in enumerate(texts))
+                           if i not in kept_ids}
+        assert all(qb < min_kept for qb in dropped_buckets)
+
+
+def _merge_model(texts: list[str]) -> list[tuple[int, str, bool]]:
+    corpus = {hashlib.md5(t.encode()).hexdigest()
+              for i, t in enumerate(texts) if i % 10 < 8}
+    incoming = [(i, hashlib.md5(t.encode()).hexdigest())
+                for i, t in enumerate(texts) if i % 10 >= 8]
+    firsts: dict[str, int] = {}
+    for i, h in incoming:
+        firsts.setdefault(h, i)
+    return sorted((i, h, h not in corpus and firsts[h] == i)
+                  for i, h in incoming)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=4), min_size=1, max_size=24))
+@PROP_SETTINGS
+def test_incremental_merge_sql_matches_python_model(spark, texts):
+    from kafka_to_nexus_spark import queries as Q
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        got = sorted(
+            (r["doc_id"], r["content_hash"], r["accept"])
+            for r in spark.sql(Q.SPARK_SQL["incremental_dedup_merge"]).collect()
+        )
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got == _merge_model(texts)

@@ -427,3 +427,27 @@ def test_semantic_dedup_joins_on_cluster_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "centroid_id" in plan, plan
+
+
+def test_token_budget_histogram_is_tiny_window(spark):
+    """L39: the cumulative sum runs over the 1000-bin histogram, never the
+    corpus — the SinglePartition exchange must sit ABOVE the per-bin
+    aggregate (which itself partial-aggregates before its shuffle), and
+    the kept-bin set joins back as a broadcast."""
+    plan = _plan(spark, Q.SPARK_SQL["token_budget_select"])
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # exactly one single-partition exchange (the histogram cumsum); the
+    # corpus-side scan feeds a hash aggregate, not that exchange
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_incremental_merge_joins_are_hash_equi(spark):
+    """L40: the admission check is two equi-joins on the content hash with
+    the reduced sides built first — no sort-merge, no nested loop, and the
+    incoming-batch predicate reaches the scan."""
+    plan = _plan(spark, Q.SPARK_SQL["incremental_dedup_merge"])
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("doc_id" in l for l in pushed), plan
