@@ -105,10 +105,13 @@ def normalize_event_time(df: DataFrame, c: str):
     raise TypeError(f"unsupported event-time encoding for {c!r}: {dtype}")
 
 
-# Memoize per (session, sf_dir, table): schema inference costs a driver-side
-# parquet footer read per call — registering only a query's dependencies,
-# once, keeps repeated invocations scan-only.
-_REGISTERED: set[tuple[int, str, str]] = set()
+# Memoize the ACTIVE sf_dir per (session, table): schema inference costs a
+# driver-side parquet footer read per call — registering only a query's
+# dependencies, once, keeps repeated invocations scan-only. Keyed by the
+# currently-registered dir (not a seen-set): a temp view holds ONE binding,
+# so a session that alternates sf dirs must re-register on every switch —
+# a seen-set would skip the re-bind and silently serve the LAST dir's data.
+_ACTIVE_DIR: dict[tuple[str, str], str] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
@@ -117,8 +120,8 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
 
     app_id = spark.sparkContext.applicationId
     for t in tables:
-        key = (app_id, sf_dir, t)
-        if key in _REGISTERED:
+        key = (app_id, t)
+        if _ACTIVE_DIR.get(key) == sf_dir:
             continue
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for c in TIMESTAMP_COLS.get(t, ()):
@@ -141,7 +144,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
             if len(df.inputFiles()) < parallelism:
                 df = df.repartition(parallelism)
         df.createOrReplaceTempView(t)
-        _REGISTERED.add(key)
+        _ACTIVE_DIR[key] = sf_dir
 
 
 def _sql(name: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -451,3 +451,18 @@ def test_incremental_merge_joins_are_hash_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("doc_id" in l for l in pushed), plan
+
+
+def test_register_views_rebinds_on_sf_dir_switch(spark):
+    """A session that alternates sf dirs must re-bind the temp views: the
+    old seen-set memo skipped the re-registration and silently served the
+    LAST dir's data for every earlier dir (caught when the scaling tool
+    timed 'x1' queries that actually scanned the x100 corpus)."""
+    Q.register_views(spark, "/root/testdata/sf0.001", tables=("events",))
+    n_small = spark.table("events").count()
+    Q.register_views(spark, "/root/testdata/sf0.01", tables=("events",))
+    n_big = spark.table("events").count()
+    Q.register_views(spark, "/root/testdata/sf0.001", tables=("events",))
+    n_small_again = spark.table("events").count()
+    assert n_small == n_small_again
+    assert n_big > n_small
