@@ -13,7 +13,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,13 +109,28 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join within bands, emit candidate pairs.
 
     Shuffle key = (band_id, band_hash): only same-bucket docs ever meet,
-    so the self-join is linear in bucket sizes, not O(n²).
+    so the self-join is linear in bucket sizes, not O(n²) — but pair
+    OUTPUT is quadratic in bucket size, and real corpora have boilerplate
+    clusters (one template, 10⁴ near-copies → 10⁸ pairs from one bucket).
+    ``max_bucket`` caps each (band, band_key) bucket at its lowest-id
+    members before pairing (the batch twin of the streaming
+    near_dup_candidates cap): a cluster's survivors still pair with the
+    cluster's canonical low-id docs, so connected-components still merges
+    it, while the pair count per bucket is bounded at max_bucket².
     """
     banded = banded_signatures(sig, id_col, bands, rows_per_band)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key").orderBy(id_col)
+        banded = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

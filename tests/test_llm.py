@@ -375,3 +375,23 @@ def test_semantic_dedup_prunes_min_id_survivor(spark):
     assert out[4][1], out
     # same cluster as its near-dup partner
     assert out[0][0] == out[1][0] and out[2][0] == out[3][0]
+
+
+def test_lsh_max_bucket_caps_pairs_keeps_canonical(spark):
+    """A boilerplate cluster (many near-copies of one template) must not
+    explode the candidate-pair count: max_bucket keeps each bucket's
+    lowest-id members, so every capped-out doc still has a path to the
+    cluster canonical through the survivors it paired with before the cap
+    bound the per-bucket output."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog variant " + str(i % 3), "en")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    sig = dedup.minhash_signatures(docs)
+    uncapped = dedup.lsh_candidate_pairs(sig).count()
+    capped_df = dedup.lsh_candidate_pairs(sig, max_bucket=4)
+    capped = capped_df.count()
+    assert capped < uncapped
+    # per (band, band_key) bucket of size<=4 → <=6 pairs; and low ids
+    # (the canonicals) survive the cap
+    ids = {r.id_a for r in capped_df.collect()}
+    assert min(ids) <= 2
