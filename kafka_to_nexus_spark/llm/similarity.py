@@ -736,3 +736,33 @@ def compact_ivf_layout(
         .partitionBy("centroid_id")
         .parquet(dst_path)
     )
+
+
+def semantic_dedup_auto(
+    df: DataFrame,
+    threshold: float,
+    target_cluster_size: int = 500,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_k: int = 2,
+) -> DataFrame:
+    """SemDeDup with corpus-scaled cluster count: k = n / target_cluster_size.
+
+    :func:`semantic_dedup_prune` is quadratic WITHIN each cluster, so a
+    fixed k degrades superlinearly as the corpus grows (measured: slope
+    1.23 over a 10x growth with k frozen at 8 — tools/scaling_curve.py).
+    The paper's recipe (Abbas et al. 2023 use ~10^5 clusters for 10^9
+    docs, i.e. ~10^4 per cluster) is to hold CLUSTER SIZE constant
+    instead: this wrapper counts the corpus (a metadata-cheap count job),
+    derives k, trains the same deterministic Lloyd's k-means, and prunes
+    — keeping the per-cluster pair term ~target_cluster_size² regardless
+    of corpus size. The registry query keeps the fixed-k form because its
+    DuckDB oracle replays clustering bit-for-bit at one size.
+    """
+    n = df.count()
+    k = max(min_k, n // max(1, target_cluster_size))
+    centroids = kmeans_train(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    return semantic_dedup_prune(
+        df, centroids, threshold, vec_col=vec_col, id_col=id_col
+    )

@@ -395,3 +395,26 @@ def test_lsh_max_bucket_caps_pairs_keeps_canonical(spark):
     # (the canonicals) survive the cap
     ids = {r.id_a for r in capped_df.collect()}
     assert min(ids) <= 2
+
+
+def test_semantic_dedup_auto_scales_k_with_corpus(spark, embeddings):
+    """The auto wrapper holds cluster SIZE constant: doubling the corpus
+    doubles k, and the prune output still covers every vector exactly
+    once with min-id survivors kept."""
+    from pyspark.sql import functions as F
+
+    small = embeddings.limit(200)
+    out = similarity.semantic_dedup_auto(small, threshold=0.99,
+                                         target_cluster_size=50, n_iter=1)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {r.vec_id for r in rows} == {r.vec_id for r in small.select("vec_id").collect()}
+    n_clusters_small = len({r.centroid_id for r in rows})
+    big = embeddings.limit(400)
+    out_big = similarity.semantic_dedup_auto(big, threshold=0.99,
+                                             target_cluster_size=50, n_iter=1)
+    n_clusters_big = len({r.centroid_id for r in out_big.collect()})
+    assert n_clusters_big > n_clusters_small
+    # keep is True for every vector no higher-similarity lower id exists;
+    # at threshold 0.99 on random embeddings nearly everything survives
+    assert sum(1 for r in rows if r.keep) >= 190
