@@ -255,12 +255,42 @@ def simhash_near_dups(
     )
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Min-label union-find over a driver-collected edge list.
+
+    Making the smaller id the root at every union keeps each root equal
+    to the minimum id of its set, so ``find(v)`` IS the canonical
+    component label — no second pass. Returns ``(v, label)`` for every
+    edge-touched vertex (untouched vertices are singletons and are
+    labelled by the caller's join-back).
+    """
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = set(pdf["id_a"].tolist()) | set(pdf["id_b"].tolist())
+    rows = [(v, find(v)) for v in touched]
+    return edges.sparkSession.createDataFrame(rows, "v long, label long")
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
     broadcast_edge_threshold: int = 2_000_000,
+    driver_edge_threshold: int = 500_000,
 ) -> DataFrame:
     """Cluster verified duplicate pairs into components — the step that
     turns pairwise dedup output into "keep one doc per group".
@@ -276,10 +306,19 @@ def connected_components(
     (alternation halves tree height per round); the per-round cost
     envelope is identical.
 
-    Two size regimes, picked from the materialized edge count (the same
-    decision AQE makes from runtime stats, made explicit because the
-    loop re-plans per round):
+    Three size regimes, picked from the materialized edge count (the
+    same decision AQE makes from runtime stats, made explicit because
+    the loop re-plans per round):
 
+    - tiny (≤ ``driver_edge_threshold`` edge rows): collect the edge
+      list and run union-find on the driver — O(E·α) in one pass, no
+      per-round job overhead. The memory envelope is explicit and
+      bounded: 500k edges ≈ 8 MB over Arrow, the same order as a
+      broadcast-join build side, so this is no more driver state than
+      the alternatives — and after LSH bucket capping the verified
+      duplicate-edge relation of even a large corpus routinely lands
+      here. (The distributed loop is property-tested against this very
+      union-find, so the two regimes are pinned to each other.)
     - small frontier (≤ ``broadcast_edge_threshold`` edge rows): the
       label relation is broadcast into both joins and the frontier is
       coalesced to a handful of partitions — each round is a couple of
@@ -302,12 +341,21 @@ def connected_components(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
     ).localCheckpoint()
+    n_edges = edges.count()  # cheap: counts the checkpointed RDD
+    if n_edges <= driver_edge_threshold:
+        labels_df = _driver_union_find(edges)
+        return vertices.select(F.col(id_col).cast("long").alias(id_col)).join(
+            F.broadcast(labels_df.withColumnRenamed("v", id_col)), id_col, "left"
+        ).select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).alias("component_id"),
+        )
     both = edges.select(
         F.col("id_a").alias("v"), F.col("id_b").alias("u")
     ).unionByName(
         edges.select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
     ).localCheckpoint()  # the loop re-reads this every round — keep it flat
-    n_edge_rows = both.count()  # cheap: counts the checkpointed RDD
+    n_edge_rows = 2 * n_edges
     small = n_edge_rows <= broadcast_edge_threshold
     if small:
         parts = max(1, n_edge_rows // 250_000 + 1)

@@ -617,12 +617,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """
 
+# q18 pre-aggregates lineitem BEFORE the join (the canonical q18 plan):
+# the groupBy collapses map-side to one row per orderkey, HAVING cuts the
+# survivors to a sliver, and the join input shrinks from the full fact
+# table to that sliver — so the orders join stays broadcast-able at any
+# corpus size, where the join-then-aggregate form shuffles every joined
+# lineitem row. Every lineitem has an order, so inner-join semantics are
+# unchanged.
 SPARK_SQL["q18_large_orders"] = ORACLE["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
 SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-GROUP BY o_orderkey, o_orderdate, o_totalprice
-HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+       CAST(qty AS DOUBLE) AS total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
 ORDER BY total_qty DESC, o_orderkey
 LIMIT 100
 """
@@ -2803,12 +2814,13 @@ _PRIORITY = (
     "semantic_dedup_prune",
     "token_budget_select",
     "incremental_dedup_merge",
-    # -- behavior changed this round (df-from-tf rewrite; must re-prove)
+    # -- behavior changed this round (plan rewrites; must re-prove)
     "tfidf_top_term",
     "dedup_components",
     "dedup_keep_canonical",
     "ivf_partitioned_probe",
     "ivf_probe_topk",
+    "q18_large_orders",
     # -- last green in round 2 (rule #2: oldest-check first)
     "w2_event_index",
     "w4_ad00_zero_fill",
@@ -2832,7 +2844,6 @@ _PRIORITY = (
     "decontamination_overlap",
     "training_mix_sample",
     "lang_id_heuristic",
-    "lang_profile",
     "quality_score",
     "text_quality",
     "token_count_by_source",
@@ -2845,7 +2856,10 @@ _PRIORITY = (
     # w1_f144_stats in r1+r2+r3 — so a one-round gap is within policy).
     # multimodal_resize_spec/multimodal_frame_sample (r2-green, metadata-only
     # ops, code untouched, pytest-covered) ceded their slots to the two new
-    # r4 queries above — first window candidates for r5.
+    # r4 queries above; lang_profile (r2-green, shares the lang-ID core with
+    # in-window lang_id_heuristic) ceded its slot to the rewritten
+    # q18_large_orders — all first window candidates for r5.
+    "lang_profile",
     "multimodal_resize_spec",
     "multimodal_frame_sample",
 )

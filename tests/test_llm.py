@@ -224,12 +224,15 @@ def test_connected_components_transitive(spark):
 
 def test_connected_components_chain_diameter(spark):
     """A length-6 path needs multiple propagation rounds — exercises the
-    fixpoint loop, not just one iteration."""
+    fixpoint loop, not just one iteration (driver_edge_threshold=0 keeps
+    this on the distributed regime)."""
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
     )
     verts = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
-    comp = dedup.connected_components(edges, verts).collect()
+    comp = dedup.connected_components(
+        edges, verts, driver_edge_threshold=0
+    ).collect()
     assert {r.component_id for r in comp} == {0}
 
 

@@ -55,11 +55,21 @@ def test_connected_components_matches_union_find(spark, edges):
         else spark.createDataFrame([], "id_a long, id_b long")
     )
     vdf = spark.createDataFrame([(v,) for v in vertices], ["doc_id"])
+    # driver_edge_threshold=0 forces the DISTRIBUTED label-propagation
+    # loop — the driver union-find regime is itself a union-find, so the
+    # loop is the regime this model test must pin.
     got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(
+            edf, vdf, driver_edge_threshold=0
+        ).collect()
+    }
+    assert got == _model_components(e, vertices)
+    driver = {
         r.doc_id: r.component_id
         for r in dedup.connected_components(edf, vdf).collect()
     }
-    assert got == _model_components(e, vertices)
+    assert driver == got  # tiny-regime union-find agrees with the loop
 
 
 vectors = st.lists(
