@@ -9,10 +9,13 @@ worth a design look).  Steps where the driving table doesn't grow are
 skipped.
 
 The LLM family gets a second, truer measurement via --synth: sf0.1's
-documents/embeddings replicated x1/x10/x100 under /tmp (each replica gets
-a text suffix / embedding perturbation so duplicate density and near-dup
-geometry stay realistic instead of every doc gaining N exact copies),
-giving an honest 100x span with exactly-10x steps for the corpus ops.
+documents/embeddings replicated x1/x10/x100/x1000 under /tmp (each
+replica gets a text suffix / embedding perturbation so duplicate density
+and near-dup geometry stay realistic instead of every doc gaining N
+exact copies), giving an honest 1000x span with exactly-10x steps for
+the corpus ops. The x1000 tier (5M docs) runs only for X1000_OPS — the
+reduced-relation family plus two linear signature controls; the rest
+stop at x100 where their slope is already pinned.
 
 Usage: python tools/scaling_curve.py [out.md]        # sf-dir mode
        python tools/scaling_curve.py --synth [out.md]  # replicated-corpus mode
@@ -86,6 +89,23 @@ MAX_DIRS = {
     "srp_near_dup_pairs": 2,
 }
 
+# Ops that also run the x1000 tier (5M docs) in synth mode — the
+# reduced-relation family whose whole point is staying flat, plus two
+# linear signature representatives as the growth control. Everything
+# else stops at x100: a linear op at x1000 costs minutes and its slope
+# is already pinned by the x10→x100 step.
+X1000_OPS = {
+    "dedup_exact",
+    "cms_heavy_hitters",
+    "temperature_mix_sample",
+    "token_budget_select",
+    "incremental_dedup_merge",
+    "sequence_packing",
+    "bpe_token_count",
+    "simhash_fingerprints",
+    "minhash_signatures",
+}
+
 
 def time_query(spark, fn, sf_dir: str, name: str) -> float:
     def once() -> float:
@@ -94,7 +114,10 @@ def time_query(spark, fn, sf_dir: str, name: str) -> float:
         return time.perf_counter() - t0
 
     dt = once()
-    if dt > 0.5 and name not in MEMOIZED:
+    # re-measure to shed cold-cache noise (a 42 s cold first pass was
+    # observed settling to 6 s warm), but don't double runs long enough
+    # that their length already swamps any constant
+    if 0.5 < dt < 120 and name not in MEMOIZED:
         spark.catalog.clearCache()
         dt = min(dt, once())
     spark.catalog.clearCache()
@@ -103,7 +126,7 @@ def time_query(spark, fn, sf_dir: str, name: str) -> float:
 
 SYNTH_ROOT = "/tmp/scaling_synth"
 SYNTH_BASE = "/root/testdata/sf0.1"
-SYNTH_MULTS = (1, 10, 100)
+SYNTH_MULTS = (1, 10, 100, 1000)
 
 
 def build_synth(spark) -> list[str]:
@@ -132,7 +155,7 @@ def build_synth(spark) -> list[str]:
              .select((F.col("doc_id") + F.col("replica") * 10_000_000).alias("doc_id"),
                      F.concat("text", F.lit(" r"), F.col("replica")).alias("text"),
                      "lang", "source", "n_chars")
-             .repartition(max(1, mult))
+             .repartition(min(64, max(1, mult)))
              .write.mode("overwrite").parquet(f"{d}/documents.parquet"))
         (embs.crossJoin(reps)
              .select((F.col("vec_id") + F.col("replica") * 10_000_000).alias("vec_id"),
@@ -140,7 +163,7 @@ def build_synth(spark) -> list[str]:
                                  lambda x: x + F.col("replica") * F.lit(0.0003))
                       .cast("array<float>").alias("embedding"),
                      "label")
-             .repartition(max(1, mult))
+             .repartition(min(64, max(1, mult)))
              .write.mode("overwrite").parquet(f"{d}/embeddings.parquet"))
     return dirs
 
@@ -173,6 +196,20 @@ def main() -> None:
 
     funcs["ngram_jaccard_capped8"] = _capped_jaccard
 
+    # SemDeDup with k scaled to the corpus (the production form): the
+    # registry query pins k for oracle portability, so its per-cluster
+    # quadratic term grows with the corpus — auto-k is the mitigation
+    # evidence, same pairing as capped jaccard vs the uncapped query.
+    def _semdedup_auto(spark, sf_dir):
+        from kafka_to_nexus_spark.llm import similarity
+
+        Q.register_views(spark, sf_dir, ("embeddings",))
+        return similarity.semantic_dedup_auto(
+            spark.table("embeddings"), threshold=Q._SEMDEDUP_TAU
+        )
+
+    funcs["semantic_dedup_auto"] = _semdedup_auto
+
     sf_dirs = SF_DIRS
     family = dict(FAMILY)
     if synth:
@@ -180,6 +217,7 @@ def main() -> None:
         family = {n: t for n, t in FAMILY.items()
                   if t in ("documents", "embeddings")}
         family["ngram_jaccard_capped8"] = "documents"
+        family["semantic_dedup_auto"] = "embeddings"
     def count_rows(path: str) -> int:
         p = Path(path)
         if p.is_dir():
@@ -192,17 +230,24 @@ def main() -> None:
         d: {t: count_rows(f"{d}/{t}.parquet") for t in set(family.values())}
         for d in sf_dirs
     }
+    n_tiers = len(sf_dirs)
+    n_steps = n_tiers - 1
     rows = []
     for name, table in family.items():
         fn = funcs[name]
-        limit = MAX_DIRS.get(name, len(sf_dirs)) if synth else len(sf_dirs)
+        if synth:
+            limit = MAX_DIRS.get(name, n_tiers if name in X1000_OPS else 3)
+            limit = min(limit, n_tiers)
+        else:
+            limit = n_tiers
         ts: list[float | None] = []
         for sf_dir in sf_dirs[:limit]:
             ts.append(time_query(spark, fn, sf_dir, name))
             gc.collect()
-        ts += [None] * (len(sf_dirs) - len(ts))
-        slopes = []
-        for a, b in ((0, 1), (1, 2)):
+        ts += [None] * (n_tiers - len(ts))
+        slopes: list[float | None] = []
+        for a in range(n_steps):
+            b = a + 1
             if ts[a] is None or ts[b] is None:
                 slopes.append(None)
                 continue
@@ -210,8 +255,8 @@ def main() -> None:
             slopes.append(
                 math.log(ts[b] / ts[a]) / math.log(ratio) if ratio > 1 else None
             )
-        rows.append((name, table, *ts, *slopes))
-        shown = slopes[1] if slopes[1] is not None else slopes[0]
+        rows.append((name, table, ts, slopes))
+        shown = next((s for s in reversed(slopes) if s is not None), None)
         print(f"{name}[{table}]: "
               + " ".join("—" if t is None else f"{t:.2f}" for t in ts)
               + f" slope {shown if shown is None else round(shown, 2)}",
@@ -224,24 +269,27 @@ def main() -> None:
     def fmt_t(t):
         return "—" if t is None else f"{t:.2f}"
 
+    def last_slope(slopes):
+        return next((s for s in reversed(slopes) if s is not None), None)
+
     labels = [Path(d).name for d in sf_dirs]
-    lines = [
-        f"| query | driving table | {labels[0]} s | {labels[1]} s | {labels[2]} s "
-        "| slope step1 | slope step2 | verdict |",
-        "|---|---|---|---|---|---|---|---|",
-    ]
-    for name, table, t0, t1, t2, s_lo, s_hi in sorted(
-        rows, key=lambda r: -(r[6] if r[6] is not None else -9)
+    header = ("| query | driving table | "
+              + " | ".join(f"{lb} s" for lb in labels) + " | "
+              + " | ".join(f"slope step{i + 1}" for i in range(n_steps))
+              + " | verdict |")
+    lines = [header, "|" + "---|" * (2 + n_tiers + n_steps + 1)]
+    for name, table, ts, slopes in sorted(
+        rows, key=lambda r: -(last_slope(r[3]) if last_slope(r[3]) is not None else -9)
     ):
-        s = s_hi if s_hi is not None else s_lo
+        s = last_slope(slopes)
         verdict = ("no-growth-step" if s is None
                    else "**superlinear**" if s > 1.3
                    else "linear" if s > 0.6 else "overhead-bound")
         if name in MAX_DIRS and synth:
             verdict += " (span bounded: quadratic pair/edge output spills at x100)"
         lines.append(
-            f"| {name} | {table} | {fmt_t(t0)} | {fmt_t(t1)} | {fmt_t(t2)} "
-            f"| {fmt(s_lo)} | {fmt(s_hi)} | {verdict} |"
+            f"| {name} | {table} | " + " | ".join(fmt_t(t) for t in ts)
+            + " | " + " | ".join(fmt(s) for s in slopes) + f" | {verdict} |"
         )
     md = "\n".join(lines)
     print(md)
