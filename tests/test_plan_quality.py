@@ -93,6 +93,20 @@ def test_agg_is_partial_before_shuffle(spark):
     assert "partial_min" in plan and "partial_max" in plan, plan
 
 
+def test_q18_aggregates_lineitem_below_the_join(spark):
+    """q18's lineitem aggregate must sit BELOW the orders join (join input =
+    the HAVING survivors, broadcast-able at any scale), not above it — the
+    join-then-aggregate form shuffles every joined fact row."""
+    plan = _plan(spark, Q.SPARK_SQL["q18_large_orders"])
+    lines = plan.splitlines()
+    # the plan tree section lists operators top-down; the HashAggregate pair
+    # must appear deeper (later) than the join that consumes them
+    tree = [l for l in lines if "HashAggregate" in l or "Join" in l]
+    join_idx = next(i for i, l in enumerate(tree) if "Join" in l)
+    assert any("HashAggregate" in l for l in tree[join_idx + 1 :]), plan
+    assert "partial_sum" in plan, plan
+
+
 def test_partition_pruning_on_date_partitioned_layout(spark, tmp_path):
     """At 100 TB the stream table is date-partitioned; a day predicate must
     prune partitions at plan time (PartitionFilters), not scan-and-filter."""
