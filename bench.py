@@ -218,6 +218,11 @@ def main() -> None:
     # in-window query was paying ~1.5 s of join/agg JIT).
     Q.register_views(spark, sf_dir)
     spark.sql("SELECT count(*) FROM events").collect()
+    # Touch the corpus tables too: documents/embeddings back half the
+    # inventory, and a cold first read charges one query with the page-cache
+    # fill for everyone after it.
+    spark.sql("SELECT count(length(text)) FROM documents").collect()
+    spark.sql("SELECT count(size(embedding)) FROM embeddings").collect()
     spark.sql(
         "SELECT o_orderpriority, count(*) AS n, sum(l_extendedprice) AS s "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
@@ -238,9 +243,12 @@ def main() -> None:
     # run each round, so single-shot numbers would charge whichever query
     # runs first with the session's remaining JIT instead of its plan.
     # Queries that memoize across invocations (the dedup pair shares its
-    # CC-label table per session) stay single-shot: their second run would
-    # measure the cache hit, not the operator.
-    MEMOIZED = {"dedup_components", "dedup_keep_canonical"}
+    # CC-label table per session) need the memo dropped between timed runs —
+    # otherwise the second run measures the cache hit, not the operator.
+    # dedup_keep_canonical stays single-shot BY DESIGN: its honest cost in a
+    # session that already ran dedup_components IS the memoized projection.
+    RESET_MEMO = {"dedup_components": Q._CC_LABELS_CACHE.clear}
+    MEMOIZED = {"dedup_keep_canonical"}
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -256,6 +264,7 @@ def main() -> None:
             dt = run_once()
             if dt > 0.8 and name not in MEMOIZED:
                 spark.catalog.clearCache()
+                RESET_MEMO.get(name, lambda: None)()
                 dt = min(dt, run_once())
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
