@@ -265,7 +265,10 @@ def main() -> None:
             if dt > 0.8 and name not in MEMOIZED:
                 spark.catalog.clearCache()
                 RESET_MEMO.get(name, lambda: None)()
-                dt = min(dt, run_once())
+                try:
+                    dt = min(dt, run_once())
+                except Exception:  # noqa: BLE001
+                    pass  # keep the successful first measurement
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             timings[name] = None

@@ -201,7 +201,9 @@ def worker(args) -> int:
             # would truncate the last published snapshot in place and show
             # them a torn file (and lose it if the pack crashed midway).
             tmp_pack = final_path + ".packing"
-            hdf5.pack(out_dir, tmp_pack)
+            # file_name must record the PUBLISHED path, not the temp name
+            # the bytes are staged under.
+            hdf5.pack(out_dir, tmp_pack, file_name=final_path)
             os.replace(tmp_pack, final_path)
         except Exception as exc:  # noqa: BLE001 - worker must survive bad jobs
             error_message = str(exc) or exc.__class__.__name__

@@ -117,20 +117,31 @@ def lsh_candidate_pairs(
     so the self-join is linear in bucket sizes, not O(n²) — but pair
     OUTPUT is quadratic in bucket size, and real corpora have boilerplate
     clusters (one template, 10⁴ near-copies → 10⁸ pairs from one bucket).
-    ``max_bucket`` caps each (band, band_key) bucket at its lowest-id
-    members before pairing (the batch twin of the streaming
-    near_dup_candidates cap): a cluster's survivors still pair with the
-    cluster's canonical low-id docs, so connected-components still merges
-    it, while the pair count per bucket is bounded at max_bucket².
+    ``max_bucket`` bounds each (band, band_key) bucket's pair OUTPUT at
+    max_bucket² + bucket_size (the batch twin of the streaming
+    near_dup_candidates cap): the lowest-id ``max_bucket`` members pair
+    all-against-all as before, and every member past the cap emits ONE
+    star edge to the bucket's minimum id. No doc leaves the candidate
+    relation — a capped-out doc still reaches the cluster's canonical
+    low-id doc, so connected-components still merges the whole cluster;
+    only the redundant within-cluster clique edges are dropped.
     """
     banded = banded_signatures(sig, id_col, bands, rows_per_band)
+    star = None
     if max_bucket is not None:
+        # One window spec serves both: rank for the cap, first-by-id for
+        # the bucket canonical (== min id under this ordering).
         w = Window.partitionBy("band", "band_key").orderBy(id_col)
-        banded = (
-            banded.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_bucket)
-            .drop("_rk")
+        ranked = banded.withColumn("_rk", F.row_number().over(w)).withColumn(
+            "_canon", F.first(id_col).over(w)
         )
+        star = (
+            ranked.filter(F.col("_rk") > max_bucket)
+            .select(
+                F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        banded = ranked.filter(F.col("_rk") <= max_bucket).drop("_rk", "_canon")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -144,9 +155,10 @@ def lsh_candidate_pairs(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
-    return pairs
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard(

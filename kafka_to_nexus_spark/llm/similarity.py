@@ -761,7 +761,15 @@ def semantic_dedup_auto(
     DuckDB oracle replays clustering bit-for-bit at one size.
     """
     n = df.count()
-    k = max(min_k, n // max(1, target_cluster_size))
+    if n == 0:
+        # total on the degenerate input: prune of nothing is nothing
+        # (kmeans_train cannot seed centroids from an empty frame)
+        return df.select(
+            F.col(id_col), F.lit(None).cast("int").alias("centroid_id"),
+            F.lit(True).alias("keep"),
+        ).limit(0)
+    # clamp to the corpus: kmeans_train cannot seed more centroids than rows
+    k = min(n, max(min_k, n // max(1, target_cluster_size)))
     centroids = kmeans_train(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
     return semantic_dedup_prune(
         df, centroids, threshold, vec_col=vec_col, id_col=id_col

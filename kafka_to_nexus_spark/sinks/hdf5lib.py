@@ -606,7 +606,10 @@ def _serialize(root: _GroupNode) -> bytes:
                 # trailing key: the next sibling's first key, or the grid end
                 nxt = groups[i + 1][0][0] if i + 1 < len(groups) else end
                 node += key(nxt)
-                assert alloc(node) == addrs[i]
+                # alloc is the WRITE — never inside the assert (python -O
+                # strips asserts, and with them the node bytes)
+                addr = alloc(node)
+                assert addr == addrs[i]
                 out.append((g[0][0], addrs[i]))
             return out
 

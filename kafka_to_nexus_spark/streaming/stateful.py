@@ -441,13 +441,17 @@ def _make_bucket_fn(max_bucket: int, horizon_ms: int):
             last = max(last, t)
             if d in seen:  # duplicate arrival of the same doc in the bucket
                 continue
+            # each arrival pairs against at most max_bucket members and
+            # membership is trimmed INSIDE the loop — a burst delivering a
+            # hot bucket in one micro-batch emits O(max_bucket * batch)
+            # pairs, never batch² (the cap exists exactly for that burst).
             pairs.extend((min(d, o), max(d, o)) for o in docs)
             docs.append(d)
             seen.add(d)
-        if len(docs) > max_bucket:
-            # cap hot buckets: keep the most recent members (the batch
-            # pipeline's analog is AQE skew handling / band widening)
-            docs = docs[-max_bucket:]
+            if len(docs) > max_bucket:
+                # keep the most recent members (the batch pipeline's
+                # analog is the lsh_candidate_pairs star cap)
+                del docs[0]
         state.update((docs, last))
         if last:
             _set_clamped_timeout(state, last // 1_000_000 + horizon_ms)

@@ -390,14 +390,31 @@ def test_lsh_max_bucket_caps_pairs_keeps_canonical(spark):
             for i in range(30)]
     docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     sig = dedup.minhash_signatures(docs)
-    uncapped = dedup.lsh_candidate_pairs(sig).count()
-    capped_df = dedup.lsh_candidate_pairs(sig, max_bucket=4)
-    capped = capped_df.count()
-    assert capped < uncapped
-    # per (band, band_key) bucket of size<=4 → <=6 pairs; and low ids
-    # (the canonicals) survive the cap
-    ids = {r.id_a for r in capped_df.collect()}
-    assert min(ids) <= 2
+    uncapped_pairs = [(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sig).collect()]
+    capped_pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sig, max_bucket=4).collect()
+    ]
+    assert len(capped_pairs) < len(uncapped_pairs)
+
+    # NO doc may escape the candidate relation: a capped-out member still
+    # carries a star edge to the bucket canonical, so union-find over the
+    # capped pairs yields the SAME components as over the full cliques.
+    def components(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(30)}
+
+    assert components(capped_pairs) == components(uncapped_pairs)
 
 
 def test_semantic_dedup_auto_scales_k_with_corpus(spark, embeddings):
@@ -421,3 +438,16 @@ def test_semantic_dedup_auto_scales_k_with_corpus(spark, embeddings):
     # keep is True for every vector no higher-similarity lower id exists;
     # at threshold 0.99 on random embeddings nearly everything survives
     assert sum(1 for r in rows if r.keep) >= 190
+
+
+def test_semantic_dedup_auto_degenerate_corpora(spark, embeddings):
+    """Total on edge inputs: an empty corpus returns an empty result with
+    the same schema (not a kmeans seed crash), and a 1-row corpus clamps
+    k to n and keeps its only vector."""
+    empty = similarity.semantic_dedup_auto(
+        embeddings.limit(0), threshold=0.9, n_iter=1)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"vec_id", "centroid_id", "keep"}
+    one = similarity.semantic_dedup_auto(
+        embeddings.limit(1), threshold=0.9, n_iter=1).collect()
+    assert len(one) == 1 and one[0].keep

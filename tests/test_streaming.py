@@ -1155,6 +1155,26 @@ def test_bucket_cap_bounds_state_and_pairs():
     assert len(state.get[0]) <= 5
 
 
+def test_bucket_cap_bounds_single_batch_burst():
+    """The cap must hold INSIDE one micro-batch too: a burst delivering a
+    hot bucket in a single state-function call emits O(max_bucket * n)
+    pairs, not n² — and membership is trimmed as the loop runs."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark.streaming.stateful import _make_bucket_fn
+
+    n, cap = 200, 5
+    fn = _make_bucket_fn(max_bucket=cap, horizon_ms=60_000)
+    state = _FakeGroupState()
+    pdf = pd.DataFrame({"timestamp": [1_000_000_000 * (i + 1) for i in range(n)],
+                        "doc_id": list(range(n))})
+    outs = list(fn((0, "k"), iter([pdf]), state))
+    n_pairs = sum(len(o) for o in outs)
+    assert n_pairs <= cap * n
+    assert n_pairs < n * (n - 1) // 2  # strictly below the quadratic clique
+    assert len(state.get[0]) <= cap
+
+
 def test_da00_first_message_constants_in_streaming(spark, tmp_path):
     """W5 parity with batch mode: a da00 constant with no configured data
     is refined from the source's FIRST message (da00_Writer.cpp:92-130) —
