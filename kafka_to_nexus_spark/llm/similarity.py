@@ -566,11 +566,22 @@ def srp_candidate_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the SRP signature and bucket-join: only same-band-value pairs
     meet (shuffle key = (band, band value)), never all-pairs. The vectors
     ride through the explode (dim floats ≪ a shuffle-join back to the
-    corpus) so the verify stage needs no second join."""
+    corpus) so the verify stage needs no second join.
+
+    ``max_bucket`` bounds each (band, band_val) bucket's pair output at
+    max_bucket² + bucket_size, exactly like the minhash
+    ``lsh_candidate_pairs`` cap: the lowest-id members pair
+    all-against-all, and every member past the cap emits one star edge
+    (with its cosine, vectors ride along) to the bucket's min-id
+    canonical — no vector leaves the candidate relation, so a
+    downstream connected-components merge sees the same components as
+    the uncapped cliques while a boilerplate embedding cluster stops
+    emitting cluster² pairs."""
     band_bits = bits // bands
     sig = df.select(
         id_col,
@@ -594,20 +605,44 @@ def srp_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "_v", "bk.band", "bk.band_val")
+    star = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_val").orderBy(id_col)
+        ranked = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .withColumn("_cid", F.first(id_col).over(w))
+            .withColumn("_cv", F.first("_v").over(w))
+        )
+        star = ranked.filter(F.col("_rk") > max_bucket).select(
+            F.col("_cid").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_cv").alias("_va"),
+            F.col("_v").alias("_vb"),
+        )
+        banded = ranked.filter(F.col("_rk") <= max_bucket).drop(
+            "_rk", "_cid", "_cv"
+        )
     a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a._v").alias("_va"),
+        F.col("b._v").alias("_vb"),
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        pairs.groupBy("id_a", "id_b")
         .agg(
-            F.first(F.col("a._v")).alias("_va"),
-            F.first(F.col("b._v")).alias("_vb"),
+            F.first(F.col("_va")).alias("_va"),
+            F.first(F.col("_vb")).alias("_vb"),
         )
         .select(
             "id_a",

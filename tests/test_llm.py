@@ -206,6 +206,40 @@ def test_srp_candidates_rank_similar_vectors(spark):
     assert (0, 2) not in pairs  # opposite vector flips every bit
 
 
+def test_srp_max_bucket_star_cap_preserves_components(spark):
+    """An embedding boilerplate cluster (many perturbations of one
+    template) must not emit cluster² SRP pairs: past the cap each member
+    pairs only with the bucket canonical, components stay identical to
+    the uncapped cliques, and the star pairs carry true cosines."""
+    base = [float((i * 37) % 13 - 6) for i in range(64)]
+    rows = [(i, [x + 0.0001 * i for x in base]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = {(r.id_a, r.id_b): r.cosine
+                for r in similarity.srp_candidate_pairs(df).collect()}
+    capped = {(r.id_a, r.id_b): r.cosine
+              for r in similarity.srp_candidate_pairs(df, max_bucket=4).collect()}
+    assert len(capped) < len(uncapped)
+    # star pairs report the same cosine the clique form would have
+    for k, v in capped.items():
+        assert abs(v - uncapped[k]) < 1e-9, k
+
+    def components(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(20)}
+
+    assert components(capped) == components(uncapped)
+
+
 def test_connected_components_transitive(spark):
     """a-b and b-c edges must land a, b, c in one component labelled by
     the lowest id; isolated vertices keep their own id."""

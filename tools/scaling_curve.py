@@ -196,6 +196,20 @@ def main() -> None:
 
     funcs["ngram_jaccard_capped8"] = _capped_jaccard
 
+    # the SRP star cap: same mitigation for the embedding family — the
+    # uncapped srp_near_dup_pairs is span-bounded (pair output spills at
+    # x100); the cap bounds per-bucket output while keeping components
+    # exact (union-find-equality tested)
+    def _capped_srp(spark, sf_dir):
+        from kafka_to_nexus_spark.llm import similarity
+
+        Q.register_views(spark, sf_dir, ("embeddings",))
+        return similarity.srp_candidate_pairs(
+            spark.table("embeddings"), max_bucket=8
+        )
+
+    funcs["srp_near_dup_capped8"] = _capped_srp
+
     # SemDeDup with k scaled to the corpus (the production form): the
     # registry query pins k for oracle portability, so its per-cluster
     # quadratic term grows with the corpus — auto-k is the mitigation
@@ -217,6 +231,7 @@ def main() -> None:
         family = {n: t for n, t in FAMILY.items()
                   if t in ("documents", "embeddings")}
         family["ngram_jaccard_capped8"] = "documents"
+        family["srp_near_dup_capped8"] = "embeddings"
         family["semantic_dedup_auto"] = "embeddings"
     def count_rows(path: str) -> int:
         p = Path(path)
