@@ -8,9 +8,10 @@ Python decode per message (FlatBuffers parse is field-seek, not full
 deserialize), no JVM round-trips per field.
 
 Scale: decode is a narrow map — no shuffle, pipelined with the scan.
-Undecodable messages surface as rows with ``schema``/``timestamp`` null
-plus ``decode_error`` so the D2 taxonomy (operators/quality.py) can count
-them; the reference likewise keeps consuming after bad buffers
+Undecodable messages surface as rows with ``schema``/``source_name``/
+``timestamp`` null (MESSAGE_SCHEMA has no extra error column) so the D2
+taxonomy (operators/quality.py) can classify them; the reference
+likewise keeps consuming after bad buffers
 (src/FlatbufferMessage.cpp:41-74 sets Valid=false).
 """
 
@@ -67,14 +68,19 @@ def encode_fixture(item: dict) -> bytes:
     if schema == "ep01":
         return ess.encode_ep01(source, item.get("connection_status", 0), ts_ms)
     if schema == "tdct":
+        # tdct fixture timestamps are ALREADY ns (FIXTURES.md) — pass raw,
+        # like the JSON-path twin (sources/fixtures.py)
         return ess.encode_tdct(
-            source, [int(t) * MS_TO_NS for t in item.get("timestamps", [])]
+            source, [int(t) for t in item.get("timestamps", [])]
         )
     if schema == "se00":
-        pts = item.get("packet_timestamp", ts_ms)
+        # an explicit packet_timestamp is ns (FIXTURES.md); only the
+        # envelope-ms fallback needs the conversion — matching the twin
+        pts = item.get("packet_timestamp")
+        pts_ns = int(pts) if pts is not None else ts_ms * MS_TO_NS
         return ess.encode_se00(
             source,
-            int(pts) * MS_TO_NS,
+            pts_ns,
             item.get("values", []),
             time_delta=float(item.get("time_delta") or 0.0),
             timestamps_ns=[int(t) for t in item.get("timestamps", [])] or None,
@@ -82,7 +88,9 @@ def encode_fixture(item: dict) -> bytes:
     if schema == "ad00":
         data = item.get("data", [])
         if data and not isinstance(data[0], list):
-            data = [data]
+            # 1-D fixture: dimensions [n], not [1, n] — the JSON twin
+            # emits rank-1 and _pack_ad00_frames stacks on the given rank
+            return ess.encode_ad00_uint16(source, [data], ts_ms, dims=[len(data)])
         return ess.encode_ad00_uint16(source, data, ts_ms)
     if schema == "da00":
         if item.get("variables"):  # full multi-variable frame form

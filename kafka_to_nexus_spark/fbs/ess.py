@@ -31,16 +31,13 @@ _F144_ARRAY_FMT = {11: "b", 12: "B", 13: "h", 14: "H", 15: "i", 16: "I", 17: "q"
 _SE00_ARRAY_FMT = {1: "b", 2: "B", 3: "h", 4: "H", 5: "i", 6: "I", 7: "q", 8: "Q", 9: "f", 10: "d"}
 SE00_DOUBLE_ARRAY = 10
 
-SEVERITY_NAMES = {0: "Severity::OK", 1: "Severity::MINOR", 2: "Severity::MAJOR", 3: "Severity::INVALID"}
-SEVERITY_CODES = {v: k for k, v in SEVERITY_NAMES.items()}
-CONNECTION_NAMES = {
-    0: "ConnectionInfo::UNKNOWN",
-    1: "ConnectionInfo::NEVER_CONNECTED",
-    2: "ConnectionInfo::CONNECTED",
-    3: "ConnectionInfo::DISCONNECTED",
-    4: "ConnectionInfo::DESTROYED",
-}
-CONNECTION_CODES = {v: k for k, v in CONNECTION_NAMES.items()}
+# Derived from the single authoritative maps in schemas.py so the decode
+# path can never drift from the rest of the engine.
+from ..schemas import CONNECTION_INFO_CODES as CONNECTION_CODES  # noqa: E402
+from ..schemas import SEVERITY_CODES  # noqa: E402
+
+SEVERITY_NAMES = {v: k for k, v in SEVERITY_CODES.items()}
+CONNECTION_NAMES = {v: k for k, v in CONNECTION_CODES.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -184,10 +181,16 @@ DA00_DTYPE_FMT = {1: "b", 2: "B", 3: "h", 4: "H", 5: "i", 6: "I", 7: "q", 8: "Q"
 DA00_INT32 = 5
 
 
-def encode_ad00_uint16(source: str, values_2d: list[list[int]], timestamp_ms: int) -> bytes:
+def encode_ad00_uint16(
+    source: str,
+    values_2d: list[list[int]],
+    timestamp_ms: int,
+    dims: list[int] | None = None,
+) -> bytes:
     """ad00 N-D frame, uint16 payload as raw bytes + dimensions
     (FlatBufferGenerators.h:139-176). Slots: 0 source_name, 1 id,
-    2 timestamp, 3 data_type, 4 dimensions, 5 data."""
+    2 timestamp, 3 data_type, 4 dimensions, 5 data. ``dims`` overrides
+    the [rows, cols] default (a rank-1 fixture declares [n])."""
     import struct as _struct
 
     rows = len(values_2d)
@@ -197,7 +200,7 @@ def encode_ad00_uint16(source: str, values_2d: list[list[int]], timestamp_ms: in
     b = Builder()
     src = b.create_string(source)
     data = b.create_vector("B", raw)
-    dims = b.create_vector("q", [rows, cols])
+    dims = b.create_vector("q", dims if dims is not None else [rows, cols])
     b.start_table(6)
     b.add_offset(5, data)
     b.add_offset(4, dims)

@@ -200,14 +200,19 @@ def _layout_message_chunked(
 
 def _gcol(strings: list[bytes]) -> bytes:
     """Global Heap Collection holding one object per string (index 1..N),
-    exact-sized, terminated by the free-space object 0 whose size is its
-    own 16-byte header."""
+    terminated by the free-space object 0. Collections are at least 4096
+    bytes — libhdf5's H5HG_MINSIZE, which the format spec expects — so
+    spec-strict readers don't reject the heap; the slack is declared as
+    object 0's free space."""
     objs = bytearray()
     for i, s in enumerate(strings, start=1):
         pad = (-len(s)) % 8
         objs += struct.pack("<HHIQ", i, 1, 0, len(s)) + s + b"\x00" * pad
-    objs += struct.pack("<HHIQ", 0, 0, 0, 16)
-    total = 16 + len(objs)
+    used = 16 + len(objs)  # GCOL header + object blocks
+    total = max(4096, used + 16)
+    total += (-total) % 8
+    free = total - used  # >= 16: room for object 0's own header
+    objs += struct.pack("<HHIQ", 0, 0, 0, free) + b"\x00" * (free - 16)
     return b"GCOL" + struct.pack("<BBB", 1, 0, 0) + b"\x00" + struct.pack(
         "<Q", total
     ) + bytes(objs)
@@ -275,8 +280,13 @@ def _attr_message(name: str, value, alloc=None) -> bytes:
         dt = _dt_message_vlen_str()
         data = _vlen_payload(arr, alloc)
     else:
-        dt = _dt_message(np.dtype(dtype))
-        data = np.asarray(arr, dtype=dtype).tobytes()
+        nd = np.dtype(dtype)
+        if nd.byteorder == ">":
+            # the datatype message always declares little-endian — swap the
+            # payload like the dataset path does, or the values are garbage
+            nd = nd.newbyteorder("<")
+        dt = _dt_message(nd)
+        data = np.asarray(arr, dtype=nd).tobytes()
     ds = _dataspace_message(tuple(shape))
     return (
         struct.pack("<BBHHHB", 3, 0, len(raw_name), len(dt), len(ds), 1)
@@ -533,6 +543,12 @@ class File(Group):
 def _serialize(root: _GroupNode) -> bytes:
     buf = bytearray(b"\x00" * 48)  # superblock v2 placeholder
     addr_of: dict[int, int] = {}
+    in_progress: set[int] = set()
+    # hard-link cycles (a group linked into its own subtree — legal HDF5):
+    # the link to an in-progress ancestor is written with a placeholder
+    # address and patched (plus a header-checksum rewrite) once the
+    # ancestor's header lands. (header_addr, body_len, abs_off, target_id)
+    pending: list[tuple[int, int, int, int]] = []
 
     def alloc(data: bytes) -> int:
         addr = len(buf)
@@ -652,18 +668,48 @@ def _serialize(root: _GroupNode) -> bytes:
                         (0x0008, _layout_message(data_addr, len(raw)))
                     )
         else:
-            child_addrs = [(name, write_node(c)) for name, c in node.links.items()]
+            in_progress.add(id(node))
+            child_addrs: list[tuple[str, int | None, int]] = [
+                (
+                    name,
+                    None if id(c) in in_progress and id(c) not in addr_of
+                    else write_node(c),
+                    id(c),
+                )
+                for name, c in node.links.items()
+            ]
             messages.append((0x0002, _link_info_message()))
             messages.append((0x000A, _group_info_message()))
-            for name, caddr in child_addrs:
+            deferred: list[tuple[int, int]] = []  # (msg index, target id)
+            for name, caddr, target in child_addrs:
+                if caddr is None:  # link to an in-progress ancestor
+                    deferred.append((len(messages), target))
+                    caddr = UNDEF
                 messages.append((0x0006, _link_message(name, caddr)))
         for name, value in node.attrs.items():
             messages.append((0x000C, _attr_message(name, value, alloc)))
         addr = alloc(_object_header(messages))
         addr_of[id(node)] = addr
+        in_progress.discard(id(node))
+        if not isinstance(node, _DatasetNode) and deferred:
+            body_len = sum(4 + len(m) for _, m in messages)
+            for msg_idx, target in deferred:
+                off = addr + 10 + sum(
+                    4 + len(messages[j][1]) for j in range(msg_idx)
+                )
+                # the link address is the trailing 8 bytes of the body
+                off += 4 + len(messages[msg_idx][1]) - 8
+                pending.append((addr, body_len, off, target))
         return addr
 
     root_addr = write_node(root)
+    for header_addr, body_len, off, target in pending:
+        struct.pack_into("<Q", buf, off, addr_of[target])
+    for header_addr, body_len in {(a, b) for a, b, _, _ in pending}:
+        end = header_addr + 10 + body_len
+        struct.pack_into(
+            "<I", buf, end, jenkins_lookup3(bytes(buf[header_addr:end]))
+        )
     eof = len(buf)
     sb = MAGIC + struct.pack("<BBBB", 2, 8, 8, 0) + struct.pack(
         "<QQQQ", 0, UNDEF, eof, root_addr

@@ -359,3 +359,45 @@ def test_f144_array_fixture_round_trip():
     assert out["values"] == [1.5, -2.5, 3.0]
     assert out["source_name"] == "pv:w"
     assert "value" not in out
+
+
+def test_tdct_se00_fixture_units_match_json_twin():
+    """tdct timestamps and explicit se00 packet_timestamp are ALREADY ns
+    (FIXTURES.md); encode_fixture must pass them raw like
+    sources/fixtures.py does — only the envelope-ms fallback converts.
+    A ms->ns re-multiply made the binary pipeline 10^6 off the JSON one."""
+    from kafka_to_nexus_spark import fbs
+    from kafka_to_nexus_spark.fbs import ess
+
+    out = ess.decode(fbs.encode_fixture(
+        {"schema": "tdct", "source_name": "c",
+         "timestamps": [1_000_000_000, 2_000_000_000]}))
+    assert out["timestamps"] == [1_000_000_000, 2_000_000_000]
+
+    out = ess.decode(fbs.encode_fixture(
+        {"schema": "se00", "source_name": "s",
+         "packet_timestamp": 2_000_000_000, "values": [1.0]}))
+    assert out["packet_timestamp"] == 2_000_000_000
+    # fallback path: envelope ms converts
+    out = ess.decode(fbs.encode_fixture(
+        {"schema": "se00", "source_name": "s", "timestamp": 2000,
+         "values": [1.0]}))
+    assert out["packet_timestamp"] == 2_000 * 1_000_000
+
+
+def test_ad00_1d_fixture_keeps_rank():
+    """A rank-1 ad00 fixture must declare dimensions [n], not [1, n] —
+    the JSON twin emits rank 1, and _pack_ad00_frames stacks on the
+    declared rank, so a silent rank-2 promotion changed the packed
+    dataset shape depending on the ingestion path."""
+    from kafka_to_nexus_spark import fbs
+    from kafka_to_nexus_spark.fbs import ess
+
+    out = ess.decode(fbs.encode_fixture(
+        {"schema": "ad00", "source_name": "a", "data": [1, 2, 3],
+         "timestamp": 5}))
+    assert out["dimensions"] == [3]
+    out = ess.decode(fbs.encode_fixture(
+        {"schema": "ad00", "source_name": "a", "data": [[1, 2], [3, 4]],
+         "timestamp": 5}))
+    assert out["dimensions"] == [2, 2]

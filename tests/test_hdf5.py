@@ -525,3 +525,50 @@ def test_hdf5lib_chunked_round_trip_property(tmp_path_factory, arr, chunk_rows):
         assert got.dtype == arr.dtype
         assert got.shape == arr.shape
         np.testing.assert_array_equal(got, arr)
+
+
+def test_hdf5lib_hard_link_cycle(tmp_path):
+    """A group hard-linked into its own subtree is legal HDF5; the writer
+    patches the cyclic link address (and the header checksum) instead of
+    recursing forever."""
+    p = str(tmp_path / "cycle.h5")
+    with hdf5lib.File(p, "w") as f:
+        g = f.require_group("a")
+        f["a/self"] = g
+        g.attrs["marker"] = 7
+    with hdf5lib.File(p) as r:
+        assert r["a"].attrs["marker"] == 7
+        assert r["a/self"].attrs["marker"] == 7
+        assert r["a/self/self/self"].attrs["marker"] == 7
+
+
+def test_hdf5lib_big_endian_attribute(tmp_path):
+    """Attribute payloads are byteswapped to the declared little-endian
+    datatype, like the dataset path — big-endian input must round-trip by
+    value, not by raw bytes."""
+    import numpy as np
+
+    p = str(tmp_path / "be.h5")
+    with hdf5lib.File(p, "w") as f:
+        f.attrs["x"] = np.array([1, 2], dtype=">i4")
+        f.attrs["y"] = np.array([3.5], dtype=">f8")
+    with hdf5lib.File(p) as r:
+        assert list(r.attrs["x"]) == [1, 2]
+        assert list(r.attrs["y"]) == [3.5]
+
+
+def test_hdf5lib_gcol_minimum_size(tmp_path):
+    """Global Heap Collections are at least libhdf5's 4096-byte minimum
+    (spec-strict readers reject smaller), with the slack declared as
+    object 0's free space."""
+    import struct as _struct
+
+    p = str(tmp_path / "gcol.h5")
+    with hdf5lib.File(p, "w") as f:
+        f.attrs["s"] = "short"
+    raw = open(p, "rb").read()
+    i = raw.index(b"GCOL")
+    size = _struct.unpack_from("<Q", raw, i + 8)[0]
+    assert size >= 4096 and size % 8 == 0
+    with hdf5lib.File(p) as r:
+        assert r.attrs["s"] == "short"
