@@ -196,6 +196,12 @@ class JobPool:
         resp = controller.handle_start(msg)
         if resp.accepted:
             self._queue.pop(0)  # commit ≈ claim
+        elif controller.state is WorkerState.IDLE:
+            # rejected while idle = the MESSAGE is malformed (parse/UUID
+            # failure) — nobody can ever claim it. Consume-and-answer like
+            # the transports (transport.py), or it wedges the pool head
+            # and starves every job queued behind it.
+            self._queue.pop(0)
         return resp
 
 

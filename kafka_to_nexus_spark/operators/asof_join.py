@@ -59,18 +59,29 @@ def asof_join_backward(
         .orderBy(F.col(ts).asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
-    for a in val:
-        out = out.withColumn(a, F.last(a, ignorenulls=True).over(w))
-    if tolerance is not None:
-        ref_ts = F.last(F.when(F.col(_TAG) == 0, F.col(ts)), ignorenulls=True).over(w)
-        for a in val:
-            out = out.withColumn(
-                a, F.when(ref_ts >= F.col(ts) - F.lit(tolerance), F.col(a))
-            )
+    # Carry the matched right ROW as one struct (pandas merge_asof matches
+    # rows): per-column last(ignorenulls) would skip a newer right row
+    # whose value is null and validate tolerance against a row that did
+    # NOT supply the value — silently returning an out-of-tolerance stale
+    # reading.
+    picked = F.last(
+        F.when(
+            F.col(_TAG) == 0,
+            F.struct(F.col(ts).alias("_ref_ts"), *[F.col(a) for a in val]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = unioned.withColumn("_asof_row", picked)
+    keep = (
+        F.col("_asof_row")["_ref_ts"] >= F.col(ts) - F.lit(tolerance)
+        if tolerance is not None
+        else F.lit(True)
+    )
+    for c, a in zip(right_values, val):
+        out = out.withColumn(a, F.when(keep, F.col("_asof_row")[a]))
     return (
         out.filter(F.col(_TAG) == 1)
-        .drop(_TAG)
+        .drop(_TAG, "_asof_row")
         .withColumnsRenamed({a: f"asof_{c}" for c, a in zip(right_values, val)})
     )
 
@@ -105,19 +116,24 @@ def asof_join_forward(
         .orderBy(F.col(ts).asc(), F.col(_TAG).desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = unioned
-    for a in val:
-        out = out.withColumn(a, F.first(a, ignorenulls=True).over(w))
-    if tolerance is not None:
-        ref_ts = F.first(
-            F.when(F.col(_TAG) == 0, F.col(ts)), ignorenulls=True
-        ).over(w)
-        for a in val:
-            out = out.withColumn(
-                a, F.when(ref_ts <= F.col(ts) + F.lit(tolerance), F.col(a))
-            )
+    # matched right ROW as a struct — see asof_join_backward for why
+    picked = F.first(
+        F.when(
+            F.col(_TAG) == 0,
+            F.struct(F.col(ts).alias("_ref_ts"), *[F.col(a) for a in val]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = unioned.withColumn("_asof_row", picked)
+    keep = (
+        F.col("_asof_row")["_ref_ts"] <= F.col(ts) + F.lit(tolerance)
+        if tolerance is not None
+        else F.lit(True)
+    )
+    for c, a in zip(right_values, val):
+        out = out.withColumn(a, F.when(keep, F.col("_asof_row")[a]))
     return (
         out.filter(F.col(_TAG) == 1)
-        .drop(_TAG)
+        .drop(_TAG, "_asof_row")
         .withColumnsRenamed({a: f"asof_{c}" for c, a in zip(right_values, val)})
     )

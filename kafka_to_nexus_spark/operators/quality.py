@@ -9,12 +9,11 @@ they ride the same scan with zero extra passes.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, observation
 from pyspark.sql import functions as F
 
-from .filters import ORDER_COLS, TS
+from .filters import TS
 from ..schemas import SCHEMA_IDS
 
 
@@ -42,14 +41,15 @@ def valid_only(df: DataFrame) -> DataFrame:
 
 def with_offset_gap_flag(
     df: DataFrame,
-    order_cols: Sequence[str] = ORDER_COLS,
     flag_col: str = "has_offset_gap",
 ) -> DataFrame:
     """D5 — non-consecutive offsets per (topic, partition) → BadOffsets.
 
-    Reference: src/Stream/Partition.cpp:226-230. One window shuffle on
-    (topic, partition) — same key Kafka data already arrives partitioned by,
-    so on a streaming read this is shuffle-free within a micro-batch.
+    Gap detection is offset-ordered BY DEFINITION (the reference compares
+    consecutive offsets, src/Stream/Partition.cpp:226-230), so there is
+    no order parameter. One window shuffle on (topic, partition) — same
+    key Kafka data already arrives partitioned by, so on a streaming read
+    this is shuffle-free within a micro-batch.
     """
     w = Window.partitionBy("topic", "partition").orderBy("offset")
     prev = F.lag("offset").over(w)

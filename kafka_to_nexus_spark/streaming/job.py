@@ -174,6 +174,36 @@ def envelope_from_kafka_json(kafka_df: DataFrame) -> DataFrame:
 # Cross-batch state + micro-batch processor (K1 analog)
 # --------------------------------------------------------------------------
 
+def _drop_cross_batch_repeats(src: DataFrame, lasts: dict, key_expr) -> DataFrame:
+    """F4 across micro-batches: each (source, partition)'s FIRST row this
+    batch (lag == null within the batch, so drop_repeated_timestamps keeps
+    it) still repeats if its ts equals the last ts WRITTEN from that
+    partition — the reference's one-SourceFilter-per-(source, partition)
+    carry state. Shared by the grouped and singles paths (only the
+    ``lasts`` map key shape differs); the window spec is aligned with
+    drop_repeated_timestamps so its exchange + sort are reused and the
+    check costs no extra shuffle. The coalesce(-1) guards element_at's
+    null for partitions with no prior tail — ts == null would null the
+    predicate and silently drop the row."""
+    if not lasts:
+        return src
+    w = Window.partitionBy(*filters.F4_SOURCE_COLS).orderBy(*filters.F4_ORDER_COLS)
+    last_map = F.create_map(*[F.lit(x) for kv in lasts.items() for x in kv])
+    return (
+        src.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            ~(
+                (F.col("_rn") == 1)
+                & (
+                    F.col("timestamp")
+                    == F.coalesce(F.element_at(last_map, key_expr), F.lit(-1))
+                )
+            )
+        )
+        .drop("_rn")
+    )
+
+
 @dataclass
 class StreamingJobState:
     """The only cross-batch state the reference keeps, one entry per source:
@@ -337,7 +367,15 @@ class StreamingJob:
         against the new stop; the watchdog re-arms against it. Stop-now =
         retarget to the current wall clock."""
         self.stop_ns = stop_time_ms * MS_TO_NS
-        self.state.finished = (
+        # Re-arm the F6 machine too: the reference's Partition::setStopTime
+        # propagates the new stop into the partition filter
+        # (src/Stream/Partition.cpp:117-123) — without it a stop on a
+        # quiet run-forever job can never take the TIMED_OUT exit.
+        self.partition_filter.stop_time_s = stop_time_ms / 1000.0
+        # finished LATCHES: an error-timeout or earlier stop that already
+        # declared the job done must not be un-finished by a later
+        # retarget to a future stop time.
+        self.state.finished = self.state.finished or (
             self.state.max_event_time_ns > self.stop_ns + AFTER_STOP_LEEWAY_NS
         )
 
@@ -566,45 +604,13 @@ class StreamingJob:
                     for (m, s, p), t in st.last_written_ts.items()
                     if m == module_id and s in group_sources
                 }
-                if lasts:
-                    # same window spec as drop_repeated_timestamps just
-                    # above: its exchange + sort are reused, so the
-                    # cross-batch check costs no extra shuffle. The first
-                    # row per (source, partition) is checked against THAT
-                    # partition's last written ts — the reference's
-                    # one-SourceFilter-per-(source, partition) state.
-                    w = Window.partitionBy(*filters.F4_SOURCE_COLS).orderBy(
-                        *filters.F4_ORDER_COLS
-                    )
-                    last_map = F.create_map(
-                        *[F.lit(x) for kv in lasts.items() for x in kv]
-                    )
-                    # coalesce guard: element_at is null for partitions
-                    # with no prior tail; ts == null would null the
-                    # predicate and silently drop the row
-                    src = (
-                        src.withColumn("_rn", F.row_number().over(w))
-                        .filter(
-                            ~(
-                                (F.col("_rn") == 1)
-                                & (
-                                    F.col("timestamp")
-                                    == F.coalesce(
-                                        F.element_at(
-                                            last_map,
-                                            F.concat_ws(
-                                                "\x1f",
-                                                F.col("source_name"),
-                                                F.col("partition"),
-                                            ),
-                                        ),
-                                        F.lit(-1),
-                                    )
-                                )
-                            )
-                        )
-                        .drop("_rn")
-                    )
+                src = _drop_cross_batch_repeats(
+                    src,
+                    lasts,
+                    F.concat_ws(
+                        "\x1f", F.col("source_name"), F.col("partition")
+                    ),
+                )
                 for (m, s, p), tail in tails.items():
                     if m == module_id and tail is not None and s in group_sources:
                         st.last_written_ts[(m, s, p)] = int(tail)
@@ -651,31 +657,9 @@ class StreamingJob:
                     for (m, s, p), t in st.last_written_ts.items()
                     if (m, s) == key
                 }
-                if lasts:
-                    # window spec aligned with drop_repeated_timestamps so
-                    # the plan reuses its exchange + sort (see grouped path)
-                    w = Window.partitionBy(*filters.F4_SOURCE_COLS).orderBy(
-                        *filters.F4_ORDER_COLS
-                    )
-                    last_map = F.create_map(
-                        *[F.lit(x) for kv in lasts.items() for x in kv]
-                    )
-                    src = (
-                        src.withColumn("_rn", F.row_number().over(w))
-                        .filter(
-                            ~(
-                                (F.col("_rn") == 1)
-                                & (
-                                    F.col("timestamp")
-                                    == F.coalesce(
-                                        F.element_at(last_map, F.col("partition")),
-                                        F.lit(-1),
-                                    )
-                                )
-                            )
-                        )
-                        .drop("_rn")
-                    )
+                src = _drop_cross_batch_repeats(
+                    src, lasts, F.col("partition")
+                )
                 for (m, s, p), tail in tails.items():
                     if (m, s) == key and tail is not None:
                         st.last_written_ts[(m, s, p)] = int(tail)
@@ -707,13 +691,15 @@ class StreamingJob:
                             merged[name] = value
                     st.statics_by_path[binding.path] = merged
             cfg = binding.config
-            if binding.module == "ev44" and (cfg or {}).get("cue_interval"):
+            if (cfg or {}).get("cue_interval"):
                 # The batch-local "cue" output is dropped below and
-                # recomputed at finalize with the cross-batch carry
-                # (events_base/last_cue). ev44's cue_blocked is EAGER
-                # (persist + per-block collect), so computing it here just
-                # to discard it would double every batch's cue cost —
-                # strip the trigger for the transform call only.
+                # recomputed at finalize (cross-batch carry for ev44;
+                # staged-log derivation for the rest), so the interval
+                # must not trigger per-batch cue work: ev44's cue_blocked
+                # is EAGER (persist + per-block collect) and f144's cue
+                # path runs with_row_index's two-pass shuffle just to
+                # have its output discarded. Strip the trigger for the
+                # transform call only — finalize reads binding.config.
                 cfg = {k: v for k, v in cfg.items() if k != "cue_interval"}
             outputs = module.transform(src, cfg)
             written = self._written_datasets.setdefault(_stream_key(binding), [])
@@ -1002,7 +988,15 @@ class StreamingJob:
                 cue = cue_table(indexed, cue_interval).select(
                     "cue_index", "cue_timestamp_zero"
                 )
-                staging.write_dataset(cue, self.out_dir, binding.path, "cue")
+                # the cue frame has no 'batch' column, so the packer won't
+                # re-sort it (_ordered_frame) — write it ordered, single
+                # file (tiny: one row per cue_interval crossing), or the
+                # hash-exchange lineage emits part files in hash order and
+                # the packed cue_index breaks its binary-search contract
+                staging.write_dataset(
+                    cue, self.out_dir, binding.path, "cue",
+                    order_by=["cue_index"], single_file=True,
+                )
                 if "cue" not in written:
                     written.append("cue")
             # T6 job-summary aggregates from staged output (ev44's events

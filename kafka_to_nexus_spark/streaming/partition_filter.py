@@ -79,6 +79,12 @@ class PartitionFilter:
         return self._clock() - self._state_since
 
     def has_errored_out(self) -> bool:
+        # NOTE: an interleaved non-ERROR status (message, EOP, timeout)
+        # resets the persistence clock, so alternating error/ok never
+        # trips the timeout. That is reference-exact: the C++ machine's
+        # updateStatusOccurrenceTime restamps on every state CHANGE
+        # (src/Stream/PartitionFilter.cpp:38-44), so only an
+        # uninterrupted ERROR run counts.
         return (
             self._state is PartitionState.ERROR
             and self._state_age() > self.error_timeout_s

@@ -215,7 +215,9 @@ def _make_session_fn(gap_ns: int):
             if cur is None:
                 cur = (t, t, 1)
             elif t - cur[1] <= gap_ns:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                # min() on the start: a cross-batch out-of-order row inside
+                # the watermark can precede the open session's first event
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
             else:  # intra-batch gap: previous session is definitively over
                 closed.append(cur)
                 cur = (t, t, 1)

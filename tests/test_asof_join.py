@@ -107,3 +107,30 @@ def test_forward_asof_tolerance(spark):
     )
     assert got[0].asof_value is None  # next reading at 8 is 7 ahead > 3
     assert got[1].asof_value == 5.0   # 8 within 6 + 3
+
+
+def test_null_valued_right_row_is_the_match(spark):
+    """merge_asof matches ROWS: when the latest at-or-before right row
+    carries a null value, the result is null — not a stale value from an
+    older (possibly out-of-tolerance) row, which the per-column
+    last(ignorenulls) form silently substituted."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark.operators.asof_join import asof_join_backward
+
+    left = pd.DataFrame({"k": ["a"], "ts": [10], "lv": [0]})
+    right = pd.DataFrame({"k": ["a", "a"], "ts": [5, 10],
+                          "value": [3.0, None]})
+    got = asof_join_backward(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        keys=["k"], ts="ts", right_values=["value"], tolerance=2,
+    ).collect()
+    assert got[0].asof_value is None
+    expect = pd.merge_asof(left, right, on="ts", by="k", tolerance=2)
+    assert pd.isna(expect["value"].iloc[0])
+    # without tolerance the matched row is still ts=10 -> null value
+    got = asof_join_backward(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        keys=["k"], ts="ts", right_values=["value"],
+    ).collect()
+    assert got[0].asof_value is None

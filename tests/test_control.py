@@ -397,3 +397,24 @@ def test_future_window_job_writes_clean_empty_output(spark, tmp_path):
     hdf5.pack(out, hdf_path)
     with hdf5lib.File(hdf_path, "r") as f:
         assert list(f[f144["path"] + "/value"][()]) == [15.0]
+
+
+def test_malformed_pool_head_is_consumed():
+    """A malformed start at the queue head is consumed-and-answered (the
+    transport contract) — it must not wedge the pool and starve the valid
+    jobs queued behind it."""
+    import uuid as _uuid
+
+    from kafka_to_nexus_spark.control.commands import JobController, JobPool
+
+    pool = JobPool()
+    pool.offer({"job_id": "not-a-uuid", "filename": "f",
+                "nexus_structure": {"children": []}})
+    good_id = str(_uuid.uuid4())
+    pool.offer({"job_id": good_id, "filename": "g",
+                "nexus_structure": {"children": []}})
+    c = JobController()
+    r1 = pool.claim(c)
+    assert r1 is not None and not r1.accepted
+    r2 = pool.claim(c)
+    assert r2 is not None and r2.accepted and r2.job_id == good_id

@@ -1290,3 +1290,20 @@ def test_old_format_state_file_migrates_to_partition_keys(spark, tmp_path):
     }))
     st = _load_job_state(str(out))
     assert st.last_written_ts == {("f144", "src_a", 0): 12_000_000_000}
+
+
+def test_stop_retarget_rearms_partition_filter_and_latches_finished(spark, buffered_job):
+    """retarget_stop must (a) propagate the new stop into the F6 machine
+    (Partition::setStopTime -> partition filter, Partition.cpp:117-123) so
+    a quiet run-forever job can take the TIMED_OUT exit, and (b) never
+    un-finish a job the error path already declared done."""
+    job = buffered_job
+    job.stop_ns = None  # run-forever job
+    job.partition_filter.stop_time_s = None
+    job.retarget_stop(12_000)
+    assert job.partition_filter.stop_time_s == 12.0  # (a) re-armed
+
+    # (b) finished latches across a later retarget to a far-future stop
+    job.state.finished = True
+    job.retarget_stop(10_000_000)
+    assert job.state.finished
