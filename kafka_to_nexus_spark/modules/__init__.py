@@ -4,7 +4,8 @@ Module contract: ``transform(df, config) -> dict[str, DataFrame]`` — one
 DataFrame per output dataset group (most modules emit one), plus optional
 ``aggregates(df, config)`` for job-summary metadata (T6). The registry
 mirrors the reference's WriterRegistrar (src/WriterRegistrar.h): schema id →
-module, with the template module claiming multiple ids.
+module, including the example no-op writer under id "test"
+(TemplateWriter.cpp:17-18).
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ REGISTRY = {
     "ep01": ep01,
     "tdct": tdct,
     "mdat": mdat,
+    "test": template,  # the reference's example no-op writer
 }
 
 

@@ -96,7 +96,14 @@ def _walk_children(children: list, parent: str, plan: Plan) -> None:
         if not isinstance(node, dict):
             continue
         if node.get("type") == "group" or ("name" in node and "module" not in node):
-            name = node["name"]
+            name = node.get("name")
+            if not name:
+                # reject-with-reason like unknown modules (runner.run_job),
+                # not a KeyError from deep inside the walk
+                raise ValueError(
+                    f"nexus_structure group node under {parent or '/'!r} "
+                    "has no 'name'"
+                )
             path = _join(parent, name)
             plan.groups.append(path)
             plan.group_attributes.extend(_parse_attributes(node, path))
@@ -126,6 +133,12 @@ def _handle_module(node: dict, parent: str, plan: Plan) -> None:
     elif module == "mdat":
         plan.mdat.append(MdatBinding(path=parent or "/", items=list(config.get("items", []))))
     else:
+        # normalize the documented "type" alias into "dtype" ONCE at parse
+        # time (commands.md dtype|type) so every module transform and the
+        # pack step read a single key
+        if "dtype" not in config and "type" in config:
+            config = dict(config)
+            config["dtype"] = config["type"]
         plan.streams.append(
             StreamBinding(
                 path=parent or "/",

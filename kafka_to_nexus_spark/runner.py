@@ -161,7 +161,16 @@ def run_job(
         for dataset, df in outputs.items():
             order = [c for c in ORDER_COLS.get((module_id, dataset), []) if c in df.columns]
             if order:
-                df = df.sortWithinPartitions("__source", *order)
+                # repartition BY SOURCE first: each source then lands whole
+                # in one task, so sortWithinPartitions gives the same
+                # per-source global order the per-binding path gets from
+                # orderBy (and one ordered part file per source dir) —
+                # without it, a source spanning tasks concatenates part
+                # files in task order and the packed time axis is not
+                # monotone
+                df = df.repartition("__source").sortWithinPartitions(
+                    "__source", *order
+                )
             df = df.drop(*[c for c in HELPER_COLS if c in df.columns])
             staging.write_dataset_grouped(df, out_dir, path_by_source, dataset)
             written.append(dataset)

@@ -101,20 +101,22 @@ def _chunks(n: int, chunk_size: int):
     return (min(chunk_size, max(n, 1)),)
 
 
-def _pack_ad00_frames(grp, pdf, chunk_size: int) -> None:
+def _pack_ad00_frames(grp, pdf, chunk_size: int, dtype=None) -> None:
     """W4: stack per-message N-D frames into one (n+1)-D ``value`` dataset,
     extending trailing dims to the max extent and zero-filling smaller
     slabs (ExtensibleDataset.h:412-519: larger frame → extend, smaller
-    frame → hyperslab at origin, remainder stays fill=0)."""
+    frame → hyperslab at origin, remainder stays fill=0). ``dtype`` is
+    the stream's configured element type — not hard-coded float64, or
+    integer counts above 2^53 would silently round."""
     shapes = [tuple(int(d) for d in s) for s in pdf["shape"]]
     rank = max((len(s) for s in shapes), default=0)
     shapes = [s + (1,) * (rank - len(s)) for s in shapes]
     max_shape = tuple(
         max((s[i] for s in shapes), default=0) for i in range(rank)
     )
-    stack = np.zeros((len(shapes), *max_shape), dtype=np.float64)
+    stack = np.zeros((len(shapes), *max_shape), dtype=dtype or np.float64)
     for i, (s, flat) in enumerate(zip(shapes, pdf["data"])):
-        frame = np.asarray(flat, dtype=np.float64).reshape(s)
+        frame = np.asarray(flat).astype(stack.dtype).reshape(s)
         stack[(i,) + tuple(slice(0, d) for d in s)] = frame
     grp.create_dataset("value", data=stack).attrs["units"] = ""
     grp.create_dataset(
@@ -147,9 +149,20 @@ def _pack_da00_frames(grp, pdf, chunk_size: int) -> None:
     for col in pdf.columns:
         if not col.startswith("data_"):
             continue
-        stack = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf[col] if v is not None]
-        )
+        # keep every variable stack aligned with the SHARED time axis:
+        # a message missing this variable (or carrying a shorter array)
+        # fills with 0 at its row instead of being dropped — dropping
+        # would shift variable[i] off time[i] and silently corrupt the
+        # NXdata (fill=0 is ExtensibleDataset's fill semantics)
+        vals = [
+            None if v is None else np.asarray(v, dtype=np.float64).ravel()
+            for v in pdf[col]
+        ]
+        width = max((len(v) for v in vals if v is not None), default=0)
+        stack = np.zeros((len(vals), width), dtype=np.float64)
+        for i, v in enumerate(vals):
+            if v is not None:
+                stack[i, : len(v)] = v
         grp.create_dataset(col[len("data_"):], data=stack)
     grp.create_dataset(
         "time",
@@ -213,10 +226,13 @@ def pack(
         for a in meta["group_attributes"]:
             _write_attrs(f[a["path"]], [a])
 
-        # T2 static datasets (job structure wins over template content)
+        # T2 static datasets (job structure wins over template content —
+        # the reference initialises from the template THEN writes the job
+        # structure over it, JobCreator.cpp:32-43, so an existing
+        # template dataset at the same path is replaced, not kept)
         for d in meta["static_datasets"]:
             if d["path"] in f:
-                continue
+                del f[d["path"]]
             dtype = NUMPY_DTYPES.get(d.get("dtype") or "")
             data = np.asarray(d["values"], dtype=dtype) if dtype else d["values"]
             ds = f.create_dataset(d["path"], data=data)
@@ -240,7 +256,10 @@ def pack(
                 table = pq.read_table(staging.dataset_dir(out_dir, s["path"], dataset))
                 pdf = _ordered_frame(table, s["module"], dataset)
                 if s["module"] == "ad00" and dataset == "frames":
-                    _pack_ad00_frames(grp, pdf, chunk_size)
+                    _pack_ad00_frames(
+                        grp, pdf, chunk_size,
+                        NUMPY_DTYPES.get(cfg.get("dtype") or ""),
+                    )
                     continue
                 if s["module"] == "da00" and dataset == "frames":
                     _pack_da00_frames(grp, pdf, chunk_size)
@@ -252,7 +271,12 @@ def pack(
                     else:
                         arr = series.to_numpy()
                     if arr.dtype == object:
-                        arr = np.asarray(list(arr))
+                        coerced = np.asarray(list(arr))
+                        # keep str columns as object: numpy coerces them
+                        # to '<U' which h5py cannot write (vlen str needs
+                        # the object form on both backends)
+                        if coerced.dtype.kind != "U":
+                            arr = coerced
                     dtype = NUMPY_DTYPES.get(cfg.get("dtype", ""), None)
                     if dtype is not None and col == "value":
                         arr = arr.astype(dtype)  # narrow widened unsigned
@@ -267,6 +291,13 @@ def pack(
         # job-summary metadata values (T6) — f144 aggregates inherit the
         # stream's value units (f144_Writer.cpp metadata datasets)
         for path, value in meta.get("metadata_values", {}).items():
+            if value is None:
+                # zero-message source: min/max/average are None — the
+                # reference writes no aggregate datasets when nothing was
+                # written (f144_Writer.cpp close-time guards); h5py would
+                # raise on data=None and hdf5lib would write a bogus
+                # empty float dataset
+                continue
             if path not in f:
                 ds = f.create_dataset(path, data=value)
                 parent = str(Path(path).parent).rstrip("/")
@@ -275,10 +306,14 @@ def pack(
                 ):
                     ds.attrs["units"] = units_by_path[parent]
 
-        # T4 hard links at finalize
+        # T4 hard links at finalize. posixpath.normpath: the target is an
+        # HDF5-internal path — Path.resolve() would consult the REAL
+        # filesystem (symlinks, drive prefixes) and could mangle it.
+        import posixpath
+
         for link in meta["links"]:
             parent = str(Path(link["path"]).parent)
-            target = str((Path(parent) / link["target"]).resolve())
+            target = posixpath.normpath(posixpath.join(parent, link["target"]))
             if target in f:
                 f[link["path"]] = f[target]
 

@@ -456,6 +456,15 @@ class Group:
         except KeyError:
             return False
 
+    def __delitem__(self, path: str) -> None:
+        """Unlink (h5py ``del f[path]``) — drops the name; the node
+        itself survives if hard-linked elsewhere."""
+        parts = [p for p in path.split("/") if p]
+        parent = self._resolve("/".join(parts[:-1])) if len(parts) > 1 else (
+            self._node if not path.startswith("/") else self._file._root
+        )
+        del parent.links[parts[-1]]
+
     def keys(self):
         return self._node.links.keys()
 

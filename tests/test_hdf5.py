@@ -572,3 +572,105 @@ def test_hdf5lib_gcol_minimum_size(tmp_path):
     assert size >= 4096 and size % 8 == 0
     with hdf5lib.File(p) as r:
         assert r.attrs["s"] == "short"
+
+
+def test_pack_skips_none_metadata_values(tmp_path, spark):
+    """Zero-message sources leave min/max/average as None; pack writes NO
+    aggregate dataset for them (reference close-time guards) instead of
+    crashing h5py on data=None or staging a bogus empty dataset."""
+    tpl = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{
+            "name": "quiet", "type": "group",
+            "children": [{"module": "f144",
+                          "config": {"topic": "t", "source": "never",
+                                     "dtype": "double"}}],
+        }],
+    }]}
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    start = StartMessage(job_id="none-meta", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    run_job(spark, start, messages_from_json(spark, []), str(out))
+    hdf = str(tmp_path / "out.nxs")
+    hdf5.pack(out, hdf)
+    with hdf5lib.File(hdf) as f:
+        assert "/entry/quiet/minimum_value" not in f
+        assert "/entry/quiet/maximum_value" not in f
+
+
+def test_pack_job_statics_override_template_content(tmp_path, spark):
+    """T2 precedence: the job's nexus_structure wins over template-file
+    content at the same path (the reference initialises from the template
+    THEN writes the job structure over it, JobCreator.cpp:32-43)."""
+    tpl_file = str(tmp_path / "inst.hdf")
+    with hdf5lib.File(tpl_file, "w") as t:
+        t.create_dataset("/entry/title", data="old")
+    structure = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{"module": "dataset",
+                      "config": {"name": "title", "values": "new"}}],
+    }]}
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    start = StartMessage(job_id="tpl-prec", filename="f",
+                         nexus_structure=structure,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    run_job(spark, start, messages_from_json(spark, []), str(out))
+    hdf = str(tmp_path / "out.nxs")
+    hdf5.pack(out, hdf, template_file=tpl_file)
+    with hdf5lib.File(hdf) as f:
+        assert f["/entry/title"][()] == "new"
+
+
+def test_pack_da00_partial_variable_stays_time_aligned(tmp_path):
+    """A message missing one declared variable zero-fills its row instead
+    of being dropped — dropping would shift variable[i] off time[i]."""
+    import pandas as pd
+
+    class _Grp(dict):
+        def create_dataset(self, name, data=None, chunks=None):
+            self[name] = np.asarray(data)
+
+            class _A:
+                attrs = {}
+
+            a = _A()
+            a.data = data
+            return a
+
+    grp = _Grp()
+    pdf = pd.DataFrame({
+        "time": [1, 2],
+        "data_signal": [[1.0, 2.0], [3.0, 4.0]],
+        "data_background": [[9.0, 8.0], None],
+    })
+    hdf5._pack_da00_frames(grp, pdf, chunk_size=1024)
+    assert grp["signal"].shape == (2, 2)
+    assert grp["background"].shape == (2, 2)
+    assert list(grp["background"][1]) == [0.0, 0.0]
+    assert len(grp["time"]) == 2
+
+
+def test_pack_ad00_honours_configured_dtype(tmp_path):
+    """ad00's stacked value dataset uses the stream's configured dtype —
+    not hard-coded float64 (integer counts above 2^53 would round)."""
+    import pandas as pd
+
+    class _Grp(dict):
+        def create_dataset(self, name, data=None, chunks=None):
+            self[name] = np.asarray(data)
+
+            class _A:
+                attrs = {}
+
+            return _A()
+
+    grp = _Grp()
+    pdf = pd.DataFrame({"time": [1], "shape": [[2]],
+                        "data": [[2**53 + 1, 3]]})
+    hdf5._pack_ad00_frames(grp, pdf, chunk_size=16, dtype=np.uint64)
+    assert grp["value"].dtype == np.uint64
+    assert int(grp["value"][0][0]) == 2**53 + 1

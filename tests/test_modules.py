@@ -338,3 +338,34 @@ def test_ev44_transform_emits_cue_when_configured(spark):
     cues = out["cue"].orderBy("cue_index").collect()
     # events_after: 3,6,9,12 → cues at 6-1=5 and 12-1=11
     assert [c.cue_index for c in cues] == [5, 11]
+
+
+def test_example_noop_writer_module(spark, tmp_path):
+    """W10: the reference ships its module-author skeleton as a REAL
+    registered writer under id "test" (TemplateWriter.cpp:17-18) that
+    accepts messages and writes nothing. A plan binding {"module":
+    "test"} must run end-to-end with no datasets staged."""
+    import json as _json
+
+    from kafka_to_nexus_spark.modules import get_module
+    from kafka_to_nexus_spark.plan import StartMessage
+    from kafka_to_nexus_spark.runner import run_job
+    from kafka_to_nexus_spark.sinks import staging
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    assert get_module("test").transform(None, {}) == {}
+    tpl = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{"module": "test",
+                      "config": {"topic": "t", "source": "s"}}],
+    }]}
+    start = StartMessage(job_id="noop", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    rows = [{"schema": "f144", "topic": "t", "source_name": "s",
+             "timestamp": 11_000, "kafka_timestamp": 11_000, "value": 1.0,
+             "offset": 0}]
+    out = tmp_path / "staged"
+    res = run_job(spark, start, messages_from_json(spark, rows), str(out))
+    meta = _json.loads((out / "_nexus_meta.json").read_text())
+    s = [x for x in meta["streams"] if x["module"] == "test"][0]
+    assert s["datasets"] == []

@@ -530,3 +530,47 @@ def test_f144_array_pv_staged_and_aggregated(spark, tmp_path):
     with hdf5lib.File(str(hdf), "r") as f:
         arr = f["/entry/wave/value"][:]
         assert arr.shape == (2, 3) and arr[1][2] == 9.0
+
+
+def test_grouped_path_packs_monotone_time_across_partitions(spark, tmp_path):
+    """A grouped source whose messages interleave across Kafka partitions
+    must stage a per-source time-ordered log like the per-binding path
+    (repartition-by-source before the sorted grouped write): without it,
+    part files concatenate in task order and the packed time axis is not
+    monotone."""
+    import pyarrow.parquet as pq
+
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    tpl = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [
+            {"name": f"g{i}", "type": "group",
+             "children": [{"module": "f144",
+                           "config": {"topic": "t", "source": f"s{i}",
+                                      "dtype": "double",
+                                      "enable_alarm_info": False,
+                                      "enable_epics_con_info": False}}]}
+            for i in range(2)
+        ],
+    }]}
+    rows = []
+    off = {0: 0, 1: 0}
+    for ms in range(11_000, 14_000, 100):  # interleave partitions by time
+        p = (ms // 100) % 2
+        for i in range(2):
+            rows.append({"schema": "f144", "topic": "t",
+                         "source_name": f"s{i}", "timestamp": ms + i,
+                         "kafka_timestamp": ms, "value": float(ms),
+                         "partition": p, "offset": off[p]})
+            off[p] += 1
+    start = StartMessage(job_id="ord", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    run_job(spark, start, messages_from_json(spark, rows), str(out))
+    for i in range(2):
+        from kafka_to_nexus_spark.sinks import staging as stg
+
+        t = pq.read_table(stg.dataset_dir(out, f"/entry/g{i}", "log"))
+        times = t.column("time").to_pylist()
+        assert times == sorted(times) and len(times) == 30
