@@ -81,7 +81,17 @@ def banded_signatures(
     band — the LSH bucketing projection shared by the batch pair join and
     the streaming candidate operator. ``keep_cols`` ride along (e.g. the
     event timestamp for streaming state TTLs). Narrow map — streaming-safe."""
-    sig_cols = [
+    import re as _re
+
+    # canonical minhash columns (m0..mN) are authoritative when present:
+    # a signature frame with ride-along columns (e.g. the streaming
+    # timestamp) must NOT fold them into band keys — that would silently
+    # split buckets and lose near-dup candidates
+    m_cols = sorted(
+        (c for c in sig.columns if _re.fullmatch(r"m\d+", c)),
+        key=lambda c: int(c[1:]),
+    )
+    sig_cols = m_cols or [
         c for c in sig.columns if c != id_col and c not in keep_cols
     ]
     assert len(sig_cols) >= bands * rows_per_band, "not enough hashes for banding"
@@ -118,30 +128,42 @@ def lsh_candidate_pairs(
     OUTPUT is quadratic in bucket size, and real corpora have boilerplate
     clusters (one template, 10⁴ near-copies → 10⁸ pairs from one bucket).
     ``max_bucket`` bounds each (band, band_key) bucket's pair OUTPUT at
-    max_bucket² + bucket_size (the batch twin of the streaming
+    max_bucket² + 2·bucket_size (the batch twin of the streaming
     near_dup_candidates cap): the lowest-id ``max_bucket`` members pair
-    all-against-all as before, and every member past the cap emits ONE
-    star edge to the bucket's minimum id. No doc leaves the candidate
-    relation — a capped-out doc still reaches the cluster's canonical
-    low-id doc, so connected-components still merges the whole cluster;
-    only the redundant within-cluster clique edges are dropped.
+    all-against-all as before, and every member past the cap emits TWO
+    edges — a star edge to the bucket's minimum id and a chain edge to
+    its rank-predecessor. On the raw candidate graph the connected
+    components are EXACTLY the uncapped cliques' (tested by union-find
+    equality). Downstream of a thresholded verify (jaccard/cosine ≥ τ)
+    the guarantee is necessarily weaker — a capped member survives on
+    O(1) verified edges instead of O(bucket) — but the star+chain pair
+    covers the dangerous case: if the canonical is an LSH false positive
+    (its star edges fail verification), true near-dups still merge
+    through the chain of consecutive members.
     """
     banded = banded_signatures(sig, id_col, bands, rows_per_band)
     star = None
     if max_bucket is not None:
-        # One window spec serves both: rank for the cap, first-by-id for
-        # the bucket canonical (== min id under this ordering).
+        # One window spec serves all three: rank for the cap, first-by-id
+        # for the bucket canonical (== min id under this ordering), lag
+        # for the chain predecessor.
         w = Window.partitionBy("band", "band_key").orderBy(id_col)
-        ranked = banded.withColumn("_rk", F.row_number().over(w)).withColumn(
-            "_canon", F.first(id_col).over(w)
+        ranked = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .withColumn("_canon", F.first(id_col).over(w))
+            .withColumn("_prev", F.lag(id_col).over(w))
         )
-        star = (
-            ranked.filter(F.col("_rk") > max_bucket)
-            .select(
-                F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
+        capped_out = ranked.filter(F.col("_rk") > max_bucket)
+        star = capped_out.select(
+            F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
+        ).unionByName(
+            capped_out.select(
+                F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
             )
         )
-        banded = ranked.filter(F.col("_rk") <= max_bucket).drop("_rk", "_canon")
+        banded = ranked.filter(F.col("_rk") <= max_bucket).drop(
+            "_rk", "_canon", "_prev"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

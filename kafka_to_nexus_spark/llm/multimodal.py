@@ -55,21 +55,43 @@ def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     return [round(c / total, 6) for c in buckets]
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+# The swap point the module docstring promises: assign a real codec
+# (PIL/ffmpeg), signature ``(payload: bytes, dim: int) -> list[float]``,
+# and every extract_features call uses it. While the decoder IS the
+# stub, extract_features takes a batch-vectorized fast path that is
+# bit-identical to calling the stub per row (tested).
+DECODER = decode_stub
+
+
+def extract_features(df: DataFrame, dim: int = 8, decoder=None) -> DataFrame:
     """mapInPandas over Arrow batches: bytes → fixed-dim feature vector.
 
     Partition-preserving (no shuffle); each batch is processed vectorized
     in Python. At 100 TB this is the standard shape: binary scan stays
-    columnar, only the codec runs in Python workers.
+    columnar, only the codec runs in Python workers. ``decoder`` (or the
+    module-level ``DECODER``) replaces the stub in production.
     """
     import numpy as np
     import pandas as pd
+
+    decoder = decoder or DECODER
+    fast_path = decoder is decode_stub
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [p if p is not None else b"" for p in pdf["payload"]]
             lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
                                   count=len(payloads))
+            if not fast_path:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": lengths,
+                        "feature": [decoder(p, dim) for p in payloads],
+                    }
+                )
+                continue
             # ONE histogram pass for the whole Arrow batch: flatten all
             # payloads, bucket each byte, and bincount on (row, bucket)
             # pairs — no per-row numpy/bincount call overhead.

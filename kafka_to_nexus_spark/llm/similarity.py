@@ -79,7 +79,12 @@ def pandas_cosine_topk(
         mat = np.vstack(batch.to_numpy()).astype(np.float64)
         dots = mat @ qv
         norms = np.linalg.norm(mat, axis=1)
-        return pd.Series(dots / (norms * qn))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dots / (norms * qn)
+        # zero-norm vector (or query): 0/0 = NaN, and Spark sorts NaN
+        # ABOVE every real double in desc order — return null instead so
+        # degenerate rows sort last, like the SQL twin's divide-null
+        return pd.Series(out).where(np.isfinite(out), None)
 
     scored = df.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
@@ -134,8 +139,11 @@ def kmeans_train(
 
     - init: deterministic hash-ordered top-k sample (TakeOrdered — per-
       partition top-k, no global sort materialization);
-    - assign: :func:`nearest_centroid_expr` — map-only, centroids ride
-      along as literals (the broadcast-centers pattern), zero shuffle;
+    - assign: :func:`_assign_pandas_col` — map-only Arrow-batched BLAS
+      argmax with the centroid matrix as a closure constant (the
+      broadcast-centers pattern), zero shuffle; the codegen twin
+      :func:`nearest_centroid_expr` has identical tie-break semantics
+      but would recompile whole-stage codegen per iteration;
     - update: posexplode → partial-agg sum/count per (cluster, dim) —
       the only shuffle, sized k × dim × partitions, independent of row
       count; the k × dim result is collected to the driver (tiny by
@@ -298,12 +306,16 @@ def kmeans_assignment_stats_portable(
     ]
     best = F.array_max(F.array(*scored))
     cid = (-best["nc"]).cast("int")
-    # centroid norms as literals: Python's sequential fold is the same
-    # ordered IEEE sum as the SQL sqrt(list_dot_product(c, c)).
-    norm_arr = F.array(
-        *[F.lit(math.sqrt(_seq_dot(c, c))) for _, c in ordered]
+    # centroid norms as a literal id→norm MAP (not positional element_at:
+    # centroid ids need not be contiguous 0..k-1 — e.g. after dropping an
+    # empty cluster — and a positional lookup would yield NULL cosines).
+    # Python's sequential fold is the same ordered IEEE sum as the SQL
+    # sqrt(list_dot_product(c, c)).
+    norm_map = F.map_from_arrays(
+        F.array(*[F.lit(int(c_id)) for c_id, _ in ordered]),
+        F.array(*[F.lit(math.sqrt(_seq_dot(c, c))) for _, c in ordered]),
     )
-    cos = best["s"] / (norm(vec) * F.element_at(norm_arr, cid + F.lit(1)))
+    cos = best["s"] / (norm(vec) * F.element_at(norm_map, cid))
     assigned = df.select(cid.alias("centroid_id"), cos.alias("_cos"))
     return (
         assigned.groupBy("centroid_id")
@@ -433,12 +445,11 @@ def ivf_partitioned_probe(
 # the corpus side pays the precision loss.
 # ---------------------------------------------------------------------------
 
-def quantize_params(
-    df: DataFrame, vec_col: str = "embedding", dim: int = 64
-) -> DataFrame:
+def quantize_params(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension (min, max, scale) over the corpus — one posexplode +
     partial-agg shuffle of dim×partitions rows, independent of corpus
-    size. ``scale = (max-min)/255`` (0 for constant dimensions)."""
+    size; the dimensionality comes from the data itself.
+    ``scale = (max-min)/255`` (0 for constant dimensions)."""
     return (
         df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim_pos", "_x"))
         .groupBy("dim_pos")
@@ -574,14 +585,16 @@ def srp_candidate_pairs(
     corpus) so the verify stage needs no second join.
 
     ``max_bucket`` bounds each (band, band_val) bucket's pair output at
-    max_bucket² + bucket_size, exactly like the minhash
+    max_bucket² + 2·bucket_size, exactly like the minhash
     ``lsh_candidate_pairs`` cap: the lowest-id members pair
-    all-against-all, and every member past the cap emits one star edge
-    (with its cosine, vectors ride along) to the bucket's min-id
-    canonical — no vector leaves the candidate relation, so a
-    downstream connected-components merge sees the same components as
-    the uncapped cliques while a boilerplate embedding cluster stops
-    emitting cluster² pairs."""
+    all-against-all, and every member past the cap emits a star edge to
+    the bucket's min-id canonical plus a chain edge to its
+    rank-predecessor (vectors ride along, so emitted cosines are exact).
+    On the raw candidate graph components equal the uncapped cliques';
+    under a downstream cosine-threshold verify a capped member survives
+    on O(1) verified edges, with the chain covering a false-positive
+    canonical — while a boilerplate embedding cluster stops emitting
+    cluster² pairs."""
     band_bits = bits // bands
     sig = df.select(
         id_col,
@@ -614,15 +627,25 @@ def srp_candidate_pairs(
             banded.withColumn("_rk", F.row_number().over(w))
             .withColumn("_cid", F.first(id_col).over(w))
             .withColumn("_cv", F.first("_v").over(w))
+            .withColumn("_pid", F.lag(id_col).over(w))
+            .withColumn("_pv", F.lag("_v").over(w))
         )
-        star = ranked.filter(F.col("_rk") > max_bucket).select(
+        capped_out = ranked.filter(F.col("_rk") > max_bucket)
+        star = capped_out.select(
             F.col("_cid").alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.col("_cv").alias("_va"),
             F.col("_v").alias("_vb"),
+        ).unionByName(
+            capped_out.select(
+                F.col("_pid").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_pv").alias("_va"),
+                F.col("_v").alias("_vb"),
+            )
         )
         banded = ranked.filter(F.col("_rk") <= max_bucket).drop(
-            "_rk", "_cid", "_cv"
+            "_rk", "_cid", "_cv", "_pid", "_pv"
         )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
@@ -664,18 +687,20 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "ce",
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid. Centroids are
-    broadcast (they are small by construction), so this is a map-only
-    stage followed by one hash aggregate — no wide shuffle of the data."""
-    joined = df.crossJoin(F.broadcast(centroids))
-    score = dot(_as_double(F.col(vec_col)), _as_double(F.col(centroid_vec_col)))
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col(centroid_id_col), F.struct(score, -F.col(centroid_id_col))
-            ).alias(centroid_id_col)
-        )
+    """Assign each vector to its max-dot centroid, as ONE narrow map: the
+    centroid frame is tiny by construction, so it collects to the driver
+    and becomes the literal-centroid codegen argmax
+    (:func:`nearest_centroid_expr`) — no k-fold crossJoin row explosion
+    and no corpus-wide groupBy shuffle, which the previous
+    crossJoin+max_by form paid for the identical result (same dot
+    expression per centroid, same lowest-id tie-break)."""
+    rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    return df.select(
+        F.col(id_col),
+        nearest_centroid_expr(_as_double(F.col(vec_col)), cents).alias(
+            centroid_id_col
+        ),
     )
 
 

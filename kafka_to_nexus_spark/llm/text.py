@@ -34,7 +34,6 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
     toks = tokens(F.lower(text))
-    wl = [F.lit(w) for w in words]
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
@@ -120,7 +119,11 @@ def rolling_hash_fingerprints(
 # no backreferences, no lookaround.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    # international (+CC ...) or separator-structured (555-867-5309,
+    # (555) 123-4567). Deliberately NOT a bare digits+whitespace run:
+    # \s-joined digit groups match numeric prose and tables ("1999 2004
+    # 2008") and would scrub real content to [PHONE].
+    "phone": r"\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3,4}\)?[ \-.][0-9]{3}[\-.][0-9]{4}",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "url": r"https?://[^\s]+",
 }

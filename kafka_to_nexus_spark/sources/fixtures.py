@@ -52,7 +52,11 @@ def _normalize_row(item: dict, offset_by_partition: dict) -> dict:
         row["message"] = item.get("message", "")
     elif schema == "ev44":
         row["message_id"] = item.get("message_id")
-        ref = item.get("reference_time")
+        # default reference_time to the envelope timestamp, like the
+        # binary twin (fbs.encode_fixture) and the reference generator
+        # (FlatBufferGenerators.h) — a null reference_time would null
+        # ev44's event_time_zero on this path only
+        ref = item.get("reference_time", item.get("timestamp"))
         if ref is not None and not isinstance(ref, list):
             ref = [ref]
         row["reference_time"] = [int(t) * MS_TO_NS for t in ref] if ref else None

@@ -287,6 +287,23 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == out[2].n_url == 0
 
 
+def test_scrub_pii_phone_spares_numeric_prose(spark):
+    """The phone pattern must not match \\s-joined digit runs: numeric
+    prose and tables ('revenues were 1999 2004 2008 2012') are corpus
+    content, not phone numbers — the old digits+whitespace pattern
+    rewrote them to [PHONE]. Structured forms still scrub."""
+    rows = [
+        (0, "revenues were 1999 2004 2008 2012 across regions"),
+        (1, "line one 123\nline two 4567890\nline three 22"),
+        (2, "call 555-867-5309 or +46 8 123 456 78 today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+    assert out[0].n_phone == 0 and out[0].scrubbed_text == rows[0][1]
+    assert out[1].n_phone == 0 and out[1].scrubbed_text == rows[1][1]
+    assert out[2].n_phone == 2
+
+
 def test_stream_ivf_append_maintains_pruned_layout(spark, embeddings, tmp_path):
     """Streaming IVF maintenance: vectors streamed in two micro-batches
     land in the same partition-by-centroid layout the batch writer
@@ -485,3 +502,28 @@ def test_semantic_dedup_auto_degenerate_corpora(spark, embeddings):
     one = similarity.semantic_dedup_auto(
         embeddings.limit(1), threshold=0.9, n_iter=1).collect()
     assert len(one) == 1 and one[0].keep
+
+
+def test_multimodal_decoder_swap_contract(spark):
+    """The documented production contract: swapping DECODER (or passing
+    decoder=) changes the features; the vectorized fast path is
+    bit-identical to calling the stub per row."""
+    from kafka_to_nexus_spark.llm import multimodal as mm
+
+    rows = [(i, "image", None, None, None, None,
+             bytes([i % 7, (i * 3) % 11, 250, 0, i % 5]))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    fast = {r.media_id: r.feature
+            for r in mm.extract_features(df, dim=4).collect()}
+    slow = {r.media_id: r.feature
+            for r in mm.extract_features(
+                df, dim=4, decoder=lambda p, d: mm.decode_stub(p, d)
+            ).collect()}
+    assert fast == slow  # per-row stub == vectorized fast path
+
+    const = {r.media_id: r.feature
+             for r in mm.extract_features(
+                 df, dim=4, decoder=lambda p, d: [float(len(p))] * d
+             ).collect()}
+    assert all(v == [5.0] * 4 for v in const.values())
