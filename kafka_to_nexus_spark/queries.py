@@ -2815,6 +2815,7 @@ _PRIORITY = (
     "token_budget_select",
     "incremental_dedup_merge",
     # -- behavior changed this round (plan rewrites; must re-prove)
+    "asof_join_tolerance",  # as-of join rewritten to matched-row structs
     "tfidf_top_term",
     "dedup_components",
     "dedup_keep_canonical",
@@ -2845,13 +2846,15 @@ _PRIORITY = (
     "training_mix_sample",
     "lang_id_heuristic",
     "quality_score",
-    "text_quality",
     "token_count_by_source",
     "bpe_token_count",
     "repetition_signals",
     "asof_join_streams",
     "asof_join_forward",
     # ---- 50-slot window boundary (everything below is unchecked this round;
+    # text_quality (r2-green) ceded its slot to the rewritten
+    # asof_join_tolerance — it shares the llm/text scoring core with
+    # in-window quality_score, so the codepath keeps a driver row;
     # all were green in round 3 — f3_asof_buffer/w3_timestamp_synthesis/
     # w1_f144_stats in r1+r2+r3 — so a one-round gap is within policy).
     # multimodal_resize_spec/multimodal_frame_sample (r2-green, metadata-only
