@@ -263,3 +263,45 @@ def test_incremental_merge_sql_matches_python_model(spark, texts):
     finally:
         spark.catalog.dropTempView("documents")
     assert got == _merge_model(texts)
+
+
+# ---------------------------------------------------------------------------
+# Star+chain bucket cap: component preservation on the raw candidate graph
+# ---------------------------------------------------------------------------
+
+bucket_assignments = st.lists(
+    # (doc_id, bucket) — several docs share buckets, docs appear in
+    # multiple buckets (multi-band behavior), ids non-contiguous
+    st.tuples(st.integers(0, 40), st.integers(0, 5)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(assign=bucket_assignments, cap=st.integers(1, 4))
+@PROP_SETTINGS
+def test_star_chain_cap_preserves_components(assign, cap):
+    """The pure math of lsh_candidate_pairs/srp_candidate_pairs' cap:
+    per bucket, clique over the lowest-id ``cap`` members plus star
+    (canonical) and chain (rank-predecessor) edges for the rest must
+    produce EXACTLY the components of the full per-bucket cliques, for
+    any bucket structure."""
+    from itertools import combinations
+
+    buckets: dict[int, list[int]] = {}
+    for d, b in assign:
+        if d not in buckets.setdefault(b, []):
+            buckets[b].append(d)
+
+    full, capped = [], []
+    for members in buckets.values():
+        members = sorted(members)
+        full.extend(combinations(members, 2))
+        kept = members[:cap]
+        capped.extend(combinations(kept, 2))
+        for rank in range(cap, len(members)):
+            capped.append((members[0], members[rank]))       # star
+            capped.append((members[rank - 1], members[rank]))  # chain
+
+    vertices = sorted({d for d, _ in assign})
+    assert _model_components(capped, vertices) == _model_components(full, vertices)
