@@ -46,18 +46,22 @@ def cosine(a: Column, b: Column) -> Column:
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
-    k: int = 10,
+    k: int | None = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k by cosine against a literal query vector (broadcast as a
-    literal array — no join, no shuffle; TakeOrdered top-k on executors)."""
+    literal array — no join, no shuffle; TakeOrdered top-k on executors).
+    ``k=None`` returns ALL scored rows (ordered, no truncation) — for
+    callers that re-rank on a rounded metric and must not pre-cut on the
+    raw one."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
         cosine(_as_double(F.col(vec_col)), q).alias("cosine"),
     )
-    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+    out = scored.orderBy(F.desc("cosine"), F.col(id_col))
+    return out if k is None else out.limit(k)
 
 
 def pandas_cosine_topk(
@@ -411,7 +415,7 @@ def ivf_partitioned_probe(
     layout_path: str,
     centroids: list[tuple[int, list[float]]],
     query_vec: list[float],
-    k: int = 10,
+    k: int | None = 10,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -423,12 +427,19 @@ def ivf_partitioned_probe(
     every other bucket — at 100 TB the probe touches n_probe/k of the
     data instead of re-assigning the corpus per query (the batch-side
     analog of an IVF index lookup)."""
-    q = np.asarray(query_vec, dtype=np.float64)
+    # sequential-fold dots (_seq_dot), NOT numpy: BLAS pairwise summation
+    # can flip the last ulp on near-ties and probe a different bucket set
+    # than the oracle's list_dot_product sequential sum
+    qn = math.sqrt(_seq_dot(query_vec, query_vec))
     ranked = sorted(
         centroids,
-        key=lambda c: (-float(np.dot(q, np.asarray(c[1]))
-                              / (np.linalg.norm(q) * np.linalg.norm(c[1]) or 1.0)),
-                       c[0]),
+        key=lambda c: (
+            -(
+                _seq_dot(query_vec, c[1])
+                / ((qn * math.sqrt(_seq_dot(c[1], c[1]))) or 1.0)
+            ),
+            c[0],
+        ),
     )
     probe_ids = [cid for cid, _ in ranked[:n_probe]]
     lay = spark.read.parquet(layout_path).filter(

@@ -50,8 +50,17 @@ def _ns_ge(t: str) -> str:
 
 
 def _ns_le(t: str) -> str:
-    """Foldable ns upper bound for `col <= TIMESTAMP t` (+999 covers sub-µs ns)."""
-    return f"unix_micros(TIMESTAMP '{t}') * 1000 + 999"
+    """Foldable ns upper bound for `col <= TIMESTAMP t`.
+
+    EXACT, no widening: every bound in this file is a whole-second
+    literal, so stop_ns is a multiple of 1000 and `ts_ns <= stop_ns` is
+    the ns-precision semantics the DuckDB oracle applies. The previous
+    +999 widening admitted rows up to 999 ns past T_STOP on ns-encoded
+    fixtures (where Spark's derived `ts` is µs-truncated and passes the
+    timestamp conjunct too) — a silent divergence on exactly the
+    encoding the conjunct exists for. For µs-encoded fixtures ts_ns is a
+    multiple of 1000, so the exact bound is equivalent to the old one."""
+    return f"unix_micros(TIMESTAMP '{t}') * 1000"
 
 
 def _ns_lt(t: str) -> str:
@@ -148,7 +157,17 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
 
 
 def _sql(name: str) -> Callable[[SparkSession, str], DataFrame]:
-    deps = tuple(t for t in TABLES if t in SPARK_SQL[name])
+    # word-boundary match, not raw substring: 'part' occurs inside
+    # 'l_partkey' and 'nation' inside 'c_nationkey' (underscore is a word
+    # char, so \\b excludes those), and over-registering costs a parquet
+    # footer read per phantom table on every first call
+    import re as _re
+
+    deps = tuple(
+        t
+        for t in TABLES
+        if _re.search(rf"\b{t}\b", SPARK_SQL[name]) is not None
+    )
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, deps)
@@ -1653,7 +1672,17 @@ def _ivf_layout_path(sf_dir: str) -> str:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # the tag covers the SOURCE parquet's identity (path + mtime + size),
+    # not just the path: fixture data is regenerated between rounds at
+    # the same location, and a path-only key would serve the stale
+    # materialized layout against a fresh oracle forever
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{int(st.st_mtime)}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"k2n_ivf_layout_v1_{tag}")
 
 
@@ -1703,7 +1732,10 @@ def _q_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     centroids, layout = _ivf_layout(spark, sf_dir)
     qv = dict(centroids)[0]
-    out = sim.ivf_partitioned_probe(spark, layout, centroids, qv, k=11, n_probe=2)
+    # k=None: no raw-cosine pre-cut — the final rank is by ROUNDED cosine
+    # (the oracle's order), and truncating at k=11 on the raw value could
+    # drop a candidate that rounds into the top 10
+    out = sim.ivf_partitioned_probe(spark, layout, centroids, qv, k=None, n_probe=2)
     return (
         out.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -1732,7 +1764,7 @@ def _q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = dict(centroids)[0]
     probe_cid = min(centroids, key=lambda c: (-_seq_dot(c[1], qv), c[0]))[0]
     lay = spark.read.parquet(layout).filter(F.col("centroid_id") == probe_cid)
-    out = sim.brute_force_topk(lay, qv, k=11)
+    out = sim.brute_force_topk(lay, qv, k=None)  # rounded-rank cut below
     return (
         out.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -2216,6 +2248,13 @@ GROUP BY i.event_id
 """
 
 
+# one-slot registry of the shingle-hash cache per session: each
+# _q_ngram_jaccard call persists a corpus-sized frame, and without an
+# unpersist a session invoking it repeatedly (the query + the dedup
+# family) accumulates dead caches that evict working memory
+_JACCARD_PERSIST: dict[str, DataFrame] = {}
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-once n-gram Jaccard on LSH candidates (see ORACLE comment)."""
     from pyspark.sql import functions as F
@@ -2224,6 +2263,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
+    app_id = spark.sparkContext.applicationId
+    prev = _JACCARD_PERSIST.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist()
     h = docs.select(
         "doc_id",
         F.expr(
@@ -2231,6 +2274,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substr(text, i, 5))), s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
         ).alias("hashes"),
     ).withColumn("n", F.size("hashes")).persist()
+    _JACCARD_PERSIST[app_id] = h
     sig = h.select(
         "doc_id",
         F.expr("array_min(transform(hashes, x -> shiftright(x, 28)))").alias("m0"),
@@ -2420,10 +2464,14 @@ cand AS (
     ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
 ),
 verified AS (
+  -- threshold on the ROUNDED jaccard, matching the Spark side's filter
+  -- over _q_ngram_jaccard's round(...,6) output: thresholding one side
+  -- rounded and the other raw can build different edge sets on values
+  -- straddling the 6-dp boundary
   SELECT id_a, id_b
   FROM cand JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
-  WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
-        / (x.n + y.n - len(list_intersect(x.hashes, y.hashes))) >= 0.5
+  WHERE round(CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+        / (x.n + y.n - len(list_intersect(x.hashes, y.hashes))), 6) >= 0.5
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM verified

@@ -89,7 +89,7 @@ def test_window_predicate_reaches_scan(spark, encoded_files, enc):
         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
           AND ts <= TIMESTAMP '2024-01-10 00:00:00'
           AND ts_ns >= unix_micros(TIMESTAMP '2024-01-03 00:00:00') * 1000
-          AND ts_ns <= unix_micros(TIMESTAMP '2024-01-10 00:00:00') * 1000 + 999
+          AND ts_ns <= unix_micros(TIMESTAMP '2024-01-10 00:00:00') * 1000
         """
     )
     assert [r["event_id"] for r in q.collect()] == [1, 2, 3]
@@ -100,3 +100,29 @@ def test_window_predicate_reaches_scan(spark, encoded_files, enc):
         "GreaterThanOrEqual(ts," in l or "GreaterThanOrEqual(ts_ns," in l
         for l in pushed
     ), plan
+
+
+def test_ns_upper_bound_is_exact_for_sub_us_residues(spark, tmp_path):
+    """A ns-encoded event 500 ns past T_STOP must be EXCLUDED: Spark's
+    derived µs timestamp truncates to T_STOP and passes the timestamp
+    conjunct, so only an exact (unwidened) ns bound preserves the
+    ns-precision semantics the DuckDB oracle applies."""
+    stop_us = 1704844800_000000  # 2024-01-10 00:00:00
+    arr = pa.array(
+        [(stop_us - 1_000_000) * 1000, stop_us * 1000, stop_us * 1000 + 500],
+        pa.timestamp("ns"),
+    )
+    t = pa.table({"event_id": pa.array([0, 1, 2], pa.int64()), "ts": arr})
+    path = str(tmp_path / "subus.parquet")
+    pq.write_table(t, path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = normalize_event_time(spark.read.parquet(path), "ts")
+    df.createOrReplaceTempView("subus_events")
+    got = spark.sql(
+        """
+        SELECT event_id FROM subus_events
+        WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts_ns <= unix_micros(TIMESTAMP '2024-01-10 00:00:00') * 1000
+        """
+    ).collect()
+    assert sorted(r.event_id for r in got) == [0, 1]  # 2 is 500 ns late

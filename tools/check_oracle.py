@@ -25,6 +25,8 @@ def normalize(df) -> list[tuple]:
         row = []
         for v in rec:
             if isinstance(v, float):
+                if v == 0:
+                    v = 0.0  # canonicalize -0.0: engines differ on round()'s sign
                 row.append(f"{v:.6f}")
             else:
                 row.append(str(v))
@@ -66,6 +68,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = Q.queries(), Q.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not silently check nothing and exit 0
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -76,6 +83,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
+        finally:
+            # release per-query persisted intermediates (bench.py does the
+            # same): one query's cache must not eat executor memory for
+            # every query after it in a full-registry sweep
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
             continue

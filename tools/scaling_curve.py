@@ -148,7 +148,13 @@ def build_synth(spark) -> list[str]:
             if t in ("documents", "embeddings") or os.path.lexists(link):
                 continue
             os.symlink(f"{SYNTH_BASE}/{t}.parquet", link)
-        if os.path.exists(f"{d}/documents.parquet"):
+        # a tier counts as built only when BOTH tables finished writing
+        # (_SUCCESS) — a run killed mid-build must not leave a partial
+        # corpus that silently produces fictional growth slopes
+        if all(
+            os.path.exists(f"{d}/{t}.parquet/_SUCCESS")
+            for t in ("documents", "embeddings")
+        ):
             continue  # built by a previous run
         reps = spark.range(mult).withColumnRenamed("id", "replica")
         (docs.crossJoin(reps)
