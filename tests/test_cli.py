@@ -227,3 +227,56 @@ def test_worker_rejects_escaping_filename_via_wrdn(tmp_path, spark):
     assert not escape_target.exists()
     statuses = [json.loads(l) for l in (pool / "status.jsonl").read_text().splitlines()]
     assert statuses[-1]["state"] == "idle"
+
+
+def test_worker_wire_sequence_matches_reference_contract(tmp_path, spark):
+    """Wire-sequence parity with the reference's blank-file message test
+    (integration-tests/test_filewriter.py:83-145): over one job lifecycle
+    the response channel carries the start answer FIRST and the wrdn LAST
+    (exactly one), the wrdn forwards the pl72 metadata verbatim and the
+    written file path, and the status stream shows writing-with-job-id
+    before reverting to idle. (The reference's pl72/6s4t echoes come from
+    commands sharing the Kafka topic — the file transport keeps commands
+    in pool files, so the response channel contract is answ* then wrdn.)"""
+    import uuid
+
+    from kafka_to_nexus_spark.__main__ import main
+    from kafka_to_nexus_spark.control.transport import FilePoolTransport
+    from kafka_to_nexus_spark.sources.fixtures import _normalize_row
+
+    pool = tmp_path / "pool"
+    fixtures = tmp_path / "in"
+    fixtures.mkdir()
+    offsets: dict = {}
+    (fixtures / "data.json").write_text(json.dumps(_normalize_row(
+        {"schema": "f144", "topic": "local_choppers",
+         "source_name": "local:choppers:delay", "kafka_timestamp": 11_000,
+         "timestamp": 11_000, "value": 5.0, "offset": 0}, offsets)))
+    tpl = json.loads(open(
+        "/root/reference/domain-tests/nexus_templates/buffered_template.json"
+    ).read())
+    metadata = json.dumps({"hello": 123})
+    producer = FilePoolTransport(pool, "producer")
+    jid = str(uuid.uuid4())
+    producer.offer({"job_id": jid, "filename": "seq.nxs",
+                    "nexus_structure": tpl, "metadata": metadata,
+                    "start_time": 10_000, "stop_time": 15_000})
+    rc = main([
+        "kafka-to-nexus", "--transport", "file", "--pool-dir", str(pool),
+        "--worker-id", "w0", "--out-root", str(tmp_path / "jobs"),
+        "--fixture-dir", str(fixtures), "--once", "--master", "local[4]",
+    ])
+    assert rc == 0
+    resp = producer.read_responses()
+    kinds = [r["type"] for r in resp]
+    assert kinds[0] == "answ" and resp[0]["accepted"] and resp[0]["job_id"] == jid
+    assert kinds[-1] == "wrdn" and kinds.count("wrdn") == 1
+    wrdn = resp[-1]
+    assert wrdn["metadata"] == metadata
+    assert wrdn["file_name"].endswith("seq.nxs")
+    assert not wrdn.get("error_encountered")
+    statuses = [json.loads(l) for l in
+                (pool / "status.jsonl").read_text().splitlines()]
+    writing = [s for s in statuses if s["state"] == "writing"]
+    assert writing and writing[0]["job_id"] == jid
+    assert statuses[-1]["state"] == "idle"
