@@ -235,6 +235,10 @@ def pack(
                 del f[d["path"]]
             dtype = NUMPY_DTYPES.get(d.get("dtype") or "")
             data = np.asarray(d["values"], dtype=dtype) if dtype else d["values"]
+            if isinstance(data, list) and any(isinstance(x, str) for x in data):
+                # string ARRAYS must be object arrays (vlen str on both
+                # backends) — numpy's default '<U' has no h5py conversion
+                data = np.asarray(data, dtype=object)
             ds = f.create_dataset(d["path"], data=data)
             _write_attrs(ds, d.get("attributes", []))
 

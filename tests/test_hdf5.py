@@ -674,3 +674,71 @@ def test_pack_ad00_honours_configured_dtype(tmp_path):
     hdf5._pack_ad00_frames(grp, pdf, chunk_size=16, dtype=np.uint64)
     assert grp["value"].dtype == np.uint64
     assert int(grp["value"][0][0]) == 2**53 + 1
+
+
+def test_pack_under_strict_h5py_semantics(tmp_path, spark, monkeypatch):
+    """Drive pack() with h5py's REJECTION semantics enforced on top of the
+    built-in writer (h5py itself is absent in this container): create_dataset
+    must never be called with data=None (TypeError in h5py) nor with a
+    numpy '<U' array (h5py: no conversion path). This executes the code
+    paths the preferred backend would take — a zero-message source (None
+    aggregates), al00 string columns, and statics — under the constraints
+    that made them crash before the round-4 hardening."""
+    import numpy as _np
+
+    orig = hdf5lib.Group.create_dataset
+
+    def strict(self, name, data=None, chunks=None):
+        if data is None:
+            raise TypeError("one of data, shape or dtype must be specified")
+        if not isinstance(data, (str, bytes)):
+            arr = data if isinstance(data, _np.ndarray) else _np.asarray(data)
+            if arr.dtype.kind == "U":
+                raise TypeError(f"No conversion path for dtype {arr.dtype}")
+        return orig(self, name, data=data, chunks=chunks)
+
+    monkeypatch.setattr(hdf5lib.Group, "create_dataset", strict)
+
+    # a job with: data-bearing f144 (+auto al00 strings), a QUIET f144
+    # (None aggregates), and a static dataset
+    tpl = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [
+            {"module": "dataset", "config": {"name": "title", "values": "t"}},
+            {"module": "dataset",
+             "config": {"name": "names", "values": ["a", "bb"]}},
+            {"name": "live", "type": "group",
+             "children": [{"module": "f144",
+                           "config": {"topic": "t", "source": "s",
+                                      "dtype": "double"}}]},
+            {"name": "quiet", "type": "group",
+             "children": [{"module": "f144",
+                           "config": {"topic": "t", "source": "never",
+                                      "dtype": "double",
+                                      "enable_alarm_info": False,
+                                      "enable_epics_con_info": False}}]},
+        ],
+    }]}
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    rows = [
+        {"schema": "f144", "topic": "t", "source_name": "s",
+         "timestamp": 11_000, "kafka_timestamp": 11_000, "value": 1.5,
+         "offset": 0},
+        {"schema": "al00", "topic": "t", "source_name": "s",
+         "timestamp": 11_500, "kafka_timestamp": 11_500, "severity": 1,
+         "message": "too warm", "offset": 1},
+    ]
+    start = StartMessage(job_id="strict", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    run_job(spark, start, messages_from_json(spark, rows), str(out))
+    hdf = str(tmp_path / "strict.nxs")
+    hdf5.pack(out, hdf)
+    monkeypatch.setattr(hdf5lib.Group, "create_dataset", orig)
+    with hdf5lib.File(hdf) as f:
+        assert list(f["/entry/live/value"][:]) == [1.5]
+        assert f["/entry/live/alarm_message"][0] == "too warm"
+        assert f["/entry/title"][()] == "t"
+        assert list(f["/entry/names"][:]) == ["a", "bb"]
+        assert "/entry/quiet/minimum_value" not in f
