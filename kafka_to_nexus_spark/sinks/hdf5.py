@@ -71,6 +71,10 @@ def _write_attrs(node, attrs: list[dict]) -> None:
         values = a["values"]
         if a.get("dtype") in NUMPY_DTYPES:
             values = np.asarray(values, dtype=NUMPY_DTYPES[a["dtype"]])
+        elif isinstance(values, list) and any(isinstance(x, str) for x in values):
+            # string-array attrs as object arrays (vlen str) — the numpy
+            # default '<U' has no h5py conversion path
+            values = np.asarray(values, dtype=object)
         node.attrs[a["name"]] = values
 
 
