@@ -845,3 +845,96 @@ def semantic_dedup_auto(
     return semantic_dedup_prune(
         df, centroids, threshold, vec_col=vec_col, id_col=id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# L41 — embedding moments + PCA whitening. Retrieval pipelines whiten
+# embeddings before quantization/indexing (decorrelated dimensions make
+# per-dimension codebooks near-optimal); the moments are the classic
+# distributed covariance: per-partition (n, sum, X^T X) partials over
+# Arrow batches, combined on the driver into dim + dim^2 numbers —
+# independent of corpus size, the same envelope as quantize_params.
+# ---------------------------------------------------------------------------
+
+def embedding_moments(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Corpus count, mean vector, and SAMPLE covariance (n-1 denominator,
+    numpy.cov semantics) of an embedding column.
+
+    Shape at 100 TB: ``mapInPandas`` emits ONE partial per Arrow batch —
+    (n, Σx, flattened Σxxᵀ), i.e. 1 + dim + dim² numbers — so the driver
+    combine receives O(batches) tiny rows regardless of corpus size, and
+    the per-batch partial is a single BLAS syrk/gemm. No shuffle at all:
+    the partials come back through collect() like any aggregate's final
+    reduce, and dim=64 makes each row ~33 KB.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [M.shape[0]],
+                    "s": [M.sum(axis=0).tolist()],
+                    "xtx": [(M.T @ M).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("embedding_moments of an empty corpus")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    dim = s.shape[0]
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    if n < 2:
+        return n, mean, np.zeros((dim, dim))
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, cov
+
+
+def whitening_transform(
+    cov: np.ndarray, eps: float = 1e-6
+) -> np.ndarray:
+    """PCA-whitening matrix W from a covariance (driver-side eigh over the
+    dim×dim matrix — O(dim³), corpus-independent): rows of W map a
+    centered vector to unit-variance decorrelated coordinates,
+    W = Λ^{-1/2} Uᵀ. ``eps`` floors near-zero eigenvalues so degenerate
+    dimensions don't blow up."""
+    vals, vecs = np.linalg.eigh(cov)
+    return (vecs / np.sqrt(np.maximum(vals, eps))).T
+
+
+def apply_whitening(
+    df: DataFrame,
+    mean: np.ndarray,
+    W: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Narrow Arrow-batched map: x → W(x − μ). The (dim², dim) constants
+    ride in the UDF closure (≪ broadcast threshold); one BLAS gemm per
+    batch, partition-preserving."""
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.asarray(mean, dtype=np.float64)
+    Wt = np.asarray(W, dtype=np.float64).T
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def whiten(batch: pd.Series) -> pd.Series:
+        M = np.vstack(batch.to_numpy()).astype(np.float64)
+        out = (M - mu) @ Wt
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, whiten(F.col(vec_col)))

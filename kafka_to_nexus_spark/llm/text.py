@@ -147,3 +147,54 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
     return out.withColumn("scrubbed_text", scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# L42 — document chunking with overlap: the context-window splitter that
+# precedes tokenize-and-pack in a training pipeline. One narrow codegen
+# map (split + sequence + slice) and one posexplode — no shuffle, no UDF;
+# chunk count per doc is ceil((n - overlap) / (size - overlap)).
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of
+    ``chunk_tokens`` with ``overlap_tokens`` of overlap between
+    consecutive chunks. Output: one row per (doc, chunk) with the chunk
+    text, its index, token count, and starting token offset. A document
+    shorter than one chunk yields exactly one chunk; the final chunk
+    keeps the tail (it may be shorter than ``chunk_tokens``)."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), r"\s+")
+    # token starts: 0, step, 2*step, ... while start + overlap < n — a
+    # start inside the previous chunk's overlap region would emit a chunk
+    # wholly contained in its predecessor
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.size(toks) - F.lit(overlap_tokens + 1)) / F.lit(step),
+            F.lit(0),
+        ).cast("long")
+        * F.lit(step),
+        F.lit(step),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.col("_start").alias("token_offset"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -527,3 +527,60 @@ def test_multimodal_decoder_swap_contract(spark):
                  df, dim=4, decoder=lambda p, d: [float(len(p))] * d
              ).collect()}
     assert all(v == [5.0] * 4 for v in const.values())
+
+
+def test_chunk_documents_matches_python_model(spark):
+    """L42 chunking vs a naive Python model: chunk count, offsets,
+    overlap stitching, and tails — including a doc shorter than one
+    chunk, an exact multiple, and an overlap-boundary length."""
+    import re
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(10)),   # 10 tokens
+        1: " ".join(f"w{i}" for i in range(4)),    # shorter than a chunk
+        2: " ".join(f"w{i}" for i in range(12)),   # exact multiple of step
+        3: " ".join(f"w{i}" for i in range(13)),   # one past the boundary
+        4: "solo",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    size, overlap = 6, 2
+    got = {}
+    for r in text.chunk_documents(df, size, overlap).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.token_offset, r.n_tokens, r.chunk_text))
+    step = size - overlap
+    for doc_id, t in texts.items():
+        toks = re.split(r"\s+", t)
+        n = len(toks)
+        n_chunks = max(1, -(-(n - overlap) // step))
+        expect = []
+        for c in range(n_chunks):
+            piece = toks[c * step: c * step + size]
+            expect.append((c, c * step, len(piece), " ".join(piece)))
+        assert sorted(got[doc_id]) == expect, doc_id
+    # every token of every doc appears in at least one chunk
+    for doc_id, t in texts.items():
+        covered = set()
+        for _, off, ln, _txt in got[doc_id]:
+            covered.update(range(off, off + ln))
+        assert covered == set(range(len(re.split(r"\s+", t))))
+
+
+def test_embedding_moments_and_whitening(spark, embeddings):
+    """L41 distributed covariance vs numpy.cov on the collected corpus,
+    and the whitening transform decorrelates: cov of the whitened
+    vectors is the identity."""
+    import numpy as np
+
+    sample = embeddings.limit(300)
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                   for r in sample.collect()])
+    n, mean, cov = similarity.embedding_moments(sample)
+    assert n == X.shape[0]
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X, rowvar=False), atol=1e-8)
+
+    W = similarity.whitening_transform(cov)
+    white = similarity.apply_whitening(sample, mean, W)
+    Y = np.vstack([np.asarray(r.whitened) for r in white.collect()])
+    assert np.allclose(np.cov(Y, rowvar=False), np.eye(X.shape[1]), atol=1e-4)
