@@ -480,3 +480,48 @@ def test_register_views_rebinds_on_sf_dir_switch(spark):
     n_small_again = spark.table("events").count()
     assert n_small == n_small_again
     assert n_big > n_small
+
+
+def test_embedding_moments_plan_has_no_exchange(spark, sf_dir):
+    """L41: the distributed-covariance partials are a pure mapInPandas over
+    the scan — any Exchange would mean the corpus is being shuffled to
+    compute a dim²-sized result."""
+    from kafka_to_nexus_spark import queries as Q
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    # read the parquet directly: register_views adds its documented
+    # ingest-spread RoundRobin repartition for single-row-group corpus
+    # tables, which is not part of the operator's plan
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    schema = "n long, s array<double>, xtx array<double>"
+    import numpy as np
+    import pandas as pd
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf):
+                M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame({"n": [len(M)], "s": [M.sum(0).tolist()],
+                                    "xtx": [(M.T @ M).ravel().tolist()]})
+
+    plan = (
+        df.select("embedding").mapInPandas(partials, schema)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.replace("ExchangeReuse", ""), plan
+    # and the real operator agrees with itself across partitionings
+    n1, m1, c1 = sim.embedding_moments(df.limit(200))
+    n2, m2, c2 = sim.embedding_moments(df.limit(200).repartition(7))
+    assert n1 == n2 and np.allclose(m1, m2) and np.allclose(c1, c2)
+
+
+def test_chunk_documents_plan_is_narrow(spark, sf_dir):
+    """L42: chunking is one codegen map + posexplode — no shuffle."""
+    from kafka_to_nexus_spark import queries as Q
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    out = llm_text.chunk_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 32, 8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("ExchangeReuse", ""), plan
