@@ -25,3 +25,27 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return str(TESTDATA / "sf0.001")
+
+
+def union_find_components(edges, vertices) -> dict:
+    """Shared naive union-find model (min-id canonical labels): the single
+    source of truth the LSH-cap, SRP-cap, and connected-components tests
+    all compare Spark against."""
+    parent = {v: v for v in vertices}
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in vertices}

@@ -47,6 +47,13 @@ def encoded_files(tmp_path_factory):
     return {"ns": ns, "us": us}
 
 
+# NOTE: nanosAsLong=true is set session-wide WITHOUT restore on purpose —
+# the engine itself pins it for every session (queries.register_views and
+# bench.py set the same conf), so the whole suite runs under the
+# production setting; normalize_event_time handles both encodings either
+# way.
+
+
 def _normalized_rows(spark, path):
     from pyspark.sql import functions as F
 

@@ -22,26 +22,12 @@ edge_lists = st.lists(
 )
 
 
+from conftest import union_find_components
+
+
 def _model_components(edges: list[tuple[int, int]], vertices: list[int]) -> dict:
-    parent = {v: v for v in vertices}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    # canonical = min member of each set
-    comp: dict[int, int] = {}
-    for v in vertices:
-        root = find(v)
-        members = [u for u in vertices if find(u) == root]
-        comp[v] = min(members)
-    return comp
+    # min-label union-find makes the root the min member directly
+    return union_find_components(edges, vertices)
 
 
 @given(edge_lists)

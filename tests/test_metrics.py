@@ -66,7 +66,13 @@ def test_reporter_thread_flushes_on_stop(tmp_path):
     rep.start()
     import time as _t
 
-    _t.sleep(0.2)
+    # poll for at least one periodic flush instead of trusting a fixed
+    # sleep (a starved CI box can schedule the thread zero times in 200 ms)
+    deadline = _t.time() + 5.0
+    while _t.time() < deadline:
+        if path.exists() and path.read_text().splitlines():
+            break
+        _t.sleep(0.02)
     rep.stop()
     assert len(path.read_text().splitlines()) >= 2  # interval + final flush
 

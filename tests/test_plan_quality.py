@@ -102,7 +102,8 @@ def test_q18_aggregates_lineitem_below_the_join(spark):
     # the plan tree section lists operators top-down; the HashAggregate pair
     # must appear deeper (later) than the join that consumes them
     tree = [l for l in lines if "HashAggregate" in l or "Join" in l]
-    join_idx = next(i for i, l in enumerate(tree) if "Join" in l)
+    join_idx = next((i for i, l in enumerate(tree) if "Join" in l), None)
+    assert join_idx is not None, plan  # diagnostic: show the plan, not StopIteration
     assert any("HashAggregate" in l for l in tree[join_idx + 1 :]), plan
     assert "partial_sum" in plan, plan
 
@@ -508,7 +509,7 @@ def test_embedding_moments_plan_has_no_exchange(spark, sf_dir):
         df.select("embedding").mapInPandas(partials, schema)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan.replace("ExchangeReuse", ""), plan
+    assert "Exchange" not in plan.replace("ReusedExchange", ""), plan
     # and the real operator agrees with itself across partitionings
     n1, m1, c1 = sim.embedding_moments(df.limit(200))
     n2, m2, c2 = sim.embedding_moments(df.limit(200).repartition(7))
@@ -524,4 +525,4 @@ def test_chunk_documents_plan_is_narrow(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet"), 32, 8
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan.replace("ExchangeReuse", ""), plan
+    assert "Exchange" not in plan.replace("ReusedExchange", ""), plan

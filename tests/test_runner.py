@@ -80,7 +80,7 @@ def test_meta_file_structure(writer_modules_result):
     assert "/entry" in meta["groups"]
     assert any(d["path"] == "/entry/title" for d in meta["static_datasets"])
     assert meta["job"]["job_id"] == "test-job"
-    assert meta["metrics"] if False else True  # metrics live on the result
+    assert "metrics" not in meta  # metrics live on the result, not the file
     assert writer_modules_result.metrics["messages_received"] > 0
     assert writer_modules_result.metrics["flatbuffer_errors"] == 0
 

@@ -104,7 +104,6 @@ def test_ev44_cumulative_index_across_batches(spark, tmp_path):
         start_time_ms=10_000, stop_time_ms=15_000,
     )
     job = StreamingJob(spark, start, str(tmp_path / "out"))
-    src = "local:detector:events"  # match template's ev44 source
     ev_src = [s for s in job.plan.streams if s.module == "ev44"][0].source
     job.process_batch(messages_from_json(
         spark, [ev44(11_000, [1, 2, 3], [1, 2, 3], source=ev_src, offset=0)]), 0)
@@ -684,13 +683,15 @@ def test_watermarked_window_drops_late_and_finalizes(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    # compare epoch seconds, not isoformat(): collect() renders timestamps
+    # in the HOST OS timezone (the hazard test_event_time_encoding documents)
     rows = [
-        (r.window_start.isoformat(), r.n_messages, r.sum_value)
+        (int(r.window_start.timestamp()), r.n_messages, r.sum_value)
         for r in spark.table("wm_windows").collect()
     ]
     # the [0,60) window finalized with exactly the two on-time rows,
     # emitted exactly once; the late 9.0 row appears nowhere
-    assert rows.count(("1970-01-01T00:00:00", 2, 3.0)) == 1, rows
+    assert rows.count((0, 2, 3.0)) == 1, rows
     assert not any(s == 9.0 or n == 3 for _, n, s in rows)
 
 
