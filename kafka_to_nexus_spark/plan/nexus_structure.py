@@ -28,6 +28,16 @@ EXTRA_MODULES = {
     "tdct": (("epics_con_info", "ep01"), ("alarm_info", "al00")),
 }
 
+# the reference's C-ish dtype alias names (f144_Writer.cpp:62-70);
+# applied after lowercasing, so "SHORT"/"Int"/"FLOAT" all resolve
+_DTYPE_ALIASES = {
+    "short": "int16",
+    "int": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+}
+
 
 def infer_shape(values) -> list[int]:
     """Shape from JSON nesting (HDFOperations.cpp:22-52): scalar → [],
@@ -135,10 +145,20 @@ def _handle_module(node: dict, parent: str, plan: Plan) -> None:
     else:
         # normalize the documented "type" alias into "dtype" ONCE at parse
         # time (commands.md dtype|type) so every module transform and the
-        # pack step read a single key
+        # pack step read a single key; then canonicalize the VALUE the way
+        # the reference does (ToLower + the C-ish alias names,
+        # f144_Writer.cpp:58-71): "FLOAT"/"float"→float32,
+        # "DOUBLE"/"double"→float64, short→int16, int→int32, long→int64.
+        # Unknown names fall through unchanged — downstream falls back to
+        # double like the reference's out_of_range handler.
         if "dtype" not in config and "type" in config:
             config = dict(config)
             config["dtype"] = config["type"]
+        if isinstance(config.get("dtype"), str):
+            if config is node.get("config"):
+                config = dict(config)
+            low = config["dtype"].lower()
+            config["dtype"] = _DTYPE_ALIASES.get(low, low)
         plan.streams.append(
             StreamBinding(
                 path=parent or "/",

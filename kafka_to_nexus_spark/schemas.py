@@ -126,5 +126,15 @@ DTYPE_MAP: dict[str, tuple[T.DataType, bool]] = {
 
 def spark_type_for(dtype: str) -> T.DataType:
     """Spark type for a reference dtype name (default 'double',
-    reference f144_Writer.h:83)."""
-    return DTYPE_MAP[dtype][0]
+    reference f144_Writer.h:83). Unknown names fall back to double like
+    the reference's out_of_range handler (f144_Writer.cpp:72-77 logs
+    'Unknown data type … Using double.')."""
+    got = DTYPE_MAP.get(dtype)
+    if got is None:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "unknown data type %r; using double", dtype
+        )
+        return T.DoubleType()
+    return got[0]

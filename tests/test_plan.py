@@ -73,3 +73,35 @@ def test_infer_shape():
 def test_start_message_defaults():
     m = StartMessage(job_id="j", filename="f.h5", nexus_structure={})
     assert m.start_time_ms == 0 and m.stop_time_ms is None
+
+
+def test_dtype_aliases_canonicalized_at_parse():
+    """The reference accepts case-insensitive dtype names plus the C-ish
+    aliases (f144_Writer.cpp:58-71, f144ConfigParse.data_types):
+    FLOAT→float32, DOUBLE→float64, SHORT→int16, Int→int32, long→int64.
+    build_plan canonicalizes once so every module and the pack step see
+    one name; unknown names pass through and fall back to double
+    downstream (the reference's out_of_range behavior)."""
+    from kafka_to_nexus_spark.plan import build_plan
+    from kafka_to_nexus_spark.schemas import spark_type_for
+    from pyspark.sql import types as T
+
+    cases = {
+        "FLOAT": "float32", "float": "float32", "DOUBLE": "float64",
+        "double": "float64", "SHORT": "int16", "Int": "int32",
+        "long": "int64", "Uint16": "uint16", "INT8": "int8",
+        "no_such_type": "no_such_type",
+    }
+    for given, want in cases.items():
+        plan = build_plan({"children": [{
+            "name": "e", "type": "group",
+            "children": [{"module": "f144",
+                          "config": {"topic": "t", "source": "s",
+                                     "type": given,
+                                     "enable_alarm_info": False,
+                                     "enable_epics_con_info": False}}],
+        }]})
+        assert plan.streams[0].config["dtype"] == want, given
+    # unknown falls back to double instead of raising
+    assert spark_type_for("no_such_type") == T.DoubleType()
+    assert spark_type_for("float32") == T.FloatType()
