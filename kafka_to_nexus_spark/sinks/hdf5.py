@@ -274,6 +274,30 @@ def pack(
                     continue
                 for col in pdf.columns:
                     series = pdf[col]
+                    if series.isna().any():
+                        # the reference appends per dataset, so a message
+                        # carrying no value for one column appends NOTHING
+                        # there (ev44 with empty pixel_ids: event_id stays
+                        # empty while event_time_offset grows,
+                        # ev44_WriterTests WithoutPixelIds) — mirror that
+                        # by dropping nulls per column; the parquet schema
+                        # keeps the dtype when everything was null
+                        import pyarrow as pa
+
+                        field_t = table.schema.field(col).type
+                        series = series.dropna()
+                        if not len(series):
+                            grp.create_dataset(
+                                col,
+                                data=np.asarray(
+                                    [], dtype=field_t.to_pandas_dtype()
+                                ),
+                            )
+                            continue
+                        if pa.types.is_integer(field_t):
+                            # pandas upcast the nullable ints to float —
+                            # restore the parquet-declared integer dtype
+                            series = series.astype(field_t.to_pandas_dtype())
                     if len(series) and isinstance(series.iloc[0], (list, np.ndarray)):
                         arr = np.asarray([np.asarray(v) for v in series])
                     else:

@@ -742,3 +742,37 @@ def test_pack_under_strict_h5py_semantics(tmp_path, spark, monkeypatch):
         assert f["/entry/title"][()] == "t"
         assert list(f["/entry/names"][:]) == ["a", "bb"]
         assert "/entry/quiet/minimum_value" not in f
+
+
+def test_pack_ev44_without_pixel_ids(tmp_path, spark):
+    """ev44 allows empty pixel_ids while time_of_flight is present
+    (ev44_WriterTests.WriterSuccessfullyRecordsEventDataWithoutPixelIds):
+    the packed event_id dataset stays EMPTY (typed) while
+    event_time_offset carries the TOF values — per-dataset append
+    semantics, not null-padded columns."""
+    from kafka_to_nexus_spark.sources.fixtures import messages_from_json
+
+    tpl = {"children": [{
+        "name": "entry", "type": "group",
+        "children": [{
+            "name": "det", "type": "group",
+            "children": [{"module": "ev44",
+                          "config": {"topic": "t", "source": "d"}}],
+        }],
+    }]}
+    rows = [{"schema": "ev44", "topic": "t", "source_name": "d",
+             "timestamp": 11_000, "kafka_timestamp": 11_000, "message_id": 0,
+             "reference_time": [11_000], "reference_time_index": [0],
+             "time_of_flight": [101, 102, 201], "pixel_ids": [],
+             "offset": 0}]
+    start = StartMessage(job_id="nopix", filename="f", nexus_structure=tpl,
+                         start_time_ms=10_000, stop_time_ms=15_000)
+    out = tmp_path / "staged"
+    run_job(spark, start, messages_from_json(spark, rows), str(out))
+    hdf = str(tmp_path / "out.nxs")
+    hdf5.pack(out, hdf)
+    with hdf5lib.File(hdf) as f:
+        assert list(f["/entry/det/event_time_offset"][:]) == [101, 102, 201]
+        ev_id = f["/entry/det/event_id"][:]
+        assert len(ev_id) == 0
+        assert np.asarray(ev_id).dtype.kind in "iu"  # typed empty, not NaN floats
