@@ -159,6 +159,28 @@ def _handle_module(node: dict, parent: str, plan: Plan) -> None:
                 config = dict(config)
             low = config["dtype"].lower()
             config["dtype"] = _DTYPE_ALIASES.get(low, low)
+        # the reference throws when a stream binding omits topic or source
+        # (JobCreatorTests: IfTopicNotDefinedThenThrows /
+        # IfSourceNotDefinedThenThrows) — a silent "" would make the
+        # binding unmatchable and its datasets permanently empty
+        for required in ("topic", "source"):
+            if not config.get(required):
+                raise ValueError(
+                    f"stream module {module!r} under {parent or '/'!r} "
+                    f"has no {required!r} in config"
+                )
+        if module == "da00":
+            # the reference throws on a da00 variable/constant without a
+            # name (da00 VariableConfig tests: VariableWithoutNameThrows /
+            # ConstantWithoutNameThrows) — reject at plan time like the
+            # other validations, not deep inside the transform
+            for kind in ("variables", "constants"):
+                for v in config.get(kind) or []:
+                    if isinstance(v, dict) and not v.get("name"):
+                        raise ValueError(
+                            f"da00 {kind[:-1]} without a name in config "
+                            f"under {parent or '/'!r}"
+                        )
         plan.streams.append(
             StreamBinding(
                 path=parent or "/",

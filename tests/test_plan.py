@@ -105,3 +105,47 @@ def test_dtype_aliases_canonicalized_at_parse():
     # unknown falls back to double instead of raising
     assert spark_type_for("no_such_type") == T.DoubleType()
     assert spark_type_for("float32") == T.FloatType()
+
+
+def test_da00_nameless_variable_rejected():
+    """The reference throws on a da00 variable/constant without a name
+    (da00 VariableConfig tests); the plan rejects it up front."""
+    import pytest as _pytest
+
+    from kafka_to_nexus_spark.plan import build_plan
+
+    for kind in ("variables", "constants"):
+        with _pytest.raises(ValueError, match="without a name"):
+            build_plan({"children": [{
+                "name": "e", "type": "group",
+                "children": [{"module": "da00",
+                              "config": {"topic": "t", "source": "s",
+                                         kind: [{"data": [1]}]}}],
+            }]})
+    # name-only entries are legal (VariableWithOnlyNameWorks)
+    plan = build_plan({"children": [{
+        "name": "e", "type": "group",
+        "children": [{"module": "da00",
+                      "config": {"topic": "t", "source": "s",
+                                 "variables": [{"name": "signal"}]}}],
+    }]})
+    assert plan.streams[0].module == "da00"
+
+
+def test_stream_binding_requires_topic_and_source():
+    """JobCreatorTests: IfTopicNotDefinedThenThrows /
+    IfSourceNotDefinedThenThrows — a binding without either is a plan
+    error, not a silent never-matching stream."""
+    import pytest as _pytest
+
+    from kafka_to_nexus_spark.plan import build_plan
+
+    for missing, cfg in (
+        ("topic", {"source": "s"}),
+        ("source", {"topic": "t"}),
+    ):
+        with _pytest.raises(ValueError, match=missing):
+            build_plan({"children": [{
+                "name": "e", "type": "group",
+                "children": [{"module": "f144", "config": cfg}],
+            }]})
