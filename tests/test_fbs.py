@@ -401,3 +401,58 @@ def test_ad00_1d_fixture_keeps_rank():
         {"schema": "ad00", "source_name": "a", "data": [[1, 2], [3, 4]],
          "timestamp": 5}))
     assert out["dimensions"] == [2, 2]
+
+
+def test_decode_fuzz_never_crashes_the_pipeline():
+    """D2 robustness: the hand-written FlatBuffers parser must either
+    decode or raise — random bytes, truncated valid buffers, and
+    corrupted headers all classify as errors (null schema) instead of
+    killing the mapInPandas task."""
+    import random
+
+    from kafka_to_nexus_spark import fbs as fbs_mod
+    from kafka_to_nexus_spark.fbs import ess
+
+    rng = random.Random(7)
+    valid = fbs_mod.encode_fixture(
+        {"schema": "f144", "source_name": "s", "timestamp": 42, "value": 1.0})
+    cases = [b"", b"\x00" * 3, b"\xff" * 64]
+    cases += [bytes(rng.randrange(256) for _ in range(n))
+              for n in (4, 8, 12, 33, 200)]
+    cases += [valid[:n] for n in (1, 4, 8, len(valid) // 2, len(valid) - 1)]
+    # bit-flipped valid buffers
+    for _ in range(50):
+        b = bytearray(valid)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    ok, err = 0, 0
+    for buf in cases:
+        try:
+            out = ess.decode(buf)
+            assert isinstance(out, dict)
+            ok += 1
+        except Exception:
+            err += 1  # caught by _decode_batches → D2 error row
+    assert ok + err == len(cases)
+
+
+def test_decode_batch_mixes_garbage_with_valid(spark):
+    """A Kafka batch mixing valid buffers with garbage yields error rows
+    (null schema) for the garbage and decoded rows for the rest — the
+    reference keeps consuming after bad buffers."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark import fbs as fbs_mod
+
+    valid = fbs_mod.encode_fixture(
+        {"schema": "f144", "source_name": "s", "timestamp": 42, "value": 2.5})
+    rows = [("t", 0, 0, 42, bytearray(valid)),
+            ("t", 0, 1, 43, bytearray(b"\xde\xad\xbe\xef")),
+            ("t", 0, 2, 44, bytearray(b""))]
+    df = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, kafka_ms long, value binary"
+    ).select("topic", "partition", "offset",
+             F.timestamp_millis("kafka_ms").alias("timestamp"), "value")
+    out = {r.offset: r for r in fbs_mod.decode_kafka_flatbuffers(df).collect()}
+    assert out[0].schema == "f144" and out[0].value == 2.5
+    assert out[1].schema is None and out[2].schema is None
