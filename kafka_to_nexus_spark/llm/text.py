@@ -119,11 +119,12 @@ def rolling_hash_fingerprints(
 # no backreferences, no lookaround.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    # international (+CC ...) or separator-structured (555-867-5309,
-    # (555) 123-4567). Deliberately NOT a bare digits+whitespace run:
-    # \s-joined digit groups match numeric prose and tables ("1999 2004
+    # international (+CC ...), separator-structured (555-867-5309,
+    # (555) 123-4567), or a bare 9-11 digit run (unformatted national
+    # numbers / SSN-like ids). Deliberately NOT digits+whitespace runs:
+    # \s-joined digit GROUPS match numeric prose and tables ("1999 2004
     # 2008") and would scrub real content to [PHONE].
-    "phone": r"\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3,4}\)?[ \-.][0-9]{3}[\-.][0-9]{4}",
+    "phone": r"\+[0-9][0-9()\- ]{6,}[0-9]|\(?[0-9]{3,4}\)?[ \-.][0-9]{3}[\-.][0-9]{4}|\b[0-9]{9,11}\b",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "url": r"https?://[^\s]+",
 }

@@ -151,12 +151,10 @@ def _handle_module(node: dict, parent: str, plan: Plan) -> None:
         # "DOUBLE"/"double"→float64, short→int16, int→int32, long→int64.
         # Unknown names fall through unchanged — downstream falls back to
         # double like the reference's out_of_range handler.
+        # (config is already a private copy — dict(node.get("config", {})))
         if "dtype" not in config and "type" in config:
-            config = dict(config)
             config["dtype"] = config["type"]
         if isinstance(config.get("dtype"), str):
-            if config is node.get("config"):
-                config = dict(config)
             low = config["dtype"].lower()
             config["dtype"] = _DTYPE_ALIASES.get(low, low)
         # the reference throws when a stream binding omits topic or source

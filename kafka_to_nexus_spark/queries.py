@@ -2025,14 +2025,14 @@ WITH aug AS ({_PII_AUG_SQL}),
 sig AS (
   SELECT doc_id, text,
          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
-         len(regexp_extract_all(text, '\\+[0-9][0-9()\\- ]{{6,}}[0-9]|\\(?[0-9]{{3,4}}\\)?[ \\-.][0-9]{{3}}[\\-.][0-9]{{4}}')) AS n_phone,
+         len(regexp_extract_all(text, '\\+[0-9][0-9()\\- ]{{6,}}[0-9]|\\(?[0-9]{{3,4}}\\)?[ \\-.][0-9]{{3}}[\\-.][0-9]{{4}}|\\b[0-9]{{9,11}}\\b')) AS n_phone,
          len(regexp_extract_all(text, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ipv4,
          len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_url,
          regexp_replace(
            regexp_replace(
              regexp_replace(
                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
-               '\\+[0-9][0-9()\\- ]{{6,}}[0-9]|\\(?[0-9]{{3,4}}\\)?[ \\-.][0-9]{{3}}[\\-.][0-9]{{4}}', '[PHONE]', 'g'),
+               '\\+[0-9][0-9()\\- ]{{6,}}[0-9]|\\(?[0-9]{{3,4}}\\)?[ \\-.][0-9]{{3}}[\\-.][0-9]{{4}}|\\b[0-9]{{9,11}}\\b', '[PHONE]', 'g'),
              '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '[IPV4]', 'g'),
            'https?://[^\\s]+', '[URL]', 'g') AS scrubbed
   FROM aug

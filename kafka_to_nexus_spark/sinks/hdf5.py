@@ -110,8 +110,13 @@ def _pack_ad00_frames(grp, pdf, chunk_size: int, dtype=None) -> None:
     extending trailing dims to the max extent and zero-filling smaller
     slabs (ExtensibleDataset.h:412-519: larger frame → extend, smaller
     frame → hyperslab at origin, remainder stays fill=0). ``dtype`` is
-    the stream's configured element type — not hard-coded float64, or
-    integer counts above 2^53 would silently round."""
+    the stream's configured element type, so the on-disk dataset matches
+    the reference writer's typed datasets. NOTE the envelope bound: the
+    Spark pipeline carries frame data as array<double>
+    (schemas.MESSAGE_SCHEMA), so integer counts are exact only up to
+    2^53 end-to-end — the dtype restores the declared storage type, not
+    precision the envelope already spent (documented deviation, like the
+    uint64 widening in schemas.DTYPE_MAP)."""
     shapes = [tuple(int(d) for d in s) for s in pdf["shape"]]
     rank = max((len(s) for s in shapes), default=0)
     shapes = [s + (1,) * (rank - len(s)) for s in shapes]
@@ -262,6 +267,21 @@ def pack(
                 units_by_path[s["path"].rstrip("/")] = value_units
             for dataset in s["datasets"]:
                 table = pq.read_table(staging.dataset_dir(out_dir, s["path"], dataset))
+                # Arrow-level null masks, BEFORE to_pandas: pandas maps
+                # both parquet null and a genuine float NaN to NaN, and
+                # dropping NaN DATA rows would desync paired datasets
+                # (a NaN is a legal f144 reading). Only true nulls take
+                # the per-dataset-append path below.
+                import pyarrow.compute as pc
+
+                null_cols = {
+                    c for c in table.column_names
+                    if table.column(c).null_count > 0
+                }
+                for c in null_cols:
+                    table = table.append_column(
+                        f"__null_{c}", pc.is_null(table.column(c))
+                    )
                 pdf = _ordered_frame(table, s["module"], dataset)
                 if s["module"] == "ad00" and dataset == "frames":
                     _pack_ad00_frames(
@@ -273,19 +293,22 @@ def pack(
                     _pack_da00_frames(grp, pdf, chunk_size)
                     continue
                 for col in pdf.columns:
+                    if col.startswith("__null_"):
+                        continue
                     series = pdf[col]
-                    if series.isna().any():
+                    if col in null_cols:
                         # the reference appends per dataset, so a message
                         # carrying no value for one column appends NOTHING
                         # there (ev44 with empty pixel_ids: event_id stays
                         # empty while event_time_offset grows,
                         # ev44_WriterTests WithoutPixelIds) — mirror that
-                        # by dropping nulls per column; the parquet schema
-                        # keeps the dtype when everything was null
+                        # by dropping TRUE-null rows per column; the
+                        # parquet schema keeps the dtype when everything
+                        # was null
                         import pyarrow as pa
 
                         field_t = table.schema.field(col).type
-                        series = series.dropna()
+                        series = series[~pdf[f"__null_{col}"]]
                         if not len(series):
                             grp.create_dataset(
                                 col,

@@ -198,16 +198,18 @@ def _layout_message_chunked(
     )
 
 
-def _gcol(strings: list[bytes]) -> bytes:
+def _gcol(strings: list[bytes | tuple[bytes, int]]) -> bytes:
     """Global Heap Collection holding one object per string (index 1..N),
     terminated by the free-space object 0. Collections are at least 4096
     bytes — libhdf5's H5HG_MINSIZE, which the format spec expects — so
     spec-strict readers don't reject the heap; the slack is declared as
-    object 0's free space."""
+    object 0's free space. Entries may be ``(bytes, refcount)`` pairs
+    (the pooled-heap dedup path) or plain bytes (refcount 1)."""
     objs = bytearray()
-    for i, s in enumerate(strings, start=1):
+    for i, entry in enumerate(strings, start=1):
+        s, refs = entry if isinstance(entry, tuple) else (entry, 1)
         pad = (-len(s)) % 8
-        objs += struct.pack("<HHIQ", i, 1, 0, len(s)) + s + b"\x00" * pad
+        objs += struct.pack("<HHIQ", i, refs, 0, len(s)) + s + b"\x00" * pad
     used = 16 + len(objs)  # GCOL header + object blocks
     total = max(4096, used + 16)
     total += (-total) % 8
@@ -259,26 +261,67 @@ def _coerce_attr(value):
     raise TypeError(f"unsupported attribute type {arr.dtype}")
 
 
-def _vlen_payload(strings: list[str], alloc) -> bytes:
-    """Allocate one global-heap collection for ``strings`` and return the
-    16-byte-per-element descriptor block referencing it."""
-    raw = [s.encode("utf-8") for s in strings]
-    if not raw:
-        return b""
-    addr = alloc(_gcol(raw))
-    return b"".join(
-        _VLEN_DESC.pack(len(s), addr, i) for i, s in enumerate(raw, start=1)
-    )
+class _VlenHeap:
+    """Pooled global-heap collections for ALL the file's vlen strings.
+
+    One GCOL per string (the old _vlen_payload shape) costs the 4096-byte
+    collection minimum per attribute — tens of MB of padding at the
+    1000-source target. The pool instead packs the file's distinct
+    strings into shared collections (~16 KB of content each, still
+    ≥4096-padded but paid once per collection), deduplicates repeats
+    (refcount = occurrence count), and hands out 16-byte descriptors by
+    lookup."""
+
+    def __init__(self, alloc) -> None:
+        self._alloc = alloc
+        self._map: dict[bytes, tuple[int, int]] = {}
+
+    def build(self, strings: list[str]) -> None:
+        counts: dict[bytes, int] = {}
+        for s in strings:
+            raw = s.encode("utf-8")
+            counts[raw] = counts.get(raw, 0) + 1
+        fresh = [r for r in counts if r not in self._map]
+        batch: list[tuple[bytes, int]] = []
+        size = 0
+
+        def flush() -> None:
+            nonlocal batch, size
+            if not batch:
+                return
+            addr = self._alloc(_gcol(batch))
+            for i, (raw, _n) in enumerate(batch, start=1):
+                self._map[raw] = (addr, i)
+            batch, size = [], 0
+
+        for raw in fresh:
+            need = 16 + len(raw) + ((-len(raw)) % 8)
+            if batch and size + need > 16 * 1024:
+                flush()
+            batch.append((raw, counts[raw]))
+            size += need
+        flush()
+
+    def desc(self, s: str) -> bytes:
+        raw = s.encode("utf-8")
+        if raw not in self._map:
+            # string not seen by the pre-pass (defensive): pool it now
+            self.build([s])
+        addr, idx = self._map[raw]
+        return _VLEN_DESC.pack(len(raw), addr, idx)
+
+    def payload(self, strings: list[str]) -> bytes:
+        return b"".join(self.desc(s) for s in strings)
 
 
-def _attr_message(name: str, value, alloc=None) -> bytes:
+def _attr_message(name: str, value, heap: "_VlenHeap | None" = None) -> bytes:
     arr, dtype, shape = _coerce_attr(value)
     raw_name = name.encode("utf-8") + b"\x00"
     if dtype == VLEN_STR:
-        if alloc is None:
-            raise TypeError("vlen string attribute requires a heap allocator")
+        if heap is None:
+            raise TypeError("vlen string attribute requires a heap")
         dt = _dt_message_vlen_str()
-        data = _vlen_payload(arr, alloc)
+        data = heap.payload(arr)
     else:
         nd = np.dtype(dtype)
         if nd.byteorder == ">":
@@ -460,9 +503,15 @@ class Group:
         """Unlink (h5py ``del f[path]``) — drops the name; the node
         itself survives if hard-linked elsewhere."""
         parts = [p for p in path.split("/") if p]
-        parent = self._resolve("/".join(parts[:-1])) if len(parts) > 1 else (
-            self._node if not path.startswith("/") else self._file._root
-        )
+        if len(parts) > 1:
+            # keep the leading slash so _resolve anchors absolute paths
+            # at the file root, not the current group
+            prefix = "/" if path.startswith("/") else ""
+            parent = self._resolve(prefix + "/".join(parts[:-1]))
+        else:
+            parent = (
+                self._node if not path.startswith("/") else self._file._root
+            )
         del parent.links[parts[-1]]
 
     def keys(self):
@@ -564,6 +613,32 @@ def _serialize(root: _GroupNode) -> bytes:
         buf.extend(data)
         return addr
 
+    # pooled vlen-string heap: gather every string the tree will write
+    # (attrs + object-dtype datasets), pack them into shared collections
+    # up front — one 4096-byte-minimum collection per ~16 KB of content,
+    # not per attribute
+    heap = _VlenHeap(alloc)
+    acc: list[str] = []
+    seen_nodes: set[int] = set()
+
+    def gather(node) -> None:
+        if id(node) in seen_nodes:
+            return
+        seen_nodes.add(id(node))
+        for value in node.attrs.values():
+            payload, dtype, _shape = _coerce_attr(value)
+            if dtype == VLEN_STR:
+                acc.extend(payload)
+        if isinstance(node, _DatasetNode):
+            if node.data.dtype == object:
+                acc.extend(str(s) for s in node.data.ravel())
+        else:
+            for child in node.links.values():
+                gather(child)
+
+    gather(root)
+    heap.build(acc)
+
     def write_chunked(arr: np.ndarray, chunks) -> bytes:
         """Chunk the array (zero-padding partial edge chunks, as HDF5
         stores full-size chunks), alloc each chunk + a v1 B-tree chunk
@@ -658,7 +733,7 @@ def _serialize(root: _GroupNode) -> bytes:
                 messages.append((0x0001, _dataspace_message(shape)))
                 messages.append((0x0003, _dt_message_vlen_str()))
                 messages.append((0x0005, _fill_message()))
-                raw = _vlen_payload(list(node.data.ravel()), alloc)
+                raw = heap.payload([str(s) for s in node.data.ravel()])
                 data_addr = alloc(raw) if raw else UNDEF
                 messages.append((0x0008, _layout_message(data_addr, len(raw))))
             else:
@@ -696,7 +771,7 @@ def _serialize(root: _GroupNode) -> bytes:
                     caddr = UNDEF
                 messages.append((0x0006, _link_message(name, caddr)))
         for name, value in node.attrs.items():
-            messages.append((0x000C, _attr_message(name, value, alloc)))
+            messages.append((0x000C, _attr_message(name, value, heap)))
         addr = alloc(_object_header(messages))
         addr_of[id(node)] = addr
         in_progress.discard(id(node))

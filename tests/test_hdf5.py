@@ -655,8 +655,10 @@ def test_pack_da00_partial_variable_stays_time_aligned(tmp_path):
 
 
 def test_pack_ad00_honours_configured_dtype(tmp_path):
-    """ad00's stacked value dataset uses the stream's configured dtype —
-    not hard-coded float64 (integer counts above 2^53 would round)."""
+    """ad00's stacked value dataset uses the stream's configured dtype
+    instead of hard-coded float64. (Through the Spark pipeline the
+    array<double> envelope bounds integer exactness at 2^53 — this
+    exercises the pack-layer contract directly.)"""
     import pandas as pd
 
     class _Grp(dict):
@@ -807,3 +809,65 @@ def test_hdf5lib_reader_survives_corruption(tmp_path):
             outcomes["err"] += 1  # clean failure
     assert outcomes["ok"] + outcomes["err"] == 60
     assert outcomes["err"] > 0  # corruption is actually detected sometimes
+
+
+def test_pack_preserves_nan_float_values(tmp_path):
+    """A genuine IEEE NaN reading (a legal f144 value, stored as NaN —
+    not null — in parquet) must be WRITTEN in place, never dropped: only
+    true parquet nulls take the per-dataset-append path, or paired
+    value/time datasets desync. Distinguishable only via the arrow
+    validity mask (pandas maps both to NaN)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from kafka_to_nexus_spark.sinks import staging
+
+    out = tmp_path / "staged"
+    ds = staging.dataset_dir(out, "/entry/pv", "log")
+    ds.mkdir(parents=True)
+    t = pa.table({
+        "time": pa.array([1, 2, 3], pa.int64()),
+        "value": pa.array([1.0, float("nan"), 3.0], pa.float64()),
+        "alarm": pa.array([None, 7, None], pa.int64()),  # true nulls
+    })
+    _pq.write_table(t, ds / "part-0.parquet")
+    meta = {
+        "groups": ["/entry", "/entry/pv"], "group_attributes": [],
+        "static_datasets": [], "links": [], "metadata_values": {},
+        "job": {},
+        "streams": [{"path": "/entry/pv", "topic": "t", "source": "s",
+                     "module": "f144", "config": {},
+                     "datasets": ["log"]}],
+    }
+    import json as _json
+
+    (out / "_nexus_meta.json").write_text(_json.dumps(meta))
+    hdf = str(tmp_path / "o.nxs")
+    hdf5.pack(out, hdf)
+    with hdf5lib.File(hdf) as f:
+        vals = list(f["/entry/pv/value"][:])
+        assert len(vals) == 3 and math.isnan(vals[1])  # NaN kept IN PLACE
+        assert list(f["/entry/pv/time"][:]) == [1, 2, 3]
+        assert list(f["/entry/pv/alarm"][:]) == [7]  # true nulls dropped
+
+
+def test_vlen_heap_is_pooled_not_per_attribute(tmp_path):
+    """The 4096-byte GCOL minimum must be paid per ~16 KB collection,
+    not per string attribute: a file with 100 string attrs (the
+    1000-source shape writes topic/source/writer_module per group) stays
+    far below 100 x 4096 bytes, and repeated strings dedup."""
+    p = str(tmp_path / "pool.h5")
+    with hdf5lib.File(p, "w") as f:
+        for i in range(100):
+            g = f.require_group(f"g{i}")
+            g.attrs["topic"] = "shared_topic"   # repeated → deduped
+            g.attrs["source"] = f"src_{i}"      # distinct
+            g.attrs["writer_module"] = "f144"   # repeated
+    size = len(open(p, "rb").read())
+    assert size < 100 * 4096 / 4, size  # would be ~1.2 MB un-pooled
+    with hdf5lib.File(p) as r:
+        assert r["g7"].attrs["topic"] == "shared_topic"
+        assert r["g42"].attrs["source"] == "src_42"
+        assert r["g99"].attrs["writer_module"] == "f144"

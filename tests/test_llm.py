@@ -302,6 +302,17 @@ def test_scrub_pii_phone_spares_numeric_prose(spark):
     assert out[2].n_phone == 2
 
 
+def test_scrub_pii_bare_digit_run_is_scrubbed(spark):
+    """An unformatted 9-11 digit run (bare national number / SSN-like id)
+    is PII and must scrub; 4-digit years and short ids stay."""
+    rows = [(0, "call 5558675309 today"),
+            (1, "order 1234 shipped in 2024")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+    assert out[0].n_phone == 1 and "[PHONE]" in out[0].scrubbed_text
+    assert out[1].n_phone == 0 and out[1].scrubbed_text == rows[1][1]
+
+
 def test_stream_ivf_append_maintains_pruned_layout(spark, embeddings, tmp_path):
     """Streaming IVF maintenance: vectors streamed in two micro-batches
     land in the same partition-by-centroid layout the batch writer
