@@ -141,6 +141,11 @@ def lsh_candidate_pairs(
     (its star edges fail verification), true near-dups still merge
     through the chain of consecutive members.
     """
+    if max_bucket is not None and max_bucket < 1:
+        # rank-1 rows must stay in the core: max_bucket=0 would route
+        # every bucket member through capped_out, emitting self-edges
+        # (id_a == _canon == id_b) and null-predecessor chain edges
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     banded = banded_signatures(sig, id_col, bands, rows_per_band)
     star = None
     if max_bucket is not None:

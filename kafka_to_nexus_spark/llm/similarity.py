@@ -606,6 +606,10 @@ def srp_candidate_pairs(
     on O(1) verified edges, with the chain covering a false-positive
     canonical — while a boilerplate embedding cluster stops emitting
     cluster² pairs."""
+    if max_bucket is not None and max_bucket < 1:
+        # same contract as lsh_candidate_pairs: rank-1 rows must stay in
+        # the core or the cap emits self-edges and null-predecessor chains
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     band_bits = bits // bands
     sig = df.select(
         id_col,
@@ -834,10 +838,13 @@ def semantic_dedup_auto(
     n = df.count()
     if n == 0:
         # total on the degenerate input: prune of nothing is nothing
-        # (kmeans_train cannot seed centroids from an empty frame)
-        return df.select(
-            F.col(id_col), F.lit(None).cast("int").alias("centroid_id"),
-            F.lit(True).alias("keep"),
+        # (kmeans_train cannot seed centroids from an empty frame). Route
+        # through semantic_dedup_prune itself with a placeholder centroid
+        # so the empty result's schema ALWAYS matches the non-empty
+        # path's — an ad-hoc select here would silently diverge if the
+        # prune ever grows columns.
+        return semantic_dedup_prune(
+            df, [(0, [0.0])], threshold, vec_col=vec_col, id_col=id_col
         ).limit(0)
     # clamp to the corpus: kmeans_train cannot seed more centroids than rows
     k = min(n, max(min_k, n // max(1, target_cluster_size)))

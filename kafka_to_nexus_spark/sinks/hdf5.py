@@ -310,12 +310,25 @@ def pack(
                         field_t = table.schema.field(col).type
                         series = series[~pdf[f"__null_{col}"]]
                         if not len(series):
-                            grp.create_dataset(
-                                col,
-                                data=np.asarray(
-                                    [], dtype=field_t.to_pandas_dtype()
-                                ),
-                            )
+                            if pa.types.is_string(field_t) or pa.types.is_large_string(
+                                field_t
+                            ):
+                                # pa.string().to_pandas_dtype() is object,
+                                # which h5py rejects without an explicit
+                                # vlen-str dtype ("Object dtype has no
+                                # native HDF5 equivalent")
+                                grp.create_dataset(
+                                    col,
+                                    data=np.empty(0, dtype=object),
+                                    dtype=_h5.string_dtype(),
+                                )
+                            else:
+                                grp.create_dataset(
+                                    col,
+                                    data=np.asarray(
+                                        [], dtype=field_t.to_pandas_dtype()
+                                    ),
+                                )
                             continue
                         if pa.types.is_integer(field_t):
                             # pandas upcast the nullable ints to float —

@@ -209,7 +209,11 @@ def _gcol(strings: list[bytes | tuple[bytes, int]]) -> bytes:
     for i, entry in enumerate(strings, start=1):
         s, refs = entry if isinstance(entry, tuple) else (entry, 1)
         pad = (-len(s)) % 8
-        objs += struct.pack("<HHIQ", i, refs, 0, len(s)) + s + b"\x00" * pad
+        # refcount is a 16-bit field; the pooled heap sets it to the
+        # occurrence count, which can exceed 65535 (a shared empty units
+        # attr at very large source counts). Clamp: refcounts only drive
+        # deletion tracking, which this write-once serializer never does.
+        objs += struct.pack("<HHIQ", i, min(refs, 0xFFFF), 0, len(s)) + s + b"\x00" * pad
     used = 16 + len(objs)  # GCOL header + object blocks
     total = max(4096, used + 16)
     total += (-total) % 8
@@ -394,6 +398,12 @@ class AttributeView:
 
     def items(self):
         return self._attrs.items()
+
+
+def string_dtype(encoding: str = "utf-8", length=None) -> np.dtype:
+    """h5py-compatible vlen-str dtype marker: in this facade plain object
+    dtype IS the vlen-string representation (see _coerce_dataset)."""
+    return np.dtype(object)
 
 
 def _coerce_dataset(data) -> np.ndarray:

@@ -871,3 +871,65 @@ def test_vlen_heap_is_pooled_not_per_attribute(tmp_path):
         assert r["g7"].attrs["topic"] == "shared_topic"
         assert r["g42"].attrs["source"] == "src_42"
         assert r["g99"].attrs["writer_module"] == "f144"
+
+
+def test_gcol_refcount_clamped_to_16_bits():
+    """The GCOL refcount field is 16-bit: the pooled heap's occurrence
+    count can exceed 65535 (a shared empty units attr at huge source
+    counts) and must clamp instead of raising struct.error — refcounts
+    only drive deletion tracking, which the write-once serializer never
+    does."""
+    import struct
+
+    blob = hdf5lib._gcol([(b"unit", 70_000)])
+    # collection header is 16 bytes; first object header follows
+    idx, refs, _reserved, length = struct.unpack_from("<HHIQ", blob, 16)
+    assert (idx, refs, length) == (1, 0xFFFF, 4)
+
+
+def test_pack_all_null_string_column(tmp_path, monkeypatch):
+    """An ALL-null string column must pack as an empty vlen-str dataset:
+    h5py rejects object-dtype empty arrays without an explicit string
+    dtype ('Object dtype has no native HDF5 equivalent') — enforce that
+    rejection on the facade and require pack() to survive it."""
+    import json as _json
+
+    import numpy as _np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from kafka_to_nexus_spark.sinks import staging
+
+    orig = hdf5lib.Group.create_dataset
+
+    def strict(self, name, data=None, chunks=None, dtype=None):
+        if data is not None and not isinstance(data, (str, bytes)):
+            arr = data if isinstance(data, _np.ndarray) else _np.asarray(data)
+            if arr.dtype == object and dtype is None and not len(arr):
+                raise TypeError("Object dtype dtype('O') has no native HDF5 equivalent")
+        return orig(self, name, data=data, chunks=chunks, dtype=dtype)
+
+    monkeypatch.setattr(hdf5lib.Group, "create_dataset", strict)
+    out = tmp_path / "staged"
+    ds = staging.dataset_dir(out, "/entry/pv", "alarms")
+    ds.mkdir(parents=True)
+    t = pa.table({
+        "alarm_time": pa.array([1, 2], pa.int64()),
+        "alarm_severity": pa.array([0, 0], pa.int64()),
+        "alarm_message": pa.array([None, None], pa.string()),  # ALL null
+    })
+    _pq.write_table(t, ds / "part-0.parquet")
+    meta = {
+        "groups": ["/entry", "/entry/pv"], "group_attributes": [],
+        "static_datasets": [], "links": [], "metadata_values": {},
+        "job": {},
+        "streams": [{"path": "/entry/pv", "topic": "t", "source": "s",
+                     "module": "al00", "config": {},
+                     "datasets": ["alarms"]}],
+    }
+    (out / "_nexus_meta.json").write_text(_json.dumps(meta))
+    hdf = str(tmp_path / "o.nxs")
+    hdf5.pack(out, hdf)
+    with hdf5lib.File(hdf) as f:
+        assert list(f["/entry/pv/alarm_time"][:]) == [1, 2]
+        assert len(f["/entry/pv/alarm_message"][:]) == 0

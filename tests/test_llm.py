@@ -467,6 +467,20 @@ def test_lsh_max_bucket_caps_pairs_keeps_canonical(spark):
         uncapped_pairs, rng)
 
 
+def test_max_bucket_zero_rejected(spark):
+    """max_bucket=0 would push every rank-1 row into the capped branch,
+    emitting self-edges and null-predecessor chain edges — both cap
+    operators must reject it up front."""
+    import pytest
+
+    sig = spark.createDataFrame([(0, "a", "b")], ["doc_id", "m0", "m1"])
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=2, max_bucket=0)
+    emb = spark.createDataFrame([(0, [0.0] * 64)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="max_bucket"):
+        similarity.srp_candidate_pairs(emb, max_bucket=0)
+
+
 def test_semantic_dedup_auto_scales_k_with_corpus(spark, embeddings):
     """The auto wrapper holds cluster SIZE constant: doubling the corpus
     doubles k, and the prune output still covers every vector exactly
@@ -498,6 +512,13 @@ def test_semantic_dedup_auto_degenerate_corpora(spark, embeddings):
         embeddings.limit(0), threshold=0.9, n_iter=1)
     assert empty.count() == 0
     assert set(empty.columns) == {"vec_id", "centroid_id", "keep"}
+    # the empty branch must track semantic_dedup_prune's schema EXACTLY
+    # (names, order, and types) — a downstream union on the degenerate
+    # case must not misalign
+    nonempty = similarity.semantic_dedup_auto(
+        embeddings.limit(3), threshold=0.9, n_iter=1)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in nonempty.schema.fields]
     one = similarity.semantic_dedup_auto(
         embeddings.limit(1), threshold=0.9, n_iter=1).collect()
     assert len(one) == 1 and one[0].keep
