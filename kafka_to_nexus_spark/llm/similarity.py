@@ -854,6 +854,38 @@ def semantic_dedup_auto(
     )
 
 
+def semantic_dedup_auto_portable(
+    df: DataFrame,
+    threshold: float,
+    target_cluster_size: int = 64,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_k: int = 2,
+) -> DataFrame:
+    """:func:`semantic_dedup_auto` on the PORTABLE kmeans twin — the
+    registry-default form. Same corpus-scaled ``k = clamp(n //
+    target_cluster_size)`` (the property that keeps the per-cluster
+    quadratic term bounded as the corpus grows), but trained with
+    :func:`kmeans_train_portable` so a DuckDB oracle replays clustering,
+    assignment, and the threshold test bit-for-bit — ``k`` itself is
+    re-derived in SQL from ``count(*)``, so the oracle tracks the same
+    corpus-scaling rule rather than pinning one size. Production runs
+    keep :func:`semantic_dedup_auto` (xxhash seeding, BLAS assign)."""
+    n = df.count()
+    if n == 0:
+        return semantic_dedup_prune(
+            df, [(0, [0.0])], threshold, vec_col=vec_col, id_col=id_col
+        ).limit(0)
+    k = min(n, max(min_k, n // max(1, target_cluster_size)))
+    centroids = kmeans_train_portable(
+        df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    return semantic_dedup_prune(
+        df, centroids, threshold, vec_col=vec_col, id_col=id_col
+    )
+
+
 # ---------------------------------------------------------------------------
 # L41 — embedding moments + PCA whitening. Retrieval pipelines whiten
 # embeddings before quantization/indexing (decorrelated dimensions make

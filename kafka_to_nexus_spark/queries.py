@@ -1346,8 +1346,25 @@ FROM sig GROUP BY m0, m1 HAVING count(*) > 1
 # |A ∪ B| = |A| + |B| − |A ∩ B| halves the set work. Band keys are the
 # top-32/next-28 bit slices of the same hash (order-isomorphic to the hex
 # prefixes used by minhash_signatures).
-ORACLE["ngram_jaccard_pairs"] = """
-WITH h AS (
+#
+# The REGISTRY DEFAULT is the capped form (max_bucket=_JACCARD_MAX_BUCKET):
+# pair OUTPUT is quadratic in bucket size, and the repo's own 1000×
+# growth sweep (SCALE.md) measured the uncapped form spilling >80 GB of
+# shuffle at the ×100 tier, so the form a user reaches for must be the
+# one that survives its own growth curve. The star+chain cap is
+# deterministic (rank by doc_id within each bucket), so the oracle
+# replays it exactly; the uncapped form stays as the
+# ``ngram_jaccard_uncapped`` cross-check.
+_JACCARD_MAX_BUCKET = 8
+
+
+def _jaccard_cand_duck(max_bucket: int | None) -> str:
+    """Shared DuckDB CTE chain ``h → hn → sig → [ranked →] pairs`` for the
+    shingle-hash/LSH pipeline, replaying ``lsh_candidate_pairs`` with or
+    without the star+chain bucket cap. Reused by the pair query and the
+    connected-components oracle so both engines see the same graph."""
+    base = """
+h AS (
   SELECT doc_id,
          [('0x' || substr(md5(s), 1, 15))::BIGINT
           for s in list_distinct([substr(text, i, 5)
@@ -1360,17 +1377,55 @@ sig AS (
          list_min([x >> 28 for x in hashes]) AS m0,
          list_min([x & 268435455 for x in hashes]) AS m1
   FROM h
-),
+)"""
+    if max_bucket is None:
+        return base + """,
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sig a JOIN sig b
     ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
-)
+)"""
+    # the capped replay: rank within each (m0, m1) bucket by doc_id; the
+    # lowest-id max_bucket members pair all-against-all, every member past
+    # the cap emits a star edge to the bucket canonical (min id) and a
+    # chain edge to its rank-predecessor — identical to
+    # llm.dedup.lsh_candidate_pairs(max_bucket=...)
+    return base + f""",
+ranked AS (
+  SELECT doc_id, m0, m1,
+         row_number() OVER w AS rk,
+         first_value(doc_id) OVER w AS canon,
+         lag(doc_id) OVER w AS prev
+  FROM sig
+  WINDOW w AS (PARTITION BY m0, m1 ORDER BY doc_id)
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ranked a JOIN ranked b
+      ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+     AND a.rk <= {max_bucket} AND b.rk <= {max_bucket}
+    UNION ALL
+    SELECT canon, doc_id FROM ranked WHERE rk > {max_bucket}
+    UNION ALL
+    SELECT prev, doc_id FROM ranked WHERE rk > {max_bucket}
+  )
+)"""
+
+
+_JACCARD_SELECT_DUCK = """
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
              / (x.n + y.n - len(list_intersect(x.hashes, y.hashes))), 6) AS jaccard
 FROM pairs JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
 """
+
+ORACLE["ngram_jaccard_pairs"] = (
+    "WITH " + _jaccard_cand_duck(_JACCARD_MAX_BUCKET) + _JACCARD_SELECT_DUCK
+)
+ORACLE["ngram_jaccard_uncapped"] = (
+    "WITH " + _jaccard_cand_duck(None) + _JACCARD_SELECT_DUCK
+)
 
 # --- embedding-cosine near-dup (blocked by label) ----------------------------
 # Pairwise cosine only WITHIN label blocks (O(sum block²), not O(n²));
@@ -2255,8 +2310,12 @@ GROUP BY i.event_id
 _JACCARD_PERSIST: dict[str, DataFrame] = {}
 
 
-def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-once n-gram Jaccard on LSH candidates (see ORACLE comment)."""
+def _q_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Hash-once n-gram Jaccard on LSH candidates (see ORACLE comment).
+    ``max_bucket`` routes through lsh_candidate_pairs' star+chain cap —
+    the registry default (_q_ngram_jaccard_capped)."""
     from pyspark.sql import functions as F
 
     from .llm import dedup as llm_dedup
@@ -2280,7 +2339,9 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_min(transform(hashes, x -> shiftright(x, 28)))").alias("m0"),
         F.expr("array_min(transform(hashes, x -> x & 268435455))").alias("m1"),
     )
-    pairs = llm_dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=2)
+    pairs = llm_dedup.lsh_candidate_pairs(
+        sig, bands=1, rows_per_band=2, max_bucket=max_bucket
+    )
     # Plain shuffle hash joins on doc_id: the candidate pairs are already
     # LSH-pruned, and broadcasting the corpus-wide shingle-hash relation
     # would OOM at 100 TB. The explicit hint keeps small-SF runs from
@@ -2298,6 +2359,12 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry default: bucket-capped candidate pairs (star+chain,
+    SCALE.md-measured ~linear where the uncapped form spills at ×100)."""
+    return _q_ngram_jaccard(spark, sf_dir, max_bucket=_JACCARD_MAX_BUCKET)
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2433,7 +2500,11 @@ def _dedup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    edges = _q_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    # capped candidate basis — the same scale-safe default the registry
+    # pair query uses (uncapped edge building spilled at the ×100 tier)
+    edges = _q_ngram_jaccard(
+        spark, sf_dir, max_bucket=_JACCARD_MAX_BUCKET
+    ).filter(F.col("jaccard") >= 0.5)
     labels = llm_dedup.connected_components(edges, docs, "doc_id").localCheckpoint()
     _CC_LABELS_CACHE[key] = labels
     return labels
@@ -2444,32 +2515,15 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["dedup_components"] = """
-WITH RECURSIVE h AS (
-  SELECT doc_id,
-         [('0x' || substr(md5(s), 1, 15))::BIGINT
-          for s in list_distinct([substr(text, i, 5)
-               for i in range(1, greatest(length(text) - 4, 1) + 1)])] AS hashes
-  FROM documents
-),
-hn AS (SELECT doc_id, hashes, len(hashes) AS n FROM h),
-sig AS (
-  SELECT doc_id,
-         list_min([x >> 28 for x in hashes]) AS m0,
-         list_min([x & 268435455 for x in hashes]) AS m1
-  FROM h
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sig a JOIN sig b
-    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
-),
+WITH RECURSIVE """ + _jaccard_cand_duck(_JACCARD_MAX_BUCKET) + """,
 verified AS (
   -- threshold on the ROUNDED jaccard, matching the Spark side's filter
   -- over _q_ngram_jaccard's round(...,6) output: thresholding one side
   -- rounded and the other raw can build different edge sets on values
-  -- straddling the 6-dp boundary
+  -- straddling the 6-dp boundary. Candidate basis = the same capped
+  -- star+chain pair set the registry pair query emits.
   SELECT id_a, id_b
-  FROM cand JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
+  FROM pairs JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
   WHERE round(CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
         / (x.n + y.n - len(list_intersect(x.hashes, y.hashes))), 6) >= 0.5
 ),
@@ -2667,16 +2721,31 @@ def _q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.srp_signatures(spark.table("embeddings"), bits=16, dim=64)
 
 
-def _q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Registry default max_bucket for the SRP pair family: small enough that
+# the star+chain branch actually executes at the sf0.01 correctness gate
+# (band buckets there top out at 9 members), production-shaped enough to
+# bound a boilerplate embedding cluster's pair output.
+_SRP_MAX_BUCKET = 4
+
+
+def _q_srp_near_dup(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .llm import similarity as sim
 
     register_views(spark, sf_dir, ("embeddings",))
     pairs = sim.srp_candidate_pairs(
-        spark.table("embeddings"), bits=16, bands=2, dim=64
+        spark.table("embeddings"), bits=16, bands=2, dim=64, max_bucket=max_bucket
     )
     return pairs.orderBy(F.desc("cosine"), "id_a", "id_b").limit(20)
+
+
+def _q_srp_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry default: bucket-capped SRP candidates (the uncapped
+    form's pair output spills at the ×100 growth tier — SCALE.md)."""
+    return _q_srp_near_dup(spark, sf_dir, max_bucket=_SRP_MAX_BUCKET)
 
 
 def _srp_oracles() -> None:
@@ -2688,14 +2757,13 @@ def _srp_oracles() -> None:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT vec_id, {sig} AS srp_sig FROM e
 """
-    ORACLE["srp_near_dup_pairs"] = f"""
+    # shared head: signature + band explosion (replays srp_candidate_pairs)
+    srp_head = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (SELECT vec_id, v, {sig} AS sig FROM e),
 b AS (SELECT vec_id, v, t.band, (sig // CAST(pow(2, t.band * 8) AS BIGINT)) % 256 AS band_val
-      FROM s, unnest([0, 1]) AS t(band)),
-pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-          FROM b a JOIN b b2 ON a.band = b2.band AND a.band_val = b2.band_val
-                            AND a.vec_id < b2.vec_id)
+      FROM s, unnest([0, 1]) AS t(band))"""
+    srp_tail = """
 SELECT id_a, id_b,
        round(list_dot_product(x.v, y.v)
              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
@@ -2703,6 +2771,32 @@ SELECT id_a, id_b,
 FROM pairs JOIN s x ON id_a = x.vec_id JOIN s y ON id_b = y.vec_id
 ORDER BY cosine DESC, id_a, id_b LIMIT 20
 """
+    ORACLE["srp_near_dup_uncapped"] = srp_head + """,
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2 ON a.band = b2.band AND a.band_val = b2.band_val
+                            AND a.vec_id < b2.vec_id)""" + srp_tail
+    # the registry default replays the star+chain cap: rank within each
+    # (band, band_val) bucket by vec_id, lowest _SRP_MAX_BUCKET members
+    # pair all-against-all, members past the cap emit canonical + chain
+    # edges — identical to srp_candidate_pairs(max_bucket=...)
+    m = _SRP_MAX_BUCKET
+    ORACLE["srp_near_dup_pairs"] = srp_head + f""",
+r AS (
+  SELECT vec_id, v, band, band_val,
+         row_number() OVER w AS rk,
+         first_value(vec_id) OVER w AS canon,
+         lag(vec_id) OVER w AS prev
+  FROM b WINDOW w AS (PARTITION BY band, band_val ORDER BY vec_id)
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+    FROM r a JOIN r b2 ON a.band = b2.band AND a.band_val = b2.band_val
+                      AND a.vec_id < b2.vec_id AND a.rk <= {m} AND b2.rk <= {m}
+    UNION ALL SELECT canon, vec_id FROM r WHERE rk > {m}
+    UNION ALL SELECT prev, vec_id FROM r WHERE rk > {m}
+  )
+)""" + srp_tail
 
 
 _srp_oracles()
@@ -2723,11 +2817,15 @@ def _q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assignment_stats_portable(emb, centroids)
 
 
-# Shared DuckDB replay of kmeans_train_portable(k=8, n_iter=1) +
+# Shared DuckDB replay of kmeans_train_portable(k, n_iter=1) +
 # per-vector assignment: asg1 yields (vec_id, v, cid, cv, d). Reused by the
-# training-stats oracle and the SemDeDup oracle so both check the identical
-# iteration.
-_KMEANS_ASG1_DUCK = """
+# training-stats oracle and the SemDeDup oracles so each checks the
+# identical iteration. ``k_expr`` is a SQL expression over the corpus —
+# a literal ("8") for the fixed-k forms, or the corpus-scaled clamp for
+# the auto form (replaying semantic_dedup_auto_portable's
+# k = min(n, max(min_k, n // target_cluster_size)) rule in SQL).
+def _kmeans_asg1_duck(k_expr: str) -> str:
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seed AS (
   SELECT row_number() OVER (
@@ -2735,7 +2833,10 @@ seed AS (
                     vec_id) - 1 AS cid, v
   FROM e
 ),
-s0 AS (SELECT cid, v FROM seed WHERE cid < 8),
+s0 AS (SELECT cid, v FROM seed WHERE cid < ({k_expr})),""" + _KMEANS_ASG1_TAIL
+
+
+_KMEANS_ASG1_TAIL = """
 asg0 AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, s.cid, list_dot_product(e.v, s.v) AS d
@@ -2754,6 +2855,8 @@ asg1 AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
 )"""
 
+_KMEANS_ASG1_DUCK = _kmeans_asg1_duck("8")
+
 ORACLE["ivf_kmeans_train"] = _KMEANS_ASG1_DUCK + """
 SELECT CAST(cid AS INT) AS centroid_id, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(CAST(d / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
@@ -2765,14 +2868,43 @@ FROM asg1 GROUP BY cid
 _SEMDEDUP_TAU = 0.4
 
 
+# SemDeDup auto-k parameters for the registry default: cluster size held
+# ~constant as the corpus grows (k = min(n, max(2, n // 64))), which the
+# growth sweep measured linear (+1.15) where fixed-k is superlinear
+# (+1.32). target=64 gives k=7 at the sf0.01 correctness gate — the same
+# regime the old fixed k=8 exercised.
+_SEMDEDUP_TARGET = 64
+_SEMDEDUP_K_EXPR = (
+    f"SELECT least(count(*), greatest(2, count(*) // {_SEMDEDUP_TARGET})) FROM e"
+)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): kmeans-cluster the embedding space,
     prune within-cluster cosine near-duplicates keeping the min-id
-    survivor. Uses the portable kmeans twin so the DuckDB oracle replays
-    the identical clustering + threshold test bit-for-bit. tau = 0.4 here
-    because the synthetic embeddings are near-isotropic (within-cluster
-    cosine tops out ~0.48 at sf0.01); a real corpus runs this at the
-    paper's 0.95+."""
+    survivor. REGISTRY DEFAULT = the auto-k portable form: k scales with
+    the corpus (constant cluster size), so the per-cluster quadratic
+    term stays bounded as the corpus grows — the fixed-k form this
+    replaced measures superlinear (+1.32) on the repo's own growth
+    sweep. The portable kmeans twin keeps the DuckDB oracle replaying
+    clustering + threshold test bit-for-bit, with k itself re-derived in
+    SQL from count(*). tau = 0.4 here because the synthetic embeddings
+    are near-isotropic (within-cluster cosine tops out ~0.48 at sf0.01);
+    a real corpus runs this at the paper's 0.95+."""
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return sim.semantic_dedup_auto_portable(
+        spark.table("embeddings"),
+        threshold=_SEMDEDUP_TAU,
+        target_cluster_size=_SEMDEDUP_TARGET,
+        n_iter=1,
+    )
+
+
+def _q_semantic_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k cross-check twin of the auto-k registry default (one
+    pinned clustering size, the pre-r5 registry semantics)."""
     from .llm import similarity as sim
 
     register_views(spark, sf_dir, ("embeddings",))
@@ -2781,7 +2913,8 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup_prune(emb, centroids, threshold=_SEMDEDUP_TAU)
 
 
-ORACLE["semantic_dedup_prune"] = _KMEANS_ASG1_DUCK + f""",
+def _semdedup_prune_duck(k_expr: str) -> str:
+    return _kmeans_asg1_duck(k_expr) + f""",
 pruned AS (
   SELECT DISTINCT b.vec_id
   FROM asg1 a JOIN asg1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -2795,6 +2928,10 @@ FROM asg1 LEFT JOIN pruned ON asg1.vec_id = pruned.vec_id
 """
 
 
+ORACLE["semantic_dedup_prune"] = _semdedup_prune_duck(_SEMDEDUP_K_EXPR)
+ORACLE["semantic_dedup_fixed_k"] = _semdedup_prune_duck("8")
+
+
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_term": _q_tfidf_top_term,
     "pii_scrub_signals": _q_pii_scrub,
@@ -2802,9 +2939,13 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "srp_signatures": _q_srp_signatures,
-    "srp_near_dup_pairs": _q_srp_near_dup,
+    # scale-safe registry defaults (capped / auto-k); the uncapped and
+    # fixed-k twins stay as named cross-checks with their own oracles
+    "srp_near_dup_pairs": _q_srp_near_dup_capped,
+    "srp_near_dup_uncapped": _q_srp_near_dup,
     "ivf_kmeans_train": _q_ivf_kmeans,
     "semantic_dedup_prune": _q_semantic_dedup,
+    "semantic_dedup_fixed_k": _q_semantic_dedup_fixed,
     "lang_id_heuristic": _q_lang_id,
     "simhash_fingerprints": _q_simhash,
     "quality_score": _q_quality,
@@ -2812,7 +2953,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_forward": _q_asof_forward,
     "asof_join_tolerance": _q_asof_tolerance,
     "range_join_attribution": _q_range_join,
-    "ngram_jaccard_pairs": _q_ngram_jaccard,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_capped,
+    "ngram_jaccard_uncapped": _q_ngram_jaccard,
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
     "multimodal_frame_sample": _q_multimodal_frames,
@@ -2827,92 +2969,84 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 
 # The driver records correctness rows for the FIRST 50 entries (dict
-# insertion order); the registry holds 91, so ordering IS the verification
-# budget. Rotation policy (round-robin freshness, not one-shot priority):
+# insertion order); the registry holds 104, so ordering IS the
+# verification budget. Rotation policy (round-robin freshness, not
+# one-shot priority):
 #   1. queries whose behavior changed this round (bug-fix proofs, new
 #      oracles, first-ever checks) always get slots;
 #   2. then every query whose last driver check is OLDEST — no formerly
-#      green query may go two consecutive rounds unverified;
+#      green query may go more than two rounds unverified;
 #   3. remaining slots go to §2-mapped representatives across families.
-# Round-4 window: the 7 never-driver-checked queries first (q7/q8/q9/q12/
-# q20 TPC-H + the two r3 additions pii_scrub_signals/url_domain_profile)
-# plus the SIX new r4 queries (cms_heavy_hitters/dup_span_coverage/
-# sequence_packing/hll_distinct_sketch/temperature_mix_sample/
-# semantic_dedup_prune — new queries enter the window the round they
-# land), then tfidf_top_term (plan rewritten this round — must be
-# re-proven), the 36 queries whose last green row is round 2 (LLM dedup/
-# minhash/SRP/IVF/quant/text batteries + w2/w4/w5/w6/w7/w8). Rotated out
-# for exactly one round (green in r1+r2+r3 — the most-proven entries in
-# the registry — back in r5): the f3/w3/w1 canaries, the TPC-H/windowing
-# battery, and the k4/t6 representatives.
+# tests/test_window_policy.py enforces this mechanically against the
+# recorded CORRECTNESS_r*.json rows; tools/window_rotation.py emits the
+# next round's suggested list.
+# Round-5 window: the 3 new cross-check twins (never checked), the 5
+# queries whose semantics changed with the scale-safe promotion
+# (capped jaccard/SRP defaults, auto-k SemDeDup, capped CC edge basis),
+# the 4 r2-stale queries, then the oldest r3-stale rows in
+# window_rotation order. Rotated out (all r4-green, back in r6):
+# the TPC-H q7/q8/q9/q12/q20 battery, the r4-new sketch family, the
+# minhash/winnow/quant/text batteries, and the w2/w4-w8 module queries.
 _PRIORITY = (
-    # -- never driver-checked before this round (rule #1: always get slots)
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_shipping",
-    "q20_part_promotion",
-    "pii_scrub_signals",
-    "url_domain_profile",
-    "cms_heavy_hitters",
-    "dup_span_coverage",
-    "sequence_packing",
-    "hll_distinct_sketch",
-    "temperature_mix_sample",
-    "semantic_dedup_prune",
-    "token_budget_select",
-    "incremental_dedup_merge",
-    # -- behavior changed this round (plan rewrites; must re-prove)
-    "asof_join_tolerance",  # as-of join rewritten to matched-row structs
-    "tfidf_top_term",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "ivf_partitioned_probe",
-    "ivf_probe_topk",
-    "q18_large_orders",
+    # -- never driver-checked (rule #1): the r5 cross-check twins
+    "ngram_jaccard_uncapped",
+    "srp_near_dup_uncapped",
+    "semantic_dedup_fixed_k",
+    # -- behavior changed this round (rule #1): scale-safe promotion
+    "ngram_jaccard_pairs",       # now capped (max_bucket=8) star+chain
+    "srp_near_dup_pairs",        # now capped (max_bucket=4)
+    "semantic_dedup_prune",      # now auto-k (corpus-scaled clusters)
+    "dedup_components",          # CC edge basis now the capped pair set
+    "dedup_keep_canonical",      # projection over the capped CC labels
     # -- last green in round 2 (rule #2: oldest-check first)
-    "w2_event_index",
-    "w4_ad00_zero_fill",
-    "w5_da00_constants",
-    "w6_severity_code",
-    "w7_ep01_state_changes",
-    "w8_tdct_chunk_cue",
-    "dedup_exact",
-    "minhash_signatures",
-    "minhash_lsh_buckets",
-    "ngram_jaccard_pairs",
-    "srp_signatures",
-    "srp_near_dup_pairs",
-    "winnow_fingerprints",
-    "ann_cosine_topk",
-    "embedding_cosine_pairs",
-    "embedding_label_stats",
-    "embedding_quant_params",
-    "ivf_bucket_counts",
-    "quantized_adc_topk",
-    "decontamination_overlap",
-    "training_mix_sample",
-    "lang_id_heuristic",
-    "quality_score",
-    "token_count_by_source",
-    "bpe_token_count",
-    "repetition_signals",
-    "asof_join_streams",
-    "asof_join_forward",
-    # ---- 50-slot window boundary (everything below is unchecked this round;
-    # text_quality (r2-green) ceded its slot to the rewritten
-    # asof_join_tolerance — it shares the llm/text scoring core with
-    # in-window quality_score, so the codepath keeps a driver row;
-    # all were green in round 3 — f3_asof_buffer/w3_timestamp_synthesis/
-    # w1_f144_stats in r1+r2+r3 — so a one-round gap is within policy).
-    # multimodal_resize_spec/multimodal_frame_sample (r2-green, metadata-only
-    # ops, code untouched, pytest-covered) ceded their slots to the two new
-    # r4 queries above; lang_profile (r2-green, shares the lang-ID core with
-    # in-window lang_id_heuristic) ceded its slot to the rewritten
-    # q18_large_orders — all first window candidates for r5.
     "lang_profile",
-    "multimodal_resize_spec",
     "multimodal_frame_sample",
+    "multimodal_resize_spec",
+    "text_quality",
+    # -- last green in round 3 (window_rotation order)
+    "cube_type_user_totals",
+    "d5_offset_gaps",
+    "doc_fingerprint",
+    "f1_source_filter",
+    "f2_time_window",
+    "f3_asof_buffer",
+    "f4_dedup_repeated",
+    "f5_out_of_order",
+    "hypertable_rollup",
+    "ivf_kmeans_train",
+    "json_props_extract",
+    "k4_cue_index",
+    "kmv_distinct_sketch",
+    "multimodal_features",
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q13_order_distribution",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q16_brand_suppliers",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_pred",
+    "q1_pricing_summary",
+    "q21_waiting_orders",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "range_join_attribution",
+    "rollup_daily_totals",
+    "scalar_function_battery",
+    "session_windows",
+    "sessionize",
+    "set_except_users",
+    "set_intersect_users",
+    "simhash_fingerprints",
+    # ---- 50-slot window boundary. Left outside with an r3-green row
+    # (staleness 2 after this round, the policy maximum — first window
+    # candidates for r6): sliding_window, stats_battery, t6_job_summary,
+    # topk_per_group, tumbling_window. Everything else outside is
+    # r4-green (staleness 1).
 )
 
 

@@ -48,14 +48,20 @@ FAMILY = {
     "dedup_exact": "documents",
     "minhash_signatures": "documents",
     "minhash_lsh_buckets": "documents",
+    # since r5 the registry names ARE the capped/auto scale-safe forms;
+    # the *_uncapped / *_fixed_k cross-checks carry the old hazards and
+    # stay span-bounded below
     "ngram_jaccard_pairs": "documents",
+    "ngram_jaccard_uncapped": "documents",
     "simhash_fingerprints": "documents",
     "dup_span_coverage": "documents",
     "winnow_fingerprints": "documents",
     "dedup_components": "documents",
     "srp_signatures": "embeddings",
     "srp_near_dup_pairs": "embeddings",
+    "srp_near_dup_uncapped": "embeddings",
     "semantic_dedup_prune": "embeddings",
+    "semantic_dedup_fixed_k": "embeddings",
     "ann_cosine_topk": "embeddings",
     "quantized_adc_topk": "embeddings",
     "tfidf_top_term": "documents",
@@ -78,15 +84,16 @@ MEMOIZED = {"dedup_components"}
 # size are bounded to the first N synth dirs: the x100 corpus has
 # 100-replica near-dup clusters, so uncapped pair/edge generation emits
 # ~25M rows per stage and spills >80 GB of shuffle (measured — both the
-# jaccard pair join and the CC edge build filled the disk at x100). The
-# capped jaccard variant runs the full span and is the mitigation
-# evidence; production runs cap buckets (lsh_candidate_pairs max_bucket)
-# or scale cluster count with the corpus (SemDeDup's k).
+# jaccard pair join and the CC edge build filled the disk at x100).
+# Since r5 these hazards live only in the *_uncapped / *_fixed_k
+# cross-check twins — the registry defaults are the capped/auto forms
+# and run the full span (ngram_jaccard_pairs and srp_near_dup_pairs even
+# the x1000 tier; dedup_components now rides the capped edge basis, its
+# x1000 run exercising the shuffle-regime CC loop on real volume).
 MAX_DIRS = {
-    "ngram_jaccard_pairs": 2,
-    "dedup_components": 2,
-    "semantic_dedup_prune": 2,
-    "srp_near_dup_pairs": 2,
+    "ngram_jaccard_uncapped": 2,
+    "semantic_dedup_fixed_k": 2,
+    "srp_near_dup_uncapped": 2,
 }
 
 # Ops that also run the x1000 tier (5M docs) in synth mode — the
@@ -104,6 +111,13 @@ X1000_OPS = {
     "bpe_token_count",
     "simhash_fingerprints",
     "minhash_signatures",
+    # r5: the capped pair family runs the full decade the uncapped forms
+    # spill on, and the capped-edge CC run at 5M docs pushes the
+    # materialized edge count past the broadcast threshold — the
+    # shuffle-regime label-propagation loop on real volume
+    "ngram_jaccard_pairs",
+    "srp_near_dup_pairs",
+    "dedup_components",
 }
 
 
@@ -188,38 +202,10 @@ def main() -> None:
     )
     funcs = Q.queries()
 
-    # the capped LSH pipeline: same operator family as ngram_jaccard_pairs
-    # but with the boilerplate-cluster cap — its slope vs the uncapped
-    # query's is the mitigation evidence for pair-output explosion
-    def _capped_jaccard(spark, sf_dir):
-        from kafka_to_nexus_spark.llm import dedup
-
-        Q.register_views(spark, sf_dir, ("documents",))
-        docs = spark.table("documents")
-        sig = dedup.minhash_signatures(docs)
-        pairs = dedup.lsh_candidate_pairs(sig, max_bucket=8)
-        return dedup.ngram_jaccard(docs, pairs)
-
-    funcs["ngram_jaccard_capped8"] = _capped_jaccard
-
-    # the SRP star cap: same mitigation for the embedding family — the
-    # uncapped srp_near_dup_pairs is span-bounded (pair output spills at
-    # x100); the cap bounds per-bucket output while keeping components
-    # exact (union-find-equality tested)
-    def _capped_srp(spark, sf_dir):
-        from kafka_to_nexus_spark.llm import similarity
-
-        Q.register_views(spark, sf_dir, ("embeddings",))
-        return similarity.srp_candidate_pairs(
-            spark.table("embeddings"), max_bucket=8
-        )
-
-    funcs["srp_near_dup_capped8"] = _capped_srp
-
-    # SemDeDup with k scaled to the corpus (the production form): the
-    # registry query pins k for oracle portability, so its per-cluster
-    # quadratic term grows with the corpus — auto-k is the mitigation
-    # evidence, same pairing as capped jaccard vs the uncapped query.
+    # SemDeDup with k scaled to the corpus on the PRODUCTION path (xxhash
+    # seeding + BLAS assign): the registry default is the portable auto-k
+    # twin (oracle-replayable); this measures the same corpus-scaling
+    # rule on the faster production kernels.
     def _semdedup_auto(spark, sf_dir):
         from kafka_to_nexus_spark.llm import similarity
 
@@ -236,8 +222,6 @@ def main() -> None:
         sf_dirs = build_synth(spark)
         family = {n: t for n, t in FAMILY.items()
                   if t in ("documents", "embeddings")}
-        family["ngram_jaccard_capped8"] = "documents"
-        family["srp_near_dup_capped8"] = "embeddings"
         family["semantic_dedup_auto"] = "embeddings"
     def count_rows(path: str) -> int:
         p = Path(path)
