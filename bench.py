@@ -175,23 +175,32 @@ def _run_e2e_streaming_neardup(spark, sf_dir: str, n_batches: int = 2) -> None:
     # size it to the corpus (SCALE.md shuffle-sizing rule) so the entry
     # measures the operator, not 32 near-empty state commits per batch.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         raw = (spark.readStream
                .schema("doc_id long, timestamp long, text string")
                .option("maxFilesPerTrigger", 1).json(f"{indir}/in/*"))
-        # one JSON file = one scan partition: spread the md5 shingle work
-        # across cores before the (narrow) signature map
+        # one JSON file = one scan partition: spread the shingle-hash work
+        # across cores before the (narrow) signature map. The streaming
+        # operator has no SQL oracle (pytest-covered), so it benches the
+        # PRODUCTION hash engine (xxhash64, JVM-native) rather than the
+        # md5 oracle twin the batch correctness gate pins.
         sig = llm_dedup.minhash_signatures(
-            raw.repartition(8), keep_cols=("timestamp",))
+            raw.repartition(8), keep_cols=("timestamp",),
+            hash_engine="xxhash64")
         # 2 bands x 4 rows: the selective config for this clustered corpus
         # (4x2 banding puts ~440 docs in one bucket and ~860k candidate
         # pairs through the verifier — the cap would dominate the timing)
         # horizon covers the whole synthetic time span (1s per doc), so
         # batch-1 buckets are still live when batch 2 pairs against them
+        # sharded bucket state: 6458 active buckets at sf0.1 cost ~1 ms of
+        # per-state-group overhead EACH per micro-batch in the per-bucket
+        # form (the dominant e2e cost, measured r5); packing them
+        # 16-buckets-to-a-state-entry drops group invocations to
+        # O(bands x shards) with identical pair output (equality-tested)
         out = stateful.near_dup_candidates(
             sig, horizon="2 hours", watermark="1 second",
-            bands=2, rows_per_band=4)
+            bands=2, rows_per_band=4, shards=16)
         q = (out.writeStream.format("noop")
              .option("checkpointLocation", f"{work}/ckpt").start())
         try:

@@ -38,24 +38,51 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 5,
     keep_cols: tuple[str, ...] = (),
+    hash_engine: str = "md5",
 ) -> DataFrame:
-    """Per-doc MinHash signature, engine-portable and md5-thrifty: one md5
-    per distinct shingle yields FOUR independent 32-bit hashes (disjoint
-    8-hex-char slices of the digest); beyond 4, extra digests are salted
-    md5(shingle || group). A narrow map-only stage — no shuffle.
+    """Per-doc MinHash signature — a narrow map-only stage, no shuffle.
+
+    ``hash_engine`` selects the per-shingle hash (same contract as
+    :func:`simhash`'s ``token_hash``):
+
+    - ``"md5"`` (default): engine-portable and md5-thrifty — one md5 per
+      distinct shingle yields FOUR independent 32-bit hashes (disjoint
+      8-hex-char slices of the digest); beyond 4, extra digests are
+      salted md5(shingle || group). DuckDB replays it bit-for-bit — the
+      correctness-gate twin.
+    - ``"xxhash64"``: JVM-native, ~an order of magnitude cheaper per
+      digest — the production/streaming hot path. One xxhash64 per
+      shingle yields TWO independent 32-bit halves; beyond 2, extra
+      digests are salted. Signature columns are LONGs instead of hex
+      strings, which downstream banding (concat_ws keys) and bucket
+      joins handle identically.
     """
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
-    n_groups = (num_hashes + 3) // 4
+    slices_per_digest = 4 if hash_engine == "md5" else 2
+    n_groups = (num_hashes + slices_per_digest - 1) // slices_per_digest
 
     # NB: factories, not multi-arg lambdas — PySpark treats a two-arg
     # transform lambda as (element, index).
-    def digest_fn(g: int):
-        if g == 0:
-            return lambda s: F.md5(s)
-        return lambda s: F.md5(F.concat(s, F.lit(str(g))))
+    if hash_engine == "md5":
+        def digest_fn(g: int):
+            if g == 0:
+                return lambda s: F.md5(s)
+            return lambda s: F.md5(F.concat(s, F.lit(str(g))))
 
-    def slice_fn(r: int):
-        return lambda h: F.substring(h, 8 * r + 1, 8)
+        def slice_fn(r: int):
+            return lambda h: F.substring(h, 8 * r + 1, 8)
+    elif hash_engine == "xxhash64":
+        def digest_fn(g: int):
+            if g == 0:
+                return lambda s: F.xxhash64(s)
+            return lambda s: F.xxhash64(F.concat(s, F.lit(str(g))))
+
+        def slice_fn(r: int):
+            if r == 0:
+                return lambda h: F.shiftrightunsigned(h, 32)
+            return lambda h: h.bitwiseAND(F.lit((1 << 32) - 1))
+    else:
+        raise ValueError(f"unknown hash_engine {hash_engine!r}")
 
     digest_cols = [
         F.transform(sh, digest_fn(g)).alias(f"_d{g}") for g in range(n_groups)
@@ -64,7 +91,12 @@ def minhash_signatures(
     # a post-hoc join back to the source would be a stream-stream join)
     with_digests = df.select(F.col(id_col), *keep_cols, *digest_cols)
     cols = [
-        F.array_min(F.transform(F.col(f"_d{i // 4}"), slice_fn(i % 4))).alias(f"m{i}")
+        F.array_min(
+            F.transform(
+                F.col(f"_d{i // slices_per_digest}"),
+                slice_fn(i % slices_per_digest),
+            )
+        ).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return with_digests.select(F.col(id_col), *keep_cols, *cols)

@@ -425,6 +425,7 @@ def _make_bucket_fn(max_bucket: int, horizon_ms: int):
             return
         docs, last = (state.get if state.exists else ([], 0))
         docs = list(docs)
+        prev_last, changed = last, False
         rows: list[tuple[int, int]] = []  # (timestamp, doc_id)
         for pdf in pdfs:
             rows.extend(
@@ -450,13 +451,115 @@ def _make_bucket_fn(max_bucket: int, horizon_ms: int):
             pairs.extend((min(d, o), max(d, o)) for o in docs)
             docs.append(d)
             seen.add(d)
+            changed = True
             if len(docs) > max_bucket:
                 # keep the most recent members (the batch pipeline's
                 # analog is the lsh_candidate_pairs star cap)
                 del docs[0]
-        state.update((docs, last))
-        if last:
-            _set_clamped_timeout(state, last // 1_000_000 + horizon_ms)
+        # skip the state-store write for batches that changed nothing
+        # (every arrival was a duplicate of an in-state member and the
+        # horizon clock didn't move): an unchanged bucket re-committed
+        # per batch is pure state-store churn
+        if changed or last != prev_last or not state.exists:
+            state.update((docs, last))
+            if last:
+                _set_clamped_timeout(state, last // 1_000_000 + horizon_ms)
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "id_a": [a for a, _ in pairs],
+                    "id_b": [b for _, b in pairs],
+                    "band": [int(key[0])] * len(pairs),
+                }
+            )
+
+    return update
+
+
+# state per (band, shard) when sharding: parallel arrays of in-shard
+# buckets — band_key, member doc ids, last event time (ns) per bucket
+_SHARD_STATE = (
+    "keys array<string>, members array<array<long>>, lasts array<long>"
+)
+
+
+def _make_shard_fn(max_bucket: int, horizon_ms: int):
+    """Sharded twin of ``_make_bucket_fn``: ONE state entry holds every
+    in-shard bucket. Per-bucket pairing/cap/dedup semantics are identical
+    (property-tested against the per-bucket form); what changes is the
+    state-store unit — thousands of tiny per-bucket entries become
+    O(shards) entries, so the per-micro-batch cost is O(shards) group
+    invocations instead of O(active buckets) (measured 6458 buckets →
+    ~1 ms of per-group overhead each at sf0.1: the dominant e2e cost).
+    Eviction trades the per-bucket EventTimeTimeout for sweep-on-call:
+    expired buckets are dropped AFTER arrivals are processed (matching
+    the per-bucket form, where a batch that delivers data suppresses the
+    timeout and still pairs against the outgoing members), plus a shard
+    timeout at the earliest in-shard expiry for idle shards."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+
+        def sweep(buckets: dict[str, tuple[list[int], int]]) -> None:
+            for bk in [
+                k for k, (_m, l) in buckets.items()
+                if l // 1_000_000 + horizon_ms <= wm
+            ]:
+                del buckets[bk]
+
+        def commit(buckets: dict[str, tuple[list[int], int]]) -> None:
+            if not buckets:
+                if state.exists:
+                    state.remove()
+                return
+            state.update((
+                list(buckets),
+                [m for m, _l in buckets.values()],
+                [l for _m, l in buckets.values()],
+            ))
+            earliest = min(l for _m, l in buckets.values())
+            _set_clamped_timeout(state, earliest // 1_000_000 + horizon_ms)
+
+        buckets: dict[str, tuple[list[int], int]] = {}
+        if state.exists:
+            keys, members, lasts = state.get
+            buckets = {
+                k: (list(m), l) for k, m, l in zip(keys, members, lasts)
+            }
+        if state.hasTimedOut:  # idle shard: evict expired buckets only
+            sweep(buckets)
+            commit(buckets)
+            return
+        rows: list[tuple[int, str, int]] = []  # (timestamp, band_key, doc)
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), str(bk), int(d))
+                for t, bk, d in zip(
+                    pdf["timestamp"], pdf["band_key"], pdf["doc_id"]
+                )
+                if not (pd.isna(t) or pd.isna(d))
+            )
+        if not rows and not state.exists:
+            return
+        rows.sort()
+        pairs: list[tuple[int, int]] = []
+        for t, bk, d in rows:
+            docs, last = buckets.get(bk, ([], 0))
+            last = max(last, t)
+            if d in docs:  # duplicate arrival (bounded scan: ≤ max_bucket)
+                buckets[bk] = (docs, last)
+                continue
+            pairs.extend((min(d, o), max(d, o)) for o in docs)
+            docs.append(d)
+            if len(docs) > max_bucket:
+                del docs[0]
+            buckets[bk] = (docs, last)
+        sweep(buckets)
+        commit(buckets)
         if pairs:
             yield pd.DataFrame(
                 {
@@ -478,6 +581,7 @@ def near_dup_candidates(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int = 64,
+    shards: int | None = None,
 ) -> DataFrame:
     """Streaming LSH near-dup candidate pairs.
 
@@ -494,7 +598,16 @@ def near_dup_candidates(
     Scale: state = member ids per ACTIVE bucket, evicted ``horizon`` after
     the bucket's last arrival; hot buckets are capped at ``max_bucket``
     most-recent members (candidate recall inside a pathological bucket is
-    traded for bounded state, the streaming analog of skew handling)."""
+    traded for bounded state, the streaming analog of skew handling).
+
+    ``shards``: when set, buckets are packed ``shards``-to-a-state-entry
+    per band (grouping key = (band, hash(band_key) % shards)) instead of
+    one state entry per bucket. Pair semantics are identical
+    (property-tested); the per-micro-batch cost drops from O(active
+    buckets) state-group invocations (~1 ms each measured) to O(bands ×
+    shards) — the scale default for corpora whose active-bucket count is
+    much larger than the core count. None keeps the per-bucket form
+    (finest-grained eviction; the right shape for sparse key spaces)."""
     from pyspark.sql import functions as F
 
     from ..llm.dedup import banded_signatures
@@ -512,10 +625,21 @@ def near_dup_candidates(
     )
     with_time = _with_event_time(keyed, "timestamp", watermark)
     horizon_ms = _parse_duration_ns(horizon) // 1_000_000
-    return with_time.groupBy("band", "band_key").applyInPandasWithState(
-        _make_bucket_fn(max_bucket, horizon_ms),
+    if shards is None:
+        return with_time.groupBy("band", "band_key").applyInPandasWithState(
+            _make_bucket_fn(max_bucket, horizon_ms),
+            outputStructType=NEAR_DUP_SCHEMA,
+            stateStructType=_BUCKET_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    sharded = with_time.withColumn(
+        "shard", F.pmod(F.xxhash64("band_key"), F.lit(shards))
+    )
+    return sharded.groupBy("band", "shard").applyInPandasWithState(
+        _make_shard_fn(max_bucket, horizon_ms),
         outputStructType=NEAR_DUP_SCHEMA,
-        stateStructType=_BUCKET_STATE,
+        stateStructType=_SHARD_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -604,3 +604,27 @@ def test_embedding_moments_and_whitening(spark, embeddings):
     white = similarity.apply_whitening(sample, mean, W)
     Y = np.vstack([np.asarray(r.whitened) for r in white.collect()])
     assert np.allclose(np.cov(Y, rowvar=False), np.eye(X.shape[1]), atol=1e-4)
+
+
+def test_minhash_xxhash_engine_matches_md5_semantics(spark):
+    """The xxhash64 production engine must keep the operator contract:
+    same column names (m0..mN), exact duplicates share the full
+    signature, and banding/bucket-join composition works unchanged."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "a completely different document about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = dedup.minhash_signatures(df, hash_engine="xxhash64")
+    assert [c for c in sig.columns if c.startswith("m")] == [
+        f"m{i}" for i in range(8)
+    ]
+    got = {r.doc_id: tuple(r)[1:] for r in sig.collect()}
+    assert got[0] == got[1]          # exact dup -> identical signature
+    assert got[0] != got[2]
+    # 32-bit slices: every hash is a non-negative long below 2^32
+    assert all(0 <= h < 2**32 for sig_t in got.values() for h in sig_t)
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.lsh_candidate_pairs(sig).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs

@@ -973,11 +973,13 @@ def test_dedup_census_emits_counts_at_horizon(spark, tmp_path):
     assert not any(f == 400_000_000_000 for f, _ in got), got
 
 
-def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 4])
+def test_streaming_near_dup_candidates_across_batches(spark, tmp_path, shards):
     """Streaming LSH candidates: a new doc pairs with every in-horizon
     member of its buckets the moment it arrives — intra-batch pairs in
     batch 1, cross-batch pairs in batch 2 — and the distinct (id_a, id_b)
-    set equals the batch pipeline's bucket-join candidates."""
+    set equals the batch pipeline's bucket-join candidates. Runs both
+    state layouts: per-bucket entries and the sharded packing."""
     import json as _json
     import os
     import time as _time
@@ -1014,7 +1016,8 @@ def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
            .withColumnRenamed("doc_id", "document")
            .withColumnRenamed("timestamp", "event_ns"))
     out = stateful.near_dup_candidates(
-        sig, id_col="document", ts_col="event_ns", horizon="10 minutes")
+        sig, id_col="document", ts_col="event_ns", horizon="10 minutes",
+        shards=shards)
     q = (out.writeStream.format("memory").queryName("near_dup")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -1174,6 +1177,100 @@ def test_bucket_cap_bounds_single_batch_burst():
     assert n_pairs <= cap * n
     assert n_pairs < n * (n - 1) // 2  # strictly below the quadratic clique
     assert len(state.get[0]) <= cap
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_shard_fn_matches_per_bucket_fn(seed):
+    """Property: routing several buckets' rows through ONE _make_shard_fn
+    state entry emits exactly the union of what per-bucket _make_bucket_fn
+    states emit for the same rows and batch splits — the sharded form is
+    a pure state-layout change, not a semantics change."""
+    import random
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark.streaming.stateful import (
+        _make_bucket_fn,
+        _make_shard_fn,
+    )
+
+    rng = random.Random(seed)
+    bucket_keys = [f"bk{i}" for i in range(rng.randint(1, 5))]
+    rows = []  # (timestamp, band_key, doc_id)
+    for bk in bucket_keys:
+        for d in rng.sample(range(100), rng.randint(1, 8)):
+            rows.append((rng.randint(1, 10**12), bk, d))
+    rows += [rng.choice(rows) for _ in range(rng.randint(0, 4))]  # dups
+    rng.shuffle(rows)
+    n_batches = rng.randint(1, 4)
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+    cap = rng.choice([3, 1000])
+
+    shard_fn = _make_shard_fn(max_bucket=cap, horizon_ms=60_000)
+    shard_state = _FakeGroupState()
+    sharded = set()
+    for batch in batches:
+        if not batch:
+            continue
+        pdf = pd.DataFrame({"timestamp": [t for t, _, _ in batch],
+                            "band_key": [bk for _, bk, _ in batch],
+                            "doc_id": [d for _, _, d in batch]})
+        for out in shard_fn((0, 7), iter([pdf]), shard_state):
+            sharded.update(zip(out["id_a"], out["id_b"]))
+
+    bucket_fn = _make_bucket_fn(max_bucket=cap, horizon_ms=60_000)
+    per_bucket = set()
+    states = {bk: _FakeGroupState() for bk in bucket_keys}
+    for batch in batches:
+        for bk in bucket_keys:
+            sub = [(t, d) for t, k, d in batch if k == bk]
+            if not sub:
+                continue
+            pdf = pd.DataFrame({"timestamp": [t for t, _ in sub],
+                                "doc_id": [d for _, d in sub]})
+            for out in bucket_fn((0, bk), iter([pdf]), states[bk]):
+                per_bucket.update(zip(out["id_a"], out["id_b"]))
+    assert sharded == per_bucket
+    # state is bounded per bucket and the shard timeout is armed
+    if shard_state.exists:
+        assert all(len(m) <= cap for m in shard_state.get[1])
+        assert shard_state.timeout_ms is not None
+
+
+def test_shard_fn_sweeps_expired_buckets():
+    """The sharded form's sweep-on-call eviction: buckets whose horizon
+    passed the watermark are dropped when the shard is next invoked, and
+    an all-expired shard removes its state entirely on timeout."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark.streaming.stateful import _make_shard_fn
+
+    fn = _make_shard_fn(max_bucket=64, horizon_ms=1_000)
+
+    class _WmState(_FakeGroupState):
+        wm = 0
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+    state = _WmState()
+    pdf = pd.DataFrame({"timestamp": [1_000_000_000, 2_000_000_000],
+                        "band_key": ["old", "new"],
+                        "doc_id": [1, 2]})
+    list(fn((0, 0), iter([pdf]), state))
+    assert sorted(state.get[0]) == ["new", "old"]
+    # watermark passes bucket "old"'s horizon (1 s event + 1 s horizon)
+    state.wm = 2_500
+    pdf2 = pd.DataFrame({"timestamp": [3_000_000_000],
+                         "band_key": ["new"], "doc_id": [3]})
+    list(fn((0, 0), iter([pdf2]), state))
+    assert state.get[0] == ["new"]          # "old" swept
+    assert sorted(state.get[1][0]) == [2, 3]
+    # idle-shard timeout with everything expired: state removed
+    state.wm = 10_000
+    state.hasTimedOut = True
+    list(fn((0, 0), iter([]), state))
+    assert not state.exists
 
 
 def test_da00_first_message_constants_in_streaming(spark, tmp_path):
