@@ -933,3 +933,50 @@ def test_pack_all_null_string_column(tmp_path, monkeypatch):
     with hdf5lib.File(hdf) as f:
         assert list(f["/entry/pv/alarm_time"][:]) == [1, 2]
         assert len(f["/entry/pv/alarm_message"][:]) == 0
+
+
+# --- pooled vlen heap: heap-block-boundary property sweep (verdict r4 #5) ---
+# The pooled _VlenHeap packs distinct strings into shared GCOLs, flushing
+# at ~16 KB of content per collection. These strategies are built to cross
+# that boundary from every direction: many small strings (hundreds per
+# collection), single strings bigger than one collection, empty strings
+# (zero-length heap objects), repeats (dedup + refcounts), and unicode
+# (byte length != char length, so padding math is exercised).
+_vlen_strings = st.lists(
+    st.one_of(
+        st.just(""),
+        st.text(max_size=12),
+        st.text(alphabet="αβγ∂éñ日本語", min_size=1, max_size=9),
+        # big strings: cross one 16 KB collection, or exceed it outright
+        st.integers(min_value=1000, max_value=20_000).map(
+            lambda n: "x" * n
+        ),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(strings=_vlen_strings, reps=st.integers(min_value=1, max_value=3))
+@settings(max_examples=30, deadline=None)
+def test_vlen_heap_block_boundary_round_trip(tmp_path_factory, strings, reps):
+    """Every vlen string written through the pooled heap — as a dataset,
+    as attributes, interleaved with fixed-dtype data — must read back
+    exactly, across collection-flush boundaries, dedup of repeats, empty
+    strings, and multi-byte encodings."""
+    tmp = tmp_path_factory.mktemp("vlen")
+    path = tmp / "pool.h5"
+    data = strings * reps  # repeats share heap objects (refcount path)
+    with hdf5lib.File(path, "w") as f:
+        g = f.require_group("g")
+        g.create_dataset("strs", data=np.array(data, dtype=object))
+        g.create_dataset("nums", data=np.arange(7, dtype=np.int32))
+        # attributes ride the same pooled heap as the dataset payloads
+        g.attrs["one"] = strings[0]
+        g.attrs["all"] = np.array(strings[:40], dtype=object)
+    with hdf5lib.File(path, "r") as f:
+        got = [s for s in f["g/strs"][:]]
+        assert got == data
+        assert list(f["g/nums"][:]) == list(range(7))
+        assert f["g"].attrs["one"] == strings[0]
+        assert list(f["g"].attrs["all"]) == strings[:40]
