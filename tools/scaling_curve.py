@@ -19,6 +19,7 @@ stop at x100 where their slope is already pinned.
 
 Usage: python tools/scaling_curve.py [out.md]        # sf-dir mode
        python tools/scaling_curve.py --synth [out.md]  # replicated-corpus mode
+       python tools/scaling_curve.py --synth --ops a,b,c [out.md]  # subset
 Prints a markdown table; optionally writes it to the given file.
 """
 
@@ -121,6 +122,21 @@ X1000_OPS = {
 }
 
 
+# Synth tiers are run with shuffle partitions sized by SCALE.md's own
+# rule (≈ shuffled bytes / 200 MB): the x1000 corpus' shingle-hash
+# relation is ~40 GB, which 32 partitions cannot hold as per-partition
+# join/sort state. This is exactly the knob a real cluster turns — the
+# tool notes the per-tier config next to the numbers.
+TIER_PARTS = {1: 32, 10: 32, 100: 64, 1000: 256}
+
+
+def tier_mult(sf_dir: str) -> int | None:
+    name = Path(sf_dir).name
+    if name.startswith("x") and name[1:].isdigit():
+        return int(name[1:])
+    return None
+
+
 def time_query(spark, fn, sf_dir: str, name: str) -> float:
     def once() -> float:
         t0 = time.perf_counter()
@@ -194,6 +210,11 @@ def main() -> None:
     synth = "--synth" in sys.argv
     if synth:
         sys.argv.remove("--synth")
+    only: set[str] | None = None
+    if "--ops" in sys.argv:
+        i = sys.argv.index("--ops")
+        only = set(sys.argv[i + 1].split(","))
+        del sys.argv[i:i + 2]
 
     spark = get_spark(
         master="local[32]",
@@ -223,6 +244,9 @@ def main() -> None:
         family = {n: t for n, t in FAMILY.items()
                   if t in ("documents", "embeddings")}
         family["semantic_dedup_auto"] = "embeddings"
+    if only is not None:
+        family = {n: t for n, t in family.items() if n in only}
+
     def count_rows(path: str) -> int:
         p = Path(path)
         if p.is_dir():
@@ -247,6 +271,12 @@ def main() -> None:
             limit = n_tiers
         ts: list[float | None] = []
         for sf_dir in sf_dirs[:limit]:
+            mult = tier_mult(sf_dir)
+            if mult is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(TIER_PARTS.get(mult, 32)),
+                )
             ts.append(time_query(spark, fn, sf_dir, name))
             gc.collect()
         ts += [None] * (n_tiers - len(ts))
