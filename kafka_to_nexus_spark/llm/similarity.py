@@ -113,7 +113,12 @@ def nearest_centroid_expr(
     at k≈31 (measured: ~35% faster per pass, bit-identical
     assignments). array_position returns the FIRST occurrence of the
     max, and centroids are sorted by id, so equal dots keep the lowest
-    centroid id exactly like the struct-max form it replaces."""
+    centroid id exactly like the struct-max form it replaces. Degenerate
+    input (null vector → all-null dots → null array_max) is coalesced to
+    the lowest centroid id, which is what the struct-max form returned —
+    without the coalesce such rows would carry a NULL centroid_id and
+    silently bypass within-cluster pruning (the left anti-join keep
+    pattern never matches a null key)."""
     ordered = sorted(centroids)
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in ordered])
     ids = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
@@ -125,8 +130,15 @@ def nearest_centroid_expr(
             lambda s, x: s + x,
         ),
     )
-    return F.element_at(
-        ids, F.array_position(dots, F.array_max(dots)).cast("int")
+    # the null guard is an explicit CASE on the input vector, not a
+    # coalesce around element_at: with a null index from array_position,
+    # Spark 4.1's codegen for element_at over a literal ids array was
+    # observed returning the LAST element instead of null (nullability
+    # mispropagation), so the null path must never reach element_at
+    return F.when(vec.isNull(), F.lit(int(ordered[0][0]))).otherwise(
+        F.element_at(
+            ids, F.array_position(dots, F.array_max(dots)).cast("int")
+        )
     ).cast("int")
 
 

@@ -402,7 +402,21 @@ class AttributeView:
 
 def string_dtype(encoding: str = "utf-8", length=None) -> np.dtype:
     """h5py-compatible vlen-str dtype marker: in this facade plain object
-    dtype IS the vlen-string representation (see _coerce_dataset)."""
+    dtype IS the vlen-string representation (see _coerce_dataset).
+
+    Fixed-length (``length=N``) and non-UTF-8 requests fail loudly —
+    silently returning the vlen representation would change the stored
+    datatype behind the caller's back (pass numpy ``S``-dtype arrays for
+    fixed-length storage instead)."""
+    if length is not None:
+        raise NotImplementedError(
+            "fixed-length string dtypes are not supported by this facade; "
+            "pass a numpy 'S%d' array for fixed-length storage" % length
+        )
+    if encoding not in ("utf-8", "utf8"):
+        raise NotImplementedError(
+            f"only utf-8 vlen strings are supported, got {encoding!r}"
+        )
     return np.dtype(object)
 
 

@@ -547,14 +547,23 @@ def _make_shard_fn(max_bucket: int, horizon_ms: int):
             return
         rows.sort()
         pairs: list[tuple[int, int]] = []
+        # per-bucket batch-scoped seen sets, seeded from state members,
+        # matching _make_bucket_fn's dedup exactly: a doc evicted by the
+        # max_bucket cap that RE-ARRIVES later in the same micro-batch is
+        # still a duplicate (membership-scan `d in docs` would re-pair and
+        # re-append it after eviction — the one intra-batch divergence the
+        # per-bucket form does not have)
+        seen: dict[str, set[int]] = {}
         for t, bk, d in rows:
             docs, last = buckets.get(bk, ([], 0))
+            sn = seen.setdefault(bk, set(docs))
             last = max(last, t)
-            if d in docs:  # duplicate arrival (bounded scan: ≤ max_bucket)
+            if d in sn:  # duplicate arrival, incl. post-eviction re-arrival
                 buckets[bk] = (docs, last)
                 continue
             pairs.extend((min(d, o), max(d, o)) for o in docs)
             docs.append(d)
+            sn.add(d)
             if len(docs) > max_bucket:
                 del docs[0]
             buckets[bk] = (docs, last)

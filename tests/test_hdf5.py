@@ -980,3 +980,15 @@ def test_vlen_heap_block_boundary_round_trip(tmp_path_factory, strings, reps):
         assert list(f["g/nums"][:]) == list(range(7))
         assert f["g"].attrs["one"] == strings[0]
         assert list(f["g"].attrs["all"]) == strings[:40]
+
+
+def test_string_dtype_rejects_fixed_length_and_non_utf8():
+    """The h5py-compatible string_dtype facade only implements vlen utf-8;
+    a fixed-length (length=N) or non-utf-8 request must fail loudly
+    instead of silently returning the vlen object representation."""
+    assert hdf5lib.string_dtype() == np.dtype(object)
+    assert hdf5lib.string_dtype("utf-8") == np.dtype(object)
+    with pytest.raises(NotImplementedError):
+        hdf5lib.string_dtype(length=16)
+    with pytest.raises(NotImplementedError):
+        hdf5lib.string_dtype(encoding="ascii")

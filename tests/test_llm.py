@@ -91,6 +91,27 @@ def test_ivf_topk_agrees_with_brute_force_on_probed_buckets(spark, embeddings):
     assert [r.vec_id for r in ivf.collect()] == [r.vec_id for r in brute.collect()]
 
 
+def test_nearest_centroid_null_vector_gets_lowest_id(spark):
+    """Degenerate input parity with the struct-max form this expression
+    replaced: a NULL embedding must assign to the LOWEST centroid id,
+    not a NULL centroid_id (which would silently bypass within-cluster
+    pruning — a null key never matches the left anti-join)."""
+    cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, None)], "id long, embedding array<double>"
+    )
+    got = {
+        r.id: r.cid
+        for r in df.select(
+            "id",
+            similarity.nearest_centroid_expr(
+                F.col("embedding"), cents
+            ).alias("cid"),
+        ).collect()
+    }
+    assert got == {1: 7, 2: 3}
+
+
 def test_quality_score(spark, docs):
     out = {r.doc_id: r for r in text.quality_score(docs).collect()}
     assert out[0].n_tokens == 9

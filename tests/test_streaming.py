@@ -1201,6 +1201,13 @@ def test_shard_fn_matches_per_bucket_fn(seed):
         for d in rng.sample(range(100), rng.randint(1, 8)):
             rows.append((rng.randint(1, 10**12), bk, d))
     rows += [rng.choice(rows) for _ in range(rng.randint(0, 4))]  # dups
+    # fresh-timestamp duplicates: same (bucket, doc) but a NEW timestamp,
+    # so after sorting they can land AFTER a cap eviction of the original
+    # — exercising the post-eviction re-arrival corner in both layouts
+    rows += [
+        (rng.randint(1, 10**12), bk, d)
+        for _, bk, d in (rng.choice(rows) for _ in range(rng.randint(0, 4)))
+    ]
     rng.shuffle(rows)
     n_batches = rng.randint(1, 4)
     batches = [rows[i::n_batches] for i in range(n_batches)]
@@ -1235,6 +1242,44 @@ def test_shard_fn_matches_per_bucket_fn(seed):
     if shard_state.exists:
         assert all(len(m) <= cap for m in shard_state.get[1])
         assert shard_state.timeout_ms is not None
+
+
+def test_shard_fn_post_eviction_rearrival_is_duplicate():
+    """A doc evicted by the max_bucket cap that RE-ARRIVES later in the
+    SAME micro-batch (with a fresh timestamp) is still a duplicate — the
+    per-bucket form's batch-scoped seen set ignores it, so the sharded
+    form must too (a membership scan over the capped docs list would
+    re-pair and re-append it)."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark.streaming.stateful import (
+        _make_bucket_fn,
+        _make_shard_fn,
+    )
+
+    # cap=2: docs 1,2,3 arrive (3 evicts 1), then doc 1 re-arrives with a
+    # NEWER timestamp inside the same batch
+    ts = [1, 2, 3, 4]
+    docs = [1, 2, 3, 1]
+    shard_fn = _make_shard_fn(max_bucket=2, horizon_ms=60_000)
+    sstate = _FakeGroupState()
+    pdf = pd.DataFrame({"timestamp": [t * 1_000_000_000 for t in ts],
+                        "band_key": ["bk"] * 4, "doc_id": docs})
+    sharded = set()
+    for out in shard_fn((0, 0), iter([pdf]), sstate):
+        sharded.update(zip(out["id_a"], out["id_b"]))
+
+    bucket_fn = _make_bucket_fn(max_bucket=2, horizon_ms=60_000)
+    bstate = _FakeGroupState()
+    pdf2 = pd.DataFrame({"timestamp": [t * 1_000_000_000 for t in ts],
+                         "doc_id": docs})
+    per_bucket = set()
+    for out in bucket_fn((0, "bk"), iter([pdf2]), bstate):
+        per_bucket.update(zip(out["id_a"], out["id_b"]))
+
+    assert per_bucket == {(1, 2), (1, 3), (2, 3)}
+    assert sharded == per_bucket              # no re-pairing of doc 1
+    assert sorted(sstate.get[1][0]) == [2, 3]  # and no re-append either
 
 
 def test_shard_fn_sweeps_expired_buckets():
