@@ -2986,73 +2986,67 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_window_policy.py enforces this mechanically against the
 # recorded CORRECTNESS_r*.json rows; tools/window_rotation.py emits the
 # next round's suggested list.
-# Round-5 window: the 3 new cross-check twins (never checked), the 5
-# queries whose semantics changed with the scale-safe promotion
-# (capped jaccard/SRP defaults, auto-k SemDeDup, capped CC edge basis),
-# the 4 r2-stale queries, then the oldest r3-stale rows in
-# window_rotation order. Rotated out (all r4-green, back in r6):
-# the TPC-H q7/q8/q9/q12/q20 battery, the r4-new sketch family, the
-# minhash/winnow/quant/text batteries, and the w2/w4-w8 module queries.
+# Round-6 window: the 9 r3-green rows at the staleness maximum first
+# (w1/w3/t6 + the window/stats battery), then the rotated-out r4-green
+# set in window_rotation order: the TPC-H q7/q8/q9/q12/q20 battery, the
+# sketch family, the minhash/winnow/quant/text batteries, and the
+# w2/w4/w5 module queries.
 _PRIORITY = (
-    # -- never driver-checked (rule #1): the r5 cross-check twins
-    "ngram_jaccard_uncapped",
-    "srp_near_dup_uncapped",
-    "semantic_dedup_fixed_k",
-    # -- behavior changed this round (rule #1): scale-safe promotion
-    "ngram_jaccard_pairs",       # now capped (max_bucket=8) star+chain
-    "srp_near_dup_pairs",        # now capped (max_bucket=4)
-    "semantic_dedup_prune",      # now auto-k (corpus-scaled clusters)
-    "dedup_components",          # CC edge basis now the capped pair set
-    "dedup_keep_canonical",      # projection over the capped CC labels
-    # -- last green in round 2 (rule #2: oldest-check first)
-    "lang_profile",
-    "multimodal_frame_sample",
-    "multimodal_resize_spec",
-    "text_quality",
-    # -- last green in round 3 (window_rotation order)
-    "cube_type_user_totals",
-    "d5_offset_gaps",
-    "doc_fingerprint",
-    "f1_source_filter",
-    "f2_time_window",
-    "f3_asof_buffer",
-    "f4_dedup_repeated",
-    "f5_out_of_order",
-    "hypertable_rollup",
-    "ivf_kmeans_train",
-    "json_props_extract",
-    "k4_cue_index",
-    "kmv_distinct_sketch",
-    "multimodal_features",
-    "q10_returned_revenue",
-    "q11_important_stock",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_brand_suppliers",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_pred",
-    "q1_pricing_summary",
-    "q21_waiting_orders",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "range_join_attribution",
-    "rollup_daily_totals",
-    "scalar_function_battery",
-    "session_windows",
-    "sessionize",
-    "set_except_users",
-    "set_intersect_users",
-    "simhash_fingerprints",
-    # ---- 50-slot window boundary. Left outside with an r3-green row
-    # (staleness 2 after this round, the policy maximum — first window
-    # candidates for r6): sliding_window, stats_battery, t6_job_summary,
-    # topk_per_group, tumbling_window. Everything else outside is
-    # r4-green (staleness 1).
+    # -- last green r3 (rule #2: oldest-check first; policy max reached)
+    "sliding_window",
+    "stats_battery",
+    "t6_job_summary",
+    "topk_per_group",
+    "tumbling_window",
+    "value_quantiles",
+    "w1_f144_stats",
+    "w3_timestamp_synthesis",
+    "window_rank_battery",
+    # -- last green r4 (window_rotation order)
+    "ann_cosine_topk",
+    "asof_join_forward",
+    "asof_join_streams",
+    "asof_join_tolerance",
+    "bpe_token_count",
+    "cms_heavy_hitters",
+    "decontamination_overlap",
+    "dedup_exact",
+    "dup_span_coverage",
+    "embedding_cosine_pairs",
+    "embedding_label_stats",
+    "embedding_quant_params",
+    "hll_distinct_sketch",
+    "incremental_dedup_merge",
+    "ivf_bucket_counts",
+    "ivf_partitioned_probe",
+    "ivf_probe_topk",
+    "lang_id_heuristic",
+    "minhash_lsh_buckets",
+    "minhash_signatures",
+    "pii_scrub_signals",
+    "q12_late_shipping",
+    "q18_large_orders",
+    "q20_part_promotion",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_score",
+    "quantized_adc_topk",
+    "repetition_signals",
+    "sequence_packing",
+    "srp_signatures",
+    "temperature_mix_sample",
+    "tfidf_top_term",
+    "token_budget_select",
+    "token_count_by_source",
+    "training_mix_sample",
+    "url_domain_profile",
+    "w2_event_index",
+    "w4_ad00_zero_fill",
+    "w5_da00_constants",
+    # ---- 50-slot window boundary. Everything left outside carries an
+    # r4- or r5-green row (staleness <= 2 after this round, within the
+    # policy maximum); the r5-green set rotates back in r7.
 )
 
 
