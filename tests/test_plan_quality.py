@@ -7,6 +7,8 @@ regression we want to catch at test time.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from kafka_to_nexus_spark import queries as Q
@@ -526,3 +528,31 @@ def test_chunk_documents_plan_is_narrow(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.replace("ReusedExchange", ""), plan
+
+
+def test_jaccard_verify_joins_are_sort_merge(spark):
+    """The capped ngram_jaccard registry default's two verify joins
+    (candidate pairs -> doc shingle-hash relation) must be SortMergeJoin:
+    shuffle_hash hard-fails at scale once a partition's hash build
+    exceeds its execution-memory slice (observed at the x1000 growth
+    tier), and auto-broadcast of the corpus-wide relation is the small-SF
+    plan a 100 TB run cannot use. SMJ spills instead. This pins the r5
+    swap (commit 0009a32) so it cannot silently revert."""
+    from kafka_to_nexus_spark import queries as Q
+
+    for name in ("ngram_jaccard_pairs", "ngram_jaccard_uncapped"):
+        df = Q.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the two verify joins key candidate (id_a|id_b) -> doc_id; the
+        # bucket self-join inside lsh_candidate_pairs keys (band,
+        # band_key) and may auto-broadcast at tiny SF (AQE re-picks SMJ
+        # once the relation outgrows the threshold) — pin the verify
+        # joins only
+        verify_joins = re.findall(r"(\w+Join) \[id_[ab]#\d+L?\], \[doc_id#\d+L?\]", plan)
+        assert len(verify_joins) == 2, f"{name}: expected 2 verify joins\n{plan}"
+        assert all(j == "SortMergeJoin" for j in verify_joins), (
+            f"{name}: verify joins must be SortMerge (shuffle_hash "
+            f"hard-fails at scale, broadcast of the corpus relation is "
+            f"invalid at 100 TB), got {verify_joins}\n{plan}"
+        )
+        assert "ShuffledHashJoin" not in plan, f"{name}: memory-fragile shuffle_hash join is back\n{plan}"
