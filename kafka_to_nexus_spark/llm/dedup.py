@@ -50,20 +50,25 @@ def minhash_signatures(
       8-hex-char slices of the digest); beyond 4, extra digests are
       salted md5(shingle || group). DuckDB replays it bit-for-bit — the
       correctness-gate twin.
-    - ``"xxhash64"``: JVM-native, ~an order of magnitude cheaper per
-      digest — the production/streaming hot path. One xxhash64 per
-      shingle yields TWO independent 32-bit halves; beyond 2, extra
-      digests are salted. Signature columns are LONGs instead of hex
-      strings, which downstream banding (concat_ws keys) and bucket
-      joins handle identically.
+    - ``"xxhash64"``: JVM-native — the production/streaming hot path.
+      ONE xxhash64 per distinct shingle; the first two 32-bit hashes are
+      the digest's halves, and every further hash is a multiply-shift
+      universal hash over those halves (odd 29-bit constants: products
+      stay below 2^61, so the arithmetic never overflows a long — safe
+      under ANSI mode). Deriving arithmetically instead of salted
+      re-digests cuts the string-hash passes from ceil(n/2) to exactly 1
+      (measured ~2x on the streaming bench path). Signature columns are
+      LONGs instead of hex strings, which downstream banding (concat_ws
+      keys) and bucket joins handle identically.
     """
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
-    slices_per_digest = 4 if hash_engine == "md5" else 2
-    n_groups = (num_hashes + slices_per_digest - 1) // slices_per_digest
 
     # NB: factories, not multi-arg lambdas — PySpark treats a two-arg
     # transform lambda as (element, index).
     if hash_engine == "md5":
+        slices_per_digest = 4
+        n_groups = (num_hashes + slices_per_digest - 1) // slices_per_digest
+
         def digest_fn(g: int):
             if g == 0:
                 return lambda s: F.md5(s)
@@ -71,32 +76,55 @@ def minhash_signatures(
 
         def slice_fn(r: int):
             return lambda h: F.substring(h, 8 * r + 1, 8)
-    elif hash_engine == "xxhash64":
-        def digest_fn(g: int):
-            if g == 0:
-                return lambda s: F.xxhash64(s)
-            return lambda s: F.xxhash64(F.concat(s, F.lit(str(g))))
 
-        def slice_fn(r: int):
-            if r == 0:
-                return lambda h: F.shiftrightunsigned(h, 32)
-            return lambda h: h.bitwiseAND(F.lit((1 << 32) - 1))
-    else:
+        digest_cols = [
+            F.transform(sh, digest_fn(g)).alias(f"_d{g}")
+            for g in range(n_groups)
+        ]
+        # keep_cols ride along (e.g. the event timestamp on a streaming
+        # frame — a post-hoc join back would be a stream-stream join)
+        with_digests = df.select(F.col(id_col), *keep_cols, *digest_cols)
+        cols = [
+            F.array_min(
+                F.transform(
+                    F.col(f"_d{i // slices_per_digest}"),
+                    slice_fn(i % slices_per_digest),
+                )
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        return with_digests.select(F.col(id_col), *keep_cols, *cols)
+    if hash_engine != "xxhash64":
         raise ValueError(f"unknown hash_engine {hash_engine!r}")
 
-    digest_cols = [
-        F.transform(sh, digest_fn(g)).alias(f"_d{g}") for g in range(n_groups)
-    ]
-    # keep_cols ride along (e.g. the event timestamp on a streaming frame —
-    # a post-hoc join back to the source would be a stream-stream join)
-    with_digests = df.select(F.col(id_col), *keep_cols, *digest_cols)
+    mask32 = F.lit((1 << 32) - 1)
+
+    def slice_fn(i: int):
+        if i == 0:
+            return lambda h: F.shiftrightunsigned(h, 32)
+        if i == 1:
+            return lambda h: h.bitwiseAND(mask32)
+        # multiply-shift family h_i = ((A*lo + C*hi + B) >> 29) & mask32
+        # with fixed odd <2^29 constants per i (golden-ratio stepped)
+        a = ((0x9E3779B9 * (2 * i + 1)) & ((1 << 29) - 1)) | 1
+        c = ((0x85EBCA6B * (2 * i + 3)) & ((1 << 29) - 1)) | 1
+        b = (0xC2B2AE35 * i) & ((1 << 60) - 1)
+        return lambda h: (
+            F.shiftrightunsigned(
+                h.bitwiseAND(mask32) * F.lit(a)
+                + F.shiftrightunsigned(h, 32) * F.lit(c)
+                + F.lit(b),
+                29,
+            ).bitwiseAND(mask32)
+        )
+
+    with_digests = df.select(
+        F.col(id_col),
+        *keep_cols,
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("_h0"),
+    )
     cols = [
-        F.array_min(
-            F.transform(
-                F.col(f"_d{i // slices_per_digest}"),
-                slice_fn(i % slices_per_digest),
-            )
-        ).alias(f"m{i}")
+        F.array_min(F.transform(F.col("_h0"), slice_fn(i))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return with_digests.select(F.col(id_col), *keep_cols, *cols)
