@@ -1427,6 +1427,39 @@ ORACLE["ngram_jaccard_uncapped"] = (
     "WITH " + _jaccard_cand_duck(None) + _JACCARD_SELECT_DUCK
 )
 
+# minhash_engine_parity: the md5 side's exact-dup pairs over the MIRRORED
+# corpus (equal sorted-set fingerprints) with both engine flags literally
+# true — the Spark side's xxhash64 pipeline must converge to exactly this
+# set (see _q_minhash_engine_parity).
+ORACLE["minhash_engine_parity"] = """
+WITH aug AS (SELECT doc_id, text FROM documents UNION ALL
+             SELECT doc_id + 1000000, text FROM documents),
+h AS (
+  SELECT doc_id,
+         [md5(s) for s in list_distinct([substr(text, i, 5)
+              for i in range(1, greatest(length(text) - 4, 1) + 1)])] AS hashes
+  FROM aug
+),
+fp AS (SELECT doc_id, md5(array_to_string(list_sort(hashes), ',')) AS fp FROM h),
+sig AS (
+  SELECT doc_id,
+         list_min([substr(x, 1, 8) for x in hashes]) AS m0,
+         list_min([substr(x, 9, 8) for x in hashes]) AS m1,
+         list_min([substr(x, 17, 8) for x in hashes]) AS m2,
+         list_min([substr(x, 25, 8) for x in hashes]) AS m3
+  FROM h
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, true AS in_md5, true AS in_xxhash64
+FROM pairs JOIN fp x ON id_a = x.doc_id JOIN fp y ON id_b = y.doc_id
+WHERE x.fp = y.fp
+"""
+
 # --- embedding-cosine near-dup (blocked by label) ----------------------------
 # Pairwise cosine only WITHIN label blocks (O(sum block²), not O(n²));
 # top-k most-similar pairs with stable tie order. Vectors are L2-normalized
@@ -2373,6 +2406,99 @@ def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_ngram_jaccard(spark, sf_dir, max_bucket=_JACCARD_MAX_BUCKET)
 
 
+def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry presence for the PRODUCTION minhash engine (xxhash64,
+    ``llm/dedup.py minhash_signatures``): in-query pair-set equality
+    against the DuckDB-replayable md5 pipeline on the engine-independent
+    core — exact-duplicate pairs (jaccard == 1, identical shingle-hash
+    sets). Identical shingle sets yield identical minhash signatures
+    under ANY hash engine, so both UNCAPPED pipelines must emit every
+    such pair deterministically; probabilistic (jaccard < 1) candidates
+    are excluded because their bucketing is hash-dependent by design
+    (measured: only 13/683 raw candidates shared between engines at
+    sf0.01 — see tests/test_llm.py corpus-recall test for the hash
+    QUALITY gate). The test corpus carries no exact duplicates, so the
+    query MIRRORS it (same text, doc_id + 1_000_000): every doc gets
+    exactly one exact-dup partner and the expectation is corpus-sized,
+    not vacuous. Exactness is verified by SET FINGERPRINT, not
+    array_intersect: jaccard == 1 is set equality, and md5 over the
+    sorted hash list is one 16-byte compare per candidate instead of an
+    O(shingles) intersect over the xx side's large uncapped candidate
+    set (measured 22 s -> ~2 s at sf0.1); the decimal-joined sorted
+    list renders identically in DuckDB, so the fingerprint is
+    engine-portable. Output: both engines' exact-dup pairs
+    full-outer-joined with in_md5/in_xxhash64 flags — a
+    production-engine regression (dropped or invented pair)
+    hash-mismatches the oracle, which replays the md5 side with both
+    flags literally true."""
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    base = spark.table("documents").select("doc_id", "text")
+    docs = base.unionAll(
+        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+            " i -> substr(text, i, 5))), s -> md5(s))"
+        ).alias("hashes"),
+    )
+    # fp sits on both sides of both engines' verify joins; Catalyst
+    # dedupes the identical subplan via ReusedExchange, so no persist —
+    # measured: an explicit .persist() here was ~1.5x SLOWER (cache
+    # materialization barrier vs pipelined reuse)
+    fp = h.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.array_sort("hashes"))).alias("fp"),
+    )
+    # ONE selective band of 4 hashes (not 2): a 2-hash band key collides
+    # corpus-wide on the globally-min-hashing shingle, and the resulting
+    # candidate volume dominated the query (22 s at sf0.1); 4 rows per
+    # band multiply the independence while exact dups still always share
+    # the full key. Same 8-hex md5 slices as the minhash_signatures
+    # oracle pair.
+    md_sig = h.select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(hashes, h -> substr(h, {8 * i + 1}, 8)))").alias(f"m{i}")
+            for i in range(4)
+        ],
+    )
+    xx_sig = llm_dedup.minhash_signatures(docs, num_hashes=4, hash_engine="xxhash64")
+
+    def exact_pairs(sig: DataFrame) -> DataFrame:
+        cand = llm_dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=4)
+        # same sort-merge shape as the jaccard family's verify joins
+        # (PLANS.md): the fingerprint relation is corpus-sized — one row
+        # per doc — so auto-broadcast would be the 100 TB-invalid plan
+        x, y = fp.hint("merge").alias("x"), fp.hint("merge").alias("y")
+        return (
+            cand.join(x, F.col("id_a") == F.col("x.doc_id"))
+            .join(y, F.col("id_b") == F.col("y.doc_id"))
+            .filter(F.col("x.fp") == F.col("y.fp"))
+            .select("id_a", "id_b")
+        )
+
+    return (
+        exact_pairs(md_sig).withColumn("in_md5", F.lit(True))
+        .join(
+            exact_pairs(xx_sig).withColumn("in_xxhash64", F.lit(True)),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("in_md5", F.lit(False)).alias("in_md5"),
+            F.coalesce("in_xxhash64", F.lit(False)).alias("in_xxhash64"),
+        )
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → mapInPandas feature extraction (decode stubbed —
     no codec libs in container; the Arrow plumbing is real). The stub
@@ -2961,6 +3087,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_attribution": _q_range_join,
     "ngram_jaccard_pairs": _q_ngram_jaccard_capped,
     "ngram_jaccard_uncapped": _q_ngram_jaccard,
+    "minhash_engine_parity": _q_minhash_engine_parity,
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
     "multimodal_frame_sample": _q_multimodal_frames,
@@ -2992,6 +3119,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # sketch family, the minhash/winnow/quant/text batteries, and the
 # w2/w4/w5 module queries.
 _PRIORITY = (
+    # -- never driver-checked (rule #1): new this round
+    "minhash_engine_parity",
     # -- last green r3 (rule #2: oldest-check first; policy max reached)
     "sliding_window",
     "stats_battery",
@@ -3043,8 +3172,9 @@ _PRIORITY = (
     "url_domain_profile",
     "w2_event_index",
     "w4_ad00_zero_fill",
-    "w5_da00_constants",
-    # ---- 50-slot window boundary. Everything left outside carries an
+    # ---- 50-slot window boundary. w5_da00_constants (r4-green) yields
+    # its slot to the new parity query this round and leads the r7
+    # rotation. Everything left outside carries an
     # r4- or r5-green row (staleness <= 2 after this round, within the
     # policy maximum); the r5-green set rotates back in r7.
 )
