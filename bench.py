@@ -200,7 +200,7 @@ def _run_e2e_streaming_neardup(spark, sf_dir: str, n_batches: int = 2) -> None:
         # O(bands x shards) with identical pair output (equality-tested)
         out = stateful.near_dup_candidates(
             sig, horizon="2 hours", watermark="1 second",
-            bands=2, rows_per_band=4, shards=16)
+            bands=2, rows_per_band=4, shards="auto")  # 4x4 partitions = 16
         q = (out.writeStream.format("noop")
              .option("checkpointLocation", f"{work}/ckpt").start())
         try:

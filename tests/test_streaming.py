@@ -1450,3 +1450,45 @@ def test_stop_retarget_rearms_partition_filter_and_latches_finished(spark, buffe
     job.state.finished = True
     job.retarget_stop(10_000_000)
     assert job.state.finished
+
+
+def test_near_dup_candidates_auto_shards(spark, tmp_path):
+    """shards="auto" resolves to 4x the stateful exchange's partition
+    count (SCALE.md round-6 rule) and the query runs end-to-end with the
+    sharded state layout."""
+    import json
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+    from kafka_to_nexus_spark.streaming import stateful
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"doc_id": i, "text": t, "timestamp": (i + 1) * 1_000_000_000}
+            for i, t in enumerate(["aaaa bbbb cccc"] * 3 + ["zzzz yyyy xxxx"])]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        raw = (spark.readStream
+               .schema("doc_id long, text string, timestamp long")
+               .json(str(src)))
+        sig = llm_dedup.minhash_signatures(raw, keep_cols=("timestamp",))
+        out = stateful.near_dup_candidates(
+            sig, horizon="1 hour", watermark="1 second", shards="auto")
+        work = tmp_path / "ckpt"
+        q = (out.writeStream.format("memory").queryName("auto_nd")
+             .option("checkpointLocation", str(work)).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {(r.id_a, r.id_b) for r in spark.table("auto_nd").collect()}
+        # the three identical docs form a clique in at least one band
+        assert {(0, 1), (0, 2), (1, 2)} <= got
+        # state groups = (band, shard) with shard in [0, 4*partitions)
+        ckpt_state = work / "state"
+        assert ckpt_state.exists()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
