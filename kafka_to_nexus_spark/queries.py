@@ -2406,6 +2406,11 @@ def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_ngram_jaccard(spark, sf_dir, max_bucket=_JACCARD_MAX_BUCKET)
 
 
+# one-slot per-session cache of the parity signature pass, lifecycle as
+# _JACCARD_PERSIST
+_PARITY_PERSIST: dict[str, DataFrame] = {}
+
+
 def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry presence for the PRODUCTION minhash engine (xxhash64,
     ``llm/dedup.py minhash_signatures``): in-query pair-set equality
@@ -2424,9 +2429,13 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect: jaccard == 1 is set equality, and md5 over the
     sorted hash list is one 16-byte compare per candidate instead of an
     O(shingles) intersect over the xx side's large uncapped candidate
-    set (measured 22 s -> ~2 s at sf0.1); the decimal-joined sorted
-    list renders identically in DuckDB, so the fingerprint is
-    engine-portable. Output: both engines' exact-dup pairs
+    set; the decimal-joined sorted list renders identically in DuckDB,
+    so the fingerprint is engine-portable. BOTH engines' band minima and
+    the fingerprint come from ONE persisted pass over the mirrored
+    corpus (doc_id + 9 small columns — the un-persisted plan re-ran the
+    text-hash pass at each of its 8 subtree references, 16 parquet
+    scans; persisting the combined pass measured ~20% faster at sf0.1,
+    3.8 -> 3.1 s). Output: both engines' exact-dup pairs
     full-outer-joined with in_md5/in_xxhash64 flags — a
     production-engine regression (dropped or invented pair)
     hash-mismatches the oracle, which replays the md5 side with both
@@ -2436,39 +2445,44 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import dedup as llm_dedup
 
     register_views(spark, sf_dir, ("documents",))
+    app_id = spark.sparkContext.applicationId
+    prev = _PARITY_PERSIST.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist()
     base = spark.table("documents").select("doc_id", "text")
     docs = base.unionAll(
         base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
-    h = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
-            " i -> substr(text, i, 5))), s -> md5(s))"
-        ).alias("hashes"),
+    md_hashes = F.expr(
+        "transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+        " i -> substr(text, i, 5))), s -> md5(s))"
     )
-    # fp sits on both sides of both engines' verify joins; Catalyst
-    # dedupes the identical subplan via ReusedExchange, so no persist —
-    # measured: an explicit .persist() here was ~1.5x SLOWER (cache
-    # materialization barrier vs pipelined reuse)
-    fp = h.select(
-        "doc_id",
-        F.md5(F.concat_ws(",", F.array_sort("hashes"))).alias("fp"),
+    # the xxhash64 engine's signature columns, renamed so one frame can
+    # carry both engines (minhash_signatures emits m0..m3)
+    xx_sig = llm_dedup.minhash_signatures(
+        docs, num_hashes=4, hash_engine="xxhash64"
+    ).select(
+        "doc_id", *[F.col(f"m{i}").alias(f"xm{i}") for i in range(4)]
     )
     # ONE selective band of 4 hashes (not 2): a 2-hash band key collides
-    # corpus-wide on the globally-min-hashing shingle, and the resulting
-    # candidate volume dominated the query (22 s at sf0.1); 4 rows per
-    # band multiply the independence while exact dups still always share
-    # the full key. Same 8-hex md5 slices as the minhash_signatures
-    # oracle pair.
-    md_sig = h.select(
-        "doc_id",
-        *[
-            F.expr(f"array_min(transform(hashes, h -> substr(h, {8 * i + 1}, 8)))").alias(f"m{i}")
-            for i in range(4)
-        ],
+    # corpus-wide on the globally-min-hashing shingle and the candidate
+    # volume dominated the query. Same 8-hex md5 slices as the
+    # minhash_signatures oracle pair.
+    allsig = (
+        docs.withColumn("_h", md_hashes)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(",", F.array_sort("_h"))).alias("fp"),
+            *[
+                F.expr(f"array_min(transform(_h, h -> substr(h, {8 * i + 1}, 8)))").alias(f"m{i}")
+                for i in range(4)
+            ],
+        )
+        .join(xx_sig, "doc_id")
+        .persist()
     )
-    xx_sig = llm_dedup.minhash_signatures(docs, num_hashes=4, hash_engine="xxhash64")
+    _PARITY_PERSIST[app_id] = allsig
+    fp = allsig.select("doc_id", "fp")
 
     def exact_pairs(sig: DataFrame) -> DataFrame:
         cand = llm_dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=4)
@@ -2483,10 +2497,14 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
         )
 
+    md_sig = allsig.select("doc_id", "m0", "m1", "m2", "m3")
+    xx_band = allsig.select(
+        "doc_id", *[F.col(f"xm{i}").alias(f"m{i}") for i in range(4)]
+    )
     return (
         exact_pairs(md_sig).withColumn("in_md5", F.lit(True))
         .join(
-            exact_pairs(xx_sig).withColumn("in_xxhash64", F.lit(True)),
+            exact_pairs(xx_band).withColumn("in_xxhash64", F.lit(True)),
             ["id_a", "id_b"],
             "full_outer",
         )
