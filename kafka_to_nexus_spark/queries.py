@@ -932,6 +932,154 @@ SELECT doc_id, term, tfidf FROM (
 ) WHERE rn = 1
 """
 
+# --- BM25 top-k retrieval ----------------------------------------------------
+# Okapi BM25 (k1=1.2, b=0.75) for a literal query-term set over the
+# documents corpus — the retrieval primitive a decontamination / data-mix
+# pipeline runs against its training corpus. Inverted-index shape: the
+# term explode is filtered to the query set immediately (the IN
+# predicate prunes the posting list before any aggregation, so tf/df
+# work is O(matching postings), never O(corpus vocabulary)); doc length
+# is a codegen higher-order `size(filter(split(...)))` — no explode at
+# all. df is written over tf, but Catalyst inlines the CTE into two
+# subtrees, so the plan tokenizes the corpus twice — deliberate: the
+# alternative (df as a window count over tf, tfidf-style) funnels every
+# posting row into |query| reducer partitions, a hotspot at 100 TB,
+# while both inlined subtrees keep map-side partial aggregation. An
+# indexed deployment would persist tf once (see SCALE.md persist note)
+# — for an ad-hoc scan query the second tokenize pass is the honest
+# scalable floor. Corpus constants (N, total token count) come from one
+# narrow pre-pass; avgdl is injected as the exact expression
+# sum/count so BOTH engines execute the identical double division.
+# Per-term scores are rounded then summed in a FIXED textual order
+# (conditional aggregation, one non-null row per term), so float
+# addition order cannot differ between engines. The final top-k is
+# ORDER BY + LIMIT — Spark compiles it to TakeOrderedAndProject
+# (per-partition top-k, k-row merge), never a single-partition sort.
+_BM25_TERMS = ("join", "window", "filter", "vector")
+_BM25_K = 10
+
+
+def _bm25_sql(n_docs: int, total_tokens: int, dialect: str) -> str:
+    if dialect == "spark":
+        split_len = "size(filter(split(lower(text), ' '), x -> x <> ''))"
+    else:
+        split_len = (
+            "len(list_filter(string_split(lower(text), ' '), x -> x <> ''))"
+        )
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    unnest = (
+        "explode(split(lower(text), ' '))"
+        if dialect == "spark"
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    case_sum = "\n       + ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN s END), 0)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({split_len} AS DOUBLE) AS dl FROM documents
+),
+terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, {unnest} AS term FROM documents
+  ) t WHERE term IN ({terms})
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(ln((CAST({n_docs} AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * base.dl
+                  / (CAST({total_tokens} AS DOUBLE) / CAST({n_docs} AS DOUBLE)))),
+               6) AS s
+  FROM tf JOIN df ON tf.term = df.term JOIN base ON tf.doc_id = base.doc_id
+),
+agg AS (
+  SELECT doc_id,
+         {case_sum} AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM agg ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+def _bm25_corpus_stats(sf_dir: str) -> tuple[int, int]:
+    """Corpus constants for the BM25 literals — derived with DuckDB so the
+    oracle string (built at oracle_sql() time, no Spark session) and the
+    Spark query embed the SAME exact integers. Both are exact BIGINT
+    aggregates, so any engine computes identical values; memoized per
+    sf_dir."""
+    cached = _BM25_STATS_CACHE.get(sf_dir)
+    if cached is None:
+        import duckdb
+
+        n, tot = duckdb.sql(
+            "SELECT count(*), "
+            "sum(len(list_filter(string_split(lower(text), ' '), "
+            "x -> x <> ''))) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()
+        cached = _BM25_STATS_CACHE[sf_dir] = (int(n), int(tot))
+    return cached
+
+
+_BM25_STATS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    n_docs, total_tokens = _bm25_corpus_stats(sf_dir)
+    return spark.sql(_bm25_sql(n_docs, total_tokens, "spark"))
+
+
+# The oracle embeds the same corpus constants as the Spark side, derived
+# lazily for the sf_dir the oracle will run against (the driver compares
+# at sf0.01; tools/check_oracle.py overrides via env for other tiers) —
+# resolved in oracle_sql(), not at import, so importing this module does
+# no I/O.
+_ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+_ORACLE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _lazy_oracles() -> dict[str, str]:
+    import os
+
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    return {"bm25_topk": _bm25_sql(*_bm25_corpus_stats(sf_dir), "duck")}
+
+# --- per-source document cap -------------------------------------------------
+# The standard pretraining curation op the registry lacked: cap the number
+# of documents any one source (domain) contributes, choosing a
+# deterministic uniform subset via an md5 priority (reproducible across
+# runs and engines, unlike rand()). One window shuffle on `source`;
+# Spark's WindowGroupLimit optimizer pushes the rank<=N cap to a partial
+# (per-partition) limit BEFORE the exchange, so a hot source ships at most
+# N rows per map partition — the skew-safe top-N shape at 100 TB
+# (plan-pinned in tests/test_plan_quality.py).
+_SOURCE_CAP = 8
+SPARK_SQL["source_cap_sample"] = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS samp_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_SOURCE_CAP}
+"""
+ORACLE["source_cap_sample"] = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS samp_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) t WHERE rk <= {_SOURCE_CAP}
+"""
+
 # --- scalar expression battery ----------------------------------------------
 # The reference has no generic expression library (SURVEY.md §2.8); this
 # pins a broad slab of the engine's scalar surface — math, string, date —
@@ -3084,6 +3232,7 @@ ORACLE["semantic_dedup_fixed_k"] = _semdedup_prune_duck("8")
 
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_term": _q_tfidf_top_term,
+    "bm25_topk": _q_bm25_topk,
     "pii_scrub_signals": _q_pii_scrub,
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
@@ -3139,6 +3288,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _PRIORITY = (
     # -- never driver-checked (rule #1): new this round
     "minhash_engine_parity",
+    "bm25_topk",
+    "source_cap_sample",
     # -- last green r3 (rule #2: oldest-check first; policy max reached)
     "sliding_window",
     "stats_battery",
@@ -3188,13 +3339,13 @@ _PRIORITY = (
     "token_count_by_source",
     "training_mix_sample",
     "url_domain_profile",
-    "w2_event_index",
-    "w4_ad00_zero_fill",
-    # ---- 50-slot window boundary. w5_da00_constants (r4-green) yields
-    # its slot to the new parity query this round and leads the r7
-    # rotation. Everything left outside carries an
-    # r4- or r5-green row (staleness <= 2 after this round, within the
-    # policy maximum); the r5-green set rotates back in r7.
+    # ---- 50-slot window boundary. w2_event_index, w4_ad00_zero_fill and
+    # w5_da00_constants (all r4-green) yield their slots to the three
+    # round-6 additions (the parity query + bm25_topk/source_cap_sample)
+    # and lead the r7 rotation at the staleness maximum. Everything left
+    # outside carries an r4- or r5-green row (staleness <= 2 after this
+    # round, within the policy maximum); the r5-green set rotates back
+    # in r7.
 )
 
 
@@ -3207,7 +3358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    out = dict(ORACLE)
+    out.update(_lazy_oracles())
+    return out
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -556,3 +556,36 @@ def test_jaccard_verify_joins_are_sort_merge(spark):
             f"invalid at 100 TB), got {verify_joins}\n{plan}"
         )
         assert "ShuffledHashJoin" not in plan, f"{name}: memory-fragile shuffle_hash join is back\n{plan}"
+
+
+def test_source_cap_window_limit_is_pushed_partial(spark):
+    """source_cap_sample's per-source cap must compile to the
+    WindowGroupLimit pair — a Partial limit BEFORE the source exchange
+    and a Final one after — so a hot source ships at most N rows per map
+    partition instead of its whole document set (the skew-safe top-N
+    shape at 100 TB)."""
+    plan = _plan(spark, Q.SPARK_SQL["source_cap_sample"])
+    assert "row_number(), 8, Partial" in plan, plan
+    assert "row_number(), 8, Final" in plan, plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """bm25_topk: the final top-k must be TakeOrderedAndProject
+    (per-partition top-k + k-row merge, never a single-partition global
+    sort or a row_number window); the 4-row df relation must broadcast;
+    and the query-term IN predicate must sit below the first aggregate
+    so the posting list is pruned before any shuffle."""
+    df = Q.queries()["bm25_topk"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the IN filter appears before (above in text = physical below) the
+    # first HashAggregate in each explode subtree
+    first_agg = plan.index("HashAggregate")
+    assert "IN (join,window,filter,vector)" in plan[:first_agg] or re.search(
+        r"Condition : term#\d+ IN", plan
+    ), plan
