@@ -1015,13 +1015,18 @@ def _bm25_corpus_stats(sf_dir: str) -> tuple[int, int]:
     sf_dir."""
     cached = _BM25_STATS_CACHE.get(sf_dir)
     if cached is None:
+        import os
+
         import duckdb
 
+        path = f"{sf_dir}/documents.parquet"
+        if os.path.isdir(path):  # Spark-written dataset dir (synth tiers)
+            path = f"{path}/*.parquet"
         n, tot = duckdb.sql(
             "SELECT count(*), "
             "sum(len(list_filter(string_split(lower(text), ' '), "
             "x -> x <> ''))) FROM "
-            f"read_parquet('{sf_dir}/documents.parquet')"
+            f"read_parquet('{path}')"
         ).fetchone()
         cached = _BM25_STATS_CACHE[sf_dir] = (int(n), int(tot))
     return cached

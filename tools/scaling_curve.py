@@ -66,6 +66,11 @@ FAMILY = {
     "ann_cosine_topk": "embeddings",
     "quantized_adc_topk": "embeddings",
     "tfidf_top_term": "documents",
+    # r6 additions: both linear by construction (filtered posting-list
+    # aggregation / partial window-group-limit) — measured to keep the
+    # claim honest
+    "bm25_topk": "documents",
+    "source_cap_sample": "documents",
     "bpe_token_count": "documents",
     "decontamination_overlap": "documents",
     "token_budget_select": "documents",
@@ -112,6 +117,9 @@ X1000_OPS = {
     "bpe_token_count",
     "simhash_fingerprints",
     "minhash_signatures",
+    # r6: bm25 stays overhead-bound through x100 (2.3 s at 500k docs) —
+    # only the 5M-doc tier makes its linear term visible
+    "bm25_topk",
     # r5: the capped pair family runs the full decade the uncapped forms
     # spill on, and the capped-edge CC run at 5M docs pushes the
     # materialized edge count past the broadcast threshold — the
