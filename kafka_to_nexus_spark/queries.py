@@ -1054,7 +1054,73 @@ def _lazy_oracles() -> dict[str, str]:
     import os
 
     sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
-    return {"bm25_topk": _bm25_sql(*_bm25_corpus_stats(sf_dir), "duck")}
+    _, total_tokens = _bm25_corpus_stats(sf_dir)
+    return {
+        "bm25_topk": _bm25_sql(*_bm25_corpus_stats(sf_dir), "duck"),
+        "unigram_logprob_score": _UNIGRAM_SQL["duck"].format(total=total_tokens),
+    }
+
+# --- unigram LM negative log-likelihood --------------------------------------
+# The perplexity-filter stand-in (CCNet / RedPajama pipelines score docs
+# with a KenLM over the target distribution and drop the tails): a
+# unigram LM self-trained on the corpus, each doc scored by mean
+# negative log-likelihood nll = -Σ tf·ln(tf_corpus/total) / Σ tf. High
+# nll = rare/surprising tokens (boilerplate and gibberish both surface).
+# Shape: one explode → per-(doc, term) tf; corpus term frequencies are a
+# second aggregation of tf joined back on term (map-side partials both
+# sides; AQE handles hot-stopword skew; the vocab side broadcasts while
+# it fits). Like bm25_topk, Catalyst inlines the tf CTE into both
+# consumers — two tokenize passes, each scan-bound and partial-agged,
+# rather than a term-partitioned window that would pile every posting of
+# a hot term into one reducer.
+# Float portability: per-term contributions are rounded to 6 dp and
+# summed as DECIMAL(28,6) — decimal sums are EXACT and therefore
+# order-independent, so both engines produce identical sums regardless
+# of aggregation order (the same decimal trick the TPC-H battery uses);
+# the final division then operates on identical doubles.
+_UNIGRAM_SQL = {
+    "spark": """
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents
+  ) t WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+freq AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(tf.tf * ln(freq.cf / {total}), 6) AS DECIMAL(28, 6)) AS c
+  FROM tf JOIN freq ON tf.term = freq.term
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(-CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS nll
+FROM contrib GROUP BY doc_id
+""",
+    "duck": """
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  ) t WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+freq AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(tf.tf * ln(freq.cf / {total}), 6) AS DECIMAL(28, 6)) AS c
+  FROM tf JOIN freq ON tf.term = freq.term
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(-CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS nll
+FROM contrib GROUP BY doc_id
+""",
+}
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    _, total_tokens = _bm25_corpus_stats(sf_dir)
+    return spark.sql(_UNIGRAM_SQL["spark"].format(total=total_tokens))
+
 
 # --- per-source document cap -------------------------------------------------
 # The standard pretraining curation op the registry lacked: cap the number
@@ -3238,6 +3304,7 @@ ORACLE["semantic_dedup_fixed_k"] = _semdedup_prune_duck("8")
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_term": _q_tfidf_top_term,
     "bm25_topk": _q_bm25_topk,
+    "unigram_logprob_score": _q_unigram_logprob,
     "pii_scrub_signals": _q_pii_scrub,
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
@@ -3295,6 +3362,7 @@ _PRIORITY = (
     "minhash_engine_parity",
     "bm25_topk",
     "source_cap_sample",
+    "unigram_logprob_score",
     # -- last green r3 (rule #2: oldest-check first; policy max reached)
     "sliding_window",
     "stats_battery",
@@ -3343,14 +3411,13 @@ _PRIORITY = (
     "token_budget_select",
     "token_count_by_source",
     "training_mix_sample",
-    "url_domain_profile",
-    # ---- 50-slot window boundary. w2_event_index, w4_ad00_zero_fill and
-    # w5_da00_constants (all r4-green) yield their slots to the three
-    # round-6 additions (the parity query + bm25_topk/source_cap_sample)
-    # and lead the r7 rotation at the staleness maximum. Everything left
-    # outside carries an r4- or r5-green row (staleness <= 2 after this
-    # round, within the policy maximum); the r5-green set rotates back
-    # in r7.
+    # ---- 50-slot window boundary. url_domain_profile, w2_event_index,
+    # w4_ad00_zero_fill and w5_da00_constants (all r4-green) yield their
+    # slots to the four round-6 additions (the parity query +
+    # bm25_topk/source_cap_sample/unigram_logprob_score) and lead the r7
+    # rotation at the staleness maximum. Everything left outside carries
+    # an r4- or r5-green row (staleness <= 2 after this round, within
+    # the policy maximum); the r5-green set rotates back in r7.
 )
 
 

@@ -589,3 +589,15 @@ def test_bm25_topk_plan_shape(spark):
     assert "IN (join,window,filter,vector)" in plan[:first_agg] or re.search(
         r"Condition : term#\d+ IN", plan
     ), plan
+
+
+def test_unigram_logprob_sums_decimal_with_partials(spark):
+    """unigram_logprob_score: per-term contributions must be summed as
+    DECIMAL (exact, order-independent — the cross-engine float-parity
+    guarantee) with map-side partial aggregation, and the term join must
+    be hash-based (broadcast at small SF; never a nested loop)."""
+    df = Q.queries()["unigram_logprob_score"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan
+    assert "decimal(28,6)" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan

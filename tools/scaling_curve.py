@@ -71,6 +71,7 @@ FAMILY = {
     # claim honest
     "bm25_topk": "documents",
     "source_cap_sample": "documents",
+    "unigram_logprob_score": "documents",
     "bpe_token_count": "documents",
     "decontamination_overlap": "documents",
     "token_budget_select": "documents",
