@@ -402,6 +402,72 @@ def dedup_census(
 # arrived, and state stays TTL-bounded on unbounded streams.
 # ---------------------------------------------------------------------------
 
+# state per source: rows admitted so far (one long — O(sources) state,
+# like session_windows)
+_QUOTA_STATE = "admitted long"
+
+
+def source_quota_stream(
+    stream: DataFrame,
+    quota: int,
+    source_col: str = "source_name",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Per-source admission quota: pass through at most ``quota`` rows per
+    source over the stream's lifetime, dropping the rest — the streaming
+    admission twin of the batch ``source_cap_sample`` (L44). The batch
+    form picks a deterministic md5-uniform subset because it sees the
+    whole corpus; an ingest pipeline cannot, so the streaming form admits
+    the FIRST ``quota`` rows per source in event-time order within each
+    micro-batch (cross-batch: earlier batches always win — admission is
+    monotone). Equal event times fall back to micro-batch arrival order
+    (partition-race, same caveat :func:`dedup_stream` documents).
+
+    Output = the input rows that clear the quota, plus ``quota_rank``
+    (1-based admission index per source). State is ONE long per source
+    with no timeout: a quota is a lifetime budget, and O(sources) state
+    matches the engine's per-source envelope elsewhere (session windows,
+    running stats). At 100 TB / millions of sources the state store
+    shards the counters across executors; each micro-batch group ships
+    only that batch's rows for the source.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    fields = list(stream.schema.fields)
+    if any(f.name == "quota_rank" for f in fields):
+        raise ValueError("input already has a quota_rank column")
+    out_schema = StructType(fields + [StructField("quota_rank", LongType())])
+    cols = [f.name for f in fields]
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (admitted,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            if admitted >= quota:
+                continue  # drain the iterator; budget exhausted
+            take = pdf.sort_values(ts_col, kind="mergesort").iloc[
+                : quota - admitted
+            ]
+            if not len(take):
+                continue
+            out = take[cols].copy()
+            out["quota_rank"] = range(admitted + 1, admitted + 1 + len(take))
+            admitted += len(take)
+            yield out
+        state.update((admitted,))
+
+    return stream.groupBy(source_col).applyInPandasWithState(
+        update,
+        out_schema,
+        _QUOTA_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 NEAR_DUP_SCHEMA = StructType(
     [
         StructField("id_a", LongType()),

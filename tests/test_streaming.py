@@ -1492,3 +1492,71 @@ def test_near_dup_candidates_auto_shards(spark, tmp_path):
         assert ckpt_state.exists()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------------------
+# L44 streaming twin: per-source admission quota
+# ---------------------------------------------------------------------------
+
+def test_source_quota_stream_admits_first_n_per_source(spark, tmp_path):
+    """Quota of 2 per source across 2 micro-batches: batch-1 rows fill the
+    budget in event-time order; batch-2 rows are admitted only with
+    leftover budget (cross-batch monotone admission), and quota_rank
+    numbers admissions 1..k per source."""
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    # source A: 3 rows in batch 1 (out of event-time order), 1 in batch 2
+    # source B: 1 row in batch 1, 2 in batch 2
+    _write_fixture(fixture_dir, "b1.json", [
+        f144(12_000, 3.0, source="A", offset=2),
+        f144(10_000, 1.0, source="A", offset=0),
+        f144(11_000, 2.0, source="A", offset=1),
+        f144(10_500, 10.0, source="B", offset=0),
+    ])
+    _write_fixture(fixture_dir, "b2.json", [
+        f144(13_000, 4.0, source="A", offset=3),
+        f144(13_500, 11.0, source="B", offset=1),
+        f144(14_000, 12.0, source="B", offset=2),
+    ], seq=1)
+
+    out = stateful.source_quota_stream(_file_stream(spark, fixture_dir), quota=2)
+    q = (out.writeStream.format("memory").queryName("source_quota")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.source_name, r.quota_rank): r.value
+        for r in spark.table("source_quota").collect()
+    }
+    # A: batch 1 alone exhausts the quota in EVENT-TIME order (1.0, 2.0);
+    # 3.0 (later event time, same batch) and the batch-2 row are dropped.
+    # B: batch 1 admits 1 row, batch 2 the second; 12.0 is over budget.
+    assert got == {
+        ("A", 1): 1.0,
+        ("A", 2): 2.0,
+        ("B", 1): 10.0,
+        ("B", 2): 11.0,
+    }, got
+
+
+def test_source_quota_stream_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from kafka_to_nexus_spark.schemas import MESSAGE_SCHEMA
+    from kafka_to_nexus_spark.streaming import stateful
+
+    df = spark.createDataFrame([], MESSAGE_SCHEMA)
+    with _pytest.raises(ValueError, match="quota"):
+        stateful.source_quota_stream(df, quota=0)
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="quota_rank"):
+        stateful.source_quota_stream(
+            df.withColumn("quota_rank", F.col("offset")), quota=1
+        )
