@@ -1122,6 +1122,61 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_UNIGRAM_SQL["spark"].format(total=total_tokens))
 
 
+# --- document chunking (L42 as an oracle-checked query) ----------------------
+# chunk_documents (llm/text.py) was pytest-only (python-model parity);
+# this registry entry drives it end-to-end against a DuckDB replay —
+# generate_series reproduces Spark's `sequence` start grid and
+# list_slice the codegen `slice`, so chunk boundaries, tail handling,
+# and the one-chunk-for-short-docs rule are all cross-engine-checked.
+# chunk=32/overlap=8 (not the 128/16 default) so the synthetic corpus
+# (~30–80 tokens/doc) actually produces multi-chunk documents.
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    out = llm_text.chunk_documents(
+        spark.table("documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap_tokens=_CHUNK_OVERLAP,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "token_offset",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+ORACLE["doc_chunks"] = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+grid AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(
+           0,
+           CAST(floor(greatest((len(toks) - {_CHUNK_OVERLAP + 1})
+                               / {_CHUNK_TOKENS - _CHUNK_OVERLAP}.0, 0)) AS BIGINT)
+             * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1,
+           {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS BIGINT) AS token_offset
+  FROM base
+)
+SELECT doc_id,
+       token_offset // {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS chunk_id,
+       token_offset,
+       CAST(len(list_slice(toks, token_offset + 1,
+                           token_offset + {_CHUNK_TOKENS})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, token_offset + 1,
+                                  token_offset + {_CHUNK_TOKENS}), ' ') AS chunk_text
+FROM grid
+"""
+
 # --- per-source document cap -------------------------------------------------
 # The standard pretraining curation op the registry lacked: cap the number
 # of documents any one source (domain) contributes, choosing a
@@ -3305,6 +3360,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_term": _q_tfidf_top_term,
     "bm25_topk": _q_bm25_topk,
     "unigram_logprob_score": _q_unigram_logprob,
+    "doc_chunks": _q_doc_chunks,
     "pii_scrub_signals": _q_pii_scrub,
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
@@ -3363,6 +3419,7 @@ _PRIORITY = (
     "bm25_topk",
     "source_cap_sample",
     "unigram_logprob_score",
+    "doc_chunks",
     # -- last green r3 (rule #2: oldest-check first; policy max reached)
     "sliding_window",
     "stats_battery",
@@ -3410,14 +3467,14 @@ _PRIORITY = (
     "tfidf_top_term",
     "token_budget_select",
     "token_count_by_source",
-    "training_mix_sample",
-    # ---- 50-slot window boundary. url_domain_profile, w2_event_index,
-    # w4_ad00_zero_fill and w5_da00_constants (all r4-green) yield their
-    # slots to the four round-6 additions (the parity query +
-    # bm25_topk/source_cap_sample/unigram_logprob_score) and lead the r7
-    # rotation at the staleness maximum. Everything left outside carries
-    # an r4- or r5-green row (staleness <= 2 after this round, within
-    # the policy maximum); the r5-green set rotates back in r7.
+    # ---- 50-slot window boundary. training_mix_sample,
+    # url_domain_profile, w2_event_index, w4_ad00_zero_fill and
+    # w5_da00_constants (all r4-green) yield their slots to the five
+    # round-6 additions (the parity query + bm25_topk/source_cap_sample/
+    # unigram_logprob_score/doc_chunks) and lead the r7 rotation at the
+    # staleness maximum. Everything left outside carries an r4- or
+    # r5-green row (staleness <= 2 after this round, within the policy
+    # maximum); the r5-green set rotates back in r7.
 )
 
 

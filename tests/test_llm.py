@@ -685,3 +685,117 @@ def test_xxhash_engine_corpus_recall_matches_md5(spark):
         }
         recall = len(cand & truth) / len(truth)
         assert recall >= floor, (bands, rpb, recall)
+
+
+# ---------------------------------------------------------------------------
+# L43 BM25 / L45 unigram NLL: engine output vs a pure-python model
+# ---------------------------------------------------------------------------
+
+def _py_bm25(texts: dict[int, str], terms: tuple[str, ...], k: int):
+    """Reference Okapi BM25 (k1=1.2, b=0.75) with the query's rounding
+    discipline: per-term scores rounded to 6 dp, summed in term order,
+    final round to 6 dp."""
+    import math
+
+    toks = {d: [t for t in s.lower().split(" ") if t] for d, s in texts.items()}
+    n = len(texts)
+    total = sum(len(v) for v in toks.values())
+    avgdl = total / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += round(
+                idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)), 6
+            )
+        if s:
+            scores[d] = round(s, 6)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+def test_bm25_topk_matches_python_model(spark, tmp_path):
+    """bm25_topk's full pipeline (pre-pass constants + SQL scoring) must
+    reproduce a direct python BM25 on a corpus with edge shapes: empty
+    doc, repeated query terms, a doc with no query terms, ties."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    texts = {
+        0: "join join join window",
+        1: "filter vector filter",
+        2: "the quick brown fox",       # no query terms
+        3: "",                           # empty doc
+        4: "window window window window window",
+        5: "join window filter vector",
+        6: "join window filter vector",  # exact tie with 5 → doc_id order
+        7: "vector " * 50,               # long doc: length normalization
+    }
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values()),
+         "lang": "en", "source": "s", "n_chars": [len(t) for t in texts.values()]}
+    ).to_parquet(sf_dir / "documents.parquet")
+
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.queries()["bm25_topk"](spark, str(sf_dir)).collect()
+    ]
+    want = _py_bm25(texts, Q._BM25_TERMS, Q._BM25_K)
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (gd, gs, ws)
+
+
+def test_unigram_logprob_matches_python_model(spark, tmp_path):
+    """unigram_logprob_score == -Σ tf·round6(ln(cf/total)) / n_tokens per
+    doc, computed directly in python over a corpus with repeated and
+    unique tokens."""
+    import math
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    texts = {
+        0: "a a a b",
+        1: "b c",
+        2: "a unique",
+        3: "c c c c c c",
+    }
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values()),
+         "lang": "en", "source": "s", "n_chars": [len(t) for t in texts.values()]}
+    ).to_parquet(sf_dir / "documents.parquet")
+
+    toks = {d: s.split() for d, s in texts.items()}
+    total = sum(len(v) for v in toks.values())
+    cf: dict[str, int] = {}
+    for v in toks.values():
+        for t in v:
+            cf[t] = cf.get(t, 0) + 1
+    want = {}
+    for d, v in toks.items():
+        contrib = sum(
+            round(tf * math.log(cf[t] / total), 6)
+            for t, tf in {t: v.count(t) for t in set(v)}.items()
+        )
+        want[d] = (len(v), round(-contrib / len(v), 6))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.nll)
+        for r in Q.queries()["unigram_logprob_score"](spark, str(sf_dir)).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])

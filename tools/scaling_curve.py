@@ -72,6 +72,7 @@ FAMILY = {
     "bm25_topk": "documents",
     "source_cap_sample": "documents",
     "unigram_logprob_score": "documents",
+    "doc_chunks": "documents",
     "bpe_token_count": "documents",
     "decontamination_overlap": "documents",
     "token_budget_select": "documents",
