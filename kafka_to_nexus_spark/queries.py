@@ -1122,6 +1122,49 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_UNIGRAM_SQL["spark"].format(total=total_tokens))
 
 
+# --- per-dimension embedding moments -----------------------------------------
+# The oracle-checkable face of L41 (embedding moments / whitening): the
+# full covariance needs matrix algebra DuckDB can't replay, but the
+# per-dimension count/mean/population-variance — the diagonal a
+# quantizer or per-dimension codebook actually consumes — is pure SQL.
+# One posexplode + one hash agg keyed by dim (64 groups, map-side
+# partials). Float portability: elements are cast float→double (exact)
+# then rounded to 6 dp and summed as DECIMAL(28,6) — exact and
+# order-independent, so mean and E[x²] (and the variance derived from
+# them) are bit-identical in both engines under any partitioning.
+SPARK_SQL["embedding_dim_moments"] = """
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(xr) AS DOUBLE) / count(*), 6) AS mean,
+       round(CAST(sum(x2r) AS DOUBLE) / count(*)
+             - pow(CAST(sum(xr) AS DOUBLE) / count(*), 2), 6) AS var_pop
+FROM (
+  SELECT dim,
+         CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(28, 6)) AS xr,
+         CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+              AS DECIMAL(28, 6)) AS x2r
+  FROM embeddings LATERAL VIEW posexplode(embedding) t AS dim, x
+)
+GROUP BY dim
+"""
+ORACLE["embedding_dim_moments"] = """
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(xr) AS DOUBLE) / count(*), 6) AS mean,
+       round(CAST(sum(x2r) AS DOUBLE) / count(*)
+             - pow(CAST(sum(xr) AS DOUBLE) / count(*), 2), 6) AS var_pop
+FROM (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(28, 6)) AS xr,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                    * CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(28, 6)) AS x2r
+  FROM embeddings
+) t
+GROUP BY dim
+"""
+
 # --- document chunking (L42 as an oracle-checked query) ----------------------
 # chunk_documents (llm/text.py) was pytest-only (python-model parity);
 # this registry entry drives it end-to-end against a DuckDB replay —
@@ -3420,6 +3463,7 @@ _PRIORITY = (
     "source_cap_sample",
     "unigram_logprob_score",
     "doc_chunks",
+    "embedding_dim_moments",
     # -- last green r3 (rule #2: oldest-check first; policy max reached)
     "sliding_window",
     "stats_battery",
@@ -3466,15 +3510,15 @@ _PRIORITY = (
     "temperature_mix_sample",
     "tfidf_top_term",
     "token_budget_select",
-    "token_count_by_source",
-    # ---- 50-slot window boundary. training_mix_sample,
-    # url_domain_profile, w2_event_index, w4_ad00_zero_fill and
-    # w5_da00_constants (all r4-green) yield their slots to the five
-    # round-6 additions (the parity query + bm25_topk/source_cap_sample/
-    # unigram_logprob_score/doc_chunks) and lead the r7 rotation at the
-    # staleness maximum. Everything left outside carries an r4- or
-    # r5-green row (staleness <= 2 after this round, within the policy
-    # maximum); the r5-green set rotates back in r7.
+    # ---- 50-slot window boundary. token_count_by_source,
+    # training_mix_sample, url_domain_profile, w2_event_index,
+    # w4_ad00_zero_fill and w5_da00_constants (all r4-green) yield their
+    # slots to the six round-6 additions (the parity query + bm25_topk/
+    # source_cap_sample/unigram_logprob_score/doc_chunks/
+    # embedding_dim_moments) and lead the r7 rotation at the staleness
+    # maximum. Everything left outside carries an r4- or r5-green row
+    # (staleness <= 2 after this round, within the policy maximum); the
+    # r5-green set rotates back in r7.
 )
 
 
