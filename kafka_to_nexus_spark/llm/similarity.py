@@ -27,6 +27,45 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def lit_doubles(values) -> Column:
+    """A literal array<double> built from ONE parsed SQL expression.
+
+    Per-element ``F.array(*[F.lit(x) ...])`` costs a py4j round trip per
+    element — ~0.8 s of pure DRIVER time for a k×dim centroid matrix at
+    k=31, dim=64 (measured; it dominated auto-k SemDeDup's plan
+    construction). Python ``repr`` emits the shortest exact decimal and
+    both Java's and DuckDB's parsers round correctly, so the parsed
+    literals are bit-identical to the F.lit path (verified element-wise
+    in tests)."""
+    return F.expr("array(" + ",".join(_dlit(float(x)) for x in values) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """Literal array<array<double>> via one parsed expression (see
+    :func:`lit_doubles`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(float(x)) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def lit_longs(values) -> Column:
+    return F.expr(
+        "array(" + ",".join(f"{int(x)}L" for x in values) + ")"
+    )
+
+
+def _dlit(x: float) -> str:
+    # 'inf'/'nan' have no SQL literal form; centroids/params are finite by
+    # construction — fail loudly rather than parse-error obscurely
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite literal: {x}")
+    return repr(x) + "D"
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -55,7 +94,7 @@ def brute_force_topk(
     ``k=None`` returns ALL scored rows (ordered, no truncation) — for
     callers that re-rank on a rounded metric and must not pre-cut on the
     raw one."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     scored = df.select(
         F.col(id_col),
         cosine(_as_double(F.col(vec_col)), q).alias("cosine"),
@@ -120,8 +159,8 @@ def nearest_centroid_expr(
     silently bypass within-cluster pruning (the left anti-join keep
     pattern never matches a null key)."""
     ordered = sorted(centroids)
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in ordered])
-    ids = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
+    cents = lit_double_matrix([c for _, c in ordered])
+    ids = lit_longs([cid for cid, _ in ordered])
     dots = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -333,7 +372,7 @@ def kmeans_assignment_stats_portable(
     ordered = sorted(centroids)
     scored = [
         F.named_struct(
-            F.lit("s"), dot(vec, F.array(*[F.lit(float(x)) for x in c])),
+            F.lit("s"), dot(vec, lit_doubles(c)),
             F.lit("nc"), F.lit(-cid),
         )
         for cid, c in ordered
@@ -346,8 +385,8 @@ def kmeans_assignment_stats_portable(
     # Python's sequential fold is the same ordered IEEE sum as the SQL
     # sqrt(list_dot_product(c, c)).
     norm_map = F.map_from_arrays(
-        F.array(*[F.lit(int(c_id)) for c_id, _ in ordered]),
-        F.array(*[F.lit(math.sqrt(_seq_dot(c, c))) for _, c in ordered]),
+        lit_longs([c_id for c_id, _ in ordered]),
+        lit_doubles([math.sqrt(_seq_dot(c, c)) for _, c in ordered]),
     )
     cos = best["s"] / (norm(vec) * F.element_at(norm_map, cid))
     assigned = df.select(cid.alias("centroid_id"), cos.alias("_cos"))
@@ -511,8 +550,8 @@ def quantize_codes_col(
     dimension, clamped to [-128, 127]. floor(x+0.5) (not round()) pins
     half-way semantics to one rule both engines implement identically.
     Params ride as literals — map-only, no join."""
-    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
-    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    mins_arr = lit_doubles(mins)
+    scales_arr = lit_doubles(scales)
     zipped = F.zip_with(
         vec,
         F.zip_with(mins_arr, scales_arr, lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
@@ -544,9 +583,9 @@ def adc_topk(
     one narrow map (codes would be the stored column at scale; computing
     them inline here keeps the query self-contained), then TakeOrdered."""
     codes = quantize_codes_col(_as_double(F.col(vec_col)), mins, scales)
-    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
-    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
-    q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
+    mins_arr = lit_doubles(mins)
+    scales_arr = lit_doubles(scales)
+    q_arr = lit_doubles(query_vec)
     dequant = F.zip_with(
         codes.cast("array<double>"),
         F.zip_with(mins_arr, scales_arr, lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
@@ -588,7 +627,7 @@ def srp_signature_col(vec: Column, planes: list[list[float]]) -> Column:
     codegen fold, no shuffle, no UDF."""
     sig = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in plane])
+        h = lit_doubles(plane)
         bit = F.when(dot(vec, h) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -763,7 +802,7 @@ def ivf_topk(
     """IVF search: rank centroids against the query on the driver (tiny),
     then brute-force only the ``n_probe`` nearest buckets. At scale the
     assignment is precomputed/partitioned by centroid for partition pruning."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     ranked = (
         centroids.select(
             centroid_id_col,

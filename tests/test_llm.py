@@ -799,3 +799,34 @@ def test_unigram_logprob_matches_python_model(spark, tmp_path):
     for d in want:
         assert got[d][0] == want[d][0], (d, got[d], want[d])
         assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])
+
+
+def test_literal_array_helpers_match_per_element_lit(spark):
+    """lit_doubles / lit_double_matrix / lit_longs (one parsed SQL
+    expression, ~200x faster to build than per-element F.lit) must
+    produce BIT-IDENTICAL values to the per-element form, including
+    negative, tiny, huge, and shortest-repr-exponent doubles."""
+    import struct
+
+    vals = [0.0, -0.0, 1.0, -1.5, 1e-300, -2.5e17, 3.141592653589793,
+            1 / 3, 6.02214076e23, -4.9e-324]
+    a = spark.range(1).select(similarity.lit_doubles(vals).alias("x")).collect()[0]["x"]
+    b = spark.range(1).select(
+        F.array(*[F.lit(float(v)) for v in vals]).alias("x")
+    ).collect()[0]["x"]
+    assert [struct.pack("d", v) for v in a] == [struct.pack("d", v) for v in b]
+
+    m = [vals[:5], vals[5:]]
+    am = spark.range(1).select(similarity.lit_double_matrix(m).alias("x")).collect()[0]["x"]
+    assert [[struct.pack("d", v) for v in row] for row in am] == [
+        [struct.pack("d", float(v)) for v in row] for row in m
+    ]
+
+    ids = [0, -7, 2**40]
+    ai = spark.range(1).select(similarity.lit_longs(ids).alias("x")).collect()[0]["x"]
+    assert ai == ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        similarity.lit_doubles([float("nan")])
