@@ -119,9 +119,10 @@ X1000_OPS = {
     "bpe_token_count",
     "simhash_fingerprints",
     "minhash_signatures",
-    # r6: bm25 stays overhead-bound through x100 (2.3 s at 500k docs) —
-    # only the 5M-doc tier makes its linear term visible
+    # r6: bm25/unigram stay overhead-bound through x100 (2-4 s at 500k
+    # docs) — only the 5M-doc tier makes their linear terms visible
     "bm25_topk",
+    "unigram_logprob_score",
     # r5: the capped pair family runs the full decade the uncapped forms
     # spill on, and the capped-edge CC run at 5M docs pushes the
     # materialized edge count past the broadcast threshold — the
