@@ -444,7 +444,8 @@ def source_quota_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (admitted,) = state.get if state.exists else (0,)
+        before = state.get[0] if state.exists else 0
+        admitted = before
         for pdf in pdfs:
             if admitted >= quota:
                 continue  # drain the iterator; budget exhausted
@@ -457,7 +458,12 @@ def source_quota_stream(
             out["quota_rank"] = range(admitted + 1, admitted + 1 + len(take))
             admitted += len(take)
             yield out
-        state.update((admitted,))
+        # exhausted sources keep receiving rows every batch; skipping the
+        # no-op commit keeps the state-store delta at O(sources that
+        # admitted) instead of O(sources with data) (same lesson as the
+        # near-dup sharded state: unchanged entries must not rewrite)
+        if admitted != before:
+            state.update((admitted,))
 
     return stream.groupBy(source_col).applyInPandasWithState(
         update,
