@@ -1054,6 +1054,11 @@ def _lazy_oracles() -> dict[str, str]:
     import os
 
     sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        # no corpus at the configured tier: omit the two corpus-constant
+        # oracles (driver records rows-only for them) instead of making
+        # every oracle_sql() caller crash in a data-less environment
+        return {}
     _, total_tokens = _bm25_corpus_stats(sf_dir)
     return {
         "bm25_topk": _bm25_sql(*_bm25_corpus_stats(sf_dir), "duck"),

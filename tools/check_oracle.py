@@ -6,6 +6,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -59,6 +60,9 @@ def schema_of(df) -> dict[str, str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # corpus-constant oracles (bm25/unigram) must embed stats from the SAME
+    # tier the views point at, or every non-default tier false-fails
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(
         app_name="oracle-check",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
