@@ -57,7 +57,19 @@ def minhash_signatures(
       stay below 2^61, so the arithmetic never overflows a long — safe
       under ANSI mode). Deriving arithmetically instead of salted
       re-digests cuts the string-hash passes from ceil(n/2) to exactly 1
-      (measured ~2x on the streaming bench path). Signature columns are
+      (measured ~2x on the streaming bench path).
+
+      .. warning:: **hash-family version 2.** The xxhash64 values for
+         hash indices >= 2 changed when the salted re-digests were
+         replaced by multiply-shift derivation: band keys differ from
+         version-1 releases, so any PERSISTED signature table or
+         streaming near-dup CHECKPOINT built with the old family
+         silently stops matching new arrivals (pairs dropped, no
+         error). Rebuild persisted signatures and restart streaming
+         near-dup queries from a fresh checkpoint when upgrading; the
+         md5 engine is unchanged and version-stable.
+
+      Signature columns are
       LONGs instead of hex strings, which downstream banding (concat_ws
       keys) and bucket joins handle identically.
     """

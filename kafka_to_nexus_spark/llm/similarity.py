@@ -153,7 +153,8 @@ def nearest_centroid_expr(
     assignments). array_position returns the FIRST occurrence of the
     max, and centroids are sorted by id, so equal dots keep the lowest
     centroid id exactly like the struct-max form it replaces. Degenerate
-    input (null vector → all-null dots → null array_max) is coalesced to
+    input (null vector, a null vector ELEMENT, or a length-mismatched
+    vector — each makes every dot null and array_max null) is mapped to
     the lowest centroid id, which is what the struct-max form returned —
     without the coalesce such rows would carry a NULL centroid_id and
     silently bypass within-cluster pruning (the left anti-join keep
@@ -169,12 +170,18 @@ def nearest_centroid_expr(
             lambda s, x: s + x,
         ),
     )
-    # the null guard is an explicit CASE on the input vector, not a
-    # coalesce around element_at: with a null index from array_position,
-    # Spark 4.1's codegen for element_at over a literal ids array was
-    # observed returning the LAST element instead of null (nullability
-    # mispropagation), so the null path must never reach element_at
-    return F.when(vec.isNull(), F.lit(int(ordered[0][0]))).otherwise(
+    # the null guard is an explicit CASE BEFORE element_at, not a
+    # coalesce around it: with a null index from array_position, Spark
+    # 4.1's codegen for element_at over a literal ids array was observed
+    # returning the LAST element instead of null (nullability
+    # mispropagation), so a null index must never reach element_at. The
+    # guard branches on the null DOT (array_max(dots) is null), which
+    # covers every degenerate input — null vector, vector containing a
+    # null element, length-mismatched vector — where guarding only
+    # vec.isNull() would let a null index through for the latter two.
+    return F.when(
+        F.array_max(dots).isNull(), F.lit(int(ordered[0][0]))
+    ).otherwise(
         F.element_at(
             ids, F.array_position(dots, F.array_max(dots)).cast("int")
         )

@@ -1007,13 +1007,14 @@ FROM agg ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 """
 
 
-def _bm25_corpus_stats(sf_dir: str) -> tuple[int, int]:
-    """Corpus constants for the BM25 literals — derived with DuckDB so the
-    oracle string (built at oracle_sql() time, no Spark session) and the
-    Spark query embed the SAME exact integers. Both are exact BIGINT
-    aggregates, so any engine computes identical values; memoized per
-    sf_dir."""
-    cached = _BM25_STATS_CACHE.get(sf_dir)
+def _duckdb_corpus_stats(sf_dir: str) -> tuple[int, int]:
+    """Corpus constants (n_docs, total_tokens) via DuckDB — ONLY for
+    :func:`_lazy_oracles`, which legitimately has no Spark session (the
+    oracle string is built at oracle_sql() time). The Spark query path
+    uses :func:`_spark_corpus_stats`; both are exact BIGINT aggregates,
+    so the two engines embed bit-identical literals. Memoized per sf_dir
+    (shared cache — whichever engine derives first serves both)."""
+    cached = _CORPUS_STATS_CACHE.get(sf_dir)
     if cached is None:
         import os
 
@@ -1028,16 +1029,36 @@ def _bm25_corpus_stats(sf_dir: str) -> tuple[int, int]:
             "x -> x <> ''))) FROM "
             f"read_parquet('{path}')"
         ).fetchone()
-        cached = _BM25_STATS_CACHE[sf_dir] = (int(n), int(tot))
+        cached = _CORPUS_STATS_CACHE[sf_dir] = (int(n), int(tot))
     return cached
 
 
-_BM25_STATS_CACHE: dict[str, tuple[int, int]] = {}
+def _spark_corpus_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Corpus constants (n_docs, total_tokens) via a DISTRIBUTED Spark
+    aggregate — the query-path derivation. A one-row action (count +
+    sum-of-token-counts, partial-agged and scan-bound), so at 100 TB it
+    is a normal cluster pass, not the single-node DuckDB scan the oracle
+    builder uses on the driver. Exact BIGINT arithmetic → bit-identical
+    to :func:`_duckdb_corpus_stats` on any corpus; memoized per sf_dir
+    in the shared cache."""
+    cached = _CORPUS_STATS_CACHE.get(sf_dir)
+    if cached is None:
+        register_views(spark, sf_dir, ("documents",))
+        n, tot = spark.sql(
+            "SELECT count(*), "
+            "sum(size(filter(split(lower(text), ' '), x -> x <> ''))) "
+            "FROM documents"
+        ).first()
+        cached = _CORPUS_STATS_CACHE[sf_dir] = (int(n), int(tot))
+    return cached
+
+
+_CORPUS_STATS_CACHE: dict[str, tuple[int, int]] = {}
 
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    n_docs, total_tokens = _bm25_corpus_stats(sf_dir)
+    n_docs, total_tokens = _spark_corpus_stats(spark, sf_dir)
     return spark.sql(_bm25_sql(n_docs, total_tokens, "spark"))
 
 
@@ -1050,18 +1071,35 @@ _ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
 _ORACLE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
 
 
-def _lazy_oracles() -> dict[str, str]:
-    import os
+def _lazy_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Oracles whose SQL embeds corpus constants for a SPECIFIC tier.
 
-    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    ``sf_dir`` names the tier the oracle will run against — pass it
+    explicitly when comparing at a non-default tier (tools/check_oracle.py
+    does); the ``SPARK_GRAFT_ORACLE_SF_DIR`` env var is the fallback, then
+    the driver's sf0.01 default. An oracle built for one tier is WRONG at
+    any other (the N/total literals differ), which is why the tier is a
+    parameter rather than ambient state."""
+    import os
+    import warnings
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
     if not os.path.exists(f"{sf_dir}/documents.parquet"):
         # no corpus at the configured tier: omit the two corpus-constant
         # oracles (driver records rows-only for them) instead of making
-        # every oracle_sql() caller crash in a data-less environment
+        # every oracle_sql() caller crash in a data-less environment —
+        # but say so loudly, or oracle-coverage checks silently become
+        # environment-dependent
+        warnings.warn(
+            f"no documents corpus at {sf_dir!r}: omitting the "
+            "bm25_topk/unigram_logprob_score oracles (rows-only check)",
+            stacklevel=2,
+        )
         return {}
-    _, total_tokens = _bm25_corpus_stats(sf_dir)
+    n_docs, total_tokens = _duckdb_corpus_stats(sf_dir)
     return {
-        "bm25_topk": _bm25_sql(*_bm25_corpus_stats(sf_dir), "duck"),
+        "bm25_topk": _bm25_sql(n_docs, total_tokens, "duck"),
         "unigram_logprob_score": _UNIGRAM_SQL["duck"].format(total=total_tokens),
     }
 
@@ -1123,7 +1161,7 @@ FROM contrib GROUP BY doc_id
 
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    _, total_tokens = _bm25_corpus_stats(sf_dir)
+    _, total_tokens = _spark_corpus_stats(spark, sf_dir)
     return spark.sql(_UNIGRAM_SQL["spark"].format(total=total_tokens))
 
 
@@ -3535,9 +3573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB oracle SQL per query. ``sf_dir`` pins the tier for the
+    corpus-constant oracles (bm25/unigram); None falls back to the
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` env var, then the driver's sf0.01."""
     out = dict(ORACLE)
-    out.update(_lazy_oracles())
+    out.update(_lazy_oracles(sf_dir))
     return out
 
 

@@ -445,25 +445,38 @@ def source_quota_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         before = state.get[0] if state.exists else 0
-        admitted = before
+        budget = quota - before
+        # applyInPandasWithState splits one group across multiple Arrow
+        # chunks (spark.sql.execution.arrow.maxRecordsPerBatch rows each),
+        # so event-time order must be decided across the WHOLE iterator,
+        # not per chunk: keep a running nsmallest-by-ts candidate frame
+        # (memory bound = budget <= quota rows) and emit ONCE after the
+        # iterator drains. Stable mergesorts compose: ties keep arrival
+        # order, and earlier chunks' ties beat later chunks' (candidates
+        # are concatenated ahead of the new chunk before the re-sort).
+        cand = None
         for pdf in pdfs:
-            if admitted >= quota:
-                continue  # drain the iterator; budget exhausted
-            take = pdf.sort_values(ts_col, kind="mergesort").iloc[
-                : quota - admitted
-            ]
-            if not len(take):
-                continue
-            out = take[cols].copy()
-            out["quota_rank"] = range(admitted + 1, admitted + 1 + len(take))
-            admitted += len(take)
+            if budget <= 0 or not len(pdf):
+                continue  # keep draining; budget exhausted or empty chunk
+            chunk = pdf.sort_values(ts_col, kind="mergesort").iloc[:budget]
+            if cand is None:
+                cand = chunk
+            else:
+                cand = (
+                    pd.concat([cand, chunk])
+                    .sort_values(ts_col, kind="mergesort")
+                    .iloc[:budget]
+                )
+        if cand is not None and len(cand):
+            out = cand[cols].copy()
+            out["quota_rank"] = range(before + 1, before + 1 + len(cand))
+            # exhausted sources keep receiving rows every batch; skipping
+            # the no-op commit keeps the state-store delta at O(sources
+            # that admitted) instead of O(sources with data) (same lesson
+            # as the near-dup sharded state: unchanged entries must not
+            # rewrite)
+            state.update((before + len(cand),))
             yield out
-        # exhausted sources keep receiving rows every batch; skipping the
-        # no-op commit keeps the state-store delta at O(sources that
-        # admitted) instead of O(sources with data) (same lesson as the
-        # near-dup sharded state: unchanged entries must not rewrite)
-        if admitted != before:
-            state.update((admitted,))
 
     return stream.groupBy(source_col).applyInPandasWithState(
         update,
@@ -715,6 +728,12 @@ def near_dup_candidates(
     if shards == "auto":
         shards = 4 * int(
             stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    elif isinstance(shards, str):
+        # any other string (e.g. "Auto") would flow into the sharded path
+        # as a shard count and fail later with an obscure analysis error
+        raise ValueError(
+            f"shards must be an int, None, or 'auto', got {shards!r}"
         )
     if shards is None:
         return with_time.groupBy("band", "band_key").applyInPandasWithState(

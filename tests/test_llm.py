@@ -91,14 +91,19 @@ def test_ivf_topk_agrees_with_brute_force_on_probed_buckets(spark, embeddings):
     assert [r.vec_id for r in ivf.collect()] == [r.vec_id for r in brute.collect()]
 
 
-def test_nearest_centroid_null_vector_gets_lowest_id(spark):
+def test_nearest_centroid_degenerate_vectors_get_lowest_id(spark):
     """Degenerate input parity with the struct-max form this expression
-    replaced: a NULL embedding must assign to the LOWEST centroid id,
-    not a NULL centroid_id (which would silently bypass within-cluster
-    pruning — a null key never matches the left anti-join)."""
+    replaced: a NULL embedding, an embedding containing a NULL ELEMENT,
+    and a length-mismatched embedding (all-null dots in every case) must
+    each assign to the LOWEST centroid id, not a NULL centroid_id (which
+    would silently bypass within-cluster pruning — a null key never
+    matches the left anti-join) and not an arbitrary id (guarding only
+    vec.isNull() let a null array_position index reach element_at, whose
+    Spark 4.1 codegen returns the LAST element — the highest centroid)."""
     cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
     df = spark.createDataFrame(
-        [(1, [0.0, 2.0]), (2, None)], "id long, embedding array<double>"
+        [(1, [0.0, 2.0]), (2, None), (3, [0.5, None]), (4, [2.0])],
+        "id long, embedding array<double>",
     )
     got = {
         r.id: r.cid
@@ -109,7 +114,7 @@ def test_nearest_centroid_null_vector_gets_lowest_id(spark):
             ).alias("cid"),
         ).collect()
     }
-    assert got == {1: 7, 2: 3}
+    assert got == {1: 7, 2: 3, 3: 3, 4: 3}
 
 
 def test_quality_score(spark, docs):
@@ -717,6 +722,66 @@ def _py_bm25(texts: dict[int, str], terms: tuple[str, ...], k: int):
             scores[d] = round(s, 6)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return ranked
+
+
+def test_corpus_stats_spark_matches_duckdb(spark):
+    """The query path derives the BM25/unigram corpus constants with a
+    DISTRIBUTED Spark aggregate; the oracle builder (no Spark session)
+    uses DuckDB. Both are exact BIGINT aggregates and must be
+    bit-identical — the literals they embed are compared by the driver's
+    hash gate."""
+    from kafka_to_nexus_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    Q._CORPUS_STATS_CACHE.pop(sf_dir, None)
+    via_spark = Q._spark_corpus_stats(spark, sf_dir)
+    Q._CORPUS_STATS_CACHE.pop(sf_dir, None)
+    via_duck = Q._duckdb_corpus_stats(sf_dir)
+    assert via_spark == via_duck
+    assert via_spark[0] > 0 and via_spark[1] > via_spark[0]
+
+
+def test_lazy_oracles_sf_dir_param_and_missing_corpus_warning(tmp_path):
+    """_lazy_oracles takes the tier as an explicit parameter (env is only
+    the fallback), and a missing corpus emits a VISIBLE warning instead of
+    silently shrinking oracle coverage."""
+    import warnings
+
+    from kafka_to_nexus_spark import queries as Q
+
+    # explicit sf_dir wins over the env default: constants embed that tier
+    got = Q._lazy_oracles("/root/testdata/sf0.001")
+    n, tot = Q._duckdb_corpus_stats("/root/testdata/sf0.001")
+    assert str(tot) in got["unigram_logprob_score"]
+    assert str(n) in got["bm25_topk"]
+    # missing corpus → {} plus a warning naming the tier
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        empty = Q._lazy_oracles(str(tmp_path / "nowhere"))
+    assert empty == {}
+    assert any("nowhere" in str(w.message) for w in caught)
+
+
+def test_registry_query_path_never_imports_duckdb(spark, tmp_path, monkeypatch):
+    """Verdict r6 gate: no registry query function may reach DuckDB — the
+    driver-side corpus scan was the 100 TB scale-killer. Poison the import
+    and run both corpus-constant queries end-to-end."""
+    import builtins
+
+    from kafka_to_nexus_spark import queries as Q
+
+    real_import = builtins.__import__
+
+    def poisoned(name, *a, **k):
+        if name == "duckdb":
+            raise AssertionError("registry query path imported duckdb")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", poisoned)
+    sf_dir = "/root/testdata/sf0.001"
+    Q._CORPUS_STATS_CACHE.pop(sf_dir, None)
+    assert Q.queries()["bm25_topk"](spark, sf_dir).count() > 0
+    assert Q.queries()["unigram_logprob_score"](spark, sf_dir).count() > 0
 
 
 def test_bm25_topk_matches_python_model(spark, tmp_path):

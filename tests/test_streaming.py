@@ -1545,6 +1545,62 @@ def test_source_quota_stream_admits_first_n_per_source(spark, tmp_path):
     }, got
 
 
+def test_source_quota_stream_event_time_order_across_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState splits one group across multiple Arrow
+    chunks (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows each);
+    admission must be decided by event time across the WHOLE micro-batch,
+    not per chunk. 9 rows for one source arrive in DESCENDING event-time
+    order with the chunk size forced to 3: the globally-earliest 3 rows
+    (which arrive in the LAST chunk) must win — the per-chunk form would
+    admit the first chunk's rows (the 3 LATEST event times) instead."""
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    # descending ts: arrival order is the exact inverse of event-time order
+    _write_fixture(fixture_dir, "b1.json", [
+        f144(10_000 + 1_000 * i, float(i), source="A", offset=8 - i)
+        for i in range(8, -1, -1)
+    ])
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        out = stateful.source_quota_stream(
+            _file_stream(spark, fixture_dir), quota=3)
+        q = (out.writeStream.format("memory").queryName("quota_chunks")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {
+        (r.quota_rank): r.value
+        for r in spark.table("quota_chunks").collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}, got
+
+
+def test_near_dup_candidates_rejects_bad_shards_string(spark):
+    """A typo like shards="Auto" must fail fast with a clear error, not
+    flow into the sharded path as a shard count and die later with an
+    obscure analysis/modulo error."""
+    import pytest as _pytest
+
+    from kafka_to_nexus_spark.schemas import MESSAGE_SCHEMA
+    from kafka_to_nexus_spark.streaming import stateful
+
+    sigs = spark.createDataFrame(
+        [(0, 1_000, 1, 2)], "doc_id long, timestamp long, m0 long, m1 long"
+    )
+    with _pytest.raises(ValueError, match="shards"):
+        stateful.near_dup_candidates(
+            sigs, bands=2, rows_per_band=1, shards="Auto")
+
+
 def test_source_quota_stream_rejects_bad_args(spark):
     import pytest as _pytest
 

@@ -71,7 +71,7 @@ def main() -> int:
     for t in Q.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = Q.queries(), Q.oracle_sql()
+    qs, oracles = Q.queries(), Q.oracle_sql(sf_dir)
     unknown = only - set(qs)
     if unknown:
         # a typo'd name must not silently check nothing and exit 0
