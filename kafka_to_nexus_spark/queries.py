@@ -3483,94 +3483,28 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 
 # The driver records correctness rows for the FIRST 50 entries (dict
-# insertion order); the registry holds 104, so ordering IS the
-# verification budget. Rotation policy (round-robin freshness, not
-# one-shot priority):
-#   1. queries whose behavior changed this round (bug-fix proofs, new
-#      oracles, first-ever checks) always get slots;
-#   2. then every query whose last driver check is OLDEST — no formerly
-#      green query may go more than two rounds unverified;
-#   3. remaining slots go to §2-mapped representatives across families.
-# tests/test_window_policy.py enforces this mechanically against the
-# recorded CORRECTNESS_r*.json rows; tools/window_rotation.py emits the
-# next round's suggested list.
-# Round-6 window: the 9 r3-green rows at the staleness maximum first
-# (w1/w3/t6 + the window/stats battery), then the rotated-out r4-green
-# set in window_rotation order: the TPC-H q7/q8/q9/q12/q20 battery, the
-# sketch family, the minhash/winnow/quant/text batteries, and the
-# w2/w4/w5 module queries.
-_PRIORITY = (
-    # -- never driver-checked (rule #1): new this round
-    "minhash_engine_parity",
-    "bm25_topk",
-    "source_cap_sample",
-    "unigram_logprob_score",
-    "doc_chunks",
-    "embedding_dim_moments",
-    # -- last green r3 (rule #2: oldest-check first; policy max reached)
-    "sliding_window",
-    "stats_battery",
-    "t6_job_summary",
-    "topk_per_group",
-    "tumbling_window",
-    "value_quantiles",
-    "w1_f144_stats",
-    "w3_timestamp_synthesis",
-    "window_rank_battery",
-    # -- last green r4 (window_rotation order)
-    "ann_cosine_topk",
-    "asof_join_forward",
-    "asof_join_streams",
-    "asof_join_tolerance",
-    "bpe_token_count",
-    "cms_heavy_hitters",
-    "decontamination_overlap",
-    "dedup_exact",
-    "dup_span_coverage",
-    "embedding_cosine_pairs",
-    "embedding_label_stats",
-    "embedding_quant_params",
-    "hll_distinct_sketch",
-    "incremental_dedup_merge",
-    "ivf_bucket_counts",
-    "ivf_partitioned_probe",
-    "ivf_probe_topk",
-    "lang_id_heuristic",
-    "minhash_lsh_buckets",
-    "minhash_signatures",
-    "pii_scrub_signals",
-    "q12_late_shipping",
-    "q18_large_orders",
-    "q20_part_promotion",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "quality_score",
-    "quantized_adc_topk",
-    "repetition_signals",
-    "sequence_packing",
-    "srp_signatures",
-    "temperature_mix_sample",
-    "tfidf_top_term",
-    "token_budget_select",
-    # ---- 50-slot window boundary. token_count_by_source,
-    # training_mix_sample, url_domain_profile, w2_event_index,
-    # w4_ad00_zero_fill and w5_da00_constants (all r4-green) yield their
-    # slots to the six round-6 additions (the parity query + bm25_topk/
-    # source_cap_sample/unigram_logprob_score/doc_chunks/
-    # embedding_dim_moments) and lead the r7 rotation at the staleness
-    # maximum. Everything left outside carries an r4- or r5-green row
-    # (staleness <= 2 after this round, within the policy maximum); the
-    # r5-green set rotates back in r7.
-)
+# insertion order); the registry is larger, so ordering IS the
+# verification budget. The ordering is derived AT CALL TIME from the
+# recorded CORRECTNESS_r*.json history (kafka_to_nexus_spark.rotation):
+# never-checked queries first, then behavior-changed ones
+# (rotation.CHANGED), then oldest-green first — so the window rotates
+# itself the moment the driver writes a new correctness file, and
+# tests/test_window_policy.py can never be red at a round boundary
+# (rounds 5/6 kept this as a hand-pasted static tuple, which was stale
+# the moment each round's file landed).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import rotation
+
     all_funcs = {name: _sql(name) for name in SPARK_SQL}
     all_funcs.update(QUERY_FUNCS)
-    out = {name: all_funcs.pop(name) for name in _PRIORITY if name in all_funcs}
-    out.update(all_funcs)
-    return out
+    order = rotation.rotation_order(all_funcs)
+    if order is None:
+        # no history recorded yet (round 1): any order satisfies the
+        # policy; alphabetical keeps it deterministic
+        order = sorted(all_funcs)
+    return {name: all_funcs[name] for name in order}
 
 
 def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
