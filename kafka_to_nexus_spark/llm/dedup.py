@@ -266,12 +266,29 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification on candidate pairs only (broadcastable
-    doc-side when the candidate set is small)."""
+    doc-side when the candidate set is small). ``join_hint="merge"`` pins
+    the two doc-side joins to sort-merge for corpus-scale runs: the
+    shingle relation is corpus-sized, so auto-broadcast (which small-SF
+    stats would pick) OOMs at 100 TB, and shuffle-hash hard-fails when a
+    partition's build side outgrows its memory slice — SMJ spills.
+
+    Shingle identity = top 60 bits of md5 as a BIGINT (the family-wide
+    convention — md5 is injective on short shingles for any practical
+    corpus): integer set-intersects are ~5× cheaper than 5-char string
+    arrays and shuffle a fraction of the bytes, with identical Jaccard
+    values."""
     docs = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh")
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(shingles(F.col(text_col), shingle_k)),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        ).alias("sh"),
     )
+    if join_hint is not None:
+        docs = docs.hint(join_hint)
     a = docs.alias("a")
     b = docs.alias("b")
     joined = (

@@ -3075,6 +3075,152 @@ ORACLE["dedup_keep_canonical"] = ORACLE["dedup_components"].replace(
 )
 
 
+# --- the composed dedup pipeline: what a real user actually runs ------------
+# L2 → L3 → L4 → L6 → L23 as ONE query through the LIBRARY functions
+# (llm/dedup.py minhash_signatures → lsh_candidate_pairs → ngram_jaccard
+# → connected_components → keep projection), the batch analog of the
+# reference's end-to-end filter→write chain its domain tests exercise
+# (/root/reference/domain-tests/test_writer_modules.py:18-41). The
+# per-stage registry queries pin each operator alone; this entry pins the
+# COMPOSITION — stage outputs feeding the next stage's contract (m-column
+# banding, capped pair set, rounded-jaccard threshold, CC regime pick).
+# Scale shape: narrow signature map → bucket-keyed pair join (capped, no
+# all-pairs) → sort-merge verify joins (hinted — the shingle relation is
+# corpus-sized, broadcast would OOM at 100 TB) → edge-count-chosen CC
+# regime. The DuckDB oracle replays every stage: 8 md5-slice minhashes
+# (two digests: md5(s), md5(s || '1') — exactly the md5 engine's
+# group-salting), 4×2 banding, the star+chain cap at 8, Jaccard over the
+# distinct shingle-string sets, recursive-CTE reachability.
+_DEDUP_PIPE_BANDS = 4
+_DEDUP_PIPE_ROWS = 2
+_DEDUP_PIPE_TAU = 0.5
+
+
+_PIPELINE_PERSIST: dict[str, DataFrame] = {}
+
+
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    sig = llm_dedup.minhash_signatures(
+        docs,
+        num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
+        shingle_k=5,
+        hash_engine="md5",  # the DuckDB-replayable twin of xxhash64
+    )
+    # persist the signature relation: the capped pair join references it
+    # THREE times (ranked window + both self-join sides), and each
+    # reference would otherwise re-run the md5-over-shingles pass —
+    # measured 9.6 → 2.3 s for the pair stage at sf0.1. One-slot
+    # lifecycle per session, as _JACCARD_PERSIST.
+    app_id = spark.sparkContext.applicationId
+    prev = _PIPELINE_PERSIST.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist()
+    sig = sig.persist()
+    _PIPELINE_PERSIST[app_id] = sig
+    pairs = llm_dedup.lsh_candidate_pairs(
+        sig,
+        bands=_DEDUP_PIPE_BANDS,
+        rows_per_band=_DEDUP_PIPE_ROWS,
+        max_bucket=_JACCARD_MAX_BUCKET,
+    )
+    verified = llm_dedup.ngram_jaccard(docs, pairs, join_hint="merge").filter(
+        F.round(F.col("jaccard"), 6) >= _DEDUP_PIPE_TAU
+    )
+    labels = llm_dedup.connected_components(verified, docs, "doc_id")
+    return labels.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )
+
+
+ORACLE["dedup_pipeline"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+              for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
+  FROM documents
+),
+hx AS (
+  SELECT doc_id,
+         [md5(s) for s in sh] AS h0,
+         [md5(s || '1') for s in sh] AS h1
+  FROM sh
+),
+hn AS (
+  -- verify-side shingle identity: top 60 md5 bits as BIGINT (the
+  -- family-wide convention; see ngram_jaccard)
+  SELECT doc_id,
+         [('0x' || substr(h, 1, 15))::BIGINT for h in h0] AS hashes
+  FROM hx
+),
+sig AS (
+  SELECT doc_id,
+         list_min([substr(h, 1, 8) for h in h0]) AS m0,
+         list_min([substr(h, 9, 8) for h in h0]) AS m1,
+         list_min([substr(h, 17, 8) for h in h0]) AS m2,
+         list_min([substr(h, 25, 8) for h in h0]) AS m3,
+         list_min([substr(h, 1, 8) for h in h1]) AS m4,
+         list_min([substr(h, 9, 8) for h in h1]) AS m5,
+         list_min([substr(h, 17, 8) for h in h1]) AS m6,
+         list_min([substr(h, 25, 8) for h in h1]) AS m7
+  FROM hx
+),
+banded AS (
+  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig
+),
+ranked AS (
+  SELECT doc_id, band, band_key,
+         row_number() OVER w AS rk,
+         first_value(doc_id) OVER w AS canon,
+         lag(doc_id) OVER w AS prev
+  FROM banded
+  WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id)
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ranked a JOIN ranked b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+     AND a.rk <= {_JACCARD_MAX_BUCKET} AND b.rk <= {_JACCARD_MAX_BUCKET}
+    UNION ALL
+    SELECT canon, doc_id FROM ranked WHERE rk > {_JACCARD_MAX_BUCKET}
+    UNION ALL
+    SELECT prev, doc_id FROM ranked WHERE rk > {_JACCARD_MAX_BUCKET}
+  )
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM pairs JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
+  WHERE round(CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.hashes, y.hashes))), 6)
+        >= {_DEDUP_PIPE_TAU}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component_id,
+       src = min(dst) AS keep
+FROM reach GROUP BY src
+"""
+
+
 # --- deterministic stratified sampling: the training-mix builder ------------
 # Hash-gated per-stratum sampling: md5(doc_id) mod 1000 under a per-lang
 # rate. Deterministic (re-runs pick the same docs), join-free (rates ride
@@ -3451,6 +3597,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
+    "dedup_pipeline": _q_dedup_pipeline,
     "srp_signatures": _q_srp_signatures,
     # scale-safe registry defaults (capped / auto-k); the uncapped and
     # fixed-k twins stay as named cross-checks with their own oracles

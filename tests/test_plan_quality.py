@@ -558,6 +558,51 @@ def test_jaccard_verify_joins_are_sort_merge(spark):
         assert "ShuffledHashJoin" not in plan, f"{name}: memory-fragile shuffle_hash join is back\n{plan}"
 
 
+def test_dedup_pipeline_plan_shape(spark):
+    """The composed dedup_pipeline (signatures → capped buckets → verify
+    → CC → keep): no all-pairs join anywhere (candidate generation is
+    bucket-keyed, so no cartesian/nested-loop node may appear), both
+    verify joins sort-merge (hinted — the shingle relation is
+    corpus-sized, auto-broadcast is the small-SF plan a 100 TB run
+    cannot use), and the CC stage picks its regime from the materialized
+    edge count (driver union-find at this SF — the labels relation joins
+    back as a BROADCAST, the one legitimately tiny side)."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark import queries as Q
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+
+    # the CC stage localCheckpoints its edge input (lineage truncation is
+    # the point), so the FINAL plan cannot show the upstream stages: pin
+    # the verify-stage plan on the pre-CC frame, exactly as the pipeline
+    # builds it
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = llm_dedup.minhash_signatures(docs, num_hashes=8, hash_engine="md5")
+    pairs = llm_dedup.lsh_candidate_pairs(
+        sig, bands=4, rows_per_band=2, max_bucket=Q._JACCARD_MAX_BUCKET
+    )
+    verified = llm_dedup.ngram_jaccard(docs, pairs, join_hint="merge").filter(
+        F.round(F.col("jaccard"), 6) >= 0.5
+    )
+    vplan = verified._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in vplan and "NestedLoop" not in vplan, vplan
+    verify_joins = re.findall(
+        r"(\w+Join) \[id_[ab]#\d+L?\], \[doc_id#\d+L?\]", vplan
+    )
+    assert len(verify_joins) == 2 and all(
+        j == "SortMergeJoin" for j in verify_joins
+    ), (verify_joins, vplan)
+
+    # the registry entry end-to-end: the CC stage picked the union-find
+    # regime from the materialized edge count at this SF, so the final
+    # plan is the labels relation broadcast back onto the corpus — the
+    # one legitimately tiny side — and nothing all-pairs
+    df = Q.queries()["dedup_pipeline"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_source_cap_window_limit_is_pushed_partial(spark):
     """source_cap_sample's per-source cap must compile to the
     WindowGroupLimit pair — a Partial limit BEFORE the source exchange
