@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -406,12 +407,138 @@ def dedup_census(
 # like session_windows)
 _QUOTA_STATE = "admitted long"
 
+# state per shard when sharding: parallel arrays of in-shard sources and
+# their admitted counts (the quota twin of _SHARD_STATE)
+_QUOTA_SHARD_STATE = "sources array<string>, admitted array<long>"
+
+
+def _nsmallest_chunks(
+    cand: "pd.DataFrame | None", chunk: pd.DataFrame, ts_col: str, budget: int
+) -> pd.DataFrame:
+    """Running nsmallest-by-ts candidate frame across Arrow chunks
+    (memory bound = budget rows). Stable mergesorts compose: ties keep
+    arrival order, and earlier chunks' ties beat later chunks' because
+    the running candidates are concatenated AHEAD of the new chunk."""
+    chunk = chunk.sort_values(ts_col, kind="mergesort").iloc[:budget]
+    if cand is None:
+        return chunk
+    return (
+        pd.concat([cand, chunk])
+        .sort_values(ts_col, kind="mergesort")
+        .iloc[:budget]
+    )
+
+
+def _make_quota_fn(quota: int, cols: list, ts_col: str):
+    """Per-source quota state function (one long per source)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        before = state.get[0] if state.exists else 0
+        budget = quota - before
+        # applyInPandasWithState splits one group across multiple Arrow
+        # chunks (spark.sql.execution.arrow.maxRecordsPerBatch rows
+        # each), so event-time order must be decided across the WHOLE
+        # iterator, not per chunk: emit ONCE after it drains.
+        cand = None
+        for pdf in pdfs:
+            if budget <= 0 or not len(pdf):
+                continue  # keep draining; budget exhausted or empty chunk
+            cand = _nsmallest_chunks(cand, pdf, ts_col, budget)
+        if cand is not None and len(cand):
+            out = cand[cols].copy()
+            out["quota_rank"] = range(before + 1, before + 1 + len(cand))
+            # exhausted sources keep receiving rows every batch; skipping
+            # the no-op commit keeps the state-store delta at O(sources
+            # that admitted) instead of O(sources with data) (same lesson
+            # as the near-dup sharded state: unchanged entries must not
+            # rewrite)
+            state.update((before + len(cand),))
+            yield out
+
+    return update
+
+
+def _make_quota_shard_fn(quota: int, cols: list, ts_col: str, source_col: str):
+    """Sharded twin of :func:`_make_quota_fn`: ONE state entry holds every
+    in-shard source's admitted count as parallel arrays. Per-source
+    admission semantics are identical (property-tested against the
+    per-source form); what changes is the state-store unit — millions of
+    one-long entries become O(shards) entries, so a micro-batch costs
+    O(shards) group invocations + commits instead of O(sources with
+    data) (the near-dup shard packing's lesson: at 50k sources the
+    per-group Arrow exchange WAS the batch cost). Sources are keyed by
+    their string form in the state arrays; rows pass through unchanged."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        if state.exists:
+            srcs, adm = state.get
+            counts = dict(zip(srcs, adm))
+        # per-source running candidates across chunks; memory bound =
+        # (distinct in-batch sources in this shard) × quota rows
+        cands: dict = {}
+        budgets: dict = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for src, grp in pdf.groupby(source_col, sort=False, dropna=False):
+                b = budgets.get(src)
+                if b is None:
+                    b = budgets[src] = quota - counts.get(str(src), 0)
+                if b <= 0:
+                    continue
+                cands[src] = _nsmallest_chunks(
+                    cands.get(src), grp, ts_col, b
+                )
+        outs = []
+        for src, cand in cands.items():
+            if not len(cand):
+                continue
+            before = counts.get(str(src), 0)
+            out = cand[cols].copy()
+            out["quota_rank"] = range(before + 1, before + 1 + len(cand))
+            counts[str(src)] = before + len(cand)
+            outs.append(out)
+        if outs:  # no-op commit skipped when nothing was admitted
+            state.update((list(counts), list(counts.values())))
+            yield pd.concat(outs)
+
+    return update
+
+
+def _resolve_shards(stream: DataFrame, shards) -> int | None:
+    """Shared ``shards`` argument contract: ``"auto"`` → 4 × the stateful
+    exchange's partition count (SCALE.md round-6 rule: ≥1 group per state
+    partition, 4× for skew headroom, over-provision measured free on the
+    8–512 plateau); int passes through; None keeps the finest-grained
+    per-key state; any other string is a hard error."""
+    if shards == "auto":
+        return 4 * int(
+            stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if isinstance(shards, str):
+        # a typo like "Auto" would flow into the sharded path as a shard
+        # count and fail later with an obscure analysis error
+        raise ValueError(
+            f"shards must be an int, None, or 'auto', got {shards!r}"
+        )
+    return shards
+
 
 def source_quota_stream(
     stream: DataFrame,
     quota: int,
     source_col: str = "source_name",
     ts_col: str = "timestamp",
+    shards: int | str | None = None,
 ) -> DataFrame:
     """Per-source admission quota: pass through at most ``quota`` rows per
     source over the stream's lifetime, dropping the rest — the streaming
@@ -430,6 +557,15 @@ def source_quota_stream(
     running stats). At 100 TB / millions of sources the state store
     shards the counters across executors; each micro-batch group ships
     only that batch's rows for the source.
+
+    ``shards`` opts into the packed state layout (contract as
+    :func:`near_dup_candidates`): group by ``hash(source) % shards``
+    instead of the source itself, one state entry per shard holding
+    every in-shard source's counter. Admission semantics are identical;
+    what drops is the per-micro-batch state-machine cost — O(shards)
+    group invocations + commits instead of O(sources with data), which
+    the 50k-source measurement showed was ~the entire batch cost at
+    high source cardinality. ``"auto"`` = 4 × shuffle partitions.
     """
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
@@ -438,50 +574,22 @@ def source_quota_stream(
         raise ValueError("input already has a quota_rank column")
     out_schema = StructType(fields + [StructField("quota_rank", LongType())])
     cols = [f.name for f in fields]
-
-    def update(
-        key: tuple,
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        before = state.get[0] if state.exists else 0
-        budget = quota - before
-        # applyInPandasWithState splits one group across multiple Arrow
-        # chunks (spark.sql.execution.arrow.maxRecordsPerBatch rows each),
-        # so event-time order must be decided across the WHOLE iterator,
-        # not per chunk: keep a running nsmallest-by-ts candidate frame
-        # (memory bound = budget <= quota rows) and emit ONCE after the
-        # iterator drains. Stable mergesorts compose: ties keep arrival
-        # order, and earlier chunks' ties beat later chunks' (candidates
-        # are concatenated ahead of the new chunk before the re-sort).
-        cand = None
-        for pdf in pdfs:
-            if budget <= 0 or not len(pdf):
-                continue  # keep draining; budget exhausted or empty chunk
-            chunk = pdf.sort_values(ts_col, kind="mergesort").iloc[:budget]
-            if cand is None:
-                cand = chunk
-            else:
-                cand = (
-                    pd.concat([cand, chunk])
-                    .sort_values(ts_col, kind="mergesort")
-                    .iloc[:budget]
-                )
-        if cand is not None and len(cand):
-            out = cand[cols].copy()
-            out["quota_rank"] = range(before + 1, before + 1 + len(cand))
-            # exhausted sources keep receiving rows every batch; skipping
-            # the no-op commit keeps the state-store delta at O(sources
-            # that admitted) instead of O(sources with data) (same lesson
-            # as the near-dup sharded state: unchanged entries must not
-            # rewrite)
-            state.update((before + len(cand),))
-            yield out
-
-    return stream.groupBy(source_col).applyInPandasWithState(
-        update,
+    shards = _resolve_shards(stream, shards)
+    if shards is None:
+        return stream.groupBy(source_col).applyInPandasWithState(
+            _make_quota_fn(quota, cols, ts_col),
+            out_schema,
+            _QUOTA_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    sharded = stream.withColumn(
+        "__quota_shard", F.pmod(F.xxhash64(source_col), F.lit(shards))
+    )
+    return sharded.groupBy("__quota_shard").applyInPandasWithState(
+        _make_quota_shard_fn(quota, cols, ts_col, source_col),
         out_schema,
-        _QUOTA_STATE,
+        _QUOTA_SHARD_STATE,
         "append",
         GroupStateTimeout.NoTimeout,
     )
@@ -725,16 +833,7 @@ def near_dup_candidates(
     )
     with_time = _with_event_time(keyed, "timestamp", watermark)
     horizon_ms = _parse_duration_ns(horizon) // 1_000_000
-    if shards == "auto":
-        shards = 4 * int(
-            stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    elif isinstance(shards, str):
-        # any other string (e.g. "Auto") would flow into the sharded path
-        # as a shard count and fail later with an obscure analysis error
-        raise ValueError(
-            f"shards must be an int, None, or 'auto', got {shards!r}"
-        )
+    shards = _resolve_shards(stream, shards)
     if shards is None:
         return with_time.groupBy("band", "band_key").applyInPandasWithState(
             _make_bucket_fn(max_bucket, horizon_ms),

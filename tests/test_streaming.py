@@ -1498,11 +1498,13 @@ def test_near_dup_candidates_auto_shards(spark, tmp_path):
 # L44 streaming twin: per-source admission quota
 # ---------------------------------------------------------------------------
 
-def test_source_quota_stream_admits_first_n_per_source(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 2])
+def test_source_quota_stream_admits_first_n_per_source(spark, tmp_path, shards):
     """Quota of 2 per source across 2 micro-batches: batch-1 rows fill the
     budget in event-time order; batch-2 rows are admitted only with
     leftover budget (cross-batch monotone admission), and quota_rank
-    numbers admissions 1..k per source."""
+    numbers admissions 1..k per source. Identical under both state
+    layouts: per-source entries and the sharded packing."""
     from kafka_to_nexus_spark.streaming import stateful
 
     fixture_dir = tmp_path / "in"
@@ -1521,8 +1523,10 @@ def test_source_quota_stream_admits_first_n_per_source(spark, tmp_path):
         f144(14_000, 12.0, source="B", offset=2),
     ], seq=1)
 
-    out = stateful.source_quota_stream(_file_stream(spark, fixture_dir), quota=2)
-    q = (out.writeStream.format("memory").queryName("source_quota")
+    out = stateful.source_quota_stream(
+        _file_stream(spark, fixture_dir), quota=2, shards=shards)
+    name = f"source_quota_{shards or 0}"
+    q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .start())
@@ -1530,9 +1534,10 @@ def test_source_quota_stream_admits_first_n_per_source(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    assert "__quota_shard" not in spark.table(name).columns
     got = {
         (r.source_name, r.quota_rank): r.value
-        for r in spark.table("source_quota").collect()
+        for r in spark.table(name).collect()
     }
     # A: batch 1 alone exhausts the quota in EVENT-TIME order (1.0, 2.0);
     # 3.0 (later event time, same batch) and the batch-2 row are dropped.
@@ -1543,6 +1548,88 @@ def test_source_quota_stream_admits_first_n_per_source(spark, tmp_path):
         ("B", 1): 10.0,
         ("B", 2): 11.0,
     }, got
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_quota_shard_fn_matches_per_source_fn(seed):
+    """Property: routing several sources' rows through ONE
+    _make_quota_shard_fn state entry admits exactly the union of what
+    per-source _make_quota_fn states admit — same rows, same quota_rank —
+    for any batch split, Arrow-chunk split, and arrival order (the
+    sharded form is a pure state-layout change, not a semantics change).
+    Equal timestamps are included: both layouts break ties by arrival
+    order, and the chunk splits differ between them, so tie handling
+    must be chunk-split-invariant for this to hold."""
+    import random
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark.streaming.stateful import (
+        _make_quota_fn,
+        _make_quota_shard_fn,
+    )
+
+    rng = random.Random(seed)
+    sources = [f"s{i}" for i in range(rng.randint(1, 5))]
+    rows = []  # (timestamp, source, value) — value is a unique row id
+    vid = 0
+    for s in sources:
+        for _ in range(rng.randint(1, 12)):
+            # small ts range → plenty of ties
+            rows.append((rng.randint(1, 6), s, vid))
+            vid += 1
+    rng.shuffle(rows)
+    n_batches = rng.randint(1, 4)
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+    quota = rng.choice([1, 4, 100])
+    cols = ["timestamp", "source_name", "value"]
+
+    def frame(sub):
+        return pd.DataFrame(
+            {"timestamp": [t for t, _, _ in sub],
+             "source_name": [s for _, s, _ in sub],
+             "value": [v for _, _, v in sub]}
+        )
+
+    def chunked(sub):
+        """Random Arrow-chunk split of one group's batch rows."""
+        if not sub:
+            return []
+        k = rng.randint(1, 3)
+        cuts = sorted(rng.randint(0, len(sub)) for _ in range(k - 1))
+        pieces, lo = [], 0
+        for c in cuts + [len(sub)]:
+            pieces.append(frame(sub[lo:c]))
+            lo = c
+        return pieces
+
+    shard_fn = _make_quota_shard_fn(quota, cols, "timestamp", "source_name")
+    sstate = _FakeGroupState()
+    sharded = set()
+    for batch in batches:
+        if not batch:
+            continue
+        for out in shard_fn((0,), iter(chunked(batch)), sstate):
+            sharded.update(zip(out["source_name"], out["value"],
+                               out["quota_rank"]))
+
+    per_source = set()
+    fn = _make_quota_fn(quota, cols, "timestamp")
+    states = {s: _FakeGroupState() for s in sources}
+    for batch in batches:
+        for s in sources:
+            sub = [r for r in batch if r[1] == s]
+            if not sub:
+                continue
+            for out in fn((s,), iter(chunked(sub)), states[s]):
+                per_source.update(zip(out["source_name"], out["value"],
+                                      out["quota_rank"]))
+    assert sharded == per_source
+    # sharded state = one entry of parallel arrays, counts bounded by quota
+    if sstate.exists:
+        srcs, adm = sstate.get
+        assert len(srcs) == len(adm) <= len(sources)
+        assert all(a <= quota for a in adm)
 
 
 def test_source_quota_stream_event_time_order_across_arrow_chunks(spark, tmp_path):
