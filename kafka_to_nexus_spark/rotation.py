@@ -31,15 +31,15 @@ from typing import Iterable, Mapping
 
 WINDOW = 50
 
-# Queries whose BEHAVIOR changed in the current round (rule 2): they keep
-# a window slot even if their last green row is recent, because that row
-# no longer certifies the current code. Clear entries once the round's
-# correctness file records them green again (staleness then handles the
-# regular cadence). r7: the corpus constants behind bm25/unigram moved
-# from a driver-side DuckDB scan to a distributed Spark aggregate —
-# values are bit-identical by construction, but the derivation is new
-# code and its certificate should be, too.
-CHANGED: tuple[str, ...] = ("bm25_topk", "unigram_logprob_score")
+# Queries whose BEHAVIOR changed (rule 2), mapped to the round the change
+# landed in: they keep a window slot until a green row AT OR AFTER that
+# round certifies the new code, then stop bumping automatically (no
+# manual clearing — stale entries are harmless no-ops). r7: the corpus
+# constants behind bm25/unigram moved from a driver-side DuckDB scan to
+# a distributed Spark aggregate — values are bit-identical by
+# construction, but the derivation is new code and its certificate
+# should be, too.
+CHANGED: dict[str, int] = {"bm25_topk": 7, "unigram_logprob_score": 7}
 
 _REPO_ROOT = Path(__file__).resolve().parents[1]
 
@@ -92,23 +92,30 @@ def last_green(
 def rotation_order(
     names: Iterable[str],
     rounds: Mapping[int, frozenset[str]] | None = None,
-    changed: Iterable[str] = CHANGED,
+    changed: Mapping[str, int] | None = None,
 ) -> list[str] | None:
     """Full registry ordering under the rotation policy, or None when no
     history exists (round 1 — any order satisfies the policy).
 
-    never-checked first (alphabetical), then ``changed`` entries, then
-    everything else oldest-green first with an alphabetical tie-break.
-    The list covers EVERY name, so it is a total ordering for
+    never-checked first (alphabetical), then still-uncertified ``changed``
+    entries (their last green row predates the round the change landed
+    in), then everything else oldest-green first with an alphabetical
+    tie-break. The list covers EVERY name, so it is a total ordering for
     ``queries()``, not just the window prefix."""
     names = list(names)
     if rounds is None:
         rounds = load_rounds()
+    if changed is None:
+        changed = CHANGED
     if not rounds:
         return None
     green = last_green(names, rounds)
     never = sorted(q for q in names if green[q] is None)
-    bumped = [q for q in changed if q in green and green[q] is not None]
+    bumped = [
+        q
+        for q, rnd in changed.items()
+        if green.get(q) is not None and green[q] < rnd
+    ]
     rest = sorted(
         (q for q in names if green[q] is not None and q not in set(bumped)),
         key=lambda q: (green[q], q),

@@ -48,15 +48,22 @@ def test_rotation_policy_survives_future_correctness_files():
 
 
 def test_rotation_order_rules():
-    """never-checked lead, CHANGED entries follow, then oldest-green
-    first; the order is total (covers the whole registry)."""
+    """never-checked lead, still-uncertified CHANGED entries follow, then
+    oldest-green first; the order is total (covers the whole registry),
+    and a CHANGED bump self-clears once a green row postdates the
+    change's round."""
     names = ["b_new", "a_new", "old_r1", "old_r2", "changed_q"]
     rounds = {
         1: frozenset({"old_r1", "changed_q"}),
         2: frozenset({"old_r2", "changed_q"}),
     }
-    order = rotation.rotation_order(names, rounds, changed=("changed_q",))
+    order = rotation.rotation_order(names, rounds, changed={"changed_q": 3})
     assert order == ["a_new", "b_new", "changed_q", "old_r1", "old_r2"]
+    # once r3 records changed_q green, the bump stops applying and the
+    # entry is ordered by staleness like everything else
+    rounds[3] = frozenset({"changed_q"})
+    order = rotation.rotation_order(names, rounds, changed={"changed_q": 3})
+    assert order == ["a_new", "b_new", "old_r1", "old_r2", "changed_q"]
     # no history → None (any order is fine in round 1)
     assert rotation.rotation_order(names, {}) is None
 

@@ -82,6 +82,8 @@ FAMILY = {
     "kmv_distinct_sketch": "events",
     "temperature_mix_sample": "documents",
     "sequence_packing": "documents",
+    # r7: the composed end-to-end dedup pipeline (capped edge basis)
+    "dedup_pipeline": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -130,6 +132,12 @@ X1000_OPS = {
     "ngram_jaccard_pairs",
     "srp_near_dup_pairs",
     "dedup_components",
+    # r7: confirm WindowGroupLimit keeps the cap flat and chunking stays
+    # a narrow-map linear at the 5M-doc tier (both stopped at x100 in
+    # the r6 table); the composed pipeline rides the same capped family
+    "source_cap_sample",
+    "doc_chunks",
+    "dedup_pipeline",
 }
 
 
