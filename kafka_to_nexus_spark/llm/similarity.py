@@ -161,7 +161,6 @@ def nearest_centroid_expr(
     pattern never matches a null key)."""
     ordered = sorted(centroids)
     cents = lit_double_matrix([c for _, c in ordered])
-    ids = lit_longs([cid for cid, _ in ordered])
     dots = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -170,21 +169,25 @@ def nearest_centroid_expr(
             lambda s, x: s + x,
         ),
     )
-    # the null guard is an explicit CASE BEFORE element_at, not a
-    # coalesce around it: with a null index from array_position, Spark
-    # 4.1's codegen for element_at over a literal ids array was observed
-    # returning the LAST element instead of null (nullability
-    # mispropagation), so a null index must never reach element_at. The
-    # guard branches on the null DOT (array_max(dots) is null), which
-    # covers every degenerate input — null vector, vector containing a
-    # null element, length-mismatched vector — where guarding only
-    # vec.isNull() would let a null index through for the latter two.
-    return F.when(
-        F.array_max(dots).isNull(), F.lit(int(ordered[0][0]))
-    ).otherwise(
-        F.element_at(
-            ids, F.array_position(dots, F.array_max(dots)).cast("int")
-        )
+    # Degenerate-input guard: with a null index from array_position,
+    # Spark 4.1's codegen for element_at over a literal ids array was
+    # observed returning the LAST element instead of null (nullability
+    # mispropagation) — so a null index must never reach element_at.
+    # Every degenerate input (null vector, vector containing a null
+    # element, length-mismatched vector) makes every dot null and the
+    # argmax position null; the ids array carries the DEFAULT (lowest
+    # centroid id) as an appended sentinel slot and the null position
+    # coalesces to that slot — the index element_at sees is never null.
+    # Chosen over a CASE on array_max(dots).isNull(): the CASE evaluates
+    # the dot fold a third time in the condition (measured ~2× slower on
+    # the sf0.1 assign pass; the coalesce-index form even beats the old
+    # vec.isNull() CASE, which missed null-element/ragged vectors).
+    ids_with_default = lit_longs(
+        [cid for cid, _ in ordered] + [ordered[0][0]]
+    )
+    best = F.array_position(dots, F.array_max(dots)).cast("int")
+    return F.element_at(
+        ids_with_default, F.coalesce(best, F.lit(len(ordered) + 1))
     ).cast("int")
 
 
