@@ -1693,6 +1693,64 @@ SELECT m0, m1, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
 FROM sig GROUP BY m0, m1 HAVING count(*) > 1
 """
 
+# --- MinHash Jaccard ESTIMATOR over candidate pairs -------------------------
+# The classic signature-space estimate (Broder '97): est = matching
+# signature components / num_hashes. At petabyte scale the exact-verify
+# join (ngram_jaccard) re-reads the corpus text; thresholding the
+# estimate instead costs only the tiny signature relation — candidates
+# already carry their components, so the estimate is a pure projection
+# on the bucket join's output, no extra scan, no shuffle beyond the
+# candidate join itself. Bucket-mates share (m0, m1) by construction,
+# so est >= 0.5 within this 1-band candidate set — exactly the subset a
+# production near-dup pass scores.
+_MINHASH_EST_BODY = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(2
+              + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0,
+             6) AS est_jaccard
+FROM sig a JOIN sig b
+  ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+"""
+SPARK_SQL["minhash_jaccard_estimate"] = (
+    f"WITH sig AS ({SPARK_SQL['minhash_signatures']})" + _MINHASH_EST_BODY
+)
+ORACLE["minhash_jaccard_estimate"] = (
+    f"WITH sig AS ({ORACLE['minhash_signatures']})" + _MINHASH_EST_BODY
+)
+
+# --- deterministic train/val/test split -------------------------------------
+# The standard dataset-split op, hash-gated so it is (a) deterministic
+# across re-runs and engines, (b) join-free and executor-local (a narrow
+# map — no global sort, no row_number over the corpus), and (c) STABLE
+# UNDER CORPUS GROWTH: a document's split label depends only on its own
+# id, so adding new documents never reassigns existing ones — the
+# property that keeps eval sets honest as a 100 TB corpus accretes
+# (row_number()/ntile splits reshuffle everything on every ingest).
+# 80/10/10 on md5(doc_id) mod 1000.
+SPARK_SQL["dataset_split"] = """
+SELECT doc_id, lang,
+       CASE WHEN gate < 800 THEN 'train'
+            WHEN gate < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000 AS gate
+  FROM documents
+)
+"""
+ORACLE["dataset_split"] = """
+SELECT doc_id, lang,
+       CASE WHEN gate < 800 THEN 'train'
+            WHEN gate < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS gate
+  FROM documents
+)
+"""
+
 # --- n-gram Jaccard verification on LSH candidate pairs ---------------------
 # Exact Jaccard computed ONLY within (m0, m1) buckets — candidate pruning
 # keeps the self-join linear in bucket sizes, not O(n²), at 100 TB.

@@ -724,6 +724,68 @@ def _py_bm25(texts: dict[int, str], terms: tuple[str, ...], k: int):
     return ranked
 
 
+def test_dataset_split_stable_under_corpus_growth(spark, tmp_path):
+    """The split op's load-bearing property at an accreting 100 TB
+    corpus: a document's train/val/test label depends only on its own id
+    (md5 gate), so DOUBLING the corpus must not reassign any existing
+    document — row_number/ntile splits would reshuffle everything."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    def run(df_docs, name):
+        d = tmp_path / name
+        d.mkdir()
+        df_docs.to_parquet(d / "documents.parquet")
+        Q.register_views(spark, str(d), ("documents",))
+        out = spark.sql(Q.SPARK_SQL["dataset_split"])
+        return {r.doc_id: r.split for r in out.collect()}
+
+    base = pd.DataFrame(
+        {"doc_id": range(200), "text": "x", "lang": "en", "source": "s",
+         "n_chars": 1}
+    )
+    grown = pd.concat(
+        [base, base.assign(doc_id=base.doc_id + 1_000_000)],
+        ignore_index=True,
+    )
+    small = run(base, "small")
+    big = run(grown, "big")
+    assert all(big[d] == s for d, s in small.items())
+    # all three splits are populated at n=200 (sanity on the 80/10/10 gate)
+    assert {"train", "val", "test"} == set(small.values())
+
+
+def test_minhash_jaccard_estimate_brackets_exact(spark, tmp_path):
+    """Estimator sanity on a constructed corpus: exact duplicates
+    estimate 1.0; every candidate (bucket-mate) estimates >= 0.5 by
+    construction (m0/m1 equal); and a near-dup pair's estimate uses the
+    m2/m3 agreement — the classic k-component MinHash estimator."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        2: "the quick brown fox jumps over the lazy cat",   # near dup
+        3: "completely different content about spark plans",
+    }
+    d = tmp_path / "est"
+    d.mkdir()
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values()), "lang": "en",
+         "source": "s", "n_chars": [len(t) for t in texts.values()]}
+    ).to_parquet(d / "documents.parquet")
+    Q.register_views(spark, str(d), ("documents",))
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in spark.sql(Q.SPARK_SQL["minhash_jaccard_estimate"]).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert all(v >= 0.5 for v in got.values())
+
+
 def test_corpus_stats_spark_matches_duckdb(spark):
     """The query path derives the BM25/unigram corpus constants with a
     DISTRIBUTED Spark aggregate; the oracle builder (no Spark session)
