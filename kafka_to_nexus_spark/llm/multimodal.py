@@ -2,11 +2,13 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch iteration, partition-preserving
-transforms) is real and tested; the codec step is STUBBED — the container
-has no image/audio libraries — behind ``decode_stub``. Swap
-``decode_stub`` for a real decoder (PIL/ffmpeg) in production; nothing
-else changes, because the UDF contract is bytes-in → features-out per
-Arrow batch.
+transforms) is real and tested; the pixel/sample codec step is STUBBED —
+the container has no image/audio libraries — behind ``decode_stub``.
+Swap ``decode_stub`` for a real decoder (PIL/ffmpeg) in production;
+nothing else changes, because the UDF contract is bytes-in →
+features-out per Arrow batch. Container-METADATA decoding is real:
+:func:`parse_image_dims` extracts PNG/JPEG dimensions from raw bytes
+with the stdlib alone (format-spec parsing, no codec needed).
 """
 
 from __future__ import annotations
@@ -123,6 +125,103 @@ def extract_features(df: DataFrame, dim: int = 8, decoder=None) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL container-metadata decoding: PNG / JPEG dimensions from raw bytes.
+# The pixel codec stays stubbed (no image libs in this container), but
+# dimension extraction needs only the container format specs (PNG: the
+# 8-byte signature + IHDR chunk; JPEG: the marker walk to a SOF segment)
+# — pure stdlib, so this leg of "decode" is genuinely implemented, not
+# faked. The reference has no multimodal surface; this is part of the
+# LLM-pipeline extension (SURVEY §2.9 L17/L18).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF0–SOF15 minus DHT(C4)/JPG(C8)/DAC(CC), per ITU T.81 Table B.1
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def parse_image_dims(payload: bytes | None) -> tuple[str, int, int] | None:
+    """(format, width, height) from a PNG or JPEG byte string, None if the
+    payload is not a parseable image.
+
+    PNG: signature + first chunk must be IHDR (spec-mandated); width and
+    height are its first two big-endian u32s. JPEG: walk the marker
+    sequence from SOI, skipping variable-length segments, until a start-
+    of-frame marker; height/width are bytes 1–4 of its payload. Truncated
+    or malformed input returns None rather than raising — at 100 TB some
+    payloads WILL be garbage, and a poison byte string must not kill the
+    executor task."""
+    if not payload:
+        return None
+    if payload[:8] == _PNG_SIG:
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h) if w and h else None
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h) if w and h else None
+            i += 2 + seglen
+        return None
+    return None
+
+
+def image_dims(df: DataFrame) -> DataFrame:
+    """Arrow-batched header parse: binary payload → (fmt, width, height).
+
+    Partition-preserving mapInPandas over just (media_id, payload) —
+    column pruning keeps the scan narrow, and the per-row work is a few
+    branch-y byte reads, so the Python stage is I/O-shaped. Unparseable
+    payloads yield null fmt/width/height (nullable Int32 Arrow arrays)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_image_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": [p[0] if p else None for p in parsed],
+                    "width": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, DIMS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -2975,6 +2975,56 @@ FROM p LEFT JOIN h ON p.doc_id = h.doc_id
 """
 
 
+def _q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-metadata decode round-trip: JVM-side SQL builds
+    spec-conformant PNG (signature + IHDR) and JPEG (SOI + APP0 + SOF0)
+    byte strings carrying each row's metadata dims big-endian — plus a
+    deliberate garbage payload every 17th row — and
+    ``multimodal.parse_image_dims`` (pure-stdlib format parsing, the one
+    leg of "decode" that needs no codec library) recovers them in an
+    Arrow-batched mapInPandas. The oracle states the expected output
+    arithmetically, so any parser regression (endianness, marker walk,
+    truncation handling) hash-fails."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    media = _media_frame(spark, sf_dir, with_payload=False)
+    png = F.concat(
+        # signature + IHDR length/tag
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        F.unhex(F.lpad(F.hex(F.col("width")), 8, "0")),
+        F.unhex(F.lpad(F.hex(F.col("height")), 8, "0")),
+        F.unhex(F.lit("0806000000")),  # bit depth/color/etc.
+    )
+    jpeg = F.concat(
+        # SOI + APP0 (JFIF) + SOF0 marker/len/precision
+        F.unhex(F.lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+        F.unhex(F.lpad(F.hex(F.col("height")), 4, "0")),
+        F.unhex(F.lpad(F.hex(F.col("width")), 4, "0")),
+        F.unhex(F.lit("03012200021101031101")),  # 3 components
+    )
+    payload = (
+        F.when(F.col("media_id") % 17 == 0,
+               F.encode(F.lit("not an image"), "UTF-8"))
+        .when(F.col("media_id") % 2 == 0, png)
+        .otherwise(jpeg)
+    )
+    return mm.image_dims(media.select("media_id", payload.alias("payload")))
+
+
+ORACLE["multimodal_image_dims"] = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE CAST(n_chars % 640 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE CAST(n_chars % 480 + 1 AS INT) END AS height
+FROM documents
+"""
+
+
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import multimodal as mm
 
@@ -3677,6 +3727,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
     "multimodal_frame_sample": _q_multimodal_frames,
+    "multimodal_image_dims": _q_multimodal_image_dims,
     "quantized_adc_topk": _q_quantized_adc_topk,
     "ivf_partitioned_probe": _q_ivf_partitioned_probe,
     "ivf_probe_topk": _q_ivf_probe_topk,

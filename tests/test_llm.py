@@ -160,6 +160,63 @@ def test_multimodal_features_and_specs(spark):
     assert resize[2].target_width == 100  # already under max: unchanged
 
 
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x06\x00\x00\x00")
+
+
+def _jpeg(w, h, extra_segments=1):
+    out = b"\xff\xd8"
+    # variable-length segments before the SOF (APP0, comments...)
+    for i in range(extra_segments):
+        seg = b"JFIF\x00" + bytes(9 + i)
+        out += b"\xff\xe0" + (len(seg) + 2).to_bytes(2, "big") + seg
+    sof = (b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    return out + b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+
+
+def test_parse_image_dims_formats_and_garbage():
+    """Real container parsing: PNG IHDR u32s, the JPEG marker walk over
+    variable-length segments to any SOF marker (here progressive SOF2),
+    and graceful None on garbage, truncation, zero dims, and a marker
+    stream that never reaches a SOF."""
+    p = multimodal.parse_image_dims
+    assert p(_png(640, 480)) == ("png", 640, 480)
+    assert p(_png(1, 70000)) == ("png", 1, 70000)  # u32, not u16
+    assert p(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert p(_jpeg(16, 16, extra_segments=3)) == ("jpeg", 16, 16)
+    assert p(None) is None and p(b"") is None
+    assert p(b"not an image") is None
+    assert p(_png(640, 480)[:20]) is None          # truncated IHDR
+    assert p(_png(0, 480)) is None                 # zero dim
+    assert p(_jpeg(16, 16)[:6]) is None            # truncated pre-SOF
+    assert p(b"\xff\xd8\xff\xfe\x00\x04\x00\x00") is None  # no SOF
+    assert p(b"\xff\xd8\x00\x00") is None          # broken marker stream
+    bad_ihdr = _png(9, 9)[:12] + b"XXXX" + _png(9, 9)[16:]
+    assert p(bad_ihdr) is None                     # first chunk not IHDR
+
+
+def test_image_dims_mapinpandas(spark):
+    """The Arrow-batched leg: nullable Int32 dims, null fmt on garbage."""
+    rows = [
+        (0, "image", "image/png", 0, 0, 0, bytearray(_png(320, 200))),
+        (1, "image", "image/jpeg", 0, 0, 0, bytearray(_jpeg(64, 32))),
+        (2, "image", "image/png", 0, 0, 0, bytearray(b"junk")),
+        (3, "image", "image/png", 0, 0, 0, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: (r.fmt, r.width, r.height)
+           for r in multimodal.image_dims(df).collect()}
+    assert got == {
+        0: ("png", 320, 200),
+        1: ("jpeg", 64, 32),
+        2: (None, None, None),
+        3: (None, None, None),
+    }
+
+
 # ---------------------------------------------------------------------------
 # k-means training + IVF layout + SRP LSH
 # ---------------------------------------------------------------------------
