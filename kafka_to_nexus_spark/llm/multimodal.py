@@ -224,6 +224,88 @@ def image_dims(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, DIMS_SCHEMA)
 
 
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def parse_wav_meta(
+    payload: bytes | None,
+) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits, duration_ms) from a RIFF/WAVE byte
+    string, None if unparseable — the audio twin of
+    :func:`parse_image_dims` (stdlib-only container parsing; the sample
+    codec itself stays stubbed).
+
+    RIFF chunk walk with word alignment: the ``fmt `` chunk carries
+    channels/rate/bits little-endian, ``data``'s size plus the byte rate
+    gives the duration. Truncated/malformed input returns None."""
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    i, n = 12, len(payload)
+    channels = rate = bits = None
+    data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if i + 24 > n:
+                return None
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if not channels or not rate or not bits or bits % 8 or data_size is None:
+        return None
+    bytes_per_sec = rate * channels * (bits // 8)
+    return (channels, rate, bits, data_size * 1000 // bytes_per_sec)
+
+
+def wav_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched RIFF parse: binary payload → audio metadata columns.
+    Same shape as :func:`image_dims` — pruned (id, payload) scan,
+    partition-preserving, nulls on garbage."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_wav_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "channels": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bits": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, WAV_META_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media, frame_ts) — the
     explode happens JVM-side from duration metadata; the actual frame

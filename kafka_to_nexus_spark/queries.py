@@ -3025,6 +3025,71 @@ FROM documents
 """
 
 
+def _q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_image_dims: SQL builds spec-conformant
+    RIFF/WAVE headers (little-endian fields via byte-reversed hex) with
+    per-row channels/rate/data-size, a garbage payload every 13th row,
+    and ``multimodal.parse_wav_meta`` recovers channels/rate/bits and
+    derives duration from the data-chunk size — against an arithmetic
+    expected-output oracle (floor-division duration both sides)."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    def le(col, nbytes: int):
+        h = F.lpad(F.hex(col), 2 * nbytes, "0")
+        return F.unhex(
+            F.concat(
+                *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+            )
+        )
+
+    media = _media_frame(spark, sf_dir, with_payload=False)
+    channels = (F.col("media_id") % 2 + 1).cast("int")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    data_size = (F.col("width").cast("long") * 128).cast("int")
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(data_size + 36, 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le(F.lit(16), 4),           # fmt chunk size
+        le(F.lit(1), 2),            # PCM
+        le(channels, 2),
+        le(rate, 4),
+        le(rate * channels * 2, 4),  # byte rate
+        le(channels * 2, 2),         # block align
+        le(F.lit(16), 2),            # bits per sample
+        F.encode(F.lit("data"), "UTF-8"),
+        le(data_size, 4),
+    )
+    payload = F.when(
+        F.col("media_id") % 13 == 0, F.encode(F.lit("static noise"), "UTF-8")
+    ).otherwise(wav)
+    return mm.wav_meta(media.select("media_id", payload.alias("payload")))
+
+
+ORACLE["multimodal_wav_meta"] = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS rate,
+         (n_chars % 640 + 1) * 128 AS data_size
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE channels END AS channels,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(rate AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 16 END AS bits,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE CAST(data_size AS BIGINT) * 1000 // (rate * channels * 2)
+       END AS duration_ms
+FROM p
+"""
+
+
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import multimodal as mm
 
@@ -3728,6 +3793,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_spec": _q_multimodal_resize,
     "multimodal_frame_sample": _q_multimodal_frames,
     "multimodal_image_dims": _q_multimodal_image_dims,
+    "multimodal_wav_meta": _q_multimodal_wav_meta,
     "quantized_adc_topk": _q_quantized_adc_topk,
     "ivf_partitioned_probe": _q_ivf_partitioned_probe,
     "ivf_probe_topk": _q_ivf_probe_topk,

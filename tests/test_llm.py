@@ -217,6 +217,49 @@ def test_image_dims_mapinpandas(spark):
     }
 
 
+def _wav(channels=2, rate=8000, bits=16, data_size=16000, pre_chunks=0):
+    out = b""
+    for i in range(pre_chunks):  # e.g. LIST/INFO chunks before fmt
+        body = bytes(5 + i)  # odd sizes exercise word-alignment padding
+        out += b"LIST" + len(body).to_bytes(4, "little") + body
+        out += b"\x00" * (len(body) & 1)
+    out += (b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * channels * bits // 8).to_bytes(4, "little")
+            + (channels * bits // 8).to_bytes(2, "little")
+            + bits.to_bytes(2, "little"))
+    out += b"data" + data_size.to_bytes(4, "little")
+    return b"RIFF" + (4 + len(out)).to_bytes(4, "little") + b"WAVE" + out
+
+
+def test_parse_wav_meta_formats_and_garbage():
+    """RIFF chunk walk: fmt fields little-endian, duration from data-chunk
+    size ÷ byte rate (floor), word-aligned skip over odd-sized chunks
+    before fmt, and None on garbage/truncation/non-integer sample bytes."""
+    p = multimodal.parse_wav_meta
+    assert p(_wav()) == (2, 8000, 16, 500)
+    assert p(_wav(1, 44100, 16, 44100 * 2)) == (1, 44100, 16, 1000)
+    assert p(_wav(pre_chunks=2)) == (2, 8000, 16, 500)
+    assert p(None) is None and p(b"") is None
+    assert p(b"RIFFxxxxNOPE") is None
+    assert p(_wav()[:20]) is None            # truncated fmt chunk
+    assert p(_wav(bits=12)) is None          # non-byte-multiple bits
+    w = _wav()
+    assert p(w[: w.index(b"data")]) is None  # no data chunk
+
+
+def test_wav_meta_mapinpandas(spark):
+    rows = [
+        (0, "audio", "audio/wav", 0, 0, 0, bytearray(_wav(1, 16000, 16, 32000))),
+        (1, "audio", "audio/wav", 0, 0, 0, bytearray(b"static")),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: (r.channels, r.sample_rate, r.bits, r.duration_ms)
+           for r in multimodal.wav_meta(df).collect()}
+    assert got == {0: (1, 16000, 16, 1000), 1: (None, None, None, None)}
+
+
 # ---------------------------------------------------------------------------
 # k-means training + IVF layout + SRP LSH
 # ---------------------------------------------------------------------------
