@@ -1693,6 +1693,10 @@ SELECT m0, m1, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
 FROM sig GROUP BY m0, m1 HAVING count(*) > 1
 """
 
+# Family-wide LSH bucket cap (star+chain in the pair queries, core-only
+# here); rationale at its original definition site below.
+_JACCARD_MAX_BUCKET = 8
+
 # --- MinHash Jaccard ESTIMATOR over candidate pairs -------------------------
 # The classic signature-space estimate (Broder '97): est = matching
 # signature components / num_hashes. At petabyte scale the exact-verify
@@ -1702,21 +1706,37 @@ FROM sig GROUP BY m0, m1 HAVING count(*) > 1
 # on the bucket join's output, no extra scan, no shuffle beyond the
 # candidate join itself. Bucket-mates share (m0, m1) by construction,
 # so est >= 0.5 within this 1-band candidate set — exactly the subset a
-# production near-dup pass scores.
-_MINHASH_EST_BODY = """
+# production near-dup pass scores. Buckets are CAPPED at the family's
+# max (rank-by-id, core members only): pair output is quadratic in
+# bucket size and boilerplate clusters make hot buckets — the registry
+# default must survive its own growth curve (the r5 rule; the uncapped
+# estimate is what ngram_jaccard_uncapped already cross-checks).
+_MINHASH_EST_BODY = f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(2
               + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
               + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0,
              6) AS est_jaccard
-FROM sig a JOIN sig b
+FROM ranked a JOIN ranked b
   ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+ AND a.rk <= {_JACCARD_MAX_BUCKET} AND b.rk <= {_JACCARD_MAX_BUCKET}
+"""
+_MINHASH_EST_RANKED = """,
+ranked AS (
+  SELECT doc_id, m0, m1, m2, m3,
+         row_number() OVER (PARTITION BY m0, m1 ORDER BY doc_id) AS rk
+  FROM sig
+)
 """
 SPARK_SQL["minhash_jaccard_estimate"] = (
-    f"WITH sig AS ({SPARK_SQL['minhash_signatures']})" + _MINHASH_EST_BODY
+    f"WITH sig AS ({SPARK_SQL['minhash_signatures']})"
+    + _MINHASH_EST_RANKED
+    + _MINHASH_EST_BODY
 )
 ORACLE["minhash_jaccard_estimate"] = (
-    f"WITH sig AS ({ORACLE['minhash_signatures']})" + _MINHASH_EST_BODY
+    f"WITH sig AS ({ORACLE['minhash_signatures']})"
+    + _MINHASH_EST_RANKED
+    + _MINHASH_EST_BODY
 )
 
 # --- deterministic train/val/test split -------------------------------------
@@ -1772,8 +1792,8 @@ FROM (
 # one that survives its own growth curve. The star+chain cap is
 # deterministic (rank by doc_id within each bucket), so the oracle
 # replays it exactly; the uncapped form stays as the
-# ``ngram_jaccard_uncapped`` cross-check.
-_JACCARD_MAX_BUCKET = 8
+# ``ngram_jaccard_uncapped`` cross-check. (Assigned earlier in the file
+# — the estimator SQL interpolates it.)
 
 
 def _jaccard_cand_duck(max_bucket: int | None) -> str:
