@@ -84,6 +84,12 @@ FAMILY = {
     "sequence_packing": "documents",
     # r7: the composed end-to-end dedup pipeline (capped edge basis)
     "dedup_pipeline": "documents",
+    # r7: estimator (capped bucket join), split + container parsers
+    # (narrow maps — python-UDF for the parsers, codegen for the split)
+    "minhash_jaccard_estimate": "documents",
+    "dataset_split": "documents",
+    "multimodal_image_dims": "documents",
+    "multimodal_wav_meta": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -138,6 +144,8 @@ X1000_OPS = {
     "source_cap_sample",
     "doc_chunks",
     "dedup_pipeline",
+    # r7: prove the estimator's bucket cap holds at 5M docs
+    "minhash_jaccard_estimate",
 }
 
 
