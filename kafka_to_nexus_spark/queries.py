@@ -1728,16 +1728,60 @@ ranked AS (
   FROM sig
 )
 """
-SPARK_SQL["minhash_jaccard_estimate"] = (
-    f"WITH sig AS ({SPARK_SQL['minhash_signatures']})"
-    + _MINHASH_EST_RANKED
-    + _MINHASH_EST_BODY
-)
 ORACLE["minhash_jaccard_estimate"] = (
     f"WITH sig AS ({ORACLE['minhash_signatures']})"
     + _MINHASH_EST_RANKED
     + _MINHASH_EST_BODY
 )
+
+# one-slot per-session cache of the ranked signature relation, lifecycle
+# as _JACCARD_PERSIST: the pure-SQL form's inlined CTE ran the whole
+# md5-signature pipeline ONCE PER JOIN SIDE (2 parquet scans, zero
+# ReusedExchange under the broadcast join — measured 5.0 s at sf0.1);
+# persisting the tiny ranked relation (id + 4 hex strings + rank per
+# doc) makes the self-join two in-memory scans (measured 1.3 s).
+_EST_PERSIST: dict[str, DataFrame] = {}
+
+
+def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    app_id = spark.sparkContext.applicationId
+    prev = _EST_PERSIST.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist()
+    ranked = spark.sql(
+        f"WITH sig AS ({SPARK_SQL['minhash_signatures']})"
+        + _MINHASH_EST_RANKED
+        + "SELECT * FROM ranked"
+    ).persist()
+    _EST_PERSIST[app_id] = ranked
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cap = F.lit(_JACCARD_MAX_BUCKET)
+    return (
+        a.join(
+            b,
+            (F.col("a.m0") == F.col("b.m0"))
+            & (F.col("a.m1") == F.col("b.m1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.rk") <= cap)
+            & (F.col("b.rk") <= cap),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(
+                (
+                    F.lit(2)
+                    + (F.col("a.m2") == F.col("b.m2")).cast("int")
+                    + (F.col("a.m3") == F.col("b.m3")).cast("int")
+                ).cast("double")
+                / 4.0,
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
 
 # --- deterministic train/val/test split -------------------------------------
 # The standard dataset-split op, hash-gated so it is (a) deterministic
@@ -3814,6 +3858,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": _q_multimodal_frames,
     "multimodal_image_dims": _q_multimodal_image_dims,
     "multimodal_wav_meta": _q_multimodal_wav_meta,
+    "minhash_jaccard_estimate": _q_minhash_estimate,
     "quantized_adc_topk": _q_quantized_adc_topk,
     "ivf_partitioned_probe": _q_ivf_partitioned_probe,
     "ivf_probe_topk": _q_ivf_probe_topk,

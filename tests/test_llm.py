@@ -877,10 +877,11 @@ def test_minhash_jaccard_estimate_brackets_exact(spark, tmp_path):
         {"doc_id": list(texts), "text": list(texts.values()), "lang": "en",
          "source": "s", "n_chars": [len(t) for t in texts.values()]}
     ).to_parquet(d / "documents.parquet")
-    Q.register_views(spark, str(d), ("documents",))
     got = {
         (r.id_a, r.id_b): r.est_jaccard
-        for r in spark.sql(Q.SPARK_SQL["minhash_jaccard_estimate"]).collect()
+        for r in Q.queries()["minhash_jaccard_estimate"](
+            spark, str(d)
+        ).collect()
     }
     assert got[(0, 1)] == 1.0
     assert all(v >= 0.5 for v in got.values())
