@@ -291,3 +291,59 @@ def test_star_chain_cap_preserves_components(assign, cap):
 
     vertices = sorted({d for d, _ in assign})
     assert _model_components(capped, vertices) == _model_components(full, vertices)
+
+
+# ---------------------------------------------------------------------------
+# Container-metadata parsers: total functions over arbitrary bytes
+# ---------------------------------------------------------------------------
+
+from kafka_to_nexus_spark.llm import multimodal  # noqa: E402
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_image_parser_never_raises(payload):
+    """At 100 TB some payloads WILL be garbage: the parser must return a
+    well-formed tuple or None for ANY byte string, never raise (a poison
+    payload would kill the executor task)."""
+    out = multimodal.parse_image_dims(payload)
+    assert out is None or (
+        out[0] in ("png", "jpeg") and out[1] > 0 and out[2] > 0
+    )
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_wav_parser_never_raises(payload):
+    out = multimodal.parse_wav_meta(payload)
+    assert out is None or (len(out) == 4 and all(v >= 0 for v in out))
+
+
+# adversarial prefixes: valid magic bytes followed by arbitrary tails
+@given(st.sampled_from([b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF"]),
+       st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_parsers_survive_magic_plus_garbage(magic, tail):
+    multimodal.parse_image_dims(magic + tail)
+    multimodal.parse_wav_meta(magic + tail)
+
+
+@given(st.integers(1, 2**31 - 1), st.integers(1, 2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_any_u32_dims(w, h):
+    payload = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+               + w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(5))
+    assert multimodal.parse_image_dims(payload) == ("png", w, h)
+
+
+@given(st.integers(1, 65535), st.integers(1, 65535), st.integers(0, 3))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_roundtrip_any_u16_dims(w, h, n_segments):
+    out = b"\xff\xd8"
+    for i in range(n_segments):
+        seg = bytes(3 + i)  # odd/even pre-SOF segment sizes
+        out += b"\xff\xe1" + (len(seg) + 2).to_bytes(2, "big") + seg
+    sof = (b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + b"\x01\x01\x11\x00")
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    assert multimodal.parse_image_dims(out) == ("jpeg", w, h)
