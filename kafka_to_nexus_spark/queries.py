@@ -3154,6 +3154,55 @@ FROM p
 """
 
 
+def _q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the container trio: SQL builds ISO-BMFF bytes (ftyp +
+    moov/mvhd v0 with per-row timescale/duration, big-endian u32s via
+    hex/lpad/unhex), garbage every 11th row; ``multimodal.parse_mp4_meta``
+    box-walks them back against an arithmetic oracle (floor-division
+    milliseconds both sides)."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    def be4(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    media = _media_frame(spark, sf_dir, with_payload=False)
+    timescale = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000)),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    duration = (F.col("width").cast("long") * 100).cast("int")
+    mp4 = F.concat(
+        F.unhex(F.lit("00000010")), F.encode(F.lit("ftypisom"), "UTF-8"),
+        F.unhex(F.lit("00000200")),
+        be4(F.lit(36)), F.encode(F.lit("moov"), "UTF-8"),
+        be4(F.lit(28)), F.encode(F.lit("mvhd"), "UTF-8"),
+        F.unhex(F.lit("000000000000000000000000")),  # ver/flags, ctime, mtime
+        be4(timescale),
+        be4(duration),
+    )
+    payload = F.when(
+        F.col("media_id") % 11 == 0, F.encode(F.lit("no box here"), "UTF-8")
+    ).otherwise(mp4)
+    return mm.mp4_meta(media.select("media_id", payload.alias("payload")))
+
+
+ORACLE["multimodal_mp4_meta"] = """
+WITH p AS (
+  SELECT doc_id,
+         [600, 1000, 90000][CAST(doc_id % 3 AS INT) + 1] AS ts,
+         CAST(n_chars % 640 + 1 AS BIGINT) * 100 AS dur
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 11 = 0 THEN NULL ELSE CAST(ts AS INT) END AS timescale,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE dur * 1000 // ts END AS duration_ms
+FROM p
+"""
+
+
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import multimodal as mm
 
@@ -3858,6 +3907,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": _q_multimodal_frames,
     "multimodal_image_dims": _q_multimodal_image_dims,
     "multimodal_wav_meta": _q_multimodal_wav_meta,
+    "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "minhash_jaccard_estimate": _q_minhash_estimate,
     "quantized_adc_topk": _q_quantized_adc_topk,
     "ivf_partitioned_probe": _q_ivf_partitioned_probe,

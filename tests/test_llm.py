@@ -249,6 +249,47 @@ def test_parse_wav_meta_formats_and_garbage():
     assert p(w[: w.index(b"data")]) is None  # no data chunk
 
 
+def _mp4(timescale=1000, duration=5000, version=0, largesize=False,
+         pre_boxes=0):
+    if version == 0:
+        mvhd = (b"\x00" + bytes(3) + bytes(8)
+                + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big"))
+    else:
+        mvhd = (b"\x01" + bytes(3) + bytes(16)
+                + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big"))
+    mvhd_box = (len(mvhd) + 8).to_bytes(4, "big") + b"mvhd" + mvhd
+    moov = (len(mvhd_box) + 8).to_bytes(4, "big") + b"moov" + mvhd_box
+    out = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+    for i in range(pre_boxes):
+        body = bytes(3 + i)
+        out += (8 + len(body)).to_bytes(4, "big") + b"free" + body
+    if largesize:  # size==1 → u64 largesize follows the type
+        moov_body = moov[8:]
+        moov = ((1).to_bytes(4, "big") + b"moov"
+                + (16 + len(moov_body)).to_bytes(8, "big") + moov_body)
+    return out + moov
+
+
+def test_parse_mp4_meta_versions_and_garbage():
+    """ISO-BMFF box walk: mvhd v0 (u32 fields) and v1 (u64 duration),
+    u64 largesize boxes, boxes before moov, and None on garbage,
+    truncation, zero timescale, or a box walk that never finds mvhd."""
+    p = multimodal.parse_mp4_meta
+    assert p(_mp4(1000, 5000)) == (1000, 5000)
+    assert p(_mp4(600, 601)) == (600, 1001)       # floor division
+    assert p(_mp4(90000, 2**33, version=1)) == (90000, 2**33 * 1000 // 90000)
+    assert p(_mp4(largesize=True)) == (1000, 5000)
+    assert p(_mp4(pre_boxes=2)) == (1000, 5000)
+    assert p(None) is None and p(b"") is None
+    assert p(b"no box here") is None
+    assert p(_mp4()[:24]) is None                 # truncated moov
+    assert p(_mp4(timescale=0)) is None
+    w = _mp4()
+    assert p(w[: w.index(b"moov") - 4]) is None   # ftyp only, no moov
+    bad = w.replace(b"mvhd", b"trak")             # moov without mvhd
+    assert p(bad) is None
+
+
 def test_wav_meta_mapinpandas(spark):
     rows = [
         (0, "audio", "audio/wav", 0, 0, 0, bytearray(_wav(1, 16000, 16, 32000))),

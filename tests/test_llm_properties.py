@@ -347,3 +347,16 @@ def test_jpeg_roundtrip_any_u16_dims(w, h, n_segments):
            + b"\x01\x01\x11\x00")
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     assert multimodal.parse_image_dims(out) == ("jpeg", w, h)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_mp4_parser_never_raises(payload):
+    out = multimodal.parse_mp4_meta(payload)
+    assert out is None or (out[0] > 0 and out[1] >= 0)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_mp4_parser_survives_magic_plus_garbage(tail):
+    multimodal.parse_mp4_meta((16).to_bytes(4, "big") + b"ftypisom" + tail)
