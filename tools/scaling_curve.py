@@ -90,6 +90,7 @@ FAMILY = {
     "dataset_split": "documents",
     "multimodal_image_dims": "documents",
     "multimodal_wav_meta": "documents",
+    "multimodal_mp4_meta": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
