@@ -212,6 +212,58 @@ def _run_e2e_streaming_neardup(spark, sf_dir: str, n_batches: int = 2) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _run_e2e_streaming_quota(spark, sf_dir: str, n_batches: int = 2) -> None:
+    """Streaming per-source admission quota over the events table as a
+    high-cardinality source stream (user_id as the source key, ~thousands
+    of distinct sources at sf0.1): benches the sharded quota state
+    operator (shards="auto" — the 50k-source measurement showed the
+    per-source layout's group exchange IS the batch cost at high
+    cardinality; SCALE.md r7)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    cache_key = ("quota", sf_dir, n_batches)
+    indir = _NEARDUP_INPUTS.get(cache_key)
+    if indir is None:
+        indir = tempfile.mkdtemp(prefix="bench_quota_in_")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("source_name"),
+            F.col("event_id").alias("event_id"),
+            # synthetic ascending event time: later event_ids later, so
+            # batch 2 (higher ids) stays above batch 1's watermark
+            (F.lit(1_000_000) * (1 + F.col("event_id"))).alias("timestamp"),
+        )
+        total = ev.count()
+        step = total // n_batches + 1
+        for i in range(n_batches):
+            (ev.filter((F.col("event_id") >= i * step)
+                       & (F.col("event_id") < (i + 1) * step))
+             .coalesce(1).write.mode("overwrite").json(f"{indir}/in/b{i}"))
+        _NEARDUP_INPUTS[cache_key] = indir
+    work = tempfile.mkdtemp(prefix="bench_quota_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        raw = (spark.readStream
+               .schema("source_name string, event_id long, timestamp long")
+               .option("maxFilesPerTrigger", 1).json(f"{indir}/in/*"))
+        out = stateful.source_quota_stream(
+            raw.repartition(8), quota=5, shards="auto")
+        q = (out.writeStream.format("noop")
+             .option("checkpointLocation", f"{work}/ckpt").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -301,6 +353,7 @@ def main() -> None:
         ("job_e2e_f144_4streams", _run_e2e_job),
         ("job_e2e_streaming_5batches", _run_e2e_streaming),
         ("job_e2e_streaming_neardup", _run_e2e_streaming_neardup),
+        ("job_e2e_streaming_quota", _run_e2e_streaming_quota),
     ):
         try:
             # min-of-two, like the query loop: single-shot numbers are
