@@ -175,13 +175,26 @@ def parse_image_dims(payload: bytes | None) -> tuple[str, int, int] | None:
         return ("png", w, h) if w and h else None
     if payload[:2] == b"\xff\xd8":
         i, n = 2, len(payload)
-        while i + 4 <= n:
+        while i + 2 <= n:
             if payload[i] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the
+            # space before a marker — skip them, don't reject the file
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > n:
+                return None
             marker = payload[i + 1]
+            if marker in (0xDA, 0xD9):
+                # SOS/EOI before any SOF: dimensions can't follow (a SOF
+                # must precede the scan), and walking entropy-coded data
+                # as markers risks misreading FF Cx pairs as a SOF
+                return None
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:
                 i += 2  # standalone markers carry no length
                 continue
+            if i + 4 > n:
+                return None
             seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
             if seglen < 2:
                 return None
@@ -260,6 +273,11 @@ def parse_wav_meta(
         cid = payload[i : i + 4]
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
         if cid == b"fmt ":
+            if size < 16:
+                # a fmt chunk too small to hold the PCM fields: reading
+                # fixed offsets would consume the NEXT chunk's bytes as
+                # channels/rate/bits — garbage metadata instead of null
+                return None
             if i + 24 > n:
                 return None
             channels = int.from_bytes(payload[i + 10 : i + 12], "little")

@@ -52,9 +52,12 @@ _ROUNDS_CACHE: dict[tuple, dict[int, frozenset[str]]] = {}
 def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
     """Per-round sets of green query names from ``CORRECTNESS_r*.json``.
 
-    A query counts as green only if every recorded axis matched
-    (rows/schema/hash — absent axes count as matched, covering the
-    rows-only rows the driver records for oracle-less queries)."""
+    A query counts as green only if the row records no error AND every
+    recorded axis matched (rows/schema/hash — absent axes count as
+    matched, covering the rows-only rows the driver records for
+    oracle-less queries). The err guard matters: a row recording ONLY
+    an error ({"err": ...}, no match axes) must not certify the query
+    green and rotate it out of the verification window."""
     root = Path(root) if root is not None else _REPO_ROOT
     files = sorted(root.glob("CORRECTNESS_r*.json"))
     sig = tuple((str(f), f.stat().st_mtime_ns) for f in files)
@@ -69,9 +72,12 @@ def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
             k
             for k, v in data.items()
             if not isinstance(v, dict)
-            or all(
-                v.get(a, True)
-                for a in ("rows_match", "schema_match", "hash_match")
+            or (
+                v.get("err") is None
+                and all(
+                    v.get(a, True)
+                    for a in ("rows_match", "schema_match", "hash_match")
+                )
             )
         )
     _ROUNDS_CACHE.clear()  # only the current signature is ever useful

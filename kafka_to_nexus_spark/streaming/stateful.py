@@ -462,6 +462,16 @@ def _make_quota_fn(quota: int, cols: list, ts_col: str):
     return update
 
 
+def _quota_state_key(src) -> str:
+    """State-array key for a source value. The state schema stores string
+    keys, but ``str(src)`` alone would collide a NULL source with a
+    literal ``"None"`` source string (or NaN with ``"nan"``); tag real
+    values with a prefix and reserve an untypeable key for null."""
+    if src is None or (isinstance(src, float) and src != src) or src is pd.NA:
+        return "\x00null"
+    return "=" + str(src)
+
+
 def _make_quota_shard_fn(quota: int, cols: list, ts_col: str, source_col: str):
     """Sharded twin of :func:`_make_quota_fn`: ONE state entry holds every
     in-shard source's admitted count as parallel arrays. Per-source
@@ -471,7 +481,8 @@ def _make_quota_shard_fn(quota: int, cols: list, ts_col: str, source_col: str):
     O(shards) group invocations + commits instead of O(sources with
     data) (the near-dup shard packing's lesson: at 50k sources the
     per-group Arrow exchange WAS the batch cost). Sources are keyed by
-    their string form in the state arrays; rows pass through unchanged."""
+    :func:`_quota_state_key` in the state arrays (null-safe, no
+    ``"None"``-string collision); rows pass through unchanged."""
 
     def update(
         key: tuple,
@@ -492,7 +503,9 @@ def _make_quota_shard_fn(quota: int, cols: list, ts_col: str, source_col: str):
             for src, grp in pdf.groupby(source_col, sort=False, dropna=False):
                 b = budgets.get(src)
                 if b is None:
-                    b = budgets[src] = quota - counts.get(str(src), 0)
+                    b = budgets[src] = quota - counts.get(
+                        _quota_state_key(src), 0
+                    )
                 if b <= 0:
                     continue
                 cands[src] = _nsmallest_chunks(
@@ -502,10 +515,11 @@ def _make_quota_shard_fn(quota: int, cols: list, ts_col: str, source_col: str):
         for src, cand in cands.items():
             if not len(cand):
                 continue
-            before = counts.get(str(src), 0)
+            skey = _quota_state_key(src)
+            before = counts.get(skey, 0)
             out = cand[cols].copy()
             out["quota_rank"] = range(before + 1, before + 1 + len(cand))
-            counts[str(src)] = before + len(cand)
+            counts[skey] = before + len(cand)
             outs.append(out)
         if outs:  # no-op commit skipped when nothing was admitted
             state.update((list(counts), list(counts.values())))
@@ -524,11 +538,14 @@ def _resolve_shards(stream: DataFrame, shards) -> int | None:
         return 4 * int(
             stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-    if isinstance(shards, str):
-        # a typo like "Auto" would flow into the sharded path as a shard
-        # count and fail later with an obscure analysis error
+    if shards is None:
+        return None
+    # a typo like "Auto" (or shards=0, which would make pmod(hash, 0)
+    # null and collapse every source into one state entry — or hard-fail
+    # under ANSI) must fail fast here, not as an obscure analysis error
+    if isinstance(shards, bool) or not isinstance(shards, int) or shards < 1:
         raise ValueError(
-            f"shards must be an int, None, or 'auto', got {shards!r}"
+            f"shards must be an int >= 1, None, or 'auto', got {shards!r}"
         )
     return shards
 

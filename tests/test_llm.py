@@ -198,6 +198,77 @@ def test_parse_image_dims_formats_and_garbage():
     assert p(bad_ihdr) is None                     # first chunk not IHDR
 
 
+def test_parse_jpeg_fill_bytes_and_scan_bail():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker — a conformant encoder emitting padding must parse (ADVICE r7);
+    and SOS/EOI before any SOF means dimensions can't follow, so bail
+    rather than walk entropy-coded data where an FF Cx byte pair would
+    masquerade as a SOF."""
+    p = multimodal.parse_image_dims
+    base = _jpeg(320, 240)
+    padded = base.replace(b"\xff\xe0", b"\xff\xff\xff\xe0").replace(
+        b"\xff\xc2", b"\xff\xff\xff\xff\xc2"
+    )
+    assert p(padded) == ("jpeg", 320, 240)
+    assert p(b"\xff\xd8" + b"\xff" * 8) is None  # fill bytes, no marker
+    # SOS before SOF: the FF C0 pair inside the scan data must NOT be
+    # misread as a SOF carrying dimensions
+    sos = b"\xff\xd8\xff\xda\x00\x04\x00\x00" + b"\xff\xc0\x00\x09\x08" \
+          + (9).to_bytes(2, "big") + (9).to_bytes(2, "big") + b"\x01"
+    assert p(sos) is None
+    assert p(b"\xff\xd8\xff\xd9") is None  # EOI with no SOF
+
+
+def test_parse_wav_rejects_undersized_fmt_chunk():
+    """A fmt chunk declaring size<16 cannot hold the PCM fields; reading
+    fixed offsets would silently consume the NEXT chunk's bytes as
+    channels/rate/bits (ADVICE r7) — contract is None, not garbage."""
+    w = _wav()
+    i = w.index(b"fmt ")
+    bad = w[: i + 4] + (8).to_bytes(4, "little") + w[i + 8 :]
+    assert multimodal.parse_wav_meta(bad) is None
+
+
+def test_wav_parse_against_stdlib_wave_fixture():
+    """Bytes the test did NOT hand-construct: stdlib ``wave`` writes a
+    genuine RIFF/WAVE file, so the builder and parser can't share one
+    spec misreading (VERDICT r7 #3)."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(22050)
+        f.writeframes(b"\x00\x01\x02\x03" * 22050)  # exactly 1 s
+    assert multimodal.parse_wav_meta(buf.getvalue()) == (2, 22050, 16, 1000)
+
+
+def test_png_parse_against_independently_built_fixture():
+    """A spec-complete PNG (real CRCs, real zlib IDAT, IEND) built from
+    the PNG spec independently of the minimal `_png` helper."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    w, h = 31, 17
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.parse_image_dims(png) == ("png", 31, 17)
+
+
 def test_image_dims_mapinpandas(spark):
     """The Arrow-batched leg: nullable Int32 dims, null fmt on garbage."""
     rows = [

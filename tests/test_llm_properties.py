@@ -4,6 +4,7 @@ with a naive Python model on arbitrary inputs."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -354,6 +355,73 @@ def test_jpeg_roundtrip_any_u16_dims(w, h, n_segments):
 def test_mp4_parser_never_raises(payload):
     out = multimodal.parse_mp4_meta(payload)
     assert out is None or (out[0] > 0 and out[1] >= 0)
+
+
+def _fixture_png():
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 40, 30, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(40) for _ in range(30))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _fixture_jpeg():
+    seg = b"JFIF\x00" + bytes(11)
+    sof = (b"\x08" + (30).to_bytes(2, "big") + (40).to_bytes(2, "big")
+           + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    return (b"\xff\xd8\xff\xe0" + (len(seg) + 2).to_bytes(2, "big") + seg
+            + b"\xff\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+            + b"\xff\xda\x00\x04\x00\x00" + bytes(16) + b"\xff\xd9")
+
+
+def _fixture_wav():
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(bytes(64))
+    return buf.getvalue()
+
+
+def _fixture_mp4():
+    mvhd = b"\x00" + bytes(3) + bytes(8) + (1000).to_bytes(4, "big") \
+        + (5000).to_bytes(4, "big")
+    mvhd_box = (len(mvhd) + 8).to_bytes(4, "big") + b"mvhd" + mvhd
+    moov = (len(mvhd_box) + 8).to_bytes(4, "big") + b"moov" + mvhd_box
+    return (16).to_bytes(4, "big") + b"ftypisom" + bytes(4) + moov
+
+
+@pytest.mark.parametrize(
+    "build, parser",
+    [
+        (_fixture_png, multimodal.parse_image_dims),
+        (_fixture_jpeg, multimodal.parse_image_dims),
+        (_fixture_wav, multimodal.parse_wav_meta),
+        (_fixture_mp4, multimodal.parse_mp4_meta),
+    ],
+    ids=["png", "jpeg", "wav", "mp4"],
+)
+def test_truncation_at_every_offset(build, parser):
+    """Structure-aware truncation fuzz (VERDICT r7 #3): cut a genuine
+    fixture at EVERY byte offset — boundaries included. Each prefix must
+    parse to either the full payload's answer (the cut fell after the
+    metadata) or None; never a raise, never a fabricated third value."""
+    payload = build()
+    expected = parser(payload)
+    assert expected is not None
+    for cut in range(len(payload) + 1):
+        out = parser(payload[:cut])
+        assert out is None or out == expected, (cut, out, expected)
 
 
 @given(st.binary(max_size=64))

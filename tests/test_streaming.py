@@ -1703,3 +1703,36 @@ def test_source_quota_stream_rejects_bad_args(spark):
         stateful.source_quota_stream(
             df.withColumn("quota_rank", F.col("offset")), quota=1
         )
+
+
+def test_resolve_shards_rejects_nonpositive_ints(spark):
+    """ADVICE r7: shards=0 flows into pmod(xxhash64(src), 0) — null shard
+    keys collapse every source into one state entry (or hard-fail under
+    ANSI). Non-positive ints and bools must fail fast like bad strings."""
+    import pytest as _pytest
+
+    from kafka_to_nexus_spark.schemas import MESSAGE_SCHEMA
+    from kafka_to_nexus_spark.streaming import stateful
+
+    df = spark.createDataFrame([], MESSAGE_SCHEMA)
+    for bad in (0, -3, True, 2.5):
+        with _pytest.raises(ValueError, match="shards"):
+            stateful.source_quota_stream(df, quota=2, shards=bad)
+    assert stateful._resolve_shards(df, None) is None
+    assert stateful._resolve_shards(df, 8) == 8
+
+
+def test_quota_state_key_null_vs_none_string():
+    """The sharded quota state keys sources by string; a NULL source must
+    not collide with a literal "None"/"nan" source (ADVICE r7 #3)."""
+    from kafka_to_nexus_spark.streaming.stateful import _quota_state_key
+
+    keys = {
+        _quota_state_key(None),
+        _quota_state_key(float("nan")),
+        _quota_state_key("None"),
+        _quota_state_key("nan"),
+    }
+    assert _quota_state_key(None) == _quota_state_key(float("nan"))
+    assert len(keys) == 3  # null-class, "=None", "=nan" all distinct
+    assert _quota_state_key("src_a") == "=src_a"

@@ -47,6 +47,27 @@ def test_rotation_policy_survives_future_correctness_files():
     assert all(g is not None for g in last.values())
 
 
+def test_error_rows_never_count_as_green(tmp_path):
+    """ADVICE r7: a driver row recording ONLY an error ({"err": ...}, no
+    match axes) must not certify the query green — absent axes default to
+    matched, so without the err guard the row would rotate a failing
+    query out of the verification window."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps({
+        "ok_full": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "ok_rows_only": {"rows_match": True},
+        "err_only": {"err": "Py4JJavaError: ..."},
+        "err_with_axes": {"rows_match": True, "schema_match": True,
+                          "hash_match": True, "err": "timeout"},
+        "red": {"rows_match": True, "schema_match": True,
+                "hash_match": False, "err": None},
+    }))
+    rounds = rotation.load_rounds(tmp_path)
+    assert rounds[1] == frozenset({"ok_full", "ok_rows_only"})
+
+
 def test_rotation_order_rules():
     """never-checked lead, still-uncertified CHANGED entries follow, then
     oldest-green first; the order is total (covers the whole registry),
