@@ -192,6 +192,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    chain_col: str | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join within bands, emit candidate pairs.
 
@@ -201,46 +202,77 @@ def lsh_candidate_pairs(
     clusters (one template, 10⁴ near-copies → 10⁸ pairs from one bucket).
     ``max_bucket`` bounds each (band, band_key) bucket's pair OUTPUT at
     max_bucket² + 2·bucket_size (the batch twin of the streaming
-    near_dup_candidates cap): the lowest-id ``max_bucket`` members pair
-    all-against-all as before, and every member past the cap emits TWO
-    edges — a star edge to the bucket's minimum id and a chain edge to
-    its rank-predecessor. On the raw candidate graph the connected
-    components are EXACTLY the uncapped cliques' (tested by union-find
-    equality). Downstream of a thresholded verify (jaccard/cosine ≥ τ)
-    the guarantee is necessarily weaker — a capped member survives on
-    O(1) verified edges instead of O(bucket) — but the star+chain pair
-    covers the dangerous case: if the canonical is an LSH false positive
-    (its star edges fail verification), true near-dups still merge
-    through the chain of consecutive members.
+    near_dup_candidates cap): the first ``max_bucket`` members in chain
+    order pair all-against-all, and every member past the cap emits TWO
+    edges — a star edge to the bucket's chain-first member and a chain
+    edge to its rank-predecessor. On the raw candidate graph the
+    connected components are EXACTLY the uncapped cliques' (tested by
+    union-find equality). Downstream of a thresholded verify
+    (jaccard/cosine ≥ τ) the guarantee is necessarily weaker — a capped
+    member survives on O(1) verified edges instead of O(bucket).
+
+    ``chain_col`` names a full-content fingerprint column riding on
+    ``sig`` (e.g. ``md5(text)``; thread it through
+    ``minhash_signatures(keep_cols=...)``). When given, the in-bucket
+    chain is ordered by (fingerprint, id) instead of id, so EXACT
+    duplicates sit contiguously and every identical same-bucket pair is
+    covered by a chain edge whose verify jaccard is exactly 1 — exact
+    duplicates then always merge, at any cap, under any hash engine.
+    Without it the cap is LOSSY for exact dups in crowded buckets:
+    measured on the sf0.01 mirrored corpus, id-ordered chains separated
+    45% of exact mirror pairs and the md5/xxhash64 keep sets diverged on
+    244/1000 docs; ordering by the full minhash signature was NOT enough
+    (template boilerplate drives unrelated docs to identical signatures,
+    so non-duplicates interleave the run and their chain links die at
+    verify) — see SCALE.md r8. Near-dup (τ < 1) survival past the cap
+    remains O(1)-edge best-effort by design.
     """
     if max_bucket is not None and max_bucket < 1:
         # rank-1 rows must stay in the core: max_bucket=0 would route
         # every bucket member through capped_out, emitting self-edges
         # (id_a == _canon == id_b) and null-predecessor chain edges
         raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
-    banded = banded_signatures(sig, id_col, bands, rows_per_band)
+    if chain_col is not None and chain_col not in sig.columns:
+        raise ValueError(
+            f"chain_col {chain_col!r} not in signature frame "
+            f"(columns: {sig.columns})"
+        )
     star = None
     if max_bucket is not None:
-        # One window spec serves all three: rank for the cap, first-by-id
-        # for the bucket canonical (== min id under this ordering), lag
-        # for the chain predecessor.
-        w = Window.partitionBy("band", "band_key").orderBy(id_col)
+        chain_cols = [chain_col] if chain_col is not None else []
+        banded = banded_signatures(
+            sig, id_col, bands, rows_per_band, keep_cols=tuple(chain_cols)
+        )
+        # One window spec serves all three: rank for the cap, first-in-
+        # chain-order for the bucket canonical, lag for the chain
+        # predecessor.
+        w = Window.partitionBy("band", "band_key").orderBy(
+            *chain_cols, id_col
+        )
         ranked = (
             banded.withColumn("_rk", F.row_number().over(w))
             .withColumn("_canon", F.first(id_col).over(w))
             .withColumn("_prev", F.lag(id_col).over(w))
         )
         capped_out = ranked.filter(F.col("_rk") > max_bucket)
+        # chain order is by content, not id, so a predecessor can carry a
+        # LARGER id — canonicalize to (least, greatest) to keep the
+        # family-wide id_a < id_b contract and let distinct() dedupe
+        # against the capped clique
         star = capped_out.select(
-            F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
+            F.least("_canon", id_col).alias("id_a"),
+            F.greatest("_canon", id_col).alias("id_b"),
         ).unionByName(
             capped_out.select(
-                F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
+                F.least("_prev", id_col).alias("id_a"),
+                F.greatest("_prev", id_col).alias("id_b"),
             )
         )
         banded = ranked.filter(F.col("_rk") <= max_bucket).drop(
-            "_rk", "_canon", "_prev"
+            "_rk", "_canon", "_prev", *chain_cols
         )
+    else:
+        banded = banded_signatures(sig, id_col, bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -3382,43 +3382,58 @@ _DEDUP_PIPE_ROWS = 2
 _DEDUP_PIPE_TAU = 0.5
 
 
-_PIPELINE_PERSIST: dict[str, DataFrame] = {}
+_PIPELINE_PERSIST: dict[str, list[DataFrame]] = {}
 
 
-def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_pipeline_labels(docs: DataFrame, hash_engine: str):
+    """Shared composed-pipeline body (L46 and its engine-parity twin):
+    full-text-fingerprinted signatures → content-ordered capped
+    candidates → rounded-jaccard verify → CC labels, under the given
+    hash engine. The fingerprint chain order makes exact duplicates
+    cap-proof under ANY engine (lsh_candidate_pairs' chain_col).
+    Returns (persisted signature relation, labels frame) — the CALLER
+    owns the sig's unpersist lifecycle. The persist matters: the capped
+    pair join references the signature relation three times (ranked
+    window + both self-join sides), and each reference would otherwise
+    re-run the shingle-hash pass — measured 9.6 → 2.3 s for the pair
+    stage at sf0.1."""
     from pyspark.sql import functions as F
 
     from .llm import dedup as llm_dedup
 
-    register_views(spark, sf_dir, ("documents",))
-    docs = spark.table("documents")
+    docs = docs.withColumn("_fp", F.md5(F.col("text").cast("binary")))
     sig = llm_dedup.minhash_signatures(
         docs,
         num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
         shingle_k=5,
-        hash_engine="md5",  # the DuckDB-replayable twin of xxhash64
-    )
-    # persist the signature relation: the capped pair join references it
-    # THREE times (ranked window + both self-join sides), and each
-    # reference would otherwise re-run the md5-over-shingles pass —
-    # measured 9.6 → 2.3 s for the pair stage at sf0.1. One-slot
-    # lifecycle per session, as _JACCARD_PERSIST.
-    app_id = spark.sparkContext.applicationId
-    prev = _PIPELINE_PERSIST.pop(app_id, None)
-    if prev is not None:
-        prev.unpersist()
-    sig = sig.persist()
-    _PIPELINE_PERSIST[app_id] = sig
+        keep_cols=("_fp",),
+        hash_engine=hash_engine,
+    ).persist()
     pairs = llm_dedup.lsh_candidate_pairs(
         sig,
         bands=_DEDUP_PIPE_BANDS,
         rows_per_band=_DEDUP_PIPE_ROWS,
         max_bucket=_JACCARD_MAX_BUCKET,
+        chain_col="_fp",
     )
     verified = llm_dedup.ngram_jaccard(docs, pairs, join_hint="merge").filter(
         F.round(F.col("jaccard"), 6) >= _DEDUP_PIPE_TAU
     )
     labels = llm_dedup.connected_components(verified, docs, "doc_id")
+    return sig, labels
+
+
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    # one-slot per-session persist lifecycle, as _JACCARD_PERSIST
+    sig, labels = _dedup_pipeline_labels(docs, "md5")
+    app_id = spark.sparkContext.applicationId
+    for prev in _PIPELINE_PERSIST.pop(app_id, []):
+        prev.unpersist()
+    _PIPELINE_PERSIST[app_id] = [sig]
     return labels.select(
         "doc_id",
         "component_id",
@@ -3464,13 +3479,17 @@ banded AS (
   UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
   UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig
 ),
+fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
 ranked AS (
-  SELECT doc_id, band, band_key,
+  -- chain order = (full-text fingerprint, doc_id): exact duplicates are
+  -- adjacent, so the cap can never separate an exact-duplicate pair
+  -- (see llm.dedup.lsh_candidate_pairs' chain_col)
+  SELECT b.doc_id, b.band, b.band_key,
          row_number() OVER w AS rk,
-         first_value(doc_id) OVER w AS canon,
-         lag(doc_id) OVER w AS prev
-  FROM banded
-  WINDOW w AS (PARTITION BY band, band_key ORDER BY doc_id)
+         first_value(b.doc_id) OVER w AS canon,
+         lag(b.doc_id) OVER w AS prev
+  FROM banded b JOIN fp f ON b.doc_id = f.doc_id
+  WINDOW w AS (PARTITION BY b.band, b.band_key ORDER BY f.fp, b.doc_id)
 ),
 pairs AS (
   SELECT DISTINCT id_a, id_b FROM (
@@ -3480,9 +3499,11 @@ pairs AS (
      AND a.doc_id < b.doc_id
      AND a.rk <= {_JACCARD_MAX_BUCKET} AND b.rk <= {_JACCARD_MAX_BUCKET}
     UNION ALL
-    SELECT canon, doc_id FROM ranked WHERE rk > {_JACCARD_MAX_BUCKET}
+    SELECT least(canon, doc_id), greatest(canon, doc_id)
+    FROM ranked WHERE rk > {_JACCARD_MAX_BUCKET}
     UNION ALL
-    SELECT prev, doc_id FROM ranked WHERE rk > {_JACCARD_MAX_BUCKET}
+    SELECT least(prev, doc_id), greatest(prev, doc_id)
+    FROM ranked WHERE rk > {_JACCARD_MAX_BUCKET}
   )
 ),
 verified AS (
@@ -3505,6 +3526,98 @@ SELECT src AS doc_id, min(dst) AS component_id,
        src = min(dst) AS keep
 FROM reach GROUP BY src
 """
+
+
+def _q_dedup_pipeline_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end certificate for the PRODUCTION dedup engine: the WHOLE
+    composed pipeline (signatures → content-ordered capped buckets →
+    jaccard verify → connected components) runs under BOTH hash engines
+    over the mirrored corpus (every doc gets one exact-dup partner at
+    doc_id + 1_000_000, the minhash_engine_parity scaffold), and the
+    output is the per-doc merged flag — did the pipeline put the doc and
+    its mirror in one component? — for each engine side by side. The
+    chain_col guarantee makes BOTH columns provably all-true (exact
+    duplicates are chain-adjacent in every shared bucket, and their
+    chain edge verifies at jaccard exactly 1), so a production-engine
+    regression that drops an exact pair anywhere in the chain flips a
+    flag and hash-mismatches the oracle, which independently replays the
+    md5 side's full pipeline (recursive-CTE reachability included) and
+    asserts cross-engine agreement. Composed-pipeline analog of the
+    reference's end-to-end domain tests
+    (/root/reference/domain-tests/test_writer_modules.py:18-41): the
+    chain is certified as a whole, not stage by stage. NOTE the keep
+    SETS (which doc survives) still differ between engines on NEAR-dup
+    (τ < 1) merges — candidate surfacing for non-identical docs is
+    hash-dependent by design; measured r8: keep sets agreed on only
+    756/1000 docs before the chain_col fix, 894/1000 after (SCALE.md
+    r8) — which is exactly why the invariant certified here is the
+    engine-independent core (exact-pair merging), not whole-keep-set
+    equality."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    base = spark.table("documents").select("doc_id", "text")
+    docs = base.unionAll(
+        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    app_id = spark.sparkContext.applicationId
+    sides = []
+    sigs = []
+    for engine, flag in (("md5", "merged_md5"), ("xxhash64", "merged_xxhash64")):
+        sig, labels = _dedup_pipeline_labels(docs, engine)
+        sigs.append(sig)
+        sides.append(
+            labels.alias("a")
+            .join(
+                labels.alias("b"),
+                F.col("a.doc_id") + 1_000_000 == F.col("b.doc_id"),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                (F.col("a.component_id") == F.col("b.component_id")).alias(flag),
+            )
+        )
+    for prev in _PARITY_PIPE_PERSIST.pop(app_id, []):
+        prev.unpersist()
+    _PARITY_PIPE_PERSIST[app_id] = sigs
+    return sides[0].join(sides[1], "doc_id")
+
+
+_PARITY_PIPE_PERSIST: dict[str, list[DataFrame]] = {}
+
+
+def _parity_pipeline_oracle() -> str:
+    """Derive the parity oracle from the dedup_pipeline oracle by string
+    surgery — ONE source of truth for the md5 replay: corpus → mirrored
+    corpus, per-doc keep → per-base-doc mirror-merged flag (emitted for
+    both engine columns: the cross-engine agreement IS the assertion)."""
+    tail = """SELECT src AS doc_id, min(dst) AS component_id,
+       src = min(dst) AS keep
+FROM reach GROUP BY src"""
+    new_tail = """, comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+)
+SELECT a.doc_id AS doc_id,
+       a.component_id = b.component_id AS merged_md5,
+       a.component_id = b.component_id AS merged_xxhash64
+FROM comp a JOIN comp b ON a.doc_id + 1000000 = b.doc_id"""
+    core = ORACLE["dedup_pipeline"]
+    assert tail in core and core.count("FROM documents") == 3, (
+        "dedup_pipeline oracle changed shape; update the parity surgery"
+    )
+    out = core.replace("FROM documents", "FROM aug").replace(tail, new_tail)
+    # insert aug AFTER the blanket replace so its own FROM documents stays
+    return out.replace(
+        "WITH RECURSIVE sh AS (",
+        "WITH RECURSIVE aug AS (\n"
+        "  SELECT doc_id, text FROM documents\n"
+        "  UNION ALL SELECT doc_id + 1000000, text FROM documents\n"
+        "),\nsh AS (",
+        1,
+    )
+
+
+ORACLE["dedup_pipeline_engine_parity"] = _parity_pipeline_oracle()
 
 
 # --- deterministic stratified sampling: the training-mix builder ------------
@@ -3884,6 +3997,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "dedup_pipeline": _q_dedup_pipeline,
+    "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,
     "srp_signatures": _q_srp_signatures,
     # scale-safe registry defaults (capped / auto-k); the uncapped and
     # fixed-k twins stay as named cross-checks with their own oracles

@@ -39,7 +39,14 @@ WINDOW = 50
 # a distributed Spark aggregate — values are bit-identical by
 # construction, but the derivation is new code and its certificate
 # should be, too.
-CHANGED: dict[str, int] = {"bm25_topk": 7, "unigram_logprob_score": 7}
+CHANGED: dict[str, int] = {
+    "bm25_topk": 7,
+    "unigram_logprob_score": 7,
+    # r8: the composed pipeline's bucket cap now orders its chain by a
+    # full-text fingerprint (lsh_candidate_pairs chain_col) — candidate
+    # set changed, oracle updated to match
+    "dedup_pipeline": 8,
+}
 
 _REPO_ROOT = Path(__file__).resolve().parents[1]
 
