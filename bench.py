@@ -383,6 +383,23 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Persist the FULL per-query dict per round (VERDICT r7 #4): the
+    # driver's BENCH_r*.json preserves only a truncated stdout tail —
+    # only ~half of the ~90 entries were surviving each round, so
+    # cross-round perf comparisons were losing data. The current round
+    # number is one past the newest driver-recorded correctness file.
+    import re
+
+    root = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for f in root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", f.name))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    outdir = root / "bench_results"
+    outdir.mkdir(exist_ok=True)
+    (outdir / f"r{rnd}.json").write_text(json.dumps(out, indent=1) + "\n")
 
 
 if __name__ == "__main__":

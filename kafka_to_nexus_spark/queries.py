@@ -1631,6 +1631,39 @@ FROM cum
 SPARK_SQL["sequence_packing"] = _pack_sql("size(split(text, ' '))")
 ORACLE["sequence_packing"] = _pack_sql("len(string_split(text, ' '))")
 
+# --- L52: deterministic BPE token counting -----------------------------------
+# Greedy lowest-rank byte-pair merging over a LITERAL merge table (the
+# public Sennrich/GPT-2 algorithm), compiled to a chain of replace()
+# expressions that BOTH engines run verbatim — whole-stage codegen on the
+# Spark side, a bit-identical replay on the DuckDB side (llm/bpe.py has
+# the well-formedness argument for why the chain equals the classic
+# iterative loop, and the Arrow-batched broadcast-table path for real
+# 50k-merge vocabularies). bpe_sequence_packing re-denominates the L33
+# packer in BPE tokens: same shard-salted running-sum plan, different
+# token measure.
+from .llm.bpe import bpe_count_expr as _bpe_expr  # noqa: E402
+
+
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52 through the library function (llm/bpe.py bpe_token_counts):
+    one Project over the pruned (doc_id, text) scan — no shuffle, no
+    Python."""
+    from .llm import bpe as llm_bpe
+
+    register_views(spark, sf_dir, ("documents",))
+    return llm_bpe.bpe_token_counts(spark.table("documents"))
+
+
+ORACLE["bpe_token_counts"] = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST({_bpe_expr("text", dialect="duckdb")} AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+SPARK_SQL["bpe_sequence_packing"] = _pack_sql(_bpe_expr("text", dialect="spark"))
+ORACLE["bpe_sequence_packing"] = _pack_sql(_bpe_expr("text", dialect="duckdb"))
+
 # --- LLM-pipeline: text analysis --------------------------------------------
 SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
@@ -1983,7 +2016,8 @@ FROM p ORDER BY cosine DESC, id_a, id_b LIMIT 20
 # --- BPE-ish regex token counting --------------------------------------------
 # Letter runs / digit runs / single punctuation marks — the pre-tokenizer
 # split every BPE vocabulary starts from. Same RE2/Java-safe pattern both
-# engines.
+# engines. (This is the PRE-tokenizer count only; true merge-table BPE
+# counting is L52 — `bpe_token_counts` / `bpe_sequence_packing`, llm/bpe.py.)
 _BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 SPARK_SQL["bpe_token_count"] = f"""
 SELECT source,
@@ -3996,6 +4030,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
+    "bpe_token_counts": _q_bpe_token_counts,
     "dedup_pipeline": _q_dedup_pipeline,
     "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,
     "srp_signatures": _q_srp_signatures,

@@ -357,6 +357,65 @@ def test_mp4_parser_never_raises(payload):
     assert out is None or (out[0] > 0 and out[1] >= 0)
 
 
+# ---------------------------------------------------------------------------
+# BPE token counting: replace-chain compilation == classic iterative loop
+# ---------------------------------------------------------------------------
+
+from kafka_to_nexus_spark.llm import bpe as llm_bpe  # noqa: E402
+
+
+def test_bpe_merge_table_well_formed():
+    """The property that makes the rank-ordered replace chain equal to
+    classic BPE — if someone edits MERGES into a non-well-formed state,
+    the compilation silently diverges, so pin it."""
+    assert llm_bpe.well_formed(llm_bpe.MERGES)
+    # counterexamples the checker must reject
+    assert not llm_bpe.well_formed([("a", "bc")])        # unseen constituent
+    assert not llm_bpe.well_formed([("a", "b"), ("a", "b")])  # dup result
+    # result consumed by an EARLIER merge: ("a","b")->"ab" after ("ab","c")
+    assert not llm_bpe.well_formed([("a", "b"), ("c", "ab"), ("a", "b")])
+
+
+def test_bpe_classic_examples():
+    ranks = llm_bpe.merge_ranks()
+    assert llm_bpe.bpe_encode("table", ranks) == ["table"]
+    assert llm_bpe.bpe_encode("spark", ranks) == ["spark"]
+    assert llm_bpe.bpe_encode("windowing", ranks) == [
+        "w", "in", "d", "ow", "ing"
+    ]
+    assert llm_bpe.bpe_encode("zzz", ranks) == ["z", "z", "z"]
+    assert llm_bpe.bpe_encode("a", ranks) == ["a"]
+
+
+@given(st.lists(
+    st.text(alphabet="abcdefghiklmnorstuvwy 0123.,!'", min_size=0,
+            max_size=60),
+    min_size=1, max_size=8))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_expression_chain_matches_classic(spark, texts):
+    """The compiled replace chain (what the engine and the DuckDB oracle
+    run) and the Arrow path must both count exactly what the classic
+    iterative algorithm counts, for arbitrary text over the supported
+    alphabet (both engines' counts are also hash-compared by the driver;
+    this pins the ALGORITHM, not just cross-engine agreement)."""
+    ranks = llm_bpe.merge_ranks()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected = {
+        i: sum(len(llm_bpe.bpe_encode(w, ranks))
+               for w in llm_bpe.pretokenize(t))
+        for i, t in enumerate(texts)
+    }
+    got = {r.doc_id: r.bpe_tokens
+           for r in llm_bpe.bpe_token_counts(df).collect()}
+    assert got == expected, (texts, got, expected)
+    got_arrow = {r.doc_id: r.bpe_tokens
+                 for r in llm_bpe.bpe_token_counts_arrow(df).collect()}
+    assert got_arrow == expected
+
+
 def _fixture_png():
     import struct
     import zlib
