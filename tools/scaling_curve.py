@@ -147,6 +147,14 @@ X1000_OPS = {
     "dedup_pipeline",
     # r7: prove the estimator's bucket cap holds at 5M docs
     "minhash_jaccard_estimate",
+    # r8: close the last x1000 dashes (all stopped overhead-bound at
+    # x100 in the r7 table) and pin the new BPE ops' narrow-map slope
+    "dataset_split",
+    "multimodal_image_dims",
+    "multimodal_wav_meta",
+    "multimodal_mp4_meta",
+    "bpe_token_counts",
+    "bpe_sequence_packing",
 }
 
 
