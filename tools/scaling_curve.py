@@ -88,6 +88,8 @@ FAMILY = {
     # (narrow maps — python-UDF for the parsers, codegen for the split)
     "minhash_jaccard_estimate": "documents",
     "dataset_split": "documents",
+    "bpe_token_counts": "documents",
+    "bpe_sequence_packing": "documents",
     "multimodal_image_dims": "documents",
     "multimodal_wav_meta": "documents",
     "multimodal_mp4_meta": "documents",
