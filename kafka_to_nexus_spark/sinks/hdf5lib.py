@@ -1033,7 +1033,12 @@ class _Reader:
             ]
             if shape == ():
                 return name, strs[0]
-            return name, np.array(strs, dtype=str).reshape(shape)
+            # object dtype, not str: numpy's fixed-width unicode arrays
+            # NUL-pad, so a stored trailing '\x00' CHARACTER is
+            # indistinguishable from padding and silently dropped on
+            # read-back (hypothesis-found); h5py also returns object
+            # arrays for vlen-string attributes
+            return name, np.array(strs, dtype=object).reshape(shape)
         arr = np.frombuffer(
             body[pos : pos + count * dtype.itemsize], dtype=dtype
         ).reshape(shape)

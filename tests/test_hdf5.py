@@ -348,7 +348,7 @@ def test_pack_from_instrument_template(spark, tmp_path):
 # round-trip arbitrary trees — shapes, dtypes, attributes, nesting.
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 _DTYPES = [np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32,
@@ -958,6 +958,10 @@ _vlen_strings = st.lists(
 
 
 @given(strings=_vlen_strings, reps=st.integers(min_value=1, max_value=3))
+# regression (r8): a trailing '\x00' CHARACTER in a vlen attr array came
+# back stripped — numpy fixed-width unicode NUL-pads, so the reader must
+# return object arrays
+@example(strings=["\x00"], reps=1)
 @settings(max_examples=30, deadline=None)
 def test_vlen_heap_block_boundary_round_trip(tmp_path_factory, strings, reps):
     """Every vlen string written through the pooled heap — as a dataset,
