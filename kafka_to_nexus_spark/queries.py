@@ -1093,7 +1093,8 @@ def _lazy_oracles(sf_dir: str | None = None) -> dict[str, str]:
         # environment-dependent
         warnings.warn(
             f"no documents corpus at {sf_dir!r}: omitting the "
-            "bm25_topk/unigram_logprob_score oracles (rows-only check)",
+            "bm25_topk/unigram_logprob_score/bigram_logprob_score oracles "
+            "(rows-only check)",
             stacklevel=2,
         )
         return {}
@@ -1101,6 +1102,7 @@ def _lazy_oracles(sf_dir: str | None = None) -> dict[str, str]:
     return {
         "bm25_topk": _bm25_sql(n_docs, total_tokens, "duck"),
         "unigram_logprob_score": _UNIGRAM_SQL["duck"].format(total=total_tokens),
+        "bigram_logprob_score": _BIGRAM_SQL["duck"].format(total=total_tokens),
     }
 
 # --- unigram LM negative log-likelihood --------------------------------------
@@ -1163,6 +1165,80 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     _, total_tokens = _spark_corpus_stats(spark, sf_dir)
     return spark.sql(_UNIGRAM_SQL["spark"].format(total=total_tokens))
+
+
+# --- L55: bigram LM negative log-likelihood ----------------------------------
+# The next rung above L45 on the perplexity-filter ladder: a self-trained
+# BIGRAM LM with fixed-weight interpolation against the unigram
+# distribution (Jelinek-Mercer, λ=0.7 — the classic smoothing every
+# n-gram LM course derives), each doc scored by mean NLL over its bigram
+# positions. p(w2|w1) = 0.7·c(w1,w2)/c(w1·) + 0.3·cf(w2)/N. Scale shape:
+# bigram extraction is a narrow map (parallel zip of the token array
+# against its own tail — no self-join), counts are map-side-combined
+# hash aggs keyed by word pairs, scoring joins are hash equi-joins on
+# those keys, and per-position contributions are rounded then summed as
+# DECIMAL(28,6) — exact, order-independent, bit-identical across engines
+# regardless of partitioning (the L45 pattern). The shared tail is the
+# SAME string in both dialects; only tokenization differs.
+_BIGRAM_TAIL = """
+bgf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+bc AS (SELECT w1, w2, CAST(sum(tf) AS DOUBLE) AS cb FROM bgf GROUP BY w1, w2),
+cc AS (SELECT w1, CAST(sum(tf) AS DOUBLE) AS cw FROM bgf GROUP BY w1),
+freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM terms GROUP BY term),
+contrib AS (
+  SELECT bgf.doc_id, bgf.tf,
+         CAST(round(bgf.tf * ln(0.7 * bc.cb / cc.cw
+                                + 0.3 * freq.cf / {total}), 6)
+              AS DECIMAL(28, 6)) AS c
+  FROM bgf JOIN bc ON bgf.w1 = bc.w1 AND bgf.w2 = bc.w2
+           JOIN cc ON bgf.w1 = cc.w1
+           JOIN freq ON bgf.w2 = freq.term
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(-sum(c) AS DOUBLE) AS nll_total
+FROM contrib GROUP BY doc_id
+"""
+# nll_total + n_bigrams, NOT a rounded mean: round(sum/count, 6) has a
+# tie hazard — at sf0.01 one doc's mean landed EXACTLY halfway at the
+# 6th decimal (…0015) and the engines' double-division-then-round
+# disagreed by 1 ulp of the last digit. The decimal sum is exact and its
+# double conversion correctly rounded in both engines; consumers derive
+# the mean. (L45's unigram mean carries the same latent hazard — its
+# rows have never hit a tie; migrate it the same way if one ever does.)
+
+_BIGRAM_SQL = {
+    "spark": """
+WITH w AS (
+  SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+terms AS (SELECT explode(ws) AS term FROM w),
+bg AS (
+  SELECT doc_id, b.w1, b.w2
+  FROM (SELECT * FROM w WHERE size(ws) >= 2) t
+  LATERAL VIEW inline(transform(sequence(1, size(ws) - 1),
+       i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))
+       b AS w1, w2
+),
+""" + _BIGRAM_TAIL,
+    "duck": """
+WITH w AS (
+  SELECT doc_id, [x for x in string_split(lower(text), ' ') if x <> ''] AS ws
+  FROM documents
+),
+terms AS (SELECT unnest(ws) AS term FROM w),
+bg AS (
+  SELECT doc_id, unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+""" + _BIGRAM_TAIL,
+}
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    _, total_tokens = _spark_corpus_stats(spark, sf_dir)
+    return spark.sql(_BIGRAM_SQL["spark"].format(total=total_tokens))
 
 
 # --- per-dimension embedding moments -----------------------------------------
@@ -4180,6 +4256,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
+    "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
