@@ -1339,6 +1339,70 @@ SELECT doc_id,
 FROM grid
 """
 
+
+# --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
+# C4's famous cleanup ("discard all but one of any three-sentence span
+# occurring more than once in the corpus"), re-expressed over
+# non-overlapping 8-token chunks from the L42 chunker: every chunk whose
+# exact text occurs elsewhere in the corpus is dropped EXCEPT the first
+# occurrence in (doc_id, token_offset) order. Shape: narrow chunk map →
+# ONE md5(chunk)-keyed window (row_number — first occurrence survives;
+# no count needed, rn > 1 ⇔ duplicated-and-not-first) → per-doc hash
+# agg. Two shuffles, zero joins; the chunk-hash partition skew is
+# bounded by the most-duplicated span's occurrence count.
+_CHUNK_DEDUP_K = 8
+
+
+def _q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    chunks = llm_text.chunk_documents(
+        spark.table("documents"),
+        chunk_tokens=_CHUNK_DEDUP_K,
+        overlap_tokens=0,
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        "doc_id", "token_offset"
+    )
+    flagged = chunks.withColumn("_rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum((F.col("_rn") > 1).cast("int")).cast("long").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("_rn") > 1, 0).otherwise(F.col("n_tokens"))
+        ).cast("long").alias("tokens_kept"),
+    )
+
+
+ORACLE["chunk_dedup_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+grid AS (
+  SELECT doc_id, CAST(unnest(range(0, len(toks), {_CHUNK_DEDUP_K})) AS BIGINT) AS off, toks
+  FROM base
+),
+ch AS (
+  SELECT doc_id, off,
+         list_slice(toks, off + 1, off + {_CHUNK_DEDUP_K}) AS sl
+  FROM grid
+),
+ranked AS (
+  SELECT doc_id, len(sl) AS n_tokens,
+         row_number() OVER (PARTITION BY md5(array_to_string(sl, ' '))
+                            ORDER BY doc_id, off) AS rn
+  FROM ch
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_kept
+FROM ranked GROUP BY doc_id
+"""
+
 # --- per-source document cap -------------------------------------------------
 # The standard pretraining curation op the registry lacked: cap the number
 # of documents any one source (domain) contributes, choosing a
@@ -4258,6 +4322,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
+    "chunk_dedup_stats": _q_chunk_dedup_stats,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
     "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,
