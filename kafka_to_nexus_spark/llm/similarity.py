@@ -610,6 +610,108 @@ def adc_topk(
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ): the other half of IVF-PQ (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"). The vector space is
+# split into m orthogonal subspaces; each gets its OWN k-centroid codebook
+# (trained with the portable Lloyd twin so DuckDB replays it), a vector
+# encodes to m small codes (m bytes at k<=256 — a 64-dim float vector
+# compresses 64x), and query scoring is ASYMMETRIC: the float query
+# builds one m×k distance table, each candidate costs m table lookups.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_portable(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks via :func:`kmeans_train_portable` over the
+    SLICED subvectors — m independent trainings, each a literal-centroid
+    map-only assign + one k×(dim/m) partial-agg shuffle per iteration.
+    Deterministic and engine-portable (md5 seeding, ordered-fold dots,
+    DECIMAL-exact update), so the SQL oracle replays every codebook."""
+    if dim is None:
+        dim = len(df.select(_as_double(F.col(vec_col))).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sd = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(_as_double(F.col(vec_col)), j * sd + 1, sd).alias(
+                "embedding"
+            ),
+        )
+        books.append(kmeans_train_portable(sub, k=k, n_iter=n_iter))
+    return books
+
+
+def pq_code_col(
+    vec: Column, codebooks: list[list[tuple[int, list[float]]]]
+) -> list[Column]:
+    """Per-subspace code columns: max-inner-product assignment against the
+    literal codebook (min -cid tie-break), the same portable struct-max
+    fold as :func:`kmeans_assignment_stats_portable`. Narrow map — at
+    scale these are the STORED columns; computing them inline keeps the
+    registry query self-contained."""
+    sd = len(codebooks[0][0][1])
+    cols = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(vec, j * sd + 1, sd)
+        scored = [
+            F.named_struct(
+                F.lit("s"), dot(sub, lit_doubles(c)),
+                F.lit("nc"), F.lit(-cid),
+            )
+            for cid, c in sorted(cb)
+        ]
+        cols.append((-F.array_max(F.array(*scored))["nc"]).cast("long"))
+    return cols
+
+
+def pq_adc_topk_portable(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k: the query's per-subspace distance tables ride as literal
+    id→dot maps (m×k doubles — driver-computed with the sequential fold,
+    bit-identical to the SQL list_dot_product), each candidate scores as
+    m map lookups summed in subspace order, then TakeOrderedAndProject on
+    (rounded score desc, id). No join, no shuffle beyond the top-k."""
+    sd = len(codebooks[0][0][1])
+    vec = _as_double(F.col(vec_col))
+    codes = pq_code_col(vec, codebooks)
+    score = None
+    for j, cb in enumerate(codebooks):
+        q_sub = query_vec[j * sd : (j + 1) * sd]
+        ordered = sorted(cb)
+        tmap = F.map_from_arrays(
+            lit_longs([cid for cid, _ in ordered]),
+            lit_doubles([_seq_dot(q_sub, c) for _, c in ordered]),
+        )
+        term = F.element_at(tmap, codes[j])
+        score = term if score is None else score + term
+    out = df
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Signed random projections (SRP): LSH in embedding space — the
 # embedding-analog of simhash. sign(v · h_j) per hyperplane j gives a
 # bit; nearby vectors (small angle) agree on most bits, so banding the

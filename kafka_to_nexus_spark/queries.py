@@ -4244,6 +4244,90 @@ FROM asg1 GROUP BY cid
 """
 
 
+# --- L57: product quantization (PQ) codebooks + ADC top-k ---------------------
+# The compression leg of IVF-PQ (Jégou et al. 2011): m per-subspace
+# codebooks trained with the SAME portable Lloyd twin the IVF family
+# uses, vectors encode to m codes, and the query scores candidates
+# through literal m×k distance tables — m map lookups per candidate, no
+# join, TakeOrderedAndProject for the top-k. The oracle replays ALL m
+# trainings (seed → assign → DECIMAL-exact update → re-assign) over the
+# sliced subvectors plus the table-lookup scoring, generated from the
+# same constants.
+_PQ_M, _PQ_K = 4, 16
+
+
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    books = sim.pq_train_portable(emb, m=_PQ_M, k=_PQ_K, n_iter=1)
+    qv = [
+        float(x)
+        for x in emb.filter("vec_id = 0")
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    ]
+    return sim.pq_adc_topk_portable(emb, books, qv, k=10, exclude_id=0)
+
+
+def _pq_oracle(m: int, k: int) -> str:
+    """DuckDB replay of pq_train_portable + pq_adc_topk_portable: per
+    subspace, the portable kmeans iteration (md5-gated seeding, max-dot
+    assign with cid tie-break, DECIMAL(38,18) centroid update) over the
+    SLICED vectors, then the query's distance table and the m-lookup sum
+    in subspace order."""
+    ctes = ["ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings)"]
+    for j in range(m):
+        # subspace slice bounds are computed from the corpus's own
+        # dimensionality so the oracle needs no dim literal
+        lo = f"({j} * (len(fv) // {m}) + 1)"
+        hi = f"(({j} + 1) * (len(fv) // {m}))"
+        ctes.append(f"""
+e_{j} AS (SELECT vec_id, fv[{lo}:{hi}] AS v FROM ed),
+seed_{j} AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 9973,
+                    vec_id) - 1 AS cid, v
+  FROM e_{j}
+),
+s0_{j} AS (SELECT cid, v FROM seed_{j} WHERE cid < {k}),
+asg0_{j} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, s.cid, list_dot_product(e.v, s.v) AS d
+    FROM e_{j} e CROSS JOIN s0_{j} s)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
+),
+u_{j} AS (SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM asg0_{j}),
+m_{j} AS (SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cx
+          FROM u_{j} GROUP BY cid, pos),
+mlist_{j} AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM m_{j} GROUP BY cid),
+c1_{j} AS (SELECT s.cid, coalesce(ml.cv, s.v) AS cv FROM s0_{j} s LEFT JOIN mlist_{j} ml USING (cid)),
+code_{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS d
+    FROM e_{j} e CROSS JOIN c1_{j} c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
+),
+q_{j} AS (SELECT v AS qv FROM e_{j} WHERE vec_id = 0),
+t_{j} AS (SELECT c.cid, list_dot_product(q.qv, c.cv) AS t FROM c1_{j} c, q_{j} q),
+sc_{j} AS (SELECT c.vec_id, t.t FROM code_{j} c JOIN t_{j} t ON c.cid = t.cid)""")
+    sum_expr = " + ".join(f"sc_{j}.t" for j in range(m))
+    joins = "sc_0" + "".join(f" JOIN sc_{j} USING (vec_id)" for j in range(1, m))
+    return (
+        "WITH " + ",".join(ctes) + f""",
+scored AS (SELECT sc_0.vec_id, {sum_expr} AS s FROM {joins})
+SELECT vec_id, round(s, 6) AS adc_score FROM scored WHERE vec_id <> 0
+ORDER BY adc_score DESC, vec_id LIMIT 10
+"""
+    )
+
+
+ORACLE["pq_adc_topk"] = _pq_oracle(_PQ_M, _PQ_K)
+
+
 _SEMDEDUP_TAU = 0.4
 
 
@@ -4323,6 +4407,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
+    "pq_adc_topk": _q_pq_adc_topk,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
     "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,

@@ -782,6 +782,52 @@ def test_max_bucket_zero_rejected(spark):
         similarity.srp_candidate_pairs(emb, max_bucket=0)
 
 
+def test_pq_adc_equals_reconstructed_dot(spark, embeddings):
+    """PQ's defining identity: the ADC table-lookup score must equal the
+    dot product of the query with the codebook RECONSTRUCTION of each
+    vector — Σ_j q_j·c_{j,code_j} = q·concat(codewords). Verified through
+    an independent numpy path (train in Spark, re-encode and score in
+    numpy), plus structural sanity: multiple codes in use per subspace."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    emb = embeddings.limit(200)
+    books = similarity.pq_train_portable(emb, m=4, k=8, n_iter=1)
+    rows = {r.vec_id: np.array(r.e) for r in emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).collect()}
+    q = rows[0]
+    got = {r.vec_id: r.adc_score for r in similarity.pq_adc_topk_portable(
+        emb, books, list(q), k=200, exclude_id=0).collect()}
+    sd = len(books[0][0][1])
+    used = [set() for _ in range(4)]
+    for vid, v in rows.items():
+        if vid == 0:
+            continue
+        score = 0.0
+        near_tie = False
+        for j, cb in enumerate(books):
+            sub = v[j * sd:(j + 1) * sd]
+            # independent argmax: numpy dot, tie on lowest cid; skip
+            # vectors whose argmax margin is inside float-summation noise
+            # (numpy pairwise sum vs the engine's sequential fold can
+            # legitimately disagree there)
+            ds = sorted(((float(np.dot(sub, c)), -cid) for cid, c in cb),
+                        reverse=True)
+            if len(ds) > 1 and ds[0][0] - ds[1][0] < 1e-9:
+                near_tie = True
+                break
+            cid = -ds[0][1]
+            used[j].add(cid)
+            cw = dict(cb)[cid]
+            score += float(np.dot(q[j * sd:(j + 1) * sd], cw))
+        if near_tie or vid not in got:
+            continue
+        assert abs(got[vid] - round(score, 6)) <= 2e-6, (vid, got[vid], score)
+    assert all(len(u) >= 2 for u in used), [len(u) for u in used]
+
+
 def test_semantic_dedup_auto_scales_k_with_corpus(spark, embeddings):
     """The auto wrapper holds cluster SIZE constant: doubling the corpus
     doubles k, and the prune output still covers every vector exactly
