@@ -711,6 +711,98 @@ def pq_adc_topk_portable(
     )
 
 
+def ivf_pq_topk_portable(
+    df: DataFrame,
+    coarse_k: int = 8,
+    probes: int = 2,
+    m: int = 4,
+    k: int = 16,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> DataFrame:
+    """The COMPOSED IVF-PQ read path (Jégou et al. 2011, §IV): coarse
+    k-means quantizer partitions the corpus into inverted lists; PQ
+    codebooks are trained on the RESIDUALS (v − coarse centroid), so the
+    codes spend their bits on within-list structure; a query probes the
+    ``probes`` nearest lists and scores ONLY their members through
+    per-(list, subspace) distance tables over its own residual. All
+    trainings use the portable Lloyd twin, so a DuckDB oracle replays
+    the entire index build + probe + ADC bit-for-bit.
+
+    Scale shape: two training passes (k×dim partial-agg shuffles), then
+    the query plan is one narrow map — coarse-assign, residual, m code
+    assignments, m map lookups — a probed-list filter, and a top-k
+    TakeOrderedAndProject. At 100 TB the coarse cid is the PARTITION
+    KEY of the stored layout (write_ivf_layout), so the probe filter
+    becomes partition pruning and the scan touches probes/coarse_k of
+    the data; codes are the stored columns."""
+    vec = _as_double(F.col(vec_col))
+    coarse = kmeans_train_portable(
+        df, k=coarse_k, n_iter=1, vec_col=vec_col, id_col=id_col
+    )
+    ordered_coarse = sorted(coarse)
+    cid_col = pq_code_col(vec, [coarse])[0]
+    cent_map = F.map_from_arrays(
+        lit_longs([cid for cid, _ in ordered_coarse]),
+        F.array(*[lit_doubles(c) for _, c in ordered_coarse]),
+    )
+    residual = F.zip_with(
+        vec, F.element_at(cent_map, cid_col), lambda x, c: x - c
+    )
+    resid_df = df.select(
+        F.col(id_col).alias("vec_id"),
+        cid_col.alias("list_id"),
+        residual.alias("embedding"),
+    )
+    books = pq_train_portable(resid_df, m=m, k=k, n_iter=1)
+    # driver-side query prep: full vector, probed lists, per-list
+    # residual distance tables (probes × m × k doubles — all literals)
+    q = [
+        float(x)
+        for x in df.filter(F.col(id_col) == query_id)
+        .select(vec.alias("_v"))
+        .first()[0]
+    ]
+    by_dot = sorted(
+        ordered_coarse, key=lambda t: (-_seq_dot(q, t[1]), t[0])
+    )
+    probed = by_dot[:probes]
+    sd = len(books[0][0][1])
+    # one map per subspace keyed by list_id * 4096 + code (list and code
+    # are both < 4096 by construction)
+    codes = pq_code_col(F.col("embedding"), books)
+    score = None
+    for j, cb in enumerate(books):
+        keys, vals = [], []
+        for lcid, cv in probed:
+            q_res = [q[i] - cv[i] for i in range(len(q))]
+            q_sub = q_res[j * sd : (j + 1) * sd]
+            for ccid, cw in sorted(cb):
+                keys.append(lcid * 4096 + ccid)
+                vals.append(_seq_dot(q_sub, cw))
+        tmap = F.map_from_arrays(lit_longs(keys), lit_doubles(vals))
+        term = F.element_at(
+            tmap, F.col("list_id") * 4096 + codes[j]
+        )
+        score = term if score is None else score + term
+    probed_ids = [lcid for lcid, _ in probed]
+    return (
+        resid_df.filter(
+            F.col("list_id").isin(probed_ids)
+            & (F.col("vec_id") != query_id)
+        )
+        .select(
+            "vec_id",
+            F.col("list_id").cast("int").alias("list_id"),
+            F.round(score, 6).alias("adc_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.col("vec_id"))
+        .limit(topk)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Signed random projections (SRP): LSH in embedding space — the
 # embedding-analog of simhash. sign(v · h_j) per hyperplane j gives a

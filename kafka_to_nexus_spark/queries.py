@@ -4273,13 +4273,12 @@ def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk_portable(emb, books, qv, k=10, exclude_id=0)
 
 
-def _pq_oracle(m: int, k: int) -> str:
-    """DuckDB replay of pq_train_portable + pq_adc_topk_portable: per
-    subspace, the portable kmeans iteration (md5-gated seeding, max-dot
-    assign with cid tie-break, DECIMAL(38,18) centroid update) over the
-    SLICED vectors, then the query's distance table and the m-lookup sum
-    in subspace order."""
-    ctes = ["ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings)"]
+def _pq_train_ctes(m: int, k: int) -> list[str]:
+    """Per-subspace replay of pq_train_portable over an ``ed(vec_id, fv)``
+    relation the caller provides: for each subspace, md5-gated seeding,
+    max-dot assign with cid tie-break, DECIMAL(38,18) centroid update,
+    re-assign to codes. Shared by the flat-PQ and IVF-PQ oracles."""
+    ctes = []
     for j in range(m):
         # subspace slice bounds are computed from the corpus's own
         # dimensionality so the oracle needs no dim literal
@@ -4310,7 +4309,19 @@ code_{j} AS (
     SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS d
     FROM e_{j} e CROSS JOIN c1_{j} c)
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
-),
+)""")
+    return ctes
+
+
+def _pq_oracle(m: int, k: int) -> str:
+    """Flat-PQ replay: codebooks over raw vectors, one distance table per
+    subspace for the query, m-lookup sum in subspace order."""
+    ctes = [
+        "ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings)"
+    ]
+    ctes += _pq_train_ctes(m, k)
+    for j in range(m):
+        ctes.append(f"""
 q_{j} AS (SELECT v AS qv FROM e_{j} WHERE vec_id = 0),
 t_{j} AS (SELECT c.cid, list_dot_product(q.qv, c.cv) AS t FROM c1_{j} c, q_{j} q),
 sc_{j} AS (SELECT c.vec_id, t.t FROM code_{j} c JOIN t_{j} t ON c.cid = t.cid)""")
@@ -4326,6 +4337,87 @@ ORDER BY adc_score DESC, vec_id LIMIT 10
 
 
 ORACLE["pq_adc_topk"] = _pq_oracle(_PQ_M, _PQ_K)
+
+
+# --- L58: COMPOSED IVF-PQ — coarse quantizer + residual PQ + probed ADC -------
+# The full ANN index read path (Jégou et al. 2011 §IV): the coarse
+# kmeans (the SAME portable replay the IVF family certifies) partitions
+# the corpus into inverted lists; PQ codebooks are trained on RESIDUALS
+# (v − coarse centroid); the query probes its nearest lists and scores
+# only their members through per-(list, subspace) distance tables built
+# over its own residual. At 100 TB the coarse cid is the stored layout's
+# partition key (write_ivf_layout), so the probe filter is partition
+# pruning and the scan touches probes/coarse_k of the data.
+_IVFPQ_COARSE_K, _IVFPQ_PROBES = 8, 2
+
+
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return sim.ivf_pq_topk_portable(
+        spark.table("embeddings"),
+        coarse_k=_IVFPQ_COARSE_K,
+        probes=_IVFPQ_PROBES,
+        m=_PQ_M,
+        k=_PQ_K,
+        topk=10,
+    )
+
+
+def _ivf_pq_oracle(m: int, k: int, coarse_k: int, probes: int) -> str:
+    """IVF-PQ replay: the coarse kmeans iteration (the shared
+    _kmeans_asg1_duck CTEs: e/seed/s0/asg0/u/m/mlist/c1/asg1), residuals
+    as the PQ training relation, the per-subspace codebook replay, then
+    probe selection and per-(list, subspace) tables over the query's
+    residual; a doc joins only its OWN list's table, which also applies
+    the probed-list filter."""
+    head = _kmeans_asg1_duck(str(coarse_k)) + """,
+ed AS (SELECT vec_id,
+              list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS fv
+       FROM asg1),
+qf AS (SELECT v FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cid, cv FROM (
+    SELECT c.cid, c.cv, list_dot_product(q.v, c.cv) AS d
+    FROM c1 c CROSS JOIN qf q)
+""" + f"  QUALIFY row_number() OVER (ORDER BY d DESC, cid) <= {probes}\n" + """),
+qres AS (
+  SELECT p.cid AS lcid,
+         list_transform(range(1, len(q.v) + 1), i -> q.v[i] - p.cv[i]) AS qr
+  FROM probe p CROSS JOIN qf q
+)"""
+    ctes = [head] + _pq_train_ctes(m, k)
+    for j in range(m):
+        lo = f"({j} * (len(qr) // {m}) + 1)"
+        hi = f"(({j} + 1) * (len(qr) // {m}))"
+        ctes.append(f"""
+tt_{j} AS (SELECT qres.lcid, c.cid,
+                  list_dot_product(qres.qr[{lo}:{hi}], c.cv) AS t
+           FROM c1_{j} c CROSS JOIN qres),
+ss_{j} AS (SELECT cd.vec_id, t.lcid, t.t
+           FROM code_{j} cd JOIN tt_{j} t ON cd.cid = t.cid)""")
+    sum_expr = " + ".join(f"ss_{j}.t" for j in range(m))
+    joins = "".join(
+        f"\n  JOIN ss_{j} ON ss_{j}.vec_id = a.vec_id AND ss_{j}.lcid = a.cid"
+        for j in range(m)
+    )
+    return (
+        ",".join(ctes) + f""",
+scored AS (
+  SELECT a.vec_id, a.cid AS lcid, {sum_expr} AS s
+  FROM asg1 a{joins}
+)
+SELECT vec_id, CAST(lcid AS INT) AS list_id, round(s, 6) AS adc_score
+FROM scored WHERE vec_id <> 0
+ORDER BY adc_score DESC, vec_id LIMIT 10
+"""
+    )
+
+
+ORACLE["ivf_pq_topk"] = _ivf_pq_oracle(
+    _PQ_M, _PQ_K, _IVFPQ_COARSE_K, _IVFPQ_PROBES
+)
 
 
 _SEMDEDUP_TAU = 0.4
@@ -4407,6 +4499,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
+    "ivf_pq_topk": _q_ivf_pq_topk,
     "pq_adc_topk": _q_pq_adc_topk,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,

@@ -828,6 +828,26 @@ def test_pq_adc_equals_reconstructed_dot(spark, embeddings):
     assert all(len(u) >= 2 for u in used), [len(u) for u in used]
 
 
+def test_ivf_pq_probes_restrict_candidates(spark, embeddings):
+    """The composed IVF-PQ read path: results come ONLY from the probed
+    lists (at most `probes` distinct list_ids), the query vector itself
+    is excluded, and scores are finite ADC values — the partition-pruning
+    contract that makes the stored layout scan probes/coarse_k of the
+    data at scale."""
+    import math
+
+    from kafka_to_nexus_spark import queries as Q
+
+    out = Q.queries()["ivf_pq_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 10
+    assert len({r.list_id for r in out}) <= Q._IVFPQ_PROBES
+    assert all(r.vec_id != 0 for r in out)
+    assert all(math.isfinite(r.adc_score) for r in out)
+    # descending score, id tie-break
+    scores = [(r.adc_score, r.vec_id) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
 def test_semantic_dedup_auto_scales_k_with_corpus(spark, embeddings):
     """The auto wrapper holds cluster SIZE constant: doubling the corpus
     doubles k, and the prune output still covers every vector exactly
