@@ -40,7 +40,7 @@ from __future__ import annotations
 import re
 from typing import Iterator, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -147,8 +147,22 @@ def bpe_count_expr(
     """SQL expression computing the per-row BPE token count — identical
     semantics in Spark SQL and DuckDB so the same builder emits both the
     engine side and the correctness oracle. Shape: pre-tokenize →
-    per-word space-delimited symbol string → one replace() per merge in
-    rank order → count symbols → sum over words. Narrow map, codegen."""
+    per-word COMMA-WRAPPED symbol string (each symbol rides as
+    ``,sym,``, so adjacent tokens juxtapose to ``,,``) → one replace()
+    per merge in rank order (``,a,,b,`` → ``,ab,``) → count symbols →
+    sum over words. Narrow map, codegen.
+
+    The wrapping matters: with single-separator encodings, adjacent
+    occurrences of the SAME pair share the boundary character, so one
+    leftmost-non-overlapping replace pass merges only every other
+    occurrence (``a b a b`` → one merge where classic BPE makes two —
+    found by the L59 trainer's property test). Self-contained wrappers
+    make each occurrence disjoint, so one pass per merge IS the classic
+    sweep; and because only [a-z0-9] runs enter the wrapped pipeline
+    (merges are [a-z0-9]-only, so a punctuation pre-token — which could
+    BE a comma — always counts as exactly one token and is tallied by a
+    plain character count instead), a pattern match always aligns to
+    whole-token boundaries."""
     if not well_formed(merges):
         raise ValueError(
             "merge table is not well-formed; the replace-chain compilation "
@@ -158,23 +172,33 @@ def bpe_count_expr(
         if not re.fullmatch(r"[a-z0-9]+", a + b):
             raise ValueError(f"merge {(a, b)!r}: only [a-z0-9] supported")
     if dialect == "spark":
-        seed = f"' ' || rtrim(regexp_replace(w, '(.)', '$1 ')) || ' '"
-        words = f"regexp_extract_all(lower({text_col}), '{_PRETOKEN_SQL}', 0)"
-        count = "size(split(trim({chain}), ' '))"
-        total = "aggregate(transform({words}, w -> {cnt}), 0, (s, x) -> s + x)"
+        seed = "regexp_replace(w, '(.)', ',$1,')"
+        words = f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0)"
+        punct = f"length(regexp_replace(lower({text_col}), '[a-z0-9 ]', ''))"
+        count = "size(split({chain}, ',,'))"
+        total = (
+            "aggregate(transform({words}, w -> {cnt}), 0, (s, x) -> s + x)"
+            " + {punct}"
+        )
     elif dialect == "duckdb":
-        seed = f"' ' || rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
-        words = f"regexp_extract_all(lower({text_col}), '{_PRETOKEN_SQL}', 0)"
-        count = "len(string_split(trim({chain}), ' '))"
+        seed = "regexp_replace(w, '(.)', ',\\1,', 'g')"
+        words = f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0)"
+        punct = (
+            f"length(regexp_replace(lower({text_col}), '[a-z0-9 ]', '', 'g'))"
+        )
+        count = "len(string_split({chain}, ',,'))"
         total = (
             "coalesce(list_sum(list_transform({words}, w -> {cnt})), 0)"
+            " + {punct}"
         )
     else:
         raise ValueError(f"unknown dialect {dialect!r}")
     chain = seed
     for a, b in merges:
-        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
-    return total.format(words=words, cnt=count.format(chain=chain))
+        chain = f"replace({chain}, ',{a},,{b},', ',{a}{b},')"
+    return total.format(
+        words=words, cnt=count.format(chain=chain), punct=punct
+    )
 
 
 def bpe_token_counts(
@@ -193,6 +217,83 @@ def bpe_token_counts(
             "bpe_tokens"
         ),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn a merge table from the corpus — classic BPE TRAINING
+    (Sennrich et al. 2016 §3.2): build the word-frequency vocabulary,
+    then repeatedly take the adjacent symbol pair with the highest
+    corpus-weighted count (ties broken on (pair) ascending — a total,
+    engine-portable order) and merge it everywhere.
+
+    Distributed shape: training runs on the DISTINCT-WORD vocabulary
+    with frequencies — corpus-size-independent after the first
+    pre-token count (Heaps' law: the vocab is millions of rows at 100 TB
+    while the corpus is trillions of tokens). Each of the ``n_merges``
+    iterations is one pair-count aggregation over the persisted vocab
+    (map-side combined, vocab-sized shuffle) + an O(1) argmax collect;
+    the tokenization state stays a COLUMN EXPRESSION (the accumulated
+    comma-wrapped replace chain of :func:`bpe_count_expr` — one pass per
+    merge equals the classic sweep because every occurrence is
+    self-delimited, and learned merges are well-formed by construction:
+    a pair can only contain symbols that exist at its own step).
+    Returns [(rank, left, right, weighted_pair_count)]."""
+    vocab = (
+        df.select(
+            F.explode(
+                F.expr(
+                    # letter/digit runs only: punctuation pre-tokens are
+                    # single symbols with no pairs, so they can never be
+                    # merged or affect pair counts — and excluding them
+                    # keeps the comma-wrapped state collision-free
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'[a-z]+|[0-9]+', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("s", F.regexp_replace(F.col("w"), "(.)", ",$1,"))
+        .persist()
+    )
+    try:
+        state: Column = F.col("s")
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(n_merges):
+            toks = F.split(F.btrim(state, F.lit(",")), ",,")
+            pair_rows = (
+                vocab.filter(F.size(toks) >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - 1),
+                            lambda i: F.struct(
+                                F.element_at(toks, i).alias("a"),
+                                F.element_at(toks, i + 1).alias("b"),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), "a", "b")
+                .first()
+            )
+            if pair_rows is None:
+                break
+            a, b, c = pair_rows["a"], pair_rows["b"], pair_rows["c"]
+            merges.append((rank, a, b, int(c)))
+            state = F.replace(
+                state, F.lit(f",{a},,{b},"), F.lit(f",{a}{b},")
+            )
+    finally:
+        vocab.unpersist()
+    return merges
 
 
 BPE_COUNT_SCHEMA = T.StructType(

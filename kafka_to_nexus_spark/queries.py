@@ -1804,6 +1804,66 @@ FROM documents
 SPARK_SQL["bpe_sequence_packing"] = _pack_sql(_bpe_expr("text", dialect="spark"))
 ORACLE["bpe_sequence_packing"] = _pack_sql(_bpe_expr("text", dialect="duckdb"))
 
+
+# --- L59: BPE tokenizer TRAINING ----------------------------------------------
+# Learning the merge table FROM the corpus (Sennrich et al. 2016 §3.2):
+# vocab with word frequencies, then n iterations of take-the-most-
+# frequent-adjacent-pair (ties on pair ascending) and merge-everywhere.
+# Training runs over the DISTINCT-WORD vocabulary, corpus-size-
+# independent after the pre-token count (Heaps' law); each iteration is
+# one vocab-sized pair-count shuffle + an O(1) argmax collect. The
+# DuckDB oracle replays EVERY iteration: the learned pair is a computed
+# VALUE, so each step's replace uses the previous step's argmax row via
+# a cross join — no literals, fully data-driven, which makes this the
+# registry's only oracle that replays a LEARNING loop end-to-end.
+_BPE_TRAIN_MERGES = 8
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import bpe as llm_bpe
+
+    register_views(spark, sf_dir, ("documents",))
+    merges = llm_bpe.bpe_train(
+        spark.table("documents"), n_merges=_BPE_TRAIN_MERGES
+    )
+    return spark.createDataFrame(
+        merges, "merge_rank long, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    ctes = [f"""
+vocab AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)) AS w
+    FROM documents) GROUP BY w
+),
+st0 AS (SELECT regexp_replace(w, '(.)', ',\\1,', 'g') AS s, freq FROM vocab)"""]
+    for i in range(n_merges):
+        ctes.append(f"""
+p{i} AS (
+  SELECT t[i] AS a, t[i + 1] AS b, sum(freq) AS c
+  FROM (SELECT string_split(trim(s, ','), ',,') AS t, freq FROM st{i}),
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+  GROUP BY t[i], t[i + 1]
+),
+b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+st{i + 1} AS (
+  SELECT replace(s, ',' || b.a || ',,' || b.b || ',',
+                 ',' || b.a || b.b || ',') AS s, freq
+  FROM st{i} CROSS JOIN b{i} b
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS merge_left, "
+        f"b AS merge_right, CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",".join(ctes) + f"\n{selects}"
+
+
+ORACLE["bpe_train_merges"] = _bpe_train_oracle(_BPE_TRAIN_MERGES)
+
 # --- LLM-pipeline: text analysis --------------------------------------------
 SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
@@ -4498,6 +4558,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
+    "bpe_train_merges": _q_bpe_train,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "pq_adc_topk": _q_pq_adc_topk,

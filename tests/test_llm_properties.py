@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from kafka_to_nexus_spark.llm import dedup, similarity
@@ -391,6 +391,11 @@ def test_bpe_classic_examples():
     st.text(alphabet="abcdefghiklmnorstuvwy 0123.,!'", min_size=0,
             max_size=60),
     min_size=1, max_size=8))
+# r8 regressions: "thth" — adjacent occurrences of one pair share the
+# boundary under single-separator encodings, so one replace pass merged
+# only every other occurrence; "," — a punctuation pre-token equal to
+# the wrapper delimiter must ride the plain char-count path
+@example(texts=["thth", ",", "ananan the"])
 @settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_bpe_expression_chain_matches_classic(spark, texts):
@@ -414,6 +419,73 @@ def test_bpe_expression_chain_matches_classic(spark, texts):
     got_arrow = {r.doc_id: r.bpe_tokens
                  for r in llm_bpe.bpe_token_counts_arrow(df).collect()}
     assert got_arrow == expected
+
+
+def _bpe_train_model(texts, n_merges):
+    """Pure-python BPE training: word-freq vocab, argmax pair by
+    (count desc, pair asc), merge everywhere."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in llm_bpe.pretokenize(t):
+            vocab[w] += 1
+    states = {w: tuple(w) for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        counts = Counter()
+        for w, syms in states.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((rank, best[0], best[1], counts[best]))
+        a, b = best
+        for w, syms in states.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            states[w] = tuple(out)
+    return merges
+
+
+@given(st.lists(st.text(alphabet="abcde ", min_size=1, max_size=30),
+                min_size=1, max_size=6))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_python_model(spark, texts):
+    """The distributed trainer (vocab + per-iteration pair-count aggs +
+    replace-chain state) must learn exactly what the classic per-word
+    python trainer learns, for arbitrary corpora."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = llm_bpe.bpe_train(df, n_merges=4)
+    assert got == _bpe_train_model(texts, 4), (texts, got)
+
+
+def test_bpe_trained_table_is_well_formed_and_usable(spark):
+    """L52 ↔ L59 composition: a learned merge table is well-formed by
+    construction (each pair's symbols exist at its own step), so it can
+    drive the replace-chain counter directly."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = [(a, b) for _, a, b, _ in llm_bpe.bpe_train(docs, n_merges=8)]
+    assert len(merges) == 8
+    assert llm_bpe.well_formed(merges)
+    out = llm_bpe.bpe_token_counts(docs.limit(20), merges=merges).collect()
+    ranks = llm_bpe.merge_ranks(merges)
+    for r in spark.createDataFrame(
+        [(x.doc_id, x.bpe_tokens) for x in out], "doc_id long, n long"
+    ).join(docs.limit(20), "doc_id").collect():
+        expected = sum(len(llm_bpe.bpe_encode(w, ranks))
+                       for w in llm_bpe.pretokenize(r.text))
+        assert r.n == expected
 
 
 def _fixture_png():
