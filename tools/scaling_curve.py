@@ -89,6 +89,7 @@ FAMILY = {
     "minhash_jaccard_estimate": "documents",
     "dataset_split": "documents",
     "bpe_token_counts": "documents",
+    "bpe_train_merges": "documents",
     "bpe_sequence_packing": "documents",
     "multimodal_image_dims": "documents",
     "multimodal_wav_meta": "documents",
@@ -157,6 +158,7 @@ X1000_OPS = {
     "multimodal_mp4_meta",
     "bpe_token_counts",
     "bpe_sequence_packing",
+    "bpe_train_merges",
 }
 
 
