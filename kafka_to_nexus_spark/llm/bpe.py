@@ -29,10 +29,12 @@ Two execution paths, same semantics:
   expression chain). Narrow, partition-preserving, O(word·merges) per
   row.
 
-The SQL pre-tokenizer uses a literal-space character class
-(``[a-z]+|[0-9]+|[^a-z0-9 ]``) — exact for this corpus, which contains
-no tab/newline (checked r8), and for any single-space-delimited text;
-the Arrow path uses the general ``\\s`` form.
+The SQL paths split the pre-tokenizer in two: letter/digit runs feed the
+merge pipeline, and punctuation — single-symbol pre-tokens that can
+never merge — is tallied as a plain character count over
+``[^a-z0-9 ]`` (a literal-space class: exact for this corpus, which
+contains no tab/newline (checked r8), and for any single-space-delimited
+text; the Arrow path uses the general ``\\s`` form).
 """
 
 from __future__ import annotations
@@ -66,7 +68,6 @@ MERGES: tuple[tuple[str, str], ...] = (
     ("k", "e"), ("ke", "y"),
 )
 
-_PRETOKEN_SQL = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 _PRETOKEN_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
 
 
