@@ -738,6 +738,14 @@ def ivf_pq_topk_portable(
     KEY of the stored layout (write_ivf_layout), so the probe filter
     becomes partition pruning and the scan touches probes/coarse_k of
     the data; codes are the stored columns."""
+    if coarse_k > 4096 or k > 4096:
+        # the per-(list, code) distance-table key packs as
+        # list_id * 4096 + code — a larger codebook would silently
+        # collide table entries into wrong scores
+        raise ValueError(
+            f"coarse_k/k must be <= 4096 (got {coarse_k}/{k}); widen the "
+            "table key packing first"
+        )
     vec = _as_double(F.col(vec_col))
     coarse = kmeans_train_portable(
         df, k=coarse_k, n_iter=1, vec_col=vec_col, id_col=id_col
