@@ -310,10 +310,17 @@ def main() -> None:
     # session that already ran dedup_components IS the memoized projection.
     RESET_MEMO = {"dedup_components": Q._CC_LABELS_CACHE.clear}
     MEMOIZED = {"dedup_keep_canonical"}
+    # Iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 runs a subset. Subset
+    # runs never persist to bench_results/ (see below) — a quick
+    # single-query recheck must not clobber the round's full artifact.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()} or None
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name, fn in Q.queries().items():
+        if only is not None and name not in only:
+            continue
         def run_once() -> float:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -355,6 +362,8 @@ def main() -> None:
         ("job_e2e_streaming_neardup", _run_e2e_streaming_neardup),
         ("job_e2e_streaming_quota", _run_e2e_streaming_quota),
     ):
+        if only is not None and name not in only:
+            continue
         try:
             # min-of-two, like the query loop: single-shot numbers are
             # hostage to hypervisor CPU-steal spikes (observed 3 s → 29 s
@@ -399,7 +408,35 @@ def main() -> None:
     rnd = (max(rounds) + 1) if rounds else 0
     outdir = root / "bench_results"
     outdir.mkdir(exist_ok=True)
-    (outdir / f"r{rnd}.json").write_text(json.dumps(out, indent=1) + "\n")
+    target = _artifact_target(outdir, rnd, len(timings), only is not None)
+    if target is None:
+        print(f"bench: subset run, not persisting r{rnd}.json",
+              file=sys.stderr)
+        return
+    if target.name.endswith(".partial.json"):
+        print(f"bench: existing r{rnd}.json is larger; writing "
+              f"{target.name} instead", file=sys.stderr)
+    target.write_text(json.dumps(out, indent=1) + "\n")
+
+
+def _artifact_target(outdir: Path, rnd: int, n_entries: int,
+                     subset: bool) -> Path | None:
+    """Where (if anywhere) this run's artifact goes. Subset runs
+    (SPARK_GRAFT_BENCH_ONLY) never persist — a quick single-query recheck
+    must not clobber the round's full artifact — and a full run may never
+    SHRINK an existing r{N}.json (e.g. a sweep that errored half the
+    registry away): it diverts to r{N}.partial.json instead (ADVICE r8)."""
+    if subset:
+        return None
+    target = outdir / f"r{rnd}.json"
+    if target.exists():
+        try:
+            prev_n = len(json.loads(target.read_text()).get("queries", {}))
+        except (ValueError, OSError):
+            prev_n = 0
+        if prev_n > n_entries:
+            return outdir / f"r{rnd}.partial.json"
+    return target
 
 
 if __name__ == "__main__":

@@ -32,9 +32,9 @@ Two execution paths, same semantics:
 The SQL paths split the pre-tokenizer in two: letter/digit runs feed the
 merge pipeline, and punctuation — single-symbol pre-tokens that can
 never merge — is tallied as a plain character count over
-``[^a-z0-9 ]`` (a literal-space class: exact for this corpus, which
-contains no tab/newline (checked r8), and for any single-space-delimited
-text; the Arrow path uses the general ``\\s`` form).
+``[^a-z0-9\\s]`` (the same whitespace class the Arrow path's
+``pretokenize`` uses, so tab/newline/CR count as zero tokens on every
+path; NULL text coalesces to 0 everywhere).
 """
 
 from __future__ import annotations
@@ -175,22 +175,32 @@ def bpe_count_expr(
     if dialect == "spark":
         seed = "regexp_replace(w, '(.)', ',$1,')"
         words = f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0)"
-        punct = f"length(regexp_replace(lower({text_col}), '[a-z0-9 ]', ''))"
+        # '\\\\s' in the emitted SQL text: Spark SQL string literals eat one
+        # backslash level ('\\s' in a literal is a plain 's'), so the regex
+        # engine needs the doubled form to see \s (verified empirically —
+        # DuckDB literals below pass backslashes through untouched)
+        punct = (
+            f"length(regexp_replace(lower({text_col}), '[a-z0-9\\\\s]', ''))"
+        )
         count = "size(split({chain}, ',,'))"
         total = (
-            "aggregate(transform({words}, w -> {cnt}), 0, (s, x) -> s + x)"
-            " + {punct}"
+            "coalesce(aggregate(transform({words}, w -> {cnt}), 0, "
+            "(s, x) -> s + x) + {punct}, 0)"
         )
     elif dialect == "duckdb":
         seed = "regexp_replace(w, '(.)', ',\\1,', 'g')"
         words = f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0)"
         punct = (
-            f"length(regexp_replace(lower({text_col}), '[a-z0-9 ]', '', 'g'))"
+            f"length(regexp_replace(lower({text_col}), '[a-z0-9\\s]', "
+            f"'', 'g'))"
         )
         count = "len(string_split({chain}, ',,'))"
         total = (
-            "coalesce(list_sum(list_transform({words}, w -> {cnt})), 0)"
-            " + {punct}"
+            # inner coalesce: DuckDB's list_sum over an EMPTY list is NULL
+            # (all-punctuation text must still count its punct chars);
+            # outer coalesce: NULL text → 0 on every path
+            "coalesce(coalesce(list_sum(list_transform({words}, "
+            "w -> {cnt})), 0) + {punct}, 0)"
         )
     else:
         raise ValueError(f"unknown dialect {dialect!r}")

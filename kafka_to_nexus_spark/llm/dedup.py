@@ -237,6 +237,15 @@ def lsh_candidate_pairs(
             f"chain_col {chain_col!r} not in signature frame "
             f"(columns: {sig.columns})"
         )
+    if chain_col is not None and max_bucket is None:
+        # the content-ordered chain only exists on the capped path; silently
+        # ignoring the column here would let a caller believe they bought
+        # the exact-dup merge guarantee without any cap being applied
+        raise ValueError(
+            "chain_col requires max_bucket: fingerprint-ordered chains are "
+            "a property of the capped bucket path (uncapped buckets pair "
+            "all-against-all and need no chain)"
+        )
     star = None
     if max_bucket is not None:
         chain_cols = [chain_col] if chain_col is not None else []

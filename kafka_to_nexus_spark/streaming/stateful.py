@@ -466,7 +466,17 @@ def _quota_state_key(src) -> str:
     """State-array key for a source value. The state schema stores string
     keys, but ``str(src)`` alone would collide a NULL source with a
     literal ``"None"`` source string (or NaN with ``"nan"``); tag real
-    values with a prefix and reserve an untypeable key for null."""
+    values with a prefix and reserve an untypeable key for null.
+
+    .. warning:: **state-key format version 2.** Keys were raw
+       ``str(src)`` before the null-collision fix added the ``"="``
+       prefix / ``"\\x00null"`` sentinel: a sharded-quota streaming query
+       restarted from a checkpoint written by the old format finds no
+       matching counts and silently re-admits every source up to quota
+       again. Restart from a fresh checkpoint when upgrading (same
+       contract as the minhash hash-family v2 note in
+       :mod:`kafka_to_nexus_spark.llm.dedup`); the unsharded per-source
+       form keys state by the grouping column itself and is unaffected."""
     if src is None or (isinstance(src, float) and src != src) or src is pd.NA:
         return "\x00null"
     return "=" + str(src)

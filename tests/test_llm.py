@@ -754,6 +754,20 @@ def test_lsh_chain_col_missing_column_rejected(spark):
                                   max_bucket=2, chain_col="_fp")
 
 
+def test_lsh_chain_col_without_cap_rejected(spark):
+    """ADVICE r8: chain_col with max_bucket=None was silently ignored —
+    the fingerprint ordering only exists on the capped path, so a caller
+    asking for it uncapped must get a hard error, not a no-op."""
+    import pytest
+
+    sig = spark.createDataFrame(
+        [(0, "a", "b", "f")], ["doc_id", "m0", "m1", "_fp"]
+    )
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=2,
+                                  chain_col="_fp")
+
+
 def test_dedup_pipeline_engine_parity_full_recall(spark):
     """The composed parity certificate is non-vacuous: on the mirrored
     corpus EVERY doc has an exact-dup partner, and both engines' full

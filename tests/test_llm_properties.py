@@ -388,7 +388,7 @@ def test_bpe_classic_examples():
 
 
 @given(st.lists(
-    st.text(alphabet="abcdefghiklmnorstuvwy 0123.,!'", min_size=0,
+    st.text(alphabet="abcdefghiklmnorstuvwy \t\n0123.,!'", min_size=0,
             max_size=60),
     min_size=1, max_size=8))
 # r8 regressions: "thth" — adjacent occurrences of one pair share the
@@ -419,6 +419,41 @@ def test_bpe_expression_chain_matches_classic(spark, texts):
     got_arrow = {r.doc_id: r.bpe_tokens
                  for r in llm_bpe.bpe_token_counts_arrow(df).collect()}
     assert got_arrow == expected
+
+
+def test_bpe_dialects_agree_on_general_text(spark):
+    """ADVICE r8: the two certified-equal SQL dialects and the Arrow path
+    must agree on GENERAL text, not just the tab-free corpus — tab/
+    newline/CR are whitespace (zero tokens) on every path, NULL text
+    counts 0 everywhere, and all-punctuation text keeps its punct tally
+    (DuckDB's list_sum over an empty word list is NULL and must not
+    swallow it)."""
+    import duckdb
+
+    ranks = llm_bpe.merge_ranks()
+    cases = ["a b\tc", "tab\there\nand\rthere", "!!!", "", None,
+             ",\t,", "  \t  "]
+    expected = {
+        i: sum(len(llm_bpe.bpe_encode(w, ranks))
+               for w in llm_bpe.pretokenize(t or ""))
+        for i, t in enumerate(cases)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got_spark = {r.doc_id: r.bpe_tokens
+                 for r in llm_bpe.bpe_token_counts(df).collect()}
+    assert got_spark == expected
+    got_arrow = {r.doc_id: r.bpe_tokens
+                 for r in llm_bpe.bpe_token_counts_arrow(df).collect()}
+    assert got_arrow == expected
+    con = duckdb.connect()
+    expr = llm_bpe.bpe_count_expr("t", dialect="duckdb")
+    got_duck = {
+        i: con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        for i, t in enumerate(cases)
+    }
+    assert got_duck == expected
 
 
 def _bpe_train_model(texts, n_merges):

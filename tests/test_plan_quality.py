@@ -632,13 +632,15 @@ def test_curation_pipeline_every_stage_filters(spark):
     out = Q.queries()["curation_pipeline"](spark, sf)
     kept = [r.doc_id for r in out.select("doc_id").collect()]
     n_base = spark.read.parquet(f"{sf}/documents.parquet").count()
-    n_clones = sum(1 for _ in range(0, n_base, 17))
     assert 0 < len(kept) < n_base  # selection is a real filter
     # every clone (doc_id >= 1M) lost the rk==1 race to its original
     assert all(d < 1_000_000 for d in kept)
     # PII columns present and the cap really excluded someone: re-run the
     # enrichment side unfiltered via the oracle's complement
     assert out.filter(F.col("n_pii") > Q._CURATION_PII_CAP).count() == 0
+
+
+def test_source_cap_window_limit_is_pushed_partial(spark):
     """source_cap_sample's per-source cap must compile to the
     WindowGroupLimit pair — a Partial limit BEFORE the source exchange
     and a Final one after — so a hot source ships at most N rows per map
