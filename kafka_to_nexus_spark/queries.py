@@ -1121,8 +1121,13 @@ def _lazy_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # Float portability: per-term contributions are rounded to 6 dp and
 # summed as DECIMAL(28,6) — decimal sums are EXACT and therefore
 # order-independent, so both engines produce identical sums regardless
-# of aggregation order (the same decimal trick the TPC-H battery uses);
-# the final division then operates on identical doubles.
+# of aggregation order (the same decimal trick the TPC-H battery uses).
+# Emits the exact decimal TOTAL (cast to double, correctly rounded in
+# both engines) + the position count, NOT round(total/count, 6): the
+# divide-then-round mean has a cross-engine tie hazard when it lands
+# exactly halfway at the 6th decimal — it bit the bigram twin at sf0.01
+# during r8 development (see _BIGRAM_TAIL's note); consumers derive the
+# mean. Backported r9 (VERDICT r8 "what's wrong" #1).
 _UNIGRAM_SQL = {
     "spark": """
 WITH terms AS (
@@ -1138,7 +1143,7 @@ contrib AS (
   FROM tf JOIN freq ON tf.term = freq.term
 )
 SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(-CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS nll
+       CAST(-sum(c) AS DOUBLE) AS nll_total
 FROM contrib GROUP BY doc_id
 """,
     "duck": """
@@ -1155,7 +1160,7 @@ contrib AS (
   FROM tf JOIN freq ON tf.term = freq.term
 )
 SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(-CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS nll
+       CAST(-sum(c) AS DOUBLE) AS nll_total
 FROM contrib GROUP BY doc_id
 """,
 }
@@ -1203,8 +1208,7 @@ FROM contrib GROUP BY doc_id
 # 6th decimal (…0015) and the engines' double-division-then-round
 # disagreed by 1 ulp of the last digit. The decimal sum is exact and its
 # double conversion correctly rounded in both engines; consumers derive
-# the mean. (L45's unigram mean carries the same latent hazard — its
-# rows have never hit a tie; migrate it the same way if one ever does.)
+# the mean. (L45's unigram query uses the same shape since r9.)
 
 _BIGRAM_SQL = {
     "spark": """

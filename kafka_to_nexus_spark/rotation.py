@@ -41,11 +41,16 @@ WINDOW = 50
 # should be, too.
 CHANGED: dict[str, int] = {
     "bm25_topk": 7,
-    "unigram_logprob_score": 7,
+    # (unigram_logprob_score's r7 constant-derivation entry self-cleared
+    # at its r7 green row; superseded by the r9 entry below)
     # r8: the composed pipeline's bucket cap now orders its chain by a
     # full-text fingerprint (lsh_candidate_pairs chain_col) — candidate
     # set changed, oracle updated to match
     "dedup_pipeline": 8,
+    # r9: unigram emits the exact DECIMAL nll_total + n_tokens instead of
+    # a rounded mean (the bigram tie-proof shape, VERDICT r8 #1); output
+    # schema and values changed, oracle updated to match
+    "unigram_logprob_score": 9,
 }
 
 _REPO_ROOT = Path(__file__).resolve().parents[1]

@@ -1272,10 +1272,12 @@ def test_unigram_logprob_matches_python_model(spark, tmp_path):
             round(tf * math.log(cf[t] / total), 6)
             for t, tf in {t: v.count(t) for t in set(v)}.items()
         )
-        want[d] = (len(v), round(-contrib / len(v), 6))
+        # exact decimal total + count, not a rounded mean (r9 backport of
+        # the bigram tie-proof shape); consumers derive the mean
+        want[d] = (len(v), -contrib)
 
     got = {
-        r.doc_id: (r.n_tokens, r.nll)
+        r.doc_id: (r.n_tokens, r.nll_total)
         for r in Q.queries()["unigram_logprob_score"](spark, str(sf_dir)).collect()
     }
     assert set(got) == set(want)
