@@ -721,6 +721,7 @@ def ivf_pq_topk_portable(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id: int = 0,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """The COMPOSED IVF-PQ read path (Jégou et al. 2011, §IV): coarse
     k-means quantizer partitions the corpus into inverted lists; PQ
@@ -766,21 +767,56 @@ def ivf_pq_topk_portable(
     )
     books = pq_train_portable(resid_df, m=m, k=k, n_iter=1)
     # driver-side query prep: full vector, probed lists, per-list
-    # residual distance tables (probes × m × k doubles — all literals)
-    q = [
-        float(x)
-        for x in df.filter(F.col(id_col) == query_id)
-        .select(vec.alias("_v"))
-        .first()[0]
-    ]
+    # residual distance tables (probes × m × k doubles — all literals).
+    # At 100 TB the query vector arrives as a PARAMETER (query_vec) or an
+    # id-pushdown point lookup on the stored layout — the id-lookup
+    # fallback here is a corpus scan acceptable only because the registry
+    # query is self-contained and the scan is column-pruned.
+    if query_vec is not None:
+        q = [float(x) for x in query_vec]
+    else:
+        q = [
+            float(x)
+            for x in df.filter(F.col(id_col) == query_id)
+            .select(vec.alias("_v"))
+            .first()[0]
+        ]
     by_dot = sorted(
         ordered_coarse, key=lambda t: (-_seq_dot(q, t[1]), t[0])
     )
     probed = by_dot[:probes]
-    sd = len(books[0][0][1])
-    # one map per subspace keyed by list_id * 4096 + code (list and code
-    # are both < 4096 by construction)
     codes = pq_code_col(F.col("embedding"), books)
+    score = _ivf_pq_adc_score(books, probed, q, F.col("list_id"), codes)
+    probed_ids = [lcid for lcid, _ in probed]
+    return (
+        resid_df.filter(
+            F.col("list_id").isin(probed_ids)
+            & (F.col("vec_id") != query_id)
+        )
+        .select(
+            "vec_id",
+            F.col("list_id").cast("int").alias("list_id"),
+            F.round(score, 6).alias("adc_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.col("vec_id"))
+        .limit(topk)
+    )
+
+
+def _ivf_pq_adc_score(
+    books: list[list[tuple[int, list[float]]]],
+    probed: list[tuple[int, list[float]]],
+    q: list[float],
+    list_id_col: Column,
+    code_cols: list[Column],
+) -> Column:
+    """ADC score for IVF-PQ candidates: per-subspace distance tables over
+    the query's per-list RESIDUAL ride as one literal map per subspace,
+    keyed ``list_id * 4096 + code`` (both < 4096, enforced by the
+    callers); each candidate costs m map lookups summed in subspace
+    order. Shared by the inline read path (codes as expressions) and the
+    stored layout probe (codes as parquet columns)."""
+    sd = len(books[0][0][1])
     score = None
     for j, cb in enumerate(books):
         keys, vals = [], []
@@ -791,17 +827,92 @@ def ivf_pq_topk_portable(
                 keys.append(lcid * 4096 + ccid)
                 vals.append(_seq_dot(q_sub, cw))
         tmap = F.map_from_arrays(lit_longs(keys), lit_doubles(vals))
-        term = F.element_at(
-            tmap, F.col("list_id") * 4096 + codes[j]
-        )
+        term = F.element_at(tmap, list_id_col * 4096 + code_cols[j])
         score = term if score is None else score + term
-    probed_ids = [lcid for lcid, _ in probed]
-    return (
-        resid_df.filter(
-            F.col("list_id").isin(probed_ids)
-            & (F.col("vec_id") != query_id)
+    return score
+
+
+def write_ivf_pq_layout(
+    df: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF-PQ STORED layout (Jégou et al. 2011 §IV as a
+    table): ``(vec_id, code_0..code_{m-1})`` partitioned by ``list_id``.
+    The coarse assignment (max-dot, lowest-cid tie-break — identical to
+    :func:`ivf_pq_topk_portable`'s inline rule) is the partition key;
+    the PQ codes of the RESIDUAL (v − coarse centroid) are the stored
+    columns. A probe then reads only its probed list directories
+    (partition pruning) and only m small code columns — no float vectors,
+    no training, m bytes-ish per vector instead of dim floats. Training
+    (the coarse quantizer + m residual codebooks) happens ONCE at build
+    time, the amortization that makes the 7-s inline registry entry a
+    sub-second read at query time."""
+    if len(coarse) > 4096 or any(len(cb) > 4096 for cb in books):
+        # probe keys pack as list_id * 4096 + code (see _ivf_pq_adc_score)
+        raise ValueError("coarse/codebook sizes must be <= 4096")
+    vec = _as_double(F.col(vec_col))
+    ordered_coarse = sorted(coarse)
+    cid_col = pq_code_col(vec, [coarse])[0]
+    cent_map = F.map_from_arrays(
+        lit_longs([cid for cid, _ in ordered_coarse]),
+        F.array(*[lit_doubles(c) for _, c in ordered_coarse]),
+    )
+    residual = F.zip_with(
+        vec, F.element_at(cent_map, cid_col), lambda x, c: x - c
+    )
+    codes = pq_code_col(residual, books)
+    (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            cid_col.alias("list_id"),
+            *[c.alias(f"code_{j}") for j, c in enumerate(codes)],
         )
-        .select(
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivf_pq_stored_probe(
+    spark,
+    layout_path: str,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    probes: int = 2,
+    topk: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a :func:`write_ivf_pq_layout` directory — the production
+    IVF-PQ READ path, with NO training anywhere in the plan: coarse
+    ranking and the per-(list, subspace) distance tables are
+    O(coarse_k·dim + probes·m·k) driver arithmetic on the literal
+    centroids/codebooks, the scan reads ONLY the probed list partitions
+    (``list_id`` is a partition-directory predicate → PartitionFilters)
+    and ONLY the m code columns, each candidate scores as m map lookups,
+    and the top-k is a TakeOrderedAndProject. At 100 TB the probe
+    touches probes/coarse_k of an already-64×-compressed relation."""
+    q = [float(x) for x in query_vec]
+    # max raw dot, lowest cid — the same probe rule as the inline path
+    by_dot = sorted(sorted(coarse), key=lambda t: (-_seq_dot(q, t[1]), t[0]))
+    probed = by_dot[:probes]
+    lay = spark.read.parquet(layout_path).filter(
+        F.col("list_id").isin([lcid for lcid, _ in probed])
+    )
+    code_cols = [F.col(f"code_{j}") for j in range(len(books))]
+    score = _ivf_pq_adc_score(
+        books, probed, q, F.col("list_id").cast("long"), code_cols
+    )
+    out = lay
+    if exclude_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_id)
+    return (
+        out.select(
             "vec_id",
             F.col("list_id").cast("int").alias("list_id"),
             F.round(score, 6).alias("adc_score"),

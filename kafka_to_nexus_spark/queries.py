@@ -4484,6 +4484,119 @@ ORACLE["ivf_pq_topk"] = _ivf_pq_oracle(
 )
 
 
+# --- stored IVF-PQ read path (VERDICT r8 #2) ---------------------------------
+# The production shape: training (coarse quantizer + m residual
+# codebooks) runs ONCE at layout-build time and the query plan contains
+# NO training at all — one partition-pruned scan of the code columns,
+# m literal-map lookups, TakeOrderedAndProject. Identical semantics to
+# ivf_pq_topk (same trainer, same assignment/probe/ADC rules, query =
+# embedding 0), so it shares that query's full-replay DuckDB oracle;
+# what changes is WHERE the work happens, which is the whole point.
+
+def _ivf_pq_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    # source identity (path + mtime + size) + index params: regenerated
+    # fixtures or retuned params must never serve a stale layout
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{int(st.st_mtime)}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    ident += f"|{_IVFPQ_COARSE_K}|{_PQ_M}|{_PQ_K}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"k2n_ivfpq_layout_v1_{tag}")
+
+
+def _ivf_pq_layout(spark: SparkSession, sf_dir: str):
+    """(coarse, books, layout_dir) for the stored IVF-PQ probe, built
+    write-if-absent: the portable trainings run once, the layout persists
+    partitioned by list_id, and the trained model rides next to it as
+    ``_model.json`` (underscore-prefixed → invisible to the parquet
+    FileIndex) so later sessions skip training entirely — exactly the
+    amortization a 100 TB deployment gets from its stored index."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    layout = _ivf_pq_layout_path(sf_dir)
+    model_file = os.path.join(layout, "_model.json")
+    if os.path.exists(os.path.join(layout, "_SUCCESS")) and os.path.exists(
+        model_file
+    ):
+        with open(model_file) as f:
+            m = _json.load(f)
+        coarse = [(int(cid), [float(x) for x in cv]) for cid, cv in m["coarse"]]
+        books = [
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cb]
+            for cb in m["books"]
+        ]
+        return coarse, books, layout
+    emb = spark.table("embeddings")
+    coarse = sim.kmeans_train_portable(emb, k=_IVFPQ_COARSE_K, n_iter=1)
+    # residual relation for codebook training — the same construction as
+    # ivf_pq_topk_portable's (max-dot assign, subtract assigned centroid)
+    from pyspark.sql import functions as F
+
+    vec = F.col("embedding").cast("array<double>")
+    ordered_coarse = sorted(coarse)
+    cid_col = sim.pq_code_col(vec, [coarse])[0]
+    cent_map = F.map_from_arrays(
+        sim.lit_longs([cid for cid, _ in ordered_coarse]),
+        F.array(*[sim.lit_doubles(c) for _, c in ordered_coarse]),
+    )
+    resid = emb.select(
+        F.col("vec_id"),
+        F.zip_with(
+            vec, F.element_at(cent_map, cid_col), lambda x, c: x - c
+        ).alias("embedding"),
+    )
+    books = sim.pq_train_portable(resid, m=_PQ_M, k=_PQ_K, n_iter=1)
+    tmp = tempfile.mkdtemp(prefix="k2n_ivfpq_build_")
+    build = os.path.join(tmp, "layout")
+    sim.write_ivf_pq_layout(emb, coarse, books, build)
+    with open(os.path.join(build, "_model.json"), "w") as f:
+        _json.dump({"coarse": coarse, "books": books}, f)
+    shutil.rmtree(layout, ignore_errors=True)
+    try:
+        os.rename(build, layout)
+    except OSError:  # lost a concurrent-build race: keep the winner
+        shutil.rmtree(tmp, ignore_errors=True)
+    return coarse, books, layout
+
+
+def _q_ivf_pq_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+
+    coarse, books, layout = _ivf_pq_layout(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in spark.table("embeddings")
+        .filter("vec_id = 0")
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    ]
+    return sim.ivf_pq_stored_probe(
+        spark, layout, coarse, books, qv,
+        probes=_IVFPQ_PROBES, topk=10, exclude_id=0,
+    )
+
+
+# bit-identical to the inline composition by construction (same portable
+# trainer, same assignment and probe rules, codes round-trip parquet as
+# exact longs), so the stored path reuses the full-replay oracle
+ORACLE["ivf_pq_stored_probe"] = ORACLE["ivf_pq_topk"]
+
+
 _SEMDEDUP_TAU = 0.4
 
 
@@ -4565,6 +4678,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": _q_bpe_train,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
     "ivf_pq_topk": _q_ivf_pq_topk,
+    "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "pq_adc_topk": _q_pq_adc_topk,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,

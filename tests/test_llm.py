@@ -862,6 +862,23 @@ def test_ivf_pq_probes_restrict_candidates(spark, embeddings):
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
 
 
+def test_ivf_pq_explicit_query_vec_matches_id_lookup(spark, embeddings):
+    """VERDICT r8 #3: the production call passes the query vector as a
+    PARAMETER (no corpus scan in driver prep); it must produce exactly
+    the id-lookup form's results."""
+    emb = embeddings.limit(200)
+    qv = [float(x) for x in emb.filter("vec_id = 0")
+          .selectExpr("CAST(embedding AS ARRAY<DOUBLE>)").first()[0]]
+    by_id = similarity.ivf_pq_topk_portable(
+        emb, coarse_k=4, probes=2, m=4, k=8, topk=5, query_id=0
+    ).collect()
+    by_vec = similarity.ivf_pq_topk_portable(
+        emb, coarse_k=4, probes=2, m=4, k=8, topk=5, query_id=0,
+        query_vec=qv,
+    ).collect()
+    assert [tuple(r) for r in by_id] == [tuple(r) for r in by_vec]
+
+
 def test_semantic_dedup_auto_scales_k_with_corpus(spark, embeddings):
     """The auto wrapper holds cluster SIZE constant: doubling the corpus
     doubles k, and the prune output still covers every vector exactly

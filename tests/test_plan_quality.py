@@ -319,6 +319,45 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
     assert len(probed) <= 2
 
 
+def test_ivf_pq_stored_probe_plan_is_pruned_and_training_free(spark, tmp_path):
+    """The stored IVF-PQ read path (VERDICT r8 #2): the probe plan must
+    reach the layout scan as PartitionFilters on list_id (only probed
+    list directories read), read ONLY the code columns (no float
+    vectors), contain NO aggregation or join (training left the read
+    path entirely), and finish with TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    coarse = sim.kmeans_train_portable(emb, k=4, n_iter=1)
+    resid = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    books = sim.pq_train_portable(resid, m=4, k=8, n_iter=1)
+    layout = str(tmp_path / "ivfpq_layout")
+    sim.write_ivf_pq_layout(emb, coarse, books, layout)
+
+    qv = coarse[0][1]
+    probe = sim.ivf_pq_stored_probe(spark, layout, coarse, books, qv,
+                                    probes=2, topk=5)
+    qe = probe._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "list_id" in pf[-1], plan
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "embedding" not in rs[-1] and "code_0" in rs[-1], plan
+    assert "HashAggregate" not in plan and "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # results confined to the probed lists
+    rows = probe.collect()
+    assert rows and len({r.list_id for r in rows}) <= 2
+
+
 def test_quantization_round_trip_error_bounded(spark):
     """Dequantized int8 codes must sit within scale/2 of the original in
     every dimension (the defining property of floor(x+0.5) quantization)."""
