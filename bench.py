@@ -264,6 +264,62 @@ def _run_e2e_streaming_quota(spark, sf_dir: str, n_batches: int = 2) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _run_e2e_streaming_curation(spark, sf_dir: str, n_batches: int = 2) -> None:
+    """Streaming curation pipeline over the documents corpus: the
+    composed scrub → quality → lang → watermarked exact-dedup →
+    selection → sharded per-source quota stages as ONE continuous-ingest
+    query (stateful.curation_stream — the streaming twin of the L54
+    batch pipeline). Benches two chained stateful operators
+    (dropDuplicatesWithinWatermark + quota state) under the narrow
+    curation maps at corpus scale."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    cache_key = ("curation", sf_dir, n_batches)
+    indir = _NEARDUP_INPUTS.get(cache_key)
+    if indir is None:
+        indir = tempfile.mkdtemp(prefix="bench_cur_in_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("s"), (F.col("doc_id") % 50).cast("string")).alias(
+                "source_name"
+            ),
+            (F.lit(1_000_000_000) * (1 + F.col("doc_id"))).alias("timestamp"),
+        )
+        n = docs.count()
+        step = n // n_batches + 1
+        for i in range(n_batches):
+            (docs.filter((F.col("doc_id") >= i * step)
+                         & (F.col("doc_id") < (i + 1) * step))
+             .coalesce(1).write.mode("overwrite").json(f"{indir}/in/b{i}"))
+        _NEARDUP_INPUTS[cache_key] = indir
+    work = tempfile.mkdtemp(prefix="bench_cur_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        raw = (spark.readStream
+               .schema("doc_id long, text string, source_name string, "
+                       "timestamp long")
+               .option("maxFilesPerTrigger", 1).json(f"{indir}/in/*"))
+        out = stateful.curation_stream(
+            raw.repartition(8), quality_tau=0.3, pii_cap=2,
+            quota=40, shards="auto", watermark="10 minutes")
+        q = (out.writeStream.format("noop")
+             .option("checkpointLocation", f"{work}/ckpt").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -361,6 +417,7 @@ def main() -> None:
         ("job_e2e_streaming_5batches", _run_e2e_streaming),
         ("job_e2e_streaming_neardup", _run_e2e_streaming_neardup),
         ("job_e2e_streaming_quota", _run_e2e_streaming_quota),
+        ("job_e2e_streaming_curation", _run_e2e_streaming_curation),
     ):
         if only is not None and name not in only:
             continue

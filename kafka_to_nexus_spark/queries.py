@@ -1868,6 +1868,94 @@ st{i + 1} AS (
 
 ORACLE["bpe_train_merges"] = _bpe_train_oracle(_BPE_TRAIN_MERGES)
 
+
+# --- L60: trained-vocabulary BPE encoding (the Arrow production path) --------
+# The path a real pipeline runs: the COMMITTED 1024-merge vocabulary
+# (llm/bpe_vocab_1024.json, trained from the sf0.1 corpus by bpe_train —
+# reproducible, deterministic tie-breaks) drives bpe_token_counts_arrow,
+# the mapInPandas classic-BPE encoder with the merge ranks broadcast.
+# A 1024-merge table does not compile to a single SQL expression chain
+# (both engines cap expression depth well below it), which is exactly
+# why the Arrow path exists — so THIS query is its certificate. The
+# oracle replays the full 1024-replace chain in DuckDB as 32-deep
+# chunked CTE stages (DuckDB's binder caps expression recursion at 128)
+# over the DISTINCT-word vocabulary, joined back per doc — valid because
+# the trained table is well-formed (checked at oracle build; rank-ordered
+# replace passes == classic min-rank loop, the property
+# tests/test_llm_properties.py pins on the literal table).
+
+
+def _q_bpe_trained_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import bpe as llm_bpe
+
+    register_views(spark, sf_dir, ("documents",))
+    return llm_bpe.bpe_token_counts_arrow(
+        spark.table("documents"), merges=llm_bpe.trained_merges()
+    )
+
+
+def _bpe_trained_oracle(chunk: int = 32) -> str:
+    """Chunked-CTE replay of the trained replace chain over the distinct
+    vocab (encode each distinct word once, join counts back per doc —
+    the oracle-side analog of the Arrow path's per-word cache)."""
+    import re as _re
+
+    from .llm.bpe import trained_merges, well_formed
+
+    merges = trained_merges()
+    if not well_formed(merges):
+        raise ValueError(
+            "trained merge table is not well-formed: the replace-chain "
+            "replay would diverge from the Arrow path's classic loop"
+        )
+    for a, b in merges:
+        if not _re.fullmatch(r"[a-z0-9]+", a + b):
+            raise ValueError(f"merge {(a, b)!r}: only [a-z0-9] supported")
+    ctes = [
+        r"""
+base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0) AS ws,
+         coalesce(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')),
+                  0) AS p
+  FROM documents
+),
+dw AS (SELECT DISTINCT unnest(ws) AS w FROM base),
+s0 AS (SELECT w, regexp_replace(w, '(.)', ',\1,', 'g') AS s FROM dw)"""
+    ]
+    n_stages = 0
+    for start in range(0, len(merges), chunk):
+        n_stages += 1
+        expr = "s"
+        for a, b in merges[start : start + chunk]:
+            expr = f"replace({expr}, ',{a},,{b},', ',{a}{b},')"
+        ctes.append(f"s{n_stages} AS (SELECT w, {expr} AS s FROM s{n_stages - 1})")
+    ctes.append(
+        f"""
+enc AS (SELECT w, len(string_split(s, ',,')) AS n FROM s{n_stages}),
+expl AS (SELECT doc_id, unnest(ws) AS w FROM base),
+wc AS (SELECT e.doc_id, sum(enc.n) AS t
+       FROM expl e JOIN enc USING (w) GROUP BY e.doc_id)"""
+    )
+    return (
+        "WITH " + ",".join(ctes) + """
+SELECT b.doc_id, CAST(coalesce(wc.t, 0) + b.p AS BIGINT) AS bpe_tokens
+FROM base b LEFT JOIN wc ON b.doc_id = wc.doc_id
+"""
+    )
+
+
+def _trained_oracles() -> dict[str, str]:
+    """Oracles derived from the committed trained-vocabulary artifact —
+    built lazily (oracle_sql(), not import) and memoized, so importing
+    this module does no file I/O."""
+    cached = getattr(_trained_oracles, "_cache", None)
+    if cached is None:
+        cached = {"bpe_trained_token_counts": _bpe_trained_oracle()}
+        _trained_oracles._cache = cached
+    return dict(cached)
+
+
 # --- LLM-pipeline: text analysis --------------------------------------------
 SPARK_SQL["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z ]', '')) AS fingerprint
@@ -4675,6 +4763,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
+    "bpe_trained_token_counts": _q_bpe_trained_counts,
     "bpe_train_merges": _q_bpe_train,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
     "ivf_pq_topk": _q_ivf_pq_topk,
@@ -4749,6 +4838,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     ``SPARK_GRAFT_ORACLE_SF_DIR`` env var, then the driver's sf0.01."""
     out = dict(ORACLE)
     out.update(_lazy_oracles(sf_dir))
+    out.update(_trained_oracles())
     return out
 
 

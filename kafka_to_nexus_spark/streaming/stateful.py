@@ -879,3 +879,83 @@ def near_dup_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def curation_stream(
+    stream: DataFrame,
+    quality_tau: float,
+    pii_cap: int,
+    id_col: str = "doc_id",
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+    quota: int | None = None,
+    source_col: str = "source_name",
+    shards: int | str | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch composed curation pipeline (L54,
+    ``curation_pipeline``) — the reference's own shape (continuous
+    ingest, one pass per message) applied to the curation surface.
+
+    Stages, in the batch pipeline's order:
+
+    1. **scrub → quality → lang-ID → fingerprint** — the batch library
+       transforms (:mod:`..llm.text`) compose UNCHANGED onto the
+       streaming frame: they are narrow whole-stage-codegen maps, so the
+       micro-batch planner runs them exactly as batch does.
+    2. **watermarked exact-dedup** (:func:`dedup_stream`): first ARRIVAL
+       per fingerprint survives within the watermark horizon — the
+       streaming stand-in for the batch ``rk == 1`` min-doc_id rule,
+       identical whenever arrival order follows doc_id order (the parity
+       test feeds batches that way; an ingest pipeline gets Kafka-offset
+       order, the same contract).
+    3. **selection** (lang / quality / PII cap) — narrow filter on the
+       dedup survivor, mirroring the batch predicate exactly.
+    4. optional **per-source quota** (:func:`source_quota_stream`):
+       lifetime admission budget per source, ``quota_rank`` appended.
+
+    Output schema matches the batch pipeline (doc_id, quality, n_pii,
+    n_tokens, bpe_tokens — the BPE count is the same codegen replace
+    chain), plus (source, quota_rank) when ``quota`` is set. State =
+    one fingerprint entry per in-horizon distinct doc (TTL-evicted by
+    the watermark) + one counter per source — both bounded on unbounded
+    streams; everything else is stateless maps."""
+    from ..llm import text as llm_text
+    from ..llm.bpe import bpe_count_expr
+
+    enriched = llm_text.lang_id(
+        llm_text.quality_score(
+            llm_text.scrub_pii(stream), text_col="scrubbed_text"
+        ),
+        text_col="scrubbed_text",
+    ).withColumn(
+        # the batch pipeline's fingerprint normalization, inline on the
+        # same narrow map
+        "fp",
+        F.md5(
+            F.regexp_replace(F.lower(F.col("scrubbed_text")), "[^a-z ]", "")
+        ),
+    )
+    deduped = dedup_stream(enriched, "fp", watermark, ts_col)
+    n_pii = (
+        F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_url")
+    )
+    kept = deduped.filter(
+        (F.col("predicted_lang") == "en")
+        & (F.round(F.col("quality"), 6) >= quality_tau)
+        & (n_pii <= pii_cap)
+    )
+    out_cols = [
+        F.col(id_col),
+        F.round(F.col("quality"), 6).alias("quality"),
+        n_pii.cast("long").alias("n_pii"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(bpe_count_expr("scrubbed_text")).cast("long").alias(
+            "bpe_tokens"
+        ),
+    ]
+    if quota is None:
+        return kept.select(*out_cols)
+    admitted = source_quota_stream(kept, quota, source_col, ts_col, shards)
+    return admitted.select(
+        *out_cols, F.col(source_col), F.col("quota_rank")
+    )

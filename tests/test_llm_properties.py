@@ -503,6 +503,20 @@ def test_bpe_train_matches_python_model(spark, texts):
     assert got == _bpe_train_model(texts, 4), (texts, got)
 
 
+def test_bpe_train_checkpointing_preserves_semantics(spark):
+    """Materialized-state checkpoints (every k merges the pending replace
+    chain is evaluated into the stored state and single-symbol words are
+    dropped) must not change WHAT is learned — only how much expression
+    depth each iteration carries. checkpoint_every=2 forces several
+    checkpoint boundaries inside an 8-merge run."""
+    texts = ["the cat sat on the mat", "the bat and the cat", "a t t h",
+             "thththe the", "on and on and on"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    expected = _bpe_train_model(texts, 8)
+    assert llm_bpe.bpe_train(df, n_merges=8, checkpoint_every=2) == expected
+    assert llm_bpe.bpe_train(df, n_merges=8, checkpoint_every=3) == expected
+
+
 def test_bpe_trained_table_is_well_formed_and_usable(spark):
     """L52 ↔ L59 composition: a learned merge table is well-formed by
     construction (each pair's symbols exist at its own step), so it can
@@ -521,6 +535,57 @@ def test_bpe_trained_table_is_well_formed_and_usable(spark):
         expected = sum(len(llm_bpe.bpe_encode(w, ranks))
                        for w in llm_bpe.pretokenize(r.text))
         assert r.n == expected
+
+
+def test_trained_vocab_artifact_well_formed_and_nonvacuous(spark):
+    """The committed 1024-merge vocabulary (tools/train_bpe_vocab.py):
+    full requested depth, well-formed (so the oracle's replace-chain
+    replay is valid), and NON-VACUOUS on the real corpus — the early
+    high-count merges come from the corpus itself, so encoding real text
+    with the trained table must actually merge (tokens ≪ characters)."""
+    merges = llm_bpe.trained_merges()
+    assert len(merges) >= 1024
+    assert llm_bpe.well_formed(merges)
+    assert all(len(a + b) >= 2 for a, b in merges)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: r.bpe_tokens
+           for r in llm_bpe.bpe_token_counts_arrow(
+               docs, merges=merges).collect()}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    ranks = llm_bpe.merge_ranks(merges)
+    for d, t in list(texts.items())[:50]:
+        pre = llm_bpe.pretokenize(t)
+        chars = sum(len(w) for w in pre)
+        expected = sum(len(llm_bpe.bpe_encode(w, ranks)) for w in pre)
+        assert got[d] == expected, (d, got[d], expected)
+        # merges fire on real text: the trained encoding is far below the
+        # character-level count (and at or below whitespace tokens would
+        # be too strong — BPE sits between)
+        assert got[d] < chars * 0.6, (d, got[d], chars)
+
+
+def test_bpe_trained_counts_query_matches_duckdb_replay(spark):
+    """End-to-end certificate twin of the driver's check: the registry
+    query (Arrow path, 1024-merge broadcast ranks) against the chunked
+    32-deep CTE replace-chain replay in DuckDB, at sf0.001."""
+    import duckdb
+
+    from kafka_to_nexus_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    sdf = (Q.queries()["bpe_trained_token_counts"](spark, sf)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    odf = (con.execute(Q.oracle_sql()["bpe_trained_token_counts"]).fetchdf()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(sdf) == len(odf)
+    assert (sdf["doc_id"].values == odf["doc_id"].values).all()
+    assert (sdf["bpe_tokens"].values == odf["bpe_tokens"].values).all()
 
 
 def _fixture_png():

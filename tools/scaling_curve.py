@@ -94,6 +94,15 @@ FAMILY = {
     "multimodal_image_dims": "documents",
     "multimodal_wav_meta": "documents",
     "multimodal_mp4_meta": "documents",
+    # r9: close the x1000 rows for the r8 newcomers (VERDICT r8 #4) and
+    # pin the two new r9 read paths
+    "curation_pipeline": "documents",
+    "chunk_dedup_stats": "documents",
+    "bigram_logprob_score": "documents",
+    "pq_adc_topk": "embeddings",
+    "ivf_pq_topk": "embeddings",
+    "ivf_pq_stored_probe": "embeddings",
+    "bpe_trained_token_counts": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -159,6 +168,17 @@ X1000_OPS = {
     "bpe_token_counts",
     "bpe_sequence_packing",
     "bpe_train_merges",
+    # r9: the five r8 newcomers' 5M-doc / 2M-vec closures (VERDICT r8
+    # #4). chunk_dedup_stats is the skew watch: the most-duplicated
+    # span's count grows with the corpus. The two new r9 read paths
+    # (ivf_pq_stored_probe, bpe_trained_token_counts) stop at x100 —
+    # their slopes are pinned there and the stored probe's first-run
+    # layout build dominates the x1000 wall-clock for no extra signal.
+    "curation_pipeline",
+    "chunk_dedup_stats",
+    "bigram_logprob_score",
+    "pq_adc_topk",
+    "ivf_pq_topk",
 }
 
 
