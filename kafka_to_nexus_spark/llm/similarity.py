@@ -832,6 +832,39 @@ def _ivf_pq_adc_score(
     return score
 
 
+def _ivf_pq_encoded(
+    df: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(vec_id, list_id, code_0..code_{m-1}) encoding of a vector frame —
+    coarse max-dot assignment, residual against the assigned centroid,
+    per-subspace PQ codes; all literal-codebook narrow maps, so the same
+    construction serves the batch layout writer and the streaming
+    appender (a streaming frame passes through unchanged)."""
+    if len(coarse) > 4096 or any(len(cb) > 4096 for cb in books):
+        # probe keys pack as list_id * 4096 + code (see _ivf_pq_adc_score)
+        raise ValueError("coarse/codebook sizes must be <= 4096")
+    vec = _as_double(F.col(vec_col))
+    ordered_coarse = sorted(coarse)
+    cid_col = pq_code_col(vec, [coarse])[0]
+    cent_map = F.map_from_arrays(
+        lit_longs([cid for cid, _ in ordered_coarse]),
+        F.array(*[lit_doubles(c) for _, c in ordered_coarse]),
+    )
+    residual = F.zip_with(
+        vec, F.element_at(cent_map, cid_col), lambda x, c: x - c
+    )
+    codes = pq_code_col(residual, books)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        cid_col.alias("list_id"),
+        *[c.alias(f"code_{j}") for j, c in enumerate(codes)],
+    )
+
+
 def write_ivf_pq_layout(
     df: DataFrame,
     coarse: list[tuple[int, list[float]]],
@@ -851,30 +884,45 @@ def write_ivf_pq_layout(
     (the coarse quantizer + m residual codebooks) happens ONCE at build
     time, the amortization that makes the 7-s inline registry entry a
     sub-second read at query time."""
-    if len(coarse) > 4096 or any(len(cb) > 4096 for cb in books):
-        # probe keys pack as list_id * 4096 + code (see _ivf_pq_adc_score)
-        raise ValueError("coarse/codebook sizes must be <= 4096")
-    vec = _as_double(F.col(vec_col))
-    ordered_coarse = sorted(coarse)
-    cid_col = pq_code_col(vec, [coarse])[0]
-    cent_map = F.map_from_arrays(
-        lit_longs([cid for cid, _ in ordered_coarse]),
-        F.array(*[lit_doubles(c) for _, c in ordered_coarse]),
-    )
-    residual = F.zip_with(
-        vec, F.element_at(cent_map, cid_col), lambda x, c: x - c
-    )
-    codes = pq_code_col(residual, books)
     (
-        df.select(
-            F.col(id_col).alias("vec_id"),
-            cid_col.alias("list_id"),
-            *[c.alias(f"code_{j}") for j, c in enumerate(codes)],
-        )
+        _ivf_pq_encoded(df, coarse, books, vec_col, id_col)
         .repartition("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
+    )
+
+
+def stream_ivf_pq_append(
+    stream: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming IVF-PQ index maintenance (the compressed twin of
+    :func:`stream_ivf_append`): arriving vectors are coarse-assigned,
+    residual-encoded to m PQ codes — the identical literal-codebook
+    narrow maps the batch layout writer uses — and APPENDED into the
+    stored layout :func:`ivf_pq_stored_probe` prunes. Ingestion writes
+    the COMPRESSED relation (m small codes per vector, never the floats),
+    so index freshness costs m bytes-ish per arrival and probes stay
+    pruned code-column scans while ingestion runs. Exactly-once via the
+    file-sink manifest + checkpoint; the manifest caveat from
+    :func:`compact_ivf_layout` applies (the sink's directory must be
+    streaming-owned — compact to a serving copy, don't mix batch files
+    under the manifest).
+
+    Returns the started StreamingQuery; caller awaits/stops it."""
+    return (
+        _ivf_pq_encoded(stream, coarse, books, vec_col, id_col)
+        .writeStream.format("parquet")
+        .partitionBy("list_id")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
 
 

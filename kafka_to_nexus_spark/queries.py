@@ -1172,6 +1172,74 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_UNIGRAM_SQL["spark"].format(total=total_tokens))
 
 
+# --- L63: multinomial Naive Bayes language classifier -------------------------
+# Model-based filtering, the curation stage CCNet/RefinedWeb run with
+# fastText classifiers: a supervised multinomial NB trained IN-QUERY on
+# the corpus's own lang labels (add-one smoothing), each doc scored
+# against every class and assigned the argmax — the trainable upgrade of
+# the L8 stopword heuristic. Everything (class priors, per-class token
+# log-likelihoods, vocab size) derives from the corpus inside the query,
+# so the DuckDB oracle replays TRAINING AND INFERENCE with zero literals.
+# Float portability: per-(doc, term, class) contributions are rounded to
+# 6 dp and summed as DECIMAL(28,6) (exact, order-independent — the
+# L45/L55 pattern), priors likewise; the argmax compares exact DECIMALs
+# with a class-ascending tie-break, so both engines pick identical
+# winners. Scale shape: tf is one map-side-combined shuffle; the model
+# relations (classes × vocab, classes) are aggregations of tf that
+# BROADCAST at any realistic class count; scoring is tf × n_classes rows
+# through hash joins; the final argmax is a 5-row-per-doc window.
+_NB_TAIL = """
+tf AS (SELECT doc_id, lang, term, count(*) AS tf
+       FROM terms GROUP BY doc_id, lang, term),
+cls AS (SELECT lang AS c, CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+               CAST(sum(tf) AS DOUBLE) AS total
+        FROM tf GROUP BY lang),
+cw AS (SELECT lang AS c, term, CAST(sum(tf) AS DOUBLE) AS cnt
+       FROM tf GROUP BY lang, term),
+v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vs FROM tf),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+contrib AS (
+  SELECT t.doc_id, t.lang, cls.c,
+         CAST(round(t.tf * ln((coalesce(cw.cnt, 0) + 1)
+                              / (cls.total + v.vs)), 6)
+              AS DECIMAL(28, 6)) AS s
+  FROM tf t CROSS JOIN v CROSS JOIN cls
+  LEFT JOIN cw ON cw.c = cls.c AND cw.term = t.term
+),
+body AS (SELECT doc_id, lang, c, sum(s) AS body
+         FROM contrib GROUP BY doc_id, lang, c),
+scored AS (
+  SELECT b.doc_id, b.lang, b.c,
+         b.body + CAST(round(ln(cls.n_docs / nd.n), 6) AS DECIMAL(28, 6))
+           AS score
+  FROM body b JOIN cls ON b.c = cls.c CROSS JOIN nd
+)
+SELECT doc_id, lang, c AS nb_pred, CAST(score AS DOUBLE) AS nb_logprob
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, c) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+SPARK_SQL["nb_lang_classifier"] = """
+WITH terms AS (
+  SELECT doc_id, lang, term FROM (
+    SELECT doc_id, lang, explode(split(lower(text), ' ')) AS term
+    FROM documents
+  ) t WHERE term <> ''
+),
+""" + _NB_TAIL
+
+ORACLE["nb_lang_classifier"] = """
+WITH terms AS (
+  SELECT doc_id, lang, term FROM (
+    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) t WHERE term <> ''
+),
+""" + _NB_TAIL
+
+
 # --- L55: bigram LM negative log-likelihood ----------------------------------
 # The next rung above L45 on the perplexity-filter ladder: a self-trained
 # BIGRAM LM with fixed-weight interpolation against the unigram

@@ -606,6 +606,65 @@ def test_stream_ivf_append_maintains_pruned_layout(spark, embeddings, tmp_path):
         "PartitionFilters")[1][:120]
 
 
+def test_stream_ivf_pq_append_equals_batch_layout(spark, embeddings, tmp_path):
+    """Streaming IVF-PQ maintenance: a layout built entirely by the
+    streaming appender (two micro-batches) carries IDENTICAL rows —
+    coarse assignment AND all m residual PQ codes — to the batch
+    write_ivf_pq_layout of the same vectors, and the stored probe over
+    it returns the batch layout's exact results."""
+    import os
+    import time as _time
+
+    emb = embeddings.limit(200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    coarse = similarity.kmeans_train_portable(emb, k=4, n_iter=1)
+    books = similarity.pq_train_portable(emb, m=4, k=8, n_iter=1)
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    for seq, pred in enumerate((F.col("vec_id") < 100, F.col("vec_id") >= 100)):
+        d = src / f"b{seq}"
+        emb.filter(pred).coalesce(1).write.mode("overwrite").json(str(d))
+        for f in d.iterdir():
+            base = _time.time() - 1000
+            os.utime(f, (base + seq * 10, base + seq * 10))
+
+    streamed = str(tmp_path / "ivfpq_stream")
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(src / "*")))
+    q = similarity.stream_ivf_pq_append(
+        stream, coarse, books, streamed, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch ground truth from the SAME JSON the stream consumed (decimal
+    # round-trip caveat as the plain-IVF twin above)
+    json_emb = spark.read.schema("vec_id long, embedding array<double>").json(
+        str(src / "*"))
+    batch_layout = str(tmp_path / "ivfpq_batch")
+    similarity.write_ivf_pq_layout(json_emb, coarse, books, batch_layout)
+    cols = ["vec_id", "list_id", "code_0", "code_1", "code_2", "code_3"]
+    got = {tuple(r) for r in spark.read.parquet(streamed).select(*cols).collect()}
+    want = {tuple(r) for r in spark.read.parquet(batch_layout).select(*cols).collect()}
+    assert got == want and len(got) == 200
+
+    qv = [float(x) for x in coarse[0][1]]
+    p_stream = similarity.ivf_pq_stored_probe(
+        spark, streamed, coarse, books, qv, probes=2, topk=5).collect()
+    p_batch = similarity.ivf_pq_stored_probe(
+        spark, batch_layout, coarse, books, qv, probes=2, topk=5).collect()
+    assert [tuple(r) for r in p_stream] == [tuple(r) for r in p_batch]
+    # the streamed layout's probe is still partition-pruned
+    probe = spark.read.parquet(streamed).filter(F.col("list_id") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split(
+        "PartitionFilters")[1][:120]
+
+
 def test_compact_ivf_layout_shrinks_files_keeps_data(spark, embeddings, tmp_path):
     """Compaction rewrites the streamed layout's per-batch small files as
     one right-sized file per centroid partition; contents and partition
@@ -1301,6 +1360,72 @@ def test_unigram_logprob_matches_python_model(spark, tmp_path):
     for d in want:
         assert got[d][0] == want[d][0], (d, got[d], want[d])
         assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])
+
+
+def test_nb_classifier_matches_python_model(spark, tmp_path):
+    """L63: the in-query multinomial Naive Bayes (add-one smoothing,
+    DECIMAL-summed contributions, class-ascending argmax tie-break) must
+    reproduce a hand-computed NB on a corpus where the classes are
+    separable — and misclassify the deliberately cross-labeled doc."""
+    import math
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    texts = {
+        0: ("hello world common", "en"),
+        1: ("hello there world world", "en"),
+        2: ("hola mundo comun", "es"),
+        3: ("hola hola mundo", "es"),
+        4: ("hello world", "es"),  # es-labeled English text
+    }
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    pd.DataFrame({
+        "doc_id": list(texts),
+        "text": [t for t, _ in texts.values()],
+        "lang": [l for _, l in texts.values()],
+        "source": "s",
+        "n_chars": [len(t) for t, _ in texts.values()],
+    }).to_parquet(sf_dir / "documents.parquet")
+
+    toks = {d: t.split() for d, (t, _) in texts.items()}
+    labels = {d: l for d, (_, l) in texts.items()}
+    classes = sorted(set(labels.values()))
+    vocab = {w for v in toks.values() for w in v}
+    cnt = {c: {} for c in classes}
+    total = dict.fromkeys(classes, 0)
+    ndocs = dict.fromkeys(classes, 0)
+    for d, v in toks.items():
+        c = labels[d]
+        ndocs[c] += 1
+        for w in v:
+            cnt[c][w] = cnt[c].get(w, 0) + 1
+            total[c] += 1
+    want = {}
+    for d, v in toks.items():
+        best = None
+        for c in classes:
+            s = round(math.log(ndocs[c] / len(texts)), 6)
+            for w, tf in {w: v.count(w) for w in set(v)}.items():
+                s += round(
+                    tf * math.log((cnt[c].get(w, 0) + 1)
+                                  / (total[c] + len(vocab))), 6)
+            s = round(s, 6)
+            if best is None or s > best[1]:
+                best = (c, s)
+        want[d] = best
+    got = {
+        r.doc_id: (r.nb_pred, r.nb_logprob)
+        for r in Q.queries()["nb_lang_classifier"](spark, str(sf_dir)).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])
+    # the cross-labeled doc is pulled to the class its WORDS belong to
+    assert got[4][0] == "en"
 
 
 def test_literal_array_helpers_match_per_element_lit(spark):

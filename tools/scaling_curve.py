@@ -103,6 +103,7 @@ FAMILY = {
     "ivf_pq_topk": "embeddings",
     "ivf_pq_stored_probe": "embeddings",
     "bpe_trained_token_counts": "documents",
+    "nb_lang_classifier": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
