@@ -1172,6 +1172,245 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_UNIGRAM_SQL["spark"].format(total=total_tokens))
 
 
+# --- L66: incremental NEAR-dup merge (admission against a standing corpus) ----
+# The near-dup companion of L40's exact-hash admission: a batch of
+# arrivals (doc_id % 10 == 0 — the continuously-ingesting slice) is
+# admitted only if NO standing-corpus document verifies as a near-dup
+# (banded minhash candidates between the two relations, exact n-gram
+# Jaccard on candidates only, τ = 0.5). Composes the L2/L3/L4 library
+# stages ACROSS two relations instead of within one: candidate
+# generation is an equi-join on (band, band_key) with the SMALL arrival
+# side broadcast — at 100 TB the standing corpus' banded relation
+# streams by while each arrival batch ships to every executor; the
+# verify join is candidate-bounded, never corpus × corpus.
+#
+# The standing side's bucket membership is CAPPED at _INC_ND_CAP per
+# (band, band_key) (lowest doc_ids kept): the uncapped cross-relation
+# join MEASURED quadratic on crowded buckets (the ×100 synth corpus'
+# replica buckets filled the disk with shuffle spill — SCALE.md r9), the
+# same hazard the within-corpus family caps. Capping makes near-dup
+# admission best-effort past the cap, so EXACT duplicates get a
+# guaranteed backstop: a fingerprint-equality candidate leg (md5(text)
+# join — the L40 check) unions in, and an identical arrival always
+# verifies at jaccard 1 regardless of bucket crowding — the same
+# exact-dups-are-cap-proof contract chain_col gives the batch pipeline.
+# Emits every arrival with its admission verdict and best
+# standing-corpus jaccard (null = no candidate met any bucket).
+_INC_ND_TAU = 0.5
+_INC_ND_CAP = 8
+
+
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    is_new = F.col("doc_id") % 10 == 0
+    sig = llm_dedup.minhash_signatures(
+        docs, num_hashes=8, shingle_k=5, hash_engine="md5"
+    )
+    banded = llm_dedup.banded_signatures(sig, bands=4, rows_per_band=2)
+    new_b = banded.filter(is_new).alias("n").hint("broadcast")
+    old_b = (
+        banded.filter(~is_new)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("band", "band_key").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rk") <= _INC_ND_CAP)
+        .alias("o")
+    )
+    cand_lsh = new_b.join(
+        old_b,
+        (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.band_key") == F.col("o.band_key")),
+    ).select(F.col("n.doc_id").alias("id_a"), F.col("o.doc_id").alias("id_b"))
+    fp = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("_fp")
+    )
+    cand_fp = (
+        fp.filter(is_new)
+        .alias("n")
+        .hint("broadcast")
+        .join(fp.filter(~is_new).alias("o"), F.col("n._fp") == F.col("o._fp"))
+        .select(
+            F.col("n.doc_id").alias("id_a"), F.col("o.doc_id").alias("id_b")
+        )
+    )
+    cand = cand_lsh.unionByName(cand_fp).distinct()
+    ver = llm_dedup.ngram_jaccard(docs, cand)
+    best = ver.groupBy("id_a").agg(
+        F.max(F.round("jaccard", 6)).alias("best_jaccard")
+    )
+    arrivals = docs.filter(is_new).select("doc_id")
+    return arrivals.join(
+        best, arrivals.doc_id == best.id_a, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("best_jaccard") < _INC_ND_TAU, F.lit(True)
+        ).alias("admitted"),
+        "best_jaccard",
+    )
+
+
+ORACLE["incremental_neardup_merge"] = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+              for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
+  FROM documents
+),
+hx AS (
+  SELECT doc_id,
+         [md5(s) for s in sh] AS h0,
+         [md5(s || '1') for s in sh] AS h1
+  FROM sh
+),
+hn AS (
+  SELECT doc_id,
+         [('0x' || substr(h, 1, 15))::BIGINT for h in h0] AS hashes,
+         len([('0x' || substr(h, 1, 15))::BIGINT for h in h0]) AS n
+  FROM hx
+),
+sig AS (
+  SELECT doc_id,
+         list_min([substr(h, 1, 8) for h in h0]) AS m0,
+         list_min([substr(h, 9, 8) for h in h0]) AS m1,
+         list_min([substr(h, 17, 8) for h in h0]) AS m2,
+         list_min([substr(h, 25, 8) for h in h0]) AS m3,
+         list_min([substr(h, 1, 8) for h in h1]) AS m4,
+         list_min([substr(h, 9, 8) for h in h1]) AS m5,
+         list_min([substr(h, 17, 8) for h in h1]) AS m6,
+         list_min([substr(h, 25, 8) for h in h1]) AS m7
+  FROM hx
+),
+banded AS (
+  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig
+),
+oldb AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, band_key
+                                 ORDER BY doc_id) AS rk
+    FROM banded WHERE doc_id % 10 <> 0)
+  WHERE rk <= {_INC_ND_CAP}
+),
+fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT n.doc_id AS id_a, o.doc_id AS id_b
+    FROM (SELECT * FROM banded WHERE doc_id % 10 = 0) n
+    JOIN oldb o ON n.band = o.band AND n.band_key = o.band_key
+    UNION ALL
+    SELECT n.doc_id, o.doc_id
+    FROM (SELECT * FROM fp WHERE doc_id % 10 = 0) n
+    JOIN (SELECT * FROM fp WHERE doc_id % 10 <> 0) o ON n.fp = o.fp
+  )
+),
+jac AS (
+  SELECT id_a,
+         round(CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+               / (x.n + y.n - len(list_intersect(x.hashes, y.hashes))),
+               6) AS j
+  FROM cand JOIN hn x ON id_a = x.doc_id JOIN hn y ON id_b = y.doc_id
+),
+best AS (SELECT id_a, max(j) AS best_jaccard FROM jac GROUP BY id_a)
+SELECT d.doc_id,
+       coalesce(best.best_jaccard < {_INC_ND_TAU}, TRUE) AS admitted,
+       best.best_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN best ON d.doc_id = best.id_a
+"""
+
+
+# --- L65: DSIR hashed n-gram importance weights --------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# raw-corpus doc by how target-like its hashed n-gram feature profile is
+# — per-doc weight = Σ_buckets tf_b · ln(p_target(b) / p_raw(b)), with
+# word unigrams+bigrams hashed to 1024 buckets (the paper's hashed
+# generative model) and add-one smoothing per bucket. Target = the
+# corpus's lang='en' slice (DSIR's target is any trusted corpus; both
+# distributions derive IN-QUERY so the oracle replays everything with
+# zero literals). Scale shape: grams → bucket tf is one map-side-combined
+# shuffle; both distributions are 1024-row aggregations that BROADCAST
+# back; the per-doc weight is one more partial-agged shuffle. Float
+# portability: per-bucket log-ratios are rounded once to 6 dp as
+# DECIMAL(28,6), multiplied by integer tf (exact) and DECIMAL-summed —
+# bit-identical totals in both engines.
+_DSIR_BUCKETS = 1024
+
+
+def _dsir_sql(bucket_expr: str) -> str:
+    return f"""
+bk AS (SELECT doc_id, lang, {bucket_expr} AS b, count(*) AS tf
+       FROM grams GROUP BY doc_id, lang, {bucket_expr}),
+rdist AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS rc FROM bk GROUP BY b),
+tdist AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS tc FROM bk
+          WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS rt,
+               CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS DOUBLE)
+                 AS tt
+        FROM bk),
+lr AS (
+  SELECT r.b,
+         CAST(round(ln(((coalesce(t.tc, 0) + 1) / (tot.tt + {_DSIR_BUCKETS}.0))
+                       / ((r.rc + 1) / (tot.rt + {_DSIR_BUCKETS}.0))), 6)
+              AS DECIMAL(28, 6)) AS lr
+  FROM rdist r LEFT JOIN tdist t ON r.b = t.b CROSS JOIN tot
+)
+SELECT bk.doc_id,
+       CAST(sum(bk.tf) AS BIGINT) AS n_features,
+       CAST(sum(bk.tf * lr.lr) AS DOUBLE) AS dsir_logweight
+FROM bk JOIN lr ON bk.b = lr.b
+GROUP BY bk.doc_id
+"""
+
+
+SPARK_SQL["dsir_importance_weights"] = """
+WITH w AS (
+  SELECT doc_id, lang, filter(split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, g FROM w LATERAL VIEW explode(ws) t AS g
+  UNION ALL
+  SELECT doc_id, lang, concat(b.w1, ' ', b.w2) AS g
+  FROM (SELECT * FROM w WHERE size(ws) >= 2) t
+  LATERAL VIEW inline(transform(sequence(1, size(ws) - 1),
+       i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))
+       b AS w1, w2
+),
+""" + _dsir_sql(
+    f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+
+ORACLE["dsir_importance_weights"] = """
+WITH w AS (
+  SELECT doc_id, lang,
+         [x for x in string_split(lower(text), ' ') if x <> ''] AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(ws) AS g FROM w
+  UNION ALL
+  SELECT doc_id, lang, w1 || ' ' || w2 AS g
+  FROM (SELECT doc_id, lang, unnest(ws[1:len(ws) - 1]) AS w1,
+               unnest(ws[2:len(ws)]) AS w2
+        FROM w WHERE len(ws) >= 2)
+),
+""" + _dsir_sql(
+    f"('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_BUCKETS}"
+)
+
+
 # --- L63: multinomial Naive Bayes language classifier -------------------------
 # Model-based filtering, the curation stage CCNet/RefinedWeb run with
 # fastText classifiers: a supervised multinomial NB trained IN-QUERY on
@@ -4837,6 +5076,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "pq_adc_topk": _q_pq_adc_topk,
+    "incremental_neardup_merge": _q_incremental_neardup,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
     "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,

@@ -1362,6 +1362,49 @@ def test_unigram_logprob_matches_python_model(spark, tmp_path):
         assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])
 
 
+def test_incremental_neardup_exact_dup_capproof(spark, tmp_path):
+    """L66's fingerprint backstop: an arrival IDENTICAL to a standing doc
+    must be rejected even when the standing doc ranks past the bucket cap
+    behind low-id boilerplate neighbors whose jaccard is below τ — the
+    cross-relation analog of the chain_col exact-dup guarantee. The
+    boilerplate docs share band buckets (template-prefix signatures) but
+    verify below τ against the arrival."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    payload = ("shared template boilerplate prefix for every document "
+               "THE EXACT DUPLICATE PAYLOAD UNIQUE TO THIS PAIR")
+    rows = []
+    # 25 low-id standing boilerplate docs (ids 1..29 skipping %10==0):
+    # same template prefix, distinct filler — crowding every bucket the
+    # payload doc shares, ahead of it in doc_id cap order
+    i = 1
+    while len(rows) < 25:
+        if i % 10 != 0:
+            rows.append((i, "shared template boilerplate prefix for every "
+                            f"document unique filler {i} " * 2))
+        i += 1
+    rows.append((999, payload))      # the standing exact twin, high id
+    rows.append((30, payload))       # the arrival (doc_id % 10 == 0)
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    pd.DataFrame({
+        "doc_id": [d for d, _ in rows],
+        "text": [t for _, t in rows],
+        "lang": "en", "source": "s",
+        "n_chars": [len(t) for _, t in rows],
+    }).to_parquet(sf_dir / "documents.parquet")
+
+    out = {r.doc_id: (r.admitted, r.best_jaccard)
+           for r in Q.queries()["incremental_neardup_merge"](
+               spark, str(sf_dir)).collect()}
+    assert 30 in out
+    admitted, best_j = out[30]
+    assert best_j == 1.0  # the exact twin was found and verified
+    assert admitted is False
+
+
 def test_nb_classifier_matches_python_model(spark, tmp_path):
     """L63: the in-query multinomial Naive Bayes (add-one smoothing,
     DECIMAL-summed contributions, class-ascending argmax tie-break) must

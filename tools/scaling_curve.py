@@ -104,6 +104,8 @@ FAMILY = {
     "ivf_pq_stored_probe": "embeddings",
     "bpe_trained_token_counts": "documents",
     "nb_lang_classifier": "documents",
+    "dsir_importance_weights": "documents",
+    "incremental_neardup_merge": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
