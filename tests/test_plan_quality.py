@@ -712,6 +712,42 @@ def test_bm25_topk_plan_shape(spark):
     ), plan
 
 
+def _executed_plan(spark, name):
+    df = Q.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nb_classifier_plan_shape(spark):
+    """nb_lang_classifier: model relations (classes×vocab, classes) join
+    back as BroadcastHash, aggregations carry map-side partials, and the
+    only nested-loop joins are the 1-row/5-row constant relations (vocab
+    size, totals, priors) — never a corpus-sized cartesian."""
+    plan = _executed_plan(spark, "nb_lang_classifier")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_dsir_plan_shape(spark):
+    """dsir_importance_weights: the two 1024-row distributions broadcast
+    back onto the bucket relation; gram→bucket counting is partial-agged;
+    no cartesian anywhere."""
+    plan = _executed_plan(spark, "dsir_importance_weights")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_incremental_neardup_plan_shape(spark):
+    """incremental_neardup_merge: candidate generation is bucket-keyed
+    equi-joins with the hinted broadcast arrival side — no cartesian, and
+    the capped standing side keeps the join bucket-bounded."""
+    plan = _executed_plan(spark, "incremental_neardup_merge")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_unigram_logprob_sums_decimal_with_partials(spark):
     """unigram_logprob_score: per-term contributions must be summed as
     DECIMAL (exact, order-independent — the cross-engine float-parity
