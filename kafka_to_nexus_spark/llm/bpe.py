@@ -416,3 +416,52 @@ def bpe_token_counts_arrow(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, BPE_COUNT_SCHEMA)
+
+
+BPE_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def bpe_tokenize_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: Sequence[tuple[str, str]] = MERGES,
+) -> DataFrame:
+    """Arrow-path BPE TOKENIZATION: the actual token stream a training
+    pipeline ships (counts are an aggregate of this) — per doc, the full
+    pre-token order with merges applied to letter/digit runs and
+    punctuation riding as single-char tokens. Same shape as
+    :func:`bpe_token_counts_arrow` (broadcast ranks, per-distinct-word
+    cache, mapInPandas over pruned columns); returns
+    ``(doc_id, tokens array<string>)``."""
+    import pandas as pd
+
+    ranks_bc = df.sparkSession.sparkContext.broadcast(merge_ranks(merges))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = ranks_bc.value
+        cache: dict[str, tuple[str, ...]] = {}
+
+        def encode(text: str) -> list[str]:
+            out: list[str] = []
+            for w in pretokenize(text or ""):
+                t = cache.get(w)
+                if t is None:
+                    t = cache[w] = tuple(bpe_encode(w, ranks))
+                out.extend(t)
+            return out
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "tokens": [encode(t) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, BPE_TOKENS_SCHEMA)

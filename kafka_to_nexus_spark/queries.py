@@ -2201,10 +2201,7 @@ def _q_bpe_trained_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_trained_oracle(chunk: int = 32) -> str:
-    """Chunked-CTE replay of the trained replace chain over the distinct
-    vocab (encode each distinct word once, join counts back per doc —
-    the oracle-side analog of the Arrow path's per-word cache)."""
+def _validated_trained_merges() -> list[tuple[str, str]]:
     import re as _re
 
     from .llm.bpe import trained_merges, well_formed
@@ -2218,6 +2215,33 @@ def _bpe_trained_oracle(chunk: int = 32) -> str:
     for a, b in merges:
         if not _re.fullmatch(r"[a-z0-9]+", a + b):
             raise ValueError(f"merge {(a, b)!r}: only [a-z0-9] supported")
+    return merges
+
+
+def _bpe_chain_stages(
+    merges: list[tuple[str, str]], chunk: int
+) -> tuple[list[str], str]:
+    """Chunked replace-chain CTE stages over an ``s0(w, s)`` relation —
+    ``chunk`` replaces per stage keeps each expression under DuckDB's
+    128-deep binder recursion cap. Returns (ctes, final_stage_name)."""
+    ctes = []
+    n_stages = 0
+    for start in range(0, len(merges), chunk):
+        n_stages += 1
+        expr = "s"
+        for a, b in merges[start : start + chunk]:
+            expr = f"replace({expr}, ',{a},,{b},', ',{a}{b},')"
+        ctes.append(
+            f"s{n_stages} AS (SELECT w, {expr} AS s FROM s{n_stages - 1})"
+        )
+    return ctes, f"s{n_stages}"
+
+
+def _bpe_trained_oracle(chunk: int = 32) -> str:
+    """Chunked-CTE replay of the trained replace chain over the distinct
+    vocab (encode each distinct word once, join counts back per doc —
+    the oracle-side analog of the Arrow path's per-word cache)."""
+    merges = _validated_trained_merges()
     ctes = [
         r"""
 base AS (
@@ -2230,16 +2254,11 @@ base AS (
 dw AS (SELECT DISTINCT unnest(ws) AS w FROM base),
 s0 AS (SELECT w, regexp_replace(w, '(.)', ',\1,', 'g') AS s FROM dw)"""
     ]
-    n_stages = 0
-    for start in range(0, len(merges), chunk):
-        n_stages += 1
-        expr = "s"
-        for a, b in merges[start : start + chunk]:
-            expr = f"replace({expr}, ',{a},,{b},', ',{a}{b},')"
-        ctes.append(f"s{n_stages} AS (SELECT w, {expr} AS s FROM s{n_stages - 1})")
+    stages, last = _bpe_chain_stages(merges, chunk)
+    ctes += stages
     ctes.append(
         f"""
-enc AS (SELECT w, len(string_split(s, ',,')) AS n FROM s{n_stages}),
+enc AS (SELECT w, len(string_split(s, ',,')) AS n FROM {last}),
 expl AS (SELECT doc_id, unnest(ws) AS w FROM base),
 wc AS (SELECT e.doc_id, sum(enc.n) AS t
        FROM expl e JOIN enc USING (w) GROUP BY e.doc_id)"""
@@ -2252,13 +2271,82 @@ FROM base b LEFT JOIN wc ON b.doc_id = wc.doc_id
     )
 
 
+# --- L67: trained-vocabulary tokenization OUTPUT (the token stream) ----------
+# Counts certify an aggregate; this certifies the STREAM a training
+# pipeline actually ships — per doc, the md5 of the full token sequence
+# (unit-separator-joined) plus its length, from bpe_tokenize_arrow with
+# the committed 1024-merge table. The oracle rebuilds the same stream in
+# DuckDB: ordered pre-tokens via the range-index unnest idiom, distinct
+# letter/digit runs encoded once through the chunked replace chain,
+# punctuation riding as itself, string_agg back in pre-token order.
+# An aggregate-free certificate: any reordering, dropped token, or merge
+# divergence anywhere in the stream flips the hash.
+
+
+def _q_bpe_trained_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import bpe as llm_bpe
+
+    register_views(spark, sf_dir, ("documents",))
+    out = llm_bpe.bpe_tokenize_arrow(
+        spark.table("documents"), merges=llm_bpe.trained_merges()
+    )
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", "tokens")).alias("stream_md5"),
+    )
+
+
+def _bpe_tokenization_oracle(chunk: int = 32) -> str:
+    merges = _validated_trained_merges()
+    ctes = [
+        r"""
+base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text),
+                            '[a-z]+|[0-9]+|[^a-z0-9\s]', 0) AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, arr[i] AS g, i
+         FROM base, unnest(range(1, len(arr) + 1)) AS u(i)),
+dw AS (SELECT DISTINCT g AS w FROM toks
+       WHERE regexp_matches(g, '^[a-z0-9]')),
+s0 AS (SELECT w, regexp_replace(w, '(.)', ',\1,', 'g') AS s FROM dw)"""
+    ]
+    stages, last = _bpe_chain_stages(merges, chunk)
+    ctes += stages
+    ctes.append(
+        f"""
+enc AS (SELECT w, replace(trim(s, ','), ',,', chr(31)) AS piece FROM {last}),
+mapped AS (SELECT t.doc_id, t.i, coalesce(e.piece, t.g) AS piece
+           FROM toks t LEFT JOIN enc e ON t.g = e.w),
+stream AS (SELECT doc_id, string_agg(piece, chr(31) ORDER BY i) AS sstr
+           FROM mapped GROUP BY doc_id)"""
+    )
+    return (
+        "WITH " + ",".join(ctes) + """
+SELECT b.doc_id,
+       CAST(CASE WHEN coalesce(s.sstr, '') = '' THEN 0
+                 ELSE len(string_split(s.sstr, chr(31))) END AS BIGINT)
+         AS n_tokens,
+       md5(coalesce(s.sstr, '')) AS stream_md5
+FROM base b LEFT JOIN stream s ON b.doc_id = s.doc_id
+"""
+    )
+
+
 def _trained_oracles() -> dict[str, str]:
     """Oracles derived from the committed trained-vocabulary artifact —
     built lazily (oracle_sql(), not import) and memoized, so importing
     this module does no file I/O."""
     cached = getattr(_trained_oracles, "_cache", None)
     if cached is None:
-        cached = {"bpe_trained_token_counts": _bpe_trained_oracle()}
+        cached = {
+            "bpe_trained_token_counts": _bpe_trained_oracle(),
+            "bpe_trained_tokenization": _bpe_tokenization_oracle(),
+        }
         _trained_oracles._cache = cached
     return dict(cached)
 
@@ -5071,6 +5159,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
     "bpe_trained_token_counts": _q_bpe_trained_counts,
+    "bpe_trained_tokenization": _q_bpe_trained_tokenization,
     "bpe_train_merges": _q_bpe_train,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
     "ivf_pq_topk": _q_ivf_pq_topk,

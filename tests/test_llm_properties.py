@@ -565,6 +565,49 @@ def test_trained_vocab_artifact_well_formed_and_nonvacuous(spark):
         assert got[d] < chars * 0.6, (d, got[d], chars)
 
 
+def test_bpe_tokenize_arrow_matches_model_and_counts(spark):
+    """bpe_tokenize_arrow emits the classic algorithm's token stream in
+    pre-token order (punctuation riding as single chars), and its length
+    always equals the counts path — on whitespace-pathological inputs."""
+    ranks = llm_bpe.merge_ranks()
+    cases = ["the table!", "a b\tc", "!!!", "", None, "thth ,"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: list(r.tokens)
+           for r in llm_bpe.bpe_tokenize_arrow(df).collect()}
+    for i, t in enumerate(cases):
+        expected = []
+        for w in llm_bpe.pretokenize(t or ""):
+            expected.extend(llm_bpe.bpe_encode(w, ranks))
+        assert got[i] == expected, (t, got[i], expected)
+    counts = {r.doc_id: r.bpe_tokens
+              for r in llm_bpe.bpe_token_counts_arrow(df).collect()}
+    assert {i: len(v) for i, v in got.items()} == counts
+
+
+def test_bpe_trained_tokenization_query_matches_duckdb_replay(spark):
+    """End-to-end stream certificate at sf0.001: the Arrow tokenization
+    (1024-merge trained table) vs the DuckDB ordered-stream replay —
+    hash equality means every token, in order, in every doc."""
+    import duckdb
+
+    from kafka_to_nexus_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    sdf = (Q.queries()["bpe_trained_tokenization"](spark, sf)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    odf = (con.execute(Q.oracle_sql()["bpe_trained_tokenization"]).fetchdf()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (sdf["n_tokens"].values == odf["n_tokens"].values).all()
+    assert (sdf["stream_md5"].values == odf["stream_md5"].values).all()
+
+
 def test_bpe_trained_counts_query_matches_duckdb_replay(spark):
     """End-to-end certificate twin of the driver's check: the registry
     query (Arrow path, 1024-merge broadcast ranks) against the chunked
