@@ -106,6 +106,7 @@ FAMILY = {
     "nb_lang_classifier": "documents",
     "dsir_importance_weights": "documents",
     "incremental_neardup_merge": "documents",
+    "bpe_trained_tokenization": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
