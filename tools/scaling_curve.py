@@ -183,6 +183,15 @@ X1000_OPS = {
     "bigram_logprob_score",
     "pq_adc_topk",
     "ivf_pq_topk",
+    # r9 (late): the round's own newcomers closed to the 5M-doc tier in
+    # the same session they landed. ivf_pq_stored_probe stays at x100:
+    # its x1000 first run is dominated by the one-time layout build
+    # (documented in SCALE.md), and the read path is already measured
+    # flat with the layout amortized.
+    "nb_lang_classifier",
+    "dsir_importance_weights",
+    "incremental_neardup_merge",
+    "bpe_trained_tokenization",
 }
 
 
