@@ -32,9 +32,16 @@ Two execution paths, same semantics:
 The SQL paths split the pre-tokenizer in two: letter/digit runs feed the
 merge pipeline, and punctuation — single-symbol pre-tokens that can
 never merge — is tallied as a plain character count over
-``[^a-z0-9\\s]`` (the same whitespace class the Arrow path's
-``pretokenize`` uses, so tab/newline/CR count as zero tokens on every
-path; NULL text coalesces to 0 everywhere).
+``[^a-z0-9 \\x00-\\x1f]``. The zero-token class is EXPLICIT (ASCII space
+plus every C0 control) rather than ``\\s`` because the three engines
+disagree on ``\\s``: Python re's Unicode ``\\s`` also matches \\x0b,
+\\x1c-\\x1f, \\x85, \\xa0 and U+2000+, Java's includes \\x0b, RE2's
+excludes it — so 'a\\xa0b' tokenized differently per path. With the
+explicit class, NBSP/\\x85/U+2000+ are ordinary punct pre-tokens (1 token)
+everywhere, tab/newline/CR/VT and all other C0 controls count zero
+everywhere, and — because U+001F is in the zero class — no token can ever
+equal the \\x1f unit separator the L67 stream certificate joins on.
+NULL text coalesces to 0 everywhere.
 """
 
 from __future__ import annotations
@@ -68,7 +75,9 @@ MERGES: tuple[tuple[str, str], ...] = (
     ("k", "e"), ("ke", "y"),
 )
 
-_PRETOKEN_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+# Explicit zero-token class (see module docstring): ASCII space + C0
+# controls. NEVER \s — the three regex engines disagree on \s.
+_PRETOKEN_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \x00-\x1f]")
 
 
 def well_formed(merges: Sequence[tuple[str, str]]) -> bool:
@@ -175,12 +184,14 @@ def bpe_count_expr(
     if dialect == "spark":
         seed = "regexp_replace(w, '(.)', ',$1,')"
         words = f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0)"
-        # '\\\\s' in the emitted SQL text: Spark SQL string literals eat one
-        # backslash level ('\\s' in a literal is a plain 's'), so the regex
-        # engine needs the doubled form to see \s (verified empirically —
-        # DuckDB literals below pass backslashes through untouched)
+        # doubled backslashes in the emitted SQL text: Spark SQL string
+        # literals eat one backslash level, so the regex engine needs the
+        # doubled form to see \x00-\x1F (verified empirically — DuckDB
+        # literals below pass backslashes through untouched). The class is
+        # explicit, never \s: the engines disagree on \s (module docstring).
         punct = (
-            f"length(regexp_replace(lower({text_col}), '[a-z0-9\\\\s]', ''))"
+            f"length(regexp_replace(lower({text_col}), "
+            f"'[a-z0-9 \\\\x00-\\\\x1F]', ''))"
         )
         count = "size(split({chain}, ',,'))"
         total = (
@@ -191,8 +202,8 @@ def bpe_count_expr(
         seed = "regexp_replace(w, '(.)', ',\\1,', 'g')"
         words = f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0)"
         punct = (
-            f"length(regexp_replace(lower({text_col}), '[a-z0-9\\s]', "
-            f"'', 'g'))"
+            f"length(regexp_replace(lower({text_col}), "
+            f"'[a-z0-9 \\x00-\\x1f]', '', 'g'))"
         )
         count = "len(string_split({chain}, ',,'))"
         total = (

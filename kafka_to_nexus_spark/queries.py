@@ -2247,7 +2247,8 @@ def _bpe_trained_oracle(chunk: int = 32) -> str:
 base AS (
   SELECT doc_id,
          regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0) AS ws,
-         coalesce(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')),
+         coalesce(length(regexp_replace(lower(text),
+                                        '[a-z0-9 \x00-\x1f]', '', 'g')),
                   0) AS p
   FROM documents
 ),
@@ -2280,7 +2281,11 @@ FROM base b LEFT JOIN wc ON b.doc_id = wc.doc_id
 # letter/digit runs encoded once through the chunked replace chain,
 # punctuation riding as itself, string_agg back in pre-token order.
 # An aggregate-free certificate: any reordering, dropped token, or merge
-# divergence anywhere in the stream flips the hash.
+# divergence anywhere in the stream flips the hash. The \x1f unit
+# separator can never collide with a token: U+001F is a C0 control and
+# the pre-tokenizer's explicit zero-token class [ \x00-\x1f] (ADVICE r9;
+# llm/bpe.py module docstring) excludes all C0 controls from pre-tokens
+# on every path, so the oracle's split-derived n_tokens is exact.
 
 
 def _q_bpe_trained_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2306,7 +2311,7 @@ def _bpe_tokenization_oracle(chunk: int = 32) -> str:
 base AS (
   SELECT doc_id,
          regexp_extract_all(lower(text),
-                            '[a-z]+|[0-9]+|[^a-z0-9\s]', 0) AS arr
+                            '[a-z]+|[0-9]+|[^a-z0-9 \x00-\x1f]', 0) AS arr
   FROM documents
 ),
 toks AS (SELECT doc_id, arr[i] AS g, i
@@ -5003,7 +5008,6 @@ def _ivf_pq_layout(spark: SparkSession, sf_dir: str):
     amortization a 100 TB deployment gets from its stored index."""
     import json as _json
     import os
-    import shutil
     import tempfile
 
     from .llm import similarity as sim
@@ -5047,12 +5051,40 @@ def _ivf_pq_layout(spark: SparkSession, sf_dir: str):
     sim.write_ivf_pq_layout(emb, coarse, books, build)
     with open(os.path.join(build, "_model.json"), "w") as f:
         _json.dump({"coarse": coarse, "books": books}, f)
-    shutil.rmtree(layout, ignore_errors=True)
+    _publish_layout(tmp, build, layout, ("_SUCCESS", "_model.json"))
+    return coarse, books, layout
+
+
+def _publish_layout(
+    tmp: str, build: str, layout: str, complete_markers: tuple[str, ...]
+) -> None:
+    """Atomically publish a built layout directory (ADVICE r9): NEVER
+    rmtree-then-rename — the layout path is keyed by source identity +
+    params, so a concurrent session renaming the same path is producing
+    the SAME content, and pre-deleting could yank a winner's freshly
+    published directory out from under a reader. Rename first; on
+    EEXIST/ENOTEMPTY keep a COMPLETE occupant (all ``complete_markers``
+    present) and only replace a broken partial (a crashed build at the
+    same identity — the one case where deleting is safe). The tmp parent
+    is always cleaned up (no-op when the rename moved it)."""
+    import os
+    import shutil
+
+    def _complete() -> bool:
+        return all(
+            os.path.exists(os.path.join(layout, m)) for m in complete_markers
+        )
+
     try:
         os.rename(build, layout)
-    except OSError:  # lost a concurrent-build race: keep the winner
-        shutil.rmtree(tmp, ignore_errors=True)
-    return coarse, books, layout
+    except OSError:
+        if not _complete():
+            shutil.rmtree(layout, ignore_errors=True)
+            try:
+                os.rename(build, layout)
+            except OSError:
+                pass  # second loss: a complete winner appeared meanwhile
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q_ivf_pq_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

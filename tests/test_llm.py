@@ -1500,3 +1500,44 @@ def test_literal_array_helpers_match_per_element_lit(spark):
 
     with _pytest.raises(ValueError, match="non-finite"):
         similarity.lit_doubles([float("nan")])
+
+
+def test_publish_layout_is_atomic_and_cleans_tmp(tmp_path):
+    """ADVICE r9: the stored-layout publish must never rmtree a COMPLETE
+    occupant (a concurrent winner at the same identity), must replace a
+    broken partial, and must clean the tmp parent on every path."""
+    from kafka_to_nexus_spark.queries import _publish_layout
+
+    def _mk_build(tag):
+        tmp = tmp_path / f"tmp_{tag}"
+        build = tmp / "layout"
+        build.mkdir(parents=True)
+        (build / "_SUCCESS").write_text("")
+        (build / "_model.json").write_text('{"who": "%s"}' % tag)
+        return str(tmp), str(build)
+
+    layout = str(tmp_path / "layout")
+    markers = ("_SUCCESS", "_model.json")
+
+    # 1. empty target: plain rename, tmp parent gone
+    tmp, build = _mk_build("first")
+    _publish_layout(tmp, build, layout, markers)
+    import json
+    import os
+
+    assert json.load(open(os.path.join(layout, "_model.json")))["who"] == "first"
+    assert not os.path.exists(tmp)
+
+    # 2. complete occupant: loser keeps the winner, never deletes it
+    tmp, build = _mk_build("second")
+    _publish_layout(tmp, build, layout, markers)
+    assert json.load(open(os.path.join(layout, "_model.json")))["who"] == "first"
+    assert not os.path.exists(tmp)
+
+    # 3. broken partial occupant (no _SUCCESS): replaced
+    os.remove(os.path.join(layout, "_SUCCESS"))
+    tmp, build = _mk_build("third")
+    _publish_layout(tmp, build, layout, markers)
+    assert json.load(open(os.path.join(layout, "_model.json")))["who"] == "third"
+    assert os.path.exists(os.path.join(layout, "_SUCCESS"))
+    assert not os.path.exists(tmp)

@@ -427,12 +427,24 @@ def test_bpe_dialects_agree_on_general_text(spark):
     newline/CR are whitespace (zero tokens) on every path, NULL text
     counts 0 everywhere, and all-punctuation text keeps its punct tally
     (DuckDB's list_sum over an empty word list is NULL and must not
-    swallow it)."""
+    swallow it).
+
+    ADVICE r9: parity must also hold on the characters where the three
+    regex engines' \\s classes DISAGREE — \\x0b (VT: Python+Java \\s,
+    not RE2's), \\xa0 (NBSP: Python \\s only), \\x1f/\\x1c (C0: Python
+    \\s only), \\x85 (NEL: Python \\s only) — which is why the zero-token
+    class is the explicit [ \\x00-\\x1f] on every path. NBSP/NEL/U+2003
+    are ordinary 1-token punct everywhere; VT and all C0 controls are
+    zero everywhere (so no token can collide with the \\x1f stream
+    separator)."""
     import duckdb
 
     ranks = llm_bpe.merge_ranks()
     cases = ["a b\tc", "tab\there\nand\rthere", "!!!", "", None,
-             ",\t,", "  \t  "]
+             ",\t,", "  \t  ",
+             # engine-divergent \s characters (ADVICE r9)
+             "a\x0bb", "a\xa0b", "a\x1fb", "a\x1cb", "x\x85y",
+             "p q", "a\x7fb", "\x1f\x1f", "\xa0\xa0"]
     expected = {
         i: sum(len(llm_bpe.bpe_encode(w, ranks))
                for w in llm_bpe.pretokenize(t or ""))
