@@ -569,3 +569,242 @@ def connected_components(
         id_col,
         F.coalesce("label", F.col(id_col)).alias("component_id"),
     )
+
+
+# --- Stored standing-corpus banding (L68) ------------------------------------
+# Build-once/probe-forever for near-dup admission (VERDICT r9 #1): a
+# continuously-ingesting corpus must not recompute signatures + banding +
+# bucket caps over its ENTIRE standing side per admission batch (the
+# reference's analog: its standing consumer state is maintained, never
+# rebuilt per message — Stream/Partition.cpp:174-223). The layout persists
+# exactly what admission needs, keyed by doc id:
+#
+# - ``banding/``        (band, band_key, doc_id) — CAPPED at ``max_bucket``
+#                       rows per (band, band_key) ordered by doc_id, the
+#                       same cap rule the inline L66 query applies (an
+#                       uncapped standing banding measured disk-filling at
+#                       the ×100 tier — SCALE.md r9). Partitioned by
+#                       ``band``; at cluster scale, bucket by band_key so
+#                       the admission join co-locates without a shuffle.
+# - ``fingerprints/``   (doc_id, fp=md5(text)) — UNCAPPED: the exact-dup
+#                       backstop leg must see every standing doc, so
+#                       identical arrivals stay cap-proof.
+# - ``shingle_hashes/`` (doc_id, sh array<long>) — the 60-bit md5-int
+#                       shingle sets verification needs, so the Jaccard
+#                       stage never touches standing TEXT again. At
+#                       cluster scale, sort/bucket by doc_id for the
+#                       verify join.
+# - ``_meta.json``      parameters + hash engine; admission refuses a
+#                       layout built with different parameters (silently
+#                       mismatched banding loses candidates).
+
+NEARDUP_LAYOUT_PARAMS = {
+    "num_hashes": 8,
+    "shingle_k": 5,
+    "bands": 4,
+    "rows_per_band": 2,
+    "max_bucket": 8,
+    "hash_engine": "md5",
+    "version": 1,
+}
+
+
+def _neardup_relations(
+    df: DataFrame,
+    params: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(banding-uncapped, fingerprints, shingle_hashes) for one side —
+    shared by the layout writer, the append path, and the arrival side of
+    admission so the two sides can never drift."""
+    sig = minhash_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=params["num_hashes"],
+        shingle_k=params["shingle_k"],
+        hash_engine=params["hash_engine"],
+    )
+    banded = banded_signatures(
+        sig,
+        id_col=id_col,
+        bands=params["bands"],
+        rows_per_band=params["rows_per_band"],
+    )
+    fp = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.array_distinct(shingles(F.col(text_col), params["shingle_k"])),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("sh"),
+    )
+    return banded, fp, sh
+
+
+def _cap_banding(banded: DataFrame, max_bucket: int) -> DataFrame:
+    return (
+        banded.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("band", "band_key").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
+
+
+def write_neardup_banding_layout(
+    df: DataFrame,
+    path: str,
+    params: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the standing-corpus near-dup state (one-time build; see
+    the layout comment above). Admission then probes this layout without
+    any corpus-sized recompute."""
+    import json
+    import os
+
+    p = {**NEARDUP_LAYOUT_PARAMS, **(params or {})}
+    banded, fp, sh = _neardup_relations(df, p, text_col, id_col)
+    _cap_banding(banded, p["max_bucket"]).write.partitionBy("band").parquet(
+        os.path.join(path, "banding")
+    )
+    fp.write.parquet(os.path.join(path, "fingerprints"))
+    sh.write.parquet(os.path.join(path, "shingle_hashes"))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(p, f)
+
+
+def _read_neardup_layout(spark, path: str) -> tuple[dict, DataFrame, DataFrame, DataFrame]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        p = json.load(f)
+    return (
+        p,
+        spark.read.parquet(os.path.join(path, "banding")),
+        spark.read.parquet(os.path.join(path, "fingerprints")),
+        spark.read.parquet(os.path.join(path, "shingle_hashes")),
+    )
+
+
+def neardup_admission(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit an arrival batch against the STORED standing corpus:
+    (doc_id, admitted, best_jaccard), admitted = no standing near-dup at
+    Jaccard >= tau.
+
+    Scale shape — per batch, only the ARRIVAL side is computed: arrival
+    bands and fingerprints broadcast against the stored (capped) banding
+    and fingerprint relations; Jaccard verification joins the few
+    candidates against the stored shingle sets. Zero windows, zero
+    corpus-sized recompute — the plan-quality test pins the admission
+    plan Window-free (the inline L66 twin carries the cap window every
+    batch)."""
+    p, stored_band, stored_fp, stored_sh = _read_neardup_layout(spark, path)
+    a_band, a_fp, a_sh = _neardup_relations(arrivals, p, text_col, id_col)
+    cand_lsh = (
+        a_band.alias("n")
+        .hint("broadcast")
+        .join(
+            stored_band.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col("o.doc_id").alias("id_b"),
+        )
+    )
+    cand_fp = (
+        a_fp.alias("n")
+        .hint("broadcast")
+        .join(stored_fp.alias("o"), F.col("n.fp") == F.col("o.fp"))
+        .select(
+            F.col("n.doc_id").alias("id_a"), F.col("o.doc_id").alias("id_b")
+        )
+    )
+    # NO distinct before verify: a pair surfacing from several bands (or
+    # from both the LSH and fingerprint legs) verifies to the SAME
+    # jaccard, and max() over a multiset equals max() over its set — so
+    # dedup here buys ~2% less verify work for a whole extra shuffle
+    # (measured at sf0.1: 13019 -> 12809 candidates, distinct cost 1.1 s)
+    cand = cand_lsh.unionByName(cand_fp)
+    ver = (
+        cand.join(a_sh.alias("x").hint("broadcast"), cand.id_a == F.col("x.doc_id"))
+        .join(stored_sh.alias("y"), cand.id_b == F.col("y.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("x.sh", "y.sh"))
+                / F.size(F.array_union("x.sh", "y.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    best = ver.groupBy("id_a").agg(
+        F.max(F.round("jaccard", 6)).alias("best_jaccard")
+    )
+    base = arrivals.select(F.col(id_col).alias("doc_id"))
+    return base.join(best, base.doc_id == best.id_a, "left").select(
+        "doc_id",
+        F.coalesce(F.col("best_jaccard") < tau, F.lit(True)).alias(
+            "admitted"
+        ),
+        "best_jaccard",
+    )
+
+
+def append_neardup_banding(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an admitted batch INTO the stored layout (the L64 pattern:
+    compressed appends, probes stay valid during ingest). Fingerprints
+    and shingle sets append wholesale; banding appends cap-aware — the
+    per-bucket budget left after the EXISTING occupancy (one
+    O(distinct-buckets) aggregation over the stored banding, never a
+    corpus-sized window) is filled in doc_id order, so a bucket never
+    exceeds ``max_bucket`` across any number of appends."""
+    import os
+
+    p, stored_band, _, _ = _read_neardup_layout(spark, path)
+    banded, fp, sh = _neardup_relations(new_docs, p, text_col, id_col)
+    occupancy = stored_band.groupBy("band", "band_key").agg(
+        F.count("*").alias("_n")
+    )
+    capped_new = (
+        banded.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("band", "band_key").orderBy("doc_id")
+            ),
+        )
+        .join(occupancy, ["band", "band_key"], "left")
+        .filter(F.col("_rk") + F.coalesce("_n", F.lit(0)) <= p["max_bucket"])
+        .drop("_rk", "_n")
+    )
+    capped_new.write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "banding")
+    )
+    fp.write.mode("append").parquet(os.path.join(path, "fingerprints"))
+    sh.write.mode("append").parquet(os.path.join(path, "shingle_hashes"))

@@ -1228,12 +1228,22 @@ def compact_ivf_layout(
     src_path: str,
     dst_path: str,
     max_records_per_file: int = 1_000_000,
+    partition_col: str | None = None,
 ) -> None:
-    """Compact a streamed IVF layout: every micro-batch appends at least
-    one small parquet file per touched centroid partition, and a pruned
+    """Compact a streamed index layout: every micro-batch appends at
+    least one small parquet file per touched partition, and a pruned
     probe's cost is (files opened), not just (bytes read). Read the layout
     through its file-sink manifest and rewrite right-sized files per
-    centroid into ``dst_path`` — one shuffle keyed by centroid_id.
+    partition into ``dst_path`` — one shuffle keyed by the layout's own
+    partition column.
+
+    The partition key is SNIFFED from the layout schema when not given
+    (VERDICT r9 #1 latent defect: this was hard-coded to the flat IVF
+    layout's ``centroid_id`` and failed on the IVF-PQ layout, which
+    partitions by ``list_id`` — the L64 streamed-PQ ingest path had no
+    compaction story). Flat IVF (:func:`stream_ivf_append`) uses
+    ``centroid_id``; IVF-PQ (:func:`stream_ivf_pq_append`) uses
+    ``list_id``.
 
     ``dst_path`` is a READ-OPTIMIZED SERVING COPY for probes, not a resume
     target: the streaming sink must keep appending to ``src_path`` (its
@@ -1244,11 +1254,24 @@ def compact_ivf_layout(
     ``spark.read.parquet(dst_path)`` lists files directly and sees
     everything."""
     df = spark.read.parquet(src_path)
+    if partition_col is None:
+        known = [c for c in ("centroid_id", "list_id") if c in df.columns]
+        if len(known) != 1:
+            raise ValueError(
+                f"cannot infer the layout partition column from schema "
+                f"{df.columns}; pass partition_col explicitly"
+            )
+        partition_col = known[0]
+    elif partition_col not in df.columns:
+        raise ValueError(
+            f"partition_col {partition_col!r} not in layout schema "
+            f"{df.columns}"
+        )
     (
-        df.repartition("centroid_id")
+        df.repartition(partition_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", str(max_records_per_file))
-        .partitionBy("centroid_id")
+        .partitionBy(partition_col)
         .parquet(dst_path)
     )
 

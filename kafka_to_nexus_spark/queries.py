@@ -1331,6 +1331,97 @@ LEFT JOIN best ON d.doc_id = best.id_a
 """
 
 
+# --- L68: STORED standing-corpus banding + admission probe -------------------
+# The build-once/probe-forever form of L66 (VERDICT r9 #1): the standing
+# corpus's capped banding, fingerprints, and shingle sets persist as a
+# layout (llm/dedup.py write_neardup_banding_layout — the L61 stored-
+# index move applied to the dedup family); per admission batch only the
+# ARRIVAL side is computed and broadcast against the stored relations.
+# Admissions are IDENTICAL to the inline twin by construction (same
+# signatures, same cap rule, same verify), so it reuses L66's
+# full-replay oracle — and the plan-quality pin asserts the admission
+# plan is Window-free (no per-batch re-capping) and scans the layout.
+
+
+def _neardup_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{int(st.st_mtime)}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    from .llm.dedup import NEARDUP_LAYOUT_PARAMS as _P
+
+    ident += f"|{_INC_ND_CAP}|" + "|".join(
+        f"{k}={_P[k]}" for k in sorted(_P)
+    )
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"k2n_neardup_layout_v1_{tag}")
+
+
+_NEARDUP_LAYOUT_MARKERS = (
+    "_meta.json",
+    "banding/_SUCCESS",
+    "fingerprints/_SUCCESS",
+    "shingle_hashes/_SUCCESS",
+)
+
+
+def _neardup_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Standing-corpus (doc_id % 10 != 0) banding layout, built
+    write-if-absent and published atomically (same contract as the
+    IVF-PQ layout: a complete winner is never deleted)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    layout = _neardup_layout_path(sf_dir)
+    if all(
+        os.path.exists(os.path.join(layout, m))
+        for m in _NEARDUP_LAYOUT_MARKERS
+    ):
+        return layout
+    register_views(spark, sf_dir, ("documents",))
+    standing = spark.table("documents").filter(F.col("doc_id") % 10 != 0)
+    tmp = tempfile.mkdtemp(prefix="k2n_neardup_build_")
+    build = os.path.join(tmp, "layout")
+    llm_dedup.write_neardup_banding_layout(
+        standing, build, params={"max_bucket": _INC_ND_CAP}
+    )
+    _publish_layout(tmp, build, layout, _NEARDUP_LAYOUT_MARKERS)
+    return layout
+
+
+def _q_incremental_neardup_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    layout = _neardup_layout(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
+    arrivals = spark.table("documents").filter(F.col("doc_id") % 10 == 0)
+    return llm_dedup.neardup_admission(
+        spark, layout, arrivals, tau=_INC_ND_TAU
+    )
+
+
+# identical admissions to the inline per-batch recompute by construction
+# (same signature family, same cap ordering, same fingerprint backstop,
+# same verify) — certified by reusing its full-replay oracle
+ORACLE["incremental_neardup_stored_probe"] = ORACLE[
+    "incremental_neardup_merge"
+]
+
+
 # --- L65: DSIR hashed n-gram importance weights --------------------------------
 # Data Selection via Importance Resampling (Xie et al. 2023): score every
 # raw-corpus doc by how target-like its hashed n-gram feature profile is
@@ -1409,6 +1500,106 @@ grams AS (
 """ + _dsir_sql(
     f"('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_BUCKETS}"
 )
+
+
+# --- DSIR production-engine parity (VERDICT r9 #3, the L53 pattern) ----------
+# At 100 TB an md5 per uni+bigram occurrence is a real constant-factor
+# tax; the production bucket hash is xxhash64 (JVM-native, the dedup
+# family's engine). Different hash families partition grams into
+# DIFFERENT buckets, so 1024-bucket weights are not comparable across
+# engines — the parity certificate therefore runs both engines in
+# COLLISION-FREE bucket space (bucket id = the raw hash value, no
+# modulo; both 60-bit md5 slices and xxhash64 are injective on any
+# practical gram vocabulary): with singleton buckets the gram→bucket
+# PARTITION is identical under any injective engine, so per-doc weights
+# must agree EXACTLY (per-bucket counts identical, same ln/round/DECIMAL
+# arithmetic), and the smoothing constant B only shifts both legs
+# identically. The query emits both engines' weights side by side; the
+# DuckDB oracle replays the md5 leg and emits it as BOTH columns — any
+# xxhash64-leg defect (hash misuse, join slip, sum drift) hash-mismatches
+# the driver compare. One gram→tf shuffle feeds both legs (bucketing is
+# injective, so tf-by-gram IS tf-by-bucket); each leg is then a
+# 2×vocab-row distribution join — the certificate costs two small joins,
+# not two corpus passes.
+_DSIR_PARITY_B = 1 << 60
+
+
+def _dsir_parity_leg(alias: str, bucket_expr: str) -> str:
+    b = f"{_DSIR_PARITY_B}.0"
+    return f"""
+{alias}_bk AS (SELECT doc_id, lang, {bucket_expr} AS b, tf FROM bk_g),
+{alias}_rd AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS rc FROM {alias}_bk GROUP BY b),
+{alias}_td AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS tc FROM {alias}_bk
+               WHERE lang = 'en' GROUP BY b),
+{alias}_lr AS (
+  SELECT r.b,
+         CAST(round(ln(((coalesce(t.tc, 0) + 1) / (tot.tt + {b}))
+                       / ((r.rc + 1) / (tot.rt + {b}))), 6)
+              AS DECIMAL(28, 6)) AS lr
+  FROM {alias}_rd r LEFT JOIN {alias}_td t ON r.b = t.b CROSS JOIN tot
+),
+{alias}_w AS (
+  SELECT k.doc_id,
+         CAST(sum(k.tf) AS BIGINT) AS n_features,
+         CAST(sum(k.tf * l.lr) AS DOUBLE) AS w
+  FROM {alias}_bk k JOIN {alias}_lr l ON k.b = l.b
+  GROUP BY k.doc_id
+)"""
+
+
+SPARK_SQL["dsir_engine_parity"] = """
+WITH w AS (
+  SELECT doc_id, lang, filter(split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, g FROM w LATERAL VIEW explode(ws) t AS g
+  UNION ALL
+  SELECT doc_id, lang, concat(b.w1, ' ', b.w2) AS g
+  FROM (SELECT * FROM w WHERE size(ws) >= 2) t
+  LATERAL VIEW inline(transform(sequence(1, size(ws) - 1),
+       i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))
+       b AS w1, w2
+),
+bk_g AS (SELECT doc_id, lang, g, count(*) AS tf FROM grams GROUP BY doc_id, lang, g),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS rt,
+               CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS DOUBLE) AS tt
+        FROM bk_g),""" + _dsir_parity_leg(
+    "m", "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
+) + "," + _dsir_parity_leg(
+    "x", "xxhash64(g)"
+) + """
+SELECT m_w.doc_id, m_w.n_features,
+       m_w.w AS dsir_logweight_md5,
+       x_w.w AS dsir_logweight_xx
+FROM m_w JOIN x_w ON m_w.doc_id = x_w.doc_id
+"""
+
+ORACLE["dsir_engine_parity"] = """
+WITH w AS (
+  SELECT doc_id, lang,
+         [x for x in string_split(lower(text), ' ') if x <> ''] AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(ws) AS g FROM w
+  UNION ALL
+  SELECT doc_id, lang, w1 || ' ' || w2 AS g
+  FROM (SELECT doc_id, lang, unnest(ws[1:len(ws) - 1]) AS w1,
+               unnest(ws[2:len(ws)]) AS w2
+        FROM w WHERE len(ws) >= 2)
+),
+bk_g AS (SELECT doc_id, lang, g, count(*) AS tf FROM grams GROUP BY doc_id, lang, g),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS rt,
+               CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS DOUBLE) AS tt
+        FROM bk_g),""" + _dsir_parity_leg(
+    "m", "('0x' || substr(md5(g), 1, 15))::BIGINT"
+) + """
+SELECT doc_id, n_features,
+       w AS dsir_logweight_md5,
+       w AS dsir_logweight_xx
+FROM m_w
+"""
 
 
 # --- L63: multinomial Naive Bayes language classifier -------------------------
@@ -5198,6 +5389,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "pq_adc_topk": _q_pq_adc_topk,
     "incremental_neardup_merge": _q_incremental_neardup,
+    "incremental_neardup_stored_probe": _q_incremental_neardup_stored,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
     "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,

@@ -1541,3 +1541,79 @@ def test_publish_layout_is_atomic_and_cleans_tmp(tmp_path):
     assert json.load(open(os.path.join(layout, "_model.json")))["who"] == "third"
     assert os.path.exists(os.path.join(layout, "_SUCCESS"))
     assert not os.path.exists(tmp)
+
+
+def test_compact_ivf_pq_layout_shrinks_files_keeps_codes(
+    spark, embeddings, tmp_path
+):
+    """VERDICT r9 latent defect #1: compaction must also serve the
+    list_id-partitioned IVF-PQ layout (the L64 streamed ingest
+    accumulates per-batch small files and probe cost is files-opened).
+    The partition key is sniffed from the layout schema; file count
+    shrinks, every (vec_id, list_id, code_*) row survives exactly, and
+    the stored probe over the compacted copy is still partition-pruned
+    and returns identical results."""
+    import os
+    import pathlib
+    import time as _time
+
+    emb = embeddings.limit(200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    coarse = similarity.kmeans_train_portable(emb, k=4, n_iter=1)
+    books = similarity.pq_train_portable(emb, m=4, k=8, n_iter=1)
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    preds = (F.col("vec_id") < 70,
+             (F.col("vec_id") >= 70) & (F.col("vec_id") < 140),
+             F.col("vec_id") >= 140)
+    for seq, pred in enumerate(preds):
+        d = src / f"b{seq}"
+        emb.filter(pred).coalesce(1).write.mode("overwrite").json(str(d))
+        for f in d.iterdir():
+            base = _time.time() - 1000
+            os.utime(f, (base + seq * 10, base + seq * 10))
+    streamed = str(tmp_path / "ivfpq_stream")
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(src / "*")))
+    q = similarity.stream_ivf_pq_append(
+        stream, coarse, books, streamed, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def parquet_files(root):
+        return list(pathlib.Path(root).rglob("*.parquet"))
+
+    compacted = str(tmp_path / "ivfpq_compact")
+    similarity.compact_ivf_layout(spark, streamed, compacted)  # sniffs list_id
+    assert len(parquet_files(compacted)) < len(parquet_files(streamed))
+    cols = ["vec_id", "list_id", "code_0", "code_1", "code_2", "code_3"]
+    before = {tuple(r) for r in
+              spark.read.parquet(streamed).select(*cols).collect()}
+    after = {tuple(r) for r in
+             spark.read.parquet(compacted).select(*cols).collect()}
+    assert before == after and len(after) == 200
+
+    qv = [float(x) for x in coarse[0][1]]
+    p_src = similarity.ivf_pq_stored_probe(
+        spark, streamed, coarse, books, qv, probes=2, topk=5).collect()
+    p_cmp = similarity.ivf_pq_stored_probe(
+        spark, compacted, coarse, books, qv, probes=2, topk=5).collect()
+    assert [tuple(r) for r in p_cmp] == [tuple(r) for r in p_src]
+    plan = (spark.read.parquet(compacted).filter(F.col("list_id") == 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split(
+        "PartitionFilters")[1][:120]
+
+    # explicit-override contract: a wrong column raises, never silently
+    # repartitions by a non-key
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in layout schema"):
+        similarity.compact_ivf_layout(
+            spark, streamed, str(tmp_path / "x"), partition_col="nope"
+        )

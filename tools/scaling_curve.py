@@ -107,6 +107,7 @@ FAMILY = {
     "dsir_importance_weights": "documents",
     "incremental_neardup_merge": "documents",
     "bpe_trained_tokenization": "documents",
+    "incremental_neardup_stored_probe": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -192,7 +193,18 @@ X1000_OPS = {
     "dsir_importance_weights",
     "incremental_neardup_merge",
     "bpe_trained_tokenization",
+    # r10: close the counts row for symmetry with its tokenization
+    # sibling (VERDICT r9 #5) — same per-distinct-word cache carries both
+    "bpe_trained_token_counts",
 }
+
+# Stored-layout read paths: the FIRST call at a tier builds the layout
+# (write-if-absent under /tmp), which is the one-time cost the design
+# amortizes — timing it into the probe number would misstate both. These
+# run once UNTIMED per tier (paying/creating the layout), then the
+# normal min-of-two measures the probe alone; the build cost is reported
+# separately in SCALE.md.
+PREBUILD = {"ivf_pq_stored_probe", "incremental_neardup_stored_probe"}
 
 
 # Synth tiers are run with shuffle partitions sized by SCALE.md's own
@@ -216,6 +228,11 @@ def time_query(spark, fn, sf_dir: str, name: str) -> float:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    if name in PREBUILD:
+        t0 = time.perf_counter()
+        once()  # untimed: builds the stored layout if absent
+        print(f"    [{name} @ {sf_dir}: prebuild/first pass "
+              f"{time.perf_counter() - t0:.1f}s]", flush=True)
     dt = once()
     # re-measure to shed cold-cache noise (a 42 s cold first pass was
     # observed settling to 6 s warm), but don't double runs long enough
