@@ -364,6 +364,361 @@ def bpe_train(
     return merges
 
 
+def bpe_train_batched(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 16,
+    state_partitions: int | None = None,
+    max_batch: int = 64,
+) -> list[tuple[int, str, str, int]]:
+    """:func:`bpe_train` with DISJOINT-BATCH argmax rounds — identical
+    output, a fraction of the Spark jobs (VERDICT r9 #4: the
+    single-merge trainer is linear but floor-bound at ~1 job/merge, so a
+    50k-merge vocabulary extrapolates to hours of argmax round trips).
+
+    Per round, ONE pair-count aggregation feeds a driver-side greedy
+    batch selection that is PROVABLY equal to replaying classic
+    single-merge selection:
+
+    - walk the pair list in the classic order (count desc, pair asc),
+      accepting pairs whose symbols are disjoint from every previously
+      accepted pair, and STOP at the first overlapping pair (count
+      ``c_stop``; everything below it is uncertain);
+    - keep only accepted pairs with count STRICTLY above ``c_stop``.
+
+    Why this replays classic exactly: merging a batch pair only changes
+    counts of pairs sharing one of its symbols (occurrences of disjoint
+    pairs are neither consumed nor created), so each accepted pair's own
+    count is what classic would see at its turn; every pair a merge can
+    create or grow is bounded by an OLD overlapping pair's count —
+    ``count(x, ab) <= count(x, a)`` since each new occurrence was an
+    occurrence of the old pair — and every overlapping pair sits at or
+    below the stop point, so all competitors (new, decreased, or
+    unselected) stay <= c_stop < every kept pair's count. Strictness
+    kills the tie hazard: a new pair can tie c_stop and win a
+    pair-ascending tie-break against an equal-count batch member (the
+    (a1b1, y) vs (b1, y) case — concatenation does not preserve
+    lexicographic order on the left element), so equal-count tails are
+    dropped. When the batch empties (the top two pairs overlap), the
+    round degrades to the classic single argmax step — guaranteed
+    progress, still exact. Property-tested equal to :func:`bpe_train`
+    and the pure-python classic model on pathological inputs
+    (tests/test_llm_properties.py).
+
+    Batch merges are symbol-disjoint, so their replace passes commute;
+    they join the same pending/localCheckpoint machinery as the
+    single-merge trainer. Jobs per round: one aggregation + one
+    ``take(max_batch + 1)`` instead of one per merge — measured >=6x
+    fewer Spark jobs per 1k merges on the training corpus
+    (SCALE.md r10)."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if max_batch < 1:
+        raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+    vocab = (
+        df.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'[a-z]+|[0-9]+', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("s", F.regexp_replace(F.col("w"), "(.)", ",$1,"))
+        .filter(F.length("w") >= 2)
+        .select("freq", "s")
+    )
+    if state_partitions is not None:
+        vocab = vocab.coalesce(state_partitions)
+    state_df = vocab.localCheckpoint()
+    pending: list[tuple[str, str]] = []
+
+    def with_pending(col: Column) -> Column:
+        for a, b in pending:
+            col = F.replace(col, F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
+        return col
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        state = with_pending(F.col("s"))
+        toks = F.split(F.btrim(state, F.lit(",")), ",,")
+        pre = state_df.select("freq", toks.alias("t")).filter(
+            F.size("t") >= 2
+        )
+        budget = min(max_batch, n_merges - len(merges))
+        rows = (
+            pre.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("t", 1, F.size("t") - 1).alias("a"),
+                        F.slice(F.col("t"), 2, F.size("t") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .take(budget + 1)
+        )
+        if not rows:
+            break
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        c_stop = 0
+        for r in rows[:budget]:
+            if r["a"] in used or r["b"] in used:
+                c_stop = int(r["c"])
+                break
+            batch.append((r["a"], r["b"], int(r["c"])))
+            used.add(r["a"])
+            used.add(r["b"])
+        else:
+            if len(rows) > budget:
+                c_stop = int(rows[budget]["c"])
+        batch = [t for t in batch if t[2] > c_stop]
+        if not batch:
+            r0 = rows[0]  # classic single argmax step: always exact
+            batch = [(r0["a"], r0["b"], int(r0["c"]))]
+        for a, b, c in batch:
+            merges.append((len(merges), a, b, c))
+            pending.append((a, b))
+        if len(pending) >= checkpoint_every:
+            nxt = state_df.select(
+                "freq", with_pending(F.col("s")).alias("s")
+            ).filter(
+                F.size(F.split(F.btrim(F.col("s"), F.lit(",")), ",,")) >= 2
+            )
+            state_df = nxt.localCheckpoint()
+            pending = []
+    return merges
+
+
+def _merge_pass(
+    syms: tuple[str, ...], a: str, b: str
+) -> tuple[str, ...]:
+    """One classic leftmost-non-overlapping merge-everywhere pass —
+    the inner loop of :func:`bpe_encode`, shared by the local trainer."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train_local(
+    states: list[tuple[int, tuple[str, ...]]],
+    n_merges: int,
+    start_rank: int = 0,
+) -> list[tuple[int, str, str, int]]:
+    """Classic BPE training over an in-memory (freq, symbols) working set
+    — the DRIVER-LOCAL ENDGAME of :func:`bpe_train_hybrid` (VERDICT r9
+    #4's alternative to batching: once fully-merged words have shrunk the
+    distributed working set below a threshold, every remaining argmax
+    round trip is pure overhead). Incremental, the shape real tokenizer
+    trainers use: a pair→count table, a pair→words occurrence index, and
+    a lazy max-heap keyed (count desc, pair asc) — each merge touches
+    only the words containing its pair (per-word pair-multiset delta),
+    so total work follows symbol shrinkage, not merges × vocab. Exactly
+    the classic sequence: argmax ties break pair-ascending, a stale heap
+    entry (count changed since push) is skipped on pop, and a
+    merge-everywhere pass leaves zero occurrences of its own pair."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    counts: Counter = Counter()
+    occ: defaultdict = defaultdict(set)
+    work = list(states)
+    for wi, (f, syms) in enumerate(work):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] += f
+            occ[p].add(wi)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -negc and negc < 0:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (a, b), c = best
+        merges.append((start_rank + len(merges), a, b, int(c)))
+        touched: set = set()
+        for wi in list(occ[(a, b)]):
+            f, syms = work[wi]
+            for i in range(len(syms) - 1):
+                q = (syms[i], syms[i + 1])
+                counts[q] -= f
+                occ[q].discard(wi)
+                touched.add(q)
+            new = _merge_pass(syms, a, b)
+            work[wi] = (f, new)
+            for i in range(len(new) - 1):
+                q = (new[i], new[i + 1])
+                counts[q] += f
+                occ[q].add(wi)
+                touched.add(q)
+        for q in touched:
+            c2 = counts.get(q, 0)
+            if c2 > 0:
+                heapq.heappush(heap, (-c2, q))
+            else:
+                counts.pop(q, None)
+                occ.pop(q, None)
+    return merges
+
+
+def bpe_train_hybrid(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 16,
+    state_partitions: int | None = None,
+    max_batch: int = 64,
+    local_threshold_rows: int = 500_000,
+) -> list[tuple[int, str, str, int]]:
+    """Distributed-until-small BPE training: the disjoint-batch
+    distributed trainer (:func:`bpe_train_batched`) runs while the
+    working set is cluster-sized, and the moment the still-mergeable
+    vocabulary fits under ``local_threshold_rows`` the state COLLECTS to
+    the driver and :func:`bpe_train_local` finishes the table with ZERO
+    Spark jobs per merge (VERDICT r9 #4: at 0.9 jobs/merge a 50k-merge
+    vocabulary is ~6 h of argmax round trips; the endgame is where
+    almost all of those rounds live, over a working set that no longer
+    needs a cluster — 500k words × ~40 B of symbol state ≈ 20 MB, the
+    same order as a broadcast build side). Identical output to
+    :func:`bpe_train` by construction (classic-local == classic given
+    the same state; property-tested, incl. mid-training handoffs).
+
+    The threshold check rides the existing checkpoint materialization
+    (one cheap count per ``checkpoint_every`` merges on the checkpointed
+    RDD); a corpus whose vocab starts under the threshold trains locally
+    after the ONE vocab-building job — measured 4096 merges in ~17 s
+    against ~29 min extrapolated for the single-merge distributed form
+    on the same corpus (SCALE.md r10)."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    vocab = (
+        df.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'[a-z]+|[0-9]+', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+        .select("freq", F.col("w").alias("s"))
+    )
+    if state_partitions is not None:
+        vocab = vocab.coalesce(state_partitions)
+    # state rides as the plain word first; the comma-wrapped encoding is
+    # only needed by the distributed replace chain, so it is applied
+    # lazily if (and only if) the distributed phase actually runs
+    state_df = vocab.localCheckpoint()
+
+    def collect_states(frame: DataFrame, wrapped: bool):
+        rows = frame.collect()
+        if wrapped:
+            return [
+                (int(r["freq"]), tuple(r["s"].strip(",").split(",,")))
+                for r in rows
+            ]
+        return [(int(r["freq"]), tuple(r["s"])) for r in rows]
+
+    if state_df.count() <= local_threshold_rows:
+        return bpe_train_local(collect_states(state_df, False), n_merges)
+
+    # distributed phase: the batched trainer's loop over the wrapped
+    # state, with the threshold re-checked at every checkpoint cut
+    state_df = state_df.select(
+        "freq", F.regexp_replace(F.col("s"), "(.)", ",$1,").alias("s")
+    ).localCheckpoint()
+    pending: list[tuple[str, str]] = []
+
+    def with_pending(col: Column) -> Column:
+        for a, b in pending:
+            col = F.replace(col, F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
+        return col
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        state = with_pending(F.col("s"))
+        toks = F.split(F.btrim(state, F.lit(",")), ",,")
+        pre = state_df.select("freq", toks.alias("t")).filter(
+            F.size("t") >= 2
+        )
+        budget = min(max_batch, n_merges - len(merges))
+        rows = (
+            pre.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("t", 1, F.size("t") - 1).alias("a"),
+                        F.slice(F.col("t"), 2, F.size("t") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .take(budget + 1)
+        )
+        if not rows:
+            break
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        c_stop = 0
+        for r in rows[:budget]:
+            if r["a"] in used or r["b"] in used:
+                c_stop = int(r["c"])
+                break
+            batch.append((r["a"], r["b"], int(r["c"])))
+            used.add(r["a"])
+            used.add(r["b"])
+        else:
+            if len(rows) > budget:
+                c_stop = int(rows[budget]["c"])
+        batch = [t for t in batch if t[2] > c_stop]
+        if not batch:
+            r0 = rows[0]
+            batch = [(r0["a"], r0["b"], int(r0["c"]))]
+        for a, b, c in batch:
+            merges.append((len(merges), a, b, c))
+            pending.append((a, b))
+        if len(pending) >= checkpoint_every and len(merges) < n_merges:
+            nxt = state_df.select(
+                "freq", with_pending(F.col("s")).alias("s")
+            ).filter(
+                F.size(F.split(F.btrim(F.col("s"), F.lit(",")), ",,")) >= 2
+            )
+            state_df = nxt.localCheckpoint()
+            pending = []
+            if state_df.count() <= local_threshold_rows:
+                return merges + bpe_train_local(
+                    collect_states(state_df, True),
+                    n_merges - len(merges),
+                    start_rank=len(merges),
+                )
+    return merges
+
+
 def trained_merges() -> list[tuple[str, str]]:
     """The committed 1024-merge vocabulary (``bpe_vocab_1024.json``),
     trained from the sf0.1 documents corpus by :func:`bpe_train` — a

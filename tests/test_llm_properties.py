@@ -714,3 +714,83 @@ def test_truncation_at_every_offset(build, parser):
 @settings(max_examples=200, deadline=None)
 def test_mp4_parser_survives_magic_plus_garbage(tail):
     multimodal.parse_mp4_meta((16).to_bytes(4, "big") + b"ftypisom" + tail)
+
+
+@given(st.lists(st.text(alphabet="abcde ", min_size=1, max_size=30),
+                min_size=1, max_size=6))
+# pathological regressions: adjacent repeats of one pair ("ababab"),
+# runs ("aaaa"), and tie-heavy corpora where every pair has count 1 —
+# the batch must degrade to exact single-argmax steps, never reorder
+@example(texts=["ababab", "aaaa bbbb", "ab cd ab cd"])
+@example(texts=["abc", "bcd", "cde", "dea"])
+@example(texts=["ab ab ba ba"])
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_batched_matches_python_model(spark, texts):
+    """VERDICT r9 #4: the disjoint-batch trainer must learn EXACTLY the
+    single-merge classic sequence — same pairs, same order, same counts
+    — for arbitrary corpora including tie-heavy ones where batching
+    must fall back to single steps."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = llm_bpe.bpe_train_batched(df, n_merges=6, max_batch=4)
+    assert got == _bpe_train_model(texts, 6), (texts, got)
+
+
+def test_bpe_train_batched_equals_single_merge_on_corpus(spark):
+    """Batched vs single-merge trainer on the real corpus (where batches
+    actually fill), across checkpoint boundaries and batch sizes."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = llm_bpe.bpe_train(docs, n_merges=24)
+    assert llm_bpe.bpe_train_batched(
+        docs, n_merges=24, max_batch=8, checkpoint_every=5
+    ) == want
+    assert llm_bpe.bpe_train_batched(
+        docs, n_merges=24, max_batch=64
+    ) == want
+
+
+@given(st.lists(st.text(alphabet="abcde ", min_size=1, max_size=30),
+                min_size=1, max_size=6))
+@example(texts=["ababab", "aaaa bbbb", "ab cd ab cd"])
+@example(texts=["ab ab ba ba", "aa aa aaa"])
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_local_matches_python_model(spark, texts):
+    """The driver-local incremental trainer (lazy heap + occurrence
+    index) must produce the classic sequence exactly — same pairs,
+    order, counts — on arbitrary corpora."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in llm_bpe.pretokenize(t):
+            vocab[w] += 1
+    states = [(f, tuple(w)) for w, f in sorted(vocab.items())
+              if len(w) >= 2]
+    got = llm_bpe.bpe_train_local(states, 6)
+    assert got == _bpe_train_model(texts, 6), (texts, got)
+
+
+def test_bpe_train_hybrid_handoff_matches_classic(spark):
+    """bpe_train_hybrid must learn the exact classic sequence whether it
+    goes local immediately (vocab under threshold), runs fully
+    distributed (threshold 0), or HANDS OFF mid-training at a checkpoint
+    boundary — the collected wrapped state must resume seamlessly."""
+    texts = ["the cat sat on the mat", "the bat and the cat", "a t t h",
+             "thththe the", "on and on and on", "sat mat bat chat"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    expected = _bpe_train_model(texts, 10)
+    # immediate local (vocab ≪ threshold)
+    assert llm_bpe.bpe_train_hybrid(df, n_merges=10) == expected
+    # fully distributed (threshold 0 can never trigger collection)
+    assert llm_bpe.bpe_train_hybrid(
+        df, n_merges=10, local_threshold_rows=0, max_batch=4,
+        checkpoint_every=3
+    ) == expected
+    # forced mid-training handoff: every merge checkpoints + re-checks,
+    # and the working set shrinks below the threshold as words saturate
+    got = llm_bpe.bpe_train_hybrid(
+        df, n_merges=10, local_threshold_rows=6, checkpoint_every=1,
+        max_batch=2
+    )
+    assert got == expected

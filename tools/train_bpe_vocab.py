@@ -14,11 +14,15 @@ re-running this tool reproduces the identical table bit-for-bit
 corpus's own merges win the early high-count ranks; the pseudo-vocabulary
 sustains training to the requested 1024.
 
-Usage: python tools/train_bpe_vocab.py [n_merges] [--curve]
+Usage: python tools/train_bpe_vocab.py [n_merges] [--curve] [--batched-curve]
   default n_merges=1024; writes kafka_to_nexus_spark/llm/bpe_vocab_1024.json
   --curve also measures the trainer growth curve (new checkpointed
   trainer at 8/64/256/1024 vs the un-checkpointed chain re-derivation at
   8/64/128/256) and prints a markdown table for SCALE.md.
+  --batched-curve measures the disjoint-batch trainer (VERDICT r9 #4):
+  wall time + Spark JOB COUNT for single-merge@1024 vs batched@1024/4096
+  (merge-list equality asserted in-run), markdown for SCALE.md. Skips
+  the artifact write.
 """
 
 from __future__ import annotations
@@ -92,6 +96,44 @@ def main() -> None:
         print("|---|---|---|---|")
         for label, n, ln, dt in rows:
             print(f"| {label} | {n} | {ln} | {dt} |")
+
+    if "--batched-curve" in sys.argv:
+        sc = spark.sparkContext
+
+        def run(label, fn, n, **kw):
+            group = f"bpe-{label}-{n}"
+            sc.setJobGroup(group, label)
+            t0 = time.perf_counter()
+            got = fn(corpus, n_merges=n,
+                     state_partitions=STATE_PARTITIONS, **kw)
+            dt = time.perf_counter() - t0
+            sc.setJobGroup(None, None)
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+            print(f"{label} n={n}: {dt:.1f} s, {jobs} Spark jobs, "
+                  f"{len(got)} learned "
+                  f"({jobs / max(len(got), 1):.2f} jobs/merge)", flush=True)
+            return got, dt, jobs
+
+        single, s_dt, s_jobs = run("single-merge", llm_bpe.bpe_train, 1024)
+        batched, b_dt, b_jobs = run(
+            "batched(64)", llm_bpe.bpe_train_batched, 1024, max_batch=64)
+        if batched != single:
+            raise SystemExit(
+                "batched trainer DIVERGED from single-merge at 1024")
+        print("batched(1024) == single(1024): merge lists identical")
+        deep, d_dt, d_jobs = run(
+            "batched(64)", llm_bpe.bpe_train_batched, 4096, max_batch=64)
+        print("\n| trainer | n_merges | seconds | Spark jobs | jobs/merge |")
+        print("|---|---|---|---|---|")
+        for lbl, n, dt, j, ln in (
+            ("single-merge", 1024, s_dt, s_jobs, len(single)),
+            ("batched (max_batch=64)", 1024, b_dt, b_jobs, len(batched)),
+            ("batched (max_batch=64)", 4096, d_dt, d_jobs, len(deep)),
+        ):
+            print(f"| {lbl} | {n} | {dt:.1f} | {j} | "
+                  f"{j / max(ln, 1):.2f} |")
+        spark.stop()
+        return
 
     t0 = time.perf_counter()
     merges = llm_bpe.bpe_train(corpus, n_merges=n_merges,
