@@ -39,16 +39,25 @@ rows = spark.range(N_SOURCES * ROWS_PER_SOURCE).select(
     F.concat(F.lit("s"), (F.col("id") % N_SOURCES)).alias("source_name"),
     (F.lit(1_000_000_000) * (1 + F.col("id"))).alias("timestamp"),
     # en stopwords for lang-ID + enough words for the quality score,
-    # plus a per-row unique word so every fingerprint is distinct
+    # plus a per-row unique LETTER word so every fingerprint is distinct
+    # (the pipeline's fp normalization strips [^a-z ] — a digit-suffixed
+    # word would collapse every doc to ONE fingerprint)
     F.concat(
         F.lit("the data and the system are in the table with a value "),
-        F.lit("row"), F.col("id").cast("string"),
+        F.lit("row"),
+        F.translate(F.col("id").cast("string"),
+                    "0123456789", "abcdefghij"),
     ).alias("text"),
 )
 indir = tempfile.mkdtemp(prefix="curation_width_in_")
 for b in range(N_BATCHES):
     (rows.withColumn("doc_id", F.col("doc_id") + b * 10_000_000)
      .withColumn("timestamp", F.col("timestamp") + b)
+     # per-batch letter salt: every batch's docs are NEW fingerprints,
+     # so the dedup store grows by input_rows per batch and the quota
+     # keeps counting (quota=3, 2 rows/source/batch -> batch 1 admits 2,
+     # batch 2 admits the 3rd + rejects the 4th, batch 3 all-exhausted)
+     .withColumn("text", F.concat("text", F.lit(f" batch{chr(97 + b)}")))
      .repartition(4).write.mode("overwrite").json(f"{indir}/in/b{b}"))
 print(f"input: {N_SOURCES} sources x {ROWS_PER_SOURCE} rows x "
       f"{N_BATCHES} batches", flush=True)
