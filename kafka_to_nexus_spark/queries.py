@@ -1524,10 +1524,10 @@ grams AS (
 _DSIR_PARITY_B = 1 << 60
 
 
-def _dsir_parity_leg(alias: str, bucket_expr: str) -> str:
+def _dsir_parity_leg(alias: str, bucket_expr: str, src: str = "bk_g") -> str:
     b = f"{_DSIR_PARITY_B}.0"
     return f"""
-{alias}_bk AS (SELECT doc_id, lang, {bucket_expr} AS b, tf FROM bk_g),
+{alias}_bk AS (SELECT doc_id, lang, {bucket_expr} AS b, tf FROM {src}),
 {alias}_rd AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS rc FROM {alias}_bk GROUP BY b),
 {alias}_td AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS tc FROM {alias}_bk
                WHERE lang = 'en' GROUP BY b),
@@ -1547,7 +1547,12 @@ def _dsir_parity_leg(alias: str, bucket_expr: str) -> str:
 )"""
 
 
-SPARK_SQL["dsir_engine_parity"] = """
+# The shared gram→tf relation is built ONCE and persisted (the
+# minhash_engine_parity precedent): inlined CTEs re-execute per
+# reference, and the two legs reference it 7× between them — the
+# un-persisted form measured 16 documents scans / 32 exchanges / 4.1 s
+# at sf0.1 vs 2.2 s persisted.
+_DSIR_PARITY_BKG_SQL = """
 WITH w AS (
   SELECT doc_id, lang, filter(split(lower(text), ' '), x -> x <> '') AS ws
   FROM documents
@@ -1560,20 +1565,48 @@ grams AS (
   LATERAL VIEW inline(transform(sequence(1, size(ws) - 1),
        i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))
        b AS w1, w2
-),
-bk_g AS (SELECT doc_id, lang, g, count(*) AS tf FROM grams GROUP BY doc_id, lang, g),
-tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS rt,
+)
+SELECT doc_id, lang, g, count(*) AS tf FROM grams GROUP BY doc_id, lang, g
+"""
+
+_DSIR_PARITY_TAIL = """
+WITH tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS rt,
                CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS DOUBLE) AS tt
-        FROM bk_g),""" + _dsir_parity_leg(
-    "m", "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
+        FROM dsir_parity_bk_g),""" + _dsir_parity_leg(
+    "m",
+    "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)",
+    src="dsir_parity_bk_g",
 ) + "," + _dsir_parity_leg(
-    "x", "xxhash64(g)"
+    "x", "xxhash64(g)", src="dsir_parity_bk_g"
 ) + """
 SELECT m_w.doc_id, m_w.n_features,
        m_w.w AS dsir_logweight_md5,
        x_w.w AS dsir_logweight_xx
 FROM m_w JOIN x_w ON m_w.doc_id = x_w.doc_id
 """
+
+# one-slot per-session cache of the parity gram pass (own slot: sharing
+# _PARITY_PERSIST could unpersist a frame the other parity query's
+# not-yet-collected plan still references)
+_DSIR_PARITY_PERSIST: dict[str, DataFrame] = {}
+
+
+def _q_dsir_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    app_id = spark.sparkContext.applicationId
+    prev = _DSIR_PARITY_PERSIST.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist()
+    bk_g = spark.sql(_DSIR_PARITY_BKG_SQL).persist()
+    # lazy persist, deliberately: eager count() measured SLOWER (5.1 s vs
+    # 4.3 s at sf0.1 — the cache write is charged before any work it
+    # saves), and local-mode ReusedExchange already shares most subtrees;
+    # what the persist buys is the STRUCTURAL guarantee that the corpus
+    # gram pass is one pass at any scale (the inline-CTE form planned 16
+    # documents scans)
+    _DSIR_PARITY_PERSIST[app_id] = bk_g
+    bk_g.createOrReplaceTempView("dsir_parity_bk_g")
+    return spark.sql(_DSIR_PARITY_TAIL)
 
 ORACLE["dsir_engine_parity"] = """
 WITH w AS (
@@ -5390,6 +5423,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_adc_topk": _q_pq_adc_topk,
     "incremental_neardup_merge": _q_incremental_neardup,
     "incremental_neardup_stored_probe": _q_incremental_neardup_stored,
+    "dsir_engine_parity": _q_dsir_engine_parity,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
     "dedup_pipeline_engine_parity": _q_dedup_pipeline_engine_parity,
