@@ -19,10 +19,10 @@ Usage: python tools/train_bpe_vocab.py [n_merges] [--curve] [--batched-curve]
   --curve also measures the trainer growth curve (new checkpointed
   trainer at 8/64/256/1024 vs the un-checkpointed chain re-derivation at
   8/64/128/256) and prints a markdown table for SCALE.md.
-  --batched-curve measures the disjoint-batch trainer (VERDICT r9 #4):
+  --batched-curve measures the past-the-floor trainers (VERDICT r9 #4):
   wall time + Spark JOB COUNT for single-merge@1024 vs batched@1024/4096
-  (merge-list equality asserted in-run), markdown for SCALE.md. Skips
-  the artifact write.
+  vs hybrid@4096 (merge-list equalities asserted in-run), markdown for
+  SCALE.md. Skips the artifact write.
 """
 
 from __future__ import annotations
@@ -123,12 +123,19 @@ def main() -> None:
         print("batched(1024) == single(1024): merge lists identical")
         deep, d_dt, d_jobs = run(
             "batched(64)", llm_bpe.bpe_train_batched, 4096, max_batch=64)
+        hyb, h_dt, h_jobs = run(
+            "hybrid", llm_bpe.bpe_train_hybrid, 4096)
+        if hyb != deep:
+            raise SystemExit(
+                "hybrid trainer DIVERGED from batched at 4096")
+        print("hybrid(4096) == batched(4096): merge lists identical")
         print("\n| trainer | n_merges | seconds | Spark jobs | jobs/merge |")
         print("|---|---|---|---|---|")
         for lbl, n, dt, j, ln in (
             ("single-merge", 1024, s_dt, s_jobs, len(single)),
             ("batched (max_batch=64)", 1024, b_dt, b_jobs, len(batched)),
             ("batched (max_batch=64)", 4096, d_dt, d_jobs, len(deep)),
+            ("hybrid (local endgame)", 4096, h_dt, h_jobs, len(hyb)),
         ):
             print(f"| {lbl} | {n} | {dt:.1f} | {j} | "
                   f"{j / max(ln, 1):.2f} |")
