@@ -5183,17 +5183,155 @@ ss_{j} AS (SELECT cd.vec_id, t.lcid, t.t
 scored AS (
   SELECT a.vec_id, a.cid AS lcid, {sum_expr} AS s
   FROM asg1 a{joins}
-)
-SELECT vec_id, CAST(lcid AS INT) AS list_id, round(s, 6) AS adc_score
-FROM scored WHERE vec_id <> 0
-ORDER BY adc_score DESC, vec_id LIMIT 10
-"""
+)"""
     )
 
 
 ORACLE["ivf_pq_topk"] = _ivf_pq_oracle(
     _PQ_M, _PQ_K, _IVFPQ_COARSE_K, _IVFPQ_PROBES
-)
+) + """
+SELECT vec_id, CAST(lcid AS INT) AS list_id, round(s, 6) AS adc_score
+FROM scored WHERE vec_id <> 0
+ORDER BY adc_score DESC, vec_id LIMIT 10
+"""
+
+
+# --- IVF-PQ recall gate, DECOMPOSED (r10) -------------------------------------
+# An ANN index without a measured recall number is an unquantified
+# approximation — and a bare ratio doesn't say WHICH stage loses. This
+# query certifies recall@10 of the compressed probe against EXACT
+# max-dot search over the raw vectors AND decomposes the loss into its
+# two independent causes, all in-query, both engines (ranking everywhere
+# by the 6dp-rounded score with vec_id tie-break — the family's
+# established cross-engine rank convention):
+#
+# - ``recall_adc``          the production probe as-is (ADC top-10).
+# - ``recall_probed_exact`` exact rescoring RESTRICTED to the probed
+#                           lists — the ceiling ANY reranker can reach
+#                           with these probes (IVFADC+R, Jégou et al.
+#                           2011 §V, with C→∞): the gap to 1.0 is pure
+#                           COARSE-COVERAGE loss (true neighbors living
+#                           in unprobed lists), the gap from recall_adc
+#                           up to it is pure PQ QUANTIZATION loss.
+#
+# Measured at sf0.01 with the registry's oracle-replayable budget
+# (coarse_k=8, probes=2, m=4, k=16): recall_adc 0.1, probed-exact
+# ceiling 0.2 — i.e. the tiny 1-iteration coarse quantizer dominates the
+# loss, not the codebooks; the production knob is probes (SCALE.md r10
+# measures the probes curve). Output is one row carrying all three
+# ordered id lists, so the driver hash-compare pins the exact sets, not
+# just the ratios. Scale shape: the exact side is one narrow dot-product
+# map + TakeOrdered (the brute-force baseline every ANN deployment
+# measures on a sample); the probed-exact side adds one IN filter on the
+# assignment column; the approx side is the L58 probe.
+ORACLE["ivf_pq_recall"] = _ivf_pq_oracle(
+    _PQ_M, _PQ_K, _IVFPQ_COARSE_K, _IVFPQ_PROBES
+) + """,
+approx AS (
+  SELECT vec_id FROM scored WHERE vec_id <> 0
+  ORDER BY round(s, 6) DESC, vec_id LIMIT 10
+),
+pexact AS (
+  SELECT a.vec_id FROM asg1 a CROSS JOIN qf
+  WHERE a.vec_id <> 0 AND a.cid IN (SELECT cid FROM probe)
+  ORDER BY round(list_dot_product(a.v, qf.v), 6) DESC, a.vec_id LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id FROM e CROSS JOIN qf
+  WHERE e.vec_id <> 0
+  ORDER BY round(list_dot_product(e.v, qf.v), 6) DESC, e.vec_id LIMIT 10
+),
+al AS (SELECT list_sort(list(vec_id)) AS ids FROM approx),
+pl AS (SELECT list_sort(list(vec_id)) AS ids FROM pexact),
+el AS (SELECT list_sort(list(vec_id)) AS ids FROM exact)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(len(list_intersect(al.ids, el.ids)) AS BIGINT) AS n_hits_adc,
+       round(len(list_intersect(al.ids, el.ids)) / 10.0, 6) AS recall_adc,
+       CAST(len(list_intersect(pl.ids, el.ids)) AS BIGINT)
+         AS n_hits_probed_exact,
+       round(len(list_intersect(pl.ids, el.ids)) / 10.0, 6)
+         AS recall_probed_exact,
+       array_to_string(al.ids, ',') AS approx_ids,
+       array_to_string(pl.ids, ',') AS probed_exact_ids,
+       array_to_string(el.ids, ',') AS exact_ids
+FROM al CROSS JOIN pl CROSS JOIN el
+"""
+
+
+def _q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    approx = sim.ivf_pq_topk_portable(
+        emb,
+        coarse_k=_IVFPQ_COARSE_K,
+        probes=_IVFPQ_PROBES,
+        m=_PQ_M,
+        k=_PQ_K,
+        topk=10,
+    ).select("vec_id")
+    # same deterministic trainings/probe rule as the approx side
+    coarse = sim.kmeans_train_portable(emb, k=_IVFPQ_COARSE_K, n_iter=1)
+    qv = [
+        float(x)
+        for x in emb.filter("vec_id = 0")
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    ]
+    by_dot = sorted(
+        sorted(coarse), key=lambda t: (-sim._seq_dot(qv, t[1]), t[0])
+    )
+    probed = [cid for cid, _ in by_dot[:_IVFPQ_PROBES]]
+    vec = F.col("embedding").cast("array<double>")
+    dot_q = F.aggregate(
+        F.zip_with(vec, sim.lit_doubles(qv), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cid_col = sim.pq_code_col(vec, [coarse])[0]
+    pexact = (
+        emb.filter(F.col("vec_id") != 0)
+        .filter(cid_col.isin(probed))
+        .select("vec_id", F.round(dot_q, 6).alias("d"))
+        .orderBy(F.desc("d"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dot_q, 6).alias("d"))
+        .orderBy(F.desc("d"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    al = approx.agg(F.sort_array(F.collect_list("vec_id")).alias("aids"))
+    pl = pexact.agg(F.sort_array(F.collect_list("vec_id")).alias("pids"))
+    el = exact.agg(F.sort_array(F.collect_list("vec_id")).alias("eids"))
+    hits_a = F.size(F.array_intersect("aids", "eids"))
+    hits_p = F.size(F.array_intersect("pids", "eids"))
+    return (
+        al.crossJoin(pl)
+        .crossJoin(el)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            hits_a.cast("long").alias("n_hits_adc"),
+            F.round(hits_a / F.lit(10.0), 6).alias("recall_adc"),
+            hits_p.cast("long").alias("n_hits_probed_exact"),
+            F.round(hits_p / F.lit(10.0), 6).alias("recall_probed_exact"),
+            F.concat_ws(",", F.col("aids").cast("array<string>")).alias(
+                "approx_ids"
+            ),
+            F.concat_ws(",", F.col("pids").cast("array<string>")).alias(
+                "probed_exact_ids"
+            ),
+            F.concat_ws(",", F.col("eids").cast("array<string>")).alias(
+                "exact_ids"
+            ),
+        )
+    )
 
 
 # --- stored IVF-PQ read path (VERDICT r8 #2) ---------------------------------
@@ -5420,6 +5558,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup_stats": _q_chunk_dedup_stats,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
+    "ivf_pq_recall": _q_ivf_pq_recall,
     "pq_adc_topk": _q_pq_adc_topk,
     "incremental_neardup_merge": _q_incremental_neardup,
     "incremental_neardup_stored_probe": _q_incremental_neardup_stored,

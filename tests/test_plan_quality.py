@@ -839,3 +839,40 @@ def test_neardup_append_keeps_cap_and_probe_equality(spark, tmp_path):
     adm = llm_dedup.neardup_admission(spark, layout, arrivals, tau=0.5)
     row = adm.collect()[0]
     assert row.admitted is False and row.best_jaccard == 1.0
+
+
+def test_neardup_banding_layout_compacts_with_explicit_key(spark, tmp_path):
+    """The generalized compactor also serves the near-dup banding layout
+    (partition key 'band' — not sniffable, passed explicitly): appends
+    accumulate per-batch small files exactly like the streamed index
+    layouts, and probe cost is files-opened. Contents survive exactly
+    and the partition filter still prunes on the compacted copy."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    layout = str(tmp_path / "nd_layout")
+    llm_dedup.write_neardup_banding_layout(
+        standing.filter(F.col("doc_id") % 3 != 0), layout)
+    llm_dedup.append_neardup_banding(
+        spark, layout, standing.filter(F.col("doc_id") % 3 == 0))
+
+    import pathlib
+
+    src = f"{layout}/banding"
+    dst = str(tmp_path / "nd_compact")
+    sim.compact_ivf_layout(spark, src, dst, partition_col="band")
+    n_src = len(list(pathlib.Path(src).rglob("*.parquet")))
+    n_dst = len(list(pathlib.Path(dst).rglob("*.parquet")))
+    assert n_dst < n_src
+    cols = ["doc_id", "band", "band_key"]
+    before = {tuple(r) for r in spark.read.parquet(src).select(*cols).collect()}
+    after = {tuple(r) for r in spark.read.parquet(dst).select(*cols).collect()}
+    assert before == after
+    plan = (spark.read.parquet(dst).filter(F.col("band") == 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan and "band" in plan.split(
+        "PartitionFilters")[1][:120]
