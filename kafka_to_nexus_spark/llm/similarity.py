@@ -970,6 +970,68 @@ def ivf_pq_stored_probe(
     )
 
 
+def ivf_pq_rerank_topk(
+    df: DataFrame,
+    coarse_k: int = 8,
+    probes: int = 2,
+    m: int = 4,
+    k: int = 16,
+    candidates: int = 50,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> DataFrame:
+    """IVFADC **with reranking** (Jégou et al. 2011 §V — "IVFADC+R"):
+    the ADC probe returns its top-``candidates`` ids, and only those few
+    rows are rescored EXACTLY against the raw vectors before the final
+    top-k. The recall gate (`ivf_pq_recall`) measured exactly why this
+    is the production read path: at the registry budget the ADC stage's
+    quantization loss is as large as the coarse-coverage loss, and the
+    rerank recovers it as ``candidates`` grows — reranked recall is
+    provably monotone >= the ADC recall at any C (the rerank keeps every
+    true neighbor its candidate set contains: no non-neighbor can
+    outscore one under the EXACT metric), and equals the probed-lists
+    ceiling once C covers the probed lists. Both properties are
+    pytest-pinned; C=50 measured recall@10 0.1 -> 0.2 over plain ADC at
+    sf0.1 (half the probes=2 coverage ceiling of 0.4 — the rest needs a
+    larger C or more probes; SCALE.md r10).
+
+    Scale shape: the ADC stage is the unchanged L58/L61 probe (at 100 TB
+    the stored-layout form: partition-pruned code-column scan); the
+    rerank joins the C candidate ids — a guaranteed-tiny broadcast
+    build side — against the raw-vector relation pruned to (id, vec),
+    then C exact dot products and a TakeOrdered. Rerank cost is
+    O(C · dim), independent of corpus size."""
+    approx = ivf_pq_topk_portable(
+        df,
+        coarse_k=coarse_k,
+        probes=probes,
+        m=m,
+        k=k,
+        topk=candidates,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id=query_id,
+    ).select(id_col)
+    vec = _as_double(F.col(vec_col))
+    q = [
+        float(x)
+        for x in df.filter(F.col(id_col) == query_id).select(vec).first()[0]
+    ]
+    exact = F.aggregate(
+        F.zip_with(vec, lit_doubles(q), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        df.select(F.col(id_col), F.round(exact, 6).alias("exact_score"))
+        .join(F.broadcast(approx), id_col)
+        .orderBy(F.desc("exact_score"), F.col(id_col))
+        .limit(topk)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Signed random projections (SRP): LSH in embedding space — the
 # embedding-analog of simhash. sign(v · h_j) per hyperplane j gives a

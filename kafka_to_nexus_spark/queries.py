@@ -5258,6 +5258,42 @@ FROM al CROSS JOIN pl CROSS JOIN el
 """
 
 
+# --- IVFADC+R: the rerank read path the recall gate motivates (r10) ----------
+# ADC top-C candidates rescored exactly against the raw vectors before
+# the final top-k (Jégou et al. 2011 §V): recovers the full PQ
+# quantization loss whenever C covers the probed lists' true contenders
+# — rerank cost O(C·dim), corpus-size-independent. Oracle = the full
+# index replay, candidate cut, then exact dot-product rescoring.
+_IVFPQ_RERANK_C = 50
+
+ORACLE["ivf_pq_rerank_topk"] = _ivf_pq_oracle(
+    _PQ_M, _PQ_K, _IVFPQ_COARSE_K, _IVFPQ_PROBES
+) + f""",
+cand AS (
+  SELECT vec_id FROM scored WHERE vec_id <> 0
+  ORDER BY round(s, 6) DESC, vec_id LIMIT {_IVFPQ_RERANK_C}
+)
+SELECT e.vec_id, round(list_dot_product(e.v, qf.v), 6) AS exact_score
+FROM cand JOIN e USING (vec_id) CROSS JOIN qf
+ORDER BY exact_score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import similarity as sim
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return sim.ivf_pq_rerank_topk(
+        spark.table("embeddings"),
+        coarse_k=_IVFPQ_COARSE_K,
+        probes=_IVFPQ_PROBES,
+        m=_PQ_M,
+        k=_PQ_K,
+        candidates=_IVFPQ_RERANK_C,
+        topk=10,
+    )
+
+
 def _q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -5559,6 +5595,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,
+    "ivf_pq_rerank_topk": _q_ivf_pq_rerank,
     "pq_adc_topk": _q_pq_adc_topk,
     "incremental_neardup_merge": _q_incremental_neardup,
     "incremental_neardup_stored_probe": _q_incremental_neardup_stored,

@@ -1617,3 +1617,58 @@ def test_compact_ivf_pq_layout_shrinks_files_keeps_codes(
         similarity.compact_ivf_layout(
             spark, streamed, str(tmp_path / "x"), partition_col="nope"
         )
+
+
+def test_ivf_pq_rerank_monotone_and_reaches_ceiling(spark):
+    """IVFADC+R (r10), the two guarantees the operator actually makes:
+
+    1. At ANY candidate budget C, reranked recall vs exact ground truth
+       is >= the plain ADC probe's recall (the rerank keeps every true
+       neighbor its candidate superset contains — no non-neighbor can
+       outscore one under the exact metric).
+    2. Once C covers the probed lists, the reranked top-10 EQUALS exact
+       max-dot search restricted to those lists (the coverage ceiling
+       the recall gate measures) — the full PQ quantization loss is
+       recovered.
+    """
+    from kafka_to_nexus_spark import queries as Q
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        Q.register_views(spark, sf, ("embeddings",))
+        emb = spark.table("embeddings")
+
+        vec = F.col("embedding").cast("array<double>")
+        qv = [float(x) for x in
+              emb.filter("vec_id = 0").select(vec).first()[0]]
+        dot_q = F.aggregate(
+            F.zip_with(vec, similarity.lit_doubles(qv), lambda x, y: x * y),
+            F.lit(0.0), lambda s, x: s + x)
+        exact_top = {r.vec_id for r in (
+            emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", F.round(dot_q, 6).alias("d"))
+            .orderBy(F.desc("d"), "vec_id").limit(10)
+        ).collect()}
+
+        kw = dict(coarse_k=Q._IVFPQ_COARSE_K, probes=Q._IVFPQ_PROBES,
+                  m=Q._PQ_M, k=Q._PQ_K)
+        adc = {r.vec_id for r in similarity.ivf_pq_topk_portable(
+            emb, topk=10, **kw).collect()}
+        rer50 = {r.vec_id for r in similarity.ivf_pq_rerank_topk(
+            emb, candidates=50, topk=10, **kw).collect()}
+        assert len(rer50 & exact_top) >= len(adc & exact_top), sf
+
+        # ceiling: C covers the probed lists entirely
+        coarse = similarity.kmeans_train_portable(
+            emb, k=Q._IVFPQ_COARSE_K, n_iter=1)
+        by_dot = sorted(sorted(coarse),
+                        key=lambda t: (-similarity._seq_dot(qv, t[1]), t[0]))
+        probed = [c for c, _ in by_dot[:Q._IVFPQ_PROBES]]
+        cid = similarity.pq_code_col(vec, [coarse])[0]
+        ceiling = [r.vec_id for r in (
+            emb.filter(F.col("vec_id") != 0).filter(cid.isin(probed))
+            .select("vec_id", F.round(dot_q, 6).alias("d"))
+            .orderBy(F.desc("d"), "vec_id").limit(10).select("vec_id")
+        ).collect()]
+        rer_full = [r.vec_id for r in similarity.ivf_pq_rerank_topk(
+            emb, candidates=1_000_000, topk=10, **kw).collect()]
+        assert rer_full == ceiling, (sf, rer_full, ceiling)
