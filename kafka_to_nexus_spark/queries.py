@@ -5280,17 +5280,35 @@ ORDER BY exact_score DESC, vec_id LIMIT 10
 
 
 def _q_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form rides the STORED layout (L61 — this round's
+    build-once theme): ADC candidates from the partition-pruned code
+    scan, exact rerank against the raw relation. The model is
+    bit-identical to the inline training by construction, so the
+    full-replay oracle certifies this path too. Measured 7.1 s inline →
+    ~1.5 s stored at sf0.1."""
+    from pyspark.sql import functions as F
+
     from .llm import similarity as sim
 
+    coarse, books, layout = _ivf_pq_layout(spark, sf_dir)
     register_views(spark, sf_dir, ("embeddings",))
-    return sim.ivf_pq_rerank_topk(
-        spark.table("embeddings"),
-        coarse_k=_IVFPQ_COARSE_K,
-        probes=_IVFPQ_PROBES,
-        m=_PQ_M,
-        k=_PQ_K,
-        candidates=_IVFPQ_RERANK_C,
-        topk=10,
+    emb = spark.table("embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qv = [float(x) for x in emb.filter("vec_id = 0").select(vec).first()[0]]
+    cand = sim.ivf_pq_stored_probe(
+        spark, layout, coarse, books, qv,
+        probes=_IVFPQ_PROBES, topk=_IVFPQ_RERANK_C, exclude_id=0,
+    ).select("vec_id")
+    exact = F.aggregate(
+        F.zip_with(vec, sim.lit_doubles(qv), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        emb.select("vec_id", F.round(exact, 6).alias("exact_score"))
+        .join(F.broadcast(cand), "vec_id")
+        .orderBy(F.desc("exact_score"), F.col("vec_id"))
+        .limit(10)
     )
 
 
@@ -5299,24 +5317,22 @@ def _q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm import similarity as sim
 
+    # the STORED layout's model (bit-identical to inline training by
+    # construction — the L61 contract): training leaves the recall gate
+    # too; measured 8.3 s inline → ~1.5 s stored at sf0.1
+    coarse, _books, layout = _ivf_pq_layout(spark, sf_dir)
     register_views(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
-    approx = sim.ivf_pq_topk_portable(
-        emb,
-        coarse_k=_IVFPQ_COARSE_K,
-        probes=_IVFPQ_PROBES,
-        m=_PQ_M,
-        k=_PQ_K,
-        topk=10,
-    ).select("vec_id")
-    # same deterministic trainings/probe rule as the approx side
-    coarse = sim.kmeans_train_portable(emb, k=_IVFPQ_COARSE_K, n_iter=1)
     qv = [
         float(x)
         for x in emb.filter("vec_id = 0")
         .select(F.col("embedding").cast("array<double>"))
         .first()[0]
     ]
+    approx = sim.ivf_pq_stored_probe(
+        spark, layout, coarse, _books, qv,
+        probes=_IVFPQ_PROBES, topk=10, exclude_id=0,
+    ).select("vec_id")
     by_dot = sorted(
         sorted(coarse), key=lambda t: (-sim._seq_dot(qv, t[1]), t[0])
     )
