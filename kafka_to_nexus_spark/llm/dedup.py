@@ -594,9 +594,11 @@ def connected_components(
 #                       stage never touches standing TEXT again. At
 #                       cluster scale, sort/bucket by doc_id for the
 #                       verify join.
-# - ``_meta.json``      parameters + hash engine; admission refuses a
-#                       layout built with different parameters (silently
-#                       mismatched banding loses candidates).
+# - ``_meta.json``      parameters + hash engine; admission ADOPTS the
+#                       stored parameters for the arrival side (stronger
+#                       than refusing a mismatch: the two sides cannot
+#                       drift, so mismatched banding can never silently
+#                       lose candidates).
 
 NEARDUP_LAYOUT_PARAMS = {
     "num_hashes": 8,
