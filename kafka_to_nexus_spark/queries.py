@@ -3211,7 +3211,6 @@ def _ivf_layout(spark: SparkSession, sf_dir: str):
     layout directory, built write-if-absent and shared by every IVF probe
     query in the session."""
     import os
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -3231,11 +3230,7 @@ def _ivf_layout(spark: SparkSession, sf_dir: str):
         tmp = tempfile.mkdtemp(prefix="k2n_ivf_build_")
         build = os.path.join(tmp, "layout")
         sim.write_ivf_layout(emb, centroids, build)
-        shutil.rmtree(layout, ignore_errors=True)
-        try:
-            os.rename(build, layout)
-        except OSError:  # lost a concurrent-build race: keep the winner
-            shutil.rmtree(tmp, ignore_errors=True)
+        _publish_layout(tmp, build, layout, ("_SUCCESS",))
     return centroids, layout
 
 
