@@ -321,6 +321,16 @@ def _run_e2e_streaming_curation(spark, sf_dir: str, n_batches: int = 2) -> None:
 
 
 def main() -> None:
+    # No CLI flags by design — selection is SPARK_GRAFT_BENCH_ONLY, scale is
+    # SPARK_GRAFT_SF_DIR. Reject unknown argv instead of silently running
+    # the full registry: a typo'd subset flag once triggered a full run at
+    # a non-default SF that overwrote the round artifact.
+    if len(sys.argv) > 1:
+        sys.exit(
+            "bench.py takes no arguments; use SPARK_GRAFT_BENCH_ONLY=q1,q2 "
+            "for subsets and SPARK_GRAFT_SF_DIR for the scale directory "
+            f"(got: {sys.argv[1:]})"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
@@ -465,33 +475,39 @@ def main() -> None:
     rnd = (max(rounds) + 1) if rounds else 0
     outdir = root / "bench_results"
     outdir.mkdir(exist_ok=True)
-    target = _artifact_target(outdir, rnd, len(timings), only is not None)
+    target = _artifact_target(outdir, rnd, len(timings), only is not None,
+                              out["sf"])
     if target is None:
         print(f"bench: subset run, not persisting r{rnd}.json",
               file=sys.stderr)
         return
-    if target.name.endswith(".partial.json"):
-        print(f"bench: existing r{rnd}.json is larger; writing "
+    if target.name != f"r{rnd}.json":
+        print(f"bench: not overwriting existing r{rnd}.json; writing "
               f"{target.name} instead", file=sys.stderr)
     target.write_text(json.dumps(out, indent=1) + "\n")
 
 
 def _artifact_target(outdir: Path, rnd: int, n_entries: int,
-                     subset: bool) -> Path | None:
+                     subset: bool, sf: object) -> Path | None:
     """Where (if anywhere) this run's artifact goes. Subset runs
     (SPARK_GRAFT_BENCH_ONLY) never persist — a quick single-query recheck
     must not clobber the round's full artifact — and a full run may never
     SHRINK an existing r{N}.json (e.g. a sweep that errored half the
-    registry away): it diverts to r{N}.partial.json instead (ADVICE r8)."""
+    registry away) or REPLACE one recorded at a different scale factor (a
+    full run at a debug SF is a valid measurement but not the round
+    artifact): both divert to a suffixed sibling instead (ADVICE r8 +
+    the round-10 sf0.001 clobber)."""
     if subset:
         return None
     target = outdir / f"r{rnd}.json"
     if target.exists():
         try:
-            prev_n = len(json.loads(target.read_text()).get("queries", {}))
+            prev = json.loads(target.read_text())
         except (ValueError, OSError):
-            prev_n = 0
-        if prev_n > n_entries:
+            prev = {}
+        if prev.get("sf") != sf:
+            return outdir / f"r{rnd}.sf{sf}.json"
+        if len(prev.get("queries", {})) > n_entries:
             return outdir / f"r{rnd}.partial.json"
     return target
 
