@@ -810,3 +810,234 @@ def append_neardup_banding(
     )
     fp.write.mode("append").parquet(os.path.join(path, "fingerprints"))
     sh.write.mode("append").parquet(os.path.join(path, "shingle_hashes"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership admission (L73)
+# ---------------------------------------------------------------------------
+# The cheapest standing-corpus admission gate of all: the corpus collapses
+# to a bitmap of ~bits_per_key bits per distinct fingerprint (6 bits/key +
+# k=4 probes ≈ 5-6% false positives, zero false NEGATIVES — an arrival
+# whose exact twin is standing can never slip through), so a 10^10-doc
+# corpus is ~7.5 GB of filter instead of terabytes of fingerprint
+# relation. Admission touches the corpus ZERO times: the arrival batch
+# probes the word relation (broadcast when it fits, word-id equi-join
+# when it doesn't); a bloom-positive arrival either drops (dedup-greedy)
+# or falls through to an exact/near-dup check on the tiny positive
+# subset. Filter union is bitwise OR, so appends are row appends folded
+# by an associative bit_or at read time (compact_bloom_layout restores
+# one row per word). Reference analog: none — the reference never
+# rescans history per message (Stream/Partition.cpp:174-223 keeps
+# standing state); this is that idea for content-defined identity.
+
+
+def bloom_positions(fp: Column, k: int, m_bits: Column) -> Column:
+    """Array of ``k`` bit positions for one fingerprint: position i is
+    the top 60 bits of md5(fp || '|' || i) reduced modulo ``m_bits``.
+    Independent 60-bit draws per probe (not slices of one 128-bit hash)
+    keep positions uniform at any realistic filter size; the same
+    expression replays verbatim in DuckDB
+    (('0x' || substr(md5(f || '|' || i), 1, 15))::BIGINT % m)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(fp, F.lit(f"|{i}"))), 1, 15), 16, 10
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    fp_col: str = "_fp",
+    k: int = 4,
+    bits_per_key: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the filter over ``df``'s fingerprint column. Returns
+    ``(params, words)``: a 1-row relation (n_keys, m_bits) and the
+    bitmap as (word_idx, word) — one BIGINT per 63 bits (bit 63 is never
+    used, so ``1 << bit`` stays in signed-BIGINT range on every engine —
+    DuckDB raises on the 1<<63 overflow Java wraps), rows absent where
+    no bit is set. m_bits derives from the key count IN-PLAN
+    (bits_per_key per distinct key, rounded up to a word), so the build
+    is one distinct + one word-keyed bit_or aggregation, both map-side
+    combining; nothing touches the driver."""
+    params = (
+        df.agg(F.count_distinct(F.col(fp_col)).alias("n_keys"))
+        .select(
+            "n_keys",
+            F.greatest(
+                F.lit(63),
+                (F.ceil(F.col("n_keys") * bits_per_key / 63) * 63).cast("long"),
+            ).alias("m_bits"),
+        )
+    )
+    words = (
+        df.select(F.col(fp_col).alias("_fp"))
+        .distinct()
+        .crossJoin(F.broadcast(params.select("m_bits")))
+        .select(
+            F.explode(bloom_positions(F.col("_fp"), k, F.col("m_bits"))).alias(
+                "pos"
+            )
+        )
+        .select(
+            F.expr("pos div 63").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return params, words
+
+
+def bloom_membership(
+    df: DataFrame,
+    params: DataFrame,
+    words: DataFrame,
+    fp_col: str = "_fp",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Per-row membership test: (id_col, bloom_positive). A row is
+    positive iff ALL k probed bits are set; a probe landing in an absent
+    word is an unset bit (coalesce FALSE), which is what makes false
+    negatives structurally impossible — every bit a standing key set IS
+    in the words relation. The words side broadcasts (word relation is
+    ~n_keys/10 rows); the only shuffle is the arrival-batch-sized
+    bool_and groupBy."""
+    probes = (
+        df.select(F.col(id_col), F.col(fp_col).alias("_fp"))
+        .crossJoin(F.broadcast(params.select("m_bits")))
+        .select(
+            id_col,
+            F.explode(bloom_positions(F.col("_fp"), k, F.col("m_bits"))).alias(
+                "pos"
+            ),
+        )
+    )
+    return (
+        probes.join(
+            F.broadcast(words),
+            F.expr("pos div 63") == words["word_idx"],
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("word").bitwiseAND(
+                    F.expr("shiftleft(1L, cast(pos % 63 as int))")
+                )
+                != 0,
+                F.lit(False),
+            ).alias("_hit"),
+        )
+        .groupBy(id_col)
+        .agg(F.bool_and("_hit").alias("bloom_positive"))
+    )
+
+
+def write_bloom_layout(
+    df: DataFrame,
+    path: str,
+    fp_col: str = "_fp",
+    k: int = 4,
+    bits_per_key: int = 6,
+) -> None:
+    """Persist the filter: words parquet + params parquet + _meta.json
+    (k, bits_per_key — the probe MUST use the stored k). m_bits is fixed
+    at build time from the initial key count; appends reuse it, so the
+    false-positive rate degrades gracefully (and measurably, via the
+    stored n_keys) as the corpus outgrows the initial sizing — resize =
+    rebuild, exactly like production Blooms."""
+    import json
+    import os
+
+    params, words = bloom_build(df, fp_col, k, bits_per_key)
+    words.write.mode("overwrite").parquet(os.path.join(path, "words"))
+    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"k": k, "bits_per_key": bits_per_key}, f)
+
+
+def read_bloom_layout(spark, path: str) -> tuple[dict, DataFrame, DataFrame]:
+    """(meta, params, words). The words relation folds any appended
+    generations with an associative bit_or — one aggregation over a
+    relation ~64x smaller than the key count, so probing during ingest
+    stays cheap; run :func:`compact_bloom_layout` to restore one row per
+    word after a burst of appends."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    params_rows = spark.read.parquet(os.path.join(path, "params"))
+    params = params_rows.agg(
+        F.sum("n_keys").alias("n_keys"), F.max("m_bits").alias("m_bits")
+    )
+    words = (
+        spark.read.parquet(os.path.join(path, "words"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    return meta, params, words
+
+
+def append_bloom(spark, path: str, new_df: DataFrame, fp_col: str = "_fp") -> None:
+    """Fold a new batch into the stored filter: bloom union is bitwise
+    OR, so an append writes the BATCH's words wholesale (no
+    read-modify-write of the standing bitmap) and the read side merges
+    generations associatively. n_keys appends as its own row and sums at
+    read time — an upper bound under cross-batch duplicates, which only
+    OVERSTATES the occupancy estimate (conservative for FPR tracking)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    _, params, _ = read_bloom_layout(spark, path)
+    m = params.select("m_bits")
+    new_words = (
+        new_df.select(F.col(fp_col).alias("_fp"))
+        .distinct()
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.explode(
+                bloom_positions(F.col("_fp"), meta["k"], F.col("m_bits"))
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos div 63").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    new_params = new_df.agg(
+        F.count_distinct(F.col(fp_col)).alias("n_keys")
+    ).crossJoin(F.broadcast(m))
+    new_words.write.mode("append").parquet(os.path.join(path, "words"))
+    new_params.select("n_keys", "m_bits").write.mode("append").parquet(
+        os.path.join(path, "params")
+    )
+
+
+def compact_bloom_layout(spark, path: str) -> None:
+    """Fold appended generations back to one row per word (and one
+    params row): read-side merge cost returns to a single pass. Same
+    overwrite discipline as compact_ivf_layout — stage to _compact, swap
+    in, so a crash leaves either the old or the new generation set."""
+    import os
+    import shutil
+
+    _, params, words = read_bloom_layout(spark, path)
+    wtmp = os.path.join(path, "_compact_words")
+    ptmp = os.path.join(path, "_compact_params")
+    words.write.mode("overwrite").parquet(wtmp)
+    params.write.mode("overwrite").parquet(ptmp)
+    for tmp, final in ((wtmp, "words"), (ptmp, "params")):
+        dst = os.path.join(path, final)
+        shutil.rmtree(dst)
+        os.rename(tmp, dst)

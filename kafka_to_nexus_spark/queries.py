@@ -1422,6 +1422,149 @@ ORACLE["incremental_neardup_stored_probe"] = ORACLE[
 ]
 
 
+# --- L73: Bloom-filter membership admission -----------------------------------
+# The cheapest standing-corpus admission gate: the corpus collapses to a
+# ~6-bits-per-key bitmap (words relation), arrivals probe k=4 bits each —
+# zero false negatives structurally (every bit a standing key set IS in
+# the filter), false positives bounded and MEASURED by the certificate
+# query. At 100 TB: 10^10 fingerprints ≈ 7.5 GB of filter vs terabytes of
+# fingerprint relation; admission never rescans the corpus (the exact_dup
+# column here is the certificate's ground-truth leg, not the production
+# path — production routes only the tiny bloom-positive subset to an
+# exact check). Same standing/arrival split as L66/L68 so the three
+# admission gates certify on one fixture.
+_BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 6
+
+
+def _bloom_decisions(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    fp = spark.table("documents").select(
+        "doc_id", F.md5(F.col("text")).alias("_fp")
+    )
+    standing = fp.filter(F.col("doc_id") % 10 != 0)
+    arrivals = fp.filter(F.col("doc_id") % 10 == 0)
+    params, words = llm_dedup.bloom_build(
+        standing, "_fp", k=_BLOOM_K, bits_per_key=_BLOOM_BITS_PER_KEY
+    )
+    member = llm_dedup.bloom_membership(
+        arrivals, params, words, "_fp", "doc_id", k=_BLOOM_K
+    )
+    exact = (
+        arrivals.alias("a")
+        .hint("broadcast")
+        .join(
+            standing.select("_fp").distinct().alias("s"),
+            F.col("a._fp") == F.col("s._fp"),
+            "left",
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("s._fp").isNotNull().alias("exact_dup"),
+        )
+    )
+    return member.join(exact, "doc_id"), params
+
+
+def _q_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec, _ = _bloom_decisions(spark, sf_dir)
+    return dec.select("doc_id", "bloom_positive", "exact_dup")
+
+
+def _q_bloom_fpr_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dec, params = _bloom_decisions(spark, sf_dir)
+    agg = dec.agg(
+        F.count("*").alias("n_arrivals"),
+        F.sum(F.col("exact_dup").cast("long")).alias("n_exact_dup"),
+        F.sum(F.col("bloom_positive").cast("long")).alias("n_bloom_positive"),
+        F.sum(
+            (F.col("bloom_positive") & ~F.col("exact_dup")).cast("long")
+        ).alias("n_false_positive"),
+        F.sum(
+            (~F.col("bloom_positive") & F.col("exact_dup")).cast("long")
+        ).alias("n_false_negative"),
+    )
+    novel = F.col("n_arrivals") - F.col("n_exact_dup")
+    return agg.crossJoin(F.broadcast(params)).select(
+        "n_keys",
+        "m_bits",
+        F.lit(_BLOOM_K).cast("long").alias("k"),
+        "n_arrivals",
+        "n_exact_dup",
+        "n_bloom_positive",
+        "n_false_positive",
+        "n_false_negative",
+        F.round(
+            F.col("n_false_positive") / F.when(novel != 0, novel), 6
+        ).alias("fpr_measured"),
+    )
+
+
+_BLOOM_DEC_CTE = f"""
+fp AS (SELECT doc_id, md5(text) AS f, doc_id % 10 = 0 AS is_new
+       FROM documents),
+std AS (SELECT DISTINCT f FROM fp WHERE NOT is_new),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             greatest(63, CAST(ceil(count(*) * {_BLOOM_BITS_PER_KEY}.0 / 63)
+                               AS BIGINT) * 63) AS m_bits
+      FROM std),
+spos AS (SELECT ('0x' || substr(md5(f || '|' || i), 1, 15))::BIGINT
+                  % p.m_bits AS pos
+         FROM std, p, range({_BLOOM_K}) t(i)),
+words AS (SELECT pos // 63 AS word_idx,
+                 bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+          FROM spos GROUP BY 1),
+arr AS (SELECT doc_id, f FROM fp WHERE is_new),
+apos AS (SELECT doc_id,
+                ('0x' || substr(md5(f || '|' || i), 1, 15))::BIGINT
+                  % p.m_bits AS pos
+         FROM arr, p, range({_BLOOM_K}) t(i)),
+hits AS (SELECT a.doc_id,
+                bool_and(coalesce(
+                  (w.word & (1::BIGINT << CAST(a.pos % 63 AS INT))) <> 0,
+                  FALSE)) AS bloom_positive
+         FROM apos a LEFT JOIN words w ON a.pos // 63 = w.word_idx
+         GROUP BY a.doc_id),
+dec AS (SELECT arr.doc_id, hits.bloom_positive, s.f IS NOT NULL AS exact_dup
+        FROM arr JOIN hits ON arr.doc_id = hits.doc_id
+        LEFT JOIN std s ON arr.f = s.f)
+"""
+
+ORACLE["bloom_admission_filter"] = f"""
+WITH {_BLOOM_DEC_CTE}
+SELECT doc_id, bloom_positive, exact_dup FROM dec
+"""
+
+ORACLE["bloom_fpr_certificate"] = f"""
+WITH {_BLOOM_DEC_CTE}
+SELECT p.n_keys,
+       p.m_bits,
+       CAST({_BLOOM_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_arrivals,
+       CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(sum(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_positive,
+       CAST(sum(CASE WHEN bloom_positive AND NOT exact_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(sum(CASE WHEN NOT bloom_positive AND exact_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negative,
+       round(CAST(sum(CASE WHEN bloom_positive AND NOT exact_dup
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(count(*) - sum(CASE WHEN exact_dup THEN 1 ELSE 0 END),
+                      0),
+             6) AS fpr_measured
+FROM dec, p
+GROUP BY p.n_keys, p.m_bits
+"""
+
+
 # --- L65: DSIR hashed n-gram importance weights --------------------------------
 # Data Selection via Importance Resampling (Xie et al. 2023): score every
 # raw-corpus doc by how target-like its hashed n-gram feature profile is
@@ -1774,6 +1917,73 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     _, total_tokens = _spark_corpus_stats(spark, sf_dir)
     return spark.sql(_BIGRAM_SQL["spark"].format(total=total_tokens))
+
+
+# --- L75: interpolated Kneser-Ney bigram LM ----------------------------------
+# The production-standard n-gram smoothing (Kneser & Ney 1995; what
+# KenLM ships and CCNet-style perplexity filters actually run):
+# P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1,·)/c(w1·) · P_cont(w2),
+# with the CONTINUATION distribution P_cont(w2) = N1+(·,w2)/N1+(·,·) —
+# "how many contexts does w2 complete", not "how often does w2 occur" —
+# the correction that stops high-frequency-but-context-bound words
+# ("francisco") from leaking probability into unseen contexts, which is
+# exactly the failure mode of L55's count-interpolated smoothing. D is
+# the classic 0.75. ALL model statistics derive in-query from the same
+# bigram-type relation (bc): c(w1·) and N1+(w1,·) are one GROUP BY w1
+# over it, N1+(·,w2) one GROUP BY w2, N1+(·,·) its row count — zero
+# literals, so the oracle replays training AND inference. Scale shape:
+# one doc-bigram tf shuffle, then type-keyed aggregations of the (much
+# smaller) type relation that broadcast back; DECIMAL(28,6) per-bigram
+# contributions give order-independent, engine-identical totals
+# (nll_total + n_bigrams, never a rounded mean — the L55 tie lesson).
+_KN_TAIL = """
+bgf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+bc AS (SELECT w1, w2, CAST(sum(tf) AS DOUBLE) AS cb FROM bgf GROUP BY w1, w2),
+cc AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS cw,
+              CAST(count(*) AS DOUBLE) AS n1f
+       FROM bc GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1p FROM bc GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM bc),
+contrib AS (
+  SELECT bgf.doc_id, bgf.tf,
+         CAST(round(bgf.tf * ln(greatest(bc.cb - 0.75, 0) / cc.cw
+                                + 0.75 * cc.n1f / cc.cw
+                                  * cont.n1p / tot.nbt), 6)
+              AS DECIMAL(28, 6)) AS c
+  FROM bgf JOIN bc ON bgf.w1 = bc.w1 AND bgf.w2 = bc.w2
+           JOIN cc ON bgf.w1 = cc.w1
+           JOIN cont ON bgf.w2 = cont.w2
+           CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(-sum(c) AS DOUBLE) AS nll_total
+FROM contrib GROUP BY doc_id
+"""
+
+SPARK_SQL["kneser_ney_bigram_score"] = """
+WITH w AS (
+  SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, b.w1, b.w2
+  FROM (SELECT * FROM w WHERE size(ws) >= 2) t
+  LATERAL VIEW inline(transform(sequence(1, size(ws) - 1),
+       i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))
+       b AS w1, w2
+),
+""" + _KN_TAIL
+
+ORACLE["kneser_ney_bigram_score"] = """
+WITH w AS (
+  SELECT doc_id, [x for x in string_split(lower(text), ' ') if x <> ''] AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+""" + _KN_TAIL
 
 
 # --- per-dimension embedding moments -----------------------------------------
@@ -2731,6 +2941,65 @@ def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_jaccard"),
         )
     )
+
+
+# --- L74: b-bit MinHash estimator (Li & König 2010) --------------------------
+# Signature compression for the 100 TB tier: keep only the low b=8 bits
+# of each minhash component and correct the estimate for chance
+# collisions — Ĵ_b = (frac_match − C)/(1 − C) with C = 2^-b. The
+# signature relation shrinks 4× here (8× with the 64-bit production
+# hashes), which is what makes an all-corpus standing signature store
+# affordable; the price is variance, not bias, and this certificate
+# emits BOTH estimators per candidate pair so the driver hash pins the
+# correction math against the full-width estimate on identical pairs.
+# Float portability: frac is x/4 (exact), C = 1/256 and 1−C = 255/256
+# are binary-exact doubles, so both engines perform the same single
+# IEEE division — no rounding-tie hazard.
+_BBIT_EST_BODY = f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(2
+              + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0,
+             6) AS est_full_jaccard,
+       round(((CAST(2
+               + (CASE WHEN substr(a.m2, 7, 2) = substr(b.m2, 7, 2)
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN substr(a.m3, 7, 2) = substr(b.m3, 7, 2)
+                       THEN 1 ELSE 0 END) AS DOUBLE) / 4.0)
+              - 1.0 / 256) / (1 - 1.0 / 256),
+             6) AS est_bbit_jaccard
+FROM ranked a JOIN ranked b
+  ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+ AND a.rk <= {_JACCARD_MAX_BUCKET} AND b.rk <= {_JACCARD_MAX_BUCKET}
+"""
+
+ORACLE["bbit_minhash_estimate"] = (
+    f"WITH sig AS ({ORACLE['minhash_signatures']})"
+    + _MINHASH_EST_RANKED
+    + _BBIT_EST_BODY
+)
+
+# same persist rationale as _EST_PERSIST (the inlined CTE would run the
+# signature pipeline once per join side); own slot so the two estimator
+# queries never unpersist each other's relation mid-plan
+_BBIT_PERSIST: dict[str, DataFrame] = {}
+
+
+def _q_bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    app_id = spark.sparkContext.applicationId
+    prev = _BBIT_PERSIST.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist()
+    ranked = spark.sql(
+        f"WITH sig AS ({SPARK_SQL['minhash_signatures']})"
+        + _MINHASH_EST_RANKED
+        + "SELECT * FROM ranked"
+    ).persist()
+    _BBIT_PERSIST[app_id] = ranked
+    ranked.createOrReplaceTempView("ranked")
+    return spark.sql(_BBIT_EST_BODY)
+
 
 # --- deterministic train/val/test split -------------------------------------
 # The standard dataset-split op, hash-gated so it is (a) deterministic
@@ -5610,6 +5879,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_adc_topk": _q_pq_adc_topk,
     "incremental_neardup_merge": _q_incremental_neardup,
     "incremental_neardup_stored_probe": _q_incremental_neardup_stored,
+    "bloom_admission_filter": _q_bloom_admission,
+    "bloom_fpr_certificate": _q_bloom_fpr_certificate,
     "dsir_engine_parity": _q_dsir_engine_parity,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,
@@ -5639,6 +5910,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_wav_meta": _q_multimodal_wav_meta,
     "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "minhash_jaccard_estimate": _q_minhash_estimate,
+    "bbit_minhash_estimate": _q_bbit_minhash_estimate,
     "quantized_adc_topk": _q_quantized_adc_topk,
     "ivf_partitioned_probe": _q_ivf_partitioned_probe,
     "ivf_probe_topk": _q_ivf_probe_topk,

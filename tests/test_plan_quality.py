@@ -876,3 +876,17 @@ def test_neardup_banding_layout_compacts_with_explicit_key(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [" in plan and "band" in plan.split(
         "PartitionFilters")[1][:120]
+
+
+def test_bloom_membership_plan_shape(spark):
+    """bloom_admission_filter: the words bitmap and the 1-row params
+    relation join in as BroadcastHash / broadcast-loop-on-1-row — never a
+    cartesian over data-sized relations — and both the build's word
+    bit_or and the probe's bool_and carry map-side partials."""
+    plan = _executed_plan(spark, "bloom_admission_filter")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_bit_or" in plan or "bit_or" in plan, plan
+    # Catalyst rewrites bool_and over booleans to min — either spelling
+    # proves the probe's all-bits-set fold partial-aggregates
+    assert "partial_bool_and" in plan or "partial_min" in plan, plan

@@ -108,6 +108,10 @@ FAMILY = {
     "incremental_neardup_merge": "documents",
     "bpe_trained_tokenization": "documents",
     "incremental_neardup_stored_probe": "documents",
+    "bloom_admission_filter": "documents",
+    "bloom_fpr_certificate": "documents",
+    "bbit_minhash_estimate": "documents",
+    "kneser_ney_bigram_score": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -196,6 +200,16 @@ X1000_OPS = {
     # r10: close the counts row for symmetry with its tokenization
     # sibling (VERDICT r9 #5) — same per-distinct-word cache carries both
     "bpe_trained_token_counts",
+    # r10 (late): the Bloom admission gate is the one op that SHOULD be
+    # near-flat at any corpus size once the bitmap is built in-query —
+    # the 5M-doc tier is where a hidden corpus-sized term would show
+    "bloom_admission_filter",
+    "bloom_fpr_certificate",
+    # r10 (late): KN rides the same doc-bigram tf shuffle as L55 — the
+    # 5M-doc tier shows whether the extra type-relation aggregations
+    # change its class (they shouldn't: they shrink with the vocab).
+    # bbit stops at x100 like its full-width estimator sibling.
+    "kneser_ney_bigram_score",
 }
 
 # Stored-layout read paths: the FIRST call at a tier builds the layout
