@@ -832,21 +832,23 @@ def append_neardup_banding(
 
 
 def bloom_positions(fp: Column, k: int, m_bits: Column) -> Column:
-    """Array of ``k`` bit positions for one fingerprint: position i is
-    the top 60 bits of md5(fp || '|' || i) reduced modulo ``m_bits``.
-    Independent 60-bit draws per probe (not slices of one 128-bit hash)
-    keep positions uniform at any realistic filter size; the same
-    expression replays verbatim in DuckDB
-    (('0x' || substr(md5(f || '|' || i), 1, 15))::BIGINT % m)."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(fp, F.lit(f"|{i}"))), 1, 15), 16, 10
-            ).cast("long")
-            % m_bits
-            for i in range(k)
-        ]
-    )
+    """Array of ``k`` bit positions for one fingerprint via
+    Kirsch-Mitzenmaier double hashing: pos_i = (h1 + i·h2) mod m, with
+    h1/h2 two disjoint 60-bit slices of ONE md5 (hex chars 1-15 and
+    17-31) and h2 forced into [1, m-1] so a zero stride can never
+    collapse the k probes onto one bit. One digest per key regardless of
+    k — at k=22 (the decontamination sizing) this is 22× less hashing
+    than independent per-probe digests, with asymptotically the same
+    false-positive rate (Kirsch & Mitzenmaier 2006). Replays verbatim in
+    DuckDB: h1 = ('0x'||substr(md5(f),1,15))::BIGINT % m,
+    h2 = ('0x'||substr(md5(f),17,15))::BIGINT % (m-1) + 1,
+    pos_i = (h1 + i·h2) % m (no overflow: h1 + k·h2 ≤ (k+1)·m)."""
+    h = F.md5(fp)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+    h2 = (
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % (m_bits - 1)
+    ) + 1
+    return F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
 
 
 def bloom_build(

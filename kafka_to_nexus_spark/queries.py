@@ -1514,17 +1514,23 @@ p AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
              greatest(63, CAST(ceil(count(*) * {_BLOOM_BITS_PER_KEY}.0 / 63)
                                AS BIGINT) * 63) AS m_bits
       FROM std),
-spos AS (SELECT ('0x' || substr(md5(f || '|' || i), 1, 15))::BIGINT
-                  % p.m_bits AS pos
-         FROM std, p, range({_BLOOM_K}) t(i)),
+sh2 AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % p.m_bits AS h1,
+               ('0x' || substr(md5(f), 17, 15))::BIGINT % (p.m_bits - 1) + 1
+                 AS h2, p.m_bits AS m
+        FROM std, p),
+spos AS (SELECT (h1 + i * h2) % m AS pos
+         FROM sh2, range({_BLOOM_K}) t(i)),
 words AS (SELECT pos // 63 AS word_idx,
                  bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
           FROM spos GROUP BY 1),
 arr AS (SELECT doc_id, f FROM fp WHERE is_new),
-apos AS (SELECT doc_id,
-                ('0x' || substr(md5(f || '|' || i), 1, 15))::BIGINT
-                  % p.m_bits AS pos
-         FROM arr, p, range({_BLOOM_K}) t(i)),
+ah2 AS (SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % p.m_bits AS h1,
+               ('0x' || substr(md5(f), 17, 15))::BIGINT % (p.m_bits - 1) + 1
+                 AS h2, p.m_bits AS m
+        FROM arr, p),
+apos AS (SELECT doc_id, (h1 + i * h2) % m AS pos
+         FROM ah2, range({_BLOOM_K}) t(i)),
 hits AS (SELECT a.doc_id,
                 bool_and(coalesce(
                   (w.word & (1::BIGINT << CAST(a.pos % 63 AS INT))) <> 0,
@@ -5046,6 +5052,219 @@ FROM e JOIN bench USING (g) GROUP BY doc_id, n
 """
 
 
+# --- L76: Bloom-filter decontamination (single-pass, benchmark as bitmap) ----
+# How decontamination actually runs at 100 TB: the benchmark's n-grams
+# collapse to a Bloom bitmap (6 bits/gram — a 10^9-gram benchmark suite
+# is ~750 MB of filter vs tens of GB of gram strings), the corpus makes
+# ONE pass probing it, and only bloom-positive docs (a sliver) ever
+# reach the exact verify that L9 runs on everything. One-sided error is
+# the contract: a contaminated doc can NEVER test clean (same
+# FN-impossible structure as L73), false positives only send extra docs
+# to the verify stage. This certificate emits the exact overlap count
+# NEXT TO the bloom hit count per doc, so the driver hash pins both the
+# probe math and the n_bloom_hits >= n_exact_hits one-sidedness on every
+# row. Same benchmark split as L9 (doc_id < 5), but 20-char shingles —
+# the analog of the 13-TOKEN windows production decontamination matches
+# on (long enough to be rare: 39 of 495 docs at sf0.01, 8%, where L9's
+# 8-char grams flag every doc — the verify-sliver routing is only real
+# when the gram is discriminative). Sizing differs from L73 on purpose:
+# a DOC is flagged if ANY of its ~10^2-10^3 grams hits, so the per-gram
+# FPR must sit well under 1/n_grams — 32 bits/key with k=22 probes
+# (~0.5^22 ≈ 2e-7 per gram, <0.1% per doc; the admission gate's 6/4
+# sizing would flag nearly every doc, measured 4973 of 4995 at sf0.1).
+_DECON_BLOOM_K = 22
+_DECON_BLOOM_BPK = 32
+_DECON_GRAM = 20
+
+
+def _q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text") - (_DECON_GRAM - 1), F.lit(1)),
+                ),
+                lambda i: F.substring(F.col("text"), i, _DECON_GRAM),
+            )
+        ).alias("sh"),
+    )
+    bench = (
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    params, words = llm_dedup.bloom_build(
+        bench, "g", k=_DECON_BLOOM_K, bits_per_key=_DECON_BLOOM_BPK
+    )
+    # The benchmark-side filter is O(benchmark), not O(corpus): collect
+    # it into a LITERAL word map (the L52 literal-chain precedent —
+    # ~m/63 entries, bounded by the benchmark suite's size) so the probe
+    # is pure whole-stage-codegen expressions per document row — no
+    # explode, no join, no shuffle on the bloom leg (the k=22 explode
+    # form measured 9.1 s at sf0.1 against 31M shuffled probe rows). For
+    # benchmark suites too large for the plan (10^9 grams → ~8M words),
+    # the broadcast word-join form in bloom_membership is the scale
+    # path; semantics (and the oracle) are identical.
+    m_bits = int(params.collect()[0]["m_bits"])
+    wrows = sorted(
+        (int(r["word_idx"]), int(r["word"])) for r in words.collect()
+    )
+    wmap = F.create_map(
+        *[
+            x
+            for wi, w in wrows
+            for x in (F.lit(wi).cast("long"), F.lit(w).cast("long"))
+        ]
+    )
+    # shiftleft() takes a literal bit count, so a shift BY A COLUMN is a
+    # 63-entry literal lookup instead (1-indexed element_at)
+    shifts = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+
+    def _gram_hit(g):
+        # one digest per gram (Kirsch-Mitzenmaier, as bloom_positions):
+        # the k=22 probes are stride arithmetic, not 22 md5s
+        h = F.md5(g)
+        h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+        h2 = (
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+            % (m_bits - 1)
+        ) + 1
+        tests = []
+        for i in range(_DECON_BLOOM_K):
+            pos = (h1 + F.lit(i) * h2) % m_bits
+            word = F.coalesce(
+                F.element_at(wmap, F.floor(pos / 63).cast("long")), F.lit(0)
+            )
+            mask = F.element_at(shifts, (pos % 63).cast("int") + 1)
+            tests.append(word.bitwiseAND(mask) != 0)
+        out = tests[0]
+        for t in tests[1:]:
+            out = out & t
+        return out
+
+    corpus = d.filter(F.col("doc_id") >= 5)
+    flagged = corpus.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_grams"),
+        F.size(F.filter("sh", _gram_hit)).cast("long").alias("n_bloom_hits"),
+    )
+    exact = (
+        corpus.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_hits"))
+    )
+    return flagged.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_bloom_hits",
+        F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+    )
+
+
+ORACLE["bloom_decontamination"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, {_DECON_GRAM})
+              for i in range(1, greatest(length(text) - {_DECON_GRAM - 1}, 1)
+                             + 1)]) AS sh
+  FROM documents
+),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id < 5),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             greatest(63, CAST(ceil(count(*) * {_DECON_BLOOM_BPK}.0 / 63)
+                               AS BIGINT) * 63) AS m_bits
+      FROM bench),
+bh2 AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % p.m_bits AS h1,
+               ('0x' || substr(md5(g), 17, 15))::BIGINT % (p.m_bits - 1) + 1
+                 AS h2, p.m_bits AS m
+        FROM bench, p),
+bpos AS (SELECT (h1 + i * h2) % m AS pos
+         FROM bh2, range({_DECON_BLOOM_K}) t(i)),
+words AS (SELECT pos // 63 AS word_idx,
+                 bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+          FROM bpos GROUP BY 1),
+corpus AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g
+           FROM d WHERE doc_id >= 5),
+ch2 AS (SELECT doc_id, n_grams, g,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT % p.m_bits AS h1,
+               ('0x' || substr(md5(g), 17, 15))::BIGINT % (p.m_bits - 1) + 1
+                 AS h2, p.m_bits AS m
+        FROM corpus, p),
+cpos AS (SELECT doc_id, n_grams, g, (h1 + i * h2) % m AS pos
+         FROM ch2, range({_DECON_BLOOM_K}) t(i)),
+ghits AS (SELECT doc_id, n_grams, g,
+                 bool_and(coalesce(
+                   (w.word & (1::BIGINT << CAST(c.pos % 63 AS INT))) <> 0,
+                   FALSE)) AS hit
+          FROM cpos c LEFT JOIN words w ON c.pos // 63 = w.word_idx
+          GROUP BY doc_id, n_grams, g),
+exact AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+          FROM corpus JOIN bench USING (g) GROUP BY doc_id)
+SELECT h.doc_id,
+       CAST(h.n_grams AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN h.hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       coalesce(any_value(exact.n_exact_hits), 0) AS n_exact_hits
+FROM ghits h LEFT JOIN exact ON h.doc_id = exact.doc_id
+GROUP BY h.doc_id, h.n_grams
+"""
+
+
+# --- L77: deterministic weighted sampling (Efraimidis-Spirakis A-Res) --------
+# Exact-k sampling WITHOUT replacement, inclusion probability
+# proportional to weight — the op behind "sample 1M docs by length/
+# quality for eval" that temperature/stratified sampling (L24/L37)
+# don't give (those are rate-based, per-row independent, so the sample
+# SIZE is random). A-Res: per row an exponential variate
+# e = -ln(u)/w with u a hash-derived uniform; the k SMALLEST e win.
+# This is THE distributed weighted-sampling algorithm: each partition
+# keeps its local top-k and the driver merges — Spark plans exactly
+# that from ORDER BY + LIMIT (TakeOrderedAndProject, O(n) map +
+# O(k log k) merge, no global sort, no shuffle of the corpus).
+# Determinism + portability: u = (h + 0.5) / 2^52 with h a 52-bit md5
+# slice — h is exactly representable as a double, so both engines
+# compute bit-identical u, and ties (impossible in the continuous key
+# outside hash collisions) break on doc_id.
+_ARS_K = 100
+
+
+def _weighted_sample_sql(dialect: str, salt: str = "", k: int = _ARS_K) -> str:
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING) || '|"
+            + salt
+            + "'), 1, 13), 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|"
+            + salt
+            + "'), 1, 13))::BIGINT"
+        )
+    return f"""
+SELECT doc_id, n_chars, round(ekey, 6) AS ekey
+FROM (
+  SELECT doc_id, n_chars,
+         -ln(({h} + 0.5) / 4503599627370496.0) / n_chars AS ekey
+  FROM documents
+)
+ORDER BY ekey, doc_id
+LIMIT {k}
+"""
+
+
+SPARK_SQL["weighted_sample_ars"] = _weighted_sample_sql("spark")
+ORACLE["weighted_sample_ars"] = _weighted_sample_sql("duck")
+
+
 # --- token-budget corpus selection (histogram threshold) --------------------
 # "Select the highest-quality documents until the token budget is spent."
 # The naive form is a global sort by quality + running token sum — a
@@ -5881,6 +6100,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup_stored_probe": _q_incremental_neardup_stored,
     "bloom_admission_filter": _q_bloom_admission,
     "bloom_fpr_certificate": _q_bloom_fpr_certificate,
+    "bloom_decontamination": _q_bloom_decontamination,
+    # weighted_sample_ars registers via SPARK_SQL (pure SQL both sides)
     "dsir_engine_parity": _q_dsir_engine_parity,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -958,4 +959,112 @@ def curation_stream(
     admitted = source_quota_stream(kept, quota, source_col, ts_col, shards)
     return admitted.select(
         *out_cols, F.col(source_col), F.col("quota_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom admission (L78): constant-size dedup state
+# ---------------------------------------------------------------------------
+# The streaming face of the L73 admission gate, and the state-size
+# counterpoint to dedup_stream: dropDuplicatesWithinWatermark holds ONE
+# STATE ENTRY PER DISTINCT in-horizon fingerprint (unbounded in corpus
+# richness), while the Bloom holds a FIXED bitmap — m_bits/63 longs
+# total, forever, at the price of a bounded false-drop rate and no
+# eviction (a Bloom can't forget; rotating to a fresh filter is a
+# restart-time decision, like resizing the batch layout). Partitioned-
+# bloom sharding: a fingerprint routes BY HASH to one of `shards`
+# independent sub-filters of m_bits/shards bits each — all k probes of a
+# doc live in one state group, so admission is decided (and the bits
+# inserted) in a single stateful pass with no cross-group join; the
+# aggregate FPR equals a monolithic m-bit filter's. In-batch order is
+# pinned (sort by timestamp, fingerprint), so an exact duplicate can
+# NEVER be admitted twice — within a batch, across batches, forever.
+
+BLOOM_ADMIT_SCHEMA = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("bloom_admitted", BooleanType()),
+    ]
+)
+
+# dense sub-filter: one long per 63 bits (the L73 word layout)
+_BLOOM_STATE = "bits array<long>"
+
+
+def _bloom_positions_py(fp: str, k: int, m_bits: int) -> list[int]:
+    """Python twin of llm.dedup.bloom_positions (Kirsch-Mitzenmaier off
+    one md5: h1 = hex[0:15], h2 = hex[16:31] forced into [1, m-1]) —
+    pinned equal to the Spark expression by a unit test so the streaming
+    and batch gates can never drift."""
+    import hashlib
+
+    h = hashlib.md5(fp.encode()).hexdigest()
+    h1 = int(h[0:15], 16) % m_bits
+    h2 = int(h[16:31], 16) % (m_bits - 1) + 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def _make_bloom_admit_fn(m_sub: int, k: int):
+    n_words = (m_sub + 62) // 63
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (bits,) = state.get if state.exists else ([0] * n_words,)
+        bits = list(bits)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["timestamp", "fingerprint"])
+        out = []
+        for fp, ts in zip(rows["fingerprint"], rows["timestamp"]):
+            seen = True
+            for pos in _bloom_positions_py(str(fp), k, m_sub):
+                w, b = divmod(pos, 63)
+                mask = 1 << b
+                if not (bits[w] & mask):
+                    seen = False
+                    bits[w] |= mask
+            out.append((fp, ts, not seen))
+        state.update((bits,))
+        yield pd.DataFrame(
+            out, columns=["fingerprint", "timestamp", "bloom_admitted"]
+        )
+
+    return update
+
+
+def bloom_admission_stream(
+    stream: DataFrame,
+    m_bits: int,
+    k: int = 4,
+    shards: int = 8,
+    fingerprint_col: str = "fingerprint",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """First-occurrence admission with CONSTANT state: emits every row
+    with ``bloom_admitted`` = False iff all k probed bits were already
+    set before this row's insertion (bits are inserted for every row,
+    admitted or not — idempotent, and what keeps later copies of a
+    false-positive arrival consistent). Size ``m_bits`` for the expected
+    DISTINCT fingerprint count (6-10 bits per key), and round the
+    per-shard width up to whole 63-bit words."""
+    from pyspark.sql import functions as F
+
+    m_sub = ((m_bits // shards + 62) // 63) * 63
+    canon = stream.select(
+        F.col(fingerprint_col).cast("string").alias("fingerprint"),
+        F.col(ts_col).cast("long").alias("timestamp"),
+        F.pmod(F.xxhash64(F.col(fingerprint_col).cast("string")),
+               F.lit(shards)).alias("shard"),
+    )
+    return canon.groupBy("shard").applyInPandasWithState(
+        _make_bloom_admit_fn(m_sub, k),
+        outputStructType=BLOOM_ADMIT_SCHEMA,
+        stateStructType=_BLOOM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1837,3 +1837,43 @@ def test_kneser_ney_matches_python_model(spark, tmp_path):
     # completes only ONE context, so P_cont is the type ratio, not the
     # frequency ratio
     assert n1p["francisco"] == 1
+
+
+def test_weighted_sample_ars_is_proportional_and_deterministic(spark, tmp_path):
+    """A-Res weighted sampling: (a) deterministic — identical output on
+    re-run; (b) inclusion frequency tracks weight — across 30 salted
+    re-draws of k=20 from 200 docs whose weights span 1..200, the
+    top-weight decile must be sampled far more often than the bottom
+    decile (expected inclusion ~k·w/Σw up to without-replacement
+    adjustment)."""
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+    from kafka_to_nexus_spark.queries import _weighted_sample_sql
+
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    n = 200
+    pd.DataFrame(
+        {"doc_id": range(n), "text": ["x" * (i + 1) for i in range(n)],
+         "lang": "en", "source": "s", "n_chars": [i + 1 for i in range(n)]}
+    ).to_parquet(sf_dir / "documents.parquet")
+
+    a = Q.queries()["weighted_sample_ars"](spark, str(sf_dir)).collect()
+    b = Q.queries()["weighted_sample_ars"](spark, str(sf_dir)).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+
+    Q.register_views(spark, str(sf_dir), ("documents",))
+    counts = {d: 0 for d in range(n)}
+    for salt in range(30):
+        rows = spark.sql(
+            _weighted_sample_sql("spark", salt=str(salt), k=20)
+        ).collect()
+        assert len(rows) == 20
+        for r in rows:
+            counts[r.doc_id] += 1
+    top = sum(counts[d] for d in range(180, 200)) / 20
+    bottom = sum(counts[d] for d in range(20)) / 20
+    # top decile weights ~190/avg-100 → ~2x the mean rate; bottom ~0.1x.
+    # With 30 draws the separation is enormous; 5x is a loose floor.
+    assert top > 5 * max(bottom, 1e-9), (top, bottom)

@@ -890,3 +890,28 @@ def test_bloom_membership_plan_shape(spark):
     # Catalyst rewrites bool_and over booleans to min — either spelling
     # proves the probe's all-bits-set fold partial-aggregates
     assert "partial_bool_and" in plan or "partial_min" in plan, plan
+
+
+def test_bloom_decontamination_plan_shape(spark):
+    """bloom_decontamination: the bloom leg is pure codegen over a
+    literal word map — the ONLY join in the plan is the exact
+    ground-truth leg's broadcast against the benchmark grams (no
+    sort-merge, no cartesian), and the probe side never shuffles gram
+    instances (no explode of position rows into an aggregate)."""
+    plan = _executed_plan(spark, "bloom_decontamination")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the probe is expression-level: no per-position generator feeding
+    # an aggregate (the rejected 31M-row form's shape)
+    assert "Generate explode(pos" not in plan, plan
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """weighted_sample_ars: ORDER BY + LIMIT must plan as
+    TakeOrderedAndProject (per-partition top-k, driver merge) — never a
+    rangepartitioning Exchange + global Sort, which would shuffle the
+    corpus to sample 100 rows."""
+    plan = _executed_plan(spark, "weighted_sample_ars")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan

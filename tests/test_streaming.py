@@ -1736,3 +1736,90 @@ def test_quota_state_key_null_vs_none_string():
     assert _quota_state_key(None) == _quota_state_key(float("nan"))
     assert len(keys) == 3  # null-class, "=None", "=nan" all distinct
     assert _quota_state_key("src_a") == "=src_a"
+
+
+def test_bloom_admission_stream_constant_state(spark, tmp_path):
+    """Streaming Bloom admission (L78): exact duplicates are never
+    admitted twice — within a batch, across batches, and regardless of
+    which sub-filter shard they route to — while state stays a FIXED
+    bitmap. Admissions must equal a python reference that inserts
+    fingerprints into the same partitioned filter in the same pinned
+    (timestamp, fingerprint) order."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    _write_fixture(fixture_dir, "b1.json", [
+        f144(10_000, 1.0, offset=0), f144(11_000, 2.0, offset=1),
+        f144(12_000, 1.0, offset=2),  # intra-batch dup
+    ])
+    _write_fixture(fixture_dir, "b2.json", [
+        f144(13_000, 1.0, offset=3),  # cross-batch dup
+        f144(14_000, 3.0, offset=4),
+        f144(15_000, 2.0, offset=5),  # cross-batch dup
+    ], seq=1)
+
+    m_bits, k, shards = 63 * 8 * 4, 4, 4
+    stream = _file_stream(spark, fixture_dir).withColumn(
+        "fingerprint", F.md5(F.col("value").cast("string")))
+    out = stateful.bloom_admission_stream(
+        stream, m_bits=m_bits, k=k, shards=shards)
+    q = (out.writeStream.format("memory").queryName("bloom_admit")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.fingerprint, r.timestamp): r.bloom_admitted
+           for r in spark.table("bloom_admit").collect()}
+    assert len(got) == 6
+
+    # python reference: same sub-filter routing (xxhash64 replay via
+    # Spark), same positions, same per-batch (ts, fp) order
+    m_sub = ((m_bits // shards + 62) // 63) * 63
+    fps = {r.fingerprint: r.shard for r in spark.createDataFrame(
+        [(fp,) for fp, _ in got], ["fingerprint"]
+    ).select(
+        "fingerprint",
+        F.pmod(F.xxhash64("fingerprint"), F.lit(shards)).alias("shard"),
+    ).collect()}
+    filters = {s: set() for s in range(shards)}
+    want = {}
+    b1 = sorted((ts, fp) for (fp, ts) in got if ts <= 12_000_000_000)
+    b2 = sorted((ts, fp) for (fp, ts) in got if ts > 12_000_000_000)
+    for batch in (b1, b2):
+        for ts, fp in batch:
+            shard = fps[fp]
+            pos = stateful._bloom_positions_py(fp, k, m_sub)
+            seen = all(p in filters[shard] for p in pos)
+            filters[shard].update(pos)
+            want[(fp, ts)] = not seen
+    assert got == want
+    # the admission pattern itself: three distinct values admitted once
+    admitted = [key for key, a in got.items() if a]
+    assert len(admitted) == 3
+    assert len({fp for fp, _ in admitted}) == 3
+
+
+def test_bloom_positions_python_twin_matches_spark(spark):
+    """The streaming gate's python position derivation must equal the
+    batch gate's Spark expression (llm.dedup.bloom_positions) — the pin
+    that keeps the two admission paths from drifting."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup
+    from kafka_to_nexus_spark.streaming import stateful
+
+    m_bits, k = 63 * 43, 7
+    fps = [("alpha",), ("beta",), ("some longer fingerprint 123",), ("",)]
+    rows = spark.createDataFrame(fps, ["fp"]).select(
+        "fp", dedup.bloom_positions(F.col("fp"), k, F.lit(m_bits)).alias("pos")
+    ).collect()
+    for r in rows:
+        assert list(r.pos) == stateful._bloom_positions_py(
+            r.fp, k, m_bits
+        ), r.fp

@@ -112,6 +112,8 @@ FAMILY = {
     "bloom_fpr_certificate": "documents",
     "bbit_minhash_estimate": "documents",
     "kneser_ney_bigram_score": "documents",
+    "bloom_decontamination": "documents",
+    "weighted_sample_ars": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -210,6 +212,11 @@ X1000_OPS = {
     # change its class (they shouldn't: they shrink with the vocab).
     # bbit stops at x100 like its full-width estimator sibling.
     "kneser_ney_bigram_score",
+    # r10 (late): decontamination is THE whole-corpus single-pass op —
+    # the 5M-doc tier is its honest wall-clock (shingling-bound)
+    "bloom_decontamination",
+    # r10 (late): TakeOrdered top-k must stay an O(n) map at 5M docs
+    "weighted_sample_ars",
 }
 
 # Stored-layout read paths: the FIRST call at a tier builds the layout
