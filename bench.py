@@ -264,6 +264,58 @@ def _run_e2e_streaming_quota(spark, sf_dir: str, n_batches: int = 2) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _run_e2e_streaming_bloom(spark, sf_dir: str, n_batches: int = 2) -> None:
+    """Streaming Bloom admission over the documents corpus (L78): md5
+    fingerprints route by hash to partitioned sub-filters; benches the
+    constant-state admission path (fixed-bitmap state entries, per-batch
+    pandas pass) against the same two-batch corpus the near-dup and
+    curation jobs stream. m sized at ~8 bits per expected distinct doc."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    cache_key = (sf_dir, n_batches)  # same inputs as the near-dup job
+    indir = _NEARDUP_INPUTS.get(cache_key)
+    if indir is None:
+        indir = tempfile.mkdtemp(prefix="bench_nd_in_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "text",
+            (F.lit(1_000_000_000) * (1 + F.col("doc_id"))).alias("timestamp"),
+        )
+        total = docs.count()
+        step = total // n_batches + 1
+        for i in range(n_batches):
+            (docs.filter((F.col("doc_id") >= i * step)
+                         & (F.col("doc_id") < (i + 1) * step))
+             .coalesce(1).write.mode("overwrite").json(f"{indir}/in/b{i}"))
+        _NEARDUP_INPUTS[cache_key] = indir
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    work = tempfile.mkdtemp(prefix="bench_bloom_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        raw = (spark.readStream
+               .schema("doc_id long, timestamp long, text string")
+               .option("maxFilesPerTrigger", 1).json(f"{indir}/in/*"))
+        fp = raw.repartition(8).select(
+            F.md5("text").alias("fingerprint"), "timestamp")
+        out = stateful.bloom_admission_stream(
+            fp, m_bits=max(63 * 16, 8 * n_docs), k=4, shards=16)
+        q = (out.writeStream.format("noop")
+             .option("checkpointLocation", f"{work}/ckpt").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _run_e2e_streaming_curation(spark, sf_dir: str, n_batches: int = 2) -> None:
     """Streaming curation pipeline over the documents corpus: the
     composed scrub → quality → lang → watermarked exact-dedup →
@@ -428,6 +480,7 @@ def main() -> None:
         ("job_e2e_streaming_neardup", _run_e2e_streaming_neardup),
         ("job_e2e_streaming_quota", _run_e2e_streaming_quota),
         ("job_e2e_streaming_curation", _run_e2e_streaming_curation),
+        ("job_e2e_streaming_bloom", _run_e2e_streaming_bloom),
     ):
         if only is not None and name not in only:
             continue

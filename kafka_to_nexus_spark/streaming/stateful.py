@@ -1065,6 +1065,6 @@ def bloom_admission_stream(
         _make_bloom_admit_fn(m_sub, k),
         outputStructType=BLOOM_ADMIT_SCHEMA,
         stateStructType=_BLOOM_STATE,
-        outputMode="update",
+        outputMode="append",  # each decision emits once, final
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

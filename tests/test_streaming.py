@@ -1767,7 +1767,7 @@ def test_bloom_admission_stream_constant_state(spark, tmp_path):
     out = stateful.bloom_admission_stream(
         stream, m_bits=m_bits, k=k, shards=shards)
     q = (out.writeStream.format("memory").queryName("bloom_admit")
-         .outputMode("update")
+         .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .start())
     try:
