@@ -1571,6 +1571,83 @@ GROUP BY p.n_keys, p.m_bits
 """
 
 
+# --- L79: composed admission pipeline (bloom → stored near-dup → quota) ------
+# The round's build-once/probe-forever pieces as ONE end-to-end gate —
+# the decision a continuously-ingesting 100 TB corpus actually makes per
+# arrival batch: (1) the Bloom bitmap screens for exact membership
+# (constant-size standing state; only bloom-POSITIVES pay the exact
+# verify, and a false positive costs a check, never a wrong drop);
+# (2) survivors probe the STORED near-dup banding (L68: arrival side
+# broadcast, zero corpus recompute); (3) survivors take a per-source
+# admission quota (doc_id order, the L44 cap rule). Every arrival gets a
+# labeled verdict — 'exact_dup' / 'near_dup' / 'quota' / 'admitted' — so
+# the driver hash pins the COMPOSITION, not just the stages: a wrong
+# stage order or a dropped leg relabels rows and flips the hash. The
+# oracle replays all three stages (the bloom + banding CTEs composed
+# with the quota window).
+_ADMIT_QUOTA = 20
+
+
+def _q_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    dec, _ = _bloom_decisions(spark, sf_dir)
+    layout = _neardup_layout(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
+    arrivals = spark.table("documents").filter(F.col("doc_id") % 10 == 0)
+    nd = llm_dedup.neardup_admission(
+        spark, layout, arrivals, tau=_INC_ND_TAU
+    ).select("doc_id", F.col("admitted").alias("_nd_ok"))
+    pass2 = (
+        arrivals.select("doc_id", "source")
+        .join(dec, "doc_id")
+        .join(nd, "doc_id")
+    )
+    survivors = pass2.filter(~F.col("exact_dup") & F.col("_nd_ok"))
+    ranked = survivors.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
+    ).select("doc_id", F.col("_rk"))
+    return (
+        pass2.join(ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("exact_dup"), F.lit("exact_dup"))
+            .when(~F.col("_nd_ok"), F.lit("near_dup"))
+            .when(F.col("_rk") > _ADMIT_QUOTA, F.lit("quota"))
+            .otherwise(F.lit("admitted"))
+            .alias("stage"),
+        )
+    )
+
+
+ORACLE["admission_pipeline"] = f"""
+WITH bloomdec AS ({ORACLE["bloom_admission_filter"]}),
+nd AS ({ORACLE["incremental_neardup_merge"]}),
+src AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0),
+pass2 AS (
+  SELECT s.doc_id, s.source, b.exact_dup, nd.admitted AS nd_ok
+  FROM src s JOIN bloomdec b ON s.doc_id = b.doc_id
+             JOIN nd ON s.doc_id = nd.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM pass2 WHERE NOT exact_dup AND nd_ok
+)
+SELECT p.doc_id, p.source,
+       CASE WHEN p.exact_dup THEN 'exact_dup'
+            WHEN NOT p.nd_ok THEN 'near_dup'
+            WHEN r.rk > {_ADMIT_QUOTA} THEN 'quota'
+            ELSE 'admitted' END AS stage
+FROM pass2 p LEFT JOIN ranked r ON p.doc_id = r.doc_id
+"""
+
+
 # --- L65: DSIR hashed n-gram importance weights --------------------------------
 # Data Selection via Importance Resampling (Xie et al. 2023): score every
 # raw-corpus doc by how target-like its hashed n-gram feature profile is
@@ -6102,6 +6179,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_fpr_certificate": _q_bloom_fpr_certificate,
     "bloom_decontamination": _q_bloom_decontamination,
     # weighted_sample_ars registers via SPARK_SQL (pure SQL both sides)
+    "admission_pipeline": _q_admission_pipeline,
     "dsir_engine_parity": _q_dsir_engine_parity,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,

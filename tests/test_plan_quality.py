@@ -915,3 +915,15 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     plan = _executed_plan(spark, "weighted_sample_ars")
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_admission_pipeline_plan_shape(spark):
+    """admission_pipeline: the composed gate inherits every stage's scale
+    shape — no cartesian anywhere, arrival sides broadcast into the
+    stored relations, and the only Window is the arrival-sized quota
+    rank (the standing corpus is never re-capped per batch: that pin
+    lives on the stored-probe plan this query reuses)."""
+    plan = _executed_plan(spark, "admission_pipeline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window") <= 2, plan

@@ -114,6 +114,7 @@ FAMILY = {
     "kneser_ney_bigram_score": "documents",
     "bloom_decontamination": "documents",
     "weighted_sample_ars": "documents",
+    "admission_pipeline": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -217,6 +218,9 @@ X1000_OPS = {
     "bloom_decontamination",
     # r10 (late): TakeOrdered top-k must stay an O(n) map at 5M docs
     "weighted_sample_ars",
+    # r10 (late): the composed gate rides the stored layout — the 5M-doc
+    # tier shows the amortized admission cost end to end
+    "admission_pipeline",
 }
 
 # Stored-layout read paths: the FIRST call at a tier builds the layout
@@ -225,7 +229,11 @@ X1000_OPS = {
 # run once UNTIMED per tier (paying/creating the layout), then the
 # normal min-of-two measures the probe alone; the build cost is reported
 # separately in SCALE.md.
-PREBUILD = {"ivf_pq_stored_probe", "incremental_neardup_stored_probe"}
+PREBUILD = {
+    "ivf_pq_stored_probe",
+    "incremental_neardup_stored_probe",
+    "admission_pipeline",  # rides the same stored banding layout
+}
 
 
 # Synth tiers are run with shuffle partitions sized by SCALE.md's own
