@@ -1648,6 +1648,62 @@ FROM pass2 p LEFT JOIN ranked r ON p.doc_id = r.doc_id
 """
 
 
+# --- L80: Zipf-slope corpus diagnostic ----------------------------------------
+# The classic corpus-health check: natural text's term frequencies follow
+# freq ∝ rank^s with s ≈ −1; machine-generated spam, boilerplate floods,
+# and template corpora bend the curve, so the fitted slope per language
+# slice is a cheap whole-corpus quality telescope (and the kind of number
+# a 100 TB ingest dashboard tracks per shard). Least squares of
+# ln(freq) on ln(rank) with EXACT cross-engine portability: the ln
+# values AND their products round once to 6 dp and sum as
+# DECIMAL(28,6) (the L45/L55 discipline — order-independent, so the
+# four regression sums are bit-identical in both engines; the final
+# slope is one double expression over exact inputs). Scale shape: term
+# counting is the one corpus-sized shuffle; ranking and the regression
+# run over the VOCABULARY relation (≪ corpus), partitioned by lang.
+_ZIPF_TAIL = """
+cf AS (SELECT lang, term, count(*) AS c FROM terms GROUP BY lang, term),
+ranked AS (SELECT lang, c,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY c DESC, term) AS r
+           FROM cf),
+pts AS (SELECT lang,
+               CAST(round(ln(r), 6) AS DECIMAL(28, 6)) AS x,
+               CAST(round(ln(c), 6) AS DECIMAL(28, 6)) AS y,
+               CAST(round(round(ln(r), 6) * round(ln(c), 6), 6)
+                    AS DECIMAL(28, 6)) AS xy,
+               CAST(round(round(ln(r), 6) * round(ln(r), 6), 6)
+                    AS DECIMAL(28, 6)) AS xx
+        FROM ranked),
+agg AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(xy) AS sxy, sum(xx) AS sxx
+        FROM pts GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_types,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope
+FROM agg WHERE n >= 10
+"""
+
+SPARK_SQL["zipf_slope"] = """
+WITH terms AS (
+  SELECT lang, term FROM (
+    SELECT lang, explode(split(lower(text), ' ')) AS term FROM documents
+  ) t WHERE term <> ''
+),
+""" + _ZIPF_TAIL
+
+ORACLE["zipf_slope"] = """
+WITH terms AS (
+  SELECT lang, term FROM (
+    SELECT lang, unnest([x for x in string_split(lower(text), ' ')
+                         if x <> '']) AS term
+    FROM documents
+  ) t
+),
+""" + _ZIPF_TAIL
+
+
 # --- L65: DSIR hashed n-gram importance weights --------------------------------
 # Data Selection via Importance Resampling (Xie et al. 2023): score every
 # raw-corpus doc by how target-like its hashed n-gram feature profile is

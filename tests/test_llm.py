@@ -1877,3 +1877,47 @@ def test_weighted_sample_ars_is_proportional_and_deterministic(spark, tmp_path):
     # top decile weights ~190/avg-100 → ~2x the mean rate; bottom ~0.1x.
     # With 30 draws the separation is enormous; 5x is a loose floor.
     assert top > 5 * max(bottom, 1e-9), (top, bottom)
+
+
+def test_zipf_slope_matches_python_model(spark, tmp_path):
+    """zipf_slope == least squares of round6(ln cf) on round6(ln rank)
+    computed directly in python, on a corpus whose frequencies actually
+    follow a power law — and the fitted slope lands near the law's
+    exponent (the diagnostic's point: natural text ≈ -1; the synthetic
+    fixture's template vocabulary reads ≈ -0.2)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    # 12 terms with freq ~ floor(60 / rank): a discrete zipf corpus
+    words = []
+    for rank in range(1, 13):
+        words += [f"w{rank:02d}"] * (60 // rank)
+    text = " ".join(words)
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {"doc_id": [0], "text": [text], "lang": ["en"], "source": ["s"],
+         "n_chars": [len(text)]}
+    ).to_parquet(sf_dir / "documents.parquet")
+
+    cf = Counter(words)
+    ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (round(math.log(r), 6), round(math.log(c), 6))
+        for r, (_, c) in enumerate(ranked, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(round(x * y, 6) for x, y in pts)
+    sxx = sum(round(x * x, 6) for x, _ in pts)
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+    rows = Q.queries()["zipf_slope"](spark, str(sf_dir)).collect()
+    assert len(rows) == 1 and rows[0].n_types == 12
+    assert abs(rows[0].zipf_slope - want) < 1e-6, (rows[0].zipf_slope, want)
+    assert -1.15 < want < -0.85, want  # the power law is recovered

@@ -794,3 +794,65 @@ def test_bpe_train_hybrid_handoff_matches_classic(spark):
         max_batch=2
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Bloom admission (L73/L78): the python position model carries the fuzz
+# load (it is unit-pinned equal to the Spark expression in
+# test_streaming.py::test_bloom_positions_python_twin_matches_spark, so
+# properties proven here transfer to both the batch and streaming gates
+# without a Spark round-trip per example).
+# ---------------------------------------------------------------------------
+
+fingerprints = st.lists(
+    st.text(min_size=0, max_size=12), min_size=1, max_size=40
+)
+
+
+def _py_bloom(keys, k, m_bits):
+    from kafka_to_nexus_spark.streaming.stateful import _bloom_positions_py
+
+    words: dict[int, int] = {}
+    for fp in keys:
+        for pos in _bloom_positions_py(fp, k, m_bits):
+            w, b = divmod(pos, 63)
+            words[w] = words.get(w, 0) | (1 << b)
+    return words
+
+
+def _py_member(words, fp, k, m_bits):
+    from kafka_to_nexus_spark.streaming.stateful import _bloom_positions_py
+
+    return all(
+        words.get(pos // 63, 0) & (1 << (pos % 63))
+        for pos in _bloom_positions_py(fp, k, m_bits)
+    )
+
+
+@given(standing=fingerprints, arrivals=fingerprints,
+       k=st.integers(1, 22), bpk=st.integers(2, 32))
+@settings(max_examples=200, deadline=None)
+def test_bloom_no_false_negatives_fuzz(standing, arrivals, k, bpk):
+    """For ANY corpus, ANY arrival set, ANY (k, bits/key) sizing: an
+    arrival whose fingerprint is standing can never test negative."""
+    m_bits = max(63, -(-len(set(standing)) * bpk // 63) * 63)
+    words = _py_bloom(standing, k, m_bits)
+    stand = set(standing)
+    for fp in arrivals:
+        if fp in stand:
+            assert _py_member(words, fp, k, m_bits), (fp, k, bpk)
+
+
+@given(a=fingerprints, b=fingerprints, k=st.integers(1, 8))
+@settings(max_examples=200, deadline=None)
+def test_bloom_union_is_bitwise_or_fuzz(a, b, k):
+    """filter(A ∪ B) == filter(A) | filter(B) at any fixed sizing — the
+    algebra behind append_bloom writing batch words wholesale and
+    read_bloom_layout folding generations with bit_or."""
+    m_bits = 63 * 11
+    union = _py_bloom(a + b, k, m_bits)
+    fa, fb = _py_bloom(a, k, m_bits), _py_bloom(b, k, m_bits)
+    merged: dict[int, int] = dict(fa)
+    for w, bits in fb.items():
+        merged[w] = merged.get(w, 0) | bits
+    assert merged == union

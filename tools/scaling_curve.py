@@ -115,6 +115,7 @@ FAMILY = {
     "bloom_decontamination": "documents",
     "weighted_sample_ars": "documents",
     "admission_pipeline": "documents",
+    "zipf_slope": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -221,6 +222,9 @@ X1000_OPS = {
     # r10 (late): the composed gate rides the stored layout — the 5M-doc
     # tier shows the amortized admission cost end to end
     "admission_pipeline",
+    # r10 (late): the regression rides the vocab relation; the corpus
+    # term-count shuffle is the only scaling term
+    "zipf_slope",
 }
 
 # Stored-layout read paths: the FIRST call at a tier builds the layout
