@@ -1103,7 +1103,57 @@ def _lazy_oracles(sf_dir: str | None = None) -> dict[str, str]:
         "bm25_topk": _bm25_sql(n_docs, total_tokens, "duck"),
         "unigram_logprob_score": _UNIGRAM_SQL["duck"].format(total=total_tokens),
         "bigram_logprob_score": _BIGRAM_SQL["duck"].format(total=total_tokens),
+        "rrf_fusion": _rrf_sql(n_docs, total_tokens, "duck"),
     }
+
+
+# --- L81: Reciprocal Rank Fusion (hybrid lexical + vector retrieval) ----------
+# The standard way production search fuses a BM25 list with an embedding
+# list (Cormack et al. 2009; what Elasticsearch/Vespa/OpenSearch ship):
+# score(d) = Σ_lists 1/(RRF_K + rank_d), rank-based so the two scoring
+# scales never need calibration. Composes the engine's own BM25 top-k
+# and exact cosine top-k (doc_id and vec_id are the fixture's shared
+# key); ranks are deterministic (score desc, id asc), the fused score is
+# a sum of at most two exact rationals — no float-portability hazard.
+# Scale: both input lists are top-k relations (k rows), so the fusion
+# itself is O(k) regardless of corpus size; the cost IS the two
+# retrieval legs, each already measured.
+_RRF_K = 60
+
+
+def _rrf_sql(n_docs: int, total_tokens: int, dialect: str) -> str:
+    bm = _bm25_sql(n_docs, total_tokens, dialect)
+    co = (
+        SPARK_SQL["ann_cosine_topk"]
+        if dialect == "spark"
+        else ORACLE["ann_cosine_topk"]
+    )
+    return f"""
+WITH bm AS ({bm}),
+co AS ({co}),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm),
+cor AS (SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+        FROM co),
+fused AS (
+  SELECT coalesce(bmr.doc_id, cor.doc_id) AS doc_id,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + bmr.r),
+                        CAST(0 AS DOUBLE))
+               + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + cor.r),
+                          CAST(0 AS DOUBLE)), 6) AS rrf_score
+  FROM bmr FULL OUTER JOIN cor ON bmr.doc_id = cor.doc_id
+)
+SELECT doc_id, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents", "embeddings"))
+    n_docs, total_tokens = _spark_corpus_stats(spark, sf_dir)
+    return spark.sql(_rrf_sql(n_docs, total_tokens, "spark"))
 
 # --- unigram LM negative log-likelihood --------------------------------------
 # The perplexity-filter stand-in (CCNet / RedPajama pipelines score docs
@@ -1702,6 +1752,62 @@ WITH terms AS (
   ) t
 ),
 """ + _ZIPF_TAIL
+
+
+# --- L82: Jensen-Shannon source-drift monitor ----------------------------------
+# The drift number a 100 TB ingest dashboard tracks per shard/source:
+# JS divergence between each source's term distribution P_s and the
+# corpus distribution Q — symmetric, bounded (≤ ln 2 nats), defined even
+# where supports differ (the reason it beats raw KL for monitoring).
+# JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, the q-leg summed over
+# the FULL vocabulary per source (a source missing a hot corpus term IS
+# drift). Portability: per-term contributions round once to 6 dp and sum
+# as DECIMAL(28,6) (order-independent, bit-identical both engines).
+# Scale: term counting is the corpus shuffle; the source×vocab grid is
+# |sources|·|vocab| rows of the REDUCED relations (vocab ≪ corpus),
+# built from one cross join of two aggregates.
+_JS_TAIL = """
+tf AS (SELECT source, term, count(*) AS c FROM terms GROUP BY source, term),
+stot AS (SELECT source, CAST(sum(c) AS DOUBLE) AS sn FROM tf GROUP BY source),
+vtot AS (SELECT term, CAST(sum(c) AS DOUBLE) AS cv FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tn FROM tf),
+grid AS (
+  SELECT s.source, v.term,
+         CAST(coalesce(tf.c, 0) AS DOUBLE) / s.sn AS p,
+         v.cv / tot.tn AS q
+  FROM stot s CROSS JOIN vtot v CROSS JOIN tot
+  LEFT JOIN tf ON tf.source = s.source AND tf.term = v.term
+),
+contrib AS (
+  SELECT source,
+         CAST(round(CASE WHEN p > 0
+                         THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+                    + 0.5 * q * ln(q / ((p + q) / 2)), 6)
+              AS DECIMAL(28, 6)) AS c
+  FROM grid
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(c) AS DOUBLE) AS js_nats
+FROM contrib GROUP BY source
+"""
+
+SPARK_SQL["js_source_drift"] = """
+WITH terms AS (
+  SELECT source, term FROM (
+    SELECT source, explode(split(lower(text), ' ')) AS term FROM documents
+  ) t WHERE term <> ''
+),
+""" + _JS_TAIL
+
+ORACLE["js_source_drift"] = """
+WITH terms AS (
+  SELECT source, term FROM (
+    SELECT source, unnest([x for x in string_split(lower(text), ' ')
+                           if x <> '']) AS term
+    FROM documents
+  ) t
+),
+""" + _JS_TAIL
 
 
 # --- L65: DSIR hashed n-gram importance weights --------------------------------
@@ -6236,6 +6342,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontamination": _q_bloom_decontamination,
     # weighted_sample_ars registers via SPARK_SQL (pure SQL both sides)
     "admission_pipeline": _q_admission_pipeline,
+    "rrf_fusion": _q_rrf_fusion,
     "dsir_engine_parity": _q_dsir_engine_parity,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,

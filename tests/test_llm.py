@@ -1921,3 +1921,44 @@ def test_zipf_slope_matches_python_model(spark, tmp_path):
     assert len(rows) == 1 and rows[0].n_types == 12
     assert abs(rows[0].zipf_slope - want) < 1e-6, (rows[0].zipf_slope, want)
     assert -1.15 < want < -0.85, want  # the power law is recovered
+
+
+def test_js_source_drift_bounds_and_zero(spark, tmp_path):
+    """JS divergence: a source with the corpus's own distribution scores
+    ~0; a source with a DISJOINT vocabulary scores near the ln 2 ceiling
+    — and never above it (the boundedness that makes JS a monitorable
+    number where KL diverges)."""
+    import math
+
+    import pandas as pd
+
+    from kafka_to_nexus_spark import queries as Q
+
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    # two balanced same-distribution sources + one disjoint-vocab source
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta", "en", "same_a", 22))
+        rows.append((100 + i, "alpha beta gamma delta", "en", "same_b", 22))
+        rows.append((200 + i, "zeta eta theta iota", "en", "drifted", 19))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(sf_dir / "documents.parquet")
+
+    got = {
+        r.source: r.js_nats
+        for r in Q.queries()["js_source_drift"](spark, str(sf_dir)).collect()
+    }
+    ln2 = math.log(2)
+    assert all(0 <= v <= ln2 + 1e-9 for v in got.values()), got
+    # the same-distribution sources are NOT at zero: each is 1/3 of a
+    # corpus whose other 2/3 includes the drifted vocab — but they must
+    # sit far below the disjoint source
+    assert got["drifted"] > 2 * got["same_a"], got
+    assert abs(got["same_a"] - got["same_b"]) < 1e-9, got
+    # fully disjoint vocabulary: strong drift — but the source is 1/3 of
+    # the corpus, so the mixture m sits close to it and the divergence
+    # lands well below the ceiling (measured 0.318 nats); pin a floor
+    # that a non-disjoint source could not reach at this mixture weight
+    assert got["drifted"] > 0.4 * ln2, got

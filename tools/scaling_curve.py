@@ -116,6 +116,8 @@ FAMILY = {
     "weighted_sample_ars": "documents",
     "admission_pipeline": "documents",
     "zipf_slope": "documents",
+    "rrf_fusion": "documents",
+    "js_source_drift": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -225,6 +227,7 @@ X1000_OPS = {
     # r10 (late): the regression rides the vocab relation; the corpus
     # term-count shuffle is the only scaling term
     "zipf_slope",
+    "js_source_drift",
 }
 
 # Stored-layout read paths: the FIRST call at a tier builds the layout
