@@ -851,11 +851,29 @@ def bloom_positions(fp: Column, k: int, m_bits: Column) -> Column:
     return F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
 
 
+def bloom_positions_xx(fp: Column, k: int, m_bits: Column) -> Column:
+    """The PRODUCTION position family: same Kirsch-Mitzenmaier scheme,
+    h1/h2 from two JVM-native xxhash64 evaluations (seeded by an extra
+    literal column) instead of md5 hex slices — the L2/L53 engine split:
+    md5 is the oracle-replayable twin, xxhash64 is what a 100 TB filter
+    build actually runs (no hex-string materialization per key). The
+    no-false-negative guarantee is engine-independent (certified by
+    bloom_engine_parity + the fuzz/corpus pytests); only the false-
+    positive SET differs between engines."""
+    h1 = F.pmod(F.xxhash64(fp), m_bits)
+    h2 = F.pmod(F.xxhash64(fp, F.lit(1)), m_bits - 1) + 1
+    return F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
+
+
+_BLOOM_ENGINES = {"md5": bloom_positions, "xxhash64": bloom_positions_xx}
+
+
 def bloom_build(
     df: DataFrame,
     fp_col: str = "_fp",
     k: int = 4,
     bits_per_key: int = 6,
+    hash_engine: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the filter over ``df``'s fingerprint column. Returns
     ``(params, words)``: a 1-row relation (n_keys, m_bits) and the
@@ -881,9 +899,9 @@ def bloom_build(
         .distinct()
         .crossJoin(F.broadcast(params.select("m_bits")))
         .select(
-            F.explode(bloom_positions(F.col("_fp"), k, F.col("m_bits"))).alias(
-                "pos"
-            )
+            F.explode(
+                _BLOOM_ENGINES[hash_engine](F.col("_fp"), k, F.col("m_bits"))
+            ).alias("pos")
         )
         .select(
             F.expr("pos div 63").alias("word_idx"),
@@ -902,6 +920,7 @@ def bloom_membership(
     fp_col: str = "_fp",
     id_col: str = "doc_id",
     k: int = 4,
+    hash_engine: str = "md5",
 ) -> DataFrame:
     """Per-row membership test: (id_col, bloom_positive). A row is
     positive iff ALL k probed bits are set; a probe landing in an absent
@@ -915,9 +934,9 @@ def bloom_membership(
         .crossJoin(F.broadcast(params.select("m_bits")))
         .select(
             id_col,
-            F.explode(bloom_positions(F.col("_fp"), k, F.col("m_bits"))).alias(
-                "pos"
-            ),
+            F.explode(
+                _BLOOM_ENGINES[hash_engine](F.col("_fp"), k, F.col("m_bits"))
+            ).alias("pos"),
         )
     )
     return (

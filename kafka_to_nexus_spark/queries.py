@@ -5291,6 +5291,82 @@ FROM e JOIN bench USING (g) GROUP BY doc_id, n
 """
 
 
+# --- L83: Bloom production-engine parity certificate --------------------------
+# The L2/L53/L69 engine split applied to the Bloom family: md5 hex
+# slices are the oracle-replayable position twin, xxhash64 is what a
+# 100 TB filter build actually runs (JVM-native, no hex-string
+# materialization per key). The two engines set DIFFERENT bits, so the
+# certifiable shared surface is the GUARANTEE, not the bit pattern:
+# every exact member must test positive under BOTH engines. The corpus
+# mirrors itself (the minhash_engine_parity move) so every arrival IS
+# an exact member by construction; the oracle replays the md5 leg's
+# full bitmap math and pins the xxhash64 leg as the literal invariant —
+# a single false negative in either engine flips the driver hash. The
+# FP behavior of the xx leg (engine-specific by nature) is pinned
+# in-band by pytest on the bloom corpus fixture.
+
+
+def _q_bloom_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    fp = spark.table("documents").select(
+        "doc_id", F.md5(F.col("text")).alias("_fp")
+    )
+    arrivals = fp.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "_fp"
+    )
+    legs = {}
+    for engine in ("md5", "xxhash64"):
+        params, words = llm_dedup.bloom_build(
+            fp, "_fp", k=_BLOOM_K, bits_per_key=_BLOOM_BITS_PER_KEY,
+            hash_engine=engine,
+        )
+        legs[engine] = llm_dedup.bloom_membership(
+            arrivals, params, words, "_fp", "doc_id", k=_BLOOM_K,
+            hash_engine=engine,
+        ).withColumnRenamed("bloom_positive", f"in_{engine}")
+    return legs["md5"].join(legs["xxhash64"], "doc_id").select(
+        "doc_id", "in_md5", "in_xxhash64"
+    )
+
+
+ORACLE["bloom_engine_parity"] = f"""
+WITH fp0 AS (SELECT doc_id, md5(text) AS f FROM documents),
+std AS (SELECT DISTINCT f FROM fp0),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             greatest(63, CAST(ceil(count(*) * {_BLOOM_BITS_PER_KEY}.0 / 63)
+                               AS BIGINT) * 63) AS m_bits
+      FROM std),
+sh2 AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % p.m_bits AS h1,
+               ('0x' || substr(md5(f), 17, 15))::BIGINT % (p.m_bits - 1) + 1
+                 AS h2, p.m_bits AS m
+        FROM std, p),
+spos AS (SELECT (h1 + i * h2) % m AS pos
+         FROM sh2, range({_BLOOM_K}) t(i)),
+words AS (SELECT pos // 63 AS word_idx,
+                 bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+          FROM spos GROUP BY 1),
+arr AS (SELECT doc_id + 1000000 AS doc_id, f FROM fp0),
+ah2 AS (SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % p.m_bits AS h1,
+               ('0x' || substr(md5(f), 17, 15))::BIGINT % (p.m_bits - 1) + 1
+                 AS h2, p.m_bits AS m
+        FROM arr, p),
+apos AS (SELECT doc_id, (h1 + i * h2) % m AS pos
+         FROM ah2, range({_BLOOM_K}) t(i))
+SELECT a.doc_id,
+       bool_and(coalesce(
+         (w.word & (1::BIGINT << CAST(a.pos % 63 AS INT))) <> 0,
+         FALSE)) AS in_md5,
+       true AS in_xxhash64
+FROM apos a LEFT JOIN words w ON a.pos // 63 = w.word_idx
+GROUP BY a.doc_id
+"""
+
+
 # --- L76: Bloom-filter decontamination (single-pass, benchmark as bitmap) ----
 # How decontamination actually runs at 100 TB: the benchmark's n-grams
 # collapse to a Bloom bitmap (6 bits/gram — a 10^9-gram benchmark suite
@@ -6343,6 +6419,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # weighted_sample_ars registers via SPARK_SQL (pure SQL both sides)
     "admission_pipeline": _q_admission_pipeline,
     "rrf_fusion": _q_rrf_fusion,
+    "bloom_engine_parity": _q_bloom_engine_parity,
     "dsir_engine_parity": _q_dsir_engine_parity,
     "curation_pipeline": _q_curation_pipeline,
     "dedup_pipeline": _q_dedup_pipeline,

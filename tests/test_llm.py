@@ -1962,3 +1962,23 @@ def test_js_source_drift_bounds_and_zero(spark, tmp_path):
     # lands well below the ceiling (measured 0.318 nats); pin a floor
     # that a non-disjoint source could not reach at this mixture weight
     assert got["drifted"] > 0.4 * ln2, got
+
+
+def test_bloom_xxhash_engine_guarantees(bloom_corpus):
+    """The production (xxhash64) position engine holds the same two
+    guarantees as the md5 oracle twin on the same corpus: zero false
+    negatives on exact-twin arrivals, FPR within the sizing's band."""
+    standing, arrivals = bloom_corpus
+    params, words = dedup.bloom_build(
+        standing, "_fp", k=4, bits_per_key=6, hash_engine="xxhash64"
+    )
+    out = {
+        r["doc_id"]: r["bloom_positive"]
+        for r in dedup.bloom_membership(
+            arrivals, params, words, "_fp", "doc_id", k=4,
+            hash_engine="xxhash64",
+        ).collect()
+    }
+    assert all(out[1000 + i] for i in range(20)), "false negative (xx)"
+    novel = [out[1000 + i] for i in range(20, 60)]
+    assert sum(novel) / len(novel) <= 4 * 0.055

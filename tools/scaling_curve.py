@@ -118,6 +118,7 @@ FAMILY = {
     "zipf_slope": "documents",
     "rrf_fusion": "documents",
     "js_source_drift": "documents",
+    "bloom_engine_parity": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
