@@ -1062,3 +1062,46 @@ def compact_bloom_layout(spark, path: str) -> None:
         dst = os.path.join(path, final)
         shutil.rmtree(dst)
         os.rename(tmp, dst)
+
+
+def bloom_literal_probe(words: list[tuple[int, int]], m_bits: int, k: int):
+    """Build a pure-EXPRESSION membership test from a collected filter:
+    returns ``hit(fp_col) -> BooleanColumn`` closing over a literal word
+    map (O(benchmark)-sized, the L52 literal-chain move) and the
+    Kirsch-Mitzenmaier stride probes — no join, no shuffle, no state.
+    Because the probe is stateless narrow expressions, it composes with
+    ``readStream`` UNCHANGED: streaming decontamination against a fixed
+    benchmark filter is this same closure applied per micro-batch
+    (pytest pins stream ≡ batch on identical documents). For filters too
+    large for the plan, use :func:`bloom_membership`'s broadcast-join
+    form instead."""
+    wmap = F.create_map(
+        *[
+            x
+            for wi, w in sorted(words)
+            for x in (F.lit(int(wi)).cast("long"), F.lit(int(w)).cast("long"))
+        ]
+    )
+    shifts = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+
+    def hit(fp: Column) -> Column:
+        h = F.md5(fp)
+        h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+        h2 = (
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+            % (m_bits - 1)
+        ) + 1
+        tests = []
+        for i in range(k):
+            pos = (h1 + F.lit(i) * h2) % m_bits
+            word = F.coalesce(
+                F.element_at(wmap, F.floor(pos / 63).cast("long")), F.lit(0)
+            )
+            mask = F.element_at(shifts, (pos % 63).cast("int") + 1)
+            tests.append(word.bitwiseAND(mask) != 0)
+        out = tests[0]
+        for t in tests[1:]:
+            out = out & t
+        return out
+
+    return hit

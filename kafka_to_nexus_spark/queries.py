@@ -5428,41 +5428,12 @@ def _q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast word-join form in bloom_membership is the scale
     # path; semantics (and the oracle) are identical.
     m_bits = int(params.collect()[0]["m_bits"])
-    wrows = sorted(
-        (int(r["word_idx"]), int(r["word"])) for r in words.collect()
-    )
-    wmap = F.create_map(
-        *[
-            x
-            for wi, w in wrows
-            for x in (F.lit(wi).cast("long"), F.lit(w).cast("long"))
-        ]
-    )
-    # shiftleft() takes a literal bit count, so a shift BY A COLUMN is a
-    # 63-entry literal lookup instead (1-indexed element_at)
-    shifts = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
-
-    def _gram_hit(g):
-        # one digest per gram (Kirsch-Mitzenmaier, as bloom_positions):
-        # the k=22 probes are stride arithmetic, not 22 md5s
-        h = F.md5(g)
-        h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
-        h2 = (
-            F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
-            % (m_bits - 1)
-        ) + 1
-        tests = []
-        for i in range(_DECON_BLOOM_K):
-            pos = (h1 + F.lit(i) * h2) % m_bits
-            word = F.coalesce(
-                F.element_at(wmap, F.floor(pos / 63).cast("long")), F.lit(0)
-            )
-            mask = F.element_at(shifts, (pos % 63).cast("int") + 1)
-            tests.append(word.bitwiseAND(mask) != 0)
-        out = tests[0]
-        for t in tests[1:]:
-            out = out & t
-        return out
+    wrows = [(int(r["word_idx"]), int(r["word"])) for r in words.collect()]
+    # one digest per gram (Kirsch-Mitzenmaier); probes are stride
+    # arithmetic against a literal word map — a pure stateless
+    # expression, so the same closure decontaminates a readStream
+    # unchanged (pytest pins stream ≡ batch)
+    _gram_hit = llm_dedup.bloom_literal_probe(wrows, m_bits, _DECON_BLOOM_K)
 
     corpus = d.filter(F.col("doc_id") >= 5)
     flagged = corpus.select(

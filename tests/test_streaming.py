@@ -1823,3 +1823,69 @@ def test_bloom_positions_python_twin_matches_spark(spark):
         assert list(r.pos) == stateful._bloom_positions_py(
             r.fp, k, m_bits
         ), r.fp
+
+
+def test_bloom_literal_probe_decontaminates_a_stream(spark, tmp_path):
+    """The decontamination probe is stateless narrow expressions, so the
+    SAME closure that serves the batch query runs on a readStream
+    unchanged — per-doc bloom hit counts from the stream must equal the
+    batch computation over identical documents."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup
+
+    docs = [(i, f"document body number {i} with shared prefix text")
+            for i in range(40)]
+    bench_docs = [t for _, t in docs[:3]]
+
+    def sh(col):
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - 19, F.lit(1))),
+            lambda i: F.substring(col, i, 20)))
+
+    bench = (spark.createDataFrame([(t,) for t in bench_docs], ["text"])
+             .select(F.explode(sh(F.col("text"))).alias("g")).distinct())
+    params, words = dedup.bloom_build(bench, "g", k=6, bits_per_key=8)
+    m_bits = int(params.collect()[0]["m_bits"])
+    wrows = [(int(r["word_idx"]), int(r["word"])) for r in words.collect()]
+    hit = dedup.bloom_literal_probe(wrows, m_bits, 6)
+
+    def probe(df):
+        return df.select(
+            "doc_id",
+            F.size(F.filter(sh(F.col("text")), hit)).alias("n_hits"))
+
+    batch = {r.doc_id: r.n_hits for r in probe(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+
+    fixture_dir = tmp_path / "in"
+    fixture_dir.mkdir()
+    for b, chunk in enumerate((docs[:20], docs[20:])):
+        _write_fixture_raw(fixture_dir, f"b{b}.json",
+                           [{"doc_id": d, "text": t} for d, t in chunk], b)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(fixture_dir)))
+    q = (probe(stream).writeStream.format("memory").queryName("decon_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r.n_hits for r in spark.table("decon_stream").collect()}
+    assert got == batch
+    # and the probe finds the contamination: the three benchmark docs hit
+    assert all(batch[i] > 0 for i in range(3))
+
+
+def _write_fixture_raw(fixture_dir, name, rows, seq=0):
+    import json as _json
+    import os
+    import time
+
+    path = fixture_dir / name
+    path.write_text("\n".join(_json.dumps(r) for r in rows))
+    base = time.time() - 1000
+    os.utime(path, (base + seq * 10, base + seq * 10))
