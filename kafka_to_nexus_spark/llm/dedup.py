@@ -966,21 +966,31 @@ def write_bloom_layout(
     fp_col: str = "_fp",
     k: int = 4,
     bits_per_key: int = 6,
+    hash_engine: str = "md5",
 ) -> None:
     """Persist the filter: words parquet + params parquet + _meta.json
-    (k, bits_per_key — the probe MUST use the stored k). m_bits is fixed
-    at build time from the initial key count; appends reuse it, so the
-    false-positive rate degrades gracefully (and measurably, via the
+    (k, bits_per_key, hash_engine — the probe MUST use the stored k AND
+    the stored position engine: mixing engines across build/append/probe
+    would silently reintroduce the false negatives the family advertises
+    as structurally impossible, so every stored-layout helper reads the
+    engine from _meta.json and raises on a caller mismatch). m_bits is
+    fixed at build time from the initial key count; appends reuse it, so
+    the false-positive rate degrades gracefully (and measurably, via the
     stored n_keys) as the corpus outgrows the initial sizing — resize =
     rebuild, exactly like production Blooms."""
     import json
     import os
 
-    params, words = bloom_build(df, fp_col, k, bits_per_key)
+    if hash_engine not in _BLOOM_ENGINES:
+        raise ValueError(f"unknown hash_engine {hash_engine!r}")
+    params, words = bloom_build(df, fp_col, k, bits_per_key, hash_engine)
     words.write.mode("overwrite").parquet(os.path.join(path, "words"))
     params.write.mode("overwrite").parquet(os.path.join(path, "params"))
     with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump({"k": k, "bits_per_key": bits_per_key}, f)
+        json.dump(
+            {"k": k, "bits_per_key": bits_per_key, "hash_engine": hash_engine},
+            f,
+        )
 
 
 def read_bloom_layout(spark, path: str) -> tuple[dict, DataFrame, DataFrame]:
@@ -988,12 +998,19 @@ def read_bloom_layout(spark, path: str) -> tuple[dict, DataFrame, DataFrame]:
     generations with an associative bit_or — one aggregation over a
     relation ~64x smaller than the key count, so probing during ingest
     stays cheap; run :func:`compact_bloom_layout` to restore one row per
-    word after a burst of appends."""
+    word after a burst of appends. ``meta`` always carries
+    ``hash_engine`` (pre-engine layouts written before the field existed
+    default to "md5", the only engine they could have been built with).
+    If a crashed compaction left a final dir missing, the rename-aside
+    ``.old`` copy is restored first — the stored filter is never lost."""
     import json
     import os
 
+    for final in ("words", "params"):
+        _recover_aside(os.path.join(path, final))
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
+    meta.setdefault("hash_engine", "md5")
     params_rows = spark.read.parquet(os.path.join(path, "params"))
     params = params_rows.agg(
         F.sum("n_keys").alias("n_keys"), F.max("m_bits").alias("m_bits")
@@ -1006,19 +1023,32 @@ def read_bloom_layout(spark, path: str) -> tuple[dict, DataFrame, DataFrame]:
     return meta, params, words
 
 
-def append_bloom(spark, path: str, new_df: DataFrame, fp_col: str = "_fp") -> None:
+def append_bloom(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    fp_col: str = "_fp",
+    hash_engine: str | None = None,
+) -> None:
     """Fold a new batch into the stored filter: bloom union is bitwise
     OR, so an append writes the BATCH's words wholesale (no
     read-modify-write of the standing bitmap) and the read side merges
     generations associatively. n_keys appends as its own row and sums at
     read time — an upper bound under cross-batch duplicates, which only
-    OVERSTATES the occupancy estimate (conservative for FPR tracking)."""
-    import json
+    OVERSTATES the occupancy estimate (conservative for FPR tracking).
+    The position engine comes from the layout's _meta.json — appends can
+    never mix engines with the standing bitmap; passing ``hash_engine``
+    explicitly asserts the expectation and raises on mismatch."""
+    meta, params, _ = read_bloom_layout(spark, path)
+    if hash_engine is not None and hash_engine != meta["hash_engine"]:
+        raise ValueError(
+            f"stored bloom layout at {path} was built with "
+            f"hash_engine={meta['hash_engine']!r}; appending with "
+            f"{hash_engine!r} would mix position engines and create "
+            "false negatives — rebuild the layout to change engines"
+        )
     import os
 
-    with open(os.path.join(path, "_meta.json")) as f:
-        meta = json.load(f)
-    _, params, _ = read_bloom_layout(spark, path)
     m = params.select("m_bits")
     new_words = (
         new_df.select(F.col(fp_col).alias("_fp"))
@@ -1026,7 +1056,9 @@ def append_bloom(spark, path: str, new_df: DataFrame, fp_col: str = "_fp") -> No
         .crossJoin(F.broadcast(m))
         .select(
             F.explode(
-                bloom_positions(F.col("_fp"), meta["k"], F.col("m_bits"))
+                _BLOOM_ENGINES[meta["hash_engine"]](
+                    F.col("_fp"), meta["k"], F.col("m_bits")
+                )
             ).alias("pos")
         )
         .select(
@@ -1045,11 +1077,32 @@ def append_bloom(spark, path: str, new_df: DataFrame, fp_col: str = "_fp") -> No
     )
 
 
+def _recover_aside(dst: str) -> None:
+    """Crash recovery for the rename-aside publish: if a compaction
+    crashed after moving the live dir to ``dst + '.old'`` but before the
+    staged dir landed, restore the aside copy; if both exist the swap
+    completed and the aside is stale — drop it."""
+    import os
+    import shutil
+
+    old = dst + ".old"
+    if os.path.exists(old):
+        if os.path.exists(dst):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, dst)
+
+
 def compact_bloom_layout(spark, path: str) -> None:
     """Fold appended generations back to one row per word (and one
-    params row): read-side merge cost returns to a single pass. Same
-    overwrite discipline as compact_ivf_layout — stage to _compact, swap
-    in, so a crash leaves either the old or the new generation set."""
+    params row): read-side merge cost returns to a single pass. Publish
+    is rename-first, NEVER rmtree-then-rename: stage to _compact_*, move
+    the live dir aside to ``.old``, rename the staged dir in, then drop
+    the aside copy — at every instant a words/params directory (live or
+    aside) exists on disk, and :func:`read_bloom_layout` /
+    :func:`_recover_aside` restore the aside copy after a crash, so the
+    stored filter can never be destroyed mid-swap (the _publish_layout
+    discipline the IVF/near-dup layouts use)."""
     import os
     import shutil
 
@@ -1060,11 +1113,20 @@ def compact_bloom_layout(spark, path: str) -> None:
     params.write.mode("overwrite").parquet(ptmp)
     for tmp, final in ((wtmp, "words"), (ptmp, "params")):
         dst = os.path.join(path, final)
-        shutil.rmtree(dst)
+        old = dst + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(dst, old)
         os.rename(tmp, dst)
+        shutil.rmtree(old)
 
 
-def bloom_literal_probe(words: list[tuple[int, int]], m_bits: int, k: int):
+def bloom_literal_probe(
+    words: list[tuple[int, int]],
+    m_bits: int,
+    k: int,
+    hash_engine: str = "md5",
+):
     """Build a pure-EXPRESSION membership test from a collected filter:
     returns ``hit(fp_col) -> BooleanColumn`` closing over a literal word
     map (O(benchmark)-sized, the L52 literal-chain move) and the
@@ -1074,7 +1136,11 @@ def bloom_literal_probe(words: list[tuple[int, int]], m_bits: int, k: int):
     benchmark filter is this same closure applied per micro-batch
     (pytest pins stream ≡ batch on identical documents). For filters too
     large for the plan, use :func:`bloom_membership`'s broadcast-join
-    form instead."""
+    form instead. ``hash_engine`` must match the engine the words were
+    BUILT with (a stored layout records it in _meta.json) — probing an
+    xxhash64 bitmap with md5 positions would produce false negatives."""
+    if hash_engine not in _BLOOM_ENGINES:
+        raise ValueError(f"unknown hash_engine {hash_engine!r}")
     wmap = F.create_map(
         *[
             x
@@ -1085,12 +1151,16 @@ def bloom_literal_probe(words: list[tuple[int, int]], m_bits: int, k: int):
     shifts = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
 
     def hit(fp: Column) -> Column:
-        h = F.md5(fp)
-        h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
-        h2 = (
-            F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
-            % (m_bits - 1)
-        ) + 1
+        if hash_engine == "md5":
+            h = F.md5(fp)
+            h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+            h2 = (
+                F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+                % (m_bits - 1)
+            ) + 1
+        else:
+            h1 = F.pmod(F.xxhash64(fp), F.lit(m_bits))
+            h2 = F.pmod(F.xxhash64(fp, F.lit(1)), F.lit(m_bits - 1)) + 1
         tests = []
         for i in range(k):
             pos = (h1 + F.lit(i) * h2) % m_bits

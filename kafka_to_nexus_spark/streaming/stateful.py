@@ -988,8 +988,12 @@ BLOOM_ADMIT_SCHEMA = StructType(
     ]
 )
 
-# dense sub-filter: one long per 63 bits (the L73 word layout)
-_BLOOM_STATE = "bits array<long>"
+# dense sub-filter: one long per 63 bits (the L73 word layout), plus the
+# geometry it was laid out under — (m_sub, k) ride along in the state so
+# a resumed checkpoint can PROVE the constructor args still match the
+# stored bits (reinterpreting a bitmap under different positions/widths
+# would silently re-admit duplicates; see bloom_admission_stream).
+_BLOOM_STATE = "bits array<long>, m_sub long, k long"
 
 
 def _bloom_positions_py(fp: str, k: int, m_bits: int) -> list[int]:
@@ -1013,7 +1017,18 @@ def _make_bloom_admit_fn(m_sub: int, k: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (bits,) = state.get if state.exists else ([0] * n_words,)
+        if state.exists:
+            bits, stored_m, stored_k = state.get
+            if stored_m != m_sub or stored_k != k:
+                raise ValueError(
+                    f"bloom_admission_stream checkpoint was laid out with "
+                    f"(m_sub={stored_m}, k={stored_k}) but was resumed with "
+                    f"(m_sub={m_sub}, k={k}); reinterpreting the stored "
+                    "bitmap under different positions/widths would admit "
+                    "duplicates — rotate to a fresh checkpoint to resize"
+                )
+        else:
+            bits = [0] * n_words
         bits = list(bits)
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows) == 0:
@@ -1029,7 +1044,7 @@ def _make_bloom_admit_fn(m_sub: int, k: int):
                     seen = False
                     bits[w] |= mask
             out.append((fp, ts, not seen))
-        state.update((bits,))
+        state.update((bits, m_sub, k))
         yield pd.DataFrame(
             out, columns=["fingerprint", "timestamp", "bloom_admitted"]
         )
@@ -1051,7 +1066,12 @@ def bloom_admission_stream(
     admitted or not — idempotent, and what keeps later copies of a
     false-positive arrival consistent). Size ``m_bits`` for the expected
     DISTINCT fingerprint count (6-10 bits per key), and round the
-    per-shard width up to whole 63-bit words."""
+    per-shard width up to whole 63-bit words. The state rows carry their
+    own (m_sub, k); resuming an existing checkpoint with different
+    ``m_bits``/``shards``/``k`` fails loudly instead of silently
+    reinterpreting the stored bitmap — resizing means rotating to a
+    fresh checkpoint (and, if continuity matters, replaying the standing
+    fingerprints through the new geometry first)."""
     from pyspark.sql import functions as F
 
     m_sub = ((m_bits // shards + 62) // 63) * 63

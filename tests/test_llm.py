@@ -1767,6 +1767,118 @@ def test_bloom_layout_append_equals_rebuild(spark, bloom_corpus, tmp_path):
     assert all(got[1000 + i] for i in range(20))
 
 
+def test_bloom_layout_records_and_enforces_hash_engine(spark, bloom_corpus, tmp_path):
+    """ADVICE-r10: the stored layout must pin its position engine. An
+    xxhash64-built layout records hash_engine in _meta.json, appends fold
+    through the SAME engine (append ≡ rebuild under xxhash64 positions),
+    probes built from the stored words with the stored engine keep the
+    no-false-negative guarantee, and an append asserting the WRONG
+    engine raises instead of silently mixing position families."""
+    import pytest as _pytest
+
+    standing, arrivals = bloom_corpus
+    half_a = standing.filter(F.col("doc_id") < 200)
+    half_b = standing.filter(F.col("doc_id") >= 200)
+    path = str(tmp_path / "bloom_xx")
+    dedup.write_bloom_layout(
+        half_a, path, "_fp", k=4, bits_per_key=6, hash_engine="xxhash64"
+    )
+    meta, _, _ = dedup.read_bloom_layout(spark, path)
+    assert meta["hash_engine"] == "xxhash64"
+
+    with _pytest.raises(ValueError, match="mix position engines"):
+        dedup.append_bloom(spark, path, half_b, "_fp", hash_engine="md5")
+
+    dedup.append_bloom(spark, path, half_b, "_fp")  # engine from meta
+    meta, params, words = dedup.read_bloom_layout(spark, path)
+    m = params.collect()[0]["m_bits"]
+    rebuilt = (
+        standing.select("_fp").distinct()
+        .select(F.explode(
+            dedup.bloom_positions_xx(F.col("_fp"), 4, F.lit(m))
+        ).alias("pos"))
+        .select(F.expr("pos div 63").alias("word_idx"),
+                F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"))
+        .groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+    )
+    as_dict = lambda w: {r["word_idx"]: r["word"] for r in w.collect()}
+    assert as_dict(words) == as_dict(rebuilt)
+
+    # no false negatives through BOTH stored-layout probe forms when the
+    # stored engine is honored
+    got = {
+        r["doc_id"]: r["bloom_positive"]
+        for r in dedup.bloom_membership(
+            arrivals, params, words, "_fp", "doc_id",
+            k=meta["k"], hash_engine=meta["hash_engine"],
+        ).collect()
+    }
+    assert all(got[1000 + i] for i in range(20))
+    wrows = [(int(r["word_idx"]), int(r["word"])) for r in words.collect()]
+    hit = dedup.bloom_literal_probe(
+        wrows, int(m), meta["k"], hash_engine=meta["hash_engine"]
+    )
+    lit = {
+        r["doc_id"]: r["hit"]
+        for r in arrivals.select("doc_id", hit(F.col("_fp")).alias("hit")).collect()
+    }
+    assert lit == got
+
+    # pre-engine layouts (written before the field existed) default md5
+    import json as _json
+    import os as _os
+
+    legacy = str(tmp_path / "bloom_legacy")
+    dedup.write_bloom_layout(half_a, legacy, "_fp", k=4, bits_per_key=6)
+    with open(_os.path.join(legacy, "_meta.json"), "w") as f:
+        _json.dump({"k": 4, "bits_per_key": 6}, f)
+    meta_legacy, _, _ = dedup.read_bloom_layout(spark, legacy)
+    assert meta_legacy["hash_engine"] == "md5"
+
+
+def test_compact_bloom_layout_crash_recovery(spark, bloom_corpus, tmp_path):
+    """ADVICE-r10: compaction publishes rename-first. Simulate both
+    crash windows of the aside swap — (a) live dir moved aside but the
+    staged dir not yet renamed in, (b) staged dir renamed in but the
+    aside copy not yet deleted — and verify read_bloom_layout serves the
+    correct bitmap in both; the stored filter is never destroyed."""
+    import os
+    import shutil
+
+    standing, arrivals = bloom_corpus
+    path = str(tmp_path / "bloom")
+    dedup.write_bloom_layout(standing, path, "_fp", k=4, bits_per_key=6)
+    _, _, words0 = dedup.read_bloom_layout(spark, path)
+    as_dict = lambda w: {r["word_idx"]: r["word"] for r in w.collect()}
+    want = as_dict(words0)
+
+    # (a) crash after the aside rename: no live words dir, aside holds it
+    wdst = os.path.join(path, "words")
+    os.rename(wdst, wdst + ".old")
+    assert not os.path.exists(wdst)
+    _, _, words_a = dedup.read_bloom_layout(spark, path)
+    assert as_dict(words_a) == want
+    assert os.path.exists(wdst) and not os.path.exists(wdst + ".old")
+
+    # (b) crash after the swap, stale aside copy left behind: the live
+    # dir wins and the aside is dropped, not merged
+    shutil.copytree(wdst, wdst + ".old")
+    _, _, words_b = dedup.read_bloom_layout(spark, path)
+    assert as_dict(words_b) == want
+    assert not os.path.exists(wdst + ".old")
+
+    # a full compaction still round-trips the bitmap exactly
+    dedup.append_bloom(
+        spark, path, standing.filter(F.col("doc_id") < 50), "_fp"
+    )
+    _, _, before = dedup.read_bloom_layout(spark, path)
+    before_d = as_dict(before)
+    dedup.compact_bloom_layout(spark, path)
+    _, _, after = dedup.read_bloom_layout(spark, path)
+    assert as_dict(after) == before_d == want
+    assert not os.path.exists(wdst + ".old")
+
+
 def test_kneser_ney_matches_python_model(spark, tmp_path):
     """kneser_ney_bigram_score == -Σ tf·round6(ln P_KN) with P_KN the
     interpolated KN bigram (D=0.75, continuation distribution from

@@ -79,9 +79,19 @@ def test_srp_signature_matches_numpy_model(spark, vecs):
         r.vec_id: r.srp_sig
         for r in similarity.srp_signatures(df, bits=8, dim=8).collect()
     }
+    # the signature's contract is sign(fold) under Spark's STRICT
+    # left-to-right aggregate from 0.0 — numpy's pairwise @ associates
+    # differently and can disagree at exact-zero boundaries (hypothesis
+    # found ±2^-52 sums), so the model folds in the same order
+    def fold_dot(plane, arr):
+        acc = 0.0
+        for x, h in zip(arr, plane):
+            acc += x * h
+        return acc
+
     for i, v in enumerate(vecs):
         arr = np.asarray(v, dtype=np.float64)
-        expect = sum(int(H[j] @ arr >= 0) << j for j in range(8))
+        expect = sum(int(fold_dot(H[j], arr) >= 0) << j for j in range(8))
         assert got[i] == expect
 
 

@@ -1805,6 +1805,40 @@ def test_bloom_admission_stream_constant_state(spark, tmp_path):
     assert len({fp for fp, _ in admitted}) == 3
 
 
+def test_bloom_admission_state_pins_its_geometry():
+    """ADVICE-r10: the admission state carries (m_sub, k); resuming a
+    checkpoint under different constructor args must fail loudly instead
+    of reinterpreting the stored bitmap (silent duplicate admissions)."""
+    import pandas as pd
+    import pytest
+
+    from kafka_to_nexus_spark.streaming import stateful
+
+    def batch(*fps):
+        return iter([pd.DataFrame(
+            {"fingerprint": list(fps),
+             "timestamp": list(range(len(fps)))})])
+
+    state = _FakeGroupState()
+    fn_a = stateful._make_bloom_admit_fn(m_sub=63 * 8, k=4)
+    out1 = pd.concat(list(fn_a((0,), batch("x", "y"), state)))
+    assert list(out1["bloom_admitted"]) == [True, True]
+    assert state.get[1:] == (63 * 8, 4)
+
+    # same geometry resumes fine and still remembers x
+    out2 = pd.concat(list(fn_a((0,), batch("x", "z"), state)))
+    assert dict(zip(out2["fingerprint"], out2["bloom_admitted"])) == {
+        "x": False, "z": True}
+    bits, m_sub, k = state.get
+
+    # resized width or changed k: loud failure, bitmap untouched
+    for bad_m, bad_k in ((63 * 16, 4), (63 * 8, 5)):
+        fn_b = stateful._make_bloom_admit_fn(m_sub=bad_m, k=bad_k)
+        with pytest.raises(ValueError, match="rotate to a fresh checkpoint"):
+            list(fn_b((0,), batch("w"), state))
+    assert state.get == (bits, m_sub, k)
+
+
 def test_bloom_positions_python_twin_matches_spark(spark):
     """The streaming gate's python position derivation must equal the
     batch gate's Spark expression (llm.dedup.bloom_positions) — the pin
