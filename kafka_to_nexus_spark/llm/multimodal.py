@@ -2,13 +2,16 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch iteration, partition-preserving
-transforms) is real and tested; the pixel/sample codec step is STUBBED —
-the container has no image/audio libraries — behind ``decode_stub``.
-Swap ``decode_stub`` for a real decoder (PIL/ffmpeg) in production;
-nothing else changes, because the UDF contract is bytes-in →
-features-out per Arrow batch. Container-METADATA decoding is real:
-:func:`parse_image_dims` extracts PNG/JPEG dimensions from raw bytes
-with the stdlib alone (format-spec parsing, no codec needed).
+transforms) is real and tested. Container-METADATA decoding is real
+(:func:`parse_image_dims`, :func:`parse_wav_meta`, :func:`parse_mp4_meta`
+— stdlib format-spec parsing), and since round 11 PNG PIXEL decoding is
+real too (:func:`parse_png_pixels`: zlib inflate + all five scanline
+filters, feeding the aHash/dHash perceptual near-dup family). The one
+remaining stub is the non-PNG sample codec step (JPEG entropy decode,
+audio/video samples) — the container has no codec libraries — behind
+``decode_stub``. Swap ``decode_stub`` for a real decoder (PIL/ffmpeg)
+in production; nothing else changes, because the UDF contract is
+bytes-in → features-out per Arrow batch.
 """
 
 from __future__ import annotations
@@ -432,4 +435,414 @@ def resize_spec(df: DataFrame, max_side: int = 224) -> DataFrame:
         h.alias("height"),
         F.round(w * scale).cast("int").alias("target_width"),
         F.round(h * scale).cast("int").alias("target_height"),
+    )
+
+
+# --- real PNG pixel codec + perceptual hashing (round 11) -------------------
+# The pixel-decode swap point gets a REAL stdlib implementation for PNG:
+# zlib IDAT inflate + the five scanline filters, color types 0/2/3/4/6 at
+# bit depth 8. This upgrades the image family from container-metadata
+# parsing (parse_image_dims) to content features — aHash/dHash perceptual
+# fingerprints over decoded luminance, the LAION-style image near-dup
+# stage. JPEG/video pixel decode still belongs to a production codec
+# (DECODER swap point above); PNG is the format whose spec is fully
+# implementable with the stdlib alone. Reference precedent for
+# fixed-function typed decode: the extractor registry
+# (/root/reference/src/FlatbufferReader.h:26-85).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def parse_png_pixels(
+    payload: bytes | None, max_pixels: int = 1 << 22
+) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """Decode a PNG to ``(width, height, rows)`` with rows of (r, g, b)
+    tuples — pure stdlib (zlib inflate + the five filter types: None,
+    Sub, Up, Average, Paeth). Grayscale/gray-alpha expand to r=g=b;
+    palette indices resolve through PLTE; alpha is dropped. TOTAL like
+    parse_image_dims: returns None on anything malformed or out of scope
+    (bad signature, truncated chunks, bit depth != 8, interlaced,
+    unknown color type, palette index out of range, inflate errors,
+    scanline length mismatch) — never raises, so a poisoned payload in a
+    100 TB scan costs a null, not a task retry storm. ``max_pixels``
+    bounds the decode allocation: a malformed header claiming a
+    terapixel image is rejected before any buffer exists. Chunk CRCs are
+    not verified (lenient decode — corruption surfaces as an inflate or
+    length error; the zlib adler32 IS verified by decompress)."""
+    import zlib
+
+    try:
+        if payload is None or len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
+            return None
+        pos = 8
+        width = height = color_type = None
+        plte: list[tuple[int, int, int]] | None = None
+        idat = bytearray()
+        n = len(payload)
+        while pos + 8 <= n:
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            tag = bytes(payload[pos + 4 : pos + 8])
+            data = bytes(payload[pos + 8 : pos + 8 + ln])
+            if len(data) < ln:
+                return None
+            if tag == b"IHDR":
+                if ln != 13:
+                    return None
+                width = int.from_bytes(data[0:4], "big")
+                height = int.from_bytes(data[4:8], "big")
+                depth, color_type, comp, filt, interlace = data[8:13]
+                if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                    return None
+                if color_type not in _PNG_CHANNELS:
+                    return None
+                if width <= 0 or height <= 0 or width * height > max_pixels:
+                    return None
+            elif tag == b"PLTE":
+                if ln % 3 or ln == 0:
+                    return None
+                plte = [
+                    (data[i], data[i + 1], data[i + 2]) for i in range(0, ln, 3)
+                ]
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln  # length + tag + data + crc
+        if width is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        ch = _PNG_CHANNELS[color_type]
+        stride = width * ch
+        if len(raw) != height * (stride + 1):
+            return None
+        rows: list[list[tuple[int, int, int]]] = []
+        prior = bytearray(stride)
+        p = 0
+        for _y in range(height):
+            ft = raw[p]
+            line = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            if ft == 1:  # Sub
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prior[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    upleft = prior[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
+            elif ft != 0:
+                return None
+            prior = line
+            if color_type == 3:
+                if plte is None:
+                    return None
+                row = []
+                for i in range(width):
+                    idx = line[i]
+                    if idx >= len(plte):
+                        return None
+                    row.append(plte[idx])
+            elif color_type == 0:
+                row = [(v, v, v) for v in line]
+            elif color_type == 4:
+                row = [(line[i], line[i], line[i]) for i in range(0, stride, 2)]
+            elif color_type == 2:
+                row = [
+                    (line[i], line[i + 1], line[i + 2])
+                    for i in range(0, stride, 3)
+                ]
+            else:  # 6: RGBA
+                row = [
+                    (line[i], line[i + 1], line[i + 2])
+                    for i in range(0, stride, 4)
+                ]
+            rows.append(row)
+        return width, height, rows
+    except Exception:
+        return None
+
+
+def encode_png(
+    rows: list[list], color_type: int = 2, filter_mode: str = "cycle"
+) -> bytes:
+    """Spec-conformant PNG writer (bit depth 8) — the fixture/round-trip
+    twin of :func:`parse_png_pixels`, also usable as a real single-image
+    sink. ``rows`` holds ints (color type 0), (gray, alpha) pairs (4),
+    palette indices with ``rows[0]`` reachable... for type 3 pass
+    ``(rows, palette)`` via :func:`encode_png_palette`; tuples of 3 (2)
+    or 4 (6) otherwise. ``filter_mode``: 'cycle' applies filter type
+    y % 5 per scanline (exercises every defilter path in round-trip
+    tests), 'none' writes filter 0 throughout."""
+    import struct
+    import zlib
+
+    height = len(rows)
+    width = len(rows[0])
+    ch = _PNG_CHANNELS[color_type]
+
+    def flat(px):
+        if ch == 1:
+            return (int(px) & 0xFF,)
+        return tuple(int(c) & 0xFF for c in px)
+
+    stride = width * ch
+    prior = bytearray(stride)
+    out = bytearray()
+    for y, r in enumerate(rows):
+        line = bytearray()
+        for px in r:
+            line.extend(flat(px))
+        ft = (y % 5) if filter_mode == "cycle" else 0
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = prior[i]
+            elif ft == 3:
+                pred = (left + prior[i]) >> 1
+            else:
+                upleft = prior[i - ch] if i >= ch else 0
+                pred = _paeth(left, prior[i], upleft)
+            enc[i] = (line[i] - pred) & 0xFF
+        out.append(ft)
+        out.extend(enc)
+        prior = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: list[list[int]], palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Palette (color type 3) variant of :func:`encode_png`."""
+    import struct
+    import zlib
+
+    body = encode_png(indices, color_type=3, filter_mode="none")
+    plte_data = b"".join(bytes(p) for p in palette)
+    plte = (
+        struct.pack(">I", len(plte_data))
+        + b"PLTE"
+        + plte_data
+        + struct.pack(">I", zlib.crc32(b"PLTE" + plte_data) & 0xFFFFFFFF)
+    )
+    # splice PLTE between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    return body[:ihdr_end] + plte + body[ihdr_end:]
+
+
+def luminance_grid(
+    rows: list[list[tuple[int, int, int]]]
+) -> list[list[int]]:
+    """Integer ITU-601-style luma: (299r + 587g + 114b) // 1000 — exact
+    integer math so the DuckDB oracle replays it verbatim."""
+    return [
+        [(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in row]
+        for row in rows
+    ]
+
+
+def box_downsample(grid: list[list[int]], out: int = 8) -> list[list[int]]:
+    """Deterministic integer box-mean downsample to ``out`` x ``out``:
+    cell (cy, cx) averages the half-open pixel block with boundaries
+    (c*dim)//out — exact 2x2 blocks for 16x16 inputs, proportional
+    blocks otherwise; every division floors."""
+    h, w = len(grid), len(grid[0])
+    cells = []
+    for cy in range(out):
+        y0, y1 = (cy * h) // out, max(((cy + 1) * h) // out, (cy * h) // out + 1)
+        row = []
+        for cx in range(out):
+            x0 = (cx * w) // out
+            x1 = max(((cx + 1) * w) // out, x0 + 1)
+            s = sum(grid[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            row.append(s // ((y1 - y0) * (x1 - x0)))
+        cells.append(row)
+    return cells
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def ahash64(cells: list[list[int]]) -> int:
+    """Average hash over an 8x8 grid: bit (8y + x) = cell >= floor-mean
+    of all 64 cells. Returned as the SIGNED 64-bit value (two's
+    complement) so it round-trips a Spark/parquet BIGINT column."""
+    mean = sum(v for row in cells for v in row) // 64
+    h = 0
+    for y in range(8):
+        for x in range(8):
+            if cells[y][x] >= mean:
+                h |= 1 << (8 * y + x)
+    return _signed64(h)
+
+
+def dhash64(cells: list[list[int]]) -> int:
+    """Difference hash over an 8x8 grid: bit (8y + x) = cell[y][x] <
+    cell[y][(x+1) % 8] (row-wise gradient with wraparound, 64 bits —
+    the deterministic-integer variant of classic dHash, which is
+    mean-free and therefore robust to global brightness shifts; a
+    single-pixel perturbation can flip at most 2 bits). Signed 64-bit."""
+    h = 0
+    for y in range(8):
+        for x in range(8):
+            if cells[y][x] < cells[y][(x + 1) % 8]:
+                h |= 1 << (8 * y + x)
+    return _signed64(h)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash64", T.LongType()),
+        T.StructField("dhash64", T.LongType()),
+    ]
+)
+
+
+def image_phash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """payload → perceptual fingerprints, Arrow-batched mapInPandas over
+    the pruned (media_id, payload) projection: real PNG decode →
+    luminance → integer box-downsample → aHash + dHash. Undecodable
+    payloads yield null dims/hashes (total, like every parser in this
+    module). Partition-preserving — the 100 TB shape is: columnar binary
+    scan, Python only for the codec, hashes land as two BIGINTs per
+    image for the banded near-dup join downstream."""
+    import pandas as pd
+
+    cols = df.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [],
+                   "ahash64": [], "dhash64": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = parse_png_pixels(
+                    bytes(payload) if payload is not None else None
+                )
+                out["media_id"].append(mid)
+                if decoded is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["ahash64"].append(None)
+                    out["dhash64"].append(None)
+                    continue
+                w, h, rows = decoded
+                cells = box_downsample(luminance_grid(rows), grid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash64"].append(ahash64(cells))
+                out["dhash64"].append(dhash64(cells))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    hash_col: str = "dhash64",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Perceptual near-dup pairs: (id_a, id_b, hamming) for all pairs
+    with Hamming distance <= ``max_hamming`` on the 64-bit fingerprint —
+    via BANDED candidate generation, never all-pairs: the hash splits
+    into ``bands`` disjoint bit-bands; by pigeonhole, two hashes within
+    ``max_hamming`` (< bands) bit flips agree on at least one full band,
+    so an equi-join per band finds EVERY qualifying pair exactly (same
+    guarantee shape as MinHash LSH banding, but exact, not
+    probabilistic). Each band join is a shuffle on (band_idx, band_val);
+    the exact bit_count verify runs only on candidates."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded exactness needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    banded = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("_h"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_h", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("h_a"),
+            F.col("b._h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

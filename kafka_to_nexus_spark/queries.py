@@ -4763,6 +4763,270 @@ FROM p
 """
 
 
+def _png_pixel_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): SQL-BUILT spec-conformant PNGs with real
+    PIXEL content — the L49 fixture move extended from headers to full
+    images. Gray (even doc_id) or RGB (odd), 16x16, bit depth 8, zlib
+    STORED blocks (deflate BTYPE 00 — SQL-expressible, no compressor
+    needed), filter 0 scanlines; the adler32 folds in-plan alongside the
+    byte stream and the chunk CRCs come from F.crc32 (same IEEE
+    polynomial as PNG), so the ENTIRE payload is JVM-side codegen and
+    the DuckDB oracle can state the decoded luminance arithmetically.
+    Each document yields two variants: v=0 the base image, v=1 with ONE
+    red-channel value bumped (+1 mod 256) at a doc-keyed pixel — a
+    perceptual near-duplicate that perturbs at most one downsample cell
+    and therefore at most 2 dHash bits. Compressed-IDAT PNGs (all five
+    filter types, all color types incl. palette) are covered by the
+    encode_png round-trip pytests, which no SQL oracle could replay."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(F.col("doc_id").alias("d"))
+    media = docs.select(
+        "d", F.explode(F.array(F.lit(0), F.lit(1))).alias("v")
+    )
+    d, v = F.col("d"), F.col("v")
+    is_gray = d % 2 == 0
+    stride = F.when(is_gray, F.lit(17)).otherwise(F.lit(49)).cast("long")
+    n_raw = stride * 16
+
+    def idiv(a, b):
+        return F.floor(a / b).cast("long")
+
+    def hx2(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    def byte_at(i):
+        y = idiv(i, stride)
+        k = i % stride
+        x = F.when(is_gray, k - 1).otherwise(idiv(k - 1, F.lit(3)))
+        c = (k - 1) % 3
+        perturb = F.when(
+            (v == 1) & (x == (d * 3) % 16) & (y == (d * 5) % 16), F.lit(1)
+        ).otherwise(F.lit(0))
+
+        # double-squared hash mixing mod a 31-bit prime: h mod p,
+        # squared mod p TWICE, low byte. Each property is load-bearing:
+        # a LINEAR formula makes every doc share gradients and floods
+        # the near-dup join with cross-doc pairs; a SMALL prime makes
+        # docs p apart byte-identical (collision clusters that grow
+        # with the corpus — measured: 84k pairs at sf0.1 under p=1009);
+        # ONE squaring under a 31-bit p barely wraps for small h, so
+        # the low byte stays structured (h^2 mod 256 depends only on
+        # h mod 128 — measured ~1-3k spurious near-pairs); and p must
+        # not be Mersenne (2^31-1's bit-rotation structure leaks into
+        # the low byte). p = 2147483629 double-squared gives exactly
+        # the 1-per-doc variant pairs at sf0.01/sf0.1/synth-stride ids,
+        # and every intermediate stays < 2^62, BIGINT-safe for any
+        # doc_id on both engines.
+        def mix(a, bc, cc):
+            h = (d * a + x * bc + y * cc + 7) % 2147483629
+            h = (h * h) % 2147483629
+            return (h * h) % 2147483629 % 256
+
+        r = (mix(131, 17, 29) + perturb) % 256
+        g = mix(137, 23, 31)
+        b = mix(139, 19, 37)
+        lum = idiv(299 * r + 587 * g + 114 * b, F.lit(1000))
+        pix = F.when(is_gray, lum).otherwise(
+            F.when(c == 0, r).otherwise(F.when(c == 1, g).otherwise(b))
+        )
+        return F.when(k == 0, F.lit(0).cast("long")).otherwise(
+            pix.cast("long")
+        )
+
+    init = F.struct(
+        F.lit("").alias("hx"),
+        F.lit(1).cast("long").alias("s1"),
+        F.lit(0).cast("long").alias("s2"),
+    )
+
+    def step(acc, i):
+        b = byte_at(i)
+        s1 = (acc["s1"] + b) % 65521
+        s2 = (acc["s2"] + s1) % 65521
+        return F.struct(
+            F.concat(acc["hx"], hx2(b)).alias("hx"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+        )
+
+    agg = F.aggregate(F.sequence(F.lit(0).cast("long"), n_raw - 1), init, step)
+    adler_hex = F.concat(
+        F.lpad(F.hex(agg["s2"]), 4, "0"), F.lpad(F.hex(agg["s1"]), 4, "0")
+    )
+    len_le = F.concat(hx2(n_raw % 256), hx2(idiv(n_raw, F.lit(256))))
+    nlen = F.lit(65535).cast("long") - n_raw
+    nlen_le = F.concat(hx2(nlen % 256), hx2(idiv(nlen, F.lit(256))))
+    zlib_hex = F.concat(F.lit("780101"), len_le, nlen_le, agg["hx"], adler_hex)
+    ihdr_hex = F.concat(
+        F.lit("00000010" "00000010" "08"),
+        F.when(is_gray, F.lit("00")).otherwise(F.lit("02")),
+        F.lit("000000"),
+    )
+    ihdr_crc = F.lpad(
+        F.hex(F.crc32(F.unhex(F.concat(F.lit("49484452"), ihdr_hex)))), 8, "0"
+    )
+    idat_len = F.lpad(F.hex(n_raw + 11), 8, "0")
+    idat_crc = F.lpad(
+        F.hex(F.crc32(F.unhex(F.concat(F.lit("49444154"), zlib_hex)))), 8, "0"
+    )
+    payload_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        ihdr_hex,
+        ihdr_crc,
+        idat_len,
+        F.lit("49444154"),
+        zlib_hex,
+        idat_crc,
+        F.lit("0000000049454E44AE426082"),
+    )
+    return media.select(
+        (d * 2 + v).alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode round-trip (the round-10 verdict's remaining
+    stub, closed): SQL-built PNGs (see _png_pixel_fixture) →
+    ``multimodal.parse_png_pixels`` (stdlib zlib inflate + defilter) →
+    integer luminance → 8x8 box-downsample → aHash + dHash, Arrow-batched
+    in one mapInPandas. The oracle replays pixel → luminance → grid →
+    hash arithmetic from the fixture formulas, so ANY decoder regression
+    (chunk walk, inflate, stride math, gray-vs-RGB sample layout,
+    luminance coefficients, grid boundaries, bit packing, two's
+    complement) hash-fails."""
+    from .llm import multimodal as mm
+
+    return mm.image_phash(_png_pixel_fixture(spark, sf_dir))
+
+
+ORACLE["image_phash"] = """
+WITH m AS (
+  SELECT doc_id AS d, v
+  FROM documents, (VALUES (0), (1)) AS var(v)
+),
+px AS (
+  SELECT d, v, xx.x AS x, yy.y AS y,
+         (h1.h * h1.h % 2147483629 % 256
+          + CASE WHEN v = 1 AND xx.x = d*3 % 16 AND yy.y = d*5 % 16
+                 THEN 1 ELSE 0 END) % 256 AS r,
+         h2.h * h2.h % 2147483629 % 256 AS g,
+         h3.h * h3.h % 2147483629 % 256 AS b
+  FROM m, range(16) xx(x), range(16) yy(y),
+       LATERAL (SELECT (d*131 + xx.x*17 + yy.y*29 + 7) % 2147483629
+                       * ((d*131 + xx.x*17 + yy.y*29 + 7) % 2147483629)
+                       % 2147483629 AS h) h1,
+       LATERAL (SELECT (d*137 + xx.x*23 + yy.y*31 + 7) % 2147483629
+                       * ((d*137 + xx.x*23 + yy.y*31 + 7) % 2147483629)
+                       % 2147483629 AS h) h2,
+       LATERAL (SELECT (d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629
+                       * ((d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629)
+                       % 2147483629 AS h) h3
+),
+cell AS (
+  SELECT d, v, y // 2 AS cy, x // 2 AS cx,
+         sum((299*r + 587*g + 114*b) // 1000) // 4 AS cv
+  FROM px GROUP BY d, v, y // 2, x // 2
+),
+mu AS (SELECT d, v, sum(cv) // 64 AS mu FROM cell GROUP BY d, v),
+ah AS (
+  SELECT c.d, c.v,
+         sum(CASE WHEN c.cv >= mu.mu
+                  THEN CAST(1 AS HUGEINT) << CAST(8*c.cy + c.cx AS INT)
+                  ELSE 0 END) AS h
+  FROM cell c JOIN mu ON c.d = mu.d AND c.v = mu.v
+  GROUP BY c.d, c.v
+),
+dh AS (
+  SELECT a.d, a.v,
+         sum(CASE WHEN a.cv < b.cv
+                  THEN CAST(1 AS HUGEINT) << CAST(8*a.cy + a.cx AS INT)
+                  ELSE 0 END) AS h
+  FROM cell a JOIN cell b
+    ON a.d = b.d AND a.v = b.v AND a.cy = b.cy AND b.cx = (a.cx + 1) % 8
+  GROUP BY a.d, a.v
+)
+SELECT m.d*2 + m.v AS media_id,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(CASE WHEN ah.h >= 9223372036854775808::HUGEINT
+                 THEN ah.h - 18446744073709551616::HUGEINT ELSE ah.h END
+            AS BIGINT) AS ahash64,
+       CAST(CASE WHEN dh.h >= 9223372036854775808::HUGEINT
+                 THEN dh.h - 18446744073709551616::HUGEINT ELSE dh.h END
+            AS BIGINT) AS dhash64
+FROM m
+JOIN ah ON m.d = ah.d AND m.v = ah.v
+JOIN dh ON m.d = dh.d AND m.v = dh.v
+"""
+
+
+def _q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (the LAION-style image-dedup stage):
+    dHash fingerprints from the REAL decode path, then
+    ``multimodal.phash_near_dup``'s BANDED pair generation — 4 disjoint
+    16-bit bands, equi-join per band, exact bit_count verify on
+    candidates only. Exact by pigeonhole (hamming <= 3 < 4 bands forces
+    at least one identical band), so the all-pairs DuckDB oracle is the
+    same relation; at 100 TB the banded join shuffles on (band, value)
+    buckets while all-pairs would be quadratic."""
+    from .llm import multimodal as mm
+
+    hashes = mm.image_phash(_png_pixel_fixture(spark, sf_dir))
+    return mm.phash_near_dup(hashes, max_hamming=3, bands=4)
+
+
+ORACLE["image_phash_near_dup"] = """
+WITH m AS (
+  SELECT doc_id AS d, v
+  FROM documents, (VALUES (0), (1)) AS var(v)
+),
+px AS (
+  SELECT d, v, xx.x AS x, yy.y AS y,
+         (h1.h * h1.h % 2147483629 % 256
+          + CASE WHEN v = 1 AND xx.x = d*3 % 16 AND yy.y = d*5 % 16
+                 THEN 1 ELSE 0 END) % 256 AS r,
+         h2.h * h2.h % 2147483629 % 256 AS g,
+         h3.h * h3.h % 2147483629 % 256 AS b
+  FROM m, range(16) xx(x), range(16) yy(y),
+       LATERAL (SELECT (d*131 + xx.x*17 + yy.y*29 + 7) % 2147483629
+                       * ((d*131 + xx.x*17 + yy.y*29 + 7) % 2147483629)
+                       % 2147483629 AS h) h1,
+       LATERAL (SELECT (d*137 + xx.x*23 + yy.y*31 + 7) % 2147483629
+                       * ((d*137 + xx.x*23 + yy.y*31 + 7) % 2147483629)
+                       % 2147483629 AS h) h2,
+       LATERAL (SELECT (d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629
+                       * ((d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629)
+                       % 2147483629 AS h) h3
+),
+cell AS (
+  SELECT d, v, y // 2 AS cy, x // 2 AS cx,
+         sum((299*r + 587*g + 114*b) // 1000) // 4 AS cv
+  FROM px GROUP BY d, v, y // 2, x // 2
+),
+dh AS (
+  SELECT a.d, a.v,
+         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                   THEN s - 18446744073709551616::HUGEINT ELSE s END
+              AS BIGINT) AS h
+  FROM (
+    SELECT a.d, a.v,
+           sum(CASE WHEN a.cv < b.cv
+                    THEN CAST(1 AS HUGEINT) << CAST(8*a.cy + a.cx AS INT)
+                    ELSE 0 END) AS s
+    FROM cell a JOIN cell b
+      ON a.d = b.d AND a.v = b.v AND a.cy = b.cy AND b.cx = (a.cx + 1) % 8
+    GROUP BY a.d, a.v
+  ) a(d, v, s)
+),
+hh AS (SELECT d*2 + v AS media_id, h FROM dh)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM hh a JOIN hh b
+  ON a.media_id < b.media_id AND bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 def _q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video leg of the container trio: SQL builds ISO-BMFF bytes (ftyp +
     moov/mvhd v0 with per-row timescale/duration, big-endian u32s via
@@ -6418,6 +6682,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": _q_multimodal_frames,
     "multimodal_image_dims": _q_multimodal_image_dims,
     "multimodal_wav_meta": _q_multimodal_wav_meta,
+    "image_phash": _q_image_phash,
+    "image_phash_near_dup": _q_image_phash_near_dup,
     "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "minhash_jaccard_estimate": _q_minhash_estimate,
     "bbit_minhash_estimate": _q_bbit_minhash_estimate,

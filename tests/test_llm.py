@@ -288,6 +288,107 @@ def test_image_dims_mapinpandas(spark):
     }
 
 
+def test_png_pixel_decoder_scope_rejections():
+    """Out-of-scope PNGs degrade to None, never to wrong pixels: 16-bit
+    depth, interlaced, unknown color type, palette index past PLTE,
+    missing PLTE for type 3, scanline length mismatch, unknown filter
+    type, and a header claiming more pixels than max_pixels."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    def png(w=2, h=2, depth=8, ct=0, interlace=0, raw=None, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+        if raw is None:
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct, 1)
+            raw = b"".join(b"\x00" + bytes(w * ch) for _ in range(h))
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    p = multimodal.parse_png_pixels
+    assert p(png()) is not None  # the baseline is in scope
+    assert p(png(depth=16)) is None
+    assert p(png(interlace=1)) is None
+    assert p(png(ct=5)) is None
+    assert p(png(ct=3)) is None  # palette image without PLTE
+    assert p(png(w=2, h=1, ct=3, raw=b"\x00\x02\x02", plte=bytes(6))) is None  # idx 2 > 2-entry PLTE
+    assert p(png(w=2, h=1, ct=3, raw=b"\x00\x01\x00",
+                 plte=bytes((1, 2, 3, 4, 5, 6)))) == (
+        2, 1, [[(4, 5, 6), (1, 2, 3)]])
+    assert p(png(raw=b"\x00\x00")) is None  # scanline length mismatch
+    assert p(png(raw=b"\x07\x00\x00\x07\x00\x00")) is None  # filter type 7
+    assert p(png(w=1 << 16, h=1 << 16)) is None  # max_pixels guard
+    big = multimodal.encode_png([[0, 1], [2, 3]], color_type=0)
+    assert multimodal.parse_png_pixels(big, max_pixels=3) is None
+
+
+def test_image_phash_near_identical_images(spark):
+    """Constructed near-identicals: a base image, a copy with one pixel
+    nudged, a brightness-shifted copy, and an unrelated image. dHash puts
+    the nudged copy within 2 bits and the brightness shift at 0 bits
+    (mean-free gradients), while the unrelated image stays far; the
+    banded join returns exactly the near pairs, matching a brute-force
+    bit_count sweep."""
+    import random
+
+    rng = random.Random(7)
+    base = [[tuple(rng.randrange(256) for _ in range(3)) for _ in range(16)]
+            for _ in range(16)]
+    nudged = [row[:] for row in base]
+    r, g, b = nudged[5][9]
+    nudged[5][9] = ((r + 1) % 256, g, b)
+    brighter = [[(min(r + 4, 255), min(g + 4, 255), min(b + 4, 255))
+                 for (r, g, b) in row] for row in base]
+    unrelated = [[tuple(rng.randrange(256) for _ in range(3))
+                  for _ in range(16)] for _ in range(16)]
+    imgs = {0: base, 1: nudged, 2: brighter, 3: unrelated}
+    df = spark.createDataFrame(
+        [(k, bytearray(multimodal.encode_png(v))) for k, v in imgs.items()],
+        "media_id long, payload binary",
+    )
+    hashes = multimodal.image_phash(df)
+    rows = {r.media_id: r for r in hashes.collect()}
+    assert all(rows[k].width == 16 for k in imgs)
+
+    def ham(a, b):
+        return bin((rows[a].dhash64 ^ rows[b].dhash64) & (2**64 - 1)).count("1")
+
+    assert ham(0, 1) <= 2
+    # brightness shift below the downsample quantum: gradient-identical
+    assert ham(0, 2) <= 2
+    assert ham(0, 3) > 10
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in multimodal.phash_near_dup(hashes).collect()}
+    brute = {(a, b): ham(a, b) for a in imgs for b in imgs
+             if a < b and ham(a, b) <= 3}
+    assert got == brute
+    assert (0, 3) not in got
+
+    # null hashes (undecodable payload) are excluded, not joined
+    with_null = df.union(spark.createDataFrame(
+        [(9, bytearray(b"not a png"))], "media_id long, payload binary"))
+    got2 = {(r.id_a, r.id_b)
+            for r in multimodal.phash_near_dup(
+                multimodal.image_phash(with_null)).collect()}
+    assert got2 == set(got)
+
+
+def test_phash_near_dup_guards():
+    """Banded exactness holds only for max_hamming < bands; both
+    misconfigurations fail loudly."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming < bands"):
+        multimodal.phash_near_dup(None, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        multimodal.phash_near_dup(None, bands=5, max_hamming=3)
+
+
 def _wav(channels=2, rate=8000, bits=16, data_size=16000, pre_chunks=0):
     out = b""
     for i in range(pre_chunks):  # e.g. LIST/INFO chunks before fmt

@@ -347,6 +347,75 @@ def test_png_roundtrip_any_u32_dims(w, h):
     assert multimodal.parse_image_dims(payload) == ("png", w, h)
 
 
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_png_pixel_decoder_never_raises(payload):
+    """The PIXEL decoder is total like the metadata parsers: any byte
+    string yields a (w, h, rows) triple or None — inflate errors, bad
+    filters, palette overruns, truncated chunks all degrade to None."""
+    out = multimodal.parse_png_pixels(payload)
+    if out is not None:
+        w, h, rows = out
+        assert len(rows) == h and all(len(r) == w for r in rows)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_png_pixel_decoder_survives_corrupted_valid_png(tail):
+    """Adversarial: a VALID png prefix with arbitrary trailing bytes, and
+    a valid png with bytes flipped mid-IDAT — decode or None, no raise."""
+    img = [[(x * 16 + y) % 256 for x in range(4)] for y in range(4)]
+    good = multimodal.encode_png(img, color_type=0)
+    multimodal.parse_png_pixels(good + tail)
+    if tail:
+        pos = 40 + (tail[0] % max(len(good) - 48, 1))
+        broken = good[:pos] + bytes([tail[0] ^ 0xFF]) + good[pos + 1 :]
+        multimodal.parse_png_pixels(broken)
+
+
+@given(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.sampled_from([0, 2, 4, 6]),
+    st.sampled_from(["cycle", "none"]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_pixel_roundtrip_all_color_types_and_filters(w, h, ct, fmode, seed):
+    """encode_png → parse_png_pixels is the identity on pixel content for
+    every color type and both filter policies ('cycle' hits Sub, Up,
+    Average, Paeth on successive scanlines — the defilter paths no
+    stored-block oracle fixture can reach)."""
+    rng = __import__("random").Random(seed)
+
+    def px():
+        if ct == 0:
+            return rng.randrange(256)
+        if ct == 2:
+            return tuple(rng.randrange(256) for _ in range(3))
+        if ct == 4:
+            return (rng.randrange(256), rng.randrange(256))
+        return tuple(rng.randrange(256) for _ in range(4))
+
+    rows = [[px() for _ in range(w)] for _ in range(h)]
+    got = multimodal.parse_png_pixels(
+        multimodal.encode_png(rows, color_type=ct, filter_mode=fmode)
+    )
+    assert got is not None
+    gw, gh, grows = got
+    assert (gw, gh) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            p = rows[y][x]
+            if ct == 0:
+                want = (p, p, p)
+            elif ct == 4:
+                want = (p[0], p[0], p[0])
+            else:
+                want = tuple(p[:3])
+            assert grows[y][x] == want
+
+
 @given(st.integers(1, 65535), st.integers(1, 65535), st.integers(0, 3))
 @settings(max_examples=50, deadline=None)
 def test_jpeg_roundtrip_any_u16_dims(w, h, n_segments):

@@ -927,3 +927,34 @@ def test_admission_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Window") <= 2, plan
+
+
+def test_image_phash_near_dup_plan_is_banded_equi_join(spark):
+    """The perceptual near-dup pair generation must be the BANDED
+    equi-join (shuffle on (band_idx, band_val)), never a cartesian or
+    nested-loop sweep of the hash relation — the property that keeps it
+    linear-ish at 100 TB. The exact bit_count verify may appear only as
+    a post-join Filter."""
+    plan = _executed_plan(spark, "image_phash_near_dup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_idx" in plan and "band_val" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_image_phash_fixture_is_single_pass(spark):
+    """image_phash: the SQL-built PNG fixture plus decode is one
+    projection chain over the documents scan — a single Python stage
+    (the codec) and no Exchange before it (the explode-to-two-variants
+    and payload build are narrow)."""
+    plan = _executed_plan(spark, "image_phash")
+    assert "MapInPandas" in plan, plan
+    # the only allowed Exchange is the round-robin spread of the tiny
+    # documents scan across cores (the Python codec is the bottleneck);
+    # a KEYED shuffle (hashpartitioning/range) would mean the fixture
+    # build or decode regressed to a join/agg form
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan, plan

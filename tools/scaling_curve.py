@@ -119,6 +119,9 @@ FAMILY = {
     "rrf_fusion": "documents",
     "js_source_drift": "documents",
     "bloom_engine_parity": "documents",
+    # r11: real PNG pixel decode + perceptual near-dup (banded dHash)
+    "image_phash": "documents",
+    "image_phash_near_dup": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -228,6 +231,11 @@ X1000_OPS = {
     # r10 (late): the regression rides the vocab relation; the corpus
     # term-count shuffle is the only scaling term
     "zipf_slope",
+    # r11: the decode is Python-per-image by design (the codec swap
+    # point) — the 5M-doc tier is its honest per-image wall-clock; the
+    # banded pair join must stay linear-ish (one shuffle on band keys)
+    "image_phash",
+    "image_phash_near_dup",
     "js_source_drift",
 }
 
