@@ -464,22 +464,13 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def parse_png_pixels(
+def _parse_png_lines(
     payload: bytes | None, max_pixels: int = 1 << 22
-) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
-    """Decode a PNG to ``(width, height, rows)`` with rows of (r, g, b)
-    tuples — pure stdlib (zlib inflate + the five filter types: None,
-    Sub, Up, Average, Paeth). Grayscale/gray-alpha expand to r=g=b;
-    palette indices resolve through PLTE; alpha is dropped. TOTAL like
-    parse_image_dims: returns None on anything malformed or out of scope
-    (bad signature, truncated chunks, bit depth != 8, interlaced,
-    unknown color type, palette index out of range, inflate errors,
-    scanline length mismatch) — never raises, so a poisoned payload in a
-    100 TB scan costs a null, not a task retry storm. ``max_pixels``
-    bounds the decode allocation: a malformed header claiming a
-    terapixel image is rejected before any buffer exists. Chunk CRCs are
-    not verified (lenient decode — corruption surfaces as an inflate or
-    length error; the zlib adler32 IS verified by decompress)."""
+) -> tuple[int, int, int, list | None, list[bytearray]] | None:
+    """Shared chunk-walk + inflate + defilter: (width, height,
+    color_type, palette, defiltered scanlines) or None. The tuple-rows
+    contract lives in :func:`parse_png_pixels`; the vectorized luminance
+    path (:func:`_png_luminance`) reads the scanlines directly."""
     import zlib
 
     try:
@@ -526,7 +517,7 @@ def parse_png_pixels(
         stride = width * ch
         if len(raw) != height * (stride + 1):
             return None
-        rows: list[list[tuple[int, int, int]]] = []
+        lines: list[bytearray] = []
         prior = bytearray(stride)
         p = 0
         for _y in range(height):
@@ -551,6 +542,36 @@ def parse_png_pixels(
             elif ft != 0:
                 return None
             prior = line
+            lines.append(line)
+        return width, height, color_type, plte, lines
+    except Exception:
+        return None
+
+
+def parse_png_pixels(
+    payload: bytes | None, max_pixels: int = 1 << 22
+) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """Decode a PNG to ``(width, height, rows)`` with rows of (r, g, b)
+    tuples — pure stdlib (zlib inflate + the five filter types: None,
+    Sub, Up, Average, Paeth). Grayscale/gray-alpha expand to r=g=b;
+    palette indices resolve through PLTE; alpha is dropped. TOTAL like
+    parse_image_dims: returns None on anything malformed or out of scope
+    (bad signature, truncated chunks, bit depth != 8, interlaced,
+    unknown color type, palette index out of range, inflate errors,
+    scanline length mismatch) — never raises, so a poisoned payload in a
+    100 TB scan costs a null, not a task retry storm. ``max_pixels``
+    bounds the decode allocation: a malformed header claiming a
+    terapixel image is rejected before any buffer exists. Chunk CRCs are
+    not verified (lenient decode — corruption surfaces as an inflate or
+    length error; the zlib adler32 IS verified by decompress)."""
+    parsed = _parse_png_lines(payload, max_pixels)
+    if parsed is None:
+        return None
+    width, _height, color_type, plte, lines = parsed
+    try:
+        rows: list[list[tuple[int, int, int]]] = []
+        for line in lines:
+            stride = len(line)
             if color_type == 3:
                 if plte is None:
                     return None
@@ -575,9 +596,43 @@ def parse_png_pixels(
                     for i in range(0, stride, 4)
                 ]
             rows.append(row)
-        return width, height, rows
+        return width, len(lines), rows
     except Exception:
         return None
+
+
+def _png_luminance(payload: bytes | None, max_pixels: int = 1 << 22):
+    """Vectorized decode-to-luminance: (h, w) int32 numpy array or None.
+    Bit-identical to luminance_grid(parse_png_pixels(...)[2]) — pinned by
+    a parity pytest — but skips the per-pixel tuple materialization the
+    hash path doesn't need (the mapInPandas hot loop runs this)."""
+    import numpy as np
+
+    parsed = _parse_png_lines(payload, max_pixels)
+    if parsed is None:
+        return None
+    width, height, color_type, plte, lines = parsed
+    ch = _PNG_CHANNELS[color_type]
+    flat = np.frombuffer(b"".join(bytes(ln) for ln in lines), dtype=np.uint8)
+    if color_type == 0:
+        # r=g=b=v → (299v+587v+114v)//1000 == v exactly
+        return flat.reshape(height, width).astype(np.int32)
+    if color_type == 4:
+        return (
+            flat.reshape(height, width, 2)[:, :, 0].astype(np.int32)
+        )
+    if color_type == 3:
+        if plte is None:
+            return None
+        idx = flat.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(plte):
+            return None
+        rgb = np.asarray(plte, dtype=np.int32)[idx]
+    else:  # 2: RGB / 6: RGBA (alpha dropped)
+        rgb = flat.reshape(height, width, ch)[:, :, :3].astype(np.int32)
+    return (
+        299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+    ) // 1000
 
 
 def encode_png(
@@ -728,6 +783,40 @@ def dhash64(cells: list[list[int]]) -> int:
     return _signed64(h)
 
 
+def _phash64_np(lum) -> tuple[int, int]:
+    """(ahash64, dhash64) from a luminance array — vectorized twin of
+    box_downsample + ahash64 + dhash64, pinned bit-identical by pytest.
+    Uses np.add.reduceat over the same (c*dim)//8 boundaries and
+    little-endian packbits so bit (8y+x) lands where the integer twins
+    put it; images narrower than the 8x8 grid fall back to the
+    pure-Python path (duplicated-boundary cells reduceat can't express)."""
+    import numpy as np
+
+    h, w = lum.shape
+    if h < 8 or w < 8:
+        grid = box_downsample([[int(v) for v in row] for row in lum], 8)
+        return ahash64(grid), dhash64(grid)
+    yb = np.array([(c * h) // 8 for c in range(8)])
+    xb = np.array([(c * w) // 8 for c in range(8)])
+    sums = np.add.reduceat(
+        np.add.reduceat(lum.astype(np.int64), yb, axis=0), xb, axis=1
+    )
+    dy = np.diff(np.append(yb, h))
+    dx = np.diff(np.append(xb, w))
+    cells = sums // np.outer(dy, dx)
+    mean = int(cells.sum()) // 64
+    a_bits = (cells >= mean).reshape(-1)
+    d_bits = (cells < np.roll(cells, -1, axis=1)).reshape(-1)
+
+    def pack(bits) -> int:
+        v = int.from_bytes(
+            np.packbits(bits, bitorder="little").tobytes(), "little"
+        )
+        return _signed64(v)
+
+    return pack(a_bits), pack(d_bits)
+
+
 PHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -739,7 +828,7 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
-def image_phash(df: DataFrame, grid: int = 8) -> DataFrame:
+def image_phash(df: DataFrame) -> DataFrame:
     """payload → perceptual fingerprints, Arrow-batched mapInPandas over
     the pruned (media_id, payload) projection: real PNG decode →
     luminance → integer box-downsample → aHash + dHash. Undecodable
@@ -756,22 +845,21 @@ def image_phash(df: DataFrame, grid: int = 8) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [],
                    "ahash64": [], "dhash64": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = parse_png_pixels(
+                lum = _png_luminance(
                     bytes(payload) if payload is not None else None
                 )
                 out["media_id"].append(mid)
-                if decoded is None:
+                if lum is None:
                     out["width"].append(None)
                     out["height"].append(None)
                     out["ahash64"].append(None)
                     out["dhash64"].append(None)
                     continue
-                w, h, rows = decoded
-                cells = box_downsample(luminance_grid(rows), grid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["ahash64"].append(ahash64(cells))
-                out["dhash64"].append(dhash64(cells))
+                ah, dh = _phash64_np(lum)
+                out["width"].append(lum.shape[1])
+                out["height"].append(lum.shape[0])
+                out["ahash64"].append(ah)
+                out["dhash64"].append(dh)
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, PHASH_SCHEMA)

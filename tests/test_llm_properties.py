@@ -416,6 +416,51 @@ def test_png_pixel_roundtrip_all_color_types_and_filters(w, h, ct, fmode, seed):
             assert grows[y][x] == want
 
 
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([0, 2, 3, 4, 6]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_phash_numpy_path_matches_integer_twins(w, h, ct, seed):
+    """The mapInPandas hot loop (_png_luminance + _phash64_np) must be
+    bit-identical to the documented integer pipeline
+    (parse_png_pixels → luminance_grid → box_downsample → ahash64/
+    dhash64) for every color type, including dims that don't divide the
+    8x8 grid and dims below it (the pure-Python fallback branch)."""
+    import numpy as np
+
+    rng = __import__("random").Random(seed)
+    if ct == 3:
+        palette = [tuple(rng.randrange(256) for _ in range(3))
+                   for _ in range(rng.randrange(1, 17))]
+        idx = [[rng.randrange(len(palette)) for _ in range(w)]
+               for _ in range(h)]
+        payload = multimodal.encode_png_palette(idx, palette)
+    else:
+        def px():
+            if ct == 0:
+                return rng.randrange(256)
+            n_ch = {2: 3, 4: 2, 6: 4}[ct]
+            return tuple(rng.randrange(256) for _ in range(n_ch))
+
+        payload = multimodal.encode_png(
+            [[px() for _ in range(w)] for _ in range(h)], color_type=ct
+        )
+
+    gw, gh, rows = multimodal.parse_png_pixels(payload)
+    grid = multimodal.box_downsample(multimodal.luminance_grid(rows))
+    want = (multimodal.ahash64(grid), multimodal.dhash64(grid))
+
+    lum = multimodal._png_luminance(payload)
+    assert lum is not None and lum.shape == (gh, gw)
+    assert np.array_equal(
+        lum, np.array(multimodal.luminance_grid(rows), dtype=np.int64)
+    )
+    assert multimodal._phash64_np(lum) == want
+
+
 @given(st.integers(1, 65535), st.integers(1, 65535), st.integers(0, 3))
 @settings(max_examples=50, deadline=None)
 def test_jpeg_roundtrip_any_u16_dims(w, h, n_segments):
