@@ -1006,6 +1006,7 @@ def read_bloom_layout(spark, path: str) -> tuple[dict, DataFrame, DataFrame]:
     import json
     import os
 
+    path = resolve_bloom_generation(path)
     for final in ("words", "params"):
         _recover_aside(os.path.join(path, final))
     with open(os.path.join(path, "_meta.json")) as f:
@@ -1039,6 +1040,7 @@ def append_bloom(
     The position engine comes from the layout's _meta.json — appends can
     never mix engines with the standing bitmap; passing ``hash_engine``
     explicitly asserts the expectation and raises on mismatch."""
+    path = resolve_bloom_generation(path)
     meta, params, _ = read_bloom_layout(spark, path)
     if hash_engine is not None and hash_engine != meta["hash_engine"]:
         raise ValueError(
@@ -1106,6 +1108,7 @@ def compact_bloom_layout(spark, path: str) -> None:
     import os
     import shutil
 
+    path = resolve_bloom_generation(path)
     _, params, words = read_bloom_layout(spark, path)
     wtmp = os.path.join(path, "_compact_words")
     ptmp = os.path.join(path, "_compact_params")
@@ -1119,6 +1122,201 @@ def compact_bloom_layout(spark, path: str) -> None:
         os.rename(dst, old)
         os.rename(tmp, dst)
         shutil.rmtree(old)
+
+
+def resolve_bloom_generation(path: str) -> str:
+    """The directory the layout helpers should operate on: the current
+    generation if ``path`` is a generation-stamped root (_current.json
+    pointer), else the path itself (flat pre-generation layouts)."""
+    import json
+    import os
+
+    ptr = os.path.join(path, "_current.json")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(path, json.load(f)["generation"])
+    return path
+
+
+def _publish_bloom_generation(root: str, generation: str) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(root, "_current.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": generation}, f)
+    os.replace(tmp, os.path.join(root, "_current.json"))
+
+
+def write_bloom_generation(
+    df: DataFrame,
+    root: str,
+    fp_col: str = "_fp",
+    k: int = 4,
+    bits_per_key: int = 6,
+    hash_engine: str = "md5",
+) -> str:
+    """Write a generation-stamped Bloom layout: the filter lands in
+    ``root/gen-NNNNNN`` and ``root/_current.json`` flips to it atomically
+    (os.replace) only AFTER the generation is fully written — a reader
+    resolves the old generation or the new one, never a half-built
+    directory. Returns the generation directory."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    existing = sorted(
+        n for n in os.listdir(root)
+        if n.startswith("gen-") and n[4:].isdigit()
+    )
+    gen = f"gen-{(int(existing[-1][4:]) + 1) if existing else 1:06d}"
+    write_bloom_layout(
+        df, os.path.join(root, gen), fp_col, k, bits_per_key, hash_engine
+    )
+    _publish_bloom_generation(root, gen)
+    return os.path.join(root, gen)
+
+
+def rotate_bloom_layout(
+    spark,
+    root: str,
+    retained: DataFrame,
+    fp_col: str = "_fp",
+    keep_generations: int = 1,
+) -> str:
+    """The Bloom gate's FORGET operation (a filter can't delete bits, so
+    deletion = rebuild): construct the NEXT generation from the RETAINED
+    fingerprint relation — the standing corpus minus GDPR deletes,
+    licence churn, TTL'd sources — while the current generation keeps
+    serving, then flip the pointer. Sizing and hash engine carry over
+    from the serving generation's _meta.json (m_bits re-derives from the
+    retained count, so rotation is also the resize path the append
+    contract forbids in place). ``keep_generations`` previous
+    generations survive for concurrent readers; older ones are pruned.
+    Post-rotation: every retained key still probes positive (the
+    structural no-FN guarantee, now over the new bitmap) and a deleted
+    key is admissible again up to the ordinary false-positive rate."""
+    import os
+    import shutil
+
+    meta, _, _ = read_bloom_layout(spark, root)
+    gen_dir = write_bloom_generation(
+        retained,
+        root,
+        fp_col,
+        k=meta["k"],
+        bits_per_key=meta["bits_per_key"],
+        hash_engine=meta["hash_engine"],
+    )
+    gens = sorted(
+        n for n in os.listdir(root)
+        if n.startswith("gen-") and n[4:].isdigit()
+    )
+    for stale in gens[: max(len(gens) - 1 - keep_generations, 0)]:
+        shutil.rmtree(os.path.join(root, stale))
+    return gen_dir
+
+
+# Above this stored-word count the literal-map probe stops being the
+# right plan: ~100k map literals is ~1.6 MB of expression tree (codegen
+# pressure grows linearly from there — a ~1M-gram benchmark at 32
+# bits/key is ~500k words), while the broadcast word-join form carries
+# the words as DATA. Below it, the literal form wins outright: pure
+# whole-stage codegen, no explode, no shuffle.
+BLOOM_LITERAL_WORD_CAP = 100_000
+
+
+def count_bloom_hits(
+    df: DataFrame,
+    words: DataFrame,
+    m_bits: int,
+    k: int,
+    grams_col: str = "sh",
+    id_col: str = "doc_id",
+    hash_engine: str = "md5",
+    literal_word_cap: int = BLOOM_LITERAL_WORD_CAP,
+) -> DataFrame:
+    """Per-row count of ``grams_col`` array elements that probe
+    bloom-positive against the ``words`` bitmap — CHOOSING the probe
+    form by the stored word count (the round-10 verdict's auto-select):
+
+    - ``words.count() <= literal_word_cap``: collect the words into
+      :func:`bloom_literal_probe`'s literal map and count hits with a
+      codegen array filter — no explode, no join, no shuffle.
+    - above the cap: the broadcast word-JOIN form (bloom_membership's
+      shape) — explode grams, derive the k positions, left-join the
+      broadcast words relation on word_idx, bool_and per gram, count
+      positives per row. Slower per gram (the explode was measured 9.1 s
+      vs 2.4 s at sf0.1) but its plan size is O(1) in the benchmark.
+
+    Both forms compute the identical relation (pytest pins equality at
+    the boundary) — the cap is a PLAN decision, never a semantics one.
+    The output keeps every non-gram input column (they must be
+    functionally dependent on ``id_col``; in the join regime they ride
+    F.first through the aggregations, so keep the input projection
+    narrow there), replaces ``grams_col`` with ``n_bloom_hits``, and
+    rows whose gram array is empty yield n_bloom_hits = 0."""
+    keep = [c for c in df.columns if c not in (grams_col, id_col)]
+    n_words = words.count()
+    if n_words <= literal_word_cap:
+        wrows = [(int(r["word_idx"]), int(r["word"])) for r in words.collect()]
+        hit = bloom_literal_probe(wrows, m_bits, k, hash_engine)
+        return df.select(
+            id_col,
+            *keep,
+            F.size(F.filter(F.col(grams_col), hit))
+            .cast("long")
+            .alias("n_bloom_hits"),
+        )
+    probes = df.select(
+        id_col, *keep, F.explode_outer(F.col(grams_col)).alias("_g")
+    ).select(
+        id_col,
+        *keep,
+        "_g",
+        F.explode_outer(
+            F.when(
+                F.col("_g").isNotNull(),
+                _BLOOM_ENGINES[hash_engine](
+                    F.col("_g"), k, F.lit(m_bits).cast("long")
+                ),
+            )
+        ).alias("pos"),
+    )
+    return (
+        probes.join(
+            F.broadcast(words),
+            F.expr("pos div 63") == words["word_idx"],
+            "left",
+        )
+        .select(
+            id_col,
+            *keep,
+            "_g",
+            (
+                F.col("_g").isNotNull()
+                & F.coalesce(
+                    F.col("word").bitwiseAND(
+                        F.expr("shiftleft(1L, cast(pos % 63 as int))")
+                    )
+                    != 0,
+                    F.lit(False),
+                )
+            ).alias("_hit"),
+        )
+        .groupBy(id_col, "_g")
+        .agg(
+            F.bool_and("_hit").alias("_all"),
+            *[F.first(c).alias(c) for c in keep],
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_all"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            *[F.first(c).alias(c) for c in keep],
+        )
+        .select(id_col, *keep, "n_bloom_hits")
+    )
 
 
 def bloom_literal_probe(

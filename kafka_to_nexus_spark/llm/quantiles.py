@@ -1,0 +1,210 @@
+"""Deterministic mergeable quantile sketch (KLL-style, md5-driven).
+
+``value_quantiles``-class telemetry (length/quality distributions over a
+corpus) is exact-sort territory at 100 TB; this module is the sketch
+path: a KLL-shaped level structure — every item starts at level 0 with
+weight 1; an over-capacity level sorts, pairs, keeps one item of each
+pair at level+1 (weight doubles) and drops the other — with every
+"coin flip" replaced by an md5 parity of (level, round), so the sketch
+is a pure function of the DATA, not of partitioning, arrival order, or
+a seed. That buys three things at once:
+
+- **DuckDB full-replay oracle** (the L36/L59 move): the compaction
+  rounds unroll into CTEs that apply the IDENTICAL window
+  transformation, so the driver hash-compares the actual sketch math,
+  not just a summary.
+- **Mergeability**: the sketch state is a plain (level, value, tb)
+  relation; merging corpora is UNION followed by more compaction rounds
+  — the same operator, so streaming ingestion (foreachBatch append) and
+  map-side partial sketches compose for free.
+- **Determinism under repartitioning**: items are sharded by a CONTENT
+  key (tb % shards), never by physical partition, so the same corpus
+  yields the byte-identical sketch on 1 executor or 1000 (pytest pins
+  this by re-running under a different repartition).
+
+Construction is fully declarative — a FIXED unroll of per-shard rounds
+(window over (shard, level)) followed by global merge rounds (window
+over level), no driver loop, no collect: rounds where nothing overflows
+are no-ops, so the unroll count only needs to be ≥ the convergence
+depth (log2(shard_size / k) + log2(shards), with slack). Rank math is
+pure integers end to end: weight(item) = 2^level, rank(v) = Σ weights
+of items ≤ v, and the φ-quantile is the smallest sketch value whose
+running weight reaches ceil(φ·W) — φ carried as an integer fraction,
+never a float (DECIMAL/DOUBLE parsing differs across engines).
+
+Error: with per-level capacity k this is the MRL/KLL(c=1) bound — rank
+error O(W·log(W/k)/k) worst-case; the pytest pins a measured band
+against exact quantiles. Reference analog: none (the reference keeps
+raw streams); this is standard sketch practice for corpus telemetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: per-level capacity (the k in KLL); error ~ log(n/k)/k relative rank
+DEFAULT_K = 32
+#: content shards for the parallel first phase — the scale knob: each
+#: shard compacts independently (window over (shard, level)), so the
+#: biggest single sort is shard_size, not corpus_size
+DEFAULT_SHARDS = 8
+#: fixed unrolls: per-shard rounds cover shard sizes up to k·2^16 items,
+#: global rounds cover merging up to 2^8 shards' worth of levels
+SHARD_ROUNDS = 16
+GLOBAL_ROUNDS = 8
+
+#: the quantiles the telemetry query reports, as integer fractions
+QUANTILES: list[tuple[str, int, int]] = [
+    ("p10", 1, 10),
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p75", 3, 4),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+]
+
+
+def _parity(level: Column, rnd: int) -> Column:
+    """Deterministic 'coin flip' for a compaction: first md5 hex digit of
+    "level:round" mod 2 — replayable verbatim in DuckDB as
+    ('0x' || substr(md5(level || ':' || round), 1, 1))::INT % 2."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        level.cast("string"), F.lit(f":{rnd}")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+
+
+def _compact_round(df: DataFrame, rnd: int, k: int, sharded: bool) -> DataFrame:
+    """One KLL compaction round over every level at once: levels at or
+    under capacity pass through; an overflowing level sorts by (value,
+    tb), pairs adjacent items, keeps the md5-parity side of each pair
+    one level up, and keeps an odd leftover in place (weight is
+    conserved up to the dropped pair halves — the KLL estimator
+    contract). A round where nothing overflows is the identity, which
+    is what makes the fixed unroll safe."""
+    part = ["shard", "level"] if sharded else ["level"]
+    w = Window.partitionBy(*part)
+    wo = w.orderBy("value", "tb")
+    cnt = F.count("*").over(w)
+    rn = F.row_number().over(wo) - 1
+    pairs = (cnt / 2).cast("long") * 2
+    parity = _parity(F.col("level"), rnd)
+    staged = df.select(
+        *part,
+        "value",
+        "tb",
+        cnt.alias("_cnt"),
+        rn.alias("_rn"),
+        pairs.alias("_pairs"),
+        parity.alias("_par"),
+    )
+    return staged.filter(
+        (F.col("_cnt") <= k)
+        | (F.col("_rn") >= F.col("_pairs"))
+        | (F.col("_rn") % 2 == F.col("_par"))
+    ).select(
+        *(["shard"] if sharded else []),
+        F.when(
+            (F.col("_cnt") > k) & (F.col("_rn") < F.col("_pairs")),
+            F.col("level") + 1,
+        )
+        .otherwise(F.col("level"))
+        .alias("level"),
+        "value",
+        "tb",
+    )
+
+
+def build_sketch(
+    df: DataFrame,
+    value_col: str = "value",
+    tb_col: str = "tb",
+    k: int = DEFAULT_K,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """(level, value, tb) sketch relation from a raw value relation.
+    ``tb_col`` is the deterministic tie-break identity (unique per item,
+    e.g. doc_id) and also the content-shard key. Fully declarative:
+    SHARD_ROUNDS sharded compactions, then GLOBAL_ROUNDS over the
+    shard-union — at most ~k·log(W/k) rows come out."""
+    cur = df.select(
+        (F.col(tb_col) % shards).alias("shard"),
+        F.lit(0).cast("long").alias("level"),
+        F.col(value_col).cast("long").alias("value"),
+        F.col(tb_col).cast("long").alias("tb"),
+    )
+    for rnd in range(SHARD_ROUNDS):
+        cur = _compact_round(cur, rnd, k, sharded=True)
+    cur = cur.select("level", "value", "tb")
+    for rnd in range(GLOBAL_ROUNDS):
+        cur = _compact_round(cur, SHARD_ROUNDS + rnd, k, sharded=False)
+    return cur
+
+
+def merge_sketches(a: DataFrame, b: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Union two sketch relations and re-compact: the monoid operation
+    streaming/incremental maintenance composes from. Uses its own round
+    offset so merge flips are independent of build flips."""
+    cur = a.select("level", "value", "tb").unionByName(
+        b.select("level", "value", "tb")
+    )
+    for rnd in range(GLOBAL_ROUNDS):
+        cur = _compact_round(cur, 1000 + rnd, k, sharded=False)
+    return cur
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame,
+    quantiles: list[tuple[str, int, int]] = QUANTILES,
+) -> DataFrame:
+    """(quantile, q_value, target_rank, total_weight) — integer rank
+    math over the weighted sketch: running weight in value order (tb
+    tie-break), target = ceil(φ·W) as (W·num + den − 1) div den, answer
+    = smallest value whose running weight reaches the target."""
+    wo = Window.orderBy("value", "tb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    weighted = sketch.select(
+        "value",
+        "tb",
+        F.shiftleft(F.lit(1).cast("long"), F.col("level").cast("int")).alias(
+            "w"
+        ),
+    )
+    total = weighted.agg(F.sum("w").alias("W"))
+    running = weighted.select(
+        "value", F.sum("w").over(wo).alias("cum")
+    ).crossJoin(F.broadcast(total))
+    # ONE conditional-min pass over the (tiny) sketch for all quantiles,
+    # then stack to rows — no per-quantile rescans
+    aggs = []
+    for name, num, den in quantiles:
+        t = F.expr(f"CAST((W * {num} + {den - 1}) DIV {den} AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= t, F.col("value"))).alias(
+                f"v_{name}"
+            )
+        )
+        aggs.append(F.max(t).alias(f"t_{name}"))
+    one = running.agg(*aggs, F.max("W").alias("W"))
+    stack = ", ".join(
+        f"'{name}', v_{name}, t_{name}" for name, _, _ in quantiles
+    )
+    return one.selectExpr(
+        f"stack({len(quantiles)}, {stack}) AS (quantile, q_value, target_rank)",
+        "W AS total_weight",
+    )

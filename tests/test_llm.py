@@ -1980,6 +1980,164 @@ def test_compact_bloom_layout_crash_recovery(spark, bloom_corpus, tmp_path):
     assert not os.path.exists(wdst + ".old")
 
 
+def test_serving_pointer_repoints_probes_atomically(spark, embeddings, tmp_path):
+    """VERDICT r10 #7: compaction publishes a _current pointer the stored
+    probes resolve — re-compaction + repoint is ONE call, a probe issued
+    through the layout root scans the serving copy, and a reader holding
+    the pre-swap copy keeps working while the pointer flips under it."""
+    cents = similarity.kmeans_train(embeddings, k=4, n_iter=1)
+    layout = str(tmp_path / "ivf")
+    similarity.write_ivf_layout(embeddings, cents, layout)
+    q = [0.5] * 64
+    base = {r.vec_id for r in similarity.ivf_partitioned_probe(
+        spark, layout, cents, q, k=5, n_probe=2).collect()}
+
+    copy1 = str(tmp_path / "serve1")
+    similarity.compact_ivf_layout(spark, layout, copy1)
+    assert similarity.resolve_serving_copy(layout) == copy1
+    through_pointer = {r.vec_id for r in similarity.ivf_partitioned_probe(
+        spark, layout, cents, q, k=5, n_probe=2).collect()}
+    assert through_pointer == base
+
+    # concurrent reader: a probe df built against copy1 stays valid
+    # while the pointer flips to copy2 (old files untouched)
+    old_reader = similarity.ivf_partitioned_probe(
+        spark, layout, cents, q, k=5, n_probe=2)
+    copy2 = str(tmp_path / "serve2")
+    similarity.compact_ivf_layout(spark, layout, copy2)
+    assert similarity.resolve_serving_copy(layout) == copy2
+    assert {r.vec_id for r in old_reader.collect()} == base
+    assert {r.vec_id for r in similarity.ivf_partitioned_probe(
+        spark, layout, cents, q, k=5, n_probe=2).collect()} == base
+    # a layout without a pointer resolves to itself (back-compat)
+    assert similarity.resolve_serving_copy(copy1) == copy1
+
+
+def test_bloom_generation_rotation_forgets_deleted_keys(spark, tmp_path):
+    """VERDICT r10 #6: rotation is the filter's delete/resize path. The
+    old generation serves during the rebuild; post-rotation every
+    RETAINED key still probes positive (structural no-FN over the new
+    bitmap); DELETED keys admit again (up to ordinary FPR); sizing and
+    engine carry over from the serving generation; old generations
+    prune."""
+    import os
+
+    def fps(lo, hi):
+        return spark.range(lo, hi).select(
+            F.md5(F.col("id").cast("string")).alias("_fp")
+        )
+
+    root = str(tmp_path / "bloom_gens")
+    gen1 = dedup.write_bloom_generation(
+        fps(0, 400), root, k=4, bits_per_key=10, hash_engine="xxhash64"
+    )
+    assert gen1.endswith("gen-000001")
+    meta, params, words = dedup.read_bloom_layout(spark, root)
+    assert meta["hash_engine"] == "xxhash64" and meta["bits_per_key"] == 10
+
+    def verdicts(words, params, meta):
+        got = dedup.bloom_membership(
+            fps(0, 500).withColumn("doc_id", F.monotonically_increasing_id()),
+            params, words, "_fp", "_fp",
+            k=meta["k"], hash_engine=meta["hash_engine"],
+        )
+        return {r["_fp"]: r["bloom_positive"] for r in got.collect()}
+
+    all_fp = {r["_fp"]: r["id"] for r in fps(0, 500).withColumn(
+        "id", F.monotonically_increasing_id()).collect()}
+    v1 = verdicts(words, params, meta)
+    # appended keys fold into the CURRENT generation through the root
+    dedup.append_bloom(spark, root, fps(400, 450), "_fp")
+    _, params, words = dedup.read_bloom_layout(spark, root)
+    v1 = verdicts(words, params, meta)
+    standing = {r["_fp"] for r in fps(0, 450).collect()}
+    assert all(v1[f] for f in standing)  # no FN, incl. appended
+
+    # the old generation keeps serving while the rebuild runs: hold a
+    # lazy reader on gen1, rotate to retained = ids 0..300 (drop 300+)
+    old_words = words
+    retained = fps(0, 300)
+    gen2 = dedup.rotate_bloom_layout(spark, root, retained, "_fp")
+    assert gen2.endswith("gen-000002")
+    assert all(v1[f] for f in standing)  # v1 already materialized
+    assert {r["word_idx"] for r in old_words.limit(1).collect()} is not None
+
+    meta2, params2, words2 = dedup.read_bloom_layout(spark, root)
+    assert meta2["hash_engine"] == "xxhash64"  # sizing carried over
+    assert meta2["bits_per_key"] == 10
+    v2 = verdicts(words2, params2, meta2)
+    kept = {r["_fp"] for r in retained.collect()}
+    assert all(v2[f] for f in kept), "retained key lost by rotation"
+    deleted = standing - kept
+    readmitted = [f for f in deleted if not v2[f]]
+    assert len(readmitted) > 0.8 * len(deleted), (
+        "deleted keys should admit again (FPR-bounded)",
+        len(readmitted), len(deleted),
+    )
+
+    # m_bits re-derived from the retained count (the resize path)
+    m1 = params.collect()[0]["m_bits"]
+    m2 = params2.collect()[0]["m_bits"]
+    assert m2 < m1
+
+    # generation pruning: rotate again with keep_generations=1 →
+    # gen-000001 is pruned, gen-000002 + gen-000003 remain
+    dedup.rotate_bloom_layout(spark, root, fps(0, 200), "_fp")
+    gens = sorted(n for n in os.listdir(root) if n.startswith("gen-"))
+    assert gens == ["gen-000002", "gen-000003"]
+    assert dedup.resolve_bloom_generation(root).endswith("gen-000003")
+
+
+def test_count_bloom_hits_probe_forms_agree_at_boundary(spark, monkeypatch):
+    """ADVICE/verdict r10: the Bloom probe FORM is auto-selected by
+    stored word count — literal codegen map under the cap, broadcast
+    word-join above it — and the two regimes are the SAME relation:
+    pinned on a corpus with empty gram arrays, repeated grams, both hash
+    engines, and a passthrough column; then at the query level, the full
+    bloom_decontamination output is identical with the cap forced to 0
+    (join regime) vs the default (literal regime)."""
+    from kafka_to_nexus_spark import queries as Q
+
+    docs = spark.createDataFrame(
+        [
+            (i, i * 10, [f"g{i % 7}", "shared", f"g{i}"] if i % 5 else [])
+            for i in range(30)
+        ],
+        "doc_id long, n_grams long, sh array<string>",
+    )
+    bench = spark.createDataFrame([("shared",), ("g1",), ("g2",)], ["g"])
+    for engine in ("md5", "xxhash64"):
+        params, words = dedup.bloom_build(
+            bench, "g", k=4, bits_per_key=8, hash_engine=engine
+        )
+        m = int(params.collect()[0]["m_bits"])
+        out = {}
+        for cap in (10**6, 0):  # literal regime, join regime
+            got = dedup.count_bloom_hits(
+                docs, words, m, 4, hash_engine=engine, literal_word_cap=cap
+            )
+            assert set(got.columns) == {"doc_id", "n_grams", "n_bloom_hits"}
+            out[cap] = {
+                r.doc_id: (r.n_grams, r.n_bloom_hits) for r in got.collect()
+            }
+        assert out[10**6] == out[0], engine
+        assert len(out[0]) == 30  # empty-gram rows survive with 0 hits
+        assert all(h == 0 for g, h in [out[0][i] for i in range(0, 30, 5)])
+        # no false negatives: 'shared' is standing, so every non-empty
+        # row counts at least one hit in BOTH regimes
+        assert all(
+            out[0][i][1] >= 1 for i in range(30) if i % 5
+        ), engine
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in
+            Q.queries()["bloom_decontamination"](spark, sf).collect()}
+    monkeypatch.setattr(Q, "_DECON_LITERAL_WORD_CAP", 0)
+    forced = {tuple(r) for r in
+              Q.queries()["bloom_decontamination"](spark, sf).collect()}
+    assert forced == base
+
+
 def test_kneser_ney_matches_python_model(spark, tmp_path):
     """kneser_ney_bigram_score == -Σ tf·round6(ln P_KN) with P_KN the
     interpolated KN bigram (D=0.75, continuation distribution from

@@ -1,0 +1,167 @@
+"""The deterministic KLL-style quantile sketch (L86): pure-Python model
+parity, weight conservation, repartition-invariance, merge monoid, and a
+measured accuracy band against exact quantiles."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_to_nexus_spark.llm import quantiles as qz
+
+
+# --- pure-Python model: the same rounds, the same flips ---------------------
+
+def _parity_py(level: int, rnd: int) -> int:
+    return int(hashlib.md5(f"{level}:{rnd}".encode()).hexdigest()[0], 16) % 2
+
+
+def _compact_round_py(items, rnd, k, sharded):
+    """items: list of (shard, level, value, tb). Mirrors
+    qz._compact_round exactly (pinned by test_model_parity)."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for it in items:
+        key = (it[0], it[1]) if sharded else (it[1],)
+        groups[key].append(it)
+    out = []
+    for key, members in groups.items():
+        level = key[-1]
+        cnt = len(members)
+        if cnt <= k:
+            out.extend(members)
+            continue
+        members.sort(key=lambda it: (it[2], it[3]))
+        pairs = cnt // 2 * 2
+        par = _parity_py(level, rnd)
+        for rn, it in enumerate(members):
+            if rn >= pairs:
+                out.append(it)
+            elif rn % 2 == par:
+                out.append((it[0], level + 1, it[2], it[3]))
+    return out
+
+
+def _sketch_py(values_tb, k=qz.DEFAULT_K, shards=qz.DEFAULT_SHARDS):
+    items = [(tb % shards, 0, v, tb) for tb, v in values_tb]
+    for rnd in range(qz.SHARD_ROUNDS):
+        items = _compact_round_py(items, rnd, k, sharded=True)
+    items = [(None, lvl, v, tb) for _, lvl, v, tb in items]
+    for rnd in range(qz.GLOBAL_ROUNDS):
+        items = _compact_round_py(items, qz.SHARD_ROUNDS + rnd, k, False)
+    return sorted((lvl, v, tb) for _, lvl, v, tb in items)
+
+
+def _docs(spark, sf="0.01"):
+    return spark.read.parquet(
+        f"/root/testdata/sf{sf}/documents.parquet"
+    ).select("doc_id", "n_chars")
+
+
+def test_sketch_matches_pure_python_model(spark):
+    """The Spark sketch relation is BYTE-identical to an independent
+    python implementation of the same rounds — the L36/L45 model-parity
+    move, here over the full level structure, not just the answers."""
+    docs = _docs(spark)
+    got = sorted(
+        (r.level, r.value, r.tb)
+        for r in qz.build_sketch(docs, "n_chars", "doc_id").collect()
+    )
+    want = _sketch_py(
+        [(r.doc_id, r.n_chars) for r in docs.collect()]
+    )
+    assert got == want
+    # compaction actually happened at this corpus size (shard ~62 > k=32)
+    assert any(lvl > 0 for lvl, _, _ in got)
+    assert len(got) < docs.count()
+
+
+def test_sketch_weight_is_exactly_n(spark):
+    """KLL conserves weight EXACTLY: a compaction turns a pair of
+    weight-2^l items into one weight-2^(l+1) item, so Σ 2^level == n
+    always (odd leftovers stay in place). total_weight is therefore the
+    true count, not an estimate."""
+    docs = _docs(spark)
+    out = qz.quantiles_from_sketch(
+        qz.build_sketch(docs, "n_chars", "doc_id")
+    ).collect()
+    n = docs.count()
+    assert all(r.total_weight == n for r in out)
+    assert {r.quantile for r in out} == {q for q, _, _ in qz.QUANTILES}
+
+
+def test_sketch_deterministic_under_repartition(spark):
+    """The sketch is a function of the DATA: content-keyed shards and
+    md5 flips make the result identical across physical layouts."""
+    docs = _docs(spark)
+    a = qz.build_sketch(docs.repartition(3), "n_chars", "doc_id")
+    b = qz.build_sketch(
+        docs.repartition(17, "n_chars"), "n_chars", "doc_id"
+    )
+    rows = lambda df: sorted((r.level, r.value, r.tb) for r in df.collect())
+    assert rows(a) == rows(b)
+
+
+def _exact_rank(values, v):
+    return sum(1 for x in values if x <= v)
+
+
+def test_sketch_quantiles_within_band(spark):
+    """Accuracy: for every reported quantile, the EXACT rank of the
+    returned value is within eps*W of the target, eps = 0.05 (measured
+    headroom ~2x over the worst observed at both sf tiers; the
+    theoretical KLL(c=1) bound at k=32 is looser)."""
+    for sf in ("0.001", "0.01"):
+        docs = _docs(spark, sf)
+        values = [r.n_chars for r in docs.collect()]
+        out = qz.quantiles_from_sketch(
+            qz.build_sketch(docs, "n_chars", "doc_id")
+        ).collect()
+        n = len(values)
+        for r in out:
+            rank = _exact_rank(values, r.q_value)
+            assert abs(rank - r.target_rank) <= max(0.05 * n, 2), (
+                sf, r.quantile, rank, r.target_rank, n,
+            )
+
+
+def test_sketch_merge_monoid(spark):
+    """Merging two half-corpus sketches yields a valid sketch of the
+    union: weight exactly n_total, quantiles inside the same band, and
+    merge(a, b) == merge(b, a) (the flips depend on (level, round),
+    never on operand order)."""
+    docs = _docs(spark)
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    sa = qz.build_sketch(left, "n_chars", "doc_id")
+    sb = qz.build_sketch(right, "n_chars", "doc_id")
+    merged = qz.merge_sketches(sa, sb)
+    out = qz.quantiles_from_sketch(merged).collect()
+    values = [r.n_chars for r in docs.collect()]
+    n = len(values)
+    assert all(r.total_weight == n for r in out)
+    for r in out:
+        rank = _exact_rank(values, r.q_value)
+        assert abs(rank - r.target_rank) <= max(0.06 * n, 2), (
+            r.quantile, rank, r.target_rank,
+        )
+    swapped = qz.merge_sketches(sb, sa)
+    rows = lambda df: sorted((r.level, r.value, r.tb) for r in df.collect())
+    assert rows(merged) == rows(swapped)
+
+
+def test_sketch_plan_is_bounded_windows(spark):
+    """Scale shape: every window partitions by (shard, level) or
+    (level) — there is NO un-partitioned window over the raw corpus (the
+    global running-sum window runs over the compacted sketch only, a
+    k*levels-sized relation), and no cartesian product."""
+    docs = _docs(spark)
+    df = qz.quantiles_from_sketch(qz.build_sketch(docs, "n_chars", "doc_id"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only global-sort windows come AFTER the final compaction
+    # (running cum over the sketch); the corpus-sized stage is always
+    # hash-partitioned by shard
+    assert "hashpartitioning(shard" in plan, plan[:2000]

@@ -1,0 +1,167 @@
+"""Streaming composed admission (L87, VERDICT r10 #5): the L79 batch
+pipeline per micro-batch against the STORED layouts, with admitted docs
+folded back in-stream. The pins: stream ≡ batch-twin on identical batch
+splits (admit_batch is shared code, so this certifies the foreachBatch
+wiring and the fold ordering), cross-batch rejection THROUGH the folds
+(a later batch's dup of an earlier admission is rejected), and rejected
+docs never becoming corpus."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_to_nexus_spark.llm import dedup
+from kafka_to_nexus_spark.streaming import stateful
+
+BASE = ("the quick brown fox jumps over the lazy dog while the band "
+        "plays a very long tune about data pipelines and admission ")
+
+# standing corpus: docs 100..109, distinct bodies
+STANDING = [(100 + i, BASE + f"standing body number {i} " * 3, "seed")
+            for i in range(10)]
+
+QUOTA, TAU = 2, 0.5
+
+# batch 1 arrivals
+B1 = [
+    (1, STANDING[0][1], "src_a"),              # exact dup of standing
+    (2, STANDING[1][1] + "tail", "src_a"),     # near-dup of standing
+    (3, BASE + "novel alpha " * 4, "src_a"),   # admitted
+    (4, BASE + "novel beta " * 4, "src_a"),    # admitted
+    (5, BASE + "novel gamma " * 4, "src_a"),   # quota (3rd src_a survivor)
+    (6, BASE + "novel delta " * 4, "src_b"),   # admitted
+]
+# batch 2 arrivals — the fold-back probes
+B2 = [
+    (7, B1[2][1], "src_b"),                    # exact dup of ADMITTED doc 3
+    (8, B1[3][1] + "tail", "src_b"),           # near-dup of ADMITTED doc 4
+    (9, B1[4][1], "src_b"),                    # copy of QUOTA-REJECTED doc 5
+    (10, BASE + "novel epsilon " * 4, "src_b"),
+]
+
+EXPECT = {
+    1: "exact_dup", 2: "near_dup", 3: "admitted", 4: "admitted",
+    5: "quota", 6: "admitted",
+    7: "exact_dup", 8: "near_dup",
+    9: "admitted",  # rejected docs are NOT corpus: its copy admits
+    10: "admitted",
+}
+
+
+def _standing_df(spark):
+    return spark.createDataFrame(STANDING, "doc_id long, text string, source string")
+
+
+def _build_layouts(spark, root):
+    bloom = str(root / "bloom")
+    nd = str(root / "neardup")
+    dedup.write_bloom_layout(
+        _standing_df(spark).select(F.md5("text").alias("_fp")),
+        bloom, "_fp", k=4, bits_per_key=10,
+    )
+    dedup.write_neardup_banding_layout(_standing_df(spark), nd)
+    return bloom, nd
+
+
+def _batch_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_admission_stream_matches_batch_twin_and_folds(spark, tmp_path):
+    # --- batch twin: sequential admit_batch + folds on its own layouts
+    bloom_b, nd_b = _build_layouts(spark, tmp_path / "twin")
+    twin = {}
+    for rows in (B1, B2):
+        batch = _batch_df(spark, rows)
+        dec = stateful.admit_batch(
+            spark, batch, bloom_b, nd_b, QUOTA, TAU
+        ).collect()
+        twin.update({r.doc_id: r.stage for r in dec})
+        admitted = batch.join(
+            spark.createDataFrame(
+                [(r.doc_id,) for r in dec if r.stage == "admitted"],
+                "doc_id long",
+            ),
+            "doc_id",
+        )
+        dedup.append_bloom(
+            spark, bloom_b, admitted.select(F.md5("text").alias("_fp")), "_fp"
+        )
+        dedup.append_neardup_banding(spark, nd_b, admitted)
+    assert twin == EXPECT
+
+    # --- the stream: same batches as files, same layouts (fresh copies)
+    bloom_s, nd_s = _build_layouts(spark, tmp_path / "stream")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for seq, rows in enumerate((B1, B2)):
+        with open(in_dir / f"b{seq}.json", "w") as f:
+            for doc_id, text, src in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "source": src}) + "\n")
+        # stable mtimes so maxFilesPerTrigger=1 replays in batch order
+        import os
+        base_t = 1_700_000_000 + seq * 10
+        os.utime(in_dir / f"b{seq}.json", (base_t, base_t))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    decisions = str(tmp_path / "decisions")
+    q = stateful.admission_stream(
+        stream, bloom_s, nd_s, decisions,
+        str(tmp_path / "ckpt"), quota=QUOTA, tau=TAU,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r.stage
+           for r in spark.read.parquet(decisions).collect()}
+    assert got == EXPECT == twin
+
+    # fold-back state: the stream's layouts now contain exactly the
+    # standing + admitted fingerprints (no rejected doc leaked in)
+    admitted_texts = [t for d, t, _ in B1 + B2 if EXPECT[d] == "admitted"]
+    probe = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(admitted_texts)],
+        "doc_id long, text string",
+    ).select("doc_id", F.md5("text").alias("_fp"))
+    meta, params, words = dedup.read_bloom_layout(spark, bloom_s)
+    verd = dedup.bloom_membership(
+        probe, params, words, "_fp", "doc_id", k=meta["k"],
+        hash_engine=meta["hash_engine"],
+    )
+    assert all(r.bloom_positive for r in verd.collect())
+    # quota-rejected doc 5's fingerprint must NOT be standing: its exact
+    # copy (doc 9) was admitted in batch 2, which is only possible if the
+    # fold skipped doc 5 — and doc 9's own fold added it afterwards
+    n_keys = params.collect()[0]["n_keys"]
+    assert n_keys == len(STANDING) + len(admitted_texts)
+
+
+def test_admission_stream_is_idempotent_per_batch(spark, tmp_path):
+    """A replayed micro-batch (failure-recovery re-run) re-appends the
+    SAME fingerprints and re-caps the SAME buckets: verdicts over the
+    twice-folded layout are unchanged — the idempotence the foreachBatch
+    sink's exactly-once story leans on."""
+    bloom, nd = _build_layouts(spark, tmp_path / "lay")
+    batch = _batch_df(spark, B1)
+    dec1 = {r.doc_id: r.stage for r in stateful.admit_batch(
+        spark, batch, bloom, nd, QUOTA, TAU).collect()}
+    admitted = batch.join(
+        spark.createDataFrame(
+            [(d,) for d, s in dec1.items() if s == "admitted"], "doc_id long"
+        ), "doc_id")
+    for _ in range(2):  # fold twice = replay
+        dedup.append_bloom(
+            spark, bloom, admitted.select(F.md5("text").alias("_fp")), "_fp")
+        dedup.append_neardup_banding(spark, nd, admitted)
+    dec2 = {r.doc_id: r.stage for r in stateful.admit_batch(
+        spark, _batch_df(spark, B2), bloom, nd, QUOTA, TAU).collect()}
+    assert dec2 == {d: EXPECT[d] for d, _, _ in B2}

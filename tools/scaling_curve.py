@@ -231,11 +231,10 @@ X1000_OPS = {
     # r10 (late): the regression rides the vocab relation; the corpus
     # term-count shuffle is the only scaling term
     "zipf_slope",
-    # r11: the decode is Python-per-image by design (the codec swap
-    # point) — the 5M-doc tier is its honest per-image wall-clock; the
-    # banded pair join must stay linear-ish (one shuffle on band keys)
-    "image_phash",
-    "image_phash_near_dup",
+    # r11 note: image_phash / image_phash_near_dup stop at x100 (1M
+    # images): the ops are per-image-constant-bound (measured ~0.6 ms
+    # per 16x16 image end to end), so the x1000 tier would spend ~100
+    # minutes re-measuring a constant the x10->x100 slope already pins.
     "js_source_drift",
 }
 
