@@ -316,6 +316,65 @@ def _run_e2e_streaming_bloom(spark, sf_dir: str, n_batches: int = 2) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+
+def _run_e2e_streaming_admission(spark, sf_dir: str, n_batches: int = 2) -> None:
+    """Streaming composed admission (L87): per-micro-batch exact gate
+    (stored Bloom bitmap) + near-dup gate (stored banding layout) +
+    per-source quota, with the ADMITTED docs folded back into both
+    layouts in-stream (append_bloom / append_neardup_banding) — the L79
+    batch pipeline as continuous ingest. The standing layouts are copied
+    per run (the stream mutates them); arrivals are the same
+    doc_id % 10 == 0 split the batch admission queries certify on."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark import queries as Q
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+    from kafka_to_nexus_spark.streaming import stateful
+
+    work = tempfile.mkdtemp(prefix="bench_admit_")
+    nd = f"{work}/neardup"
+    shutil.copytree(Q._neardup_layout(spark, sf_dir), nd)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source")
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    arrivals = docs.filter(F.col("doc_id") % 10 == 0)
+    bloom = f"{work}/bloom"
+    llm_dedup.write_bloom_layout(
+        standing.select(F.md5("text").alias("_fp")), bloom, "_fp",
+        k=4, bits_per_key=6)
+    n_arr = arrivals.count()
+    step = n_arr // n_batches + 1
+    from pyspark.sql.window import Window as _W
+
+    ordered = arrivals.withColumn(
+        "_rk", F.row_number().over(_W.orderBy("doc_id")))
+    for i in range(n_batches):
+        (ordered.filter((F.col("_rk") > i * step)
+                        & (F.col("_rk") <= (i + 1) * step))
+         .drop("_rk").coalesce(1)
+         .write.mode("overwrite").json(f"{work}/in/b{i}"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, source string")
+                  .option("maxFilesPerTrigger", 1).json(f"{work}/in/*"))
+        q = stateful.admission_stream(
+            stream, bloom, nd, f"{work}/decisions", f"{work}/ckpt",
+            quota=Q._ADMIT_QUOTA, tau=Q._INC_ND_TAU)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.read.parquet(f"{work}/decisions").count() == n_arr
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
 def _run_e2e_streaming_curation(spark, sf_dir: str, n_batches: int = 2) -> None:
     """Streaming curation pipeline over the documents corpus: the
     composed scrub → quality → lang → watermarked exact-dedup →
@@ -481,6 +540,7 @@ def main() -> None:
         ("job_e2e_streaming_quota", _run_e2e_streaming_quota),
         ("job_e2e_streaming_curation", _run_e2e_streaming_curation),
         ("job_e2e_streaming_bloom", _run_e2e_streaming_bloom),
+        ("job_e2e_streaming_admission", _run_e2e_streaming_admission),
     ):
         if only is not None and name not in only:
             continue

@@ -1267,11 +1267,17 @@ def count_bloom_hits(
             .cast("long")
             .alias("n_bloom_hits"),
         )
+    # posexplode, not explode: a repeated gram in the array counts once
+    # PER OCCURRENCE in the literal regime (size of a filtered array),
+    # so the join regime groups by (id, position), never by gram value
     probes = df.select(
-        id_col, *keep, F.explode_outer(F.col(grams_col)).alias("_g")
+        id_col,
+        *keep,
+        F.posexplode_outer(F.col(grams_col)).alias("_i", "_g"),
     ).select(
         id_col,
         *keep,
+        "_i",
         "_g",
         F.explode_outer(
             F.when(
@@ -1291,6 +1297,7 @@ def count_bloom_hits(
         .select(
             id_col,
             *keep,
+            "_i",
             "_g",
             (
                 F.col("_g").isNotNull()
@@ -1303,7 +1310,7 @@ def count_bloom_hits(
                 )
             ).alias("_hit"),
         )
-        .groupBy(id_col, "_g")
+        .groupBy(id_col, "_i")
         .agg(
             F.bool_and("_hit").alias("_all"),
             *[F.first(c).alias(c) for c in keep],

@@ -181,9 +181,7 @@ def quantiles_from_sketch(
     weighted = sketch.select(
         "value",
         "tb",
-        F.shiftleft(F.lit(1).cast("long"), F.col("level").cast("int")).alias(
-            "w"
-        ),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))").alias("w"),
     )
     total = weighted.agg(F.sum("w").alias("W"))
     running = weighted.select(

@@ -1177,13 +1177,18 @@ def admission_stream(
     (append parquet — the decision log), and folds the ADMITTED docs'
     fingerprints and banding rows back into the layouts so the standing
     state advances in-stream. Quota- and dup-rejected docs are NOT
-    folded (a rejected doc never becomes corpus). Decisions materialize
-    BEFORE the folds (persist + write), so a batch's verdicts never see
-    its own appends; exactly-once on the decision log comes from the
-    checkpointed batch id (re-run batches overwrite deterministically —
-    appends of identical rows, the idempotent fold the bitmap/banding
-    union semantics give for free: re-appending the same fingerprints
-    ORs the same bits and re-caps the same buckets)."""
+    folded (a rejected doc never becomes corpus). The admitted id set is
+    PINNED on the driver between the decision write and the folds
+    (O(admitted-per-batch) rows — micro-batch-bounded, the runner-style
+    driver-collect budget): the decision plan reads the layout LAZILY,
+    so re-deriving 'admitted' from it after append_bloom has mutated the
+    words relation re-scores the batch against its own appends — every
+    genuinely-new doc turns bloom_positive and the fold silently admits
+    the quota rejects instead (caught by the stream≡twin parity test;
+    persist() alone does not reliably fence a foreachBatch plan from a
+    mid-batch filesystem append). Re-run batches fold idempotently:
+    re-appending the same fingerprints ORs the same bits and re-caps the
+    same buckets."""
     from ..llm import dedup as llm_dedup
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
@@ -1194,21 +1199,26 @@ def admission_stream(
         ).persist()
         try:
             dec.write.mode("append").parquet(decisions_path)
-            admitted = batch.join(
-                dec.filter(F.col("stage") == "admitted").select(id_col),
-                id_col,
-            )
-            llm_dedup.append_bloom(
-                sp, bloom_layout,
-                admitted.select(F.md5(F.col(text_col)).alias("_fp")),
-                "_fp",
-            )
-            llm_dedup.append_neardup_banding(
-                sp, neardup_layout, admitted,
-                text_col=text_col, id_col=id_col,
-            )
+            admitted_ids = [
+                r[0]
+                for r in dec.filter(F.col("stage") == "admitted")
+                .select(id_col)
+                .collect()
+            ]
         finally:
             dec.unpersist()
+        if not admitted_ids:
+            return
+        admitted = batch.filter(F.col(id_col).isin(admitted_ids))
+        llm_dedup.append_bloom(
+            sp, bloom_layout,
+            admitted.select(F.md5(F.col(text_col)).alias("_fp")),
+            "_fp",
+        )
+        llm_dedup.append_neardup_banding(
+            sp, neardup_layout, admitted,
+            text_col=text_col, id_col=id_col,
+        )
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -2024,7 +2024,7 @@ def test_bloom_generation_rotation_forgets_deleted_keys(spark, tmp_path):
 
     def fps(lo, hi):
         return spark.range(lo, hi).select(
-            F.md5(F.col("id").cast("string")).alias("_fp")
+            "id", F.md5(F.col("id").cast("string")).alias("_fp")
         )
 
     root = str(tmp_path / "bloom_gens")
@@ -2037,37 +2037,31 @@ def test_bloom_generation_rotation_forgets_deleted_keys(spark, tmp_path):
 
     def verdicts(words, params, meta):
         got = dedup.bloom_membership(
-            fps(0, 500).withColumn("doc_id", F.monotonically_increasing_id()),
-            params, words, "_fp", "_fp",
+            fps(0, 500), params, words, "_fp", "id",
             k=meta["k"], hash_engine=meta["hash_engine"],
         )
-        return {r["_fp"]: r["bloom_positive"] for r in got.collect()}
+        return {r["id"]: r["bloom_positive"] for r in got.collect()}
 
-    all_fp = {r["_fp"]: r["id"] for r in fps(0, 500).withColumn(
-        "id", F.monotonically_increasing_id()).collect()}
-    v1 = verdicts(words, params, meta)
     # appended keys fold into the CURRENT generation through the root
     dedup.append_bloom(spark, root, fps(400, 450), "_fp")
     _, params, words = dedup.read_bloom_layout(spark, root)
     v1 = verdicts(words, params, meta)
-    standing = {r["_fp"] for r in fps(0, 450).collect()}
-    assert all(v1[f] for f in standing)  # no FN, incl. appended
+    standing = set(range(450))
+    assert all(v1[i] for i in standing)  # no FN, incl. appended
 
-    # the old generation keeps serving while the rebuild runs: hold a
-    # lazy reader on gen1, rotate to retained = ids 0..300 (drop 300+)
-    old_words = words
+    # rotate to retained = ids 0..300 (drop 300+); the old generation's
+    # verdicts were already materialized above, and the gen dir survives
     retained = fps(0, 300)
     gen2 = dedup.rotate_bloom_layout(spark, root, retained, "_fp")
     assert gen2.endswith("gen-000002")
-    assert all(v1[f] for f in standing)  # v1 already materialized
-    assert {r["word_idx"] for r in old_words.limit(1).collect()} is not None
+    assert all(v1[i] for i in standing)
 
     meta2, params2, words2 = dedup.read_bloom_layout(spark, root)
     assert meta2["hash_engine"] == "xxhash64"  # sizing carried over
     assert meta2["bits_per_key"] == 10
     v2 = verdicts(words2, params2, meta2)
-    kept = {r["_fp"] for r in retained.collect()}
-    assert all(v2[f] for f in kept), "retained key lost by rotation"
+    kept = set(range(300))
+    assert all(v2[i] for i in kept), "retained key lost by rotation"
     deleted = standing - kept
     readmitted = [f for f in deleted if not v2[f]]
     assert len(readmitted) > 0.8 * len(deleted), (

@@ -17,30 +17,39 @@ from pyspark.sql import functions as F
 from kafka_to_nexus_spark.llm import dedup
 from kafka_to_nexus_spark.streaming import stateful
 
-BASE = ("the quick brown fox jumps over the lazy dog while the band "
-        "plays a very long tune about data pipelines and admission ")
+# standing corpus: docs 100..109 — bodies must be pairwise DISSIMILAR
+# (below tau) so only the constructed near-dup pairs trip the gate;
+# sharing a long template across fixtures makes everything a near-dup
+# of everything (found the hard way)
+def _body(word: str) -> str:
+    return f"{word} {word[::-1]} {word}ish {word}ness {word}ly " * 8
 
-# standing corpus: docs 100..109, distinct bodies
-STANDING = [(100 + i, BASE + f"standing body number {i} " * 3, "seed")
-            for i in range(10)]
+
+STANDING = [
+    (100 + i, _body(w), "seed")
+    for i, w in enumerate(
+        "anchor bridge copper dragon ember forest garnet harbor "
+        "island juniper".split()
+    )
+]
 
 QUOTA, TAU = 2, 0.5
 
 # batch 1 arrivals
 B1 = [
-    (1, STANDING[0][1], "src_a"),              # exact dup of standing
-    (2, STANDING[1][1] + "tail", "src_a"),     # near-dup of standing
-    (3, BASE + "novel alpha " * 4, "src_a"),   # admitted
-    (4, BASE + "novel beta " * 4, "src_a"),    # admitted
-    (5, BASE + "novel gamma " * 4, "src_a"),   # quota (3rd src_a survivor)
-    (6, BASE + "novel delta " * 4, "src_b"),   # admitted
+    (1, STANDING[0][1], "src_a"),               # exact dup of standing
+    (2, STANDING[1][1] + "tail", "src_a"),      # near-dup of standing
+    (3, _body("alpha"), "src_a"),               # admitted
+    (4, _body("quartz"), "src_a"),              # admitted
+    (5, _body("gamma"), "src_a"),               # quota (3rd src_a survivor)
+    (6, _body("delta"), "src_b"),               # admitted
 ]
 # batch 2 arrivals — the fold-back probes
 B2 = [
-    (7, B1[2][1], "src_b"),                    # exact dup of ADMITTED doc 3
-    (8, B1[3][1] + "tail", "src_b"),           # near-dup of ADMITTED doc 4
-    (9, B1[4][1], "src_b"),                    # copy of QUOTA-REJECTED doc 5
-    (10, BASE + "novel epsilon " * 4, "src_b"),
+    (7, B1[2][1], "src_b"),                     # exact dup of ADMITTED doc 3
+    (8, B1[3][1] + "tail", "src_b"),            # near-dup of ADMITTED doc 4
+    (9, B1[4][1], "src_b"),                     # copy of QUOTA-REJECTED doc 5
+    (10, _body("epsilon"), "src_b"),
 ]
 
 EXPECT = {
