@@ -122,6 +122,10 @@ FAMILY = {
     # r11: real PNG pixel decode + perceptual near-dup (banded dHash)
     "image_phash": "documents",
     "image_phash_near_dup": "documents",
+    # r11: deterministic KLL quantile sketch — 24 geometrically-shrinking
+    # sharded windows (total shuffled rows ~2n), then integer rank math
+    # over the compacted relation
+    "kll_quantiles": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
@@ -231,6 +235,9 @@ X1000_OPS = {
     # r10 (late): the regression rides the vocab relation; the corpus
     # term-count shuffle is the only scaling term
     "zipf_slope",
+    # r11: the sketch's whole point is bounded state at any n — the
+    # 5M-doc tier is where a hidden corpus-sized term would show
+    "kll_quantiles",
     # r11 note: image_phash / image_phash_near_dup stop at x100 (1M
     # images): the ops are per-image-constant-bound (measured ~0.6 ms
     # per 16x16 image end to end), so the x1000 tier would spend ~100
