@@ -206,3 +206,89 @@ def quantiles_from_sketch(
         f"stack({len(quantiles)}, {stack}) AS (quantile, q_value, target_rank)",
         "W AS total_weight",
     )
+
+
+# --- stored sketch layout + streaming maintenance ----------------------------
+
+
+def write_sketch_layout(sketch: DataFrame, path: str) -> None:
+    """Persist a sketch relation (level, value, tb) — tiny (~k·levels
+    rows), so the layout is a single parquet dir."""
+    sketch.select("level", "value", "tb").write.mode("overwrite").parquet(
+        path
+    )
+
+
+def read_sketch_layout(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _publish_generation(root: str, gen: str) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(root, "_current.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen}, f)
+    os.replace(tmp, os.path.join(root, "_current.json"))
+
+
+def resolve_sketch_generation(root: str) -> str | None:
+    """Current generation dir of a streamed sketch root, or None before
+    the first batch (callers treat that as the empty sketch)."""
+    import json
+    import os
+
+    ptr = os.path.join(root, "_current.json")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return os.path.join(root, json.load(f)["generation"])
+
+
+def sketch_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    value_col: str = "value",
+    tb_col: str = "tb",
+    k: int = DEFAULT_K,
+    shards: int = DEFAULT_SHARDS,
+):
+    """Streaming maintenance of the quantile sketch: each micro-batch
+    builds its own sketch and merges into the standing one (the monoid),
+    publishing generation ``gen-<batch_id>`` plus an atomic _current
+    pointer (the layouts' rename-first discipline — readers resolve the
+    previous or the new generation, never a partial write).
+
+    EXACTLY-ONCE, structurally: generation N merges from generation
+    N-1's FILES, never from the pointer, so a replayed batch (failure
+    recovery) rebuilds the same gen-N from the same inputs — merge is
+    deterministic (md5 flips keyed on (level, round)), so the replay is
+    byte-identical and a double-fold (which would double-count weight —
+    the sketch is NOT idempotent under re-merge, unlike the Bloom OR)
+    is impossible by construction. Readers: resolve_sketch_generation →
+    read_sketch_layout → quantiles_from_sketch."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        sp = batch.sparkSession
+        gen_dir = os.path.join(root, f"gen-{batch_id}")
+        prev_dir = os.path.join(root, f"gen-{batch_id - 1}")
+        batch_sketch = build_sketch(batch, value_col, tb_col, k, shards)
+        if os.path.exists(prev_dir):
+            merged = merge_sketches(
+                read_sketch_layout(sp, prev_dir), batch_sketch, k
+            )
+        else:
+            merged = batch_sketch
+        write_sketch_layout(merged, gen_dir)
+        _publish_generation(root, f"gen-{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

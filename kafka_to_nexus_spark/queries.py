@@ -6744,6 +6744,76 @@ run AS (SELECT value,
 ORACLE["kll_quantiles"] = _kll_oracle()
 
 
+# ceil(eps * W) band the certificate flags against — matches the pytest
+# band (measured headroom ~2x over worst observed at both sf tiers)
+_KLL_EPS_NUM, _KLL_EPS_DEN = 5, 100
+
+
+def _q_kll_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch's accuracy, MEASURED per quantile (the L71/L73
+    certificate move — 'measured, not argued'): for each reported
+    quantile, the EXACT rank of the returned value over the raw corpus,
+    the signed rank error vs the target, and a within-band flag at
+    eps = 5% of W. One extra corpus pass (a broadcast of 6 thresholds +
+    one conditional-count aggregation) — the certificate costs one scan,
+    the production query (kll_quantiles) costs none of this."""
+    from pyspark.sql import functions as F
+
+    from .llm import quantiles as qz
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    q = qz.quantiles_from_sketch(
+        qz.build_sketch(docs, value_col="n_chars", tb_col="doc_id")
+    )
+    exact = (
+        docs.crossJoin(F.broadcast(q.select("quantile", "q_value")))
+        .groupBy("quantile")
+        .agg(
+            F.sum(
+                F.when(F.col("n_chars") <= F.col("q_value"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_rank")
+        )
+    )
+    return q.join(exact, "quantile").select(
+        "quantile",
+        "q_value",
+        "target_rank",
+        "exact_rank",
+        (F.col("exact_rank") - F.col("target_rank")).alias("rank_err"),
+        (
+            F.abs(F.col("exact_rank") - F.col("target_rank"))
+            <= F.expr(
+                f"CAST((total_weight * {_KLL_EPS_NUM} + {_KLL_EPS_DEN - 1})"
+                f" DIV {_KLL_EPS_DEN} AS BIGINT)"
+            )
+        ).alias("within_band"),
+    )
+
+
+def _kll_certificate_oracle() -> str:
+    base = _kll_oracle()
+    return f"""WITH q AS ({base}),
+exact AS (
+  SELECT q.quantile,
+         CAST(count(*) FILTER (WHERE d.n_chars <= q.q_value) AS BIGINT)
+           AS exact_rank
+  FROM q, documents d GROUP BY q.quantile
+)
+SELECT q.quantile, q.q_value, q.target_rank, e.exact_rank,
+       e.exact_rank - q.target_rank AS rank_err,
+       abs(e.exact_rank - q.target_rank)
+         <= CAST((q.total_weight * {_KLL_EPS_NUM} + {_KLL_EPS_DEN - 1})
+                 // {_KLL_EPS_DEN} AS BIGINT) AS within_band
+FROM q JOIN exact e ON q.quantile = e.quantile
+"""
+
+
+ORACLE["kll_error_certificate"] = _kll_certificate_oracle()
+
+
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_term": _q_tfidf_top_term,
     "bm25_topk": _q_bm25_topk,
@@ -6802,6 +6872,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_wav_meta": _q_multimodal_wav_meta,
     "image_phash": _q_image_phash,
     "kll_quantiles": _q_kll_quantiles,
+    "kll_error_certificate": _q_kll_error_certificate,
     "image_phash_near_dup": _q_image_phash_near_dup,
     "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "minhash_jaccard_estimate": _q_minhash_estimate,

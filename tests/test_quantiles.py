@@ -165,3 +165,61 @@ def test_sketch_plan_is_bounded_windows(spark):
     # (running cum over the sketch); the corpus-sized stage is always
     # hash-partitioned by shard
     assert "hashpartitioning(shard" in plan, plan[:2000]
+
+
+def test_sketch_stream_matches_sequential_merges(spark, tmp_path):
+    """Streaming maintenance: per micro-batch build + merge into the
+    standing generation, atomic pointer publish. The streamed final
+    sketch must equal the batch-side sequential merges of the same
+    splits BYTE-for-byte (merge is deterministic), and rebuilding a
+    generation from its inputs (a replayed batch) reproduces it exactly
+    — the exactly-once story."""
+    import json
+    import os
+
+    batches = [
+        [(tb, (tb * 37) % 997) for tb in range(lo, lo + 120)]
+        for lo in (0, 120, 240)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for seq, rows in enumerate(batches):
+        with open(in_dir / f"b{seq}.json", "w") as fh:
+            for tb, v in rows:
+                fh.write(json.dumps({"tb": tb, "value": v}) + "\n")
+        t0 = 1_700_000_000 + seq * 10
+        os.utime(in_dir / f"b{seq}.json", (t0, t0))
+
+    root = str(tmp_path / "sketch")
+    stream = (spark.readStream.schema("tb long, value long")
+              .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = qz.sketch_stream(stream, root, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cur = qz.resolve_sketch_generation(root)
+    assert cur is not None and cur.endswith("gen-2")
+    rows = lambda df: sorted((r.level, r.value, r.tb) for r in df.collect())
+    got = rows(qz.read_sketch_layout(spark, cur))
+
+    # batch twin: sequential merges of the same splits
+    def bdf(rows_):
+        return spark.createDataFrame(rows_, "tb long, value long")
+
+    acc = qz.build_sketch(bdf(batches[0]), "value", "tb")
+    for rows_ in batches[1:]:
+        acc = qz.merge_sketches(acc, qz.build_sketch(bdf(rows_), "value", "tb"))
+    assert got == rows(acc)
+
+    # weight == total rows (conservation survives the streamed merges)
+    out = qz.quantiles_from_sketch(
+        qz.read_sketch_layout(spark, cur)).collect()
+    assert all(r.total_weight == sum(len(b) for b in batches) for r in out)
+
+    # replay: rebuild gen-2 from gen-1 + batch 2 → byte-identical
+    prev = qz.read_sketch_layout(spark, os.path.join(root, "gen-1"))
+    replay = qz.merge_sketches(
+        prev, qz.build_sketch(bdf(batches[2]), "value", "tb"))
+    assert rows(replay) == got

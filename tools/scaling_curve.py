@@ -126,6 +126,7 @@ FAMILY = {
     # sharded windows (total shuffled rows ~2n), then integer rank math
     # over the compacted relation
     "kll_quantiles": "documents",
+    "kll_error_certificate": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
