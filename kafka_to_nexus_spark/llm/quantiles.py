@@ -88,7 +88,13 @@ def _parity(level: Column, rnd: int) -> Column:
     )
 
 
-def _compact_round(df: DataFrame, rnd: int, k: int, sharded: bool) -> DataFrame:
+def _compact_round(
+    df: DataFrame,
+    rnd: int,
+    k: int,
+    sharded: bool,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """One KLL compaction round over every level at once: levels at or
     under capacity pass through; an overflowing level sorts by (value,
     tb), pairs adjacent items, keeps the md5-parity side of each pair
@@ -96,7 +102,7 @@ def _compact_round(df: DataFrame, rnd: int, k: int, sharded: bool) -> DataFrame:
     conserved up to the dropped pair halves — the KLL estimator
     contract). A round where nothing overflows is the identity, which
     is what makes the fixed unroll safe."""
-    part = ["shard", "level"] if sharded else ["level"]
+    part = list(group_cols) + (["shard", "level"] if sharded else ["level"])
     w = Window.partitionBy(*part)
     wo = w.orderBy("value", "tb")
     cnt = F.count("*").over(w)
@@ -104,7 +110,8 @@ def _compact_round(df: DataFrame, rnd: int, k: int, sharded: bool) -> DataFrame:
     pairs = (cnt / 2).cast("long") * 2
     parity = _parity(F.col("level"), rnd)
     staged = df.select(
-        *part,
+        *[c for c in part if c not in group_cols],
+        *group_cols,
         "value",
         "tb",
         cnt.alias("_cnt"),
@@ -117,6 +124,7 @@ def _compact_round(df: DataFrame, rnd: int, k: int, sharded: bool) -> DataFrame:
         | (F.col("_rn") >= F.col("_pairs"))
         | (F.col("_rn") % 2 == F.col("_par"))
     ).select(
+        *group_cols,
         *(["shard"] if sharded else []),
         F.when(
             (F.col("_cnt") > k) & (F.col("_rn") < F.col("_pairs")),
@@ -135,6 +143,7 @@ def build_sketch(
     tb_col: str = "tb",
     k: int = DEFAULT_K,
     shards: int = DEFAULT_SHARDS,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(level, value, tb) sketch relation from a raw value relation.
     ``tb_col`` is the deterministic tie-break identity (unique per item,
@@ -142,16 +151,19 @@ def build_sketch(
     SHARD_ROUNDS sharded compactions, then GLOBAL_ROUNDS over the
     shard-union — at most ~k·log(W/k) rows come out."""
     cur = df.select(
+        *group_cols,
         (F.col(tb_col) % shards).alias("shard"),
         F.lit(0).cast("long").alias("level"),
         F.col(value_col).cast("long").alias("value"),
         F.col(tb_col).cast("long").alias("tb"),
     )
     for rnd in range(SHARD_ROUNDS):
-        cur = _compact_round(cur, rnd, k, sharded=True)
-    cur = cur.select("level", "value", "tb")
+        cur = _compact_round(cur, rnd, k, sharded=True, group_cols=group_cols)
+    cur = cur.select(*group_cols, "level", "value", "tb")
     for rnd in range(GLOBAL_ROUNDS):
-        cur = _compact_round(cur, SHARD_ROUNDS + rnd, k, sharded=False)
+        cur = _compact_round(
+            cur, SHARD_ROUNDS + rnd, k, sharded=False, group_cols=group_cols
+        )
     return cur
 
 
@@ -291,4 +303,51 @@ def sketch_stream(
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def grouped_quantiles_from_sketch(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...],
+    quantiles: list[tuple[str, int, int]] = QUANTILES,
+) -> DataFrame:
+    """Per-group quantiles from a grouped sketch (build_sketch with the
+    same ``group_cols``): the dashboard shape — one row per (group,
+    quantile). Identical integer rank math, with the running weight and
+    totals partitioned by group; every window runs over the compacted
+    sketch (~k·levels rows PER GROUP), never the corpus."""
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("value", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    running = sketch.select(
+        *group_cols,
+        "value",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))").alias("w"),
+        "tb",
+    ).select(
+        *group_cols,
+        "value",
+        F.sum("w").over(wo).alias("cum"),
+        F.sum("w").over(wt).alias("W"),
+    )
+    aggs = []
+    for name, num, den in quantiles:
+        t = F.expr(f"CAST((W * {num} + {den - 1}) DIV {den} AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= t, F.col("value"))).alias(
+                f"v_{name}"
+            )
+        )
+        aggs.append(F.max(t).alias(f"t_{name}"))
+    one = running.groupBy(*group_cols).agg(*aggs, F.max("W").alias("W"))
+    stack = ", ".join(
+        f"'{name}', v_{name}, t_{name}" for name, _, _ in quantiles
+    )
+    return one.selectExpr(
+        *group_cols,
+        f"stack({len(quantiles)}, {stack}) AS (quantile, q_value, target_rank)",
+        "W AS total_weight",
     )

@@ -6674,7 +6674,11 @@ def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qz.quantiles_from_sketch(sk)
 
 
-def _kll_oracle() -> str:
+def _kll_oracle(groups: tuple[str, ...] = ()) -> str:
+    """Generated-CTE replay of the full sketch construction (one CTE per
+    compaction round, same window transformation, same md5 parities) —
+    parameterized by grouping columns so the global and per-group
+    telemetry queries share one generator."""
     from .llm.quantiles import (
         DEFAULT_K,
         DEFAULT_SHARDS,
@@ -6684,18 +6688,20 @@ def _kll_oracle() -> str:
     )
 
     k = DEFAULT_K
+    g = "".join(f"{c}, " for c in groups)          # leading group cols
+    gpart = ", ".join(groups)                       # partition prefix
     ctes = [f"""
 st0 AS (
-  SELECT doc_id % {DEFAULT_SHARDS} AS shard, CAST(0 AS BIGINT) AS level,
+  SELECT {g}doc_id % {DEFAULT_SHARDS} AS shard, CAST(0 AS BIGINT) AS level,
          CAST(n_chars AS BIGINT) AS value, CAST(doc_id AS BIGINT) AS tb
   FROM documents)"""]
     n = 0
     for rnd in range(SHARD_ROUNDS + GLOBAL_ROUNDS):
         sharded = rnd < SHARD_ROUNDS
-        part = "shard, level" if sharded else "level"
-        cols = "shard, " if sharded else ""
+        part = g + ("shard, level" if sharded else "level")
+        cols = g + ("shard, " if sharded else "")
         drop_shard = (
-            f"s{SHARD_ROUNDS} AS (SELECT level, value, tb "
+            f"s{SHARD_ROUNDS} AS (SELECT {g}level, value, tb "
             f"FROM st{SHARD_ROUNDS}),"
             if rnd == SHARD_ROUNDS
             else ""
@@ -6718,24 +6724,27 @@ st{n + 1} AS (
   WHERE _cnt <= {k} OR _rn >= _pairs OR _rn % 2 = _par)""")
         n += 1
     final = f"st{n}"
+    by = f" PARTITION BY {gpart}" if groups else ""
+    grp = f" GROUP BY {gpart}" if groups else ""
     legs = " UNION ALL ".join(
-        f"""SELECT '{name}' AS quantile,
+        f"""SELECT {g}'{name}' AS quantile,
        min(CASE WHEN cum >= CAST((W * {num} + {den - 1}) // {den} AS BIGINT)
                 THEN value END) AS q_value,
        CAST(max((W * {num} + {den - 1}) // {den}) AS BIGINT) AS target_rank,
-       CAST(max(W) AS BIGINT) AS total_weight FROM run"""
+       CAST(max(W) AS BIGINT) AS total_weight FROM run{grp}"""
         for name, num, den in QUANTILES
     )
     return (
         "WITH "
         + ",".join(ctes)
         + f""",
-wsk AS (SELECT value, tb, CAST(1 AS BIGINT) << CAST(level AS INT) AS w
+wsk AS (SELECT {g}value, tb, CAST(1 AS BIGINT) << CAST(level AS INT) AS w
         FROM {final}),
-run AS (SELECT value,
-               sum(w) OVER (ORDER BY value, tb ROWS UNBOUNDED PRECEDING)
+run AS (SELECT {g}value,
+               sum(w) OVER ({by.strip() if groups else ''}
+                            ORDER BY value, tb ROWS UNBOUNDED PRECEDING)
                  AS cum,
-               sum(w) OVER () AS W
+               sum(w) OVER ({by.strip() if groups else ''}) AS W
         FROM wsk)
 {legs}"""
     )
@@ -6826,6 +6835,26 @@ FROM q JOIN exact e ON q.quantile = e.quantile
 ORACLE["kll_error_certificate"] = _kll_certificate_oracle()
 
 
+def _q_kll_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group telemetry (the dashboard shape): the same deterministic
+    sketch built per language slice — group columns ride every
+    compaction partition, so each group compacts independently and the
+    output is one row per (lang, quantile). The oracle is the same
+    generated round-replay with the group prefix threaded through every
+    PARTITION BY."""
+    from .llm import quantiles as qz
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("lang", "doc_id", "n_chars")
+    sk = qz.build_sketch(
+        docs, value_col="n_chars", tb_col="doc_id", group_cols=("lang",)
+    )
+    return qz.grouped_quantiles_from_sketch(sk, ("lang",))
+
+
+ORACLE["kll_quantiles_by_lang"] = _kll_oracle(groups=("lang",))
+
+
 QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_term": _q_tfidf_top_term,
     "bm25_topk": _q_bm25_topk,
@@ -6885,6 +6914,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_phash": _q_image_phash,
     "kll_quantiles": _q_kll_quantiles,
     "kll_error_certificate": _q_kll_error_certificate,
+    "kll_quantiles_by_lang": _q_kll_quantiles_by_lang,
     "image_phash_near_dup": _q_image_phash_near_dup,
     "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "minhash_jaccard_estimate": _q_minhash_estimate,

@@ -223,3 +223,37 @@ def test_sketch_stream_matches_sequential_merges(spark, tmp_path):
     replay = qz.merge_sketches(
         prev, qz.build_sketch(bdf(batches[2]), "value", "tb"))
     assert rows(replay) == got
+
+
+def test_grouped_sketch_equals_independent_group_builds(spark):
+    """Per-group construction decomposes EXACTLY: building with
+    group_cols=("lang",) yields, for every language, the byte-identical
+    sketch of that language's subset built alone — the group columns
+    only prefix the partition keys, so each group's compaction history
+    is untouched by the others. Grouped quantiles therefore inherit
+    every global pin (model parity, weight conservation, accuracy band)
+    per group for free; this test pins the decomposition and the
+    per-group weights."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("lang", "doc_id", "n_chars")
+    grouped = qz.build_sketch(
+        docs, "n_chars", "doc_id", group_cols=("lang",)
+    )
+    rows = lambda df, *c: sorted(tuple(r[x] for x in c) for r in df.collect())
+    got = {}
+    for r in grouped.collect():
+        got.setdefault(r.lang, []).append((r.level, r.value, r.tb))
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    assert set(got) == set(langs)
+    for lang in langs:
+        solo = qz.build_sketch(
+            docs.filter(F.col("lang") == lang), "n_chars", "doc_id"
+        )
+        assert sorted(got[lang]) == rows(solo, "level", "value", "tb"), lang
+
+    out = qz.grouped_quantiles_from_sketch(grouped, ("lang",)).collect()
+    n_by_lang = {r.lang: r["count"] for r in
+                 docs.groupBy("lang").count().collect()}
+    assert all(r.total_weight == n_by_lang[r.lang] for r in out)
+    assert len(out) == len(langs) * len(qz.QUANTILES)

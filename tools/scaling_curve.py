@@ -127,6 +127,7 @@ FAMILY = {
     # over the compacted relation
     "kll_quantiles": "documents",
     "kll_error_certificate": "documents",
+    "kll_quantiles_by_lang": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
