@@ -958,3 +958,12 @@ def test_image_phash_fixture_is_single_pass(spark):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kll_grouped_plan_partitions_by_group_and_shard(spark):
+    """kll_quantiles_by_lang: the corpus-sized compaction stage shuffles
+    on (lang, shard, ...) — per-group parallelism — and no stage windows
+    over an un-partitioned corpus; no cartesian product anywhere."""
+    plan = _executed_plan(spark, "kll_quantiles_by_lang")
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(lang" in plan, plan[:2000]
