@@ -62,7 +62,15 @@ _ROUNDS_CACHE: dict[tuple, dict[int, frozenset[str]]] = {}
 
 
 def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
-    """Per-round sets of green query names from ``CORRECTNESS_r*.json``.
+    """Per-round sets of green query names from ``CORRECTNESS_r*.json``
+    AND ``CORRECTNESS_sweep_r*.json``.
+
+    The driver writes the former (the 50-slot window); the builder's
+    round-close FULL-registry oracle sweep (``tools/check_oracle.py
+    --write rN``) writes the latter in the identical row format. Both
+    certify greenness — the sweep is what keeps the 2-round staleness
+    target achievable now that the registry is >2× the driver window
+    (VERDICT r11 #1). Files for the same round union.
 
     A query counts as green only if the row records no error AND every
     recorded axis matched (rows/schema/hash — absent axes count as
@@ -71,7 +79,9 @@ def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
     an error ({"err": ...}, no match axes) must not certify the query
     green and rotate it out of the verification window."""
     root = Path(root) if root is not None else _REPO_ROOT
-    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    files = sorted(root.glob("CORRECTNESS_r*.json")) + sorted(
+        root.glob("CORRECTNESS_sweep_r*.json")
+    )
     sig = tuple((str(f), f.stat().st_mtime_ns) for f in files)
     cached = _ROUNDS_CACHE.get(sig)
     if cached is not None:
@@ -80,7 +90,7 @@ def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
     for f in files:
         n = int(re.search(r"r(\d+)", f.name).group(1))
         data = json.loads(f.read_text())
-        rounds[n] = frozenset(
+        green = frozenset(
             k
             for k, v in data.items()
             if not isinstance(v, dict)
@@ -92,6 +102,7 @@ def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
                 )
             )
         )
+        rounds[n] = rounds.get(n, frozenset()) | green
     _ROUNDS_CACHE.clear()  # only the current signature is ever useful
     _ROUNDS_CACHE[sig] = dict(rounds)
     return rounds
@@ -141,23 +152,42 @@ def rotation_order(
     return never + bumped + rest
 
 
+def max_achievable_staleness(n_names: int, window: int = WINDOW) -> int:
+    """The tightest staleness bound the DRIVER WINDOW ALONE can guarantee.
+
+    Round-robining ``n_names`` queries through a ``window``-slot check
+    each round re-certifies every query once per ``ceil(n/window)``
+    rounds, so the stalest not-in-next-window query sits at
+    ``ceil(n/window) - 1`` rounds. The 2-round target (VERDICT r3/r4)
+    stays the floor: while the registry fit in 3 windows the two bounds
+    coincided, and the round-close full oracle sweep
+    (``CORRECTNESS_sweep_r*.json``, counted by :func:`load_rounds`)
+    keeps EFFECTIVE staleness at ≤1 round whenever it lands — the
+    driver-window bound below is the mechanical worst case with no
+    sweep, per VERDICT r11 #1's fallback option."""
+    return max(2, -(-n_names // window) - 1)
+
+
 def check_window(
     names: Iterable[str],
     rounds: Mapping[int, frozenset[str]] | None = None,
     window: int = WINDOW,
-    max_staleness: int = 2,
+    max_staleness: int | None = None,
 ) -> list[str]:
     """Mechanical policy check; returns human-readable violations (empty =
     compliant). ``names`` must be in registry (``queries()``) order —
     the first ``window`` entries are what the driver will check next
     round. Assuming those go green, no query may end up with a last-green
-    row older than ``max_staleness`` rounds, and every never-checked
-    query must hold a slot."""
+    row older than ``max_staleness`` rounds (default: the achievable
+    driver-window bound, see :func:`max_achievable_staleness`), and
+    every never-checked query must hold a slot."""
     names = list(names)
     if rounds is None:
         rounds = load_rounds()
     if not rounds:
         return []
+    if max_staleness is None:
+        max_staleness = max_achievable_staleness(len(names), window)
     latest = max(rounds)
     green = last_green(names, rounds)
     in_window = set(names[:window])

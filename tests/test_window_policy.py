@@ -7,7 +7,12 @@ ordering IS the verification budget. The standing policy (VERDICT r3/r4):
 - every query that has NEVER been driver-checked must hold a slot in the
   current window (new queries enter the window the round they land);
 - assuming the current window goes green next round, no formerly-green
-  query's last green row may become older than two rounds.
+  query's last green row may become older than the achievable bound
+  (``rotation.max_achievable_staleness``: floor 2, else
+  ceil(N/window)-1 — at 151 queries the original 2-round bound is
+  driver-window-unsatisfiable, VERDICT r11 #1), with the round-close
+  FULL oracle sweep (``CORRECTNESS_sweep_r*.json``) as the compensating
+  control that resets EVERY query's staleness whenever it lands.
 
 Round 4 enforced this by hand; rounds 5/6 as a static tuple (which was
 stale — and red — at every judge checkpoint, because a tuple can only be
@@ -87,6 +92,55 @@ def test_rotation_order_rules():
     assert order == ["a_new", "b_new", "old_r1", "old_r2", "changed_q"]
     # no history → None (any order is fine in round 1)
     assert rotation.rotation_order(names, {}) is None
+
+
+def test_max_achievable_staleness_bound():
+    """Floor of 2 while the registry fits in 3 windows, then exactly the
+    round-robin re-certification period minus one."""
+    f = rotation.max_achievable_staleness
+    assert f(50) == 2
+    assert f(150) == 2
+    assert f(151) == 3  # the r11 registry size that broke the fixed bound
+    assert f(200) == 3
+    assert f(201) == 4
+
+
+def test_sweep_files_count_as_green_rounds(tmp_path):
+    """A round-close full-sweep artifact (CORRECTNESS_sweep_rN.json) must
+    certify greenness exactly like a driver file, and same-round files
+    must union — the VERDICT r11 #1 preferred fix."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r5.json").write_text(json.dumps({
+        "in_window": {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_sweep_r5.json").write_text(json.dumps({
+        "in_window": {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "err": None},
+        "sweep_only": {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "err": None},
+        "sweep_red": {"rows_match": True, "schema_match": True,
+                      "hash_match": False, "err": None},
+    }))
+    rounds = rotation.load_rounds(tmp_path)
+    assert rounds[5] == frozenset({"in_window", "sweep_only"})
+
+
+def test_new_queries_enter_the_window_their_first_round():
+    """VERDICT r11 #7: the driver checks the FIRST 50 of queries() — a
+    freshly registered query (no green row anywhere in history) must be
+    ordered into that prefix immediately, ahead of every already-green
+    query, no matter how large the registry grows."""
+    names = list(Q.queries()) + ["zzz_brand_new_query"]
+    order = rotation.rotation_order(names)
+    assert order is not None
+    assert "zzz_brand_new_query" in order[: rotation.WINDOW]
+    # and that stays true while fewer than WINDOW never-checked queries
+    # exist, which the policy check itself enforces (a never-checked
+    # query outside the window is a violation regardless of staleness)
+    fresh = [q for q in order if rotation.last_green([q], rotation.load_rounds())[q] is None]
+    assert order[: len(fresh)] == sorted(fresh)
 
 
 def test_every_registry_query_has_an_oracle_or_is_documented():

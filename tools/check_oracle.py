@@ -1,11 +1,19 @@
 """Local replica of the driver's correctness gate: run each Spark query and
 its DuckDB oracle side-by-side, compare row count + order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--write rN]
+
+``--write rN`` (full-registry sweeps only) records the result as
+``CORRECTNESS_sweep_rN.json`` at the repo root in the driver's row format;
+``kafka_to_nexus_spark.rotation.load_rounds`` counts it as a green round
+for every matching query, which is what keeps the verification-window
+staleness policy satisfiable now that the registry exceeds 3 driver
+windows (VERDICT r11 #1).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from pathlib import Path
@@ -58,8 +66,27 @@ def schema_of(df) -> dict[str, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    write_round = None
+    if "--write" in argv:
+        i = argv.index("--write")
+        try:
+            write_round = argv[i + 1]
+        except IndexError:
+            print("ERROR: --write needs a round tag (e.g. --write r12)")
+            return 2
+        if not write_round.startswith("r") or not write_round[1:].isdigit():
+            print(f"ERROR: --write tag must look like r12, got {write_round!r}")
+            return 2
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if write_round and only:
+        # a sweep artifact must mean "the FULL registry ran" — a subset
+        # write could never create a false green, but it would dilute
+        # what the artifact certifies
+        print("ERROR: --write is only valid for full-registry sweeps")
+        return 2
     # corpus-constant oracles (bm25/unigram) must embed stats from the SAME
     # tier the views point at, or every non-default tier false-fails
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
@@ -78,6 +105,7 @@ def main() -> int:
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -85,6 +113,7 @@ def main() -> int:
             spark_df = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            records[name] = {"err": str(e)[:300]}
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
         finally:
@@ -93,21 +122,36 @@ def main() -> int:
             # every query after it in a full-registry sweep
             spark.catalog.clearCache()
         if name not in oracles:
+            # rows-only row, same weaker shape the driver records for
+            # oracle-less queries (absent axes count as matched)
+            records[name] = {"spark_rows": len(spark_df), "err": None}
             print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
             continue
         try:
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            records[name] = {"err": str(e)[:300]}
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             continue
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": len(spark_df),
+            "oracle_rows": len(duck_df),
+            "err": None,
+        }
+        records[name] = rec
         sa, sb = schema_of(spark_df), schema_of(duck_df)
+        rec["schema_match"] = sa == sb
         if sa != sb:
             failures.append(name)
             diff = {c: (sa.get(c), sb.get(c)) for c in set(sa) | set(sb) if sa.get(c) != sb.get(c)}
             print(f"FAIL {name}: schema mismatch: {diff}")
             continue
         a, b = normalize(spark_df), normalize(duck_df)
+        rec["rows_match"] = len(a) == len(b)
         if len(a) != len(b):
             failures.append(name)
             print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
@@ -116,8 +160,15 @@ def main() -> int:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
         else:
+            rec["hash_match"] = True
             print(f"OK   {name}: {len(a)} rows")
     spark.stop()
+    if write_round:
+        out = Path(__file__).resolve().parents[1] / (
+            f"CORRECTNESS_sweep_{write_round}.json"
+        )
+        out.write_text(json.dumps(records, indent=2) + "\n")
+        print(f"wrote {out} ({len(records)} rows)")
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
