@@ -871,6 +871,7 @@ def phash_near_dup(
     id_col: str = "media_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Perceptual near-dup pairs: (id_a, id_b, hamming) for all pairs
     with Hamming distance <= ``max_hamming`` on the 64-bit fingerprint —
@@ -880,7 +881,20 @@ def phash_near_dup(
     so an equi-join per band finds EVERY qualifying pair exactly (same
     guarantee shape as MinHash LSH banding, but exact, not
     probabilistic). Each band join is a shuffle on (band_idx, band_val);
-    the exact bit_count verify runs only on candidates."""
+    the exact bit_count verify runs only on candidates.
+
+    ``max_bucket`` caps per-(band_idx, band_val) bucket occupancy — the
+    same degenerate-bucket guard every other banding family carries
+    (``dedup._cap_banding``, VERDICT r11 #2): real crawls are full of
+    flat/monochrome images (logos, placeholders, tracking pixels) that
+    ALL hash to dhash64 = 0, and one such bucket squares the band join
+    at corpus scale. The cap keeps the deterministic first
+    ``max_bucket`` ids per bucket (row_number ordered by id), bounding
+    any bucket's pair output at C(max_bucket, 2) while leaving spread
+    buckets — everything the fixture and pigeonhole argument cover —
+    untouched. ``max_bucket=None`` is the uncapped exact relation, kept
+    registered as the cross-check twin (the L4/L15 capped/uncapped
+    precedent)."""
     if max_hamming >= bands:
         raise ValueError(
             f"banded exactness needs max_hamming < bands "
@@ -910,6 +924,19 @@ def phash_near_dup(
             )
         ).alias("band"),
     ).select("_id", "_h", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        banded = (
+            banded.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("band_idx", "band_val").orderBy("_id")
+                ),
+            )
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

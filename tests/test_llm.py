@@ -389,6 +389,31 @@ def test_phash_near_dup_guards():
         multimodal.phash_near_dup(None, bands=5, max_hamming=3)
 
 
+def test_phash_flood_bucket_cap(spark):
+    """VERDICT r11 #2: flat/monochrome images (logos, placeholders,
+    tracking pixels — ubiquitous in real crawls) ALL hash to dhash64=0,
+    so without an occupancy cap one (band_idx, 0) bucket goes quadratic
+    at corpus scale. 1000 monochrome PNGs through the REAL decode path:
+    the capped default emits exactly C(max_bucket, 2) pairs over the
+    deterministic first ids, the uncapped twin the full half-million."""
+    imgs = [
+        (i, bytearray(multimodal.encode_png(
+            [[(i % 7) * 30] * 8 for _ in range(8)], color_type=0)))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(imgs, "media_id long, payload binary")
+    hashes = multimodal.image_phash(df).persist()
+    assert hashes.filter("dhash64 = 0").count() == 1000
+    capped = multimodal.phash_near_dup(hashes).collect()  # max_bucket=64
+    assert len(capped) == 64 * 63 // 2
+    assert all(
+        r.id_a < 64 and r.id_b < 64 and r.hamming == 0 for r in capped
+    )
+    uncapped = multimodal.phash_near_dup(hashes, max_bucket=None)
+    assert uncapped.count() == 1000 * 999 // 2
+    hashes.unpersist()
+
+
 def _wav(channels=2, rate=8000, bits=16, data_size=16000, pre_chunks=0):
     out = b""
     for i in range(pre_chunks):  # e.g. LIST/INFO chunks before fmt

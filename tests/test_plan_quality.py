@@ -934,7 +934,10 @@ def test_image_phash_near_dup_plan_is_banded_equi_join(spark):
     equi-join (shuffle on (band_idx, band_val)), never a cartesian or
     nested-loop sweep of the hash relation — the property that keeps it
     linear-ish at 100 TB. The exact bit_count verify may appear only as
-    a post-join Filter."""
+    a post-join Filter, and the ONLY windows are the two sides'
+    per-bucket occupancy caps (partitioned by (band_idx, band_val), so
+    per-bucket parallel and bounded — the flood guard, VERDICT r11 #2),
+    never a corpus-wide rank."""
     plan = _executed_plan(spark, "image_phash_near_dup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -942,6 +945,22 @@ def test_image_phash_near_dup_plan_is_banded_equi_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+    assert 1 <= plan.count("Window [") <= 2, plan
+    # Spark pushes the row_number cap into WindowGroupLimit nodes (a
+    # partial limit BEFORE the shuffle) — the best possible shape: a
+    # flooded bucket is truncated map-side, never fully shuffled
+    assert "WindowGroupLimit" in plan, plan
+    assert "hashpartitioning(band_idx" in plan, plan[:2000]
+
+
+def test_image_phash_near_dup_uncapped_plan_window_free(spark):
+    """The exactness twin must stay the pure banded join — no cap
+    window, no cartesian — so the capped/uncapped value agreement
+    isolates exactly the cap's effect."""
+    plan = _executed_plan(spark, "image_phash_near_dup_uncapped")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_image_phash_fixture_is_single_pass(spark):
