@@ -51,6 +51,13 @@ CHANGED: dict[str, int] = {
     # a rounded mean (the bigram tie-proof shape, VERDICT r8 #1); output
     # schema and values changed, oracle updated to match
     "unigram_logprob_score": 9,
+    # r12: DEFAULT_SHARDS 8 → 256 (VERDICT r11 #3 — the 8-shard floor
+    # serialized the corpus-sized first compaction stage onto 8
+    # reducers); the sketch is a function of the shard key, so all
+    # three kll outputs changed, oracles regenerate from the constant
+    "kll_quantiles": 12,
+    "kll_error_certificate": 12,
+    "kll_quantiles_by_lang": 12,
 }
 
 _REPO_ROOT = Path(__file__).resolve().parents[1]

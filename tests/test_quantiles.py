@@ -73,9 +73,34 @@ def test_sketch_matches_pure_python_model(spark):
         [(r.doc_id, r.n_chars) for r in docs.collect()]
     )
     assert got == want
-    # compaction actually happened at this corpus size (shard ~62 > k=32)
+    # compaction actually happened at this corpus size (at 256 shards the
+    # sf0.01 shard phase is identity — ~2 docs/shard — so the GLOBAL
+    # rounds do the compacting: 500 level-0 items > k=32)
     assert any(lvl > 0 for lvl, _, _ in got)
     assert len(got) < docs.count()
+
+
+def test_sketch_matches_model_with_shard_compaction(spark):
+    """Same parity at shards=8, where sf0.01 DOES overflow the per-shard
+    capacity (~62 items/shard > k=32) — keeps the SHARDED compaction leg
+    exercised now that the 256-shard registry default leaves it identity
+    at the small test tiers (the default only overflows shards past
+    ~8k items)."""
+    docs = _docs(spark)
+    got = sorted(
+        (r.level, r.value, r.tb)
+        for r in qz.build_sketch(
+            docs, "n_chars", "doc_id", shards=8
+        ).collect()
+    )
+    pairs = [(r.doc_id, r.n_chars) for r in docs.collect()]
+    assert got == _sketch_py(pairs, shards=8)
+    # and the sharded rounds really compacted (shard-phase levels > 0
+    # before any global round could run): re-run the model shard phase
+    items = [(tb % 8, 0, v, tb) for tb, v in pairs]
+    for rnd in range(qz.SHARD_ROUNDS):
+        items = _compact_round_py(items, rnd, qz.DEFAULT_K, sharded=True)
+    assert any(lvl > 0 for _, lvl, _, _ in items)
 
 
 def test_sketch_weight_is_exactly_n(spark):
@@ -152,6 +177,37 @@ def test_sketch_merge_monoid(spark):
     assert rows(merged) == rows(swapped)
 
 
+def test_merge_unroll_scales_with_level(spark):
+    """ADVICE r11: the merge unroll follows the union's max level. A
+    standing sketch that is over capacity at MANY levels at once (the
+    long-running-stream shape a fixed 8-round unroll cannot converge —
+    the overflow wave climbs one level per round) must come out of ONE
+    merge with every level back at/under capacity and weight conserved;
+    and any rounds beyond convergence are identities (an explicit larger
+    unroll returns the byte-identical relation)."""
+    k = qz.DEFAULT_K
+    deep = [(lvl, v * 7919 % 65537, lvl * 1000 + v)
+            for lvl in range(13) for v in range(2 * k)]
+    half = len(deep) // 2
+    mk = lambda rows_: spark.createDataFrame(
+        rows_, "level long, value long, tb long")
+    a, b = mk(deep[:half]), mk(deep[half:])
+    want_w = sum(2 ** lvl for lvl, _, _ in deep)
+    merged = qz.merge_sketches(a, b).persist()
+    by_level = {
+        r.level: r["count"]
+        for r in merged.groupBy("level").count().collect()
+    }
+    assert all(c <= k for c in by_level.values()), by_level
+    w = merged.selectExpr(
+        "sum(shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))) AS w"
+    ).first().w
+    assert w == want_w
+    rows = lambda df: sorted((r.level, r.value, r.tb) for r in df.collect())
+    assert rows(qz.merge_sketches(a, b, rounds=30)) == rows(merged)
+    merged.unpersist()
+
+
 def test_sketch_plan_is_bounded_windows(spark):
     """Scale shape: every window partitions by (shard, level) or
     (level) — there is NO un-partitioned window over the raw corpus (the
@@ -165,6 +221,14 @@ def test_sketch_plan_is_bounded_windows(spark):
     # (running cum over the sketch); the corpus-sized stage is always
     # hash-partitioned by shard
     assert "hashpartitioning(shard" in plan, plan[:2000]
+    # VERDICT r11 #3: the shard count is the first-stage parallelism —
+    # 8 serialized the corpus onto 8 reducers; the floor is now 256
+    assert qz.DEFAULT_SHARDS >= 256
+    # r12: the corpus shuffles ONCE — all 16 shard rounds ride the one
+    # (shard) exchange as local sorts (hashpartitioning(shard) satisfies
+    # every (shard, level) window clustering), and W rides the running-
+    # sum window stage instead of a second agg over the sketch subtree
+    assert plan.count("hashpartitioning(shard") == 1, plan[:2000]
 
 
 def test_sketch_stream_matches_sequential_merges(spark, tmp_path):
