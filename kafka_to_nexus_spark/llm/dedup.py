@@ -1234,6 +1234,7 @@ def count_bloom_hits(
     id_col: str = "doc_id",
     hash_engine: str = "md5",
     literal_word_cap: int = BLOOM_LITERAL_WORD_CAP,
+    n_words: int | None = None,
 ) -> DataFrame:
     """Per-row count of ``grams_col`` array elements that probe
     bloom-positive against the ``words`` bitmap — CHOOSING the probe
@@ -1254,11 +1255,25 @@ def count_bloom_hits(
     functionally dependent on ``id_col``; in the join regime they ride
     F.first through the aggregations, so keep the input projection
     narrow there), replaces ``grams_col`` with ``n_bloom_hits``, and
-    rows whose gram array is empty yield n_bloom_hits = 0."""
+    rows whose gram array is empty yield n_bloom_hits = 0.
+
+    ``n_words`` (optional) short-circuits the chooser for callers that
+    already know the stored word count (e.g. from a layout's params —
+    ADVICE r11: repeat probes over the same filter shouldn't pay a
+    count() job per call). Without it the chooser runs ONE action — a
+    limit(cap+1) collect whose rows double as the literal map when they
+    fit — instead of the old count()-then-collect() pair."""
     keep = [c for c in df.columns if c not in (grams_col, id_col)]
-    n_words = words.count()
+    wrows = None
+    if n_words is None:
+        head = words.limit(literal_word_cap + 1).collect()
+        n_words = len(head)
+        if n_words <= literal_word_cap:
+            wrows = head  # ≤ cap ⇒ the limited collect saw EVERY word
     if n_words <= literal_word_cap:
-        wrows = [(int(r["word_idx"]), int(r["word"])) for r in words.collect()]
+        if wrows is None:
+            wrows = words.collect()
+        wrows = [(int(r["word_idx"]), int(r["word"])) for r in wrows]
         hit = bloom_literal_probe(wrows, m_bits, k, hash_engine)
         return df.select(
             id_col,

@@ -993,6 +993,15 @@ BLOOM_ADMIT_SCHEMA = StructType(
 # a resumed checkpoint can PROVE the constructor args still match the
 # stored bits (reinterpreting a bitmap under different positions/widths
 # would silently re-admit duplicates; see bloom_admission_stream).
+#
+# MIGRATION (ADVICE r11): this schema widened from the r10 'bits
+# array<long>' — a checkpoint written under the 1-field schema fails
+# Structured Streaming's state-store schema-compatibility check at
+# resume (before any user code runs, so an in-code legacy backfill is
+# unreachable). Pre-widening checkpoints must be ROTATED: start a fresh
+# checkpoint and, if continuity matters, replay the standing
+# fingerprints through it first — the same rotate-to-resize discipline
+# the geometry ValueError below prescribes.
 _BLOOM_STATE = "bits array<long>, m_sub long, k long"
 
 
@@ -1160,6 +1169,89 @@ def admit_batch(
     )
 
 
+def admit_and_fold(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    bloom_layout: str,
+    neardup_layout: str,
+    decisions_path: str,
+    quota: int = 10,
+    tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> None:
+    """One micro-batch's full admission transaction, REPLAY-SAFE
+    (ADVICE r11): decisions land in the batch-keyed dir
+    ``decisions_path/batch=<id>`` with OVERWRITE, and a replayed batch
+    that finds that dir already committed (_SUCCESS) REUSES the stored
+    decisions instead of re-deriving them. The committed decision file
+    IS the pinned pre-fold snapshot: the first attempt derived it before
+    any fold mutated the layouts, so re-deriving on replay — after the
+    previous attempt already folded admitted fingerprints — would
+    re-classify admitted docs as exact_dup/near_dup and log
+    contradictory rows; reuse makes the replay byte-identical and the
+    log append-free. Crash windows: (a) before the decision commit — no
+    folds have happened, recompute is pre-fold by construction; (b)
+    after the commit, anywhere among the folds — decisions reuse, and
+    the folds re-run idempotently (bloom re-OR of the same bits;
+    banding re-capped against existing occupancy so nothing exceeds
+    max_bucket; fingerprint/shingle re-appends are bounded at one extra
+    copy of the one crash-window batch and never change decisions —
+    the exact gate is the Bloom bitmap, and the Jaccard verify is a
+    max over candidates).
+
+    The admitted id set is PINNED on the driver between the decision
+    write and the folds (O(admitted-per-batch) rows — micro-batch-
+    bounded, the runner-style driver-collect budget): the decision plan
+    reads the layout LAZILY, so re-deriving 'admitted' from it after
+    append_bloom has mutated the words relation re-scores the batch
+    against its own appends (caught by the stream≡twin parity test;
+    persist() alone does not reliably fence a foreachBatch plan from a
+    mid-batch filesystem append)."""
+    import os
+
+    from ..llm import dedup as llm_dedup
+
+    dec_dir = os.path.join(decisions_path, f"batch={batch_id}")
+    if os.path.exists(os.path.join(dec_dir, "_SUCCESS")):
+        admitted_ids = [
+            r[0]
+            for r in spark.read.parquet(dec_dir)
+            .filter(F.col("stage") == "admitted")
+            .select(id_col)
+            .collect()
+        ]
+    else:
+        dec = admit_batch(
+            spark, batch, bloom_layout, neardup_layout, quota, tau,
+            text_col, id_col, source_col,
+        ).persist()
+        try:
+            dec.write.mode("overwrite").parquet(dec_dir)
+            admitted_ids = [
+                r[0]
+                for r in dec.filter(F.col("stage") == "admitted")
+                .select(id_col)
+                .collect()
+            ]
+        finally:
+            dec.unpersist()
+    if not admitted_ids:
+        return
+    admitted = batch.filter(F.col(id_col).isin(admitted_ids))
+    llm_dedup.append_bloom(
+        spark, bloom_layout,
+        admitted.select(F.md5(F.col(text_col)).alias("_fp")),
+        "_fp",
+    )
+    llm_dedup.append_neardup_banding(
+        spark, neardup_layout, admitted,
+        text_col=text_col, id_col=id_col,
+    )
+
+
 def admission_stream(
     stream: DataFrame,
     bloom_layout: str,
@@ -1173,51 +1265,22 @@ def admission_stream(
     source_col: str = "source",
 ):
     """foreachBatch admission over the stored layouts: each micro-batch
-    runs :func:`admit_batch`, lands its decisions in ``decisions_path``
-    (append parquet — the decision log), and folds the ADMITTED docs'
-    fingerprints and banding rows back into the layouts so the standing
-    state advances in-stream. Quota- and dup-rejected docs are NOT
-    folded (a rejected doc never becomes corpus). The admitted id set is
-    PINNED on the driver between the decision write and the folds
-    (O(admitted-per-batch) rows — micro-batch-bounded, the runner-style
-    driver-collect budget): the decision plan reads the layout LAZILY,
-    so re-deriving 'admitted' from it after append_bloom has mutated the
-    words relation re-scores the batch against its own appends — every
-    genuinely-new doc turns bloom_positive and the fold silently admits
-    the quota rejects instead (caught by the stream≡twin parity test;
-    persist() alone does not reliably fence a foreachBatch plan from a
-    mid-batch filesystem append). Re-run batches fold idempotently:
-    re-appending the same fingerprints ORs the same bits and re-caps the
-    same buckets."""
-    from ..llm import dedup as llm_dedup
+    runs :func:`admit_and_fold` — decisions derived by
+    :func:`admit_batch` land in ``decisions_path/batch=<id>`` (a
+    partitioned decision log; read the root to get a ``batch`` column),
+    and the ADMITTED docs' fingerprints and banding rows fold back into
+    the layouts so the standing state advances in-stream. Quota- and
+    dup-rejected docs are NOT folded (a rejected doc never becomes
+    corpus). Failure-recovery replays reuse the batch's committed
+    decisions instead of re-deriving them against the already-folded
+    layouts — see :func:`admit_and_fold` for the crash-window
+    analysis."""
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        sp = batch.sparkSession
-        dec = admit_batch(
-            sp, batch, bloom_layout, neardup_layout, quota, tau,
-            text_col, id_col, source_col,
-        ).persist()
-        try:
-            dec.write.mode("append").parquet(decisions_path)
-            admitted_ids = [
-                r[0]
-                for r in dec.filter(F.col("stage") == "admitted")
-                .select(id_col)
-                .collect()
-            ]
-        finally:
-            dec.unpersist()
-        if not admitted_ids:
-            return
-        admitted = batch.filter(F.col(id_col).isin(admitted_ids))
-        llm_dedup.append_bloom(
-            sp, bloom_layout,
-            admitted.select(F.md5(F.col(text_col)).alias("_fp")),
-            "_fp",
-        )
-        llm_dedup.append_neardup_banding(
-            sp, neardup_layout, admitted,
-            text_col=text_col, id_col=id_col,
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        admit_and_fold(
+            batch.sparkSession, batch, batch_id,
+            bloom_layout, neardup_layout, decisions_path,
+            quota, tau, text_col, id_col, source_col,
         )
 
     return (

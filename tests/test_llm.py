@@ -2147,6 +2147,17 @@ def test_count_bloom_hits_probe_forms_agree_at_boundary(spark, monkeypatch):
         assert all(
             out[0][i][1] >= 1 for i in range(30) if i % 5
         ), engine
+        # ADVICE r11: a precomputed n_words (e.g. from layout params)
+        # skips the chooser action entirely — same relation either way,
+        # in whichever regime the hint lands the call
+        for hint, cap in ((1, 10**6), (10**6, 10**6)):
+            got = dedup.count_bloom_hits(
+                docs, words, m, 4, hash_engine=engine,
+                literal_word_cap=cap, n_words=hint,
+            )
+            assert {
+                r.doc_id: (r.n_grams, r.n_bloom_hits) for r in got.collect()
+            } == out[0], (engine, hint)
 
     sf = "/root/testdata/sf0.001"
     base = {tuple(r) for r in

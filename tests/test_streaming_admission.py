@@ -154,6 +154,45 @@ def test_admission_stream_matches_batch_twin_and_folds(spark, tmp_path):
     assert n_keys == len(STANDING) + len(admitted_texts)
 
 
+def test_admission_stream_replay_reuses_committed_decisions(spark, tmp_path):
+    """ADVICE r11 (medium): a failure-recovery REPLAY of a micro-batch
+    whose previous attempt already folded admitted fingerprints must not
+    re-derive decisions against the mutated layouts — that would
+    re-classify admitted docs as exact_dup/near_dup and append
+    contradictory rows to the decision log. The batch-keyed overwrite +
+    committed-decision reuse makes the replay byte-identical."""
+    bloom, nd = _build_layouts(spark, tmp_path / "lay")
+    decisions = str(tmp_path / "decisions")
+    b1 = _batch_df(spark, B1)
+    stateful.admit_and_fold(spark, b1, 0, bloom, nd, decisions,
+                            quota=QUOTA, tau=TAU)
+    first = {r.doc_id: r.stage
+             for r in spark.read.parquet(decisions).collect()}
+    assert first == {d: EXPECT[d] for d, _, _ in B1}
+
+    # the hazard is real: a naive re-derivation AFTER the folds flips
+    # batch 0's admitted docs to dups (their fingerprints are standing
+    # now) — exactly what the reused decision log must not record
+    post = {r.doc_id: r.stage for r in stateful.admit_batch(
+        spark, b1, bloom, nd, QUOTA, TAU).collect()}
+    assert post[3] == "exact_dup" and post[4] == "exact_dup"
+
+    # replay batch 0: decisions unchanged, no duplicate rows, and the
+    # re-folds stay idempotent
+    stateful.admit_and_fold(spark, b1, 0, bloom, nd, decisions,
+                            quota=QUOTA, tau=TAU)
+    replay = spark.read.parquet(decisions).collect()
+    assert len(replay) == len(B1)
+    assert {r.doc_id: r.stage for r in replay} == first
+
+    # and the NEXT batch still sees the correctly-folded state
+    stateful.admit_and_fold(spark, _batch_df(spark, B2), 1, bloom, nd,
+                            decisions, quota=QUOTA, tau=TAU)
+    got = {r.doc_id: r.stage
+           for r in spark.read.parquet(decisions).collect()}
+    assert got == EXPECT
+
+
 def test_admission_stream_is_idempotent_per_batch(spark, tmp_path):
     """A replayed micro-batch (failure-recovery re-run) re-appends the
     SAME fingerprints and re-caps the SAME buckets: verdicts over the
