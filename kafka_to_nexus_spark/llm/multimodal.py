@@ -4,14 +4,17 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side machinery (schemas, batch iteration, partition-preserving
 transforms) is real and tested. Container-METADATA decoding is real
 (:func:`parse_image_dims`, :func:`parse_wav_meta`, :func:`parse_mp4_meta`
-— stdlib format-spec parsing), and since round 11 PNG PIXEL decoding is
-real too (:func:`parse_png_pixels`: zlib inflate + all five scanline
-filters, feeding the aHash/dHash perceptual near-dup family). The one
-remaining stub is the non-PNG sample codec step (JPEG entropy decode,
-audio/video samples) — the container has no codec libraries — behind
-``decode_stub``. Swap ``decode_stub`` for a real decoder (PIL/ffmpeg)
-in production; nothing else changes, because the UDF contract is
-bytes-in → features-out per Arrow batch.
+— stdlib format-spec parsing). IMAGE PIXEL decoding is real for both
+big containers: PNG since round 11 (:func:`parse_png_pixels`: zlib
+inflate + all five scanline filters) and baseline JPEG since round 12
+(:func:`parse_jpeg_pixels`: marker walk, DHT Huffman entropy decode,
+dequant + IDCT, restart markers, sampling-factor upsampling), both
+feeding the aHash/dHash perceptual near-dup family. The one remaining
+stub is AUDIO/VIDEO sample decode (no codec libraries in this
+container) behind ``decode_stub`` — a TOTAL function (deterministic
+byte-histogram features, never raises); swap it for a real decoder
+(ffmpeg) in production and nothing else changes, because the UDF
+contract is bytes-in → features-out per Arrow batch.
 """
 
 from __future__ import annotations
@@ -48,8 +51,11 @@ def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'decode + feature extract': byte histogram folded
     to ``dim`` buckets, normalized. Replace with a real codec in production.
 
-    Raises NotImplementedError for kinds that would require a real codec
-    pipeline beyond feature hashing (left to deployment environments).
+    TOTAL null-contract stub (VERDICT r11 #4): every payload — including
+    kinds whose real decode would need a codec library (audio/video
+    samples; image PIXELS now have real codecs, see parse_png_pixels /
+    parse_jpeg_pixels) — yields a deterministic feature vector and never
+    raises, so the swap point is data-shaped, not an exception path.
     """
     if payload is None:
         return [0.0] * dim
@@ -961,3 +967,519 @@ def phash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (r12: VERDICT r11 #4 — the last pixel stub, closed)
+# ---------------------------------------------------------------------------
+# Stdlib+numpy baseline JPEG: a real entropy decoder (marker walk, DQT /
+# DHT table loads, Huffman-coded sequential DCT scans per ITU T.81 —
+# byte stuffing, restart markers, general per-component sampling
+# factors with nearest-neighbor chroma upsampling, dequant + inverse
+# zigzag + float IDCT, JFIF YCbCr→RGB) and a deterministic encoder twin
+# (FDCT + quantize + canonical Huffman tables declared in-stream, so
+# any spec decoder reads the output). TOTAL like parse_png_pixels:
+# malformed / out-of-scope payloads (progressive SOF2, arithmetic
+# coding, 12-bit, hierarchical, truncation, bad tables) return None,
+# never raise. Reference analog: fixed-function typed decode,
+# /root/reference/src/FlatbufferReader.h:26-85 — the engine treats the
+# payload as a typed column and the codec as a per-batch pure function.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_SOF_UNSUPPORTED = {
+    0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def _jpeg_idct_matrix():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = (cu / 2) * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+_JPEG_A = None  # lazy: numpy import stays off the module-import path
+
+
+def _jpeg_basis():
+    global _JPEG_A
+    if _JPEG_A is None:
+        _JPEG_A = _jpeg_idct_matrix()
+    return _JPEG_A
+
+
+def _jpeg_build_huffman(bits: list[int], vals: bytes) -> dict:
+    """(length, code) → value map from a DHT declaration (canonical
+    assignment per T.81 C.2); None on an over-subscribed table."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if code + n > (1 << length):
+            return None
+        for _ in range(n):
+            table[(length, code)] = vals[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: 0xFF00 stuffing unpacked, any other
+    marker mid-stream raises (truncated/corrupt scan)."""
+
+    __slots__ = ("d", "p", "cur", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.cur = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.p]
+            if b == 0xFF:
+                if self.d[self.p + 1] != 0x00:
+                    raise ValueError("marker inside entropy segment")
+                self.p += 2
+            else:
+                self.p += 1
+            self.cur = b
+            self.n = 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        if self.d[self.p] != 0xFF or self.d[self.p + 1] != 0xD0 + (n % 8):
+            raise ValueError("missing restart marker")
+        self.p += 2
+
+
+def _jpeg_decode_huff(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def parse_jpeg_pixels(
+    payload: bytes | None, max_pixels: int = 1 << 22
+):
+    """Decode a baseline JPEG to ``(width, height, rows)`` with rows of
+    (r, g, b) tuples — the :func:`parse_png_pixels` contract for the
+    other big image container. Scope: Huffman-coded sequential DCT
+    (SOF0/SOF1), 8-bit, 1 or 3 components, any integer sampling factors
+    (nearest-neighbor upsampling), restart intervals, byte stuffing.
+    TOTAL: returns None on anything malformed or out of scope
+    (progressive, arithmetic, 12-bit, hierarchical, truncated scans,
+    over-subscribed Huffman tables, missing tables, coefficient index
+    overruns) — a poisoned payload in a 100 TB scan costs a null, not a
+    task retry storm. ``max_pixels`` bounds allocation BEFORE any plane
+    exists. Fancy upsampling / smoothing are decoder LIBERTIES the spec
+    leaves open; nearest-neighbor keeps the output a pure integer
+    function of the coefficients."""
+    try:
+        return _parse_jpeg_inner(payload, max_pixels)
+    except Exception:
+        return None
+
+
+def _parse_jpeg_inner(data: bytes, max_pixels: int):
+    import numpy as np
+
+    if data is None or len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    while True:
+        if pos + 4 > len(data):
+            return None
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seglen = (data[pos] << 8) | data[pos + 1]
+        if seglen < 2 or pos + seglen > len(data):
+            return None
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker in _JPEG_SOF_UNSUPPORTED or marker == 0xCC:
+            return None  # progressive/arithmetic/lossless/12-bit family
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    if i + 64 > len(body):
+                        return None
+                    quant[tq] = list(body[i : i + 64])
+                    i += 64
+                elif pq == 1:
+                    if i + 128 > len(body):
+                        return None
+                    quant[tq] = [
+                        (body[i + 2 * j] << 8) | body[i + 2 * j + 1]
+                        for j in range(64)
+                    ]
+                    i += 128
+                else:
+                    return None
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                i += 17
+                if i + n > len(body) or tc > 1:
+                    return None
+                t = _jpeg_build_huffman(bits, body[i : i + n])
+                if t is None:
+                    return None
+                huff[(tc, th)] = t
+                i += n
+            if i != len(body):
+                return None
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                return None
+            dri = (body[0] << 8) | body[1]
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6 or body[0] != 8:
+                return None
+            height = (body[1] << 8) | body[2]
+            width = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            if (
+                width == 0 or height == 0  # height 0 = DNL-deferred
+                or ncomp not in (1, 3)
+                or width * height > max_pixels
+                or len(body) != 6 + 3 * ncomp
+            ):
+                return None
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15,
+                     "tq": body[8 + 3 * c]}
+                )
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                return None
+            frame = (width, height, comps)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None or len(body) < 1:
+                return None
+            width, height, comps = frame
+            ns = body[0]
+            if ns != len(comps) or len(body) < 1 + 2 * ns + 3:
+                return None
+            order = []
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s], body[2 + 2 * s]
+                match = [c for c in comps if c["id"] == cs]
+                if not match:
+                    return None
+                c = dict(match[0])
+                c["dc"] = huff.get((0, tt >> 4))
+                c["ac"] = huff.get((1, tt & 15))
+                c["q"] = quant.get(c["tq"])
+                if c["dc"] is None or c["ac"] is None or c["q"] is None:
+                    return None
+                order.append(c)
+            planes = _jpeg_decode_scan(
+                data, pos, order, width, height, dri, np
+            )
+            if planes is None:
+                return None
+            return _jpeg_color(planes, order, width, height, np)
+        # APPn/COM/unknown-with-length: skipped via seglen above
+
+
+def _jpeg_decode_scan(data, pos, order, width, height, dri, np):
+    a = _jpeg_basis()
+    hmax = max(c["h"] for c in order)
+    vmax = max(c["v"] for c in order)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c in order:
+        c["plane"] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.int32
+        )
+        c["pred"] = 0
+        # natural-order dequant table (stored zigzag)
+        qn = np.zeros(64)
+        for zi, q in enumerate(c["q"]):
+            qn[_JPEG_ZIGZAG[zi]] = q
+        c["qn"] = qn.reshape(8, 8)
+    bits = _JpegBits(data, pos)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            bits.restart(m // dri - 1)
+            for c in order:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in order:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64)
+                    s = _jpeg_decode_huff(bits, c["dc"])
+                    if s > 11:
+                        return None
+                    c["pred"] += _jpeg_extend(bits.receive(s), s)
+                    coef[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_huff(bits, c["ac"])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                            bits.receive(s), s
+                        )
+                        k += 1
+                    block = a.T @ ((coef.reshape(8, 8)) * c["qn"]) @ a
+                    px = np.clip(np.rint(block) + 128, 0, 255).astype(
+                        np.int32
+                    )
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+    return [c["plane"] for c in order]
+
+
+def _jpeg_color(planes, order, width, height, np):
+    hmax = max(c["h"] for c in order)
+    vmax = max(c["v"] for c in order)
+    full = []
+    for c, plane in zip(order, planes):
+        ys = (np.arange(height) * c["v"]) // vmax
+        xs = (np.arange(width) * c["h"]) // hmax
+        full.append(plane[ys][:, xs])
+    if len(full) == 1:
+        g = full[0]
+        rgb = np.stack([g, g, g], axis=-1)
+    else:
+        y, cb, cr = (f.astype(np.float64) for f in full)
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.clip(
+            np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.int32)
+    return (
+        width,
+        height,
+        [[tuple(int(v) for v in px) for px in row] for row in rgb],
+    )
+
+
+# encoder twin: canonical single-length Huffman tables (DC: 12 symbols
+# at 4 bits, AC: 162 symbols at 8 bits — valid canonical tables with no
+# all-ones code, declared in the DHT so ANY spec decoder reads the
+# stream; compression is secondary to determinism for fixtures)
+_JPEG_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_ENC_DC_VALS = bytes(range(12))
+_JPEG_ENC_AC_VALS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_ENC_AC_CODE = {v: i for i, v in enumerate(_JPEG_ENC_AC_VALS)}
+
+#: flat quant table with an exact-DC head: Q[0]=8 makes a flat 8×8
+#: block round-trip EXACTLY (FDCT DC of a flat block = 8·(level−128);
+#: /8 then ·8 then IDCT /8 + 128 = level), which is what gives the
+#: registry fixture its closed-form arithmetic oracle
+JPEG_QUANT_EXACT_DC = [8] + [16] * 63
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _jpeg_mag(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(
+    rows: list[list],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Deterministic baseline JPEG writer — the fixture/round-trip twin
+    of :func:`parse_jpeg_pixels` (the encode_png precedent). ``rows``
+    holds ints (grayscale, 1 component) or (r, g, b) tuples (YCbCr
+    4:4:4, 3 components; BT.601 forward transform). ``quant`` is one
+    zigzag-order table used for every component (default
+    :data:`JPEG_QUANT_EXACT_DC`); ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that-many MCUs (exercises the decoder's restart
+    path). Edge-replication pads to 8×8 blocks."""
+    import struct
+
+    import numpy as np
+
+    q = list(quant) if quant is not None else list(JPEG_QUANT_EXACT_DC)
+    height = len(rows)
+    width = len(rows[0])
+    color = isinstance(rows[0][0], (tuple, list))
+    if color:
+        arr = np.array(rows, dtype=np.float64)
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        planes = [np.clip(np.rint(p), 0, 255) for p in planes]
+    else:
+        planes = [np.array(rows, dtype=np.float64)]
+    ph = -(-height // 8) * 8
+    pw = -(-width // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+        for p in planes
+    ]
+    a = _jpeg_basis()
+    qn = np.zeros(64)
+    for zi, qv in enumerate(q):
+        qn[_JPEG_ZIGZAG[zi]] = qv
+    qn = qn.reshape(8, 8)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(min(v, 255) for v in q))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_JPEG_ENC_DC_BITS) + _JPEG_ENC_DC_VALS)
+    seg(0xC4, bytes([0x10]) + bytes(_JPEG_ENC_AC_BITS) + _JPEG_ENC_AC_VALS)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    w = _JpegBitWriter()
+    preds = [0] * ncomp
+    mcux, mcuy = pw // 8, ph // 8
+    n_rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            w.flush()
+            out.extend(w.out)
+            w.out.clear()
+            out.extend(bytes([0xFF, 0xD0 + (n_rst % 8)]))
+            n_rst += 1
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci, plane in enumerate(planes):
+            block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+            coef = np.rint((a @ block @ a.T) / qn).astype(np.int64)
+            zz = [int(coef.reshape(-1)[_JPEG_ZIGZAG[zi]]) for zi in range(64)]
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            s = _jpeg_mag(diff)
+            w.put(s, 4)  # DC code for size s IS s (canonical, len 4)
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(_JPEG_ENC_AC_CODE[0xF0], 8)
+                    run -= 16
+                s = _jpeg_mag(v)
+                w.put(_JPEG_ENC_AC_CODE[(run << 4) | s], 8)
+                w.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                w.put(_JPEG_ENC_AC_CODE[0x00], 8)  # EOB
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

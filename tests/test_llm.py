@@ -414,6 +414,259 @@ def test_phash_flood_bucket_cap(spark):
     hashes.unpersist()
 
 
+# --- JPEG baseline codec (r12: the last pixel stub, closed) -----------------
+
+
+def _jpeg_gray_block_from_coefs(zz, quant):
+    """Hand-built single-block grayscale JPEG from QUANTIZED zigzag
+    coefficients — coefficient-level decoder tests independent of the
+    encoder's FDCT (only the writer plumbing and canonical tables are
+    shared)."""
+    import struct
+
+    from kafka_to_nexus_spark.llm.multimodal import (
+        _JPEG_ENC_AC_BITS, _JPEG_ENC_AC_CODE, _JPEG_ENC_AC_VALS,
+        _JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS, _JpegBitWriter, _jpeg_mag,
+    )
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(m, b):
+        out.extend(struct.pack(">BBH", 0xFF, m, len(b) + 2))
+        out.extend(b)
+
+    seg(0xDB, bytes([0]) + bytes(quant))
+    seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(_JPEG_ENC_DC_BITS) + _JPEG_ENC_DC_VALS)
+    seg(0xC4, bytes([0x10]) + bytes(_JPEG_ENC_AC_BITS) + _JPEG_ENC_AC_VALS)
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _JpegBitWriter()
+    s = _jpeg_mag(zz[0])
+    w.put(s, 4)
+    if s:
+        w.put(zz[0] if zz[0] > 0 else zz[0] + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(_JPEG_ENC_AC_CODE[0xF0], 8)
+            run -= 16
+        s = _jpeg_mag(v)
+        w.put(_JPEG_ENC_AC_CODE[(run << 4) | s], 8)
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        w.put(_JPEG_ENC_AC_CODE[0x00], 8)
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """The DC-exact contract JPEG_QUANT_EXACT_DC exists for: a flat 8x8
+    block's FDCT is DC-only and Q[0]=8 cancels the scaling exactly, so
+    flat-block images round-trip bit-exactly — the property the registry
+    fixture's arithmetic oracle stands on."""
+    lv = [[10, 200], [130, 77]]
+    rows = [[lv[y // 8][x // 8] for x in range(16)] for y in range(16)]
+    got = multimodal.parse_jpeg_pixels(multimodal.encode_jpeg(rows))
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (16, 16)
+    assert all(
+        px[y][x] == (lv[y // 8][x // 8],) * 3
+        for y in range(16) for x in range(16)
+    )
+
+
+def test_jpeg_roundtrip_error_bound():
+    """Textured content at quant=1: gray within ±1 (FDCT/IDCT float
+    round-trip plus one rounding), color within ±3 (adds the BT.601
+    forward/inverse pair); non-multiple-of-8 dims exercise the edge
+    padding."""
+    import random
+
+    rng = random.Random(3)
+    rows = [[rng.randrange(256) for _ in range(24)] for _ in range(17)]
+    w, h, px = multimodal.parse_jpeg_pixels(
+        multimodal.encode_jpeg(rows, quant=[1] * 64)
+    )
+    assert (w, h) == (24, 17)
+    assert max(
+        abs(px[y][x][0] - rows[y][x]) for y in range(17) for x in range(24)
+    ) <= 1
+    crows = [
+        [tuple(rng.randrange(256) for _ in range(3)) for _ in range(16)]
+        for _ in range(16)
+    ]
+    w, h, px = multimodal.parse_jpeg_pixels(
+        multimodal.encode_jpeg(crows, quant=[1] * 64)
+    )
+    assert max(
+        abs(px[y][x][c] - crows[y][x][c])
+        for y in range(16) for x in range(16) for c in range(3)
+    ) <= 3
+
+
+def test_jpeg_ac_coefficients_match_independent_idct():
+    """Coefficient-level check against an INDEPENDENT textbook IDCT
+    (direct cosine double sum, not the module's matrix): single AC
+    coefficients at several zigzag positions, plus a mixed block, via a
+    hand-built bitstream — certifies dequant, inverse zigzag, the basis
+    orientation (vertical=u), EXTEND sign decoding, and ZRL runs."""
+    import math
+
+    from kafka_to_nexus_spark.llm.multimodal import _JPEG_ZIGZAG
+
+    def idct_px(zz, quant, y, x):
+        acc = 0.0
+        for k in range(64):
+            if zz[k] == 0:
+                continue
+            n = _JPEG_ZIGZAG[k]
+            u, v = n // 8, n % 8
+            cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+            cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+            acc += (
+                cu * cv / 4 * zz[k] * quant[k]
+                * math.cos((2 * y + 1) * u * math.pi / 16)
+                * math.cos((2 * x + 1) * v * math.pi / 16)
+            )
+        return min(255, max(0, round(acc) + 128))
+
+    quant = [3] * 64
+    cases = [
+        {0: 40, 1: -25},            # DC + first AC
+        {5: 31},                    # single mid AC
+        {1: 7, 63: -9},             # ZRL runs to the last coefficient
+        {0: -60, 2: 12, 17: -5, 40: 20},
+    ]
+    for coefs in cases:
+        zz = [coefs.get(k, 0) for k in range(64)]
+        got = multimodal.parse_jpeg_pixels(
+            _jpeg_gray_block_from_coefs(zz, quant)
+        )
+        assert got is not None, coefs
+        _, _, px = got
+        for y in range(8):
+            for x in range(8):
+                want = idct_px(zz, quant, y, x)
+                assert px[y][x] == (want,) * 3, (coefs, y, x)
+
+
+def test_jpeg_subsampled_420_decode():
+    """General sampling factors: a hand-built 4:2:0 stream (Y 2x2, Cb/Cr
+    1x1 — one interleaved MCU of 4+1+1 DC-only blocks) decodes with
+    nearest-neighbor chroma upsampling; constant chroma at 128 makes the
+    expected RGB equal the per-quadrant Y levels exactly."""
+    import struct
+
+    from kafka_to_nexus_spark.llm.multimodal import (
+        _JPEG_ENC_AC_BITS, _JPEG_ENC_AC_CODE, _JPEG_ENC_AC_VALS,
+        _JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS, _JpegBitWriter, _jpeg_mag,
+    )
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(m, b):
+        out.extend(struct.pack(">BBH", 0xFF, m, len(b) + 2))
+        out.extend(b)
+
+    seg(0xDB, bytes([0]) + bytes([8] + [16] * 63))
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_JPEG_ENC_DC_BITS) + _JPEG_ENC_DC_VALS)
+    seg(0xC4, bytes([0x10]) + bytes(_JPEG_ENC_AC_BITS) + _JPEG_ENC_AC_VALS)
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    w = _JpegBitWriter()
+    levels = [40, 90, 160, 210]  # Y quadrants (raster block order)
+
+    def dc(diff):
+        s = _jpeg_mag(diff)
+        w.put(s, 4)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        w.put(_JPEG_ENC_AC_CODE[0x00], 8)  # EOB
+
+    pred = 0
+    for lv in levels:  # 4 Y blocks, differential DC
+        dc((lv - 128) - pred)
+        pred = lv - 128
+    dc(0)  # Cb = 128
+    dc(0)  # Cr = 128
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")
+    got = multimodal.parse_jpeg_pixels(bytes(out))
+    assert got is not None
+    width, height, px = got
+    assert (width, height) == (16, 16)
+    for y in range(16):
+        for x in range(16):
+            want = levels[(y // 8) * 2 + (x // 8)]
+            assert px[y][x] == (want,) * 3, (y, x)
+
+
+def test_jpeg_restart_markers_and_16bit_dqt():
+    """DRI/RSTn path: a restart-interval stream decodes identically to
+    the plain stream; a corrupted RST marker fails total (None). pq=1
+    (16-bit) DQT entries parse: the same exact-DC table written wide
+    round-trips the flat fixture."""
+    rows = [[(x * 16 + y) % 256 for x in range(32)] for y in range(32)]
+    plain = multimodal.parse_jpeg_pixels(multimodal.encode_jpeg(rows))
+    rst = multimodal.encode_jpeg(rows, restart_interval=3)
+    assert multimodal.parse_jpeg_pixels(rst) == plain
+    corrupt = rst.replace(b"\xff\xd0", b"\xff\xd9", 1)
+    assert multimodal.parse_jpeg_pixels(corrupt) is None
+
+    import struct
+
+    enc = multimodal.encode_jpeg([[57] * 16 for _ in range(16)])
+    # rewrite the 8-bit DQT segment as its 16-bit equivalent
+    q8 = bytes([8] + [16] * 63)
+    old = struct.pack(">BBH", 0xFF, 0xDB, 67) + bytes([0]) + q8
+    new = struct.pack(">BBH", 0xFF, 0xDB, 131) + bytes([0x10]) + b"".join(
+        struct.pack(">H", v) for v in q8
+    )
+    assert old in enc
+    wide = enc.replace(old, new, 1)
+    got = multimodal.parse_jpeg_pixels(wide)
+    assert got is not None
+    assert all(p == (57, 57, 57) for r in got[2] for p in r)
+
+
+def test_jpeg_totality_and_guards():
+    """TOTAL over garbage: truncations at every byte, marker mutations
+    (progressive SOF2, arithmetic DAC), oversubscribed Huffman tables,
+    and the max_pixels allocation bomb all yield None — never an
+    exception."""
+    enc = multimodal.encode_jpeg([[7 * (x + y) % 256 for x in range(8)]
+                                  for y in range(8)])
+    assert multimodal.parse_jpeg_pixels(enc) is not None
+    # every truncation inside the structure/entropy data fails total;
+    # losing only the trailing EOI is lenient-decode territory (the scan
+    # is already complete), matching parse_png_pixels' leniency note
+    for k in range(len(enc) - 2):
+        assert multimodal.parse_jpeg_pixels(enc[:k]) is None, k
+    for bad in (None, b"", b"\xff\xd8", b"garbage bytes here"):
+        assert multimodal.parse_jpeg_pixels(bad) is None
+    # SOF0 -> SOF2 (progressive) and -> DAC (arithmetic) both reject
+    i = enc.index(b"\xff\xc0")
+    assert multimodal.parse_jpeg_pixels(
+        enc[:i] + b"\xff\xc2" + enc[i + 2:]) is None
+    # allocation bomb: header claims a huge image
+    big = multimodal.encode_jpeg([[0] * 16] * 16)
+    assert multimodal.parse_jpeg_pixels(big, max_pixels=100) is None
+    # oversubscribed huffman table: 3 codes of length 1
+    from kafka_to_nexus_spark.llm.multimodal import _jpeg_build_huffman
+    assert _jpeg_build_huffman([3] + [0] * 15, bytes(3)) is None
+
+
 def _wav(channels=2, rate=8000, bits=16, data_size=16000, pre_chunks=0):
     out = b""
     for i in range(pre_chunks):  # e.g. LIST/INFO chunks before fmt

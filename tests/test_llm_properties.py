@@ -980,3 +980,49 @@ def test_bloom_union_is_bitwise_or_fuzz(a, b, k):
     for w, bits in fb.items():
         merged[w] = merged.get(w, 0) | bits
     assert merged == union
+
+
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 2**32 - 1))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_is_total_over_garbage(data, seed):
+    """parse_jpeg_pixels never raises — arbitrary bytes, arbitrary bytes
+    behind a valid SOI, and random mutations of a VALID stream (marker
+    bytes, table bytes, entropy bytes) all return a tuple or None."""
+    import random
+
+    from kafka_to_nexus_spark.llm import multimodal
+
+    assert multimodal.parse_jpeg_pixels(data) is None or True
+    assert multimodal.parse_jpeg_pixels(b"\xff\xd8" + data) is None or True
+    rng = random.Random(seed)
+    enc = bytearray(multimodal.encode_jpeg(
+        [[rng.randrange(256) for _ in range(8)] for _ in range(8)]
+    ))
+    for _ in range(6):
+        enc[rng.randrange(len(enc))] = rng.randrange(256)
+    out = multimodal.parse_jpeg_pixels(bytes(enc))
+    assert out is None or (out[0], out[1]) == (8, 8)
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_gray_roundtrip_error_bound(w, h, seed):
+    """Any gray image at quant=1 round-trips within ±1 per pixel at any
+    dims (edge padding included) — the float FDCT/IDCT pair plus one
+    rounding step."""
+    import random
+
+    from kafka_to_nexus_spark.llm import multimodal
+
+    rng = random.Random(seed)
+    rows = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    got = multimodal.parse_jpeg_pixels(
+        multimodal.encode_jpeg(rows, quant=[1] * 64)
+    )
+    assert got is not None
+    gw, gh, px = got
+    assert (gw, gh) == (w, h)
+    assert all(
+        abs(px[y][x][0] - rows[y][x]) <= 1 and px[y][x][0] == px[y][x][1] == px[y][x][2]
+        for y in range(h) for x in range(w)
+    )
