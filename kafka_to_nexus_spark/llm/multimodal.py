@@ -9,12 +9,14 @@ big containers: PNG since round 11 (:func:`parse_png_pixels`: zlib
 inflate + all five scanline filters) and baseline JPEG since round 12
 (:func:`parse_jpeg_pixels`: marker walk, DHT Huffman entropy decode,
 dequant + IDCT, restart markers, sampling-factor upsampling), both
-feeding the aHash/dHash perceptual near-dup family. The one remaining
-stub is AUDIO/VIDEO sample decode (no codec libraries in this
-container) behind ``decode_stub`` — a TOTAL function (deterministic
-byte-histogram features, never raises); swap it for a real decoder
-(ffmpeg) in production and nothing else changes, because the UDF
-contract is bytes-in → features-out per Arrow batch.
+feeding the aHash/dHash perceptual near-dup family. AUDIO samples are
+real since round 12 (:func:`parse_wav_samples`: RIFF walk + PCM
+8/16/24/32-bit two's-complement widening, channel-interleaved). The one
+remaining stub is VIDEO frame decode (an MP4 frame needs an entropy
+codec no stdlib provides) behind ``decode_stub`` — a TOTAL function
+(deterministic byte-histogram features, never raises); swap it for a
+real decoder (ffmpeg) in production and nothing else changes, because
+the UDF contract is bytes-in → features-out per Arrow batch.
 """
 
 from __future__ import annotations
@@ -52,10 +54,11 @@ def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     to ``dim`` buckets, normalized. Replace with a real codec in production.
 
     TOTAL null-contract stub (VERDICT r11 #4): every payload — including
-    kinds whose real decode would need a codec library (audio/video
-    samples; image PIXELS now have real codecs, see parse_png_pixels /
-    parse_jpeg_pixels) — yields a deterministic feature vector and never
-    raises, so the swap point is data-shaped, not an exception path.
+    kinds whose real decode would need a codec library (VIDEO frames;
+    image pixels and audio samples now have real codecs, see
+    parse_png_pixels / parse_jpeg_pixels / parse_wav_samples) — yields a
+    deterministic feature vector and never raises, so the swap point is
+    data-shaped, not an exception path.
     """
     if payload is None:
         return [0.0] * dim
@@ -330,6 +333,197 @@ def wav_meta(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, WAV_META_SCHEMA
+    )
+
+
+#: allocation-bomb guard for :func:`parse_wav_samples` — a 44-byte header
+#: can DECLARE any data size; the guard rejects before materializing
+#: (the parse_png_pixels max_pixels discipline)
+WAV_SAMPLES_MAX = 1 << 22
+
+
+def parse_wav_samples(
+    payload: bytes | None, max_samples: int = WAV_SAMPLES_MAX
+) -> tuple[int, int, int, list[int]] | None:
+    """REAL PCM sample decode (closes the AUDIO leg of ``decode_stub``):
+    (channels, sample_rate, bits, samples) from a RIFF/WAVE byte string,
+    ``samples`` the channel-INTERLEAVED signed amplitudes exactly as
+    stored (frame i, channel c at index ``i*channels + c``); None on
+    anything malformed or out of scope — same totality contract as
+    :func:`parse_png_pixels` / :func:`parse_jpeg_pixels`.
+
+    Scope is the PCM format family the spec makes bit-exact with no
+    codec library: format tag 1 (integer PCM) at 8 bits (unsigned,
+    centered to signed by −128 — the WAV convention) or 16/24/32 bits
+    (signed little-endian two's complement). Float/ADPCM/extensible
+    formats return None (the remaining swap point is VIDEO samples —
+    real MP4 frame decode needs an entropy codec the spec can't hand-
+    roll reasonably). A data chunk whose declared size overruns the
+    buffer, misaligns with the block size, or exceeds ``max_samples``
+    is rejected before any buffer is built.
+
+    Reference analog: fixed-function typed decode
+    (/root/reference/src/FlatbufferReader.h:26-85) — bytes in, typed
+    samples out, unconditionally verified."""
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    i, n = 12, len(payload)
+    fmt_tag = channels = rate = bits = None
+    data_off = data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if size < 16 or i + 24 > n:
+                return None
+            fmt_tag = int.from_bytes(payload[i + 8 : i + 10], "little")
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_off, data_size = i + 8, size
+        i += 8 + size + (size & 1)
+    if (
+        fmt_tag != 1
+        or not channels
+        or not rate
+        or bits not in (8, 16, 24, 32)
+        or data_off is None
+    ):
+        return None
+    width = bits // 8
+    if (
+        data_off + data_size > n
+        or data_size % (width * channels)
+        or data_size // width > max_samples
+    ):
+        return None
+    raw = payload[data_off : data_off + data_size]
+    if bits == 8:
+        samples = [b - 128 for b in raw]
+    elif bits == 24:
+        samples = [
+            int.from_bytes(raw[j : j + 3], "little", signed=True)
+            for j in range(0, data_size, 3)
+        ]
+    else:
+        import numpy as np
+
+        samples = (
+            np.frombuffer(raw, dtype="<i2" if bits == 16 else "<i4")
+            .astype(np.int64)
+            .tolist()
+        )
+    return channels, rate, bits, samples
+
+
+def encode_wav(
+    samples: list[int], channels: int = 1, rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Minimal spec-conformant PCM WAV writer — the round-trip twin of
+    :func:`parse_wav_samples` (fixtures + hypothesis properties, the
+    encode_png/encode_jpeg discipline). ``samples`` channel-interleaved
+    signed amplitudes; 8-bit stores unsigned (value + 128)."""
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported bits {bits}")
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("samples must interleave whole frames")
+    width = bits // 8
+    lo, hi = (-128, 127) if bits == 8 else (
+        -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    )
+    body = bytearray()
+    for s in samples:
+        if not lo <= s <= hi:
+            raise ValueError(f"sample {s} out of int{bits} range")
+        if bits == 8:
+            body.append(s + 128)
+        else:
+            body += int(s).to_bytes(width, "little", signed=True)
+    block = width * channels
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(body).to_bytes(4, "little") + bytes(body)
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_val", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL-sample audio features: per payload, decode the
+    PCM stream (:func:`parse_wav_samples`) and reduce to the integer
+    telemetry a 100 TB audio-curation pass filters on — peak amplitude
+    (clipping / silence gates), sum (DC offset), and a position-weighted
+    checksum Σ s_j·(j+1) over the interleaved stream (the px_checksum
+    discipline: any regression anywhere in the chunk walk or sample
+    widening shifts it). Nulls on malformed payloads; pruned
+    (media_id, payload) scan, partition-preserving."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in WAV_FEATURES_SCHEMA}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                got = parse_wav_samples(p)
+                out["media_id"].append(mid)
+                if got is None:
+                    for c in (
+                        "channels", "sample_rate", "n_frames",
+                        "peak", "sum_val", "checksum",
+                    ):
+                        out[c].append(None)
+                    continue
+                ch, rate, _bits, s = got
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(s) // ch)
+                out["peak"].append(max((abs(v) for v in s), default=0))
+                out["sum_val"].append(sum(s))
+                out["checksum"].append(
+                    sum(v * (j + 1) for j, v in enumerate(s))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "channels": pd.array(out["channels"], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        out["sample_rate"], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "peak": pd.array(out["peak"], dtype="Int64"),
+                    "sum_val": pd.array(out["sum_val"], dtype="Int64"),
+                    "checksum": pd.array(out["checksum"], dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, WAV_FEATURES_SCHEMA
     )
 
 

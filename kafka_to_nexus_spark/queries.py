@@ -5238,6 +5238,91 @@ FROM px GROUP BY media_id
 """
 
 
+def _q_multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio sample decode (L89 — the AUDIO leg of decode_stub
+    closed): per doc, a SQL-BUILT spec-conformant 16-bit PCM WAV (mono
+    for even doc_id, stereo interleaved for odd; 64 frames at 8 kHz;
+    samples from the double-squared 31-bit-prime mix, centered to signed
+    int16) is decoded by ``multimodal.parse_wav_samples`` (RIFF chunk
+    walk, format/alignment/bomb guards, little-endian two's-complement
+    widening) inside one Arrow-batched mapInPandas, reduced to the
+    integer audio telemetry a curation pass filters on. PCM is
+    uncompressed, so — unlike the JPEG bitstream — the WHOLE payload is
+    JVM-side codegen (the _png_pixel_fixture discipline) and the oracle
+    states every sample arithmetically: any regression in the chunk
+    walk, sign widening, or channel interleave shifts the
+    position-weighted checksum and hash-fails. 8/24/32-bit depths,
+    malformed-input totality, and the declared-size bomb guard are
+    pytest-covered (round-trip + hypothesis fuzz)."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(F.col("doc_id").alias("d"))
+    d = F.col("d")
+    P = 2147483629
+    ch = (d % 2 + 1).cast("long")
+    n_s = ch * 64  # interleaved sample count (64 frames)
+
+    def idiv(a, b):
+        return F.floor(a / b).cast("long")
+
+    def hx2(c):
+        return F.lpad(F.hex(c.cast("long") % 256), 2, "0")
+
+    def le2(c):
+        return F.concat(hx2(c), hx2(idiv(c, F.lit(256))))
+
+    def le4(c):
+        return F.concat(
+            hx2(c), hx2(idiv(c, F.lit(256))),
+            hx2(idiv(c, F.lit(65536))), hx2(idiv(c, F.lit(16777216))),
+        )
+
+    def sample_le(j):
+        h = (d * 131 + j * 17 + 7) % P
+        h = (h * h) % P
+        u = (h * h) % P % 65536  # signed sample is u - 32768,
+        # whose two's-complement halfword is (u + 32768) mod 65536
+        return le2((u + 32768) % 65536)
+
+    samples_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), n_s - 1), sample_le),
+        "",
+    )
+    payload_hex = F.concat(
+        F.lit("52494646"), le4(n_s * 2 + 36), F.lit("57415645"),
+        F.lit("666D7420"), le4(F.lit(16)), le2(F.lit(1)), le2(ch),
+        le4(F.lit(8000)), le4(ch * 16000), le2(ch * 2), le2(F.lit(16)),
+        F.lit("64617461"), le4(n_s * 2), samples_hex,
+    )
+    fixture = docs.select(
+        d.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return mm.wav_features(fixture)
+
+
+ORACLE["multimodal_wav_samples"] = """
+WITH s AS (
+  SELECT d.doc_id AS media_id, 1 + d.doc_id % 2 AS ch, j.j AS j,
+         (h1.h * h1.h % 2147483629) % 65536 - 32768 AS v
+  FROM documents d, range(128) j(j),
+       LATERAL (SELECT (d.doc_id*131 + j.j*17 + 7) % 2147483629
+                     * ((d.doc_id*131 + j.j*17 + 7) % 2147483629)
+                     % 2147483629 AS h) h1
+  WHERE j.j < 64 * (1 + d.doc_id % 2)
+)
+SELECT media_id, CAST(ch AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_frames,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (j + 1)) AS BIGINT) AS checksum
+FROM s GROUP BY media_id, ch
+"""
+
+
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import multimodal as mm
 
@@ -7064,6 +7149,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_phash_near_dup_uncapped": _q_image_phash_near_dup_uncapped,
     "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "multimodal_jpeg_pixels": _q_multimodal_jpeg_pixels,
+    "multimodal_wav_samples": _q_multimodal_wav_samples,
     "minhash_jaccard_estimate": _q_minhash_estimate,
     "bbit_minhash_estimate": _q_bbit_minhash_estimate,
     "quantized_adc_topk": _q_quantized_adc_topk,

@@ -2636,3 +2636,68 @@ def test_bloom_xxhash_engine_guarantees(bloom_corpus):
     assert all(out[1000 + i] for i in range(20)), "false negative (xx)"
     novel = [out[1000 + i] for i in range(20, 60)]
     assert sum(novel) / len(novel) <= 4 * 0.055
+
+
+def test_wav_samples_roundtrip_all_depths():
+    """encode_wav → parse_wav_samples is bit-exact at every supported
+    depth and channel count — PCM is uncompressed, so unlike JPEG the
+    round-trip has NO error budget at all."""
+    vals16 = [0, 1, -1, 32767, -32768, 12345, -20000, 7, 100, -100]
+    for bits, vals in (
+        (8, [0, 1, -1, 127, -128, 55, -77, 3, 9, -9]),
+        (16, vals16),
+        (24, [0, 1, -1, (1 << 23) - 1, -(1 << 23), 777777, -123456, 5, 6, 7]),
+        (32, [0, 1, -1, (1 << 31) - 1, -(1 << 31), 10**9, -10**9, 8, 9, -2]),
+    ):
+        for channels in (1, 2):
+            got = multimodal.parse_wav_samples(
+                multimodal.encode_wav(vals, channels, 8000, bits)
+            )
+            assert got == (channels, 8000, bits, vals), (bits, channels)
+
+
+def test_wav_samples_totality_and_guards():
+    """TOTAL over garbage: non-PCM format tags, unsupported depths,
+    data-chunk overrun/misalignment, and the declared-size allocation
+    bomb all yield None — never an exception, never a buffer."""
+    p = multimodal.parse_wav_samples
+    good = multimodal.encode_wav([1, -2, 3, -4], 2, 8000, 16)
+    assert p(good) == (2, 8000, 16, [1, -2, 3, -4])
+    for bad in (None, b"", b"RIFF", b"RIFFxxxxNOPE", good[:20]):
+        assert p(bad) is None
+    # format tag 3 (IEEE float) rejects — integer PCM only
+    i = good.index(b"fmt ") + 8
+    assert p(good[:i] + (3).to_bytes(2, "little") + good[i + 2:]) is None
+    # declared data size overruns the buffer
+    j = good.index(b"data") + 4
+    assert p(good[:j] + (10**6).to_bytes(4, "little") + good[j + 4:]) is None
+    # misaligned data size (7 bytes is not whole int16 stereo frames)
+    assert p(good[:j] + (7).to_bytes(4, "little") + good[j + 4:]) is None
+    # allocation bomb: size that would decode past max_samples
+    assert p(good, max_samples=2) is None
+    # 12-bit depth (not byte-decodable PCM scope)
+    k = good.index(b"fmt ") + 22
+    assert p(good[:k] + (12).to_bytes(2, "little") + good[k + 2:]) is None
+
+
+def test_wav_features_over_spark(spark):
+    """The mapInPandas plumbing: mixed good/garbage payloads → typed
+    telemetry columns with nulls on the garbage rows; checksum is the
+    position-weighted sum over the INTERLEAVED stream (channel order is
+    load-bearing — swapping L/R flips it)."""
+    lr = [100, -200, 300, -400]          # L,R,L,R
+    rl = [-200, 100, -400, 300]          # channels swapped
+    rows = [
+        (1, multimodal.encode_wav(lr, 2, 8000, 16)),
+        (2, multimodal.encode_wav(rl, 2, 8000, 16)),
+        (3, b"not a wav"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.wav_features(df).collect()}
+    assert (got[1].channels, got[1].sample_rate, got[1].n_frames) == (2, 8000, 2)
+    assert got[1].peak == 400 and got[1].sum_val == -200
+    assert got[1].checksum == sum(v * (j + 1) for j, v in enumerate(lr))
+    assert got[2].checksum == sum(v * (j + 1) for j, v in enumerate(rl))
+    assert got[1].checksum != got[2].checksum
+    assert got[3].channels is None and got[4].peak is None

@@ -1026,3 +1026,48 @@ def test_jpeg_gray_roundtrip_error_bound(w, h, seed):
         abs(px[y][x][0] - rows[y][x]) <= 1 and px[y][x][0] == px[y][x][1] == px[y][x][2]
         for y in range(h) for x in range(w)
     )
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_wav_sample_decoder_never_raises(payload):
+    """The SAMPLE decoder is total like the metadata parser: any byte
+    string yields (channels, rate, bits, samples) or None — chunk
+    overruns, bad format tags, misaligned data all degrade to None."""
+    out = multimodal.parse_wav_samples(payload)
+    if out is not None:
+        ch, rate, bits, samples = out
+        assert ch >= 1 and rate >= 1 and bits in (8, 16, 24, 32)
+        assert len(samples) % ch == 0
+
+
+@given(
+    st.sampled_from([8, 16, 24, 32]),
+    st.integers(1, 3),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_sample_roundtrip_fuzz(bits, channels, data):
+    """encode → decode is the identity for ANY in-range sample vector at
+    every depth/channel combination (PCM has no lossy leg)."""
+    lo, hi = (-128, 127) if bits == 8 else (
+        -(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+    n = data.draw(st.integers(0, 8)) * channels
+    vals = data.draw(st.lists(
+        st.integers(lo, hi), min_size=n, max_size=n))
+    payload = multimodal.encode_wav(vals, channels, 44100, bits)
+    assert multimodal.parse_wav_samples(payload) == (
+        channels, 44100, bits, vals)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_wav_sample_decoder_survives_corrupted_valid_wav(tail):
+    """Adversarial: a VALID wav with arbitrary trailing bytes, and one
+    with a byte flipped mid-structure — decode or None, no raise."""
+    good = multimodal.encode_wav([5, -6, 7, -8], 2, 8000, 16)
+    multimodal.parse_wav_samples(good + tail)
+    if tail:
+        pos = tail[0] % len(good)
+        broken = good[:pos] + bytes([tail[0] ^ 0xFF]) + good[pos + 1 :]
+        multimodal.parse_wav_samples(broken)
