@@ -1028,14 +1028,43 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
+def _image_luminance(payload: bytes | None, max_pixels: int = 1 << 22):
+    """Container-AGNOSTIC decode-to-luminance (r12): dispatch on magic
+    bytes to the PNG fast path or the baseline-JPEG decoder, (h, w)
+    int32 numpy array or None — real crawls mix containers, and the
+    perceptual near-dup family must fingerprint both with ONE hash
+    space (a JPEG logo and its PNG re-export should band-join). For
+    grayscale JPEG (r=g=b) the ITU-601 integer luminance is the sample
+    value exactly, so flat blocks hash IDENTICALLY across containers —
+    the cross-container pytest pin."""
+    import numpy as np
+
+    if payload is None or len(payload) < 8:
+        return None
+    payload = bytes(payload)
+    if payload[:8] == _PNG_SIG:
+        return _png_luminance(payload, max_pixels)
+    if payload[0] == 0xFF and payload[1] == 0xD8:
+        got = parse_jpeg_pixels(payload, max_pixels)
+        if got is None:
+            return None
+        _w, _h, rows = got
+        rgb = np.asarray(rows, dtype=np.int32)
+        return (
+            299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+        ) // 1000
+    return None
+
+
 def image_phash(df: DataFrame) -> DataFrame:
     """payload → perceptual fingerprints, Arrow-batched mapInPandas over
-    the pruned (media_id, payload) projection: real PNG decode →
-    luminance → integer box-downsample → aHash + dHash. Undecodable
-    payloads yield null dims/hashes (total, like every parser in this
-    module). Partition-preserving — the 100 TB shape is: columnar binary
-    scan, Python only for the codec, hashes land as two BIGINTs per
-    image for the banded near-dup join downstream."""
+    the pruned (media_id, payload) projection: real pixel decode (PNG or
+    baseline JPEG, by magic bytes) → luminance → integer box-downsample
+    → aHash + dHash. Undecodable payloads yield null dims/hashes (total,
+    like every parser in this module). Partition-preserving — the 100 TB
+    shape is: columnar binary scan, Python only for the codec, hashes
+    land as two BIGINTs per image for the banded near-dup join
+    downstream."""
     import pandas as pd
 
     cols = df.select("media_id", "payload")
@@ -1045,9 +1074,7 @@ def image_phash(df: DataFrame) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [],
                    "ahash64": [], "dhash64": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                lum = _png_luminance(
-                    bytes(payload) if payload is not None else None
-                )
+                lum = _image_luminance(payload)
                 out["media_id"].append(mid)
                 if lum is None:
                     out["width"].append(None)

@@ -2701,3 +2701,33 @@ def test_wav_features_over_spark(spark):
     assert got[2].checksum == sum(v * (j + 1) for j, v in enumerate(rl))
     assert got[1].checksum != got[2].checksum
     assert got[3].channels is None and got[4].peak is None
+
+
+def test_phash_cross_container_png_jpeg(spark):
+    """The perceptual family is container-agnostic (r12): a flat-block
+    image encoded as PNG and as JPEG (exact-DC quant table → lossless
+    for flat blocks) produces IDENTICAL luminance and therefore
+    IDENTICAL aHash/dHash — a JPEG logo and its PNG re-export land in
+    the same near-dup band buckets. A perturbed JPEG variant stays
+    within the near-dup radius of both."""
+    img = [[((x // 8) * 90 + (y // 8) * 60 + 40) % 256 for x in range(16)]
+           for y in range(16)]
+    bump = [row[:] for row in img]
+    bump[3][5] = (bump[3][5] + 1) % 256
+    rows = [
+        (1, multimodal.encode_png(img, color_type=0)),
+        (2, multimodal.encode_jpeg(img)),
+        (3, multimodal.encode_jpeg(bump)),
+        (4, b"neither container"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.image_phash(df).collect()}
+    assert (got[1].ahash64, got[1].dhash64) == (got[2].ahash64, got[2].dhash64)
+    assert (got[1].width, got[1].height) == (16, 16) == (got[2].width, got[2].height)
+    assert got[4].ahash64 is None
+    ham = bin((got[2].dhash64 or 0) ^ (got[3].dhash64 or 0)).count("1")
+    assert ham <= 3, ham
+    pairs = multimodal.phash_near_dup(
+        multimodal.image_phash(df).filter("dhash64 is not null"))
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got_pairs  # png twin joins its jpeg re-export

@@ -986,3 +986,65 @@ def test_kll_grouped_plan_partitions_by_group_and_shard(spark):
     plan = _executed_plan(spark, "kll_quantiles_by_lang")
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(lang" in plan, plan[:2000]
+
+
+def test_admission_session_probe_reads_cache_not_parquet(spark, tmp_path):
+    """VERDICT r11 #5: the AdmissionSession exists to kill the per-batch
+    FIXED costs — so its decision plan must probe the PERSISTED
+    in-memory layout relations (InMemoryTableScan), never re-scan the
+    layout parquet dirs, while the per-batch-reread twin (admit_batch)
+    keeps its parquet scans. After a fold, the session plan may union
+    cached increments but still must not touch the dirs."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+    from kafka_to_nexus_spark.streaming import stateful
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    arrivals = docs.filter(F.col("doc_id") % 10 == 0).limit(50)
+    nd = str(tmp_path / "neardup_layout")
+    llm_dedup.write_neardup_banding_layout(standing, nd)
+    bloom = str(tmp_path / "bloom_layout")
+    llm_dedup.write_bloom_layout(
+        standing.select(F.md5("text").alias("_fp")), bloom, "_fp",
+        k=4, bits_per_key=6,
+    )
+
+    sess = stateful.AdmissionSession(spark, bloom, nd, quota=5, tau=0.5)
+    try:
+        def plan_of(df):
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+                .fromString("formatted")
+            return df._jdf.queryExecution().explainString(mode)
+
+        # layout-relation reads all come off the cache: one
+        # InMemoryTableScan per stored relation probed (words, params,
+        # banding, fingerprints, shingle_hashes) — the parquet paths may
+        # still APPEAR inside the InMemoryRelation provenance blocks,
+        # but execution never re-lists the dirs. The reread twin has
+        # ZERO cache scans: every probe pays the parquet scan.
+        dec = stateful._admit_batch_against(sess._state(), arrivals, 5, 0.5)
+        plan = plan_of(dec)
+        assert plan.count("InMemoryTableScan") >= 5, plan
+
+        # after a fold the probe unions cached increments — MORE cache
+        # scans (the increment pieces), still the same zero dir re-lists
+        sess.admit_and_fold(arrivals, 0, str(tmp_path / "dec"))
+        dec2 = stateful._admit_batch_against(sess._state(), arrivals, 5, 0.5)
+        plan2 = plan_of(dec2)
+        assert plan2.count("InMemoryTableScan") > plan.count(
+            "InMemoryTableScan"
+        ), plan2
+    finally:
+        sess.close()
+
+    # the reread twin really does pay the parquet scans the session
+    # saves — planned AFTER close() so Spark's cache substitution can't
+    # hand it the session's relations (which is what production gets:
+    # no session, no cache)
+    twin = plan_of(stateful.admit_batch(spark, arrivals, bloom, nd, 5, 0.5))
+    assert "InMemoryTableScan" not in twin, twin
+    assert "neardup_layout/banding" in twin, twin
