@@ -527,6 +527,78 @@ def wav_features(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fp63", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame, windows: int = 64) -> DataFrame:
+    """Perceptual AUDIO fingerprint (L90) — the :func:`image_phash`
+    discipline for the PCM family: decode (:func:`parse_wav_samples`) →
+    channel-sum mono envelope → |amplitude| bucketed into ``windows``
+    equal-index windows → 63 GRADIENT bits (bit w set iff energy_w >
+    energy_{w+1}) packed into one BIGINT. Gradients, not magnitudes:
+    volume scaling and small per-sample noise preserve the envelope
+    SHAPE, the same robustness argument dHash makes for brightness —
+    and 63 bits keep the value positive in every engine, so the banded
+    near-dup join (:func:`phash_near_dup`, hash-column generic) and its
+    pigeonhole-exact hamming<=3 guarantee apply unchanged. Integer math
+    end to end; clips shorter than ``windows`` frames yield null (no
+    envelope to compare). Arrow-batched, partition-preserving, numpy
+    hot loop."""
+    import numpy as np
+    import pandas as pd
+
+    cols = df.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "n_frames": [], "fp63": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = parse_wav_samples(
+                    bytes(payload) if payload is not None else None
+                )
+                out["media_id"].append(mid)
+                if got is None:
+                    out["n_frames"].append(None)
+                    out["fp63"].append(None)
+                    continue
+                ch, _rate, _bits, samples = got
+                n = len(samples) // ch
+                out["n_frames"].append(n)
+                if n < windows:
+                    out["fp63"].append(None)
+                    continue
+                mono = np.abs(
+                    np.asarray(samples, dtype=np.int64)
+                    .reshape(n, ch)
+                    .sum(axis=1)
+                )
+                w_idx = np.arange(n, dtype=np.int64) * windows // n
+                # bincount-with-weights returns float64 — exact for these
+                # integer sums (< 2^53 by the max_samples guard), but cast
+                # back so the gradient compare is integer-vs-integer
+                e = np.bincount(
+                    w_idx, weights=mono, minlength=windows
+                ).astype(np.int64)
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                fp = int((bits << np.arange(windows - 1)).sum())
+                out["fp63"].append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "fp63": pd.array(out["fp63"], dtype="Int64"),
+                }
+            )
+
+    return cols.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
 MP4_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

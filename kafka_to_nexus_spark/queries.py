@@ -5323,6 +5323,169 @@ FROM s GROUP BY media_id, ch
 """
 
 
+def _wav_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): SQL-built PCM WAVs for the audio-fingerprint
+    family (L90) — per doc TWO variants (the _png_pixel_fixture move):
+    v=0 the base clip (128 frames, mono even doc_id / stereo odd,
+    samples from the double-squared prime mix), v=1 with ONE halfword
+    bumped +1 mod 65536 at the first sample of a doc-keyed window — the
+    wrap keeps |amplitude| within 1 of the base (32767→-32768 moves
+    |s| by exactly 1), so ONE window's energy moves by <=1 and at most
+    the two adjacent gradient bits flip: a guaranteed near-duplicate at
+    hamming <= 2."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(F.col("doc_id").alias("d"))
+    media = docs.select(
+        "d", F.explode(F.array(F.lit(0), F.lit(1))).alias("v")
+    )
+    d, v = F.col("d"), F.col("v")
+    P = 2147483629
+    ch = (d % 2 + 1).cast("long")
+    n_s = ch * 128
+    bump_j = (d * 7 % 61 + 1) * 2 * ch  # 1st sample of frame 2W, chan 0
+
+    def idiv(a, b):
+        return F.floor(a / b).cast("long")
+
+    def hx2(c):
+        return F.lpad(F.hex(c.cast("long") % 256), 2, "0")
+
+    def le2(c):
+        return F.concat(hx2(c), hx2(idiv(c, F.lit(256))))
+
+    def le4(c):
+        return F.concat(
+            hx2(c), hx2(idiv(c, F.lit(256))),
+            hx2(idiv(c, F.lit(65536))), hx2(idiv(c, F.lit(16777216))),
+        )
+
+    def sample_le(j):
+        h = (d * 131 + j * 17 + 7) % P
+        h = (h * h) % P
+        u = (h * h) % P % 65536
+        u = u + F.when((v == 1) & (j == bump_j), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        return le2(((u - 32768) % 65536 + 65536) % 65536)
+
+    samples_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), n_s - 1), sample_le),
+        "",
+    )
+    payload_hex = F.concat(
+        F.lit("52494646"), le4(n_s * 2 + 36), F.lit("57415645"),
+        F.lit("666D7420"), le4(F.lit(16)), le2(F.lit(1)), le2(ch),
+        le4(F.lit(8000)), le4(ch * 16000), le2(ch * 2), le2(F.lit(16)),
+        F.lit("64617461"), le4(n_s * 2), samples_hex,
+    )
+    return media.select(
+        (d * 2 + v).alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+
+
+def _q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprint (L90): SQL-built PCM clips →
+    ``multimodal.audio_fingerprint`` (real sample decode → channel-sum
+    |envelope| → 64 windows → 63 gradient bits in one BIGINT). The
+    oracle replays the WHOLE chain arithmetically — samples, frame sums,
+    window energies, gradient bits, bit packing — so any regression in
+    the decode, the window bucketing, or the bit order hash-fails."""
+    from .llm import multimodal as mm
+
+    return mm.audio_fingerprint(_wav_fp_fixture(spark, sf_dir))
+
+
+_AUDIO_FP_HEAD = """
+WITH m AS (
+  SELECT doc_id AS d, v
+  FROM documents, (VALUES (0), (1)) AS var(v)
+),
+s AS (
+  SELECT d, v, j.j AS j,
+         ((h1.h * h1.h % 2147483629) % 65536
+          + CASE WHEN v = 1 AND j.j = (d*7 % 61 + 1) * 2 * (1 + d % 2)
+                 THEN 1 ELSE 0 END) % 65536 AS u
+  FROM m, range(256) j(j),
+       LATERAL (SELECT (d*131 + j.j*17 + 7) % 2147483629
+                     * ((d*131 + j.j*17 + 7) % 2147483629)
+                     % 2147483629 AS h) h1
+  WHERE j.j < 128 * (1 + d % 2)
+),
+fr AS (
+  SELECT d, v, j // (1 + d % 2) AS i,
+         abs(sum(u - 32768)) AS am
+  FROM s GROUP BY d, v, i
+),
+en AS (
+  SELECT d, v, i // 2 AS w, sum(am) AS e FROM fr GROUP BY d, v, w
+),
+fp AS (
+  SELECT a.d, a.v,
+         sum(CASE WHEN a.e > b.e
+                  THEN CAST(1 AS BIGINT) << CAST(a.w AS INT)
+                  ELSE 0 END) AS fp63
+  FROM en a JOIN en b ON a.d = b.d AND a.v = b.v AND b.w = a.w + 1
+  GROUP BY a.d, a.v
+)
+"""
+
+ORACLE["audio_fingerprint"] = _AUDIO_FP_HEAD + """
+SELECT d*2 + v AS media_id, CAST(128 AS BIGINT) AS n_frames,
+       CAST(fp63 AS BIGINT) AS fp63
+FROM fp
+"""
+
+
+def _q_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over the L90 fingerprints: the SAME banded
+    equi-join family as the image leg (``phash_near_dup`` is hash-column
+    generic) — 4 disjoint 16-bit bands, occupancy cap, exact bit_count
+    verify, pigeonhole-exact for hamming <= 3. Every doc's bumped
+    variant (one halfword +1 mod 2^16 → one window energy moves <= 1 →
+    <= 2 gradient bits) must pair with its base; the oracle replays the
+    capped banded relation as CTEs, so the pair set matches exactly —
+    incidental cross-doc pairs included."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    fps = mm.audio_fingerprint(_wav_fp_fixture(spark, sf_dir)).filter(
+        F.col("fp63").isNotNull()
+    )
+    return mm.phash_near_dup(fps, hash_col="fp63")
+
+
+ORACLE["audio_fp_near_dup"] = _AUDIO_FP_HEAD + """,
+hh AS (
+  SELECT d*2 + v AS media_id, fp63 AS h, fp63 AS hu FROM fp
+),
+bands AS (
+  SELECT media_id, h, j.band_idx,
+         CAST((hu >> CAST(16 * j.band_idx AS INT)) & 65535 AS BIGINT)
+           AS band_val
+  FROM hh, (VALUES (0), (1), (2), (3)) AS j(band_idx)
+),
+capped AS (
+  SELECT media_id, h, band_idx, band_val FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY band_idx, band_val ORDER BY media_id) AS rk
+    FROM bands)
+  WHERE rk <= 64
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.h AS ha, b.h AS hb
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import multimodal as mm
 
@@ -7150,6 +7313,8 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "multimodal_jpeg_pixels": _q_multimodal_jpeg_pixels,
     "multimodal_wav_samples": _q_multimodal_wav_samples,
+    "audio_fingerprint": _q_audio_fingerprint,
+    "audio_fp_near_dup": _q_audio_fp_near_dup,
     "minhash_jaccard_estimate": _q_minhash_estimate,
     "bbit_minhash_estimate": _q_bbit_minhash_estimate,
     "quantized_adc_topk": _q_quantized_adc_topk,

@@ -2731,3 +2731,40 @@ def test_phash_cross_container_png_jpeg(spark):
         multimodal.image_phash(df).filter("dhash64 is not null"))
     got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got_pairs  # png twin joins its jpeg re-export
+
+
+def test_audio_fingerprint_gradient_properties(spark):
+    """L90: the fingerprint is the envelope SHAPE — (a) volume scaling
+    (×4, no clipping) preserves every gradient bit; (b) a +1-halfword
+    bump in one window flips at most the two adjacent bits (the
+    near-dup construction); (c) clips shorter than the window count and
+    undecodable payloads yield null."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.randrange(-6000, 6000) for _ in range(256)]
+    loud = [s * 4 for s in base]
+    bump = base[:]
+    bump[130] += 1  # frame 130 → window 32 only
+    rows = [
+        (1, multimodal.encode_wav(base)),
+        (2, multimodal.encode_wav(loud)),
+        (3, multimodal.encode_wav(bump)),
+        (4, multimodal.encode_wav([1, -1] * 10)),   # 20 frames < 64 windows
+        (5, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.audio_fingerprint(df).collect()}
+    assert got[1].fp63 == got[2].fp63            # volume-invariant
+    assert got[1].n_frames == 256
+    ham = bin(got[1].fp63 ^ got[3].fp63).count("1")
+    assert ham <= 2, ham                          # near-dup by construction
+    assert got[4].fp63 is None and got[4].n_frames == 20
+    assert got[5].fp63 is None and got[5].n_frames is None
+    # the banded join finds the constructed pairs, not the short/garbage
+    pairs = multimodal.phash_near_dup(
+        multimodal.audio_fingerprint(df).filter("fp63 is not null"),
+        hash_col="fp63",
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (1, 3) in got_pairs
