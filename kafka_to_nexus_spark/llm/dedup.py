@@ -720,6 +720,26 @@ def neardup_admission(
     plan Window-free (the inline L66 twin carries the cap window every
     batch)."""
     p, stored_band, stored_fp, stored_sh = _read_neardup_layout(spark, path)
+    return _neardup_admission_body(
+        p, stored_band, stored_fp, stored_sh, arrivals, tau, text_col, id_col
+    )
+
+
+def _neardup_admission_body(
+    p: dict,
+    stored_band: DataFrame,
+    stored_fp: DataFrame,
+    stored_sh: DataFrame,
+    arrivals: DataFrame,
+    tau: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`neardup_admission` against CALLER-HELD stored relations —
+    the split that lets a streaming AdmissionSession probe persisted
+    in-memory copies of the layout instead of re-reading the parquet
+    dirs every micro-batch (VERDICT r11 #5). Semantics identical by
+    construction: the wrapper above IS this body over a fresh read."""
     a_band, a_fp, a_sh = _neardup_relations(arrivals, p, text_col, id_col)
     cand_lsh = (
         a_band.alias("n")
@@ -790,10 +810,32 @@ def append_neardup_banding(
     import os
 
     p, stored_band, _, _ = _read_neardup_layout(spark, path)
-    banded, fp, sh = _neardup_relations(new_docs, p, text_col, id_col)
     occupancy = stored_band.groupBy("band", "band_key").agg(
         F.count("*").alias("_n")
     )
+    capped_new, fp, sh = _neardup_append_frames(
+        p, occupancy, new_docs, text_col, id_col
+    )
+    capped_new.write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "banding")
+    )
+    fp.write.mode("append").parquet(os.path.join(path, "fingerprints"))
+    sh.write.mode("append").parquet(os.path.join(path, "shingle_hashes"))
+
+
+def _neardup_append_frames(
+    p: dict,
+    occupancy: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cap-aware banding, fingerprints, shingles) increment for an
+    admitted batch, against a CALLER-SUPPLIED bucket-occupancy relation —
+    shared by :func:`append_neardup_banding` (occupancy from the stored
+    banding dir) and the streaming AdmissionSession (occupancy from its
+    persisted in-memory banding view)."""
+    banded, fp, sh = _neardup_relations(new_docs, p, text_col, id_col)
     capped_new = (
         banded.withColumn(
             "_rk",
@@ -805,11 +847,7 @@ def append_neardup_banding(
         .filter(F.col("_rk") + F.coalesce("_n", F.lit(0)) <= p["max_bucket"])
         .drop("_rk", "_n")
     )
-    capped_new.write.mode("append").partitionBy("band").parquet(
-        os.path.join(path, "banding")
-    )
-    fp.write.mode("append").parquet(os.path.join(path, "fingerprints"))
-    sh.write.mode("append").parquet(os.path.join(path, "shingle_hashes"))
+    return capped_new, fp, sh
 
 
 # ---------------------------------------------------------------------------
@@ -1051,6 +1089,22 @@ def append_bloom(
         )
     import os
 
+    new_words, new_params = _bloom_append_frames(new_df, fp_col, meta, params)
+    new_words.write.mode("append").parquet(os.path.join(path, "words"))
+    new_params.write.mode("append").parquet(os.path.join(path, "params"))
+
+
+def _bloom_append_frames(
+    new_df: DataFrame,
+    fp_col: str,
+    meta: dict,
+    params: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(words, params) increment rows for one appended batch — shared by
+    :func:`append_bloom` (which writes them to the layout dir) and the
+    streaming AdmissionSession (which ALSO unions the words increment
+    into its persisted in-memory view, so one materialized frame feeds
+    both destinations and memory can never diverge from disk)."""
     m = params.select("m_bits")
     new_words = (
         new_df.select(F.col(fp_col).alias("_fp"))
@@ -1070,13 +1124,12 @@ def append_bloom(
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
-    new_params = new_df.agg(
-        F.count_distinct(F.col(fp_col)).alias("n_keys")
-    ).crossJoin(F.broadcast(m))
-    new_words.write.mode("append").parquet(os.path.join(path, "words"))
-    new_params.select("n_keys", "m_bits").write.mode("append").parquet(
-        os.path.join(path, "params")
+    new_params = (
+        new_df.agg(F.count_distinct(F.col(fp_col)).alias("n_keys"))
+        .crossJoin(F.broadcast(m))
+        .select("n_keys", "m_bits")
     )
+    return new_words, new_params
 
 
 def _recover_aside(dst: str) -> None:

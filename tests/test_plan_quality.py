@@ -1030,14 +1030,17 @@ def test_admission_session_probe_reads_cache_not_parquet(spark, tmp_path):
         plan = plan_of(dec)
         assert plan.count("InMemoryTableScan") >= 5, plan
 
-        # after a fold the probe unions cached increments — MORE cache
-        # scans (the increment pieces), still the same zero dir re-lists
+        # after a fold the probe unions the base cache with the
+        # localCheckpoint-ed increments (lineage-truncated: they scan as
+        # ExistingRDD, which is what keeps batch N's plan O(pieces)
+        # instead of exponentially nested) — still zero dir re-lists
         sess.admit_and_fold(arrivals, 0, str(tmp_path / "dec"))
         dec2 = stateful._admit_batch_against(sess._state(), arrivals, 5, 0.5)
         plan2 = plan_of(dec2)
-        assert plan2.count("InMemoryTableScan") > plan.count(
+        assert plan2.count("InMemoryTableScan") >= plan.count(
             "InMemoryTableScan"
         ), plan2
+        assert "ExistingRDD" in plan2, plan2
     finally:
         sess.close()
 

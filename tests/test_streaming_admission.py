@@ -213,3 +213,77 @@ def test_admission_stream_is_idempotent_per_batch(spark, tmp_path):
     dec2 = {r.doc_id: r.stage for r in stateful.admit_batch(
         spark, _batch_df(spark, B2), bloom, nd, QUOTA, TAU).collect()}
     assert dec2 == {d: EXPECT[d] for d, _, _ in B2}
+
+
+def test_admission_session_equals_per_batch_reread_twin(spark, tmp_path):
+    """VERDICT r11 #5: the cached AdmissionSession (layouts read once,
+    advanced incrementally in memory) must be decision-identical to the
+    per-batch-reread path at EVERY consolidation cadence — including
+    consolidate_every=1, where each fold immediately round-trips the
+    state through the layout dirs, so the disk and memory views are
+    cross-checked against each other every batch."""
+    # per-batch-reread twin
+    bloom_t, nd_t = _build_layouts(spark, tmp_path / "twin")
+    dec_t = str(tmp_path / "dec_twin")
+    for seq, rows in enumerate((B1, B2)):
+        stateful.admit_and_fold(spark, _batch_df(spark, rows), seq,
+                                bloom_t, nd_t, dec_t, quota=QUOTA, tau=TAU)
+    twin = {r.doc_id: r.stage
+            for r in spark.read.parquet(dec_t).collect()}
+    assert twin == EXPECT
+
+    for cadence in (1, 999):
+        root = tmp_path / f"sess{cadence}"
+        bloom_s, nd_s = _build_layouts(spark, root)
+        dec_s = str(root / "dec")
+        sess = stateful.AdmissionSession(
+            spark, bloom_s, nd_s, quota=QUOTA, tau=TAU,
+            consolidate_every=cadence,
+        )
+        try:
+            for seq, rows in enumerate((B1, B2)):
+                sess.admit_and_fold(_batch_df(spark, rows), seq, dec_s)
+        finally:
+            sess.close()
+        got = {r.doc_id: r.stage
+               for r in spark.read.parquet(dec_s).collect()}
+        assert got == twin, f"cadence={cadence}"
+        # the layout DIRS the session leaves behind equal the twin's:
+        # a fresh per-batch-read admission of B2's docs over them gives
+        # the same verdicts (doc 7/8 dup of folded 3/4, 9/10 admitted)
+        fresh = {r.doc_id: r.stage for r in stateful.admit_batch(
+            spark, _batch_df(spark, B2), bloom_s, nd_s, QUOTA, TAU
+        ).collect()}
+        fresh_t = {r.doc_id: r.stage for r in stateful.admit_batch(
+            spark, _batch_df(spark, B2), bloom_t, nd_t, QUOTA, TAU
+        ).collect()}
+        assert fresh == fresh_t, f"cadence={cadence}"
+
+
+def test_admission_session_plan_growth_is_bounded(spark, tmp_path):
+    """The lineage trap, pinned (r12): persisted-only increments keep
+    logical plans that NEST the union of every earlier piece, so the
+    analyzer walks an exponentially growing tree (measured 4.3 → 58.5
+    s/batch by fold 9 before localCheckpoint truncation). With
+    truncated increments the decision plan grows at most LINEARLY in
+    the piece count: after 6 folds the plan text must stay within 3× of
+    the 1-fold plan (exponential nesting blows past 16×)."""
+    bloom, nd = _build_layouts(spark, tmp_path / "lay")
+    sess = stateful.AdmissionSession(spark, bloom, nd, quota=QUOTA, tau=TAU)
+    try:
+        sizes = []
+        for i in range(6):
+            batch = _batch_df(
+                spark,
+                [(1000 + i * 10 + k, _body(f"w{i}x{k}"), "s") for k in range(3)],
+            )
+            sess.admit_and_fold(batch, i, str(tmp_path / "dec"))
+            dec = stateful._admit_batch_against(
+                sess._state(), batch, QUOTA, TAU
+            )
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+                .fromString("formatted")
+            sizes.append(len(dec._jdf.queryExecution().explainString(mode)))
+        assert sizes[-1] <= 3 * sizes[0], sizes
+    finally:
+        sess.close()
