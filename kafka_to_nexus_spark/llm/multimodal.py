@@ -710,6 +710,102 @@ def resize_spec(df: DataFrame, max_side: int = 224) -> DataFrame:
     )
 
 
+def resize_image(
+    payload: bytes | None, target_w: int, target_h: int
+) -> bytes | None:
+    """REAL pixel resize (r12 — :func:`resize_spec` computed only the
+    target dims; with both image codecs landed the pixel leg is real
+    too): decode (PNG or baseline JPEG, by magic) → integer AREA-AVERAGE
+    downsample → re-encode as an RGB PNG (filter 0 — a canonical output
+    container regardless of input). Target cell (Y, X) averages the
+    source rectangle rows [Y·h//th, (Y+1)·h//th) × cols [X·w//tw,
+    (X+1)·w//tw) per channel with floor division — pure integer math,
+    so divisible ratios are exactly the block means the SQL oracle
+    states, and every ratio is deterministic. Upscales repeat pixels
+    (the ranges just overlap-free repeat), None on undecodable input or
+    nonpositive targets — the usual totality contract."""
+    import numpy as np
+
+    if target_w < 1 or target_h < 1 or payload is None or len(payload) < 8:
+        return None
+    payload = bytes(payload)
+    if payload[:8] == _PNG_SIG:
+        got = parse_png_pixels(payload)
+    elif payload[0] == 0xFF and payload[1] == 0xD8:
+        got = parse_jpeg_pixels(payload)
+    else:
+        return None
+    if got is None:
+        return None
+    w, h, rows = got
+    src = np.asarray(rows, dtype=np.int64)  # (h, w, 3)
+    # exact rectangle sums via 2-D cumulative sums: sum of block =
+    # C[y1,x1] - C[y0,x1] - C[y1,x0] + C[y0,x0] per channel
+    c = np.zeros((h + 1, w + 1, 3), dtype=np.int64)
+    np.cumsum(np.cumsum(src, axis=0), axis=1, out=c[1:, 1:])
+    ys = np.arange(target_h + 1, dtype=np.int64) * h // target_h
+    xs = np.arange(target_w + 1, dtype=np.int64) * w // target_w
+    ys0, ys1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    xs0, xs1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    ys1 = np.minimum(ys1, h)
+    xs1 = np.minimum(xs1, w)
+    sums = (
+        c[ys1][:, xs1]
+        - c[ys0][:, xs1]
+        - c[ys1][:, xs0]
+        + c[ys0][:, xs0]
+    )
+    areas = ((ys1 - ys0)[:, None] * (xs1 - xs0)[None, :])[:, :, None]
+    out = sums // areas
+    return encode_png(
+        [[tuple(int(v) for v in px) for px in row] for row in out],
+        color_type=2,
+        filter_mode="none",
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched real resize: (media_id, payload) → resized RGB PNG
+    payloads + dims, nulls on undecodable rows. The thumbnail/normalize
+    stage of a multimodal ingest — partition-preserving, codec-only
+    Python, output payloads are themselves decodable by
+    :func:`parse_png_pixels` (the certificate query re-decodes them
+    in-plan)."""
+    import pandas as pd
+
+    cols = df.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                res = resize_image(payload, target_w, target_h)
+                out["media_id"].append(mid)
+                out["width"].append(target_w if res is not None else None)
+                out["height"].append(target_h if res is not None else None)
+                out["payload"].append(res)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "payload": out["payload"],
+                }
+            )
+
+    return cols.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 # --- real PNG pixel codec + perceptual hashing (round 11) -------------------
 # The pixel-decode swap point gets a REAL stdlib implementation for PNG:
 # zlib IDAT inflate + the five scanline filters, color types 0/2/3/4/6 at

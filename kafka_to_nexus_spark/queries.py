@@ -5017,7 +5017,10 @@ def _q_image_phash_near_dup_uncapped(
 
 # shared oracle head: fixture pixels → dHash (replays decode + hash
 # arithmetic); capped/uncapped tails differ only in candidate generation
-_PHASH_DH_HEAD = """
+# m + px prefix shared with the resize-pixels oracle (which groups the
+# SAME closed-form source pixels into 4x4 block means instead of the
+# phash 8x8 cells)
+_PHASH_PX_HEAD = """
 WITH m AS (
   SELECT doc_id AS d, v
   FROM documents, (VALUES (0), (1)) AS var(v)
@@ -5039,7 +5042,9 @@ px AS (
        LATERAL (SELECT (d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629
                        * ((d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629)
                        % 2147483629 AS h) h3
-),
+)"""
+
+_PHASH_DH_HEAD = _PHASH_PX_HEAD + """,
 cell AS (
   SELECT d, v, y // 2 AS cy, x // 2 AS cx,
          sum((299*r + 587*g + 114*b) // 1000) // 4 AS cv
@@ -5490,6 +5495,73 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import multimodal as mm
 
     return mm.resize_spec(_media_frame(spark, sf_dir, with_payload=False), max_side=224)
+
+
+def _q_multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize certificate (r12 — L18's pixel leg closed):
+    the SQL-built 16x16 PNGs (_png_pixel_fixture, both variants, gray
+    and RGB) run through ``multimodal.resize_images`` (decode → integer
+    area-average to 4x4 → RGB PNG re-encode), then the RESIZED payloads
+    are re-decoded IN-PLAN and reduced to position-weighted channel
+    checksums. 16→4 is divisible, so every output pixel is exactly a
+    4x4 block mean with floor division — the oracle states it from the
+    closed-form source pixels; any regression in either codec direction
+    or the downsample arithmetic hash-fails. Arbitrary-ratio and
+    upscale behavior (repeat-pixel, determinism, totality) are
+    pytest-covered."""
+    import pandas as pd
+
+    from .llm import multimodal as mm
+
+    resized = mm.resize_images(_png_pixel_fixture(spark, sf_dir), 4, 4)
+
+    def batches(it):
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [],
+                   "px_sum": [], "px_checksum": []}
+            for mid, w, h, p in zip(pdf["media_id"], pdf["width"],
+                                    pdf["height"], pdf["payload"]):
+                out["media_id"].append(mid)
+                got = mm.parse_png_pixels(bytes(p)) if p is not None else None
+                if got is None:
+                    for c in ("width", "height", "px_sum", "px_checksum"):
+                        out[c].append(None)
+                    continue
+                gw, gh, rows = got
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["px_sum"].append(sum(
+                    r + g + b for row in rows for (r, g, b) in row
+                ))
+                out["px_checksum"].append(sum(
+                    (r + 2 * g + 3 * b) * ((x + 1) + 5 * (y + 1))
+                    for y, row in enumerate(rows)
+                    for x, (r, g, b) in enumerate(row)
+                ))
+            yield pd.DataFrame(out)
+
+    schema = ("media_id long, width int, height int, "
+              "px_sum long, px_checksum long")
+    return resized.mapInPandas(batches, schema)
+
+
+ORACLE["multimodal_resize_pixels"] = _PHASH_PX_HEAD + """,
+cell AS (
+  SELECT d, v, y // 4 AS cy, x // 4 AS cx,
+         sum(CASE WHEN d % 2 = 0 THEN (299*r + 587*g + 114*b) // 1000
+                  ELSE r END) // 16 AS rr,
+         sum(CASE WHEN d % 2 = 0 THEN (299*r + 587*g + 114*b) // 1000
+                  ELSE g END) // 16 AS gg,
+         sum(CASE WHEN d % 2 = 0 THEN (299*r + 587*g + 114*b) // 1000
+                  ELSE b END) // 16 AS bb
+  FROM px GROUP BY d, v, cy, cx
+)
+SELECT d*2 + v AS media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(sum(rr + gg + bb) AS BIGINT) AS px_sum,
+       CAST(sum((rr + 2*gg + 3*bb) * ((cx+1) + 5*(cy+1))) AS BIGINT)
+         AS px_checksum
+FROM cell GROUP BY media_id
+"""
 
 
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7301,6 +7373,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_engine_parity": _q_minhash_engine_parity,
     "multimodal_features": _q_multimodal_features,
     "multimodal_resize_spec": _q_multimodal_resize,
+    "multimodal_resize_pixels": _q_multimodal_resize_pixels,
     "multimodal_frame_sample": _q_multimodal_frames,
     "multimodal_image_dims": _q_multimodal_image_dims,
     "multimodal_wav_meta": _q_multimodal_wav_meta,

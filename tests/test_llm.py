@@ -2768,3 +2768,34 @@ def test_audio_fingerprint_gradient_properties(spark):
     )
     got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got_pairs and (1, 3) in got_pairs
+
+
+def test_resize_image_block_means_and_totality():
+    """L18's pixel leg: 16x16 -> 4x4 is exactly per-channel 4x4 block
+    means with floor division; upscale repeats pixels; JPEG input
+    resizes through the same path; garbage and bad targets are None."""
+    img = [[(x * 16 + y * 3) % 256 for x in range(16)] for y in range(16)]
+    png = multimodal.encode_png(img, color_type=0)
+    out = multimodal.parse_png_pixels(multimodal.resize_image(png, 4, 4))
+    assert out is not None and (out[0], out[1]) == (4, 4)
+    for cy in range(4):
+        for cx in range(4):
+            want = sum(img[cy*4+dy][cx*4+dx]
+                       for dy in range(4) for dx in range(4)) // 16
+            assert out[2][cy][cx] == (want, want, want), (cy, cx)
+    # upscale 2x2 -> 4x4 repeats each source pixel into a 2x2 block
+    small = multimodal.encode_png([[10, 20], [30, 40]], color_type=0)
+    up = multimodal.parse_png_pixels(multimodal.resize_image(small, 4, 4))
+    assert up[2][0][0] == up[2][1][1] == (10, 10, 10)
+    assert up[2][2][2] == up[2][3][3] == (40, 40, 40)
+    # JPEG in, PNG out: flat blocks are lossless so the mean is exact
+    flat = [[7 if (x // 8 + y // 8) % 2 == 0 else 200
+             for x in range(16)] for y in range(16)]
+    via_jpeg = multimodal.parse_png_pixels(
+        multimodal.resize_image(multimodal.encode_jpeg(flat), 8, 8))
+    assert via_jpeg[2][0][0] == (7, 7, 7)      # block (0,0): even -> 7
+    assert via_jpeg[2][7][0] == (200, 200, 200)  # block (1,0): odd -> 200
+    # totality
+    assert multimodal.resize_image(b"garbage", 4, 4) is None
+    assert multimodal.resize_image(None, 4, 4) is None
+    assert multimodal.resize_image(png, 0, 4) is None
