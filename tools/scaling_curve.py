@@ -128,6 +128,14 @@ FAMILY = {
     "kll_quantiles": "documents",
     "kll_error_certificate": "documents",
     "kll_quantiles_by_lang": "documents",
+    # r12: the multimodal closures — per-doc codec work (python-side,
+    # measured 2.4 ms/img jpeg round-trip, 0.26 ms resize, 0.01 ms wav),
+    # linear by construction; x100 pins the slope, x1000 buys nothing
+    "multimodal_jpeg_pixels": "documents",
+    "multimodal_wav_samples": "documents",
+    "multimodal_resize_pixels": "documents",
+    "audio_fingerprint": "documents",
+    "audio_fp_near_dup": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
