@@ -1295,43 +1295,9 @@ def phash_near_dup(
             f"banded exactness needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    if 64 % bands:
-        raise ValueError(f"bands must divide 64 (got {bands})")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    h = hashes.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    ).filter(F.col("_h").isNotNull())
-    banded = h.select(
-        "_id",
-        "_h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("_h"), j * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "_h", "band.band_idx", "band.band_val")
+    banded = _phash_bands(hashes, hash_col, id_col, bands)
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        banded = (
-            banded.withColumn(
-                "_rk",
-                F.row_number().over(
-                    Window.partitionBy("band_idx", "band_val").orderBy("_id")
-                ),
-            )
-            .filter(F.col("_rk") <= max_bucket)
-            .drop("_rk")
-        )
+        banded = _cap_phash_bands(banded, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1355,6 +1321,191 @@ def phash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _phash_bands(
+    hashes: DataFrame, hash_col: str, id_col: str, bands: int
+) -> DataFrame:
+    """(_id, _h, band_idx, band_val): the disjoint bit-band explosion
+    shared by the pair join, the stored layout, and the admission
+    probe — one definition so the three sides can never band
+    differently (the _neardup_relations discipline)."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    return h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("_h"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_h", "band.band_idx", "band.band_val")
+
+
+def _cap_phash_bands(banded: DataFrame, max_bucket: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    return (
+        banded.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("band_idx", "band_val").orderBy("_id")
+            ),
+        )
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
+
+
+# --- stored perceptual-hash layout (L91) -------------------------------------
+# The text near-dup family has had a STANDING-CORPUS layout since r10
+# (write_neardup_banding_layout): admission probes stored state instead
+# of rescanning history. The image family gets the same contract over
+# its fingerprints — the corpus collapses to (band_idx, band_val, _id,
+# _h) rows (capped per bucket) + _meta.json, arrivals probe via
+# broadcast band equi-join + exact bit_count verify, and admitted
+# images fold back cap-aware. At 100 TB the stored relation is two
+# BIGINTs per image per band — the images themselves are never
+# rescanned, which is the whole point.
+
+PHASH_LAYOUT_PARAMS = {"bands": 4, "max_bucket": 64, "max_hamming": 3,
+                       "version": 1}
+
+
+def write_phash_layout(
+    hashes: DataFrame,
+    path: str,
+    params: dict | None = None,
+    hash_col: str = "dhash64",
+    id_col: str = "media_id",
+) -> None:
+    """Persist the standing corpus's banded fingerprint relation (one-
+    time build; cap paid here, not per probe)."""
+    import json
+    import os
+
+    p = {**PHASH_LAYOUT_PARAMS, **(params or {})}
+    banded = _cap_phash_bands(
+        _phash_bands(hashes, hash_col, id_col, p["bands"]), p["max_bucket"]
+    )
+    banded.write.partitionBy("band_idx").parquet(
+        os.path.join(path, "banding")
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(p, f)
+
+
+def _read_phash_layout(spark, path: str) -> tuple[dict, DataFrame]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        p = json.load(f)
+    return p, spark.read.parquet(os.path.join(path, "banding"))
+
+
+def phash_admission(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    hash_col: str = "dhash64",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Admit an arrival batch of image fingerprints against the STORED
+    standing corpus: (media_id, admitted, best_hamming), admitted = no
+    standing fingerprint within the layout's max_hamming. Per batch only
+    the ARRIVAL side bands (broadcast against the stored capped
+    relation); the exact bit_count verify runs on candidates only; the
+    pigeonhole guarantee is the layout's (bands, max_hamming) pair. The
+    image-side twin of :func:`dedup.neardup_admission` — same scale
+    shape, zero corpus-sized recompute per batch."""
+    p, stored = _read_phash_layout(spark, path)
+    a_band = _phash_bands(arrivals, hash_col, id_col, p["bands"])
+    cand = (
+        a_band.alias("n")
+        .hint("broadcast")
+        .join(
+            stored.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select(
+            F.col("n._id").alias("id_a"),
+            F.col("n._h").alias("h_a"),
+            F.col("o._h").alias("h_b"),
+        )
+    )
+    best = (
+        cand.select(
+            "id_a",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            .cast("int")
+            .alias("_ham"),
+        )
+        .groupBy("id_a")
+        .agg(F.min("_ham").alias("best_hamming"))
+    )
+    base = arrivals.select(F.col(id_col).alias("media_id"))
+    return base.join(best, base.media_id == best.id_a, "left").select(
+        "media_id",
+        F.coalesce(
+            F.col("best_hamming") > p["max_hamming"], F.lit(True)
+        ).alias("admitted"),
+        "best_hamming",
+    )
+
+
+def append_phash_layout(
+    spark,
+    path: str,
+    new_hashes: DataFrame,
+    hash_col: str = "dhash64",
+    id_col: str = "media_id",
+) -> None:
+    """Fold admitted images INTO the stored layout, cap-aware against
+    the EXISTING bucket occupancy (the append_neardup_banding
+    discipline: one O(distinct-buckets) aggregation, never a
+    corpus-sized window; a bucket never exceeds max_bucket across any
+    number of appends)."""
+    import os
+
+    p, stored = _read_phash_layout(spark, path)
+    banded = _phash_bands(new_hashes, hash_col, id_col, p["bands"])
+    occupancy = stored.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("_n")
+    )
+    from pyspark.sql import Window
+
+    capped_new = (
+        banded.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("band_idx", "band_val").orderBy("_id")
+            ),
+        )
+        .join(occupancy, ["band_idx", "band_val"], "left")
+        .filter(
+            F.col("_rk") + F.coalesce("_n", F.lit(0)) <= p["max_bucket"]
+        )
+        .drop("_rk", "_n")
+    )
+    capped_new.write.mode("append").partitionBy("band_idx").parquet(
+        os.path.join(path, "banding")
     )
 
 

@@ -5390,6 +5390,154 @@ def _wav_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _phash_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized stored phash layout over the synthetic standing
+    hashes (cheap arithmetic build — no pixel decode; the decode legs
+    are certified by image_phash/multimodal_jpeg_pixels)."""
+    import tempfile
+
+    from .llm import multimodal as mm
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PHASH_LAYOUT_CACHE.get(key)
+    if path is not None:
+        return path
+    path = tempfile.mkdtemp(prefix="k2n_phash_layout_")
+    mm.write_phash_layout(
+        _phash_standing_hashes(spark, sf_dir), path,
+        hash_col="h", id_col="media_id",
+    )
+    _PHASH_LAYOUT_CACHE[key] = path
+    return path
+
+
+def _phash_standing_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, h): spread 62-bit standing fingerprints — low 31 bits
+    and high 31 bits from two independent double-squared prime mixes, so
+    every 16-bit band carries entropy (a 31-bit-only hash would zero
+    bands 2-3 and flood those buckets)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    P = 2147483629
+
+    def mix(a):
+        h = (d * a + 7) % P
+        h = (h * h) % P
+        return (h * h) % P
+
+    return spark.table("documents").select(
+        d.alias("media_id"),
+        (mix(131) + mix(137) * F.lit(2147483648).cast("long")).alias("h"),
+    )
+
+
+def _q_phash_stored_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup admission against the STORED fingerprint layout
+    (L91 — the image twin of incremental_neardup_stored_probe): the
+    standing corpus's capped banded relation was written ONCE; per
+    arrival batch only the arrival side bands, broadcast against the
+    stored buckets, exact bit_count verify on candidates. Two probes
+    per doc: a 1-bit-flipped twin of the standing hash (rejected at
+    best_hamming 1) and an independently-mixed novel hash (admitted
+    unless an incidental collision — the oracle replays whichever
+    happens). The oracle replays the capped layout build AND the probe:
+    banding, occupancy cap order, candidate join, min-hamming verify,
+    the admitted rule."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    layout = _phash_layout(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    P = 2147483629
+
+    def mix(a):
+        h = (d * a + 7) % P
+        h = (h * h) % P
+        return (h * h) % P
+
+    std_h = mix(131) + mix(137) * F.lit(2147483648).cast("long")
+    near = spark.table("documents").select(
+        (d * 2 + 1000000).alias("media_id"),
+        F.expr(
+            "CAST(shiftleft(1L, CAST(doc_id % 62 AS INT)) AS BIGINT)"
+        ).bitwiseXOR(std_h).alias("h"),
+    )
+    novel = spark.table("documents").select(
+        (d * 2 + 1000001).alias("media_id"),
+        (mix(151) + mix(157) * F.lit(2147483648).cast("long")).alias("h"),
+    )
+    return mm.phash_admission(
+        spark, layout, near.unionByName(novel), hash_col="h",
+        id_col="media_id",
+    )
+
+
+ORACLE["phash_stored_admission"] = """
+WITH s AS (
+  SELECT doc_id AS media_id,
+         (h1.h * h1.h % 2147483629)
+         + (h2.h * h2.h % 2147483629) * 2147483648 AS h
+  FROM documents,
+       LATERAL (SELECT (doc_id*131 + 7) % 2147483629
+                     * ((doc_id*131 + 7) % 2147483629)
+                     % 2147483629 AS h) h1,
+       LATERAL (SELECT (doc_id*137 + 7) % 2147483629
+                     * ((doc_id*137 + 7) % 2147483629)
+                     % 2147483629 AS h) h2
+),
+stored AS (
+  SELECT media_id, h, band_idx, band_val FROM (
+    SELECT s.media_id, s.h, j.band_idx,
+           (s.h >> CAST(16 * j.band_idx AS INT)) & 65535 AS band_val,
+           row_number() OVER (
+             PARTITION BY j.band_idx,
+                          (s.h >> CAST(16 * j.band_idx AS INT)) & 65535
+             ORDER BY s.media_id) AS rk
+    FROM s, (VALUES (0), (1), (2), (3)) AS j(band_idx))
+  WHERE rk <= 64
+),
+a AS (
+  SELECT doc_id*2 + 1000000 AS media_id,
+         xor(s.h, CAST(1 AS BIGINT) << CAST(doc_id % 62 AS INT)) AS h
+  FROM documents JOIN s ON s.media_id = doc_id
+  UNION ALL
+  SELECT doc_id*2 + 1000001 AS media_id,
+         (h3.h * h3.h % 2147483629)
+         + (h4.h * h4.h % 2147483629) * 2147483648 AS h
+  FROM documents,
+       LATERAL (SELECT (doc_id*151 + 7) % 2147483629
+                     * ((doc_id*151 + 7) % 2147483629)
+                     % 2147483629 AS h) h3,
+       LATERAL (SELECT (doc_id*157 + 7) % 2147483629
+                     * ((doc_id*157 + 7) % 2147483629)
+                     % 2147483629 AS h) h4
+),
+ab AS (
+  SELECT a.media_id, a.h, j.band_idx,
+         (a.h >> CAST(16 * j.band_idx AS INT)) & 65535 AS band_val
+  FROM a, (VALUES (0), (1), (2), (3)) AS j(band_idx)
+),
+best AS (
+  SELECT ab.media_id,
+         min(bit_count(xor(ab.h, stored.h))) AS best_hamming
+  FROM ab JOIN stored
+    ON ab.band_idx = stored.band_idx AND ab.band_val = stored.band_val
+  GROUP BY ab.media_id
+)
+SELECT a.media_id,
+       coalesce(best.best_hamming > 3, TRUE) AS admitted,
+       CAST(best.best_hamming AS INT) AS best_hamming
+FROM a LEFT JOIN best ON a.media_id = best.media_id
+"""
+
+
 def _q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio fingerprint (L90): SQL-built PCM clips →
     ``multimodal.audio_fingerprint`` (real sample decode → channel-sum
@@ -7387,6 +7535,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_pixels": _q_multimodal_jpeg_pixels,
     "multimodal_wav_samples": _q_multimodal_wav_samples,
     "audio_fingerprint": _q_audio_fingerprint,
+    "phash_stored_admission": _q_phash_stored_admission,
     "audio_fp_near_dup": _q_audio_fp_near_dup,
     "minhash_jaccard_estimate": _q_minhash_estimate,
     "bbit_minhash_estimate": _q_bbit_minhash_estimate,

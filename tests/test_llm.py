@@ -2799,3 +2799,72 @@ def test_resize_image_block_means_and_totality():
     assert multimodal.resize_image(b"garbage", 4, 4) is None
     assert multimodal.resize_image(None, 4, 4) is None
     assert multimodal.resize_image(png, 0, 4) is None
+
+
+def test_phash_stored_layout_admission_and_fold(spark, tmp_path):
+    """L91: the stored image-fingerprint layout — admission against
+    standing state, cap-aware fold-back, and cross-batch rejection
+    through the fold (the write_neardup_banding_layout contract for the
+    image family)."""
+    layout = str(tmp_path / "phash_layout")
+    standing = spark.createDataFrame(
+        [(i, (i * 0x9E3779B97F4A7C15) % (1 << 62)) for i in range(50)],
+        "media_id long, dhash64 long",
+    )
+    multimodal.write_phash_layout(standing, layout)
+    rows = standing.collect()
+    arrivals = spark.createDataFrame(
+        [(100, rows[7].dhash64 ^ (1 << 5)),     # 1-bit twin: reject
+         (101, rows[7].dhash64 ^ 0xF0F0F0F0),   # far: admit
+         (102, 0x123456789ABCDEF)],             # novel: admit
+        "media_id long, dhash64 long",
+    )
+    got = {r.media_id: r for r in multimodal.phash_admission(
+        spark, layout, arrivals).collect()}
+    assert not got[100].admitted and got[100].best_hamming == 1
+    assert got[101].admitted and got[102].admitted
+
+    # fold the admitted images; their later copies are rejected
+    admitted = arrivals.join(
+        spark.createDataFrame([(101,), (102,)], "media_id long"), "media_id")
+    multimodal.append_phash_layout(spark, layout, admitted)
+    copies = spark.createDataFrame(
+        [(200, 0x123456789ABCDEF),               # exact copy of folded 102
+         (201, (0x123456789ABCDEF) ^ (1 << 40))],  # near-dup of folded
+        "media_id long, dhash64 long",
+    )
+    got2 = {r.media_id: r for r in multimodal.phash_admission(
+        spark, layout, copies).collect()}
+    assert not got2[200].admitted and got2[200].best_hamming == 0
+    assert not got2[201].admitted and got2[201].best_hamming == 1
+
+
+def test_phash_layout_cap_holds_across_appends(spark, tmp_path):
+    """A flat-image flood folded in batches can never push a bucket past
+    max_bucket: occupancy-aware appends fill only the remaining budget
+    (the append_neardup_banding discipline)."""
+    from pyspark.sql import functions as F
+
+    layout = str(tmp_path / "flood_layout")
+    multimodal.write_phash_layout(
+        spark.createDataFrame([(i, 0) for i in range(10)],
+                              "media_id long, dhash64 long"),
+        layout, params={"max_bucket": 12},
+    )
+    for wave in range(3):  # 3 waves of 10 identical hashes
+        multimodal.append_phash_layout(
+            spark, layout,
+            spark.createDataFrame(
+                [(100 + wave * 10 + i, 0) for i in range(10)],
+                "media_id long, dhash64 long"),
+        )
+    _p, stored = multimodal._read_phash_layout(spark, layout)
+    occ = stored.groupBy("band_idx", "band_val").count().agg(
+        F.max("count")).first()[0]
+    assert occ <= 12, occ
+    # and a probe of the flooded hash still rejects (bucket kept matches)
+    got = multimodal.phash_admission(
+        spark, layout,
+        spark.createDataFrame([(999, 0)], "media_id long, dhash64 long"),
+    ).collect()[0]
+    assert not got.admitted and got.best_hamming == 0

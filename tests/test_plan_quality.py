@@ -1051,3 +1051,31 @@ def test_admission_session_probe_reads_cache_not_parquet(spark, tmp_path):
     twin = plan_of(stateful.admit_batch(spark, arrivals, bloom, nd, 5, 0.5))
     assert "InMemoryTableScan" not in twin, twin
     assert "neardup_layout/banding" in twin, twin
+
+
+def test_phash_stored_admission_plan_shape(spark, tmp_path):
+    """L91: the stored image-fingerprint probe must be Window-free (the
+    occupancy cap was paid at layout-build time, never per batch), read
+    its standing side from the layout parquet, and broadcast the
+    arrival bands — the neardup_admission plan contract for the image
+    family."""
+    layout = str(tmp_path / "phash_layout")
+    standing = spark.range(2000).selectExpr(
+        "id AS media_id",
+        "CAST((id * 2654435761 % 2147483629) * (id * 2654435761"
+        " % 2147483629) % 2147483629 + (id * 1103515245 % 2147483629)"
+        " * (id * 1103515245 % 2147483629) % 2147483629 * 2147483648"
+        " AS LONG) AS dhash64",
+    )
+    multimodal_write = __import__(
+        "kafka_to_nexus_spark.llm.multimodal", fromlist=["x"])
+    multimodal_write.write_phash_layout(standing, layout)
+    arrivals = spark.range(50).selectExpr(
+        "id + 10000 AS media_id", "CAST(id * 7 + 1 AS LONG) AS dhash64")
+    adm = multimodal_write.phash_admission(spark, layout, arrivals)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = adm._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan, plan
+    assert "phash_layout/banding" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
