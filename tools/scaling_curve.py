@@ -136,6 +136,7 @@ FAMILY = {
     "multimodal_resize_pixels": "documents",
     "audio_fingerprint": "documents",
     "audio_fp_near_dup": "documents",
+    "phash_stored_admission": "documents",
 }
 
 # dedup_components memoizes its CC labels per (session, sf_dir): re-running
