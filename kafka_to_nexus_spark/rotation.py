@@ -68,7 +68,9 @@ _REPO_ROOT = Path(__file__).resolve().parents[1]
 _ROUNDS_CACHE: dict[tuple, dict[int, frozenset[str]]] = {}
 
 
-def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
+def load_rounds(
+    root: Path | str | None = None, driver_only: bool = False
+) -> dict[int, frozenset[str]]:
     """Per-round sets of green query names from ``CORRECTNESS_r*.json``
     AND ``CORRECTNESS_sweep_r*.json``.
 
@@ -78,6 +80,10 @@ def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
     certify greenness — the sweep is what keeps the 2-round staleness
     target achievable now that the registry is >2× the driver window
     (VERDICT r11 #1). Files for the same round union.
+    ``driver_only=True`` reads just the driver files — what
+    :func:`rotation_order` uses to decide which queries the DRIVER has
+    never checked (a round-close sweep certifies staleness but must not
+    pre-empt a new query's first driver-window slot).
 
     A query counts as green only if the row records no error AND every
     recorded axis matched (rows/schema/hash — absent axes count as
@@ -86,9 +92,9 @@ def load_rounds(root: Path | str | None = None) -> dict[int, frozenset[str]]:
     an error ({"err": ...}, no match axes) must not certify the query
     green and rotate it out of the verification window."""
     root = Path(root) if root is not None else _REPO_ROOT
-    files = sorted(root.glob("CORRECTNESS_r*.json")) + sorted(
-        root.glob("CORRECTNESS_sweep_r*.json")
-    )
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not driver_only:
+        files += sorted(root.glob("CORRECTNESS_sweep_r*.json"))
     sig = tuple((str(f), f.stat().st_mtime_ns) for f in files)
     cached = _ROUNDS_CACHE.get(sig)
     if cached is not None:
@@ -137,23 +143,46 @@ def rotation_order(
     entries (their last green row predates the round the change landed
     in), then everything else oldest-green first with an alphabetical
     tie-break. The list covers EVERY name, so it is a total ordering for
-    ``queries()``, not just the window prefix."""
+    ``queries()``, not just the window prefix.
+
+    "Never checked" means never checked BY THE DRIVER: the builder's
+    round-close sweep certifies staleness for the standing registry,
+    but a freshly registered query that only the sweep has ever seen
+    still claims a first-round driver-window slot (VERDICT r11 #7 —
+    otherwise writing the sweep artifact would quietly rotate every new
+    query out of its own debut window)."""
     names = list(names)
+    driver_rounds = None
     if rounds is None:
         rounds = load_rounds()
+        driver_rounds = load_rounds(driver_only=True)
     if changed is None:
         changed = CHANGED
     if not rounds:
         return None
     green = last_green(names, rounds)
-    never = sorted(q for q in names if green[q] is None)
+    driver_green = (
+        last_green(names, driver_rounds)
+        if driver_rounds is not None
+        else green
+    )
+    never = sorted(q for q in names if driver_green[q] is None)
+    never_set = set(never)
     bumped = [
         q
         for q, rnd in changed.items()
-        if green.get(q) is not None and green[q] < rnd
+        if q not in never_set
+        and green.get(q) is not None
+        and green[q] < rnd
     ]
     rest = sorted(
-        (q for q in names if green[q] is not None and q not in set(bumped)),
+        (
+            q
+            for q in names
+            if q not in never_set
+            and green[q] is not None
+            and q not in set(bumped)
+        ),
         key=lambda q: (green[q], q),
     )
     return never + bumped + rest

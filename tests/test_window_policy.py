@@ -136,11 +136,23 @@ def test_new_queries_enter_the_window_their_first_round():
     order = rotation.rotation_order(names)
     assert order is not None
     assert "zzz_brand_new_query" in order[: rotation.WINDOW]
+    # "never checked" means never checked BY THE DRIVER: a round-close
+    # sweep pre-certifying a fresh query must not rotate it out of its
+    # own debut window (found live in r12 — writing the sweep artifact
+    # pushed five brand-new queries past slot 50)
+    driver_rounds = rotation.load_rounds(driver_only=True)
+    fresh = sorted(
+        q for q in order
+        if rotation.last_green([q], driver_rounds)[q] is None
+    )
+    assert order[: len(fresh)] == fresh
     # and that stays true while fewer than WINDOW never-checked queries
     # exist, which the policy check itself enforces (a never-checked
     # query outside the window is a violation regardless of staleness)
-    fresh = [q for q in order if rotation.last_green([q], rotation.load_rounds())[q] is None]
-    assert order[: len(fresh)] == sorted(fresh)
+    assert len(fresh) <= rotation.WINDOW, (
+        "more driver-never queries than window slots — the debut "
+        "guarantee itself is unsatisfiable this round"
+    )
 
 
 def test_every_registry_query_has_an_oracle_or_is_documented():
