@@ -5386,6 +5386,117 @@ FROM s GROUP BY media_id, ch
 """
 
 
+def _q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pixel decode (L92 — the LAST decode stub in the
+    engine, closed): per doc, an MJPEG-in-AVI video of ``doc_id % 3 + 1``
+    frames — each frame a 16x16 grayscale baseline JPEG of 2x2 FLAT 8x8
+    blocks (levels from the double-squared 31-bit-prime mix with the
+    frame index folded in) — is containerized by
+    ``multimodal.encode_avi`` (RIFF: hdrl avih/strh/strf + movi '00dc'
+    chunks + idx1) and decoded back by ``multimodal.video_frames``
+    (the production mapInPandas op: RIFF walk → per-frame Huffman/DCT
+    JPEG decode → luminance grid → box-downsample → ahash64/dhash64).
+    Flat blocks round-trip BIT-EXACTLY through the JPEG codec
+    (the multimodal_jpeg_pixels discipline) and gray luminance is the
+    identity, so the oracle replays the ENTIRE library output — frame
+    count, dimensions, luminance sum, and both 64-bit perceptual hashes
+    — in closed-form SQL: a regression anywhere in the container walk,
+    frame/header cross-checks, JPEG entropy decode, downsample
+    boundaries, or hash bit packing flips a value and hash-fails.
+    Container malformation totality (truncation sweeps, size bombs,
+    frame-count lies, dimension mismatches, rec-list scope) is
+    pytest-covered. Reference analog: fixed-function typed decode,
+    /root/reference/src/FlatbufferReader.h:26-85."""
+    import pandas as pd
+
+    from .llm import multimodal as mm
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id")
+    P = 2147483629
+
+    def level(d: int, f: int, by: int, bx: int) -> int:
+        h0 = (d * 131 + f * 9377 + by * 17 + bx * 29 + 7) % P
+        h1 = h0 * h0 % P
+        return (h1 * h1 % P) % 256
+
+    def payloads(it):
+        for pdf in it:
+            mids, pls = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    mm.encode_jpeg(
+                        [[level(d, f, y // 8, x // 8) for x in range(16)]
+                         for y in range(16)]
+                    )
+                    for f in range(d % 3 + 1)
+                ]
+                mids.append(d)
+                pls.append(mm.encode_avi(frames, 16, 16, fps=10))
+            yield pd.DataFrame({"media_id": mids, "payload": pls})
+
+    media = docs.mapInPandas(payloads, "media_id long, payload binary")
+    return mm.video_frames(media)
+
+
+# Cell value replay: the 16x16 frame is 2x2 flat 8x8 blocks, luminance
+# of gray (v,v,v) is exactly v, and box_downsample's (c*16)//8
+# boundaries keep every 2x2 cell inside one block — so cell (cy,cx) IS
+# level(d, f, cy//4, cx//4), lum_sum is 4*sum(cells), ahash bit
+# (8cy+cx) = cell >= floor-mean, dhash bit = cell < row-neighbor
+# (wraparound). Bit 63 adds as its two's-complement value (the
+# _signed64 convention; DuckDB raises on 1<<63, so it's a literal).
+ORACLE["multimodal_video_frames"] = """
+WITH fr AS (
+  SELECT d.doc_id AS media_id, f.f AS frame_idx,
+         CAST(d.doc_id % 3 + 1 AS INT) AS n_frames
+  FROM documents d, range(3) f(f)
+  WHERE f.f <= d.doc_id % 3
+),
+cells AS (
+  SELECT fr.media_id, fr.frame_idx, fr.n_frames, cy.cy AS cy, cx.cx AS cx,
+         (h1.h * h1.h % 2147483629) % 256 AS v
+  FROM fr, range(8) cy(cy), range(8) cx(cx),
+       LATERAL (SELECT (fr.media_id*131 + fr.frame_idx*9377
+                        + (cy.cy//4)*17 + (cx.cx//4)*29 + 7) % 2147483629
+                     * ((fr.media_id*131 + fr.frame_idx*9377
+                         + (cy.cy//4)*17 + (cx.cx//4)*29 + 7) % 2147483629)
+                     % 2147483629 AS h) h1
+),
+m AS (
+  SELECT media_id, frame_idx, any_value(n_frames) AS n_frames,
+         sum(v) // 64 AS mean, 4 * sum(v) AS lum_sum
+  FROM cells GROUP BY media_id, frame_idx
+),
+bits AS (
+  SELECT c.media_id, c.frame_idx,
+         CASE WHEN c.v >= m.mean THEN
+           CASE WHEN 8*c.cy + c.cx = 63 THEN -9223372036854775808
+                ELSE (1::BIGINT << CAST(8*c.cy + c.cx AS INT)) END
+           ELSE 0 END AS abit,
+         CASE WHEN c.v < nx.v THEN
+           CASE WHEN 8*c.cy + c.cx = 63 THEN -9223372036854775808
+                ELSE (1::BIGINT << CAST(8*c.cy + c.cx AS INT)) END
+           ELSE 0 END AS dbit
+  FROM cells c
+  JOIN m ON c.media_id = m.media_id AND c.frame_idx = m.frame_idx
+  JOIN cells nx ON nx.media_id = c.media_id
+               AND nx.frame_idx = c.frame_idx
+               AND nx.cy = c.cy AND nx.cx = (c.cx + 1) % 8
+)
+SELECT b.media_id, CAST(b.frame_idx AS INT) AS frame_idx,
+       CAST(m.n_frames AS INT) AS n_frames,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(m.lum_sum AS BIGINT) AS lum_sum,
+       CAST(sum(b.abit) AS BIGINT) AS ahash,
+       CAST(sum(b.dbit) AS BIGINT) AS dhash
+FROM bits b
+JOIN m ON b.media_id = m.media_id AND b.frame_idx = m.frame_idx
+GROUP BY b.media_id, b.frame_idx, m.n_frames, m.lum_sum
+"""
+
+
 def _wav_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): SQL-built PCM WAVs for the audio-fingerprint
     family (L90) — per doc TWO variants (the _png_pixel_fixture move):
@@ -7592,6 +7703,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_mp4_meta": _q_multimodal_mp4_meta,
     "multimodal_jpeg_pixels": _q_multimodal_jpeg_pixels,
     "multimodal_wav_samples": _q_multimodal_wav_samples,
+    "multimodal_video_frames": _q_multimodal_video_frames,
     "audio_fingerprint": _q_audio_fingerprint,
     "phash_stored_admission": _q_phash_stored_admission,
     "audio_fp_near_dup": _q_audio_fp_near_dup,

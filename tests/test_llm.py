@@ -2868,3 +2868,146 @@ def test_phash_layout_cap_holds_across_appends(spark, tmp_path):
         spark.createDataFrame([(999, 0)], "media_id long, dhash64 long"),
     ).collect()[0]
     assert not got.admitted and got.best_hamming == 0
+
+
+# --- L92: MJPEG-in-AVI video frame decode -----------------------------------
+
+
+def _avi_fixture(n_frames=3, w=16, h=16, fps=10, levels=None):
+    frames = []
+    for f in range(n_frames):
+        rows = [[(levels or (lambda ff, y, x: (37 * ff + 11 * (y // 8)
+                                               + 23 * (x // 8) + 40) % 256))
+                 (f, y, x) for x in range(w)] for y in range(h)]
+        frames.append(multimodal.encode_jpeg(rows))
+    return multimodal.encode_avi(frames, w, h, fps=fps), frames
+
+
+def test_avi_roundtrip_exact():
+    """Flat-block MJPEG frames round-trip bit-exactly through
+    encode_avi -> parse_avi_frames, in frame order."""
+    avi, _ = _avi_fixture(n_frames=3)
+    got = multimodal.parse_avi_frames(avi)
+    assert got is not None
+    w, h, frames = got
+    assert (w, h, len(frames)) == (16, 16, 3)
+    for f, px in enumerate(frames):
+        for y in range(16):
+            for x in range(16):
+                v = (37 * f + 11 * (y // 8) + 23 * (x // 8) + 40) % 256
+                assert px[y][x] == (v, v, v)
+
+
+def test_avi_meta_and_zero_frames():
+    avi, _ = _avi_fixture(n_frames=4, fps=25)
+    assert multimodal.parse_avi_meta(avi) == (4, 16, 16, 160)
+    empty = multimodal.encode_avi([], 16, 16, fps=25)
+    assert multimodal.parse_avi_meta(empty) == (0, 16, 16, 0)
+    assert multimodal.parse_avi_frames(empty) == (16, 16, [])
+
+
+def test_avi_truncation_sweep_is_total():
+    """Every prefix of a valid AVI decodes to None or the full result —
+    never raises, never a partial frame list (the declared-size guard)."""
+    avi, _ = _avi_fixture(n_frames=2)
+    full = multimodal.parse_avi_frames(avi)
+    for cut in range(len(avi)):
+        got = multimodal.parse_avi_frames(avi[:cut])
+        assert got is None or got == full
+
+
+def test_avi_integrity_cross_checks():
+    """Header/content contradictions are rejected, not papered over:
+    a dwTotalFrames lie, an avih dimension mismatch, a non-MJPG
+    handler, a 'rec ' grouping list, and a frame the JPEG codec
+    rejects each cost a None."""
+    avi, frames = _avi_fixture(n_frames=2)
+    # dwTotalFrames lives 16 bytes into the avih chunk body
+    k = avi.index(b"avih") + 8 + 16
+    lied = avi[:k] + (9).to_bytes(4, "little") + avi[k + 4:]
+    assert multimodal.parse_avi_frames(lied) is None
+    k = avi.index(b"avih") + 8 + 32  # dwWidth
+    wrong_dim = avi[:k] + (99).to_bytes(4, "little") + avi[k + 4:]
+    assert multimodal.parse_avi_frames(wrong_dim) is None
+    swapped = avi.replace(b"MJPG", b"H264")
+    assert multimodal.parse_avi_frames(swapped) is None
+    k = avi.index(b"00dc")
+    poisoned = avi[:k + 8] + b"\x00" * 4 + avi[k + 12:]
+    assert multimodal.parse_avi_frames(poisoned) is None
+    # splice a LIST where the first frame chunk id sits: rec-grouping scope
+    rec = avi[:k] + b"LIST" + avi[k + 4:]
+    assert multimodal.parse_avi_frames(rec) is None
+
+
+def test_avi_frame_bomb_guard():
+    avi, _ = _avi_fixture(n_frames=5)
+    assert multimodal.parse_avi_frames(avi, max_frames=4) is None
+    assert multimodal.parse_avi_frames(avi, max_frames=5) is not None
+    # max_pixels bounds each frame's decode allocation
+    assert multimodal.parse_avi_frames(avi, max_pixels=16) is None
+
+
+def test_avi_mixed_frame_dims_rejected():
+    a = multimodal.encode_jpeg([[100] * 16 for _ in range(16)])
+    b = multimodal.encode_jpeg([[100] * 8 for _ in range(8)])
+    avi = multimodal.encode_avi([a, b], 16, 16)
+    assert multimodal.parse_avi_frames(avi) is None
+
+
+def test_video_frames_op_rows_and_null_contract(spark):
+    """video_frames: one row per decoded frame with luminance telemetry
+    and the 8x8-grid perceptual hashes, matching the integer twins; an
+    unparseable payload yields ONE null-frame row (rows don't vanish)."""
+    avi, _ = _avi_fixture(n_frames=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not an avi"))],
+        "media_id long, payload binary",
+    )
+    rows = {(r.media_id, r.frame_idx): r
+            for r in multimodal.video_frames(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, None)}
+    got = multimodal.parse_avi_frames(avi)
+    for f in range(2):
+        grid = multimodal.luminance_grid(got[2][f])
+        cells = multimodal.box_downsample(grid)
+        r = rows[(1, f)]
+        assert (r.n_frames, r.width, r.height) == (2, 16, 16)
+        assert r.lum_sum == sum(v for row in grid for v in row)
+        assert r.ahash == multimodal.ahash64(cells)
+        assert r.dhash == multimodal.dhash64(cells)
+    r = rows[(2, None)]
+    assert r.n_frames is None and r.lum_sum is None and r.ahash is None
+
+
+def test_decode_media_dispatch_all_kinds():
+    """decode_media routes every stored media kind through the engine's
+    real codecs and honors the unsupported-kind null contract."""
+    png = multimodal.encode_png([[(200, 10, 10)] * 4 for _ in range(4)])
+    jpg = multimodal.encode_jpeg([[128] * 16 for _ in range(16)])
+    wav = multimodal.encode_wav([0, 1000, -1000, 32767], channels=1)
+    avi, _ = _avi_fixture(n_frames=2)
+    for payload in (png, jpg, wav, avi):
+        feat = multimodal.decode_media(payload, dim=8)
+        assert feat is not None and len(feat) == 8
+        assert abs(sum(feat) - 1.0) < 1e-4
+    assert multimodal.decode_media(b"", dim=8) is None
+    assert multimodal.decode_media(b"\x00" * 100, dim=8) is None
+    assert multimodal.decode_media(None, dim=8) is None
+    # a JPEG histogram of an all-128 image lands entirely in bucket 4
+    feat = multimodal.decode_media(jpg, dim=8)
+    assert feat[128 * 8 // 256] == 1.0
+
+
+def test_extract_features_with_real_decoder(spark):
+    """The production path: extract_features(decoder=decode_media)
+    yields real-codec features and null features for unknown kinds —
+    the stub fast path stays bit-pinned by its own oracle twin."""
+    png = multimodal.encode_png([[(0, 0, 0)] * 4 for _ in range(4)])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "text", bytearray(b"hello"))],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in multimodal.extract_features(
+        df, dim=4, decoder=multimodal.decode_media).collect()}
+    assert out[1].feature[0] == 1.0  # all-black image: bucket 0
+    assert out[2].feature is None

@@ -1071,3 +1071,72 @@ def test_wav_sample_decoder_survives_corrupted_valid_wav(tail):
         pos = tail[0] % len(good)
         broken = good[:pos] + bytes([tail[0] ^ 0xFF]) + good[pos + 1 :]
         multimodal.parse_wav_samples(broken)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_avi_decoder_is_total_over_garbage(data):
+    """parse_avi_frames / parse_avi_meta never raise — arbitrary bytes,
+    arbitrary bytes behind valid RIFF/AVI magic, and arbitrary bytes
+    spliced into a valid container body."""
+    assert multimodal.parse_avi_frames(data) is None or True
+    assert multimodal.parse_avi_meta(data) is None or True
+    magic = b"RIFF" + len(data).to_bytes(4, "little") + b"AVI "
+    assert multimodal.parse_avi_frames(magic + data) is None or True
+    assert multimodal.parse_avi_meta(magic + data) is None or True
+
+
+@given(st.binary(max_size=64), st.integers(0, 2**32 - 1))
+@settings(max_examples=200, deadline=None)
+def test_avi_decoder_survives_corrupted_valid_avi(tail, seed):
+    """Byte corruption inside a valid AVI decodes to None or a valid
+    (w, h, frames) result — never raises, and a successful decode's
+    frames always agree on dimensions."""
+    import random
+
+    rows = [[(seed + y + x) % 256 for x in range(8)] for y in range(8)]
+    avi = bytearray(
+        multimodal.encode_avi(
+            [multimodal.encode_jpeg(rows)] * 2, 8, 8, fps=5
+        )
+    )
+    rng = random.Random(seed)
+    for _ in range(4):
+        avi[rng.randrange(len(avi))] = rng.randrange(256)
+    got = multimodal.parse_avi_frames(bytes(avi) + tail)
+    if got is not None:
+        w, h, frames = got
+        assert all(len(px) == h and len(px[0]) == w for px in frames)
+
+
+@given(st.integers(0, 4), st.integers(1, 3), st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_fuzz(n_frames, scale, seed):
+    """encode_avi -> parse_avi_frames round-trips any frame count and
+    8x8-multiple dimension with flat blocks bit-exactly."""
+    w = h = 8 * scale
+    frames = []
+    expect = []
+    for f in range(n_frames):
+        rows = [[(seed + 31 * f + 7 * (y // 8) + 13 * (x // 8)) % 256
+                 for x in range(w)] for y in range(h)]
+        frames.append(multimodal.encode_jpeg(rows))
+        expect.append(rows)
+    got = multimodal.parse_avi_frames(
+        multimodal.encode_avi(frames, w, h, fps=3)
+    )
+    assert got is not None
+    gw, gh, gframes = got
+    assert (gw, gh, len(gframes)) == (w, h, n_frames)
+    for px, rows in zip(gframes, expect):
+        assert all(
+            px[y][x] == (rows[y][x],) * 3
+            for y in range(h) for x in range(w)
+        )
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_decode_media_is_total(payload):
+    got = multimodal.decode_media(payload, dim=8)
+    assert got is None or (len(got) == 8 and abs(sum(got) - 1.0) < 1e-4)

@@ -1079,3 +1079,18 @@ def test_phash_stored_admission_plan_shape(spark, tmp_path):
     assert "Window" not in plan, plan
     assert "phash_layout/banding" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_video_frames_is_single_python_chain(spark):
+    """multimodal_video_frames: fixture build (encode) and decode are a
+    chain of Python stages over ONE narrow documents scan — no keyed
+    shuffle anywhere (the op is partition-preserving; a
+    hashpartitioning Exchange would mean the per-frame expansion
+    regressed to a join/agg form), no join at all."""
+    plan = _executed_plan(spark, "multimodal_video_frames")
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan

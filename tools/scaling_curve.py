@@ -133,6 +133,10 @@ FAMILY = {
     # linear by construction; x100 pins the slope, x1000 buys nothing
     "multimodal_jpeg_pixels": "documents",
     "multimodal_wav_samples": "documents",
+    # r13: MJPEG-in-AVI frame decode — per-doc container walk over 1-3
+    # frames the JPEG codec decodes; linear by construction like its
+    # image/audio siblings
+    "multimodal_video_frames": "documents",
     "multimodal_resize_pixels": "documents",
     "audio_fingerprint": "documents",
     "audio_fp_near_dup": "documents",
