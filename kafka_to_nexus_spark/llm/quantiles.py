@@ -144,6 +144,19 @@ def _compact_round(
     )
 
 
+def _rounds_to_drain(n: int, k: int) -> int:
+    """Compaction rounds that provably converge a SINGLE level holding
+    ``n`` items: each round an over-capacity level keeps its odd
+    leftover and sends floor(n/2) up, so the cascading top count is
+    floor(n/2^r) — the first r with that ≤ k is ceil(log2(n/k)). Lower
+    levels hold ≤ 1 leftover each and can never re-overflow."""
+    r = 0
+    while n > k:
+        n //= 2
+        r += 1
+    return r
+
+
 def build_sketch(
     df: DataFrame,
     value_col: str = "value",
@@ -151,12 +164,58 @@ def build_sketch(
     k: int = DEFAULT_K,
     shards: int = DEFAULT_SHARDS,
     group_cols: tuple[str, ...] = (),
+    adaptive: bool = True,
 ) -> DataFrame:
     """(level, value, tb) sketch relation from a raw value relation.
     ``tb_col`` is the deterministic tie-break identity (unique per item,
     e.g. doc_id) and also the content-shard key. Fully declarative:
-    SHARD_ROUNDS sharded compactions, then GLOBAL_ROUNDS over the
-    shard-union — at most ~k·log(W/k) rows come out."""
+    sharded compactions, then global rounds over the shard-union — at
+    most ~k·log(W/k) rows come out.
+
+    ``adaptive`` (VERDICT r12 #3 — the grouped-build constant): the
+    fixed SHARD_ROUNDS+GLOBAL_ROUNDS unroll pays 24 window rounds (24
+    corpus-wide local sorts) even when the data converges in 3 — the
+    50k-source dashboard shape has ~1 row per (group, shard) cell, so
+    EVERY shard round is the identity. One cheap pre-aggregation
+    (max cell count + max group weight, map-side combining) picks the
+    provably-sufficient round count instead; the rounds it skips are
+    identities and the parity index of the rounds it keeps is
+    unchanged, so the sketch is BYTE-IDENTICAL to the fixed unroll
+    (pytest-pinned) and the fixed-round DuckDB oracle replay still
+    matches. When every cell fits in k, the shard phase (and its
+    corpus-sized repartition) drops out entirely. Builds whose cells
+    exceed the k·2^SHARD_ROUNDS fixed-unroll capacity keep today's
+    contract (capped at the fixed counts)."""
+    shard_rounds, global_rounds = SHARD_ROUNDS, GLOBAL_ROUNDS
+    if adaptive:
+        gb = [F.col(c) for c in group_cols] + [
+            (F.col(tb_col) % shards).alias("shard")
+        ]
+        per_group = df.groupBy(*gb).count()
+        if group_cols:
+            per_group = per_group.groupBy(*group_cols).agg(
+                F.max("count").alias("mc"), F.sum("count").alias("w")
+            )
+        else:
+            per_group = per_group.agg(
+                F.max("count").alias("mc"), F.sum("count").alias("w")
+            )
+        stats = per_group.agg(F.max("mc"), F.max("w")).first()
+        cell_max = int(stats[0] or 0)
+        w_max = int(stats[1] or 0)
+        if cell_max <= k:
+            # every (group…, shard, level) cell already fits: the whole
+            # shard phase is the identity — skip it AND its shuffle; the
+            # global phase then starts from a clean single level 0, so
+            # the single-level drain bound applies to the group weight
+            shard_rounds = 0
+            global_rounds = min(
+                GLOBAL_ROUNDS, _rounds_to_drain(w_max, k) + 1
+            )
+        else:
+            shard_rounds = min(
+                SHARD_ROUNDS, _rounds_to_drain(cell_max, k) + 1
+            )
     cur = df.select(
         *group_cols,
         (F.col(tb_col) % shards).alias("shard"),
@@ -164,25 +223,29 @@ def build_sketch(
         F.col(value_col).cast("long").alias("value"),
         F.col(tb_col).cast("long").alias("tb"),
     )
-    # ONE corpus-sized shuffle for the whole shard phase: every shard
-    # round windows over (group…, shard, level), and hashpartitioning on
-    # (group…, shard) already satisfies that clustering — levels of one
-    # shard co-locate — so the 16 rounds become LOCAL sorts on a single
-    # exchange instead of 16 chained exchanges (r12; the level column
-    # changes each round, so without this Spark re-shuffles every round)
-    cur = cur.repartition(*group_cols, "shard")
-    for rnd in range(SHARD_ROUNDS):
-        cur = _compact_round(cur, rnd, k, sharded=True, group_cols=group_cols)
+    if shard_rounds:
+        # ONE corpus-sized shuffle for the whole shard phase: every
+        # shard round windows over (group…, shard, level), and
+        # hashpartitioning on (group…, shard) already satisfies that
+        # clustering — levels of one shard co-locate — so the rounds
+        # become LOCAL sorts on a single exchange instead of chained
+        # exchanges (r12; the level column changes each round, so
+        # without this Spark re-shuffles every round)
+        cur = cur.repartition(*group_cols, "shard")
+        for rnd in range(shard_rounds):
+            cur = _compact_round(
+                cur, rnd, k, sharded=True, group_cols=group_cols
+            )
     cur = cur.select(*group_cols, "level", "value", "tb")
     # global phase input is the compacted union (≤ ~shards·k·levels
-    # rows): when grouped, one repartition by group makes the 8 rounds
+    # rows): when grouped, one repartition by group makes the rounds
     # local sorts per group; ungrouped, the per-round (level) exchanges
     # stay — they move a sketch-sized relation, not the corpus. (NOT
     # coalesce(1): a narrow 1-partition coalesce fuses backwards and
     # would serialize the whole shard phase into one task.)
     if group_cols:
         cur = cur.repartition(*group_cols)
-    for rnd in range(GLOBAL_ROUNDS):
+    for rnd in range(global_rounds):
         cur = _compact_round(
             cur, SHARD_ROUNDS + rnd, k, sharded=False, group_cols=group_cols
         )

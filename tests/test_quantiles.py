@@ -214,7 +214,9 @@ def test_sketch_plan_is_bounded_windows(spark):
     global running-sum window runs over the compacted sketch only, a
     k*levels-sized relation), and no cartesian product."""
     docs = _docs(spark)
-    df = qz.quantiles_from_sketch(qz.build_sketch(docs, "n_chars", "doc_id"))
+    df = qz.quantiles_from_sketch(
+        qz.build_sketch(docs, "n_chars", "doc_id", adaptive=False)
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # the only global-sort windows come AFTER the final compaction
@@ -229,6 +231,14 @@ def test_sketch_plan_is_bounded_windows(spark):
     # every (shard, level) window clustering), and W rides the running-
     # sum window stage instead of a second agg over the sketch subtree
     assert plan.count("hashpartitioning(shard") == 1, plan[:2000]
+    # r13 adaptive: at this corpus every (shard, level) cell fits in k,
+    # so the DEFAULT build drops the shard phase AND its corpus shuffle
+    # entirely — the plan has no shard exchange at all
+    aplan = (
+        qz.build_sketch(docs, "n_chars", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(shard" not in aplan, aplan[:2000]
 
 
 def test_sketch_stream_matches_sequential_merges(spark, tmp_path):
@@ -321,3 +331,60 @@ def test_grouped_sketch_equals_independent_group_builds(spark):
                  docs.groupBy("lang").count().collect()}
     assert all(r.total_weight == n_by_lang[r.lang] for r in out)
     assert len(out) == len(langs) * len(qz.QUANTILES)
+
+
+def test_adaptive_build_is_byte_identical_to_fixed(spark):
+    """The adaptive round count (r13) NEVER changes the sketch: the
+    rounds it skips are identities and the parity indices of the rounds
+    it keeps are unchanged — pinned byte-identical to the fixed unroll
+    across the regimes: shard phase skipped (cells fit k), shard phase
+    compacting (shards=8), grouped, and adversarial tb concentration
+    (every row of a group in ONE shard — the cell bound must be exact,
+    not typical)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "n_chars", "lang")
+
+    def rel(df):
+        cols = [c for c in df.columns]
+        return sorted(tuple(r) for r in df.collect())
+
+    for kwargs in (
+        {},  # 256 shards: shard phase identity -> skipped
+        {"shards": 8},  # sharded rounds genuinely compact
+        {"group_cols": ("lang",)},
+        {"k": 4},
+    ):
+        fixed = qz.build_sketch(
+            docs, "n_chars", "doc_id", adaptive=False, **kwargs
+        )
+        adapt = qz.build_sketch(docs, "n_chars", "doc_id", **kwargs)
+        assert rel(fixed) == rel(adapt), kwargs
+
+    # adversarial concentration: tb ≡ 0 (mod shards) puts the whole
+    # corpus in one shard cell — cell_max = N, not N/shards
+    from pyspark.sql import functions as F
+
+    skew = docs.select(
+        (F.col("doc_id") * 256).alias("doc_id"), "n_chars"
+    )
+    fixed = qz.build_sketch(skew, "n_chars", "doc_id", adaptive=False)
+    adapt = qz.build_sketch(skew, "n_chars", "doc_id")
+    assert rel(fixed) == rel(adapt)
+    # and the skew build really exercised the shard phase (levels > 0
+    # exist before the global rounds could make them at 500 > k items)
+    assert any(r.level > 0 for r in adapt.collect())
+
+
+def test_adaptive_build_empty_and_merge_paths(spark):
+    docs = _docs(spark).limit(0)
+    assert qz.build_sketch(docs, "n_chars", "doc_id").count() == 0
+    full = _docs(spark)
+    a = full.filter("doc_id % 2 = 0")
+    b = full.filter("doc_id % 2 = 1")
+    merged = qz.merge_sketches(
+        qz.build_sketch(a, "n_chars", "doc_id"),
+        qz.build_sketch(b, "n_chars", "doc_id"),
+    )
+    w = sum(1 << r.level for r in merged.collect())
+    assert w == full.count()
