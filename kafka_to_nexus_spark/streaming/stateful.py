@@ -1420,9 +1420,29 @@ class AdmissionSession:
         self._pieces.append(df)
         return df
 
+    @staticmethod
+    def _release(df: DataFrame) -> None:
+        """Deterministically free a localCheckpoint-ed piece (ADVICE
+        r12): checkpointed blocks are pinned at the RDD level OUTSIDE
+        the cache manager, so ``DataFrame.unpersist()`` alone leaves the
+        release to ContextCleaner GC — an unbounded executor-storage
+        tail in a session built for thousands of micro-batches
+        (measured: the blocks stay in getRDDStorageInfo after
+        df.unpersist(); the LogicalRDD release removes them). Best
+        effort through the internal plan handle — a failure degrades to
+        the GC path, never raises into the batch transaction."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
     def close(self) -> None:
         for df in self._pieces:
-            df.unpersist()
+            self._release(df)
         self._pieces = []
 
     #: in-memory piece compaction cadence: above this many increments a
@@ -1439,7 +1459,7 @@ class AdmissionSession:
         merged = self._union(tail).localCheckpoint()
         self._pieces.append(merged)
         for p in tail:
-            p.unpersist()  # merged is eager — parents can free now
+            self._release(p)  # merged is eager — parents can free now
             if p in self._pieces:
                 self._pieces.remove(p)
         return [pieces[0], merged]
@@ -1454,7 +1474,7 @@ class AdmissionSession:
         old = self._pieces
         self._load_base()  # disk has every fold; fresh base, depth 1
         for df in old:
-            df.unpersist()
+            self._release(df)
 
     # -- the per-batch transaction -------------------------------------------
 

@@ -162,3 +162,111 @@ def test_every_registry_query_has_an_oracle_or_is_documented():
     allowed_no_oracle: set[str] = set()
     missing = set(Q.queries()) - set(Q.oracle_sql()) - allowed_no_oracle
     assert not missing, sorted(missing)
+
+
+def test_rounds_cache_keeps_both_variants():
+    """ADVICE r12: load_rounds() and load_rounds(driver_only=True) must
+    not evict each other — rotation_order calls both per invocation, so
+    a single-slot cache re-parsed every CORRECTNESS file on every call."""
+    rotation._ROUNDS_CACHE.clear()
+    rotation.load_rounds()
+    rotation.load_rounds(driver_only=True)
+    assert len(rotation._ROUNDS_CACHE) == 2
+    # both hit on the second call (no reparse: signatures unchanged)
+    before = {k: id(v) for k, v in rotation._ROUNDS_CACHE.items()}
+    rotation.load_rounds()
+    rotation.load_rounds(driver_only=True)
+    assert {k: id(v) for k, v in rotation._ROUNDS_CACHE.items()} == before
+
+
+def test_sweep_tiering_policy():
+    """VERDICT r12 #6: even rounds sweep everything; odd rounds drop a
+    frozen twin ONLY when its previous round certified it green and
+    neither it nor its production sibling changed since."""
+    names = ["prod_a", "twin_a", "prod_b", "twin_b", "other"]
+    twins = {"twin_a": ("prod_a",), "twin_b": ("prod_b",)}
+    orig = rotation.FROZEN_TWINS
+    rotation.FROZEN_TWINS = twins
+    try:
+        rounds = {
+            12: frozenset(names),  # everything green at r12
+            11: frozenset({"twin_b"}),
+        }
+        # even round: full sweep regardless
+        assert rotation.sweep_names(names, 14, rounds, {}) == names
+        # odd round 13: both twins fresh (green r12 >= 13-1) -> skipped
+        assert rotation.sweep_names(names, 13, rounds, {}) == [
+            "prod_a", "prod_b", "other",
+        ]
+        # a CHANGED entry on the twin itself forces it back in
+        assert "twin_a" in rotation.sweep_names(
+            names, 13, rounds, {"twin_a": 13}
+        )
+        # ... and on the production sibling too
+        assert "twin_b" in rotation.sweep_names(
+            names, 13, rounds, {"prod_b": 13}
+        )
+        # a twin whose green row is 2+ rounds old must sweep
+        stale = {12: frozenset({"prod_a", "prod_b", "other", "twin_a"}),
+                 10: frozenset({"twin_b"})}
+        assert "twin_b" in rotation.sweep_names(names, 13, stale, {})
+        # a never-green twin always sweeps
+        assert "twin_a" in rotation.sweep_names(
+            names, 13, {12: frozenset({"prod_a"})}, {}
+        )
+    finally:
+        rotation.FROZEN_TWINS = orig
+
+
+def test_frozen_twins_are_registry_queries():
+    """The tier table must not drift from the registry: every frozen
+    twin and every named production sibling is a real queries() entry."""
+    names = set(Q.queries())
+    for twin, sibs in rotation.FROZEN_TWINS.items():
+        assert twin in names, twin
+        for s in sibs:
+            assert s in names, (twin, s)
+
+
+def test_skipped_twin_staleness_stays_within_bound():
+    """End-to-end soundness of tiering: simulate alternating tiered
+    sweeps + driver windows over the real registry — no query's
+    staleness ever exceeds the mechanical bound check_window enforces."""
+    names = list(Q.queries())
+    rounds = {k: set(v) for k, v in rotation.load_rounds().items()}
+    for step in range(4):
+        rnd = max(rounds) + 1
+        order = rotation.rotation_order(names, rounds)
+        violations = rotation.check_window(order, rounds)
+        assert not violations, "\n".join(violations)
+        # driver window goes green, then the round-close tiered sweep
+        swept = rotation.sweep_names(names, rnd, rounds)
+        rounds[rnd] = set(order[: rotation.WINDOW]) | set(swept)
+    # frozen twins were certified at most 2 rounds back at every point
+    last = rotation.last_green(names, rounds)
+    latest = max(rounds)
+    for twin in rotation.FROZEN_TWINS:
+        assert last[twin] is not None and latest - last[twin] <= 2, (
+            twin, last[twin], latest,
+        )
+
+
+def test_relaxed_bound_requires_sweep_backing(tmp_path, monkeypatch):
+    """ADVICE r12: when the computed staleness bound exceeds 2, a repo
+    with NO recent round-close sweep artifact must trip check_window —
+    the silent auto-relaxation is the thing being guarded."""
+    import json
+
+    names = [f"q{i:03d}" for i in range(151)]  # bound = 3
+    rows = {q: {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None} for q in names}
+    (tmp_path / "CORRECTNESS_r8.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(rotation, "_REPO_ROOT", tmp_path)
+    rotation._ROUNDS_CACHE.clear()
+    violations = rotation.check_window(names)
+    assert violations and "unbacked" in violations[0], violations
+    # a sweep artifact for the latest-1 round (or later) clears it
+    (tmp_path / "CORRECTNESS_sweep_r8.json").write_text(json.dumps(rows))
+    rotation._ROUNDS_CACHE.clear()
+    assert rotation.check_window(names) == []
+    rotation._ROUNDS_CACHE.clear()

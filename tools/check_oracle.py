@@ -68,6 +68,9 @@ def schema_of(df) -> dict[str, str]:
 def main() -> int:
     argv = list(sys.argv[1:])
     write_round = None
+    tiered = "--tiered" in argv
+    if tiered:
+        argv.remove("--tiered")
     if "--write" in argv:
         i = argv.index("--write")
         try:
@@ -87,6 +90,23 @@ def main() -> int:
         # what the artifact certifies
         print("ERROR: --write is only valid for full-registry sweeps")
         return 2
+    if tiered and not write_round:
+        print("ERROR: --tiered only applies to --write sweeps")
+        return 2
+    skipped_twins: list[str] = []
+    if tiered:
+        # VERDICT r12 #6: the round-close sweep grows linearly with the
+        # registry — frozen cross-check twins sit out on odd rounds per
+        # rotation.sweep_names (never more than 2 rounds stale, never
+        # when their behavior or their production sibling's changed);
+        # the artifact records what sat out so the skip is auditable
+        from kafka_to_nexus_spark import rotation
+
+        all_names = list(Q.queries())
+        only = set(rotation.sweep_names(all_names, int(write_round[1:])))
+        skipped_twins = sorted(set(all_names) - only)
+        if skipped_twins:
+            print(f"tiered sweep: skipping frozen twins {skipped_twins}")
     # corpus-constant oracles (bm25/unigram) must embed stats from the SAME
     # tier the views point at, or every non-default tier false-fails
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
@@ -123,8 +143,14 @@ def main() -> int:
             spark.catalog.clearCache()
         if name not in oracles:
             # rows-only row, same weaker shape the driver records for
-            # oracle-less queries (absent axes count as matched)
-            records[name] = {"spark_rows": len(spark_df), "err": None}
+            # oracle-less queries (absent axes count as matched) —
+            # explicitly TAGGED (ADVICE r12) so the artifact never
+            # passes off "Spark ran without exception" as hash-verified
+            records[name] = {
+                "spark_rows": len(spark_df),
+                "err": None,
+                "rows_only": True,
+            }
             print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
             continue
         try:
@@ -164,6 +190,14 @@ def main() -> int:
             print(f"OK   {name}: {len(a)} rows")
     spark.stop()
     if write_round:
+        if skipped_twins:
+            # audit row, never a green: err is non-None by design so
+            # load_rounds can never mistake it for a certified query
+            records["_sweep_meta"] = {
+                "err": "meta row (not a query)",
+                "tiered": True,
+                "skipped_frozen_twins": skipped_twins,
+            }
         out = Path(__file__).resolve().parents[1] / (
             f"CORRECTNESS_sweep_{write_round}.json"
         )
