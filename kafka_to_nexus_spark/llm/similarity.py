@@ -944,7 +944,21 @@ def ivf_pq_stored_probe(
     (``list_id`` is a partition-directory predicate → PartitionFilters)
     and ONLY the m code columns, each candidate scores as m map lookups,
     and the top-k is a TakeOrderedAndProject. At 100 TB the probe
-    touches probes/coarse_k of an already-64×-compressed relation."""
+    touches probes/coarse_k of an already-64×-compressed relation.
+
+    TUNING CONTRACT (SCALE.md r10/r13 — measure it per corpus): recall
+    is bought with scan fraction. On the repo's synthetic embeddings
+    the 20-query mean coverage ceiling at coarse_k=8 is 0.27/0.49/0.78/
+    1.0 at probes=1/2/4/8 — barely above the probes/coarse_k scan
+    fraction, because a near-isotropic corpus gives NO coarse partition
+    that concentrates dot-product neighborhoods. Neither extra Lloyd
+    iterations nor better seeding moves that ceiling (farthest-first
+    seeding measured WORSE at probes=2; list populations are already
+    within ±10% of uniform, so balance is not the binding constraint).
+    On real embedding corpora (clustered by construction) the same
+    curve bends upward; run `ivf_pq_recall`'s decomposition on a sample
+    to place probes (coverage) and the rerank C (quantization) — the
+    two knobs have separable measured effects."""
     q = [float(x) for x in query_vec]
     # max raw dot, lowest cid — the same probe rule as the inline path
     by_dot = sorted(sorted(coarse), key=lambda t: (-_seq_dot(q, t[1]), t[0]))
