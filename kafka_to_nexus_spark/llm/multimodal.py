@@ -2418,3 +2418,135 @@ def decode_media(payload: bytes | None, dim: int = 8) -> list[float] | None:
             return None
         return lum_hist(luminance_grid(px) for px in got[2])
     return None
+
+
+VIDEO_NEAR_DUP_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("n_matched", T.LongType()),
+        T.StructField("n_frames_min", T.IntegerType()),
+        T.StructField("matched", T.BooleanType()),
+    ]
+)
+
+
+def video_near_dup(
+    frames: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    nf_col: str = "n_frames",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 64,
+    min_match_num: int = 1,
+    min_match_den: int = 2,
+) -> DataFrame:
+    """Video-level near-dup over :func:`video_frames` output (L93): the
+    image family's banded perceptual dedup lifted to multi-frame media.
+    Candidates come from a FRAME-ALIGNED band equi-join — the band key
+    is (frame_idx, band_idx, band_val), so only frame f of video A
+    meets frame f of video B (the re-encode/recompress dedup shape;
+    pigeonhole exactness per frame is inherited unchanged: ≤
+    ``max_hamming`` < ``bands`` flips agree on a full band). Each
+    candidate frame pair verifies with the exact bit_count hamming;
+    a video pair reports ``n_matched`` verified frames and ``matched``
+    = n_matched/min(n_frames) ≥ ``min_match_num/min_match_den`` (the
+    at-least-half-the-shorter-video vote by default). Pairs with zero
+    verified frames are dropped.
+
+    Scale shape: the only corpus-sized shuffles are the per-band
+    equi-join on (frame_idx, band_idx, band_val) — occupancy-capped at
+    ``max_bucket`` per bucket like every banding family
+    (flat/monochrome frames all hash alike; the cap bounds any bucket's
+    pair output at C(max_bucket, 2)) — and one (id_a, id_b) count
+    aggregation over verified candidate frames. Null-frame rows
+    (unparseable payloads) drop out before banding."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded exactness needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    from pyspark.sql import Window
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = frames.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(frame_col).alias("_f"),
+        F.col(nf_col).alias("_nf"),
+        F.col(hash_col).alias("_h"),
+    )
+    banded = h.select(
+        "_id",
+        "_f",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("_h"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_f", "_h", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        banded = (
+            banded.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_f", "band_idx", "band_val")
+                    .orderBy("_id")
+                ),
+            )
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._f") == F.col("b._f"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._f").alias("_f"),
+            F.col("a._h").alias("h_a"),
+            F.col("b._h").alias("h_b"),
+        )
+        .distinct()
+    )
+    verified = cand.filter(
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+    )
+    nf = h.select("_id", "_nf").distinct()
+    return (
+        verified.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_matched"))
+        .join(nf.alias("na"), F.col("id_a") == F.col("na._id"))
+        .join(nf.alias("nb"), F.col("id_b") == F.col("nb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_matched",
+            F.least(F.col("na._nf"), F.col("nb._nf"))
+            .cast("int")
+            .alias("n_frames_min"),
+            (
+                F.col("n_matched") * min_match_den
+                >= F.least(F.col("na._nf"), F.col("nb._nf")) * min_match_num
+            ).alias("matched"),
+        )
+    )
