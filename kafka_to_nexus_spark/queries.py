@@ -5497,6 +5497,133 @@ GROUP BY b.media_id, b.frame_idx, m.n_frames, m.lum_sum
 """
 
 
+def _q_video_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level perceptual near-dup (L93): the banded image-dedup
+    machinery lifted to multi-frame media, end-to-end REAL — per doc
+    TWO MJPEG-in-AVI videos (vid = doc_id*2 + v: the base L92 fixture,
+    and a perturbed twin whose frame-0 top-left block level bumps by
+    +1 mod 256 — the audio-fingerprint two-variant move), decoded by
+    ``video_frames`` (container walk → JPEG codec → dhash per frame),
+    paired by ``video_near_dup``: FRAME-ALIGNED band equi-join
+    (pigeonhole-exact per frame at hamming ≤ 3 over 4 bands),
+    occupancy-capped buckets, exact bit_count verify, and the
+    at-least-half-the-shorter-video vote. Flat blocks round-trip the
+    JPEG codec bit-exactly and gray luminance is the identity, so the
+    oracle replays EVERYTHING — cells, dhash bits, band values built
+    from bits (DuckDB cannot shift signed 64-bit patterns; the bit form
+    is definitionally identical to Spark's shiftrightunsigned slices),
+    the cap's row_number, candidate generation, per-frame hamming, and
+    the vote — in closed-form SQL.
+
+    Fixture density is DELIBERATE: 16x16 frames have four flat DCT
+    blocks, so the dhash has only ~16 varying bits and unrelated videos
+    collide freely — exactly the flood regime the occupancy cap exists
+    for. The certificate therefore pins the cap path itself (row counts
+    grow sublinearly: 6.4k pairs at sf0.01 → 7.3k at sf0.1 because
+    saturated buckets stay at C(64,2)), alongside the constructed
+    per-doc twin pairs whose perturbed frame the vote must absorb."""
+    import pandas as pd
+
+    from .llm import multimodal as mm
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id")
+    P = 2147483629
+
+    def level(d: int, f: int, by: int, bx: int, v: int) -> int:
+        h0 = (d * 131 + f * 9377 + by * 17 + bx * 29 + 7) % P
+        h1 = h0 * h0 % P
+        g = (h1 * h1 % P) % 256
+        if v == 1 and f == 0 and by == 0 and bx == 0:
+            g = (g + 1) % 256
+        return g
+
+    def payloads(it):
+        for pdf in it:
+            mids, pls = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                for v in (0, 1):
+                    frames = [
+                        mm.encode_jpeg(
+                            [[level(d, f, y // 8, x // 8, v)
+                              for x in range(16)] for y in range(16)]
+                        )
+                        for f in range(d % 3 + 1)
+                    ]
+                    mids.append(d * 2 + v)
+                    pls.append(mm.encode_avi(frames, 16, 16, fps=10))
+            yield pd.DataFrame({"media_id": mids, "payload": pls})
+
+    media = docs.mapInPandas(payloads, "media_id long, payload binary")
+    return mm.video_near_dup(mm.video_frames(media), hash_col="dhash")
+
+
+ORACLE["video_phash_near_dup"] = """
+WITH fr AS (
+  SELECT d.doc_id AS doc, v.v AS v, d.doc_id*2 + v.v AS vid, f.f AS f,
+         CAST(d.doc_id % 3 + 1 AS INT) AS nf
+  FROM documents d, range(2) v(v), range(3) f(f)
+  WHERE f.f <= d.doc_id % 3
+),
+cells AS (
+  SELECT fr.vid, fr.f, cy.cy AS cy, cx.cx AS cx,
+         ((h1.h * h1.h % 2147483629) % 256
+          + CASE WHEN fr.v = 1 AND fr.f = 0 AND cy.cy < 4 AND cx.cx < 4
+                 THEN 1 ELSE 0 END) % 256 AS val
+  FROM fr, range(8) cy(cy), range(8) cx(cx),
+       LATERAL (SELECT (fr.doc*131 + fr.f*9377
+                        + (cy.cy//4)*17 + (cx.cx//4)*29 + 7) % 2147483629
+                     * ((fr.doc*131 + fr.f*9377
+                         + (cy.cy//4)*17 + (cx.cx//4)*29 + 7) % 2147483629)
+                     % 2147483629 AS h) h1
+),
+dbits AS (
+  SELECT c.vid, c.f, 8*c.cy + c.cx AS b,
+         CASE WHEN c.val < nx.val THEN 1 ELSE 0 END AS bit
+  FROM cells c
+  JOIN cells nx ON nx.vid = c.vid AND nx.f = c.f AND nx.cy = c.cy
+               AND nx.cx = (c.cx + 1) % 8
+),
+bands AS (
+  SELECT vid, f, CAST(b // 16 AS INT) AS band_idx,
+         CAST(sum(bit * (1::BIGINT << CAST(b % 16 AS INT))) AS BIGINT)
+           AS band_val
+  FROM dbits GROUP BY vid, f, b // 16
+),
+capped AS (
+  SELECT vid, f, band_idx, band_val,
+         row_number() OVER (PARTITION BY f, band_idx, band_val
+                            ORDER BY vid) AS rk
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b2.vid AS id_b, a.f AS f
+  FROM capped a
+  JOIN capped b2 ON a.f = b2.f AND a.band_idx = b2.band_idx
+                AND a.band_val = b2.band_val AND a.vid < b2.vid
+  WHERE a.rk <= 64 AND b2.rk <= 64
+),
+ham AS (
+  SELECT c.id_a, c.id_b, c.f,
+         sum(CASE WHEN da.bit <> db.bit THEN 1 ELSE 0 END) AS hd
+  FROM cand c
+  JOIN dbits da ON da.vid = c.id_a AND da.f = c.f
+  JOIN dbits db ON db.vid = c.id_b AND db.f = c.f AND db.b = da.b
+  GROUP BY c.id_a, c.id_b, c.f
+),
+m AS (
+  SELECT id_a, id_b, count(*) AS n_matched
+  FROM ham WHERE hd <= 3 GROUP BY id_a, id_b
+),
+nfr AS (SELECT DISTINCT vid, nf FROM fr)
+SELECT m.id_a, m.id_b, CAST(m.n_matched AS BIGINT) AS n_matched,
+       CAST(least(na.nf, nb.nf) AS INT) AS n_frames_min,
+       m.n_matched * 2 >= least(na.nf, nb.nf) AS matched
+FROM m JOIN nfr na ON na.vid = m.id_a JOIN nfr nb ON nb.vid = m.id_b
+"""
+
+
 def _wav_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): SQL-built PCM WAVs for the audio-fingerprint
     family (L90) — per doc TWO variants (the _png_pixel_fixture move):
@@ -7704,6 +7831,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_pixels": _q_multimodal_jpeg_pixels,
     "multimodal_wav_samples": _q_multimodal_wav_samples,
     "multimodal_video_frames": _q_multimodal_video_frames,
+    "video_phash_near_dup": _q_video_phash_near_dup,
     "audio_fingerprint": _q_audio_fingerprint,
     "phash_stored_admission": _q_phash_stored_admission,
     "audio_fp_near_dup": _q_audio_fp_near_dup,

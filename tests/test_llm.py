@@ -3011,3 +3011,83 @@ def test_extract_features_with_real_decoder(spark):
         df, dim=4, decoder=multimodal.decode_media).collect()}
     assert out[1].feature[0] == 1.0  # all-black image: bucket 0
     assert out[2].feature is None
+
+
+def test_video_near_dup_constructed_pairs_and_vote(spark):
+    """video_near_dup (L93): constructed frame-aligned near-dups are
+    found with the right vote; a video whose frames all differ is not
+    paired; null-frame rows drop out."""
+    rows = []
+    # video 1 and 2: identical 2-frame videos -> 2/2 matched
+    for vid in (1, 2):
+        rows += [(vid, 0, 2, -4321, 100), (vid, 1, 2, -4321, 777)]
+    # video 3: matches 1/2 on frame 0 only -> 1 of min(2,2) -> matched
+    # (>= half); frame 1 differs in every band
+    rows += [(3, 0, 2, -4321, 100), (3, 1, 2, -4321, ~777)]
+    # video 4: single frame, far from everything
+    rows += [(4, 0, 1, -4321, 0x5A5A5A5A5A5A5A5A)]
+    # video 5: unparseable payload -> null frame row
+    rows += [(5, None, None, None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, frame_idx int, n_frames int, ahash long, dhash long",
+    )
+    got = {(r.id_a, r.id_b): (r.n_matched, r.n_frames_min, r.matched)
+           for r in multimodal.video_near_dup(df, hash_col="dhash").collect()}
+    assert got[(1, 2)] == (2, 2, True)
+    assert got[(1, 3)] == (1, 2, True)
+    assert got[(2, 3)] == (1, 2, True)
+    assert not any(4 in k or 5 in k for k in got)
+
+
+def test_video_near_dup_hamming_and_fraction_rules(spark):
+    """Per-frame pigeonhole: <= max_hamming flips anywhere still pairs
+    (band agreement survives), > max_hamming on a candidate frame does
+    not count toward the vote; the vote threshold is configurable."""
+    base = 0x0123456789ABCDEF
+    flip2 = base ^ 0b11          # 2 flips, same 3 other bands
+    flip5 = base ^ 0x1F          # 5 flips in band 0 -> verify rejects,
+                                 # but other bands still make it a
+                                 # candidate; hamming 5 > 3 -> no match
+    rows = [
+        (1, 0, 3, 0, base), (1, 1, 3, 0, base), (1, 2, 3, 0, base),
+        (2, 0, 3, 0, flip2), (2, 1, 3, 0, flip5), (2, 2, 3, 0, base),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, frame_idx int, n_frames int, ahash long, dhash long",
+    )
+    got = {(r.id_a, r.id_b): (r.n_matched, r.matched)
+           for r in multimodal.video_near_dup(df, hash_col="dhash").collect()}
+    assert got[(1, 2)] == (2, True)  # frames 0 and 2 verify, frame 1 fails
+    strict = {(r.id_a, r.id_b): r.matched
+              for r in multimodal.video_near_dup(
+                  df, hash_col="dhash",
+                  min_match_num=1, min_match_den=1).collect()}
+    assert strict[(1, 2)] is False  # 2 of 3 < min-frames-all threshold
+
+
+def test_video_near_dup_cap_bounds_flood(spark):
+    """A flood of identical-hash single-frame videos is bounded by the
+    occupancy cap: pair count stays at C(max_bucket, 2), not C(n, 2)."""
+    n = 300
+    rows = [(i, 0, 1, 0, 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, frame_idx int, n_frames int, ahash long, dhash long",
+    )
+    out = multimodal.video_near_dup(df, hash_col="dhash", max_bucket=20)
+    assert out.count() == 20 * 19 // 2
+    full = multimodal.video_near_dup(df, hash_col="dhash", max_bucket=None)
+    assert full.count() == n * (n - 1) // 2
+
+
+def test_video_near_dup_frame_alignment(spark):
+    """The band key includes frame_idx: the same fingerprint at
+    DIFFERENT frame positions never becomes a candidate."""
+    rows = [(1, 0, 1, 0, 42), (2, 1, 2, 0, 42), (2, 0, 2, 0, ~42)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, frame_idx int, n_frames int, ahash long, dhash long",
+    )
+    assert multimodal.video_near_dup(df, hash_col="dhash").count() == 0

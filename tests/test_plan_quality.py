@@ -1094,3 +1094,20 @@ def test_video_frames_is_single_python_chain(spark):
     assert plan.count("Exchange") <= 1, plan
     assert "Join" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_video_near_dup_plan_shape(spark):
+    """video_phash_near_dup: the frame-aligned banded join — equi-join
+    on (frame, band_idx, band_val), never a cartesian/nested-loop over
+    videos; the occupancy cap rides WindowGroupLimit (map-side bucket
+    truncation BEFORE the shuffle, the image-family shape) partitioned
+    by the frame-aware bucket key."""
+    plan = _executed_plan(spark, "video_phash_near_dup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_idx" in plan and "band_val" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "hashpartitioning(_f" in plan, plan[:2000]

@@ -137,6 +137,10 @@ FAMILY = {
     # frames the JPEG codec decodes; linear by construction like its
     # image/audio siblings
     "multimodal_video_frames": "documents",
+    # r13: video near-dup — decode + frame-aligned capped banding; the
+    # deliberately-dense fixture saturates buckets, so growth is the
+    # cap's C(64,2) bound, not pair-quadratic
+    "video_phash_near_dup": "documents",
     "multimodal_resize_pixels": "documents",
     "audio_fingerprint": "documents",
     "audio_fp_near_dup": "documents",
