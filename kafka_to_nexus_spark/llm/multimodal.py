@@ -2468,48 +2468,15 @@ def video_near_dup(
             f"banded exactness needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    if 64 % bands:
-        raise ValueError(f"bands must divide 64 (got {bands})")
-    from pyspark.sql import Window
-
-    width = 64 // bands
-    mask = (1 << width) - 1
     h = frames.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(frame_col).alias("_f"),
         F.col(nf_col).alias("_nf"),
         F.col(hash_col).alias("_h"),
     )
-    banded = h.select(
-        "_id",
-        "_f",
-        "_h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("_h"), j * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "_f", "_h", "band.band_idx", "band.band_val")
+    banded = _video_bands(h, bands)
     if max_bucket is not None:
-        banded = (
-            banded.withColumn(
-                "_rk",
-                F.row_number().over(
-                    Window.partitionBy("_f", "band_idx", "band_val")
-                    .orderBy("_id")
-                ),
-            )
-            .filter(F.col("_rk") <= max_bucket)
-            .drop("_rk")
-        )
+        banded = _cap_video_bands(banded, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -2549,4 +2516,247 @@ def video_near_dup(
                 >= F.least(F.col("na._nf"), F.col("nb._nf")) * min_match_num
             ).alias("matched"),
         )
+    )
+
+
+def _video_bands(h: DataFrame, bands: int) -> DataFrame:
+    """(_id, _f, _h, band_idx, band_val): the FRAME-AWARE disjoint
+    bit-band explosion shared by the pair join, the stored layout, and
+    the admission probe — one definition so the three sides can never
+    band differently (the _phash_bands discipline, with frame_idx in
+    the row because the bucket key is (frame, band) everywhere)."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return h.select(
+        "_id",
+        "_f",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("_h"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_f", "_h", "band.band_idx", "band.band_val")
+
+
+def _cap_video_bands(banded: DataFrame, max_bucket: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    return (
+        banded.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_f", "band_idx", "band_val")
+                .orderBy("_id")
+            ),
+        )
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
+
+
+# --- stored video-fingerprint layout (L94) -----------------------------------
+# The image family's standing-corpus contract (L91) for multi-frame
+# media: the corpus collapses to its capped FRAME-AWARE banded relation
+# (band key = (frame_idx, band_idx, band_val), partitioned by band_idx)
+# plus the per-video frame-count relation the vote needs + _meta.json.
+# Arrivals probe with arrival-side-only compute; admitted videos fold
+# back cap-aware. At 100 TB the videos are never re-decoded — only two
+# BIGINTs per frame per band plus one (id, n_frames) row per video.
+
+VIDEO_PHASH_LAYOUT_PARAMS = {
+    "bands": 4, "max_bucket": 64, "max_hamming": 3,
+    "min_match_num": 1, "min_match_den": 2, "version": 1,
+}
+
+
+def write_video_phash_layout(
+    frames: DataFrame,
+    path: str,
+    params: dict | None = None,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    nf_col: str = "n_frames",
+) -> None:
+    """Persist the standing corpus's frame-aware banded fingerprint
+    relation + the (id, n_frames) vote relation (one-time build; the
+    occupancy cap is paid here, not per probe)."""
+    import json
+    import os
+
+    p = {**VIDEO_PHASH_LAYOUT_PARAMS, **(params or {})}
+    h = frames.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(frame_col).alias("_f"),
+        F.col(nf_col).alias("_nf"),
+        F.col(hash_col).alias("_h"),
+    )
+    banded = _cap_video_bands(_video_bands(h, p["bands"]), p["max_bucket"])
+    banded.write.partitionBy("band_idx").parquet(
+        os.path.join(path, "banding")
+    )
+    h.select("_id", "_nf").distinct().write.parquet(
+        os.path.join(path, "nframes")
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(p, f)
+
+
+def _read_video_phash_layout(spark, path: str):
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        p = json.load(f)
+    return (
+        p,
+        spark.read.parquet(os.path.join(path, "banding")),
+        spark.read.parquet(os.path.join(path, "nframes")),
+    )
+
+
+def video_phash_admission(
+    spark,
+    path: str,
+    arrival_frames: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    nf_col: str = "n_frames",
+) -> DataFrame:
+    """Admit an arrival batch of videos against the STORED standing
+    corpus: (media_id, admitted, best_match_frames) — admitted = NO
+    standing video satisfies the layout's vote rule (n verified aligned
+    frames ≥ min_match_num/min_match_den of the shorter video);
+    best_match_frames = the strongest standing overlap seen (null when
+    no candidate frame banded). Per batch only the ARRIVAL side bands
+    (broadcast against the stored capped relation); the exact bit_count
+    verify and the vote run on candidates only — zero corpus-sized
+    recompute per batch, the :func:`phash_admission` contract with the
+    frame vote on top."""
+    p, stored, stored_nf = _read_video_phash_layout(spark, path)
+    h = arrival_frames.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(frame_col).alias("_f"),
+        F.col(nf_col).alias("_nf"),
+        F.col(hash_col).alias("_h"),
+    )
+    a_band = _video_bands(h, p["bands"])
+    cand = (
+        a_band.alias("n")
+        .hint("broadcast")
+        .join(
+            stored.alias("o"),
+            (F.col("n._f") == F.col("o._f"))
+            & (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select(
+            F.col("n._id").alias("id_a"),
+            F.col("o._id").alias("id_b"),
+            F.col("n._f").alias("_f"),
+            F.col("n._h").alias("h_a"),
+            F.col("o._h").alias("h_b"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            <= p["max_hamming"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_nm"))
+        .join(
+            h.select("_id", "_nf").distinct().alias("na"),
+            F.col("id_a") == F.col("na._id"),
+        )
+        .join(
+            stored_nf.alias("nb"), F.col("id_b") == F.col("nb._id")
+        )
+        .select(
+            "id_a",
+            "_nm",
+            (
+                F.col("_nm") * p["min_match_den"]
+                >= F.least(F.col("na._nf"), F.col("nb._nf"))
+                * p["min_match_num"]
+            ).alias("_hit"),
+        )
+    )
+    best = pairs.groupBy("id_a").agg(
+        F.max("_nm").alias("best_match_frames"),
+        F.max("_hit").alias("_dup"),
+    )
+    base = arrival_frames.select(
+        F.col(id_col).alias("media_id")
+    ).distinct()
+    return base.join(best, base.media_id == best.id_a, "left").select(
+        "media_id",
+        (~F.coalesce(F.col("_dup"), F.lit(False))).alias("admitted"),
+        "best_match_frames",
+    )
+
+
+def append_video_phash_layout(
+    spark,
+    path: str,
+    new_frames: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    nf_col: str = "n_frames",
+) -> None:
+    """Fold admitted videos INTO the stored layout, cap-aware against
+    the EXISTING (frame, band) bucket occupancy (the
+    append_phash_layout discipline: one O(distinct-buckets)
+    aggregation, never a corpus-sized window; a bucket never exceeds
+    max_bucket across any number of appends). The nframes relation
+    appends wholesale — it is one row per video and the vote reads it
+    by id."""
+    import os
+
+    from pyspark.sql import Window
+
+    p, stored, _nf = _read_video_phash_layout(spark, path)
+    h = new_frames.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(frame_col).alias("_f"),
+        F.col(nf_col).alias("_nf"),
+        F.col(hash_col).alias("_h"),
+    )
+    banded = _video_bands(h, p["bands"])
+    occupancy = stored.groupBy("_f", "band_idx", "band_val").agg(
+        F.count("*").alias("_n")
+    )
+    capped_new = (
+        banded.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_f", "band_idx", "band_val")
+                .orderBy("_id")
+            ),
+        )
+        .join(occupancy, ["_f", "band_idx", "band_val"], "left")
+        .filter(
+            F.col("_rk") + F.coalesce("_n", F.lit(0)) <= p["max_bucket"]
+        )
+        .drop("_rk", "_n")
+    )
+    capped_new.write.mode("append").partitionBy("band_idx").parquet(
+        os.path.join(path, "banding")
+    )
+    h.select("_id", "_nf").distinct().write.mode("append").parquet(
+        os.path.join(path, "nframes")
     )

@@ -5834,6 +5834,207 @@ FROM a LEFT JOIN best ON a.media_id = best.media_id
 """
 
 
+_VIDEO_PHASH_LAYOUT_CACHE: dict = {}
+
+
+def _video_standing_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, frame_idx, n_frames, h): the standing video corpus as
+    spread 62-bit per-frame fingerprints — two independent
+    double-squared prime mixes with the frame index folded in (the
+    _phash_standing_hashes discipline, one hash row per frame; nf =
+    doc_id % 3 + 1 so vote denominators vary)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.expr("sequence(0, CAST(doc_id % 3 AS INT))")).alias(
+            "frame_idx"
+        ),
+        F.expr("CAST(doc_id % 3 + 1 AS INT)").alias("n_frames"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "n_frames",
+        F.expr(
+            "(media_id*131 + frame_idx*9377 + 7) % 2147483629"
+            " * ((media_id*131 + frame_idx*9377 + 7) % 2147483629)"
+            " % 2147483629"
+            " * ((media_id*131 + frame_idx*9377 + 7) % 2147483629"
+            "    * ((media_id*131 + frame_idx*9377 + 7) % 2147483629)"
+            "    % 2147483629) % 2147483629"
+            " + (media_id*137 + frame_idx*9377 + 7) % 2147483629"
+            "   * ((media_id*137 + frame_idx*9377 + 7) % 2147483629)"
+            "   % 2147483629"
+            "   * ((media_id*137 + frame_idx*9377 + 7) % 2147483629"
+            "      * ((media_id*137 + frame_idx*9377 + 7) % 2147483629)"
+            "      % 2147483629) % 2147483629 * 2147483648"
+        ).alias("h"),
+    )
+
+
+def _video_phash_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized stored video-fingerprint layout over the
+    synthetic standing frames (cheap arithmetic build — no pixel
+    decode; the decode legs are certified by multimodal_video_frames/
+    video_phash_near_dup)."""
+    import tempfile
+
+    from .llm import multimodal as mm
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _VIDEO_PHASH_LAYOUT_CACHE.get(key)
+    if path is not None:
+        return path
+    path = tempfile.mkdtemp(prefix="k2n_video_phash_layout_")
+    mm.write_video_phash_layout(
+        _video_standing_frames(spark, sf_dir), path, hash_col="h"
+    )
+    _VIDEO_PHASH_LAYOUT_CACHE[key] = path
+    return path
+
+
+def _q_video_stored_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-corpus video admission against the STORED frame-aware
+    fingerprint layout (L94 — the video twin of phash_stored_admission,
+    with the L93 vote on top): the standing corpus's capped banded
+    relation + its (id, n_frames) vote relation were written ONCE; per
+    arrival batch only the arrival side bands, broadcast against the
+    stored buckets, exact bit_count verify and the
+    half-the-shorter-video vote on candidates only. Two probes per doc:
+    a twin of the standing video whose frame-0 fingerprint flips ONE
+    bit (frame 0 still verifies at hamming 1, every other frame at 0 —
+    the vote must reject it at every n_frames) and an
+    independently-mixed novel video (admitted unless an incidental
+    collision — the oracle replays whichever happens). The oracle
+    replays the capped layout build AND the probe: frame-aware banding,
+    cap order, candidate join, hamming verify, the vote, the
+    best-match report."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    layout = _video_phash_layout(spark, sf_dir)
+    std = _video_standing_frames(spark, sf_dir)
+    twin = std.select(
+        (F.col("media_id") * 2 + 2000000).alias("media_id"),
+        "frame_idx",
+        "n_frames",
+        F.when(
+            F.col("frame_idx") == 0,
+            F.col("h").bitwiseXOR(
+                F.expr(
+                    "CAST(shiftleft(1L, CAST(media_id % 62 AS INT)) AS BIGINT)"
+                )
+            ),
+        )
+        .otherwise(F.col("h"))
+        .alias("h"),
+    )
+    novel = std.select(
+        (F.col("media_id") * 2 + 2000001).alias("media_id"),
+        "frame_idx",
+        "n_frames",
+        F.expr(
+            "(media_id*151 + frame_idx*9377 + 7) % 2147483629"
+            " * ((media_id*151 + frame_idx*9377 + 7) % 2147483629)"
+            " % 2147483629"
+            " * ((media_id*151 + frame_idx*9377 + 7) % 2147483629"
+            "    * ((media_id*151 + frame_idx*9377 + 7) % 2147483629)"
+            "    % 2147483629) % 2147483629"
+            " + (media_id*157 + frame_idx*9377 + 7) % 2147483629"
+            "   * ((media_id*157 + frame_idx*9377 + 7) % 2147483629)"
+            "   % 2147483629"
+            "   * ((media_id*157 + frame_idx*9377 + 7) % 2147483629"
+            "      * ((media_id*157 + frame_idx*9377 + 7) % 2147483629)"
+            "      % 2147483629) % 2147483629 * 2147483648"
+        ).alias("h"),
+    )
+    return mm.video_phash_admission(
+        spark, layout, twin.unionByName(novel), hash_col="h"
+    )
+
+
+_VIDEO_MIX = """
+  (({id})*{a} + f*9377 + 7) % 2147483629
+  * ((({id})*{a} + f*9377 + 7) % 2147483629) % 2147483629
+  * (
+      (({id})*{a} + f*9377 + 7) % 2147483629
+      * ((({id})*{a} + f*9377 + 7) % 2147483629) % 2147483629
+    ) % 2147483629
+"""
+
+
+def _video_h(id_expr: str, a: int, b: int) -> str:
+    lo = _VIDEO_MIX.format(id=id_expr, a=a)
+    hi = _VIDEO_MIX.format(id=id_expr, a=b)
+    return f"(({lo}) + ({hi}) * 2147483648)"
+
+
+ORACLE["video_stored_admission"] = f"""
+WITH std AS (
+  SELECT doc_id AS vid, f.f AS f,
+         CAST(doc_id % 3 + 1 AS INT) AS nf,
+         {_video_h('doc_id', 131, 137)} AS h
+  FROM documents, range(3) f(f) WHERE f.f <= doc_id % 3
+),
+stored AS (
+  SELECT vid, f, h, band_idx, band_val FROM (
+    SELECT std.vid, std.f, std.h, j.band_idx,
+           (std.h >> CAST(16 * j.band_idx AS INT)) & 65535 AS band_val,
+           row_number() OVER (
+             PARTITION BY std.f, j.band_idx,
+                          (std.h >> CAST(16 * j.band_idx AS INT)) & 65535
+             ORDER BY std.vid) AS rk
+    FROM std, (VALUES (0), (1), (2), (3)) AS j(band_idx))
+  WHERE rk <= 64
+),
+a AS (
+  SELECT vid*2 + 2000000 AS vid, f, nf,
+         CASE WHEN f = 0
+              THEN xor(h, CAST(1 AS BIGINT) << CAST(vid % 62 AS INT))
+              ELSE h END AS h
+  FROM std
+  UNION ALL
+  SELECT doc_id*2 + 2000001 AS vid, f.f AS f,
+         CAST(doc_id % 3 + 1 AS INT) AS nf,
+         {_video_h('doc_id', 151, 157)} AS h
+  FROM documents, range(3) f(f) WHERE f.f <= doc_id % 3
+),
+ab AS (
+  SELECT a.vid, a.f, a.nf, a.h, j.band_idx,
+         (a.h >> CAST(16 * j.band_idx AS INT)) & 65535 AS band_val
+  FROM a, (VALUES (0), (1), (2), (3)) AS j(band_idx)
+),
+cand AS (
+  SELECT DISTINCT ab.vid AS id_a, stored.vid AS id_b, ab.f AS f,
+                  ab.nf AS nf_a, ab.h AS h_a, stored.h AS h_b
+  FROM ab JOIN stored
+    ON ab.f = stored.f AND ab.band_idx = stored.band_idx
+   AND ab.band_val = stored.band_val
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, any_value(c.nf_a) AS nf_a, count(*) AS nm
+  FROM cand c
+  WHERE bit_count(xor(c.h_a, c.h_b)) <= 3
+  GROUP BY c.id_a, c.id_b
+),
+best AS (
+  SELECT p.id_a, max(p.nm) AS best_match_frames,
+         max(CASE WHEN p.nm * 2 >= least(p.nf_a, snf.nf) THEN 1 ELSE 0 END)
+           AS hit
+  FROM pairs p
+  JOIN (SELECT DISTINCT vid, nf FROM std) snf ON snf.vid = p.id_b
+  GROUP BY p.id_a
+),
+arrivals AS (SELECT DISTINCT vid FROM a)
+SELECT arrivals.vid AS media_id,
+       coalesce(best.hit, 0) = 0 AS admitted,
+       CAST(best.best_match_frames AS BIGINT) AS best_match_frames
+FROM arrivals LEFT JOIN best ON arrivals.vid = best.id_a
+"""
+
+
 def _q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio fingerprint (L90): SQL-built PCM clips →
     ``multimodal.audio_fingerprint`` (real sample decode → channel-sum
@@ -7832,6 +8033,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_wav_samples": _q_multimodal_wav_samples,
     "multimodal_video_frames": _q_multimodal_video_frames,
     "video_phash_near_dup": _q_video_phash_near_dup,
+    "video_stored_admission": _q_video_stored_admission,
     "audio_fingerprint": _q_audio_fingerprint,
     "phash_stored_admission": _q_phash_stored_admission,
     "audio_fp_near_dup": _q_audio_fp_near_dup,

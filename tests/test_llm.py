@@ -3091,3 +3091,72 @@ def test_video_near_dup_frame_alignment(spark):
         "media_id long, frame_idx int, n_frames int, ahash long, dhash long",
     )
     assert multimodal.video_near_dup(df, hash_col="dhash").count() == 0
+
+
+def test_video_phash_stored_layout_admission_and_fold(spark, tmp_path):
+    """L94: the stored video-fingerprint layout — vote-based admission
+    against standing state, cap-aware fold-back, cross-batch rejection
+    through the fold (the L91 contract with the frame vote on top)."""
+    layout = str(tmp_path / "video_layout")
+    H = lambda i, f: ((i * 0x9E3779B97F4A7C15 + f * 0x517CC1B7) % (1 << 62))
+    standing = spark.createDataFrame(
+        [(i, f, 3, H(i, f)) for i in range(30) for f in range(3)],
+        "media_id long, frame_idx int, n_frames int, dhash long",
+    )
+    multimodal.write_video_phash_layout(standing, layout)
+    arrivals = spark.createDataFrame(
+        # twin of video 7 with frame 0 flipped 1 bit: 3/3 frames verify
+        [(100, 0, 3, H(7, 0) ^ (1 << 5)),
+         (100, 1, 3, H(7, 1)), (100, 2, 3, H(7, 2)),
+         # only frame 2 matches video 8: 1 of min(3,3) < half -> admit
+         (101, 0, 3, H(8, 2) ^ 0xF0F0F0F0),
+         (101, 1, 3, 0x123456789ABCDEF), (101, 2, 3, H(8, 2)),
+         # 2-frame video matching video 9 on ONE frame: 1 >= min(2,3)/2
+         # -> rejected (the shorter-video denominator)
+         (102, 0, 2, H(9, 0)), (102, 1, 2, 0x222222222222222),
+         # novel everywhere
+         (103, 0, 1, 0x31415926535897)],
+        "media_id long, frame_idx int, n_frames int, dhash long",
+    )
+    got = {r.media_id: r for r in multimodal.video_phash_admission(
+        spark, layout, arrivals).collect()}
+    assert not got[100].admitted and got[100].best_match_frames == 3
+    assert got[101].admitted and got[101].best_match_frames == 1
+    assert not got[102].admitted and got[102].best_match_frames == 1
+    assert got[103].admitted and got[103].best_match_frames is None
+
+    # fold the admitted videos; a later re-encode of one is rejected
+    admitted_ids = spark.createDataFrame(
+        [(101,), (103,)], "media_id long")
+    multimodal.append_video_phash_layout(
+        spark, layout, arrivals.join(admitted_ids, "media_id"))
+    copies = spark.createDataFrame(
+        [(200, 0, 1, 0x31415926535897)],  # exact copy of folded 103
+        "media_id long, frame_idx int, n_frames int, dhash long",
+    )
+    got2 = {r.media_id: r for r in multimodal.video_phash_admission(
+        spark, layout, copies).collect()}
+    assert not got2[200].admitted and got2[200].best_match_frames == 1
+
+
+def test_video_phash_layout_cap_holds_across_appends(spark, tmp_path):
+    """A flood of identical single-frame videos folded in waves never
+    pushes a (frame, band) bucket past max_bucket."""
+    from pyspark.sql import functions as F
+
+    layout = str(tmp_path / "video_flood")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, 0, 1, 0) for i in ids],
+        "media_id long, frame_idx int, n_frames int, dhash long",
+    )
+    multimodal.write_video_phash_layout(
+        mk(range(10)), layout, params={"max_bucket": 12})
+    for wave in range(3):
+        multimodal.append_video_phash_layout(
+            spark, layout, mk(range(100 + wave * 10, 110 + wave * 10)))
+    _p, stored, _nf = multimodal._read_video_phash_layout(spark, layout)
+    occ = stored.groupBy("_f", "band_idx", "band_val").count().agg(
+        F.max("count")).first()[0]
+    assert occ <= 12, occ
+    got = multimodal.video_phash_admission(spark, layout, mk([999])).collect()[0]
+    assert not got.admitted and got.best_match_frames == 1

@@ -1111,3 +1111,34 @@ def test_video_near_dup_plan_shape(spark):
     ), plan
     assert "WindowGroupLimit" in plan, plan
     assert "hashpartitioning(_f" in plan, plan[:2000]
+
+
+def test_video_stored_admission_plan_shape(spark, tmp_path):
+    """L94: the stored video-fingerprint probe must be Window-free (the
+    occupancy cap was paid at layout-build time, never per batch), read
+    its standing side from the layout parquet, and broadcast the
+    arrival bands — the phash_admission plan contract with the frame
+    vote on top."""
+    from kafka_to_nexus_spark.llm import multimodal as mm
+
+    layout = str(tmp_path / "video_layout")
+    standing = spark.range(2000).selectExpr(
+        "id AS media_id",
+        "CAST(id % 3 AS INT) AS frame_idx",
+        "CAST(3 AS INT) AS n_frames",
+        "CAST((id * 2654435761 % 2147483629) * (id * 2654435761"
+        " % 2147483629) % 2147483629 + (id * 1103515245 % 2147483629)"
+        " * (id * 1103515245 % 2147483629) % 2147483629 * 2147483648"
+        " AS LONG) AS dhash",
+    )
+    mm.write_video_phash_layout(standing, layout)
+    arrivals = spark.range(50).selectExpr(
+        "id + 10000 AS media_id", "CAST(0 AS INT) AS frame_idx",
+        "CAST(1 AS INT) AS n_frames", "CAST(id * 7 + 1 AS LONG) AS dhash")
+    adm = mm.video_phash_admission(spark, layout, arrivals)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = adm._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan, plan
+    assert "video_layout/banding" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

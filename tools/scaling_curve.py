@@ -141,6 +141,7 @@ FAMILY = {
     # deliberately-dense fixture saturates buckets, so growth is the
     # cap's C(64,2) bound, not pair-quadratic
     "video_phash_near_dup": "documents",
+    "video_stored_admission": "documents",
     "multimodal_resize_pixels": "documents",
     "audio_fingerprint": "documents",
     "audio_fp_near_dup": "documents",
