@@ -2392,10 +2392,19 @@ def decode_media(payload: bytes | None, dim: int = 8) -> list[float] | None:
         return [round(c / total, 6) for c in counts]
 
     if payload[:8] == _PNG_SIG:
-        got = parse_png_pixels(payload)
-        if got is None:
+        # the vectorized luminance twin (pinned bit-identical to
+        # luminance_grid(parse_png_pixels(...))) — the PNG leg is the
+        # fixture-heavy hot path in the dispatch certificate
+        import numpy as np
+
+        lum = _png_luminance(payload)
+        if lum is None:
             return None
-        return lum_hist([luminance_grid(got[2])])
+        counts = np.bincount(
+            (lum.ravel().astype(np.int64) * dim) // 256, minlength=dim
+        )
+        total = max(int(counts.sum()), 1)
+        return [round(float(c) / total, 6) for c in counts]
     if payload[:2] == b"\xff\xd8":
         got = parse_jpeg_pixels(payload)
         if got is None:

@@ -4706,6 +4706,104 @@ FROM p LEFT JOIN h ON p.doc_id = h.doc_id
 """
 
 
+def _q_multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decoder through the feature pipeline (r13 — decode_stub
+    retired as the swap point): ``extract_features(decoder=
+    decode_media)`` over the SQL-built PNG fixture plus a non-media
+    payload per doc. decode_media sniffs the container magic, decodes
+    pixels with the engine's own codec, and emits the 8-bucket
+    luminance histogram; unknown magic takes the NULL CONTRACT (a null
+    feature row, never a raise, never a fake value). The oracle states
+    every histogram arithmetically from the fixture's closed-form
+    pixels (luminance = (299r+587g+114b)//1000 for both color types —
+    gray pixels store exactly that value and luminance_grid is the
+    identity on (v,v,v)) and NULL rows for the garbage payloads — so
+    both the real-decode leg AND the unsupported-kind leg of the
+    dispatcher carry a value-hash certificate. JPEG/WAV/AVI dispatch
+    legs are pytest-pinned (their bitstreams are worker-built; their
+    pixel/sample decodes carry their own oracles: L88/L89/L92)."""
+    from pyspark.sql import functions as F
+
+    from .llm import multimodal as mm
+
+    media = _png_pixel_fixture(spark, sf_dir).select(
+        "media_id", F.lit("image").alias("kind"), "payload"
+    )
+    register_views(spark, sf_dir, ("documents",))
+    garbage = spark.table("documents").select(
+        (F.col("doc_id") + 10000000).alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.lit("not a media container"), "UTF-8").alias("payload"),
+    )
+    feats = mm.extract_features(
+        media.unionByName(garbage), dim=8, decoder=mm.decode_media
+    )
+    return feats.select(
+        "media_id",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6)
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+ORACLE["multimodal_decode_dispatch"] = """
+WITH m AS (
+  SELECT doc_id AS d, v
+  FROM documents, (VALUES (0), (1)) AS var(v)
+),
+px AS (
+  SELECT d, v,
+         (h1.h * h1.h % 2147483629 % 256
+          + CASE WHEN v = 1 AND xx.x = d*3 % 16 AND yy.y = d*5 % 16
+                 THEN 1 ELSE 0 END) % 256 AS r,
+         h2.h * h2.h % 2147483629 % 256 AS g,
+         h3.h * h3.h % 2147483629 % 256 AS b
+  FROM m, range(16) xx(x), range(16) yy(y),
+       LATERAL (SELECT (d*131 + xx.x*17 + yy.y*29 + 7) % 2147483629
+                       * ((d*131 + xx.x*17 + yy.y*29 + 7) % 2147483629)
+                       % 2147483629 AS h) h1,
+       LATERAL (SELECT (d*137 + xx.x*23 + yy.y*31 + 7) % 2147483629
+                       * ((d*137 + xx.x*23 + yy.y*31 + 7) % 2147483629)
+                       % 2147483629 AS h) h2,
+       LATERAL (SELECT (d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629
+                       * ((d*139 + xx.x*19 + yy.y*37 + 7) % 2147483629)
+                       % 2147483629 AS h) h3
+),
+h AS (
+  SELECT d, v, ((299*r + 587*g + 114*b) // 1000) // 32 AS bucket,
+         count(*) AS c
+  FROM px GROUP BY d, v, ((299*r + 587*g + 114*b) // 1000) // 32
+)
+SELECT d*2 + v AS media_id,
+       round(round_even(coalesce(max(CASE WHEN bucket = 0 THEN c END), 0)
+                        / 256.0, 6), 6) AS f0,
+       round(round_even(coalesce(max(CASE WHEN bucket = 1 THEN c END), 0)
+                        / 256.0, 6), 6) AS f1,
+       round(round_even(coalesce(max(CASE WHEN bucket = 2 THEN c END), 0)
+                        / 256.0, 6), 6) AS f2,
+       round(round_even(coalesce(max(CASE WHEN bucket = 3 THEN c END), 0)
+                        / 256.0, 6), 6) AS f3,
+       round(round_even(coalesce(max(CASE WHEN bucket = 4 THEN c END), 0)
+                        / 256.0, 6), 6) AS f4,
+       round(round_even(coalesce(max(CASE WHEN bucket = 5 THEN c END), 0)
+                        / 256.0, 6), 6) AS f5,
+       round(round_even(coalesce(max(CASE WHEN bucket = 6 THEN c END), 0)
+                        / 256.0, 6), 6) AS f6,
+       round(round_even(coalesce(max(CASE WHEN bucket = 7 THEN c END), 0)
+                        / 256.0, 6), 6) AS f7
+FROM h GROUP BY d, v
+UNION ALL
+SELECT doc_id + 10000000 AS media_id,
+       CAST(NULL AS DOUBLE) AS f0, CAST(NULL AS DOUBLE) AS f1,
+       CAST(NULL AS DOUBLE) AS f2, CAST(NULL AS DOUBLE) AS f3,
+       CAST(NULL AS DOUBLE) AS f4, CAST(NULL AS DOUBLE) AS f5,
+       CAST(NULL AS DOUBLE) AS f6, CAST(NULL AS DOUBLE) AS f7
+FROM documents
+"""
+
+
 def _q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container-metadata decode round-trip: JVM-side SQL builds
     spec-conformant PNG (signature + IHDR) and JPEG (SOI + APP0 + SOF0)
@@ -8034,6 +8132,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_video_frames": _q_multimodal_video_frames,
     "video_phash_near_dup": _q_video_phash_near_dup,
     "video_stored_admission": _q_video_stored_admission,
+    "multimodal_decode_dispatch": _q_multimodal_decode_dispatch,
     "audio_fingerprint": _q_audio_fingerprint,
     "phash_stored_admission": _q_phash_stored_admission,
     "audio_fp_near_dup": _q_audio_fp_near_dup,

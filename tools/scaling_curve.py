@@ -142,6 +142,7 @@ FAMILY = {
     # cap's C(64,2) bound, not pair-quadratic
     "video_phash_near_dup": "documents",
     "video_stored_admission": "documents",
+    "multimodal_decode_dispatch": "documents",
     "multimodal_resize_pixels": "documents",
     "audio_fingerprint": "documents",
     "audio_fp_near_dup": "documents",
