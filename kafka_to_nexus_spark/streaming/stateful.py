@@ -1603,3 +1603,55 @@ def admission_stream(
     )
     query._admission_session = session
     return query
+
+
+def video_admit_and_fold(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    layout: str,
+    decisions_path: str,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    nf_col: str = "n_frames",
+) -> None:
+    """One micro-batch's VIDEO admission transaction over the stored
+    frame-aware fingerprint layout (L94) — the :func:`admit_and_fold`
+    contract for multi-frame media: decisions land batch-keyed and
+    replay-safe (committed decisions REUSE — the pinned pre-fold
+    snapshot), the admitted id set pins on the driver before any fold,
+    and admitted videos fold back cap-aware
+    (:func:`~..llm.multimodal.append_video_phash_layout`), so a later
+    micro-batch's re-encode of an earlier admission is rejected without
+    the corpus ever being re-decoded. Crash-window idempotency is the
+    image family's: a replayed fold re-appends at most one extra copy
+    of the crash-window batch's banded rows, which can never change a
+    decision — the candidate join is DISTINCT over (pair, frame, hash)
+    and the vote reads max() aggregates. ``batch`` carries the
+    per-frame hash rows (the :func:`~..llm.multimodal.video_frames`
+    output shape); decode happens upstream where the payload lives."""
+    import os
+
+    from ..llm import multimodal as mm
+
+    dec_dir = os.path.join(decisions_path, f"batch={batch_id}")
+    admitted_ids = _decide_or_reuse(
+        spark, dec_dir, id_col,
+        lambda: mm.video_phash_admission(
+            spark, layout, batch, hash_col, id_col, frame_col, nf_col
+        ).select(
+            F.col("media_id").alias(id_col) if id_col != "media_id"
+            else F.col("media_id"),
+            F.when(F.col("admitted"), F.lit("admitted"))
+            .otherwise(F.lit("video_dup"))
+            .alias("stage"),
+            "best_match_frames",
+        ),
+    )
+    if not admitted_ids:
+        return
+    mm.append_video_phash_layout(
+        spark, layout, batch.filter(F.col(id_col).isin(admitted_ids)),
+        hash_col, id_col, frame_col, nf_col,
+    )

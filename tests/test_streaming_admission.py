@@ -313,3 +313,56 @@ def test_admission_session_close_frees_checkpoint_blocks(spark, tmp_path):
     assert cached_rdds() - before == set(), (
         "close() left checkpointed blocks pinned"
     )
+
+
+def _vid_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, frame_idx int, n_frames int, dhash long")
+
+
+def test_video_admit_and_fold_stream_equals_batch_and_replays(
+        spark, tmp_path):
+    """L94 streaming twin: per-micro-batch video admission over the
+    stored layout — cross-batch rejection through the fold, decision
+    reuse on replay (byte-identical log, no re-scoring against own
+    appends), and parity with the one-shot batch probe."""
+    from kafka_to_nexus_spark.llm import multimodal as mm
+
+    H = lambda i, f: ((i * 0x9E3779B97F4A7C15 + f * 0x517CC1B7) % (1 << 62))
+    layout = str(tmp_path / "vlayout")
+    mm.write_video_phash_layout(
+        _vid_batch(spark, [(i, f, 2, H(i, f))
+                           for i in range(10) for f in range(2)]),
+        layout,
+    )
+    dec = str(tmp_path / "dec")
+    b1 = _vid_batch(spark, [
+        (100, 0, 2, H(3, 0) ^ (1 << 9)), (100, 1, 2, H(3, 1)),  # twin: dup
+        (101, 0, 2, H(900, 0)), (101, 1, 2, H(900, 1)),          # novel
+    ])
+    stateful.video_admit_and_fold(spark, b1, 0, layout, dec)
+    d1 = {r.media_id: r.stage for r in spark.read.parquet(
+        dec + "/batch=0").collect()}
+    assert d1 == {100: "video_dup", 101: "admitted"}
+
+    # batch 2: a re-encode of the batch-1 admission must now be dup
+    b2 = _vid_batch(spark, [
+        (200, 0, 2, H(900, 0) ^ 1), (200, 1, 2, H(900, 1)),
+        (201, 0, 1, H(901, 0)),
+    ])
+    stateful.video_admit_and_fold(spark, b2, 1, layout, dec)
+    d2 = {r.media_id: r.stage for r in spark.read.parquet(
+        dec + "/batch=1").collect()}
+    assert d2 == {200: "video_dup", 201: "admitted"}
+
+    # replay batch 1 (failure recovery): decisions REUSED verbatim even
+    # though the layout has since folded both batches
+    stateful.video_admit_and_fold(spark, b1, 0, layout, dec)
+    d1r = {r.media_id: r.stage for r in spark.read.parquet(
+        dec + "/batch=0").collect()}
+    assert d1r == d1
+    # and the replayed fold never changes later verdicts
+    probe = {r.media_id: r.admitted for r in mm.video_phash_admission(
+        spark, layout,
+        _vid_batch(spark, [(300, 0, 1, H(901, 0))])).collect()}
+    assert probe == {300: False}
