@@ -431,6 +431,118 @@ def _run_e2e_streaming_curation(spark, sf_dir: str, n_batches: int = 2) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+def _run_e2e_video_admission(spark, sf_dir: str, n_batches: int = 2) -> None:
+    """Video curation as continuous ingest (L92+L93+L94 end-to-end): the
+    standing corpus's videos DECODE (real AVI walk + JPEG codec) into a
+    stored frame-aware fingerprint layout once, then arrival batches of
+    raw AVI payloads decode IN-STREAM (video_frames over the streaming
+    frame) and pass per micro-batch through the stored-layout admission
+    with cap-aware fold-back (video_admit_and_fold) -- re-encoded
+    near-copies of standing videos are rejected without the corpus ever
+    being re-decoded. Arrivals: per doc_id % 10 == 0, a perturbed twin
+    of the standing video (one frame-0 block bumped)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import multimodal as mm
+    from kafka_to_nexus_spark.streaming import stateful
+
+    P = 2147483629
+
+    def _level(d, f, by, bx, bump):
+        h0 = (d * 131 + f * 9377 + by * 17 + bx * 29 + 7) % P
+        h1 = h0 * h0 % P
+        g = (h1 * h1 % P) % 256
+        if bump and f == 0 and by == 0 and bx == 0:
+            g = (g + 1) % 256
+        return g
+
+    def _payloads(bump):
+        def gen(it):
+            for pdf in it:
+                mids, pls = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    frames = [
+                        mm.encode_jpeg(
+                            [[_level(d, f, y // 8, x // 8, bump)
+                              for x in range(16)] for y in range(16)])
+                        for f in range(d % 3 + 1)
+                    ]
+                    mids.append(d if not bump else d + 10_000_000)
+                    pls.append(mm.encode_avi(frames, 16, 16, fps=10))
+                yield pd.DataFrame({"media_id": mids, "payload": pls})
+        return gen
+
+    work = tempfile.mkdtemp(prefix="bench_video_")
+    # half corpus: the decode cost IS the op and it is measured linear
+    # (L92 growth rows); the admission/fold shape is size-independent
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") % 2 == 0))
+    standing_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    arrival_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # pin the decoded standing frames: the layout write is two
+        # actions (banding + nframes) and must not decode twice
+        standing_frames = mm.video_frames(standing_docs.mapInPandas(
+            _payloads(False), "media_id long, payload binary"
+        )).localCheckpoint()
+        layout = f"{work}/layout"
+        mm.write_video_phash_layout(standing_frames, layout)
+
+        n_arr = arrival_docs.count()
+        step = n_arr // n_batches + 1
+        from pyspark.sql.window import Window as _W
+
+        ordered = arrival_docs.withColumn(
+            "_rk", F.row_number().over(_W.orderBy("doc_id")))
+        for i in range(n_batches):
+            (ordered.filter((F.col("_rk") > i * step)
+                            & (F.col("_rk") <= (i + 1) * step))
+             .drop("_rk")
+             .mapInPandas(_payloads(True), "media_id long, payload binary")
+             .coalesce(1)
+             .write.mode("overwrite").parquet(f"{work}/in/b{i}"))
+
+        stream = (spark.readStream
+                  .schema("media_id long, payload binary")
+                  .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/*"))
+        decoded = mm.video_frames(stream)
+        q = (decoded.writeStream
+             .foreachBatch(lambda b, bid: stateful.video_admit_and_fold(
+                 spark, b, bid, layout, f"{work}/decisions"))
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        dec = spark.read.parquet(f"{work}/decisions")
+        assert dec.count() == n_arr
+        # every multi-frame twin is structurally rejected (frames past
+        # frame 0 hash identically to the standing video: n_matched >=
+        # nf-1 >= ceil(nf/2) for nf >= 2); single-frame twins depend on
+        # the bumped frame's hamming, which the admission decides
+        n_multi = arrival_docs.filter(F.col("doc_id") % 3 != 0).count()
+        n_dup = dec.filter(F.col("stage") == "video_dup").count()
+        assert n_dup >= n_multi, (n_dup, n_multi)
+    finally:
+        try:
+            # checkpoint blocks pin outside the cache manager; free them
+            # deterministically (the AdmissionSession release path)
+            stateful.AdmissionSession._release(standing_frames)
+        except Exception:
+            pass
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     # No CLI flags by design — selection is SPARK_GRAFT_BENCH_ONLY, scale is
     # SPARK_GRAFT_SF_DIR. Reject unknown argv instead of silently running
@@ -541,6 +653,7 @@ def main() -> None:
         ("job_e2e_streaming_curation", _run_e2e_streaming_curation),
         ("job_e2e_streaming_bloom", _run_e2e_streaming_bloom),
         ("job_e2e_streaming_admission", _run_e2e_streaming_admission),
+        ("job_e2e_video_admission", _run_e2e_video_admission),
     ):
         if only is not None and name not in only:
             continue
