@@ -5654,7 +5654,11 @@ def _q_video_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": mids, "payload": pls})
 
     media = docs.mapInPandas(payloads, "media_id long, payload binary")
-    return mm.video_near_dup(mm.video_frames(media), hash_col="dhash")
+    # persist the decoded hash relation (the image_phash_near_dup
+    # discipline): video_near_dup references it four times (both band
+    # sides + both n_frames legs) and the codec must run ONCE
+    frames = mm.video_frames(media).persist()
+    return mm.video_near_dup(frames, hash_col="dhash")
 
 
 ORACLE["video_phash_near_dup"] = """
