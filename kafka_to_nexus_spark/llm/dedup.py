@@ -690,6 +690,8 @@ def _read_neardup_layout(spark, path: str) -> tuple[dict, DataFrame, DataFrame, 
     import json
     import os
 
+    for sub in ("banding", "fingerprints", "shingle_hashes"):
+        _recover_aside(os.path.join(path, sub))
     with open(os.path.join(path, "_meta.json")) as f:
         p = json.load(f)
     return (
@@ -1448,3 +1450,51 @@ def bloom_literal_probe(
         return out
 
     return hit
+
+
+def compact_parquet_subdir(
+    spark,
+    path: str,
+    subdir: str,
+    partition_col: str | None = None,
+    n_files: int = 4,
+) -> None:
+    """Small-files compaction for an append-grown layout relation: a
+    pure REWRITE (same row multiset — crash-window duplicate rows are
+    documented, decision-neutral state and stay; compaction is about
+    file count, not content) into ``n_files`` files (per partition
+    value when ``partition_col`` is set, preserving the directory
+    layout probes partition-prune on). Publish is the
+    :func:`compact_bloom_layout` rename-aside discipline — at every
+    instant a live or aside copy exists on disk, and the layout readers
+    run :func:`_recover_aside` first, so the stored state can never be
+    destroyed mid-swap. At 100 TB this is routine maintenance: every
+    append_* writes one file set per micro-batch, and scan cost grows
+    with file COUNT long before it grows with bytes."""
+    import os
+    import shutil
+
+    src = os.path.join(path, subdir)
+    _recover_aside(src)
+    df = spark.read.parquet(src)
+    staged = os.path.join(path, f"_compact_{subdir}")
+    if partition_col is not None:
+        (df.repartition(n_files, partition_col)
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(staged))
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(staged)
+    old = src + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(src, old)
+    os.rename(staged, src)
+    shutil.rmtree(old)
+
+
+def compact_neardup_layout(spark, path: str) -> None:
+    """Compact every append-grown relation of a near-dup banding layout
+    (banding partitions + the fingerprint/shingle backstops)."""
+    compact_parquet_subdir(spark, path, "banding", partition_col="band")
+    compact_parquet_subdir(spark, path, "fingerprints")
+    compact_parquet_subdir(spark, path, "shingle_hashes")

@@ -1419,6 +1419,9 @@ def _read_phash_layout(spark, path: str) -> tuple[dict, DataFrame]:
     import json
     import os
 
+    from .dedup import _recover_aside
+
+    _recover_aside(os.path.join(path, "banding"))
     with open(os.path.join(path, "_meta.json")) as f:
         p = json.load(f)
     return p, spark.read.parquet(os.path.join(path, "banding"))
@@ -2626,6 +2629,10 @@ def _read_video_phash_layout(spark, path: str):
     import json
     import os
 
+    from .dedup import _recover_aside
+
+    for sub in ("banding", "nframes"):
+        _recover_aside(os.path.join(path, sub))
     with open(os.path.join(path, "_meta.json")) as f:
         p = json.load(f)
     return (
@@ -2769,3 +2776,24 @@ def append_video_phash_layout(
     h.select("_id", "_nf").distinct().write.mode("append").parquet(
         os.path.join(path, "nframes")
     )
+
+
+def compact_phash_layout(spark, path: str) -> None:
+    """Small-files compaction for the image fingerprint layout (L91):
+    the append path writes one file set per admitted micro-batch; this
+    rewrites the banding relation back to a few files per band
+    partition under the crash-safe rename-aside swap (see
+    :func:`~.dedup.compact_parquet_subdir`)."""
+    from .dedup import compact_parquet_subdir
+
+    compact_parquet_subdir(spark, path, "banding", partition_col="band_idx")
+
+
+def compact_video_phash_layout(spark, path: str) -> None:
+    """Small-files compaction for the video fingerprint layout (L94):
+    banding (partitioned by band_idx) + the one-row-per-video nframes
+    relation."""
+    from .dedup import compact_parquet_subdir
+
+    compact_parquet_subdir(spark, path, "banding", partition_col="band_idx")
+    compact_parquet_subdir(spark, path, "nframes", n_files=1)

@@ -3160,3 +3160,78 @@ def test_video_phash_layout_cap_holds_across_appends(spark, tmp_path):
     assert occ <= 12, occ
     got = multimodal.video_phash_admission(spark, layout, mk([999])).collect()[0]
     assert not got.admitted and got.best_match_frames == 1
+
+
+def test_layout_compaction_preserves_decisions_and_shrinks_files(
+        spark, tmp_path):
+    """Small-files compaction (r13): after a burst of appended
+    micro-batches, compaction rewrites each layout relation to a few
+    files WITHOUT changing any decision (pure rewrite, duplicates and
+    all), and a crashed swap (aside dir left behind) self-heals on the
+    next read."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+
+    H = lambda i, f: ((i * 0x9E3779B97F4A7C15 + f * 0x517CC1B7) % (1 << 62))
+    layout = str(tmp_path / "vl")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f, 2, H(i, f)) for i in ids for f in range(2)],
+        "media_id long, frame_idx int, n_frames int, dhash long")
+    multimodal.write_video_phash_layout(mk(range(10)), layout)
+    for wave in range(5):
+        multimodal.append_video_phash_layout(
+            spark, layout, mk(range(100 + wave * 5, 105 + wave * 5)))
+    probes = mk([3, 102, 900])  # standing dup, folded dup, novel
+    before = sorted(tuple(r) for r in multimodal.video_phash_admission(
+        spark, layout, probes).collect())
+    n_before = len(glob.glob(f"{layout}/banding/*/*.parquet"))
+    multimodal.compact_video_phash_layout(spark, layout)
+    n_after = len(glob.glob(f"{layout}/banding/*/*.parquet"))
+    assert n_after < n_before, (n_before, n_after)
+    after = sorted(tuple(r) for r in multimodal.video_phash_admission(
+        spark, layout, probes).collect())
+    assert after == before
+
+    # crash window: live dir moved aside, staged never landed -> the
+    # reader restores the aside copy and decisions are unchanged
+    shutil.move(f"{layout}/banding", f"{layout}/banding.old")
+    healed = sorted(tuple(r) for r in multimodal.video_phash_admission(
+        spark, layout, probes).collect())
+    assert healed == before
+    assert os.path.exists(f"{layout}/banding")
+
+    # image layout: same contract
+    il = str(tmp_path / "il")
+    imgs = lambda ids: spark.createDataFrame(
+        [(i, H(i, 0)) for i in ids], "media_id long, dhash64 long")
+    multimodal.write_phash_layout(imgs(range(10)), il)
+    for wave in range(4):
+        multimodal.append_phash_layout(
+            spark, il, imgs(range(50 + wave * 5, 55 + wave * 5)))
+    ip = imgs([3, 52, 901])
+    b = sorted(tuple(r) for r in multimodal.phash_admission(
+        spark, il, ip).collect())
+    multimodal.compact_phash_layout(spark, il)
+    a = sorted(tuple(r) for r in multimodal.phash_admission(
+        spark, il, ip).collect())
+    assert a == b
+
+    # text near-dup layout: same contract through its admission
+    tl = str(tmp_path / "tl")
+    docs = lambda ids: spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 7} jumps over dog {i % 5}")
+         for i in ids], "doc_id long, text string")
+    llm_dedup.write_neardup_banding_layout(docs(range(20)), tl)
+    for wave in range(3):
+        llm_dedup.append_neardup_banding(
+            spark, tl, docs(range(100 + wave * 5, 105 + wave * 5)))
+    tp = docs([3, 101, 999])
+    b = sorted(tuple(r) for r in llm_dedup.neardup_admission(
+        spark, tl, tp, tau=0.5).collect())
+    llm_dedup.compact_neardup_layout(spark, tl)
+    a = sorted(tuple(r) for r in llm_dedup.neardup_admission(
+        spark, tl, tp, tau=0.5).collect())
+    assert a == b
