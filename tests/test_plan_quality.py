@@ -927,6 +927,11 @@ def test_admission_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Window") <= 2, plan
+    # r13: the Bloom bitmap is a STORED layout — the plan must read the
+    # words relation from parquet, not rebuild the corpus-sized
+    # distinct + bit_or aggregation inline per run
+    assert "k2n_bloom_layout" in plan, plan[:3000]
+    assert plan.count("bit_or") == 0, plan
 
 
 def test_image_phash_near_dup_plan_is_banded_equi_join(spark):
