@@ -199,3 +199,72 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-LINE removal (L95 — the RefinedWeb/CCNet
+    boilerplate stage): any line whose exact text occurs in at least
+    ``min_docs`` DISTINCT documents (nav menus, cookie banners, shared
+    footers) is dropped from EVERY document — unlike the L56 chunk rule
+    (keep-first), boilerplate keeps zero copies, because a line that
+    frequent is template, not content. Returns one row per input doc:
+    (id, n_lines, n_dropped, n_chars_kept, kept_text) with line order
+    preserved (and the row kept even when everything was boilerplate —
+    downstream length filters make the drop decision, not this op).
+
+    Scale shape: explode to lines (narrow) → ONE line-hash aggregation
+    with map-side combine for the document frequencies → the frequent
+    set is SMALL by construction (boilerplate is the high-df tail), so
+    it comes back as a BROADCAST anti-join — no second corpus shuffle
+    for the filter — and the per-doc rebuild is one groupBy with an
+    order-restoring array_sort (no window). Degenerate inputs (a corpus
+    of identical docs) cost a big frequent set, never a skewed join:
+    the anti-join's build side is distinct line hashes, not line
+    instances."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    frequent = (
+        lines.groupBy(F.md5(F.col("_line")).alias("_lh"))
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_lh")
+    )
+    tagged = lines.join(
+        F.broadcast(frequent),
+        F.md5(F.col("_line")) == F.col("_lh"),
+        "left",
+    )
+    rebuilt = tagged.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_lh").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_lh").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col),
+        "n_lines",
+        "n_dropped",
+        F.length("kept_text").cast("long").alias("n_chars_kept"),
+        "kept_text",
+    )

@@ -2388,6 +2388,87 @@ FROM grid
 """
 
 
+# --- L95: cross-document boilerplate LINE removal (RefinedWeb/CCNet) ---------
+# The other famous line rule: a line occurring in >= min_docs DISTINCT
+# documents is template (nav menus, cookie banners, shared footers) and
+# ALL copies drop — unlike L56's keep-first chunk rule. The corpus has
+# no newlines, so the fixture synthesizes the web-page shape in pure
+# SQL: a global header line (always boilerplate), a per-source footer
+# (df = docs-per-source — KEPT at sf0.01 where sources hold 25 docs,
+# DROPPED at sf0.1 where they hold 250: the threshold boundary is
+# exercised both ways across tiers), and two content slices of the real
+# text. Scale shape: one line-hash df aggregation (map-side combine) →
+# the frequent set is small by construction → broadcast anti-join back
+# → one per-doc rebuild groupBy with an order-restoring array_sort (no
+# window, no second corpus shuffle).
+_BOILERPLATE_MIN_DOCS = 30
+_BOILERPLATE_HEADER = "site navigation home about contact cookie notice"
+
+
+def _q_line_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_BOILERPLATE_HEADER),
+            F.substring("text", 1, 40),
+            F.concat(F.lit("source footer "), F.col("source")),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+    )
+    out = llm_text.remove_boilerplate_lines(
+        d, min_docs=_BOILERPLATE_MIN_DOCS
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_dropped",
+        "n_chars_kept",
+        F.md5("kept_text").alias("kept_hash"),
+    )
+
+
+ORACLE["line_boilerplate_removal"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         '{_BOILERPLATE_HEADER}' AS h,
+         substr(text, 1, 40) AS la,
+         'source footer ' || source AS fo,
+         substr(text, 41, 40) AS lb
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, 0 AS pos, h AS line FROM d
+  UNION ALL SELECT doc_id, 1, la FROM d
+  UNION ALL SELECT doc_id, 2, fo FROM d
+  UNION ALL SELECT doc_id, 3, lb FROM d
+),
+freq AS (
+  SELECT line FROM lines
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {_BOILERPLATE_MIN_DOCS}
+),
+flag AS (
+  SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS bp
+  FROM lines l LEFT JOIN freq f ON l.line = f.line
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(length(coalesce(
+         string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos),
+         '')) AS BIGINT) AS n_chars_kept,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos),
+         '')) AS kept_hash
+FROM flag GROUP BY doc_id
+"""
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -8082,6 +8163,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_trained_tokenization": _q_bpe_trained_tokenization,
     "bpe_train_merges": _q_bpe_train,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
+    "line_boilerplate_removal": _q_line_boilerplate_removal,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

@@ -3235,3 +3235,31 @@ def test_layout_compaction_preserves_decisions_and_shrinks_files(
     a = sorted(tuple(r) for r in llm_dedup.neardup_admission(
         spark, tl, tp, tau=0.5).collect())
     assert a == b
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """L95: lines in >= min_docs distinct docs drop EVERYWHERE (zero
+    copies kept — template, not content); rare lines survive in
+    original order; a doc that was all boilerplate keeps its row with
+    empty kept_text; within-doc repeats of a rare line count once
+    toward df (count_distinct)."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    docs = [(i, "BANNER\nunique line %d\nBANNER" % i) for i in range(5)]
+    docs.append((100, "BANNER\nBANNER"))          # all boilerplate
+    docs.append((101, "rare\nrare\nunique line 0"))  # repeats, df(rare)=1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.remove_boilerplate_lines(
+        df, min_docs=5).collect()}
+    # BANNER df = 6 >= 5 -> dropped everywhere
+    assert out[0].kept_text == "unique line 0"
+    assert (out[0].n_lines, out[0].n_dropped) == (3, 2)
+    assert out[100].kept_text == "" and out[100].n_dropped == 2
+    assert out[100].n_chars_kept == 0
+    # 'rare' appears 2x in ONE doc: df=1 < 5 -> kept, order preserved;
+    # 'unique line 0' df=2 < 5 -> kept
+    assert out[101].kept_text == "rare\nrare\nunique line 0"
+    # raising the threshold past BANNER's df keeps everything
+    loose = {r.doc_id: r.n_dropped for r in llm_text.remove_boilerplate_lines(
+        df, min_docs=7).collect()}
+    assert all(v == 0 for v in loose.values())

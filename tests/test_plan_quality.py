@@ -1147,3 +1147,15 @@ def test_video_stored_admission_plan_shape(spark, tmp_path):
     assert "Window" not in plan, plan
     assert "video_layout/banding" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_boilerplate_plan_shape(spark):
+    """line_boilerplate_removal: the frequent-line set comes back as a
+    BROADCAST join (never a corpus-shuffled join for the filter), no
+    window anywhere (the rebuild is an order-restoring array_sort
+    inside one groupBy), no cartesian."""
+    plan = _executed_plan(spark, "line_boilerplate_removal")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

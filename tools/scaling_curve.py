@@ -143,6 +143,9 @@ FAMILY = {
     "video_phash_near_dup": "documents",
     "video_stored_admission": "documents",
     "multimodal_decode_dispatch": "documents",
+    # r13: cross-doc boilerplate line removal — one line-hash df agg +
+    # broadcast anti-join + per-doc rebuild; linear, no window
+    "line_boilerplate_removal": "documents",
     "multimodal_resize_pixels": "documents",
     "audio_fingerprint": "documents",
     "audio_fp_near_dup": "documents",
