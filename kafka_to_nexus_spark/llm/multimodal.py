@@ -2415,7 +2415,10 @@ def decode_media(payload: bytes | None, dim: int = 8) -> list[float] | None:
         return lum_hist([luminance_grid(got[2])])
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         got = parse_wav_samples(payload)
-        if got is None:
+        if got is None or not got[3]:
+            # zero-sample clips take the null contract like empty AVIs:
+            # an all-zero "histogram" would be a fake value that makes
+            # every empty clip an exact feature-space duplicate
             return None
         _ch, _rate, bits, samples = got
         half = 1 << (bits - 1)

@@ -226,9 +226,15 @@ def remove_boilerplate_lines(
     of identical docs) cost a big frequent set, never a skewed join:
     the anti-join's build side is distinct line hashes, not line
     instances."""
+    # coalesce: a NULL text must not make the doc VANISH (posexplode of
+    # a null array emits no rows and the doc would lose its output row,
+    # breaking the one-row-per-doc contract) — it degrades to one empty
+    # line, which the frequency rule then treats like any other line
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
     )
     frequent = (
         lines.groupBy(F.md5(F.col("_line")).alias("_lh"))

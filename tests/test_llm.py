@@ -3263,3 +3263,27 @@ def test_remove_boilerplate_lines_semantics(spark):
     loose = {r.doc_id: r.n_dropped for r in llm_text.remove_boilerplate_lines(
         df, min_docs=7).collect()}
     assert all(v == 0 for v in loose.values())
+
+
+def test_decode_media_empty_wav_takes_null_contract():
+    """Review finding (r13): a valid WAV with a zero-length data chunk
+    must return None, not a fake all-zero vector — an all-zero
+    'histogram' would make every empty clip an exact feature-space
+    duplicate and breaks the sums-to-1 invariant."""
+    empty = multimodal.encode_wav([], channels=1)
+    assert multimodal.parse_wav_samples(empty) is not None  # parses fine
+    assert multimodal.decode_media(empty, dim=8) is None
+
+
+def test_remove_boilerplate_lines_null_text_keeps_row(spark):
+    """Review finding (r13): a NULL-text doc must keep its output row
+    (degrading to one empty line), never vanish from the relation."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(
+        [(1, "keep me"), (2, None)], "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.remove_boilerplate_lines(
+        df, min_docs=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_lines == 1 and out[2].n_dropped == 0
+    assert out[2].kept_text == ""
