@@ -201,6 +201,125 @@ def chunk_documents(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    min_run: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact duplicate-SPAN removal (L96 — the Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    rewrite stage, in its scalable shingle approximation): a token
+    ``k``-gram occurring in at least ``min_docs`` DISTINCT documents
+    marks its k token positions as duplicated; overlapping/adjacent
+    marked intervals merge into runs; every run of at least ``min_run``
+    tokens (default: ``k``, i.e. every marked run) is excised from the
+    document and the surviving tokens are rejoined in order. Unlike the
+    doc-level dedup family this edits INSIDE documents — the famous
+    failure mode it fixes is a unique article wrapped around a license
+    block that exact/minhash dedup can never catch. Distinct from L95
+    (whole-LINE frequency) and from `dup_span_coverage` (which only
+    measures the ratio; this op performs the rewrite).
+
+    Returns one row per input doc: (id, n_tokens, n_removed, n_runs,
+    kept_text) where kept_text is the single-space join of surviving
+    tokens for EDITED docs, and the byte-identical original text for
+    untouched ones (no qualifying run, fewer than ``k`` tokens; NULL
+    text degrades to ''). The row survives even when everything was
+    duplicated (downstream length filters decide drops, not this op).
+
+    Scale shape: gram explode is a narrow map (one 32-hex md5 per token
+    position) → ONE (gram, doc) aggregation with map-side combine →
+    the distinct-doc frequency is a count() window over the COLLAPSED
+    (gram, doc) rows, never the gram instances → duplicated starts
+    per doc are a tiny fraction of the corpus, so the run-merge windows
+    (lag + running sum, the sessionize idiom) and the per-doc run
+    collapse run on the small relation → the rewrite itself is a
+    doc-level left join (one row per doc each side) and a pure-codegen
+    higher-order filter over the token array: NO token-level shuffle,
+    no window over corpus tokens. Degenerate grams (a corpus-wide
+    filler phrase) cost one collapsed row per (gram, doc), never a
+    collect of gram instances."""
+    if min_run is None:
+        min_run = k
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
+    ).withColumn("_n", F.size("_w"))
+    # 1-based gram start positions, docs with >= k tokens only
+    grams = toks.filter(F.col("_n") >= k).select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - (k - 1))).alias("_i"),
+        "_w",
+    ).select(
+        "_id",
+        "_i",
+        F.md5(F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), k))).alias(
+            "_g"
+        ),
+    )
+    gcount = grams.groupBy("_g", "_id").agg(
+        F.collect_list("_i").alias("_starts")
+    )
+    dup_starts = (
+        gcount.withColumn(
+            "_ndocs", F.count("*").over(Window.partitionBy("_g"))
+        )
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_id", F.explode("_starts").alias("_i"))
+    )
+    w_doc = Window.partitionBy("_id").orderBy("_i")
+    # intervals [i, i+k-1] merge when the next start is within k of the
+    # previous (overlap or token-adjacency — one contiguous covered run)
+    runs = (
+        dup_starts.withColumn("_prev", F.lag("_i").over(w_doc))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("_i") - F.col("_prev") > k))
+            .cast("int"),
+        )
+        .withColumn(
+            "_run",
+            F.sum("_new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("_id", "_run")
+        .agg(
+            F.min("_i").alias("_s"),
+            (F.max("_i") + (k - 1)).alias("_e"),
+        )
+        .filter(F.col("_e") - F.col("_s") + 1 >= min_run)
+    )
+    per_doc = runs.groupBy("_id").agg(
+        F.collect_list(F.struct("_s", "_e")).alias("_runs"),
+        F.count("*").cast("long").alias("_n_runs"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("_n_rm"),
+    )
+    joined = toks.join(per_doc, "_id", "left")
+    covered = lambda idx: F.exists(  # noqa: E731 — 1-based position test
+        F.coalesce(F.col("_runs"), F.array()),
+        lambda r: (idx + 1 >= r["_s"]) & (idx + 1 <= r["_e"]),
+    )
+    kept = F.filter(F.col("_w"), lambda w, i: ~covered(i))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("_n_rm"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("_n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+        F.when(
+            F.col("_n_rm").isNull(), F.coalesce(F.col("_text"), F.lit(""))
+        )
+        .otherwise(F.array_join(kept, " "))
+        .alias("kept_text"),
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_docs: int = 30,

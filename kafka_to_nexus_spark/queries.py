@@ -2469,6 +2469,161 @@ FROM flag GROUP BY doc_id
 """
 
 
+# --- L96: cross-document exact duplicate-SPAN removal (Lee et al. 2022) ------
+# The substring-dedup REWRITE stage (dup_span_coverage only measures): token
+# 8-grams shared by >= 2 distinct docs mark positions, marked intervals merge
+# into runs, runs >= min_run tokens are excised and the doc is rejoined. The
+# fixture synthesizes the wrapped-license shape in pure SQL: every doc is
+# unique filler around (doc_id%3) a 12-token license block — ABOVE the 10-token
+# run threshold, removed — and (doc_id%5) a 9-token newsletter blurb — BELOW
+# it, kept: both sides of the run boundary are driver-certified, plus %7 short
+# docs exercising the <k passthrough. Scale shape: narrow gram map → ONE
+# (gram, doc) map-side-combined agg → count window over COLLAPSED rows → run
+# windows on the tiny duplicated-starts relation → doc-level join + pure
+# codegen higher-order rewrite (no token-level shuffle).
+_DUPSPAN_K = 8
+_DUPSPAN_MIN_RUN = 10
+_DUPSPAN_A = (  # 12 tokens: above the run threshold -> removed
+    "terms of service all rights reserved unauthorized reproduction "
+    "strictly prohibited contact legal"
+)
+_DUPSPAN_B = (  # 9 tokens: below the run threshold -> kept
+    "subscribe to our newsletter for weekly updates free today"
+)
+
+
+def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+
+    def uniq(prefix: str, cnt: int):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(cnt)),
+                lambda j: F.concat(
+                    F.lit(prefix),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    j.cast("string"),
+                ),
+            ),
+        )
+
+    d = spark.table("documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("tiny doc u"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                uniq("u", 12),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(_DUPSPAN_A)),
+                uniq("m", 6),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(_DUPSPAN_B)),
+                uniq("v", 6),
+            )
+        )
+        .alias("text"),
+    )
+    out = llm_text.remove_duplicate_spans(
+        d, k=_DUPSPAN_K, min_docs=2, min_run=_DUPSPAN_MIN_RUN
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "n_runs",
+        F.md5("kept_text").alias("kept_hash"),
+    )
+
+
+ORACLE["duplicate_span_removal"] = f"""
+WITH fx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'tiny doc u' || doc_id
+         ELSE concat_ws(' ',
+           array_to_string(list_transform(generate_series(1, 12),
+             j -> 'u' || doc_id || 'x' || j), ' '),
+           CASE WHEN doc_id % 3 = 0 THEN '{_DUPSPAN_A}' END,
+           array_to_string(list_transform(generate_series(1, 6),
+             j -> 'm' || doc_id || 'x' || j), ' '),
+           CASE WHEN doc_id % 5 = 0 THEN '{_DUPSPAN_B}' END,
+           array_to_string(list_transform(generate_series(1, 6),
+             j -> 'v' || doc_id || 'x' || j), ' '))
+         END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM fx
+),
+grams AS (
+  SELECT doc_id, i,
+         md5(array_to_string(w[i:i + {_DUPSPAN_K - 1}], ' ')) AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, n - {_DUPSPAN_K - 1})) AS i
+        FROM toks WHERE n >= {_DUPSPAN_K}) p
+),
+gcount AS (
+  SELECT g, doc_id, list(i) AS starts FROM grams GROUP BY g, doc_id
+),
+dstart AS (
+  SELECT doc_id, unnest(starts) AS i
+  FROM (SELECT doc_id, starts,
+               count(*) OVER (PARTITION BY g) AS ndocs
+        FROM gcount) q
+  WHERE ndocs >= 2
+),
+runsid AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev IS NULL OR i - prev > {_DUPSPAN_K}
+              THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM (SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM dstart) l
+),
+runs AS (
+  SELECT doc_id, run, min(i) AS s, max(i) + {_DUPSPAN_K - 1} AS e
+  FROM runsid GROUP BY doc_id, run
+  HAVING max(i) + {_DUPSPAN_K - 1} - min(i) + 1 >= {_DUPSPAN_MIN_RUN}
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_runs, sum(e - s + 1) AS n_removed
+  FROM runs GROUP BY doc_id
+),
+cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS t FROM runs),
+tokrows AS (
+  SELECT doc_id, i AS t, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(generate_series(1, n)) AS i FROM toks) q
+),
+rebuilt AS (
+  SELECT tr.doc_id, string_agg(tr.word, ' ' ORDER BY tr.t) AS kept_text
+  FROM tokrows tr LEFT JOIN cov c ON tr.doc_id = c.doc_id AND tr.t = c.t
+  WHERE c.t IS NULL
+  GROUP BY tr.doc_id
+)
+SELECT f.doc_id,
+       CAST(tk.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+       md5(CASE WHEN p.n_removed IS NULL THEN f.text
+            ELSE coalesce(r.kept_text, '') END) AS kept_hash
+FROM fx f
+JOIN toks tk ON f.doc_id = tk.doc_id
+LEFT JOIN perdoc p ON f.doc_id = p.doc_id
+LEFT JOIN rebuilt r ON f.doc_id = r.doc_id
+"""
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -8164,6 +8319,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": _q_bpe_train,
     "chunk_dedup_stats": _q_chunk_dedup_stats,
     "line_boilerplate_removal": _q_line_boilerplate_removal,
+    "duplicate_span_removal": _q_duplicate_span_removal,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

@@ -3265,6 +3265,78 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert all(v == 0 for v in loose.values())
 
 
+def test_remove_duplicate_spans_semantics(spark):
+    """L96: a cross-doc 12-token block (>= min_run=10) is excised from
+    every doc holding it (incl. a doc that IS the block — empty
+    kept_text, row kept); a 9-token shared block stays below the run
+    threshold and the doc passes through BYTE-identical; <k-token docs
+    and NULL text pass through; a gram repeated twice inside ONE doc
+    never counts (min_docs is distinct docs); dropping min_run to the
+    default k removes the 9-token run too."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    A = " ".join(f"a{j}" for j in range(12))   # shared 12-token block
+    B = " ".join(f"b{j}" for j in range(9))    # shared 9-token block
+    R = " ".join(f"r{j}" for j in range(8))    # within-doc repeat gram
+
+    def u(i, p, n):
+        return " ".join(f"{p}{i}w{j}" for j in range(n))
+
+    docs = [
+        (1, f"{u(1,'u',10)} {A} {u(1,'v',10)}"),
+        (2, f"{u(2,'u',10)} {A} {u(2,'v',10)}"),
+        (3, f"{u(3,'u',10)} {B} {u(3,'v',10)}"),
+        (4, f"{u(4,'u',10)} {B} {u(4,'v',10)}"),
+        (5, "short doc here"),
+        (6, None),
+        (7, A),
+        (8, f"{R} {u(8,'m',9)} {R}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.remove_duplicate_spans(
+        df, k=8, min_docs=2, min_run=10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+    # the 12-token block goes; unique wrap survives in order
+    assert out[1].kept_text == f"{u(1,'u',10)} {u(1,'v',10)}"
+    assert (out[1].n_tokens, out[1].n_removed, out[1].n_runs) == (32, 12, 1)
+    assert out[2].n_removed == 12
+    # 9-token run < min_run=10: byte-identical passthrough
+    assert out[3].kept_text == docs[2][1] and out[3].n_removed == 0
+    # <k tokens / NULL text passthrough
+    assert out[5].kept_text == "short doc here" and out[5].n_removed == 0
+    assert out[6].kept_text == "" and out[6].n_removed == 0
+    # a doc that IS the duplicated block: emptied, row kept
+    assert out[7].kept_text == "" and out[7].n_removed == 12
+    assert out[7].n_tokens == 12
+    # within-doc repetition alone never marks (distinct-doc frequency)
+    assert out[8].kept_text == docs[7][1] and out[8].n_removed == 0
+    # default min_run=k removes the 9-token run as well
+    tight = {r.doc_id: r for r in llm_text.remove_duplicate_spans(
+        df, k=8, min_docs=2).collect()}
+    assert tight[3].n_removed == 9
+    assert tight[3].kept_text == f"{u(3,'u',10)} {u(3,'v',10)}"
+
+
+def test_remove_duplicate_spans_adjacent_runs_merge(spark):
+    """Two shared 8-grams whose covered intervals are token-adjacent
+    (next start == prev start + k) form ONE contiguous run — the merge
+    rule is `gap > k` splits, `<= k` fuses."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    X = " ".join(f"x{j}" for j in range(8))
+    Y = " ".join(f"y{j}" for j in range(8))
+    docs = [
+        (1, f"p1a p1b {X} {Y} q1a q1b"),
+        (2, f"p2a p2b {X} {Y} q2a q2b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.remove_duplicate_spans(
+        df, k=8, min_docs=2, min_run=10).collect()}
+    # X+Y is itself a shared 16-token region: one run, not two
+    assert out[1].n_runs == 1 and out[1].n_removed == 16
+    assert out[1].kept_text == "p1a p1b q1a q1b"
+
+
 def test_decode_media_empty_wav_takes_null_contract():
     """Review finding (r13): a valid WAV with a zero-length data chunk
     must return None, not a fake all-zero vector — an all-zero

@@ -1149,6 +1149,19 @@ def test_video_stored_admission_plan_shape(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_duplicate_span_removal_plan_shape(spark):
+    """duplicate_span_removal: no cartesian/nested-loop anywhere; the
+    corpus is scanned at most twice (one pass builds the duplicated-gram
+    set, one pass rewrites — the standard substring-dedup cost); the
+    (gram, doc) aggregation carries a map-side partial so the gram
+    shuffle moves collapsed rows, not gram instances."""
+    plan = _executed_plan(spark, "duplicate_span_removal")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "partial_collect_list" in plan, plan
+
+
 def test_line_boilerplate_plan_shape(spark):
     """line_boilerplate_removal: the frequent-line set comes back as a
     BROADCAST join (never a corpus-shuffled join for the filter), no

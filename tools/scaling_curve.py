@@ -146,6 +146,10 @@ FAMILY = {
     # r13: cross-doc boilerplate line removal — one line-hash df agg +
     # broadcast anti-join + per-doc rebuild; linear, no window
     "line_boilerplate_removal": "documents",
+    # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
+    # + run windows on the small dup-starts relation + doc-level rewrite
+    # join; linear in corpus tokens
+    "duplicate_span_removal": "documents",
     "multimodal_resize_pixels": "documents",
     "audio_fingerprint": "documents",
     "audio_fp_near_dup": "documents",
