@@ -201,6 +201,78 @@ def chunk_documents(
     )
 
 
+# HTML entity decode order matters: '&amp;' must decode LAST or
+# '&amp;lt;' would double-decode into '<'. Literal replaces (no regex).
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+# tags whose close (or self-close) marks a text line boundary
+_HTML_BLOCK_RE = (
+    "(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|ul|ol|table|blockquote)>"
+    "|(?i)<(br|hr)[^>]*>"
+)
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML→text extraction (L97 — the WET/trafilatura-shaped first
+    stage of every web curation pipeline, in its deterministic regex
+    form): drop <script>/<style> blocks and comments wholesale, turn
+    block-level tag boundaries into newlines, strip remaining tags to
+    spaces (so inline markup never glues words), decode the six
+    ubiquitous entities (&amp; last — order is load-bearing), collapse
+    runs of spaces and blank lines, and emit per-doc markup-density
+    signals alongside the text. Returns (id, text, n_tags,
+    n_chars_html, n_chars_text, markup_ratio); NULL html degrades to
+    empty text with zero counts (the row never vanishes).
+
+    Scale shape: a pure narrow map — every stage is a JVM regexp/string
+    expression inside one whole-stage-codegen projection; no shuffle,
+    no UDF, no explode. At 100 TB this runs at scan speed and column
+    pruning keeps it to (id, html). Patterns are RE2-compatible
+    (explicit char classes, no lookaround, no backreferences) so the
+    DuckDB oracle replays them verbatim."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    n_tags = F.regexp_count(h, F.lit("<[^>]*>")).cast("long")
+    t = F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, _HTML_BLOCK_RE, "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.regexp_replace(t, "[ \t]*\n[ \t]*", "\n")
+    t = F.regexp_replace(t, "\n+", "\n")
+    t = F.regexp_replace(t, "^[ \n]+|[ \n]+$", "")
+    out = df.select(
+        F.col(id_col),
+        t.alias("text"),
+        n_tags.alias("n_tags"),
+        F.length(h).cast("long").alias("n_chars_html"),
+    ).withColumn("n_chars_text", F.length("text").cast("long"))
+    # empty/NULL html is "no markup", not "all markup"
+    return out.withColumn(
+        "markup_ratio",
+        F.when(F.col("n_chars_html") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                1.0
+                - F.col("n_chars_text")
+                / F.col("n_chars_html").cast("double"),
+                6,
+            )
+        ),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     k: int = 8,

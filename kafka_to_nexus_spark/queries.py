@@ -2624,6 +2624,106 @@ LEFT JOIN rebuilt r ON f.doc_id = r.doc_id
 """
 
 
+# --- L97: HTML -> text extraction (WET-style, deterministic regex form) ------
+# The first stage of every web curation pipeline. The fixture wraps each
+# doc's real text in a controlled page: <style> with CSS braces, an HTML
+# comment, <script> holding a bare '<' (must vanish BEFORE the generic tag
+# strip or it would mangle), block tags that become line boundaries, inline
+# tags that become spaces, and all six decoded entities. Pure narrow map —
+# every stage is a codegen regexp/string expression, RE2-compatible so the
+# oracle replays the chain verbatim (DuckDB needs the 'g' option where Java
+# replaces globally by default).
+_HTML_FX_SPARK = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), "
+    "'</title><style type=\"text/css\">body { color: red; }</style></head>"
+    "<body><!-- generated page --><h1>Heading ', CAST(doc_id AS STRING), "
+    "'</h1><p>', substring(text, 1, 60), '</p>"
+    "<script>var x = 1 < 2 && doc;</script>"
+    "<p>Tom &amp; Jerry &lt;tag&gt; &quot;quoted&quot; it&#39;s A&nbsp;B</p>"
+    "<div><a href=\"/l?id=', CAST(doc_id AS STRING), '\">link text</a>"
+    "</div></body></html>')"
+)
+_HTML_FX_DUCK = (
+    "'<html><head><title>Doc ' || doc_id || "
+    "'</title><style type=\"text/css\">body { color: red; }</style></head>"
+    "<body><!-- generated page --><h1>Heading ' || doc_id || "
+    "'</h1><p>' || substr(text, 1, 60) || '</p>"
+    "<script>var x = 1 < 2 && doc;</script>"
+    "<p>Tom &amp; Jerry &lt;tag&gt; &quot;quoted&quot; it&#39;s A&nbsp;B</p>"
+    "<div><a href=\"/l?id=' || doc_id || '\">link text</a>"
+    "</div></body></html>'"
+)
+
+
+def _q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id", F.expr(_HTML_FX_SPARK).alias("html")
+    )
+    out = llm_text.extract_html_text(d)
+    return out.select(
+        "doc_id",
+        "n_tags",
+        "n_chars_html",
+        "n_chars_text",
+        "markup_ratio",
+        F.md5("text").alias("text_hash"),
+    )
+
+
+_HTML_BLOCK_RE_SQL = (
+    "(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|ul|ol|table|blockquote)>"
+    "|(?i)<(br|hr)[^>]*>"
+)
+
+ORACLE["html_text_extract"] = f"""
+WITH fx AS (
+  SELECT doc_id, {_HTML_FX_DUCK} AS h FROM documents
+),
+stripped AS (
+  SELECT doc_id, h,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(h,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '{_HTML_BLOCK_RE_SQL}', chr(10), 'g'),
+        '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM fx
+),
+decoded AS (
+  SELECT doc_id, h,
+    replace(replace(replace(replace(replace(replace(t,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM stripped
+),
+collapsed AS (
+  SELECT doc_id, h,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '[ ' || chr(9) || ']+', ' ', 'g'),
+      '[ ' || chr(9) || ']*' || chr(10) || '[ ' || chr(9) || ']*',
+        chr(10), 'g'),
+      chr(10) || '+', chr(10), 'g'),
+      '^[ ' || chr(10) || ']+|[ ' || chr(10) || ']+$', '', 'g') AS text
+  FROM decoded
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags,
+       CAST(length(h) AS BIGINT) AS n_chars_html,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CASE WHEN length(h) = 0 THEN 0.0
+        ELSE round(1.0 - length(text) /
+                   CAST(length(h) AS DOUBLE), 6) END AS markup_ratio,
+       md5(text) AS text_hash
+FROM collapsed
+"""
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -8320,6 +8420,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup_stats": _q_chunk_dedup_stats,
     "line_boilerplate_removal": _q_line_boilerplate_removal,
     "duplicate_span_removal": _q_duplicate_span_removal,
+    "html_text_extract": _q_html_text_extract,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

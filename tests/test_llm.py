@@ -3317,6 +3317,36 @@ def test_remove_duplicate_spans_semantics(spark):
     assert tight[3].kept_text == f"{u(3,'u',10)} {u(3,'v',10)}"
 
 
+def test_extract_html_text_semantics(spark):
+    """L97: script/style bodies vanish wholesale (even holding bare '<'
+    that would derail the generic tag strip), block tags become line
+    boundaries, inline tags become spaces (no word gluing), entities
+    decode with &amp; LAST (so '&amp;lt;' yields the literal '&lt;'
+    string, never '<'), whitespace collapses, and NULL html keeps its
+    row with empty text."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    docs = [
+        (1, "<p>alpha</p><p>beta</p>"),
+        (2, "<script>if (a < b) { x(); }</script>rest"),
+        (3, "word<b>bold</b>tail"),
+        (4, "Tom &amp; Jerry say &amp;lt;hi&amp;gt;"),
+        (5, None),
+        (6, "<style>p { margin: 0; }</style>  spaced   out  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    out = {r.doc_id: r for r in llm_text.extract_html_text(df).collect()}
+    assert out[1].text == "alpha\nbeta"
+    assert out[2].text == "rest"          # script body + its '<' gone
+    assert out[3].text == "word bold tail"  # inline tag -> space
+    assert out[4].text == "Tom & Jerry say &lt;hi&gt;"
+    assert out[5].text == "" and out[5].n_tags == 0
+    assert out[5].n_chars_html == 0 and out[5].markup_ratio == 0.0
+    assert out[6].text == "spaced out"
+    assert out[1].n_tags == 4
+    assert 0.0 <= out[1].markup_ratio <= 1.0
+
+
 def test_remove_duplicate_spans_adjacent_runs_merge(spark):
     """Two shared 8-grams whose covered intervals are token-adjacent
     (next start == prev start + k) form ONE contiguous run — the merge

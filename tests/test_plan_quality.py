@@ -1162,6 +1162,19 @@ def test_duplicate_span_removal_plan_shape(spark):
     assert "partial_collect_list" in plan, plan
 
 
+def test_html_text_extract_plan_shape(spark):
+    """html_text_extract: a pure narrow map — ZERO exchanges, zero
+    joins, zero Python; the whole regex/entity/collapse chain lives in
+    one whole-stage-codegen projection over a single scan."""
+    plan = _executed_plan(spark, "html_text_extract")
+    # the only exchange allowed is the view's round-robin scan
+    # repartition — never a hash shuffle (no agg/join in the op)
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_line_boilerplate_plan_shape(spark):
     """line_boilerplate_removal: the frequent-line set comes back as a
     BROADCAST join (never a corpus-shuffled join for the filter), no

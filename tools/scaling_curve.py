@@ -146,6 +146,8 @@ FAMILY = {
     # r13: cross-doc boilerplate line removal — one line-hash df agg +
     # broadcast anti-join + per-doc rebuild; linear, no window
     "line_boilerplate_removal": "documents",
+    # r13: HTML->text extraction — pure narrow codegen map, zero shuffle
+    "html_text_extract": "documents",
     # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
     # + run windows on the small dup-starts relation + doc-level rewrite
     # join; linear in corpus tokens
