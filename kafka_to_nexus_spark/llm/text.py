@@ -201,6 +201,78 @@ def chunk_documents(
     )
 
 
+# tracking params a canonicalizer drops (conventionally lowercase keys)
+_URL_TRACKING_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|ref)(=.*)?$"
+_URL_PARTS_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization (L98 — the normalize step before URL-level
+    dedup in every web-crawl pipeline): lowercase scheme+host, strip
+    the fragment, drop default ports (:80 http / :443 https), remove
+    tracking params (utm_*, gclid, fbclid, ref), sort surviving query
+    params by byte order (param order never distinguishes resources),
+    normalize an empty path to '/' and strip trailing slashes from
+    non-root paths. Strings without a scheme://authority shape pass
+    through untouched (no URL = nothing to normalize). Pure codegen
+    expression — RE2-compatible patterns, replayable in DuckDB."""
+    u = F.regexp_replace(url, "#.*$", "")  # fragment first
+    scheme = F.lower(F.regexp_extract(u, _URL_PARTS_RE, 1))
+    host = F.lower(F.regexp_extract(u, _URL_PARTS_RE, 2))
+    path = F.regexp_extract(u, _URL_PARTS_RE, 3)
+    qs = F.regexp_extract(u, _URL_PARTS_RE, 4)
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", ""),
+    ).otherwise(host)
+    p1 = F.regexp_replace(path, "/+$", "")
+    path = F.when(p1 == "", F.lit("/")).otherwise(p1)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_replace(qs, r"^\?", ""), "&"),
+            lambda x: (x != "") & ~x.rlike(_URL_TRACKING_RE),
+        )
+    )
+    canon_q = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, path, canon_q)
+    return F.when(
+        url.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), canon
+    ).otherwise(url)
+
+
+def url_canonical_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup over :func:`canonicalize_url` (L98): docs whose
+    URLs normalize to the same resource keep only the lowest-id copy —
+    the crawl-side dedup that runs BEFORE any content fingerprinting
+    (a fetch avoided is cheaper than a minhash computed). Returns one
+    row per input doc: (id, url, canon_url, is_kept).
+
+    Scale shape: the canonicalization is a narrow codegen map; the
+    keep-lowest decision is ONE min() window over the canonical key —
+    a single hash shuffle, no join, no second pass. Skew bound: the
+    heaviest canonical key is the most-duplicated URL's copy count."""
+    from pyspark.sql import Window
+
+    canon = df.select(
+        F.col(id_col),
+        F.col(url_col),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url")
+    return canon.withColumn(
+        "is_kept", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
 # HTML entity decode order matters: '&amp;' must decode LAST or
 # '&amp;lt;' would double-decode into '<'. Literal replaces (no regex).
 _HTML_ENTITIES: list[tuple[str, str]] = [

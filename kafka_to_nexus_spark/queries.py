@@ -2724,6 +2724,93 @@ FROM collapsed
 """
 
 
+# --- L98: URL canonicalization + crawl-side URL dedup -------------------------
+# The normalize-then-keep-lowest step that runs BEFORE content dedup in a
+# crawl pipeline. The fixture gives each doc one of four spellings of the
+# same logical resource (doc_id % 50 targets): plain, SCHEME/HOST case +
+# default :443 + fragment, tracking-only query, and trailing-slash +
+# shuffled params + tracking (that one canonicalizes to a distinct
+# ?a=1&b=2 resource — sort + strip exercised together); %13 docs are
+# non-URL strings that must pass through verbatim and never collide.
+_URL_FX_SPARK = (
+    "CASE WHEN doc_id % 13 = 0 THEN concat('plain text ref ', CAST(doc_id AS STRING)) "
+    "WHEN doc_id % 4 = 0 THEN concat('https://www.example.com/article/', CAST(doc_id % 50 AS STRING)) "
+    "WHEN doc_id % 4 = 1 THEN concat('HTTPS://WWW.EXAMPLE.COM:443/article/', CAST(doc_id % 50 AS STRING), '#section2') "
+    "WHEN doc_id % 4 = 2 THEN concat('https://www.example.com/article/', CAST(doc_id % 50 AS STRING), '?utm_source=feed&utm_campaign=x') "
+    "ELSE concat('https://www.example.com/article/', CAST(doc_id % 50 AS STRING), '/?b=2&a=1&utm_medium=email') END"
+)
+_URL_FX_DUCK = (
+    "CASE WHEN doc_id % 13 = 0 THEN 'plain text ref ' || doc_id "
+    "WHEN doc_id % 4 = 0 THEN 'https://www.example.com/article/' || (doc_id % 50) "
+    "WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/article/' || (doc_id % 50) || '#section2' "
+    "WHEN doc_id % 4 = 2 THEN 'https://www.example.com/article/' || (doc_id % 50) || '?utm_source=feed&utm_campaign=x' "
+    "ELSE 'https://www.example.com/article/' || (doc_id % 50) || '/?b=2&a=1&utm_medium=email' END"
+)
+
+
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id", F.expr(_URL_FX_SPARK).alias("url")
+    )
+    return llm_text.url_canonical_dedup(d).select(
+        "doc_id", "canon_url", "is_kept"
+    )
+
+
+ORACLE["url_canonical_dedup"] = r"""
+WITH fx AS (
+  SELECT doc_id, __URLFX__ AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '') AS u
+  FROM fx
+),
+ext AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 1)) AS scheme,
+    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 2)) AS host,
+    regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 3) AS path,
+    coalesce(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?', 4), '') AS qs
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, url,
+    scheme,
+    CASE WHEN scheme = 'http' AND host LIKE '%:80'
+           THEN regexp_replace(host, ':80$', '')
+         WHEN scheme = 'https' AND host LIKE '%:443'
+           THEN regexp_replace(host, ':443$', '')
+         ELSE host END AS host,
+    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path, '/+$', '') END AS path,
+    list_sort(list_filter(
+      string_split(regexp_replace(qs, '^\?', ''), '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[a-z0-9_]*|gclid|fbclid|ref)(=.*)?$')
+    )) AS params
+  FROM ext
+),
+canon AS (
+  SELECT doc_id, url,
+    CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+      THEN scheme || '://' || host || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END
+      ELSE url END AS canon_url
+  FROM norm
+)
+SELECT doc_id, canon_url,
+       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_kept
+FROM canon
+""".replace("__URLFX__", _URL_FX_DUCK)
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -8421,6 +8508,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_boilerplate_removal": _q_line_boilerplate_removal,
     "duplicate_span_removal": _q_duplicate_span_removal,
     "html_text_extract": _q_html_text_extract,
+    "url_canonical_dedup": _q_url_canonical_dedup,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

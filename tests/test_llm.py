@@ -3317,6 +3317,55 @@ def test_remove_duplicate_spans_semantics(spark):
     assert tight[3].kept_text == f"{u(3,'u',10)} {u(3,'v',10)}"
 
 
+def test_canonicalize_url_semantics(spark):
+    """L98: scheme/host lowercase, fragment gone, default ports only
+    (:8080 survives), tracking params dropped, survivors byte-sorted,
+    trailing slash stripped off non-root paths, bare authority gets
+    '/', and a non-URL string passes through verbatim."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    cases = [
+        (1, "HTTPS://WWW.Ex.COM:443/A/b/#frag", "https://www.ex.com/A/b"),
+        (2, "http://ex.com:80/x", "http://ex.com/x"),
+        (3, "http://ex.com:8080/x", "http://ex.com:8080/x"),
+        (4, "https://ex.com/p?utm_source=a&b=2&a=1&gclid=z",
+            "https://ex.com/p?a=1&b=2"),
+        (5, "https://ex.com", "https://ex.com/"),
+        (6, "https://ex.com/only/?utm_campaign=x", "https://ex.com/only"),
+        (7, "no url here", "no url here"),
+        (8, "https://ex.com/?ref=home", "https://ex.com/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.canon
+        for r in df.select(
+            "doc_id",
+            llm_text.canonicalize_url(F.col("url")).alias("canon"),
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_canonical_dedup_keeps_lowest_id(spark):
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(
+        [
+            (3, "https://ex.com/a?utm_source=x"),
+            (1, "HTTPS://EX.COM:443/a#top"),
+            (2, "https://ex.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in llm_text.url_canonical_dedup(df).collect()}
+    assert out[1].is_kept and not out[3].is_kept  # same resource, min id
+    assert out[1].canon_url == out[3].canon_url == "https://ex.com/a"
+    assert out[2].is_kept
+
+
 def test_extract_html_text_semantics(spark):
     """L97: script/style bodies vanish wholesale (even holding bare '<'
     that would derail the generic tag strip), block tags become line

@@ -1175,6 +1175,17 @@ def test_html_text_extract_plan_shape(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_url_canonical_dedup_plan_shape(spark):
+    """url_canonical_dedup: narrow canonicalization map + exactly ONE
+    hash shuffle (the keep-lowest window on the canonical key) — no
+    join, no Python, single scan."""
+    plan = _executed_plan(spark, "url_canonical_dedup")
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_line_boilerplate_plan_shape(spark):
     """line_boilerplate_removal: the frequent-line set comes back as a
     BROADCAST join (never a corpus-shuffled join for the filter), no

@@ -148,6 +148,8 @@ FAMILY = {
     "line_boilerplate_removal": "documents",
     # r13: HTML->text extraction — pure narrow codegen map, zero shuffle
     "html_text_extract": "documents",
+    # r13: URL canonicalization + dedup — narrow map + one min() window
+    "url_canonical_dedup": "documents",
     # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
     # + run windows on the small dup-starts relation + doc-level rewrite
     # join; linear in corpus tokens
