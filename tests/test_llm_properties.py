@@ -1140,3 +1140,51 @@ def test_avi_roundtrip_fuzz(n_frames, scale, seed):
 def test_decode_media_is_total(payload):
     got = multimodal.decode_media(payload, dim=8)
     assert got is None or (len(got) == 8 and abs(sum(got) - 1.0) < 1e-4)
+
+
+# --- URL canonicalization: idempotence --------------------------------------
+# The defining property of a canonicalizer: a second pass must be the
+# identity. Hypothesis assembles URLs from the parts the rules touch
+# (mixed-case scheme/host, ports incl. the defaults, tracking + real
+# params in any order, trailing slashes, fragments) plus arbitrary
+# non-URL text, and one Spark pass canonicalizes both generations.
+
+_url_schemes = st.sampled_from(["http", "https", "HTTP", "HtTpS", "ftp"])
+_url_hosts = st.sampled_from(
+    ["Ex.COM", "www.example.com", "A.b.C.de", "EX.com:443", "ex.com:80",
+     "ex.com:8080"])
+_url_paths = st.sampled_from(["", "/", "/a/B", "/a/B/", "/x//", "/%7Euser"])
+_url_params = st.lists(
+    st.sampled_from(
+        ["a=1", "b=2", "Z=9", "utm_source=x", "utm_campaign=Y",
+         "gclid=123", "fbclid=z", "ref=home", "empty=", "flag"]),
+    max_size=4)
+_url_frags = st.sampled_from(["", "#", "#frag", "#a?b=1"])
+
+
+@st.composite
+def _urls(draw):
+    if draw(st.booleans()):
+        return draw(st.text(max_size=30).filter(lambda s: "\n" not in s))
+    ps = draw(_url_params)
+    q = "?" + "&".join(ps) if ps else ""
+    return (draw(_url_schemes) + "://" + draw(_url_hosts)
+            + draw(_url_paths) + q + draw(_url_frags))
+
+
+@given(st.lists(_urls(), min_size=1, max_size=12))
+@PROP_SETTINGS
+def test_canonicalize_url_idempotent(spark, urls):
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string")
+    once = llm_text.canonicalize_url(F.col("url"))
+    rows = df.select(
+        once.alias("c1"),
+        llm_text.canonicalize_url(once).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.c1, r.c2)

@@ -212,6 +212,9 @@ X1000_OPS = {
     "source_cap_sample",
     "doc_chunks",
     "dedup_pipeline",
+    # r13: the gram explode is the one real cost in span removal — only
+    # the 5M-doc tier (~0.5B gram rows) makes its linear term visible
+    "duplicate_span_removal",
     # r7: prove the estimator's bucket cap holds at 5M docs
     "minhash_jaccard_estimate",
     # r8: close the last x1000 dashes (all stopped overhead-bound at
