@@ -1923,3 +1923,49 @@ def _write_fixture_raw(fixture_dir, name, rows, seq=0):
     path.write_text("\n".join(_json.dumps(r) for r in rows))
     base = time.time() - 1000
     os.utime(path, (base + seq * 10, base + seq * 10))
+
+
+def test_url_canonical_dedup_streaming_composition(spark, tmp_path):
+    """L98 x L25: canonicalize_url is a pure codegen expression, so it
+    composes with the watermarked streaming dedup unchanged — two
+    spellings of one resource arriving in DIFFERENT micro-batches pass
+    exactly one copy (crawl-frontier dedup, the streaming form of
+    url_canonical_dedup)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import text as llm_text
+    from kafka_to_nexus_spark.streaming import stateful
+
+    fixture_dir = tmp_path / "urls"
+    fixture_dir.mkdir()
+    (fixture_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": 10_000, "url": "https://ex.com/a?utm_source=x"},
+        {"ts": 11_000, "url": "https://ex.com/b"},
+    ]))
+    (fixture_dir / "b2.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": 12_000, "url": "HTTPS://EX.COM:443/a#frag"},  # same as b1[0]
+        {"ts": 13_000, "url": "https://ex.com/c"},
+    ]))
+    stream = (
+        spark.readStream.schema("ts long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(fixture_dir))
+        .withColumn("timestamp", F.col("ts") * 1_000_000)
+        .withColumn(
+            "fingerprint", llm_text.canonicalize_url(F.col("url")))
+    )
+    out = stateful.dedup_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("url_dedup_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_url"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.fingerprint
+                 for r in spark.table("url_dedup_stream").collect())
+    assert got == [
+        "https://ex.com/a", "https://ex.com/b", "https://ex.com/c"], got
