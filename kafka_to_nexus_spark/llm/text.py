@@ -391,15 +391,29 @@ def remove_duplicate_spans(
     tokens or gram keys."""
     if min_run is None:
         min_run = k
-    from pyspark.sql import Window
+    toks = _span_toks(df, text_col, id_col)
+    grams = _span_grams(toks, k)
+    freq = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_g")
+    )
+    dup_starts = grams.join(freq, "_g").select("_id", "_i")
+    return _excise_marked_runs(toks, dup_starts, k, min_run, id_col)
 
-    toks = df.select(
+
+def _span_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
     ).withColumn("_n", F.size("_w"))
+
+
+def _span_grams(toks: DataFrame, k: int) -> DataFrame:
     # 1-based gram start positions, docs with >= k tokens only
-    grams = toks.filter(F.col("_n") >= k).select(
+    return toks.filter(F.col("_n") >= k).select(
         "_id",
         F.explode(F.sequence(F.lit(1), F.col("_n") - (k - 1))).alias("_i"),
         "_w",
@@ -412,13 +426,20 @@ def remove_duplicate_spans(
             F.md5(F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), k)))
         ).alias("_g"),
     )
-    freq = (
-        grams.groupBy("_g")
-        .agg(F.count_distinct("_id").alias("_ndocs"))
-        .filter(F.col("_ndocs") >= min_docs)
-        .select("_g")
-    )
-    dup_starts = grams.join(freq, "_g").select("_id", "_i")
+
+
+def _excise_marked_runs(
+    toks: DataFrame,
+    dup_starts: DataFrame,
+    k: int,
+    min_run: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared tail of the span-rewrite family: fuse marked gram starts
+    (_id, _i) into runs, drop runs under ``min_run``, and excise the
+    survivors from the token arrays (doc-level join + codegen filter)."""
+    from pyspark.sql import Window
+
     w_doc = Window.partitionBy("_id").orderBy("_i")
     # intervals [i, i+k-1] merge when the next start is within k of the
     # previous (overlap or token-adjacency — one contiguous covered run)
@@ -464,6 +485,82 @@ def remove_duplicate_spans(
         .otherwise(F.array_join(kept, " "))
         .alias("kept_text"),
     )
+
+
+def write_dupgram_layout(
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the standing corpus's duplicated-gram BANK (L99 — the
+    stored-layout form of L96, the write_neardup_banding_layout
+    contract for substring dedup): one corpus pass reduces the text to
+    its frequent k-gram set (16-byte binary keys, the only state the
+    rewrite needs) plus ``_meta.json``. :func:`span_rewrite_admission`
+    then rewrites ARRIVAL batches against this bank with zero standing
+    recompute — the production shape where the template bank is
+    trained once on the corpus and new data is cleansed at ingest.
+
+    Deliberately NOT stored: per-gram counts. Maintaining them per
+    arrival would mean corpus-gram-sized standing state (every distinct
+    gram, not just the frequent tail) — the wrong trade; the bank
+    refresh is a periodic rebuild (this one aggregation pass)."""
+    import json
+    import os
+
+    toks = _span_toks(df, text_col, id_col)
+    freq = (
+        _span_grams(toks, k)
+        .groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select(F.col("_g").alias("g"))
+    )
+    freq.write.parquet(os.path.join(path, "grams"))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"k": k, "min_docs": min_docs}, f)
+
+
+def span_rewrite_admission(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    min_run: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite an arrival batch against the STORED duplicated-gram bank
+    (L99): every arrival k-gram found in the bank marks its positions,
+    runs fuse and excise exactly as in :func:`remove_duplicate_spans`.
+    Same output contract (one row per arrival doc, byte-identical
+    passthrough for untouched docs). Grams duplicated only WITHIN the
+    arrival batch do NOT mark — the bank is the template authority; a
+    batch-local rewrite would make admission order-dependent.
+
+    Scale shape — per batch, only the arrival side is computed: the
+    arrival gram relation BROADCASTS against the stored bank (one
+    streaming pass over the bank's 16-byte keys, no shuffle of either
+    side), and everything downstream runs on the marked-starts
+    relation, which is arrival-sized. The standing corpus is never
+    re-read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    k = int(meta["k"])
+    if min_run is None:
+        min_run = k
+    stored = spark.read.parquet(os.path.join(path, "grams"))
+    toks = _span_toks(arrivals, text_col, id_col)
+    a_grams = _span_grams(toks, k)
+    dup_starts = stored.join(
+        F.broadcast(a_grams), stored["g"] == a_grams["_g"]
+    ).select("_id", "_i")
+    return _excise_marked_runs(toks, dup_starts, k, min_run, id_col)
 
 
 def remove_boilerplate_lines(

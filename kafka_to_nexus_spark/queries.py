@@ -2492,10 +2492,9 @@ _DUPSPAN_B = (  # 9 tokens: below the run threshold -> kept
 )
 
 
-def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dupspan_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wrapped-license corpus shared by the L96/L99 certificates."""
     from pyspark.sql import functions as F
-
-    from .llm import text as llm_text
 
     register_views(spark, sf_dir, ("documents",))
 
@@ -2513,7 +2512,7 @@ def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    d = spark.table("documents").select(
+    return spark.table("documents").select(
         "doc_id",
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -2531,6 +2530,14 @@ def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("text"),
     )
+
+
+def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    d = _dupspan_fixture(spark, sf_dir)
     out = llm_text.remove_duplicate_spans(
         d, k=_DUPSPAN_K, min_docs=2, min_run=_DUPSPAN_MIN_RUN
     )
@@ -2543,8 +2550,7 @@ def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["duplicate_span_removal"] = f"""
-WITH fx AS (
+_DUPSPAN_FX_DUCK = f"""
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN 'tiny doc u' || doc_id
          ELSE concat_ws(' ',
@@ -2558,7 +2564,10 @@ WITH fx AS (
              j -> 'v' || doc_id || 'x' || j), ' '))
          END AS text
   FROM documents
-),
+"""
+
+ORACLE["duplicate_span_removal"] = f"""
+WITH fx AS ({_DUPSPAN_FX_DUCK}),
 toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS w,
          len(string_split(text, ' ')) AS n
@@ -2621,6 +2630,134 @@ FROM fx f
 JOIN toks tk ON f.doc_id = tk.doc_id
 LEFT JOIN perdoc p ON f.doc_id = p.doc_id
 LEFT JOIN rebuilt r ON f.doc_id = r.doc_id
+"""
+
+
+# --- L99: stored duplicated-gram bank + arrival-side span rewrite ------------
+# The stored-layout form of L96 (the L91/L94 discipline for substring
+# dedup): the standing half of the wrapped-license corpus (even doc_ids)
+# collapses ONCE to its frequent-gram bank; the odd half arrives and is
+# rewritten against the bank with zero standing recompute. Grams shared
+# only among arrivals must NOT mark (the bank is the template authority) —
+# the fixture's per-doc unique filler guarantees the only bank hits are
+# the license/newsletter templates, and the oracle replays build + probe.
+_DUPGRAM_LAYOUT_CACHE: dict = {}
+
+
+def _dupgram_layout(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DUPGRAM_LAYOUT_CACHE.get(key)
+    if path is not None:
+        return path
+    path = tempfile.mkdtemp(prefix="k2n_dupgram_layout_")
+    standing = _dupspan_fixture(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    llm_text.write_dupgram_layout(
+        standing, path, k=_DUPSPAN_K, min_docs=2
+    )
+    _DUPGRAM_LAYOUT_CACHE[key] = path
+    return path
+
+
+def _q_span_rewrite_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    layout = _dupgram_layout(spark, sf_dir)
+    arrivals = _dupspan_fixture(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    out = llm_text.span_rewrite_admission(
+        spark, layout, arrivals, min_run=_DUPSPAN_MIN_RUN
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "n_runs",
+        F.md5("kept_text").alias("kept_hash"),
+    )
+
+
+ORACLE["span_rewrite_stored"] = f"""
+WITH fx AS ({_DUPSPAN_FX_DUCK}),
+stoks AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM fx WHERE doc_id % 2 = 0
+),
+sgrams AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i:i + {_DUPSPAN_K - 1}], ' ')) AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, n - {_DUPSPAN_K - 1})) AS i
+        FROM stoks WHERE n >= {_DUPSPAN_K}) p
+),
+bank AS (
+  SELECT g FROM sgrams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM fx WHERE doc_id % 2 = 1
+),
+grams AS (
+  SELECT doc_id, i,
+         md5(array_to_string(w[i:i + {_DUPSPAN_K - 1}], ' ')) AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, n - {_DUPSPAN_K - 1})) AS i
+        FROM toks WHERE n >= {_DUPSPAN_K}) p
+),
+dstart AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN bank b ON gr.g = b.g
+),
+runsid AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev IS NULL OR i - prev > {_DUPSPAN_K}
+              THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM (SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM dstart) l
+),
+runs AS (
+  SELECT doc_id, run, min(i) AS s, max(i) + {_DUPSPAN_K - 1} AS e
+  FROM runsid GROUP BY doc_id, run
+  HAVING max(i) + {_DUPSPAN_K - 1} - min(i) + 1 >= {_DUPSPAN_MIN_RUN}
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_runs, sum(e - s + 1) AS n_removed
+  FROM runs GROUP BY doc_id
+),
+cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS t FROM runs),
+tokrows AS (
+  SELECT doc_id, i AS t, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(generate_series(1, n)) AS i FROM toks) q
+),
+rebuilt AS (
+  SELECT tr.doc_id, string_agg(tr.word, ' ' ORDER BY tr.t) AS kept_text
+  FROM tokrows tr LEFT JOIN cov c ON tr.doc_id = c.doc_id AND tr.t = c.t
+  WHERE c.t IS NULL
+  GROUP BY tr.doc_id
+)
+SELECT tk.doc_id,
+       CAST(tk.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+       md5(CASE WHEN p.n_removed IS NULL THEN tk.text
+            ELSE coalesce(r.kept_text, '') END) AS kept_hash
+FROM toks tk
+LEFT JOIN perdoc p ON tk.doc_id = p.doc_id
+LEFT JOIN rebuilt r ON tk.doc_id = r.doc_id
 """
 
 
@@ -8509,6 +8646,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_span_removal": _q_duplicate_span_removal,
     "html_text_extract": _q_html_text_extract,
     "url_canonical_dedup": _q_url_canonical_dedup,
+    "span_rewrite_stored": _q_span_rewrite_stored,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

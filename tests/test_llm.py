@@ -3317,6 +3317,43 @@ def test_remove_duplicate_spans_semantics(spark):
     assert tight[3].kept_text == f"{u(3,'u',10)} {u(3,'v',10)}"
 
 
+def test_span_rewrite_admission_semantics(spark, tmp_path):
+    """L99: arrivals are rewritten against the STORED gram bank only —
+    a template frequent in the standing corpus is excised from every
+    arrival holding it, but grams shared ONLY among arrivals never mark
+    (batch-local rewriting would make admission order-dependent); docs
+    without bank hits pass through byte-identical."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    A = " ".join(f"a{j}" for j in range(12))   # standing template
+    Z = " ".join(f"z{j}" for j in range(12))   # arrival-only shared block
+
+    def u(i, p, n):
+        return " ".join(f"{p}{i}w{j}" for j in range(n))
+
+    standing = spark.createDataFrame(
+        [(2, f"{u(2,'u',10)} {A} {u(2,'v',10)}"),
+         (4, f"{u(4,'u',10)} {A} {u(4,'v',10)}")],
+        "doc_id long, text string")
+    layout = str(tmp_path / "bank")
+    llm_text.write_dupgram_layout(standing, layout, k=8, min_docs=2)
+
+    arrivals = spark.createDataFrame(
+        [(1, f"{u(1,'u',10)} {A} {u(1,'v',10)}"),   # bank hit -> excised
+         (3, f"{u(3,'u',10)} {Z} {u(3,'v',10)}"),   # arrival-only dup
+         (5, f"{u(5,'u',10)} {Z} {u(5,'v',10)}"),   # arrival-only dup
+         (7, "short doc here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.span_rewrite_admission(
+        spark, layout, arrivals, min_run=10).collect()}
+    assert out[1].n_removed == 12
+    assert out[1].kept_text == f"{u(1,'u',10)} {u(1,'v',10)}"
+    # Z is shared by arrivals 3 and 5 but absent from the bank: untouched
+    assert out[3].n_removed == 0 and out[5].n_removed == 0
+    assert out[3].kept_text == f"{u(3,'u',10)} {Z} {u(3,'v',10)}"
+    assert out[7].kept_text == "short doc here" and out[7].n_removed == 0
+
+
 def test_canonicalize_url_semantics(spark):
     """L98: scheme/host lowercase, fragment gone, default ports only
     (:8080 survives), tracking params dropped, survivors byte-sorted,

@@ -1180,6 +1180,22 @@ def test_html_text_extract_plan_shape(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_span_rewrite_stored_plan_shape(spark):
+    """span_rewrite_stored: the arrival gram relation BROADCASTS
+    against the stored bank (no shuffle of either probe side), the
+    bank scan reads only its 16-byte key column, no corpus-sized
+    window (every window is doc-keyed on the arrival batch), no
+    cartesian."""
+    plan = _executed_plan(spark, "span_rewrite_stored")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "k2n_dupgram_layout" in plan, plan
+    assert "ReadSchema: struct<g:binary>" in plan, plan
+    assert plan.count("windowspecdefinition(_id") == plan.count(
+        "windowspecdefinition("
+    ), plan
+
+
 def test_url_canonical_dedup_plan_shape(spark):
     """url_canonical_dedup: narrow canonicalization map + exactly ONE
     hash shuffle (the keep-lowest window on the canonical key) — no

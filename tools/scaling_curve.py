@@ -150,6 +150,8 @@ FAMILY = {
     "html_text_extract": "documents",
     # r13: URL canonicalization + dedup — narrow map + one min() window
     "url_canonical_dedup": "documents",
+    # r13: stored gram bank probe — arrival grams broadcast vs the bank
+    "span_rewrite_stored": "documents",
     # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
     # + run windows on the small dup-starts relation + doc-level rewrite
     # join; linear in corpus tokens
