@@ -2948,6 +2948,212 @@ FROM canon
 """.replace("__URLFX__", _URL_FX_DUCK)
 
 
+# --- L100: the composed WEB-CURATION pipeline ---------------------------------
+# The end-to-end chain a web-crawl training pipeline actually runs, as ONE
+# certificate: HTML→text (L97) → cross-doc boilerplate LINE removal (L95)
+# → cross-doc duplicate SPAN removal (L96) — so the stage CONTRACTS are
+# what's certified: the line stage sees the EXTRACTED text, the span stage
+# sees the line-survivors flattened on single spaces, and the license
+# block (embedded INSIDE a per-doc-unique line: intro<id> … outro<id>)
+# demonstrates exactly why both removal stages exist — the line rule can
+# never catch it, the span rule excises it. The two all-doc lines (the
+# entity sentence, 'link text') prove the line stage; incidental real-text
+# 8-gram collisions stress the span stage and the oracle replays whichever
+# happen. Scale shape = the three stages' own pinned shapes chained; the
+# stage-joins are doc-level.
+_WEBPIPE_FX_SPARK = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), "
+    "'</title><style type=\"text/css\">body { color: red; }</style></head>"
+    "<body><!-- generated page --><h1>Heading ', CAST(doc_id AS STRING), "
+    "'</h1><p>', substring(text, 1, 60), '</p>"
+    "<script>var x = 1 < 2 && doc;</script>"
+    "<p>Tom &amp; Jerry &lt;tag&gt; &quot;quoted&quot; it&#39;s A&nbsp;B</p>', "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('<p>intro', CAST(doc_id AS STRING), "
+    f"' {_DUPSPAN_A} outro', CAST(doc_id AS STRING), '</p>') ELSE '' END, "
+    "'<div><a href=\"/l?id=', CAST(doc_id AS STRING), '\">link text</a>"
+    "</div></body></html>')"
+)
+_WEBPIPE_FX_DUCK = (
+    "'<html><head><title>Doc ' || doc_id || "
+    "'</title><style type=\"text/css\">body { color: red; }</style></head>"
+    "<body><!-- generated page --><h1>Heading ' || doc_id || "
+    "'</h1><p>' || substr(text, 1, 60) || '</p>"
+    "<script>var x = 1 < 2 && doc;</script>"
+    "<p>Tom &amp; Jerry &lt;tag&gt; &quot;quoted&quot; it&#39;s A&nbsp;B</p>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<p>intro' || doc_id || "
+    f"' {_DUPSPAN_A} outro' || doc_id || '</p>' ELSE '' END || "
+    "'<div><a href=\"/l?id=' || doc_id || '\">link text</a>"
+    "</div></body></html>'"
+)
+
+
+def _q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id", F.expr(_WEBPIPE_FX_SPARK).alias("html")
+    )
+    x = llm_text.extract_html_text(d)
+    b = llm_text.remove_boilerplate_lines(
+        x.select("doc_id", "text"), min_docs=_BOILERPLATE_MIN_DOCS
+    )
+    flat = b.select(
+        "doc_id",
+        F.translate("kept_text", "\n", " ").alias("text"),
+        "n_lines",
+        F.col("n_dropped").alias("n_dropped_lines"),
+    )
+    s = llm_text.remove_duplicate_spans(
+        flat, k=_DUPSPAN_K, min_docs=2, min_run=_DUPSPAN_MIN_RUN
+    )
+    return (
+        x.select("doc_id", "n_tags", "markup_ratio")
+        .join(flat.select("doc_id", "n_lines", "n_dropped_lines"), "doc_id")
+        .join(
+            s.select(
+                "doc_id",
+                "n_tokens",
+                F.col("n_removed").alias("n_removed_tokens"),
+                "n_runs",
+                F.md5("kept_text").alias("final_hash"),
+            ),
+            "doc_id",
+        )
+    )
+
+
+ORACLE["web_curation_pipeline"] = f"""
+WITH fx AS (
+  SELECT doc_id, {_WEBPIPE_FX_DUCK} AS h FROM documents
+),
+stripped AS (
+  SELECT doc_id, h,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(h,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '{_HTML_BLOCK_RE_SQL}', chr(10), 'g'),
+        '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM fx
+),
+decoded AS (
+  SELECT doc_id, h,
+    replace(replace(replace(replace(replace(replace(t,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM stripped
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags,
+    CASE WHEN length(h) = 0 THEN 0.0
+     ELSE round(1.0 - length(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+              '[ ' || chr(9) || ']+', ' ', 'g'),
+              '[ ' || chr(9) || ']*' || chr(10) || '[ ' || chr(9) || ']*',
+                chr(10), 'g'),
+              chr(10) || '+', chr(10), 'g'),
+              '^[ ' || chr(10) || ']+|[ ' || chr(10) || ']+$', '', 'g'))
+          / CAST(length(h) AS DOUBLE), 6) END AS markup_ratio,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '[ ' || chr(9) || ']+', ' ', 'g'),
+      '[ ' || chr(9) || ']*' || chr(10) || '[ ' || chr(9) || ']*',
+        chr(10), 'g'),
+      chr(10) || '+', chr(10), 'g'),
+      '^[ ' || chr(10) || ']+|[ ' || chr(10) || ']+$', '', 'g') AS text
+  FROM decoded
+),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+               unnest(generate_series(1, len(string_split(text, chr(10)))))
+                 AS i
+        FROM sig) q
+),
+freql AS (
+  SELECT line FROM lines
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {_BOILERPLATE_MIN_DOCS}
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS bp
+  FROM lines l LEFT JOIN freql f ON l.line = f.line
+),
+kept AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped_lines,
+         coalesce(string_agg(CASE WHEN NOT bp THEN line END,
+                             ' ' ORDER BY pos), '') AS text
+  FROM flagged GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM kept
+),
+grams AS (
+  SELECT doc_id, i,
+         md5(array_to_string(w[i:i + {_DUPSPAN_K - 1}], ' ')) AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, n - {_DUPSPAN_K - 1})) AS i
+        FROM toks WHERE n >= {_DUPSPAN_K}) p
+),
+bank AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dstart AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN bank b ON gr.g = b.g
+),
+runsid AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev IS NULL OR i - prev > {_DUPSPAN_K}
+              THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM (SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM dstart) l
+),
+runs AS (
+  SELECT doc_id, run, min(i) AS s, max(i) + {_DUPSPAN_K - 1} AS e
+  FROM runsid GROUP BY doc_id, run
+  HAVING max(i) + {_DUPSPAN_K - 1} - min(i) + 1 >= {_DUPSPAN_MIN_RUN}
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_runs, sum(e - s + 1) AS n_removed
+  FROM runs GROUP BY doc_id
+),
+cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS t FROM runs),
+tokrows AS (
+  SELECT doc_id, i AS t, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(generate_series(1, n)) AS i FROM toks) q
+),
+rebuilt AS (
+  SELECT tr.doc_id, string_agg(tr.word, ' ' ORDER BY tr.t) AS kept_text
+  FROM tokrows tr LEFT JOIN cov c ON tr.doc_id = c.doc_id AND tr.t = c.t
+  WHERE c.t IS NULL
+  GROUP BY tr.doc_id
+)
+SELECT s.doc_id, s.n_tags, s.markup_ratio,
+       k.n_lines, k.n_dropped_lines,
+       CAST(tk.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+       md5(CASE WHEN p.n_removed IS NULL THEN tk.text
+            ELSE coalesce(r.kept_text, '') END) AS final_hash
+FROM sig s
+JOIN kept k ON s.doc_id = k.doc_id
+JOIN toks tk ON s.doc_id = tk.doc_id
+LEFT JOIN perdoc p ON s.doc_id = p.doc_id
+LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+"""
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -8647,6 +8853,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_text_extract": _q_html_text_extract,
     "url_canonical_dedup": _q_url_canonical_dedup,
     "span_rewrite_stored": _q_span_rewrite_stored,
+    "web_curation_pipeline": _q_web_curation_pipeline,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

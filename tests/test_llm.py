@@ -3317,6 +3317,36 @@ def test_remove_duplicate_spans_semantics(spark):
     assert tight[3].kept_text == f"{u(3,'u',10)} {u(3,'v',10)}"
 
 
+def test_web_curation_pipeline_stage_contracts(spark):
+    """L100: the composed chain certifies WHY both removal stages
+    exist — an all-doc line (cookie banner) falls to the LINE stage;
+    a license block wrapped in per-doc-unique intro/outro words
+    survives the line stage (each line is unique) and falls to the
+    SPAN stage; unique content survives both."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    A = " ".join(f"lic{j}" for j in range(12))
+    docs = [(i, f"unique heading {i}\nBANNER LINE\nintro{i} {A} outro{i}")
+            for i in range(1, 7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    b = llm_text.remove_boilerplate_lines(df, min_docs=5)
+    flat = b.select(
+        "doc_id", F.translate("kept_text", "\n", " ").alias("text"))
+    s = llm_text.remove_duplicate_spans(
+        flat, k=8, min_docs=2, min_run=10)
+    out = {r.doc_id: r for r in s.collect()}
+    got_b = {r.doc_id: r for r in b.collect()}
+    # line stage: BANNER dropped everywhere, license LINE survives
+    assert all(r.n_dropped == 1 for r in got_b.values())
+    assert "BANNER" not in got_b[1].kept_text
+    assert "lic0" in got_b[1].kept_text
+    # span stage: the 12-token license run excised, unique wrap kept
+    assert out[1].n_removed == 12 and out[1].n_runs == 1
+    assert out[1].kept_text == "unique heading 1 intro1 outro1"
+
+
 def test_span_rewrite_admission_semantics(spark, tmp_path):
     """L99: arrivals are rewritten against the STORED gram bank only —
     a template frequent in the standing corpus is excised from every

@@ -152,6 +152,8 @@ FAMILY = {
     "url_canonical_dedup": "documents",
     # r13: stored gram bank probe — arrival grams broadcast vs the bank
     "span_rewrite_stored": "documents",
+    # r13: composed web pipeline — the three text stages chained
+    "web_curation_pipeline": "documents",
     # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
     # + run windows on the small dup-starts relation + doc-level rewrite
     # join; linear in corpus tokens
