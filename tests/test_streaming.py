@@ -1969,3 +1969,58 @@ def test_url_canonical_dedup_streaming_composition(spark, tmp_path):
                  for r in spark.table("url_dedup_stream").collect())
     assert got == [
         "https://ex.com/a", "https://ex.com/b", "https://ex.com/c"], got
+
+
+def test_span_rewrite_admission_streaming_composition(spark, tmp_path):
+    """L99 x streaming: the stored gram bank is static state, so
+    arrival micro-batches rewrite via foreachBatch with NO cross-batch
+    coupling — each batch's output equals the batch twin's (admission
+    is order-independent because batch-local duplicates never mark;
+    the pytest drives two batches that SHARE a non-bank gram to prove
+    the boundary does not leak)."""
+    import json as _json
+
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    A = " ".join(f"a{j}" for j in range(12))
+    Z = " ".join(f"z{j}" for j in range(12))  # shared across batches, NOT in bank
+
+    def u(i, p, n):
+        return " ".join(f"{p}{i}w{j}" for j in range(n))
+
+    standing = spark.createDataFrame(
+        [(2, f"{u(2,'u',10)} {A} {u(2,'v',10)}"),
+         (4, f"{u(4,'u',10)} {A} {u(4,'v',10)}")],
+        "doc_id long, text string")
+    layout = str(tmp_path / "bank")
+    llm_text.write_dupgram_layout(standing, layout, k=8, min_docs=2)
+
+    fixture_dir = tmp_path / "arrivals"
+    fixture_dir.mkdir()
+    (fixture_dir / "b1.json").write_text(_json.dumps(
+        {"doc_id": 1, "text": f"{u(1,'u',10)} {A} {Z} {u(1,'v',10)}"}))
+    (fixture_dir / "b2.json").write_text(_json.dumps(
+        {"doc_id": 3, "text": f"{u(3,'u',10)} {Z} {u(3,'v',10)}"}))
+
+    results = {}
+
+    def handle(batch_df, batch_id):
+        for r in llm_text.span_rewrite_admission(
+                spark, layout, batch_df, min_run=10).collect():
+            results[r.doc_id] = r
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(fixture_dir)))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt_span"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # doc 1: bank block A excised; Z (cross-batch dup, not in bank) kept
+    assert results[1].n_removed == 12
+    assert results[1].kept_text == f"{u(1,'u',10)} {Z} {u(1,'v',10)}"
+    # doc 3 in the LATER batch: Z still kept — no cross-batch marking
+    assert results[3].n_removed == 0
+    assert results[3].kept_text == f"{u(3,'u',10)} {Z} {u(3,'v',10)}"
