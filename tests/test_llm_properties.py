@@ -1188,3 +1188,32 @@ def test_canonicalize_url_idempotent(spark, urls):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2, (r.c1, r.c2)
+
+
+# --- HTML extraction: totality + signal bounds -------------------------------
+# Arbitrary byte-soup (broken tags, stray '&', unterminated script, mixed
+# entities) must never raise, and the signals must hold their contracts:
+# markup_ratio in [0, 1] (stripping/decoding/collapsing never grows the
+# text), n_chars_text == len(text), n_tags >= 0.
+
+_html_soup = st.text(
+    alphabet=st.sampled_from(list("<>/&;#abpc=\"' \t\nscript styleqx1")),
+    max_size=80,
+)
+
+
+@given(st.lists(_html_soup, min_size=1, max_size=12))
+@PROP_SETTINGS
+def test_extract_html_text_total_and_bounded(spark, htmls):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(htmls)], "doc_id long, html string")
+    rows = llm_text.extract_html_text(df).collect()
+    assert len(rows) == len(htmls)
+    for r in rows:
+        assert 0.0 <= r.markup_ratio <= 1.0, r
+        assert r.n_chars_text == len(r.text), r
+        assert r.n_tags >= 0 and r.n_chars_html == len(htmls[r.doc_id]), r
