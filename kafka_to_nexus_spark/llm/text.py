@@ -201,6 +201,59 @@ def chunk_documents(
     )
 
 
+# CCNet-style normalization maps (explicit, engine-portable — DuckDB's
+# strip_accents would fold differently, so both sides use THIS table)
+_ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+_ACCENT_DST = "aaaaaaeeeeiiiioooooouuuucnyy"
+_NORM_PUNCT_RE = "[.,;:!?\"'()\\[\\]{}<>«»_/\\\\|+*=~`@#$%^&-]"
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet-style text normalization (L101 — Wenzek et al. 2020 §4.1,
+    the key function behind 'fuzzy-exact' dedup): lowercase, fold the
+    27 common Latin accents (explicit translate table, identical in
+    both engines), map every digit to 0 (so '© 2019' and '© 2024'
+    dedup), replace punctuation with spaces (never glue words), and
+    collapse/trim whitespace. Returns the normalized TEXT; hash it for
+    the dedup key. Pure codegen — two translates + two regexp_replace
+    in one projection."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    t = F.translate(t, "123456789", "000000000")
+    t = F.regexp_replace(t, _NORM_PUNCT_RE, " ")
+    t = F.regexp_replace(t, "[ \t\n]+", " ")
+    return F.trim(t)
+
+
+def normalized_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy-exact dedup over :func:`normalize_for_dedup` (L101): docs
+    whose normalized forms collide keep only the lowest-id copy — the
+    CCNet trade between exact-hash dedup (misses every trivial
+    variation) and MinHash (pays shingling + banding for what is
+    usually just case/punctuation/digit noise). Returns one row per
+    input doc: (id, norm_hash, is_kept).
+
+    Scale shape: the normalization is a narrow codegen map; the
+    keep-lowest decision is ONE min() window over the 32-hex key —
+    single hash shuffle, no join (the url_canonical_dedup shape).
+    Skew bound: the heaviest normalized form's copy count (the empty
+    form collects punctuation-only docs — still one group)."""
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(normalize_for_dedup(F.col(text_col))).alias("norm_hash"),
+    )
+    w = Window.partitionBy("norm_hash")
+    return keyed.withColumn(
+        "is_kept", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
 # tracking params a canonicalizer drops (conventionally lowercase keys)
 _URL_TRACKING_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|ref)(=.*)?$"
 _URL_PARTS_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"

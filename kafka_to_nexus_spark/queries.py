@@ -3154,6 +3154,77 @@ LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
 """
 
 
+# --- L101: CCNet-style normalized-fingerprint dedup ---------------------------
+# Fuzzy-exact dedup: the normalization (lowercase, accent fold, digit→0,
+# punctuation→space, whitespace collapse) makes trivially-varied copies
+# collide without paying MinHash. The fixture writes each group's content
+# four ways — pristine, SHOUTED+accented ('CAFÉ RÉSUMÉ'), punctuated, and
+# double-spaced, each with a DIFFERENT edition digit — and letter-codes the
+# group id (digits in the group key would be erased by digit folding and
+# merge unrelated groups, which is exactly the trap the fixture documents);
+# %13 punctuation-only docs all normalize to '' and dedup into one group.
+_NORM_FX_SPARK = """
+CASE WHEN doc_id % 13 = 0 THEN '??!!..'
+ELSE CASE CAST(doc_id % 4 AS INT)
+ WHEN 0 THEN concat('Sample Text numero ', char(97 + doc_id % 250 % 26),
+   char(97 + (doc_id % 250) DIV 26), ' cafe resume corpus edition 3')
+ WHEN 1 THEN concat('SAMPLE TEXT NUMERO ', upper(concat(
+   char(97 + doc_id % 250 % 26), char(97 + (doc_id % 250) DIV 26))),
+   ' CAFÉ RÉSUMÉ CORPUS EDITION 7!!')
+ WHEN 2 THEN concat('sample, text; numero: ', char(97 + doc_id % 250 % 26),
+   char(97 + (doc_id % 250) DIV 26), ' cafe resume corpus (edition 5)')
+ ELSE concat('sample  text  numero ', char(97 + doc_id % 250 % 26),
+   char(97 + (doc_id % 250) DIV 26), '  cafe resume corpus edition 9')
+END END
+"""
+_NORM_FX_DUCK = """
+CASE WHEN doc_id % 13 = 0 THEN '??!!..'
+ELSE CASE CAST(doc_id % 4 AS INT)
+ WHEN 0 THEN 'Sample Text numero ' || chr(CAST(97 + doc_id % 250 % 26 AS INT)) ||
+   chr(CAST(97 + (doc_id % 250) // 26 AS INT)) || ' cafe resume corpus edition 3'
+ WHEN 1 THEN 'SAMPLE TEXT NUMERO ' || upper(chr(CAST(97 + doc_id % 250 % 26 AS INT)) ||
+   chr(CAST(97 + (doc_id % 250) // 26 AS INT))) || ' CAFÉ RÉSUMÉ CORPUS EDITION 7!!'
+ WHEN 2 THEN 'sample, text; numero: ' || chr(CAST(97 + doc_id % 250 % 26 AS INT)) ||
+   chr(CAST(97 + (doc_id % 250) // 26 AS INT)) || ' cafe resume corpus (edition 5)'
+ ELSE 'sample  text  numero ' || chr(CAST(97 + doc_id % 250 % 26 AS INT)) ||
+   chr(CAST(97 + (doc_id % 250) // 26 AS INT)) || '  cafe resume corpus edition 9'
+END END
+"""
+
+
+def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id", F.expr(_NORM_FX_SPARK).alias("text")
+    )
+    return llm_text.normalized_dedup(d)
+
+
+ORACLE["normalized_dedup"] = """
+WITH fx AS (
+  SELECT doc_id, __NORMFX__ AS text FROM documents
+),
+norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(
+      translate(translate(lower(coalesce(text, '')),
+        'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ',
+        'aaaaaaeeeeiiiioooooouuuucnyy'),
+        '123456789', '000000000'),
+      '[.,;:!?"''()\\[\\]{}<>«»_/\\\\|+*=~`@#$%^&-]', ' ', 'g'),
+      '[ ' || chr(9) || chr(10) || ']+', ' ', 'g')) AS t
+  FROM fx
+)
+SELECT doc_id, md5(t) AS norm_hash,
+       doc_id = min(doc_id) OVER (PARTITION BY t) AS is_kept
+FROM norm
+""".replace("__NORMFX__", _NORM_FX_DUCK)
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -8854,6 +8925,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": _q_url_canonical_dedup,
     "span_rewrite_stored": _q_span_rewrite_stored,
     "web_curation_pipeline": _q_web_curation_pipeline,
+    "normalized_dedup": _q_normalized_dedup,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

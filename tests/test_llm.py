@@ -3384,6 +3384,46 @@ def test_span_rewrite_admission_semantics(spark, tmp_path):
     assert out[7].kept_text == "short doc here" and out[7].n_removed == 0
 
 
+def test_normalize_for_dedup_rule_table(spark):
+    """L101: the CCNet normalization rules, one assert each — case,
+    accent fold, digit→0 (different years collide BY DESIGN),
+    punctuation→space (no word gluing), whitespace collapse + trim,
+    NULL→''."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    cases = [
+        (1, "Hello WORLD", "hello world"),
+        (2, "café résumé naïve", "cafe resume naive"),
+        (3, "report 2019 and 2024", "report 0000 and 0000"),
+        (4, "end.Start (x)[y]{z}", "end start x y z"),
+        (5, "  a\tb\nc  ", "a b c"),
+        (6, None, ""),
+        (7, "??!!..", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id",
+        llm_text.normalize_for_dedup(F.col("text")).alias("n")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_normalized_dedup_keeps_lowest_id(spark):
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(
+        [(1, "The Quick Brown Fox, 2021 edition!"),
+         (2, "the quick brown fox 2024 edition"),
+         (3, "THE QUICK BROWN FOX  1999 EDITION"),
+         (4, "a different document")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.normalized_dedup(df).collect()}
+    assert out[1].is_kept and not out[2].is_kept and not out[3].is_kept
+    assert out[1].norm_hash == out[2].norm_hash == out[3].norm_hash
+    assert out[4].is_kept
+
+
 def test_canonicalize_url_semantics(spark):
     """L98: scheme/host lowercase, fragment gone, default ports only
     (:8080 survives), tracking params dropped, survivors byte-sorted,

@@ -1196,6 +1196,17 @@ def test_span_rewrite_stored_plan_shape(spark):
     ), plan
 
 
+def test_normalized_dedup_plan_shape(spark):
+    """normalized_dedup: narrow normalization map + exactly ONE hash
+    shuffle (the keep-lowest window on the 32-hex key) — no join, no
+    Python, single scan (the url_canonical_dedup shape)."""
+    plan = _executed_plan(spark, "normalized_dedup")
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_url_canonical_dedup_plan_shape(spark):
     """url_canonical_dedup: narrow canonicalization map + exactly ONE
     hash shuffle (the keep-lowest window on the canonical key) — no

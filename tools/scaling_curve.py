@@ -154,6 +154,8 @@ FAMILY = {
     "span_rewrite_stored": "documents",
     # r13: composed web pipeline — the three text stages chained
     "web_curation_pipeline": "documents",
+    # r13: CCNet normalized dedup — narrow map + one min() window
+    "normalized_dedup": "documents",
     # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
     # + run windows on the small dup-starts relation + doc-level rewrite
     # join; linear in corpus tokens
