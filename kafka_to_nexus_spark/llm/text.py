@@ -201,6 +201,66 @@ def chunk_documents(
     )
 
 
+# Unicode script ranges as LITERAL-endpoint character classes — RE2 and
+# Java both compare code points, so the same pattern string runs in both
+# engines (never \p{Script=...}, which the engines gate differently).
+_SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "[a-zA-Z]"),
+    ("cyrillic", "[а-яёА-ЯЁ]"),
+    ("cjk", "[一-鿿぀-ゟ゠-ヿ가-힣]"),
+    ("greek", "[α-ωΑ-Ωά-ώΆΈΉΊΌΎΏ]"),
+    ("arabic", "[ا-ي]"),
+    ("digit", "[0-9]"),
+]
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Unicode SCRIPT mix (L102 — the standard cheap
+    complement to stopword language-ID: stopword lists need the right
+    language guessed first, script fractions are unconditional and the
+    only reliable signal for CJK). Counts characters in six literal
+    code-point classes (Latin, Cyrillic, CJK incl. kana+hangul, Greek,
+    Arabic, digits), emits each as a fraction of the doc's characters
+    plus the dominant script — ``other`` (whitespace/punctuation/
+    uncovered scripts) wins only when no class scores, so an
+    all-punctuation doc reports dominant='other'. NULL text → zero
+    counts, dominant='other', row kept. Ties break by the class order
+    above (deterministic).
+
+    Scale shape: one narrow codegen projection of regexp_count
+    expressions — no shuffle, no UDF, column-pruned scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat in _SCRIPT_CLASSES
+    }
+    frac = {
+        name: F.when(n == 0, F.lit(0.0)).otherwise(
+            F.round(c / n.cast("double"), 6)
+        )
+        for name, c in counts.items()
+    }
+    dominant = F.lit("other")
+    best = F.lit(0)
+    # left-to-right: an earlier class keeps the crown on ties
+    for name, _ in _SCRIPT_CLASSES:
+        wins = counts[name] > best
+        dominant = F.when(wins, F.lit(name)).otherwise(dominant)
+        best = F.when(wins, counts[name]).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        *[counts[name].alias(f"n_{name}") for name, _ in _SCRIPT_CLASSES],
+        *[frac[name].alias(f"{name}_frac") for name, _ in _SCRIPT_CLASSES],
+        dominant.alias("dominant_script"),
+    )
+
+
 # CCNet-style normalization maps (explicit, engine-portable — DuckDB's
 # strip_accents would fold differently, so both sides use THIS table)
 _ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"

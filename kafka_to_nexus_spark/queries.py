@@ -3225,6 +3225,87 @@ FROM norm
 """.replace("__NORMFX__", _NORM_FX_DUCK)
 
 
+# --- L102: Unicode script-mix profile -----------------------------------------
+# The unconditional companion to stopword lang-ID (L8): script fractions
+# need no language guess and are the only reliable cheap signal for CJK.
+# The fixture routes docs through seven shapes — majority-CJK/Cyrillic/
+# Greek/Arabic/digit/punctuation docs plus the mixed Latin-dominant rest —
+# so every dominance branch and the 'other' fallback are driver-certified.
+# Same literal-endpoint character classes in both engines (never
+# \p{Script}, which RE2 and Java gate differently).
+_SCRIPT_FX_SPARK = """
+CASE WHEN doc_id % 11 = 0 THEN repeat('你好世界 ', CAST(1 + doc_id % 3 AS INT))
+     WHEN doc_id % 11 = 1 THEN repeat('привет мир ', 2)
+     WHEN doc_id % 11 = 2 THEN 'γειά σου κόσμε'
+     WHEN doc_id % 11 = 3 THEN 'مرحبا بالعالم'
+     WHEN doc_id % 11 = 4 THEN '123 456 789'
+     WHEN doc_id % 11 = 5 THEN '?!?!'
+     ELSE concat(substring(text, 1, 40), ' тест ', CAST(doc_id AS STRING))
+END
+"""
+_SCRIPT_FX_DUCK = """
+CASE WHEN doc_id % 11 = 0 THEN repeat('你好世界 ', CAST(1 + doc_id % 3 AS INT))
+     WHEN doc_id % 11 = 1 THEN repeat('привет мир ', 2)
+     WHEN doc_id % 11 = 2 THEN 'γειά σου κόσμε'
+     WHEN doc_id % 11 = 3 THEN 'مرحبا بالعالم'
+     WHEN doc_id % 11 = 4 THEN '123 456 789'
+     WHEN doc_id % 11 = 5 THEN '?!?!'
+     ELSE substr(text, 1, 40) || ' тест ' || doc_id
+END
+"""
+
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id", F.expr(_SCRIPT_FX_SPARK).alias("text")
+    )
+    return llm_text.script_profile(d)
+
+
+ORACLE["script_profile"] = """
+WITH fx AS (
+  SELECT doc_id, __SCRIPTFX__ AS text FROM documents
+),
+c AS (
+  SELECT doc_id, length(coalesce(text, '')) AS n,
+    len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]')) AS n_latin,
+    len(regexp_extract_all(coalesce(text, ''), '[а-яёА-ЯЁ]')) AS n_cyrillic,
+    len(regexp_extract_all(coalesce(text, ''), '[一-鿿぀-ゟ゠-ヿ가-힣]')) AS n_cjk,
+    len(regexp_extract_all(coalesce(text, ''), '[α-ωΑ-Ωά-ώΆΈΉΊΌΎΏ]')) AS n_greek,
+    len(regexp_extract_all(coalesce(text, ''), '[ا-ي]')) AS n_arabic,
+    len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS n_digit
+  FROM fx
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_chars,
+  CAST(n_latin AS BIGINT) AS n_latin,
+  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+  CAST(n_cjk AS BIGINT) AS n_cjk,
+  CAST(n_greek AS BIGINT) AS n_greek,
+  CAST(n_arabic AS BIGINT) AS n_arabic,
+  CAST(n_digit AS BIGINT) AS n_digit,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_latin / CAST(n AS DOUBLE), 6) END AS latin_frac,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_cyrillic / CAST(n AS DOUBLE), 6) END AS cyrillic_frac,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_cjk / CAST(n AS DOUBLE), 6) END AS cjk_frac,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_greek / CAST(n AS DOUBLE), 6) END AS greek_frac,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_arabic / CAST(n AS DOUBLE), 6) END AS arabic_frac,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_digit / CAST(n AS DOUBLE), 6) END AS digit_frac,
+  CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_greek, n_arabic, n_digit) = 0 THEN 'other'
+       WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_greek, n_arabic, n_digit) THEN 'latin'
+       WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_greek, n_arabic, n_digit) THEN 'cyrillic'
+       WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_greek, n_arabic, n_digit) THEN 'cjk'
+       WHEN n_greek = greatest(n_latin, n_cyrillic, n_cjk, n_greek, n_arabic, n_digit) THEN 'greek'
+       WHEN n_arabic = greatest(n_latin, n_cyrillic, n_cjk, n_greek, n_arabic, n_digit) THEN 'arabic'
+       ELSE 'digit' END AS dominant_script
+FROM c
+""".replace("__SCRIPTFX__", _SCRIPT_FX_DUCK)
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -8926,6 +9007,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_rewrite_stored": _q_span_rewrite_stored,
     "web_curation_pipeline": _q_web_curation_pipeline,
     "normalized_dedup": _q_normalized_dedup,
+    "script_profile": _q_script_profile,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

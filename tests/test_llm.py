@@ -3384,6 +3384,32 @@ def test_span_rewrite_admission_semantics(spark, tmp_path):
     assert out[7].kept_text == "short doc here" and out[7].n_removed == 0
 
 
+def test_script_profile_semantics(spark):
+    """L102: each script class counts its own characters only, the
+    dominant label follows the strict-majority with first-class
+    tie-break, 'other' wins only when NO class scores (punctuation/
+    whitespace docs), and NULL text keeps its row at zero."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    docs = [
+        (1, "hello мир"),        # 5 latin vs 3 cyrillic -> latin
+        (2, "你好世界"),          # cjk only
+        (3, "abc абв"),          # 3 vs 3 tie -> latin (class order)
+        (4, "?! ?!"),            # no class scores -> other
+        (5, None),
+        (6, "γειά 123 456"),     # 4 greek vs 6 digits -> digit
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.script_profile(df).collect()}
+    assert out[1].dominant_script == "latin"
+    assert out[1].n_latin == 5 and out[1].n_cyrillic == 3
+    assert out[2].dominant_script == "cjk" and out[2].cjk_frac == 1.0
+    assert out[3].dominant_script == "latin"
+    assert out[4].dominant_script == "other"
+    assert out[5].dominant_script == "other" and out[5].n_chars == 0
+    assert out[6].dominant_script == "digit" and out[6].n_greek == 4
+
+
 def test_normalize_for_dedup_rule_table(spark):
     """L101: the CCNet normalization rules, one assert each — case,
     accent fold, digit→0 (different years collide BY DESIGN),

@@ -156,6 +156,8 @@ FAMILY = {
     "web_curation_pipeline": "documents",
     # r13: CCNet normalized dedup — narrow map + one min() window
     "normalized_dedup": "documents",
+    # r13: script-mix profile — pure narrow codegen projection
+    "script_profile": "documents",
     # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
     # + run windows on the small dup-starts relation + doc-level rewrite
     # join; linear in corpus tokens
