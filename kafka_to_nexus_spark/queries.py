@@ -7381,6 +7381,43 @@ ORACLE["dedup_keep_canonical"] = ORACLE["dedup_components"].replace(
 )
 
 
+# --- L103: quality-aware canonical selection (keep the BEST copy) ------------
+# dedup_keep_canonical keeps the MIN-ID cluster member (the determinism
+# anchor); production curation keeps the BEST one — here the longest
+# (n_chars, the standard "keep the longest copy" rule), ties broken by id.
+# Same memoized CC labels, so when the three dedup end-product queries run
+# in one session the label-propagation loop still executes exactly once.
+# Scale shape: labels ⋈ documents on doc_id (doc-level), ONE row_number
+# window per component — component size bounds the sort, and components
+# are duplicate-cluster-sized, never corpus-sized.
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    comp = _dedup_component_labels(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "component_id", "n_chars", "keep")
+    )
+
+
+ORACLE["dedup_keep_best"] = ORACLE["dedup_components"].replace(
+    "SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src",
+    """, comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+)
+SELECT c.doc_id, c.component_id, d.n_chars,
+       row_number() OVER (PARTITION BY c.component_id
+                          ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
+FROM comp c JOIN documents d ON c.doc_id = d.doc_id""",
+)
+
+
 # --- the composed dedup pipeline: what a real user actually runs ------------
 # L2 → L3 → L4 → L6 → L23 as ONE query through the LIBRARY functions
 # (llm/dedup.py minhash_signatures → lsh_candidate_pairs → ngram_jaccard
@@ -8994,6 +9031,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_profile": _q_url_domain_profile,
     "dedup_components": _q_dedup_components,
     "dedup_keep_canonical": _q_dedup_keep_canonical,
+    "dedup_keep_best": _q_dedup_keep_best,
     "bigram_logprob_score": _q_bigram_logprob,
     "bpe_token_counts": _q_bpe_token_counts,
     "bpe_trained_token_counts": _q_bpe_trained_counts,

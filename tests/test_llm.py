@@ -3384,6 +3384,25 @@ def test_span_rewrite_admission_semantics(spark, tmp_path):
     assert out[7].kept_text == "short doc here" and out[7].n_removed == 0
 
 
+def test_dedup_keep_best_invariants(spark):
+    """L103: exactly ONE keeper per component; the keeper has the
+    component's max n_chars (ties -> lowest id); singletons keep
+    themselves — asserted over the real sf0.001 clusters."""
+    from kafka_to_nexus_spark import queries as Q
+
+    rows = Q.queries()["dedup_keep_best"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    assert any(len(v) > 1 for v in by_comp.values())  # clusters exist
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, comp
+        best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
+        assert keepers[0].doc_id == best.doc_id, comp
+
+
 def test_script_profile_semantics(spark):
     """L102: each script class counts its own characters only, the
     dominant label follows the strict-majority with first-class
