@@ -130,7 +130,11 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     app_id = spark.sparkContext.applicationId
     for t in tables:
         key = (app_id, t)
-        if _ACTIVE_DIR.get(key) == sf_dir:
+        # the memo alone is not proof: a caller can drop/replace the temp
+        # view behind our back (the property suite does), and a cloned
+        # session (foreachBatch) shares app_id but not the temp catalog —
+        # trust the memo only when the catalog still holds the view
+        if _ACTIVE_DIR.get(key) == sf_dir and spark.catalog.tableExists(t):
             continue
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for c in TIMESTAMP_COLS.get(t, ()):
