@@ -201,6 +201,103 @@ def chunk_documents(
     )
 
 
+# Gopher/FineWeb-style rule thresholds (the published ballpark values;
+# callers override per corpus)
+QUALITY_RULES: dict[str, float] = {
+    "min_tokens": 15,
+    "min_stopword_ratio": 0.03,
+    "max_dup_word_ratio": 0.5,
+    "max_punct_ratio": 0.1,
+    "min_avg_token_len": 3.0,
+    "max_avg_token_len": 12.0,
+}
+
+
+def quality_filter_flags(
+    df: DataFrame,
+    rules: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document quality-rule battery WITH ATTRIBUTION (L104 — the
+    Gopher/Rae et al. 2021 §A1.1 / FineWeb filter set): five boolean
+    flags (too short, stopword-starved, word-repetitive, symbol-heavy,
+    degenerate word length) plus the drop verdict. Unlike the scalar
+    `quality_score` this answers the question a pipeline operator
+    actually asks — WHY did my yield drop — and feeds the per-rule
+    report. Every signal is a pure codegen expression: the repetition
+    ratio uses array_distinct on the token array (no explode, no
+    shuffle), stopword hits use the existing higher-order filter.
+    NULL text flags as short and keeps its row."""
+    r = {**QUALITY_RULES, **(rules or {})}
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.split(t, " ")
+    n = F.size(w)
+    n_chars = F.length(t)
+    avg_len = n_chars / F.greatest(n, F.lit(1)).cast("double")
+    stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
+    dup_ratio = 1.0 - F.size(F.array_distinct(w)) / n.cast("double")
+    flags = {
+        "short": n < int(r["min_tokens"]),
+        "stopword": stop / F.greatest(n, F.lit(1)).cast("double")
+        < r["min_stopword_ratio"],
+        "repetition": F.round(dup_ratio, 6) > r["max_dup_word_ratio"],
+        "symbol": punct / F.greatest(n_chars, F.lit(1)).cast("double")
+        > r["max_punct_ratio"],
+        "word_len": (avg_len < r["min_avg_token_len"])
+        | (avg_len > r["max_avg_token_len"]),
+    }
+    out = df.select(
+        F.col(id_col),
+        *[v.alias(f"f_{k}") for k, v in flags.items()],
+    )
+    dropped = None
+    for k in flags:
+        c = F.col(f"f_{k}")
+        dropped = c if dropped is None else (dropped | c)
+    return out.withColumn("kept", ~dropped)
+
+
+def quality_filter_report(
+    df: DataFrame,
+    rules: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level attribution report over
+    :func:`quality_filter_flags`: one row per rule with how many docs
+    it flagged (rules overlap — a doc can trip several), plus
+    'dropped' and 'kept' totals. The whole report is one narrow flag
+    projection → ONE global aggregate → a 7-row stack: at 100 TB this
+    is a single map-side-combined pass."""
+    flags = quality_filter_flags(df, rules, text_col, id_col)
+    names = ["short", "stopword", "repetition", "symbol", "word_len"]
+    agg = flags.agg(
+        *[
+            F.sum(F.col(f"f_{k}").cast("long")).alias(f"n_{k}")
+            for k in names
+        ],
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.count("*").alias("n_docs"),
+    )
+    stack_args = ", ".join(
+        [f"'{k}', n_{k}" for k in names]
+        + ["'dropped', n_dropped", "'kept', n_kept"]
+    )
+    return agg.select(
+        F.expr(f"stack(7, {stack_args}) AS (rule, n)"),
+        F.col("n_docs"),
+    ).select(
+        "rule",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("n_docs").cast("double"), 6).alias(
+            "pct"
+        ),
+    )
+
+
 # Unicode script ranges as LITERAL-endpoint character classes — RE2 and
 # Java both compare code points, so the same pattern string runs in both
 # engines (never \p{Script=...}, which the engines gate differently).

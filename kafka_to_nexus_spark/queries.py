@@ -3310,6 +3310,106 @@ FROM c
 """.replace("__SCRIPTFX__", _SCRIPT_FX_DUCK)
 
 
+# --- L104: quality-filter battery with per-rule drop attribution -------------
+# The Gopher/FineWeb rule set as ONE reportable op: five flags (short,
+# stopword-starved, word-repetitive, symbol-heavy, degenerate word length)
+# → drop verdict → a 7-row per-rule report. The fixture routes docs
+# through one engineered pathology per residue class (plus real-text
+# passthrough), so every rule provably fires on a known subset and the
+# report's overlap accounting (a doc can trip several rules) is
+# certified, not assumed. One narrow flag projection → ONE global
+# map-side-combined aggregate → stack.
+_QFR_FX_SPARK = """
+CASE CAST(doc_id % 6 AS INT)
+ WHEN 1 THEN 'tiny doc'
+ WHEN 2 THEN repeat('spam ', 30)
+ WHEN 3 THEN '!!!! ???? ;;;; ....'
+ WHEN 4 THEN concat_ws(' ', transform(sequence(1, 30),
+   j -> concat('tok', CAST(doc_id AS STRING), 'x', CAST(j AS STRING))))
+ WHEN 5 THEN concat_ws(' ', transform(sequence(1, 30),
+   j -> concat('verylongtokenpayload', CAST(j AS STRING), 'qqqqqqq')))
+ ELSE substring(text, 1, 120)
+END
+"""
+_QFR_FX_DUCK = """
+CASE CAST(doc_id % 6 AS INT)
+ WHEN 1 THEN 'tiny doc'
+ WHEN 2 THEN repeat('spam ', 30)
+ WHEN 3 THEN '!!!! ???? ;;;; ....'
+ WHEN 4 THEN array_to_string(list_transform(generate_series(1, 30),
+   j -> 'tok' || doc_id || 'x' || j), ' ')
+ WHEN 5 THEN array_to_string(list_transform(generate_series(1, 30),
+   j -> 'verylongtokenpayload' || j || 'qqqqqqq'), ' ')
+ ELSE substr(text, 1, 120)
+END
+"""
+
+
+def _q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .llm import text as llm_text
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id", F.expr(_QFR_FX_SPARK).alias("text")
+    )
+    return llm_text.quality_filter_report(d)
+
+
+ORACLE["quality_filter_report"] = """
+WITH fx AS (
+  SELECT doc_id, __QFRFX__ AS t FROM documents
+),
+m AS (
+  SELECT doc_id, t, string_split(t, ' ') AS w,
+         len(string_split(t, ' ')) AS n, length(t) AS nc
+  FROM fx
+),
+fl AS (
+  SELECT doc_id,
+    n < 15 AS f_short,
+    len(list_filter(string_split(lower(t), ' '),
+        x -> x IN ('the','a','of','and','is','to','in')))
+      / CAST(greatest(n, 1) AS DOUBLE) < 0.03 AS f_stopword,
+    round(1.0 - len(list_distinct(w)) / CAST(n AS DOUBLE), 6) > 0.5
+      AS f_repetition,
+    length(regexp_replace(t, '[^.,;:!?]', '', 'g'))
+      / CAST(greatest(nc, 1) AS DOUBLE) > 0.1 AS f_symbol,
+    (nc / CAST(greatest(n, 1) AS DOUBLE) < 3.0)
+      OR (nc / CAST(greatest(n, 1) AS DOUBLE) > 12.0) AS f_word_len
+  FROM m
+),
+v AS (
+  SELECT *, NOT (f_short OR f_stopword OR f_repetition OR f_symbol
+                 OR f_word_len) AS kept
+  FROM fl
+),
+s AS (
+  SELECT count(*) AS n_docs,
+    sum(CAST(f_short AS INT)) AS ns, sum(CAST(f_stopword AS INT)) AS nw,
+    sum(CAST(f_repetition AS INT)) AS nr, sum(CAST(f_symbol AS INT)) AS ny,
+    sum(CAST(f_word_len AS INT)) AS nl,
+    sum(CAST(NOT kept AS INT)) AS nd, sum(CAST(kept AS INT)) AS nk
+  FROM v
+)
+SELECT 'short' AS rule, CAST(ns AS BIGINT) AS n,
+       round(ns / CAST(n_docs AS DOUBLE), 6) AS pct FROM s
+UNION ALL SELECT 'stopword', CAST(nw AS BIGINT),
+       round(nw / CAST(n_docs AS DOUBLE), 6) FROM s
+UNION ALL SELECT 'repetition', CAST(nr AS BIGINT),
+       round(nr / CAST(n_docs AS DOUBLE), 6) FROM s
+UNION ALL SELECT 'symbol', CAST(ny AS BIGINT),
+       round(ny / CAST(n_docs AS DOUBLE), 6) FROM s
+UNION ALL SELECT 'word_len', CAST(nl AS BIGINT),
+       round(nl / CAST(n_docs AS DOUBLE), 6) FROM s
+UNION ALL SELECT 'dropped', CAST(nd AS BIGINT),
+       round(nd / CAST(n_docs AS DOUBLE), 6) FROM s
+UNION ALL SELECT 'kept', CAST(nk AS BIGINT),
+       round(nk / CAST(n_docs AS DOUBLE), 6) FROM s
+""".replace("__QFRFX__", _QFR_FX_DUCK)
+
+
 # --- L56: corpus-level duplicated-chunk removal (C4-style) --------------------
 # C4's famous cleanup ("discard all but one of any three-sentence span
 # occurring more than once in the corpus"), re-expressed over
@@ -9050,6 +9150,7 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_curation_pipeline": _q_web_curation_pipeline,
     "normalized_dedup": _q_normalized_dedup,
     "script_profile": _q_script_profile,
+    "quality_filter_report": _q_quality_filter_report,
     "ivf_pq_topk": _q_ivf_pq_topk,
     "ivf_pq_stored_probe": _q_ivf_pq_stored_probe,
     "ivf_pq_recall": _q_ivf_pq_recall,

@@ -3384,6 +3384,39 @@ def test_span_rewrite_admission_semantics(spark, tmp_path):
     assert out[7].kept_text == "short doc here" and out[7].n_removed == 0
 
 
+def test_quality_filter_flags_attribution(spark):
+    """L104: each engineered pathology trips ITS rule (rules overlap —
+    a stopword-free short doc trips both), clean prose passes all
+    five, NULL text keeps its row flagged short, and the report's
+    totals add up (dropped + kept == docs)."""
+    from kafka_to_nexus_spark.llm import text as llm_text
+
+    docs = [
+        (1, "the fast key order of the table and the index is fine "
+            "here so the scan can run well"),
+        (2, "tiny doc"),                       # short (+ stopword)
+        (3, "spam " * 30),                     # repetition
+        (4, "!!!! ???? ;;;; .... " * 4),       # symbol
+        (5, " ".join(f"uniqtok{j}" for j in range(30))),   # stopword only
+        (6, " ".join("verylongtokenpayloadx" * 2 for _ in range(20))),
+        (7, None),                             # short, row kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.quality_filter_flags(df).collect()}
+    assert out[1].kept and not any(
+        [out[1].f_short, out[1].f_stopword, out[1].f_repetition,
+         out[1].f_symbol, out[1].f_word_len])
+    assert out[2].f_short and out[2].f_stopword and not out[2].kept
+    assert out[3].f_repetition and not out[3].kept
+    assert out[4].f_symbol and not out[4].kept
+    assert out[5].f_stopword and not out[5].f_short and not out[5].kept
+    assert out[6].f_word_len and not out[6].kept
+    assert out[7].f_short and not out[7].kept
+    rep = {r.rule: r.n for r in llm_text.quality_filter_report(df).collect()}
+    assert rep["dropped"] + rep["kept"] == len(docs)
+    assert rep["kept"] == 1 and rep["short"] == 2  # docs 2 and 7
+
+
 def test_dedup_keep_best_invariants(spark):
     """L103: exactly ONE keeper per component; the keeper has the
     component's max n_chars (ties -> lowest id); singletons keep

@@ -158,6 +158,8 @@ FAMILY = {
     "normalized_dedup": "documents",
     # r13: script-mix profile — pure narrow codegen projection
     "script_profile": "documents",
+    # r13: quality-filter report — flag projection + one global agg
+    "quality_filter_report": "documents",
     # r13: duplicate-span removal — gram map + (gram,doc) collapsed agg
     # + run windows on the small dup-starts relation + doc-level rewrite
     # join; linear in corpus tokens
