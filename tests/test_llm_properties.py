@@ -1001,7 +1001,15 @@ def test_jpeg_decoder_is_total_over_garbage(data, seed):
     for _ in range(6):
         enc[rng.randrange(len(enc))] = rng.randrange(256)
     out = multimodal.parse_jpeg_pixels(bytes(enc))
-    assert out is None or (out[0], out[1]) == (8, 8)
+    # A mutation can land on the SOF dimension bytes and yield a
+    # DIFFERENT but perfectly valid image (e.g. 1x8) — the totality
+    # property is "never raises, and any returned tuple is structurally
+    # sound", not "dims survive header corruption".
+    if out is not None:
+        w, h, rows = out
+        assert w > 0 and h > 0
+        assert len(rows) == h
+        assert all(len(r) == w for r in rows)
 
 
 @given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
