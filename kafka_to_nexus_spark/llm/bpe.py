@@ -364,6 +364,55 @@ def bpe_train(
     return merges
 
 
+def _select_disjoint_batch(
+    rows, budget: int
+) -> list[tuple[str, str, int]]:
+    """Greedy disjoint-batch selection over one round's pair counts
+    (sorted count desc, pair asc), provably equal to replaying classic
+    single-merge selection — shared by :func:`bpe_train_batched` and
+    :func:`bpe_train_hybrid`. ``rows`` holds up to ``budget + 1`` rows.
+
+    Walk the classic order accepting symbol-disjoint pairs; stop at the
+    first overlapping pair (count ``c_stop`` — everything at or below it
+    is uncertain) and keep only accepted pairs with count STRICTLY above
+    ``c_stop``. A SELF-pair (a, a) needs one extra guard: merging it can
+    CREATE pairs bounded by its OWN count — in a run ``aaa`` the merge
+    makes ``(aa, a)`` whose count can reach floor(count(a,a) / 2), and
+    no overlapping row in the walk ever witnesses that bound (the only
+    old pair the creation consumes IS the accepted pair). A later batch
+    member at or below that ceiling could lose its classic turn to such
+    a created pair (ties break pair-ascending, and concatenation does
+    not preserve lexicographic order), so the walk stops there exactly
+    like an overlap stop. Found by hypothesis: corpus ['ea', 'ddd'] —
+    classic merges (d,d) then (dd,d) then (e,a); the unguarded batch
+    took (e,a) in round one.
+
+    Falls back to the single classic argmax step (always exact) when
+    nothing survives, so every round makes progress."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    c_stop = 0
+    self_bound = 0  # created-pair ceiling from accepted self-pairs
+    for r in rows[:budget]:
+        c = int(r["c"])
+        if r["a"] in used or r["b"] in used or c <= self_bound:
+            c_stop = c
+            break
+        batch.append((r["a"], r["b"], c))
+        used.add(r["a"])
+        used.add(r["b"])
+        if r["a"] == r["b"]:
+            self_bound = max(self_bound, c // 2)
+    else:
+        if len(rows) > budget:
+            c_stop = int(rows[budget]["c"])
+    batch = [t for t in batch if t[2] > c_stop]
+    if not batch:
+        r0 = rows[0]
+        batch = [(r0["a"], r0["b"], int(r0["c"]))]
+    return batch
+
+
 def bpe_train_batched(
     df: DataFrame,
     n_merges: int = 8,
@@ -384,7 +433,9 @@ def bpe_train_batched(
     - walk the pair list in the classic order (count desc, pair asc),
       accepting pairs whose symbols are disjoint from every previously
       accepted pair, and STOP at the first overlapping pair (count
-      ``c_stop``; everything below it is uncertain);
+      ``c_stop``; everything below it is uncertain) — or at the first
+      pair whose count falls to or below an accepted SELF-pair's
+      created-pair ceiling (see :func:`_select_disjoint_batch`);
     - keep only accepted pairs with count STRICTLY above ``c_stop``.
 
     Why this replays classic exactly: merging a batch pair only changes
@@ -466,23 +517,7 @@ def bpe_train_batched(
         )
         if not rows:
             break
-        batch: list[tuple[str, str, int]] = []
-        used: set[str] = set()
-        c_stop = 0
-        for r in rows[:budget]:
-            if r["a"] in used or r["b"] in used:
-                c_stop = int(r["c"])
-                break
-            batch.append((r["a"], r["b"], int(r["c"])))
-            used.add(r["a"])
-            used.add(r["b"])
-        else:
-            if len(rows) > budget:
-                c_stop = int(rows[budget]["c"])
-        batch = [t for t in batch if t[2] > c_stop]
-        if not batch:
-            r0 = rows[0]  # classic single argmax step: always exact
-            batch = [(r0["a"], r0["b"], int(r0["c"]))]
+        batch = _select_disjoint_batch(rows, budget)
         for a, b, c in batch:
             merges.append((len(merges), a, b, c))
             pending.append((a, b))
@@ -682,23 +717,7 @@ def bpe_train_hybrid(
         )
         if not rows:
             break
-        batch: list[tuple[str, str, int]] = []
-        used: set[str] = set()
-        c_stop = 0
-        for r in rows[:budget]:
-            if r["a"] in used or r["b"] in used:
-                c_stop = int(r["c"])
-                break
-            batch.append((r["a"], r["b"], int(r["c"])))
-            used.add(r["a"])
-            used.add(r["b"])
-        else:
-            if len(rows) > budget:
-                c_stop = int(rows[budget]["c"])
-        batch = [t for t in batch if t[2] > c_stop]
-        if not batch:
-            r0 = rows[0]
-            batch = [(r0["a"], r0["b"], int(r0["c"]))]
+        batch = _select_disjoint_batch(rows, budget)
         for a, b, c in batch:
             merges.append((len(merges), a, b, c))
             pending.append((a, b))

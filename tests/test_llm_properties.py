@@ -848,6 +848,10 @@ def test_mp4_parser_survives_magic_plus_garbage(tail):
 @example(texts=["ababab", "aaaa bbbb", "ab cd ab cd"])
 @example(texts=["abc", "bcd", "cde", "dea"])
 @example(texts=["ab ab ba ba"])
+# self-pair creation hazard: merging (d,d) CREATES (dd,d) at the same
+# count as (e,a), and 'dd' < 'e' wins the classic tie — the batch must
+# stop at the self-pair's created-pair ceiling (found by hypothesis)
+@example(texts=["ea", "ddd"])
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_bpe_train_batched_matches_python_model(spark, texts):
