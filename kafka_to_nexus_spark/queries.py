@@ -5941,7 +5941,113 @@ FROM p
 """
 
 
+_PNG_FIXTURE_P = 2147483629
+
+
+def _png_fixture_payloads(it):
+    """mapInPandas worker for :func:`_png_pixel_fixture`: numpy-vectorized
+    pixel synthesis + stdlib zlib framing, BYTE-IDENTICAL to the SQL
+    builder (:func:`_png_pixel_fixture_sql`) — pinned by pytest at
+    sf0.001 and proven by full-corpus md5 comparison at sf0.01/sf0.1
+    during the r13 optimization round. All intermediates stay < 2^62 in
+    int64 (h < p ~ 2^31, h*h < 2^62), matching the SQL builder's
+    BIGINT-safety argument."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    P = _PNG_FIXTURE_P
+    x = np.arange(16, dtype=np.int64)[None, :]
+    y = np.arange(16, dtype=np.int64)[:, None]
+
+    def mix(d, a, bc, cc):
+        h = (d * a + x * bc + y * cc + 7) % P
+        h = (h * h) % P
+        return (h * h) % P % 256
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    iend = b"\x00\x00\x00\x00IEND\xaeB`\x82"
+    for pdf in it:
+        mids: list[int] = []
+        payloads: list[bytes] = []
+        for d in pdf["d"]:
+            d = int(d)
+            r0 = mix(d, 131, 17, 29)
+            g = mix(d, 137, 23, 31)
+            b = mix(d, 139, 19, 37)
+            is_gray = d % 2 == 0
+            px, py = (d * 3) % 16, (d * 5) % 16
+            for v in (0, 1):
+                r = r0
+                if v:
+                    r = r0.copy()
+                    r[py, px] = (r[py, px] + 1) % 256
+                if is_gray:
+                    rows = ((299 * r + 587 * g + 114 * b) // 1000).astype(
+                        np.uint8
+                    )
+                    color_type = 0
+                else:
+                    rows = (
+                        np.stack([r, g, b], axis=2)
+                        .astype(np.uint8)
+                        .reshape(16, 48)
+                    )
+                    color_type = 2
+                raw = np.zeros((16, rows.shape[1] + 1), dtype=np.uint8)
+                raw[:, 1:] = rows  # filter byte 0 per scanline
+                raw_b = raw.tobytes()
+                n_raw = len(raw_b)
+                zl = (
+                    b"\x78\x01\x01"
+                    + struct.pack("<HH", n_raw, 0xFFFF - n_raw)
+                    + raw_b
+                    + struct.pack(">I", zlib.adler32(raw_b))
+                )
+                ihdr = struct.pack(">IIBBBBB", 16, 16, 8, color_type, 0, 0, 0)
+                payload = (
+                    sig
+                    + struct.pack(">I", 13)
+                    + b"IHDR"
+                    + ihdr
+                    + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+                    + struct.pack(">I", len(zl))
+                    + b"IDAT"
+                    + zl
+                    + struct.pack(">I", zlib.crc32(b"IDAT" + zl))
+                    + iend
+                )
+                mids.append(d * 2 + v)
+                payloads.append(payload)
+        yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+
 def _png_pixel_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): spec-conformant PNGs with real PIXEL content,
+    same contract as :func:`_png_pixel_fixture_sql` (the original
+    SQL-built form, kept as the parity twin) but synthesized
+    numpy-vectorized in one mapInPandas — BYTE-IDENTICAL payloads,
+    pytest-pinned. The SQL builder's giant interpreted higher-order
+    expression tree cost 5–85 s per evaluation at sf0.1 (non-codegen
+    lambda interpretation, progressively JIT-warmed: measured 84 → 52 →
+    8 s across three runs in one session); the numpy form is ~1
+    CPU-second total and stable from the first run (optimization guide
+    §4.2 — hand whole batches to vectorized native code). The DuckDB
+    oracles still state the decoded pixels arithmetically from the same
+    closed-form formulas, so every downstream decode certificate is
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(F.col("doc_id").alias("d"))
+    return docs.mapInPandas(
+        _png_fixture_payloads, "media_id long, payload binary"
+    )
+
+
+def _png_pixel_fixture_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): SQL-BUILT spec-conformant PNGs with real
     PIXEL content — the L49 fixture move extended from headers to full
     images. Gray (even doc_id) or RGB (odd), 16x16, bit depth 8, zlib
@@ -5955,7 +6061,14 @@ def _png_pixel_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptual near-duplicate that perturbs at most one downsample cell
     and therefore at most 2 dHash bits. Compressed-IDAT PNGs (all five
     filter types, all color types incl. palette) are covered by the
-    encode_png round-trip pytests, which no SQL oracle could replay."""
+    encode_png round-trip pytests, which no SQL oracle could replay.
+
+    r13 optimization round: retired from the query path in favor of the
+    byte-identical numpy twin (:func:`_png_pixel_fixture`) — the nested
+    transform/aggregate lambdas run INTERPRETED (no whole-stage codegen
+    for higher-order functions), which made this builder the dominant
+    cost of all five PNG-decode certificates. Kept as the independent
+    cross-implementation witness the parity pytest runs against."""
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir, ("documents",))

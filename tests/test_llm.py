@@ -3623,3 +3623,20 @@ def test_remove_boilerplate_lines_null_text_keeps_row(spark):
     assert set(out) == {1, 2}
     assert out[2].n_lines == 1 and out[2].n_dropped == 0
     assert out[2].kept_text == ""
+
+
+def test_png_fixture_numpy_matches_sql_builder(spark):
+    """r13 optimization: the PNG pixel fixture is synthesized
+    numpy-vectorized in mapInPandas (the SQL higher-order-function
+    builder ran interpreted and dominated all five PNG-decode
+    certificates). The SQL builder stays as the independent witness:
+    both must emit BYTE-IDENTICAL payloads for every media_id."""
+    from kafka_to_nexus_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    new = {r.media_id: bytes(r.payload)
+           for r in Q._png_pixel_fixture(spark, sf_dir).collect()}
+    old = {r.media_id: bytes(r.payload)
+           for r in Q._png_pixel_fixture_sql(spark, sf_dir).collect()}
+    assert set(new) == set(old) and len(new) > 0
+    assert all(new[k] == old[k] for k in new)
