@@ -301,6 +301,26 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def ngram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The verify-side shingle identity relation ``(id_col, sh)``: top 60
+    bits of md5 per distinct k-shingle as BIGINT (the family-wide
+    convention). Factored out of :func:`ngram_jaccard` so callers can
+    compute it once and share it across several verify passes — it does
+    not depend on the banding hash engine."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(shingles(F.col(text_col), shingle_k)),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        ).alias("sh"),
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,
@@ -308,6 +328,7 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     join_hint: str | None = None,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification on candidate pairs only (broadcastable
     doc-side when the candidate set is small). ``join_hint="merge"`` pins
@@ -320,14 +341,17 @@ def ngram_jaccard(
     convention — md5 is injective on short shingles for any practical
     corpus): integer set-intersects are ~5× cheaper than 5-char string
     arrays and shuffle a fraction of the bytes, with identical Jaccard
-    values."""
-    docs = df.select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(shingles(F.col(text_col), shingle_k)),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        ).alias("sh"),
-    )
+    values.
+
+    ``hashes`` (r13): an optional precomputed ``(id_col, sh)`` relation
+    (exactly :func:`ngram_hashes` of ``df``). The hash relation is
+    engine-independent and this function references it TWICE (both join
+    sides), so a caller that verifies several candidate sets over one
+    corpus — the engine-parity certificates run it four times — can
+    build it once, persist it, and pass it here instead of paying a
+    corpus-sized shingle+md5 pass per reference (guide §2.4: share the
+    computation, not just the exchange)."""
+    docs = ngram_hashes(df, text_col, id_col, shingle_k) if hashes is None else hashes
     if join_hint is not None:
         docs = docs.hint(join_hint)
     a = docs.alias("a")

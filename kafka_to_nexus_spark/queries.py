@@ -1566,11 +1566,19 @@ def _bloom_decisions(spark: SparkSession, sf_dir: str):
     member = llm_dedup.bloom_membership(
         arrivals, params, words, "_fp", "doc_id", k=_BLOOM_K
     )
+    # r13: the broadcast hint used to sit on the ARRIVALS (left,
+    # stream-preserved) side, which a left outer join can never build —
+    # Spark logged "Hint (strategy=broadcast) is not supported" and fell
+    # back to a shuffle join on every evaluation. Hint the build side
+    # (distinct standing fingerprints) instead. This leg is the exact
+    # ground-truth cross-check of the FPR certificate, not the production
+    # admission gate (that is the constant-size Bloom layout): at 100 TB
+    # the distinct-fp relation would not broadcast and this certificate
+    # would run on a sample — documented in SCALE.md.
     exact = (
         arrivals.alias("a")
-        .hint("broadcast")
         .join(
-            standing.select("_fp").distinct().alias("s"),
+            standing.select("_fp").distinct().alias("s").hint("broadcast"),
             F.col("a._fp") == F.col("s._fp"),
             "left",
         )
@@ -7659,7 +7667,9 @@ _DEDUP_PIPE_TAU = 0.5
 _PIPELINE_PERSIST: dict[str, list[DataFrame]] = {}
 
 
-def _dedup_pipeline_labels(docs: DataFrame, hash_engine: str):
+def _dedup_pipeline_labels(
+    docs: DataFrame, hash_engine: str, verify_hashes: DataFrame | None = None
+):
     """Shared composed-pipeline body (L46 and its engine-parity twin):
     full-text-fingerprinted signatures → content-ordered capped
     candidates → rounded-jaccard verify → CC labels, under the given
@@ -7690,9 +7700,9 @@ def _dedup_pipeline_labels(docs: DataFrame, hash_engine: str):
         max_bucket=_JACCARD_MAX_BUCKET,
         chain_col="_fp",
     )
-    verified = llm_dedup.ngram_jaccard(docs, pairs, join_hint="merge").filter(
-        F.round(F.col("jaccard"), 6) >= _DEDUP_PIPE_TAU
-    )
+    verified = llm_dedup.ngram_jaccard(
+        docs, pairs, join_hint="merge", hashes=verify_hashes
+    ).filter(F.round(F.col("jaccard"), 6) >= _DEDUP_PIPE_TAU)
     labels = llm_dedup.connected_components(verified, docs, "doc_id")
     return sig, labels
 
@@ -7702,12 +7712,18 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    # one-slot per-session persist lifecycle, as _JACCARD_PERSIST
-    sig, labels = _dedup_pipeline_labels(docs, "md5")
+    # one-slot per-session persist lifecycle, as _JACCARD_PERSIST.
+    # r13: the verify-side hash relation is referenced by BOTH sides of
+    # the candidate join — persist it once instead of re-running the
+    # corpus shingle+md5 pass per reference (ngram_jaccard docstring).
+    from .llm import dedup as _dd
+
+    vh = _dd.ngram_hashes(docs).persist()
+    sig, labels = _dedup_pipeline_labels(docs, "md5", verify_hashes=vh)
     app_id = spark.sparkContext.applicationId
     for prev in _PIPELINE_PERSIST.pop(app_id, []):
         prev.unpersist()
-    _PIPELINE_PERSIST[app_id] = [sig]
+    _PIPELINE_PERSIST[app_id] = [sig, vh]
     return labels.select(
         "doc_id",
         "component_id",
@@ -7836,9 +7852,16 @@ def _q_dedup_pipeline_engine_parity(spark: SparkSession, sf_dir: str) -> DataFra
     )
     app_id = spark.sparkContext.applicationId
     sides = []
-    sigs = []
+    # r13: the verify-hash relation is engine-INDEPENDENT and referenced
+    # four times across the two engine sides (both join sides each) —
+    # one persisted copy replaces four corpus shingle+md5 passes over
+    # the mirrored corpus (guide §2.4).
+    from .llm import dedup as _dd
+
+    vh = _dd.ngram_hashes(docs).persist()
+    sigs = [vh]
     for engine, flag in (("md5", "merged_md5"), ("xxhash64", "merged_xxhash64")):
-        sig, labels = _dedup_pipeline_labels(docs, engine)
+        sig, labels = _dedup_pipeline_labels(docs, engine, verify_hashes=vh)
         sigs.append(sig)
         sides.append(
             labels.alias("a")
