@@ -737,7 +737,8 @@ def resize_image(
     if payload[:8] == _PNG_SIG:
         got = parse_png_pixels(payload)
     elif payload[0] == 0xFF and payload[1] == 0xD8:
-        got = parse_jpeg_pixels(payload)
+        # r13: ndarray form — skips the per-pixel tuple round-trip
+        got = parse_jpeg_rgb(payload)
     else:
         return None
     if got is None:
@@ -1218,11 +1219,10 @@ def _image_luminance(payload: bytes | None, max_pixels: int = 1 << 22):
     if payload[:8] == _PNG_SIG:
         return _png_luminance(payload, max_pixels)
     if payload[0] == 0xFF and payload[1] == 0xD8:
-        got = parse_jpeg_pixels(payload, max_pixels)
+        got = parse_jpeg_rgb(payload, max_pixels)
         if got is None:
             return None
-        _w, _h, rows = got
-        rgb = np.asarray(rows, dtype=np.int32)
+        _w, _h, rgb = got
         return (
             299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
         ) // 1000
@@ -1658,6 +1658,25 @@ def parse_jpeg_pixels(
     exists. Fancy upsampling / smoothing are decoder LIBERTIES the spec
     leaves open; nearest-neighbor keeps the output a pure integer
     function of the coefficients."""
+    got = parse_jpeg_rgb(payload, max_pixels)
+    if got is None:
+        return None
+    width, height, rgb = got
+    return (
+        width,
+        height,
+        [[tuple(int(v) for v in px) for px in row] for row in rgb],
+    )
+
+
+def parse_jpeg_rgb(payload: bytes | None, max_pixels: int = 1 << 22):
+    """:func:`parse_jpeg_pixels` minus the per-pixel tuple
+    materialization: ``(width, height, rgb)`` with ``rgb`` an (h, w, 3)
+    int32 numpy array of the SAME integers. The tuple conversion was
+    >60%% of the measured decode time for small frames (r13 profile), so
+    the numpy-consuming hot paths (video telemetry, luminance, resize)
+    take this form and the tuple contract survives as a wrapper. Same
+    totality: None on anything malformed or out of scope."""
     try:
         return _parse_jpeg_inner(payload, max_pixels)
     except Exception:
@@ -1866,11 +1885,7 @@ def _jpeg_color(planes, order, width, height, np):
         rgb = np.clip(
             np.rint(np.stack([r, g, b], axis=-1)), 0, 255
         ).astype(np.int32)
-    return (
-        width,
-        height,
-        [[tuple(int(v) for v in px) for px in row] for row in rgb],
-    )
+    return (width, height, rgb)
 
 
 # encoder twin: canonical single-length Huffman tables (DC: 12 symbols
@@ -2240,6 +2255,30 @@ def parse_avi_frames(
     avih dwTotalFrames that contradicts the movi chunk count. A poisoned
     payload in a 100 TB scan costs a null, not a task retry storm.
     ``max_pixels`` bounds each frame's decode allocation."""
+    got = parse_avi_rgb(payload, max_frames, max_pixels)
+    if got is None:
+        return None
+    width, height, frames = got
+    return (
+        width,
+        height,
+        [
+            [[tuple(int(v) for v in px) for px in row] for row in rgb]
+            for rgb in frames
+        ],
+    )
+
+
+def parse_avi_rgb(
+    payload: bytes | None,
+    max_frames: int = AVI_FRAMES_MAX,
+    max_pixels: int = 1 << 22,
+):
+    """:func:`parse_avi_frames` with frames as (h, w, 3) int32 numpy
+    arrays (the :func:`parse_jpeg_rgb` form) — the per-pixel tuple
+    materialization dominated the measured decode cost (r13 profile), so
+    the telemetry hot path (:func:`video_frames`) consumes this and the
+    tuple contract survives as a wrapper. Same totality guarantees."""
     try:
         return _parse_avi_inner(payload, max_frames, max_pixels)
     except Exception:
@@ -2295,7 +2334,7 @@ def _parse_avi_inner(payload, max_frames: int, max_pixels: int):
     frames = []
     width = height = None
     for raw in raw_frames:
-        got = parse_jpeg_pixels(raw, max_pixels)
+        got = parse_jpeg_rgb(raw, max_pixels)
         if got is None:
             return None
         w, h, px = got
@@ -2337,10 +2376,14 @@ def video_frames(df: DataFrame, max_frames: int = AVI_FRAMES_MAX) -> DataFrame:
     import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r13: numpy end-to-end — parse_avi_rgb skips the per-pixel tuple
+        # materialization (was >60% of decode time) and the telemetry runs
+        # the vectorized luminance + _phash64_np twin (pytest-pinned
+        # bit-identical to luminance_grid/box_downsample/ahash64/dhash64)
         for pdf in it:
             out = {k.name: [] for k in VIDEO_FRAMES_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                got = parse_avi_frames(payload, max_frames=max_frames)
+                got = parse_avi_rgb(payload, max_frames=max_frames)
                 if got is None or not got[2]:
                     out["media_id"].append(mid)
                     for k in ("frame_idx", "n_frames", "width", "height",
@@ -2348,19 +2391,21 @@ def video_frames(df: DataFrame, max_frames: int = AVI_FRAMES_MAX) -> DataFrame:
                         out[k].append(None)
                     continue
                 w, h, frames = got
-                for fi, px in enumerate(frames):
-                    grid = luminance_grid(px)
-                    cells = box_downsample(grid)
+                for fi, rgb in enumerate(frames):
+                    lum = (
+                        299 * rgb[:, :, 0]
+                        + 587 * rgb[:, :, 1]
+                        + 114 * rgb[:, :, 2]
+                    ) // 1000
+                    a, d = _phash64_np(lum)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(fi)
                     out["n_frames"].append(len(frames))
                     out["width"].append(w)
                     out["height"].append(h)
-                    out["lum_sum"].append(
-                        sum(v for row in grid for v in row)
-                    )
-                    out["ahash"].append(ahash64(cells))
-                    out["dhash"].append(dhash64(cells))
+                    out["lum_sum"].append(int(lum.sum()))
+                    out["ahash"].append(a)
+                    out["dhash"].append(d)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, VIDEO_FRAMES_SCHEMA)
@@ -2384,16 +2429,6 @@ def decode_media(payload: bytes | None, dim: int = 8) -> list[float] | None:
     engine-portable and deterministic."""
     if not payload:
         return None
-
-    def lum_hist(grids) -> list[float]:
-        counts = [0] * dim
-        for grid in grids:
-            for row in grid:
-                for v in row:
-                    counts[v * dim // 256] += 1
-        total = max(sum(counts), 1)
-        return [round(c / total, 6) for c in counts]
-
     if payload[:8] == _PNG_SIG:
         # the vectorized luminance twin (pinned bit-identical to
         # luminance_grid(parse_png_pixels(...))) — the PNG leg is the
@@ -2409,10 +2444,16 @@ def decode_media(payload: bytes | None, dim: int = 8) -> list[float] | None:
         total = max(int(counts.sum()), 1)
         return [round(float(c) / total, 6) for c in counts]
     if payload[:2] == b"\xff\xd8":
-        got = parse_jpeg_pixels(payload)
-        if got is None:
+        lum = _image_luminance(payload)
+        if lum is None:
             return None
-        return lum_hist([luminance_grid(got[2])])
+        import numpy as np
+
+        counts = np.bincount(
+            (lum.ravel().astype(np.int64) * dim) // 256, minlength=dim
+        )
+        total = max(int(counts.sum()), 1)
+        return [round(float(c) / total, 6) for c in counts]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         got = parse_wav_samples(payload)
         if got is None or not got[3]:
@@ -2428,10 +2469,21 @@ def decode_media(payload: bytes | None, dim: int = 8) -> list[float] | None:
         total = max(sum(counts), 1)
         return [round(c / total, 6) for c in counts]
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        got = parse_avi_frames(payload)
+        got = parse_avi_rgb(payload)
         if got is None or not got[2]:
             return None
-        return lum_hist(luminance_grid(px) for px in got[2])
+        import numpy as np
+
+        counts = np.zeros(dim, dtype=np.int64)
+        for rgb in got[2]:
+            lum = (
+                299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+            ) // 1000
+            counts += np.bincount(
+                (lum.ravel().astype(np.int64) * dim) // 256, minlength=dim
+            )
+        total = max(int(counts.sum()), 1)
+        return [round(float(c) / total, 6) for c in counts]
     return None
 
 
