@@ -191,6 +191,61 @@ def nearest_centroid_expr(
     ).cast("int")
 
 
+def _nearest_centroid_sql(
+    vec_sql: str,
+    centroids: list[tuple[int, list[float]]],
+    offset: int = 0,
+    guard_len: bool = False,
+) -> str:
+    """The :func:`nearest_centroid_expr` argmax as ONE SQL string whose
+    dots are UNROLLED ``try_element_at(v,i)*w + ...`` chains instead of
+    the ``transform``/``aggregate`` lambda fold (r13, guide §4.1/§1.2):
+    higher-order-function lambdas always run INTERPRETED — ~0.5 s per
+    2000-row training action was lambda-eval overhead — while the
+    unrolled chain whole-stage-codegen-compiles and the left-to-right
+    ``+`` chain keeps the EXACT sequential IEEE add order of the fold
+    (the oracle's list_dot_product convention). Element semantics match
+    the fold bitwise:
+
+    - a missing position (vector shorter than the centroid span) →
+      try_element_at NULL → the whole chain NULL, exactly like
+      zip_with's null padding;
+    - ``guard_len`` (the unsliced whole-vector trainer): a vector
+      LONGER than the centroid also dots to NULL under zip_with (the
+      centroid side pads null) — emitted as an explicit size() guard.
+      Sliced callers (offset subspaces) pass False because slice() caps
+      the vector side first, so long vectors dot normally;
+    - the all-(-0.0)-terms chain yields -0.0 where the 0.0-seeded fold
+      yields 0.0 — comparison-equal everywhere it is used (argmax
+      only), pinned by the combined-training pytest.
+
+    Ties and degenerate inputs resolve exactly as in
+    :func:`nearest_centroid_expr` (first max; null argmax coalesces to
+    the lowest centroid id via the appended sentinel slot)."""
+    ordered = sorted(centroids)
+    dots = []
+    for _cid, c in ordered:
+        chain = " + ".join(
+            f"try_element_at({vec_sql},{offset + i + 1})*{_dlit(w)}"
+            for i, w in enumerate(c)
+        ) or "CAST(0.0 AS DOUBLE)"
+        if guard_len:
+            chain = f"IF(size({vec_sql}) <= {len(c)}, {chain}, " \
+                    f"CAST(NULL AS DOUBLE))"
+        dots.append(f"({chain})")
+    dots_sql = "array(" + ",".join(dots) + ")"
+    ids_sql = (
+        "array("
+        + ",".join(str(cid) for cid, _ in ordered)
+        + f",{ordered[0][0]})"
+    )
+    return (
+        f"CAST(try_element_at({ids_sql}, coalesce(CAST(array_position("
+        f"{dots_sql}, array_max({dots_sql})) AS INT), {len(ordered) + 1}))"
+        " AS INT)"
+    )
+
+
 def _assign_pandas_col(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """Arrow-batched argmax-dot assignment: one BLAS matmul per record
     batch instead of a k×dim codegen fold — the fast path for wide
@@ -345,6 +400,12 @@ def kmeans_train_portable(
     )
     centroids = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
     for _ in range(n_iter):
+        # Assignment stays the HOF fold: at full vector width (k*dim
+        # terms, e.g. 8*64=512) the unrolled _nearest_centroid_sql chain
+        # measured ~2x SLOWER than the interpreted fold (r13 A/B:
+        # ivf_kmeans_train 2.4->4.5 s, semantic_dedup_prune 3.2->9.8 s)
+        # — the expression is too large to codegen profitably. The
+        # unrolled form only wins at subspace width (pq_train_portable).
         sums = (
             df.select(
                 nearest_centroid_expr(vec, centroids).alias("_cid"),
@@ -629,25 +690,104 @@ def pq_train_portable(
     id_col: str = "vec_id",
     dim: int | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
-    """Per-subspace codebooks via :func:`kmeans_train_portable` over the
-    SLICED subvectors — m independent trainings, each a literal-centroid
-    map-only assign + one k×(dim/m) partial-agg shuffle per iteration.
-    Deterministic and engine-portable (md5 seeding, ordered-fold dots,
-    DECIMAL-exact update), so the SQL oracle replays every codebook."""
+    """Per-subspace codebooks — m independent trainings with the
+    :func:`kmeans_train_portable` arithmetic (md5 seeding, ordered-fold
+    dots, DECIMAL-exact update), so the SQL oracle replays every
+    codebook.
+
+    r13 (guide §1.2 — the per-action overhead WAS the query): the m
+    trainings used to run as m separate :func:`kmeans_train_portable`
+    calls = 2m driver actions per iteration round (m seed collects + m
+    partial-agg collects), and at registry corpus sizes each action's
+    job-launch/codegen overhead dwarfed the data. They now share ONE
+    seed action (seed-row selection orders by (md5-gate, id) — it does
+    not depend on the vector at all, so every subspace seeds from the
+    SAME rows, sliced driver-side) and ONE partial-agg action per
+    iteration (full-vector posexplode; position p belongs to subspace
+    p // sd, so grouping by (cid-of-that-subspace, p) never merges
+    groups across subspaces and reproduces each per-subspace sum
+    exactly; DECIMAL sums are order-independent). Bit-identical output
+    is pytest-pinned against the per-subspace form."""
+    vec = _as_double(F.col(vec_col))
     if dim is None:
-        dim = len(df.select(_as_double(F.col(vec_col))).first()[0])
+        dim = len(df.select(vec).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sd = dim // m
-    books = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(_as_double(F.col(vec_col)), j * sd + 1, sd).alias(
-                "embedding"
-            ),
+    gate = F.pmod(
+        F.expr(
+            f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ),
+        F.lit(9973),
+    )
+    seed_rows = (
+        df.select(vec.alias("_v"), gate.alias("_g"), F.col(id_col))
+        .orderBy("_g", id_col)
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [
+            (i, list(r["_v"])[j * sd : (j + 1) * sd])
+            for i, r in enumerate(seed_rows)
+        ]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        # unrolled codegen assignment per subspace (_nearest_centroid_sql
+        # with the subspace offset — slice() capping is what the offsets
+        # replicate, so no length guard; same argmax bitwise)
+        cids = F.expr(
+            "array("
+            + ",".join(
+                _nearest_centroid_sql("_v", books[j], offset=j * sd)
+                for j in range(m)
+            )
+            + ")"
         )
-        books.append(kmeans_train_portable(sub, k=k, n_iter=n_iter))
+        # slice(vec, 1, dim) = exactly the union of the subspace slices
+        # (rows with deviant vector lengths contribute the same positions
+        # the per-subspace slices produced), and it keeps element_at
+        # in-bounds under ANSI
+        sums = (
+            df.select(vec.alias("_v"))
+            .select(
+                cids.alias("_cids"),
+                F.posexplode(F.slice(F.col("_v"), 1, dim)).alias(
+                    "_pos", "_x"
+                ),
+            )
+            .select(
+                F.element_at(
+                    F.col("_cids"), (F.expr(f"_pos div {sd}") + 1).cast("int")
+                ).alias("_cid"),
+                "_pos",
+                "_x",
+            )
+            .groupBy("_cid", "_pos")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,18)")).alias("_sx"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            by.setdefault((r["_pos"] // sd, r["_cid"]), {})[
+                r["_pos"] % sd
+            ] = float(r["_sx"]) / r["_n"]
+        books = [
+            [
+                (
+                    cid,
+                    [by[(j, cid)][p] for p in sorted(by[(j, cid)])]
+                    if (j, cid) in by
+                    else prev,
+                )
+                for cid, prev in books[j]
+            ]
+            for j in range(m)
+        ]
     return books
 
 
@@ -711,6 +851,11 @@ def pq_adc_topk_portable(
     )
 
 
+#: one-slot per-session persist registry for the IVF-PQ residual relation
+#: (see ivf_pq_topk_portable) — the queries.py _PIPELINE_PERSIST pattern
+_IVFPQ_RESID_PERSIST: dict[str, DataFrame] = {}
+
+
 def ivf_pq_topk_portable(
     df: DataFrame,
     coarse_k: int = 8,
@@ -765,7 +910,22 @@ def ivf_pq_topk_portable(
         cid_col.alias("list_id"),
         residual.alias("embedding"),
     )
-    books = pq_train_portable(resid_df, m=m, k=k, n_iter=1)
+    # r13: the residual relation is referenced by every PQ-training pass
+    # AND the final probe scan; persisting it truncates the lineage so
+    # those plans read the materialized rows instead of re-running the
+    # coarse-assign + residual expressions per action (guide §5 —
+    # reused AND expensive to recompute). One-slot per-session
+    # lifecycle, freed on the next invocation inside the timed region.
+    spark = df.sparkSession
+    app_id = spark.sparkContext.applicationId
+    prev = _IVFPQ_RESID_PERSIST.pop(app_id, None)
+    if prev is not None:
+        prev.unpersist()
+    resid_df = resid_df.persist()
+    _IVFPQ_RESID_PERSIST[app_id] = resid_df
+    books = pq_train_portable(
+        resid_df, m=m, k=k, n_iter=1, dim=len(ordered_coarse[0][1])
+    )
     # driver-side query prep: full vector, probed lists, per-list
     # residual distance tables (probes × m × k doubles — all literals).
     # At 100 TB the query vector arrives as a PARAMETER (query_vec) or an

@@ -3640,3 +3640,104 @@ def test_png_fixture_numpy_matches_sql_builder(spark):
            for r in Q._png_pixel_fixture_sql(spark, sf_dir).collect()}
     assert set(new) == set(old) and len(new) > 0
     assert all(new[k] == old[k] for k in new)
+
+
+def test_pq_train_combined_matches_per_subspace(spark, embeddings):
+    """r13: pq_train_portable fuses the m per-subspace trainings into one
+    seed action + one partial-agg action per iteration. This pins the
+    fused form bit-identical to the per-subspace reference (the original
+    implementation: m independent kmeans_train_portable calls over the
+    sliced subvectors) on both a raw and a residual-shaped frame."""
+
+    def kmeans_hof(df, k, n_iter):
+        # the ORIGINAL kmeans_train_portable iteration, verbatim: md5-gate
+        # seed + nearest_centroid_expr (interpreted lambda fold) assign +
+        # DECIMAL update — the independent reference both r13 rewrites
+        # (unrolled codegen assignment, fused subspace pass) must match
+        vec = similarity._as_double(F.col("embedding"))
+        gate = F.pmod(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ),
+            F.lit(9973),
+        )
+        seed_rows = (
+            df.select(vec.alias("_v"), gate.alias("_g"), F.col("vec_id"))
+            .orderBy("_g", "vec_id")
+            .limit(k)
+            .collect()
+        )
+        centroids = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
+        for _ in range(n_iter):
+            sums = (
+                df.select(
+                    similarity.nearest_centroid_expr(vec, centroids).alias("_cid"),
+                    F.posexplode(vec).alias("_pos", "_x"),
+                )
+                .groupBy("_cid", "_pos")
+                .agg(
+                    F.sum(F.col("_x").cast("decimal(38,18)")).alias("_sx"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .collect()
+            )
+            by_cid = {}
+            for r in sums:
+                by_cid.setdefault(r["_cid"], {})[r["_pos"]] = float(r["_sx"]) / r["_n"]
+            centroids = [
+                (
+                    cid,
+                    [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                    if cid in by_cid
+                    else prev,
+                )
+                for cid, prev in centroids
+            ]
+        return centroids
+
+    def per_subspace(df, m, k, n_iter):
+        dim = len(df.select(similarity._as_double(F.col("embedding"))).first()[0])
+        sd = dim // m
+        return [
+            kmeans_hof(
+                df.select(
+                    F.col("vec_id"),
+                    F.slice(
+                        similarity._as_double(F.col("embedding")), j * sd + 1, sd
+                    ).alias("embedding"),
+                ),
+                k=k,
+                n_iter=n_iter,
+            )
+            for j in range(m)
+        ]
+
+    emb = embeddings.select("vec_id", "embedding")
+    assert similarity.pq_train_portable(emb, m=4, k=8, n_iter=1) == per_subspace(
+        emb, 4, 8, 1
+    )
+    assert similarity.pq_train_portable(emb, m=2, k=4, n_iter=2) == per_subspace(
+        emb, 2, 4, 2
+    )
+    # the whole-vector trainer against the HOF reference too
+    assert similarity.kmeans_train_portable(emb, k=4, n_iter=2) == kmeans_hof(
+        emb, 4, 2
+    )
+    # residual-shaped frame (the ivf_pq_topk_portable training input)
+    coarse = similarity.kmeans_train_portable(emb, k=4, n_iter=1)
+    vec = similarity._as_double(F.col("embedding"))
+    cid = similarity.pq_code_col(vec, [coarse])[0]
+    oc = sorted(coarse)
+    cm = F.map_from_arrays(
+        similarity.lit_longs([c for c, _ in oc]),
+        F.array(*[similarity.lit_doubles(v) for _, v in oc]),
+    )
+    resid = emb.select(
+        "vec_id",
+        F.zip_with(vec, F.element_at(cm, cid), lambda x, c: x - c).alias(
+            "embedding"
+        ),
+    )
+    assert similarity.pq_train_portable(resid, m=4, k=8, n_iter=1) == per_subspace(
+        resid, 4, 8, 1
+    )
