@@ -1440,14 +1440,47 @@ def bloom_literal_probe(
     xxhash64 bitmap with md5 positions would produce false negatives."""
     if hash_engine not in _BLOOM_ENGINES:
         raise ValueError(f"unknown hash_engine {hash_engine!r}")
-    wmap = F.create_map(
-        *[
-            x
-            for wi, w in sorted(words)
-            for x in (F.lit(int(wi)).cast("long"), F.lit(int(w)).cast("long"))
-        ]
+    # r13 (guide §4.1/§1.2): the literal bitmap used to be an F.create_map
+    # of 2·n_words F.lit Columns — thousands of py4j round trips to BUILD
+    # (measured: the bloom_decontamination query spent 5+ s of its 6.4 s
+    # build phase here) and a literal-map element_at is a LINEAR scan per
+    # probe at EVAL time (n_words/2 comparisons × k probes × grams/doc).
+    # The engine's filters are dense (bits_per_key ~32, k ~22 ⇒ most
+    # 63-bit words are non-zero), so the bitmap becomes a DENSE literal
+    # ARRAY indexed by word_idx — one F.expr string parse to build, O(1)
+    # element_at per probe, absent words explicit 0L. A sparse filter
+    # (word count far under m_bits/63 — not produced by bloom_build's
+    # sizing but legal input) keeps the map form, still built as one SQL
+    # string. (The 63-entry mask array stays: F.shiftleft only accepts a
+    # literal shift count, and array element_at on a literal array is
+    # O(1) — only the map lookup was a linear scan.)
+    ordered = sorted(words)
+    n_slots = (int(m_bits) + 62) // 63
+    dense = n_slots <= max(4096, 4 * max(1, len(ordered)))
+    if dense:
+        vals = ["0L"] * n_slots
+        for wi, w in ordered:
+            vals[int(wi)] = f"{int(w)}L"
+        warr = F.expr("array(" + ",".join(vals) + ")")
+
+        def lookup(pos: Column) -> Column:
+            return F.element_at(warr, F.floor(pos / 63).cast("int") + 1)
+    else:
+        wmap = F.expr(
+            "map("
+            + ",".join(f"{int(wi)}L,{int(w)}L" for wi, w in ordered)
+            + ")"
+        )
+
+        def lookup(pos: Column) -> Column:
+            return F.coalesce(
+                F.element_at(wmap, F.floor(pos / 63).cast("long")),
+                F.lit(0),
+            )
+
+    shifts = F.expr(
+        "array(" + ",".join(f"{1 << b}L" for b in range(63)) + ")"
     )
-    shifts = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
 
     def hit(fp: Column) -> Column:
         if hash_engine == "md5":
@@ -1463,9 +1496,7 @@ def bloom_literal_probe(
         tests = []
         for i in range(k):
             pos = (h1 + F.lit(i) * h2) % m_bits
-            word = F.coalesce(
-                F.element_at(wmap, F.floor(pos / 63).cast("long")), F.lit(0)
-            )
+            word = lookup(pos)
             mask = F.element_at(shifts, (pos % 63).cast("int") + 1)
             tests.append(word.bitwiseAND(mask) != 0)
         out = tests[0]
