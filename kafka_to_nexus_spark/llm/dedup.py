@@ -39,6 +39,7 @@ def minhash_signatures(
     shingle_k: int = 5,
     keep_cols: tuple[str, ...] = (),
     hash_engine: str = "md5",
+    emit_hashes_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature — a narrow map-only stage, no shuffle.
 
@@ -72,6 +73,14 @@ def minhash_signatures(
       Signature columns are
       LONGs instead of hex strings, which downstream banding (concat_ws
       keys) and bucket joins handle identically.
+
+    ``emit_hashes_col`` (r13, md5 engine only): additionally emit the
+    :func:`ngram_hashes` relation (top-60-bit md5 longs per distinct
+    shingle) under this column name, derived from the SAME ``_d0``
+    digests the signature minima slice — the dedup pipelines need both
+    relations and this removes their second corpus-wide digest pass
+    (guide §1.2: remove passes). Values are bit-identical to
+    :func:`ngram_hashes` (same shingle set, same md5, same slice).
     """
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
 
@@ -105,7 +114,22 @@ def minhash_signatures(
             ).alias(f"m{i}")
             for i in range(num_hashes)
         ]
+        if emit_hashes_col is not None:
+            cols.append(
+                F.transform(
+                    F.col("_d0"),
+                    lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                ).alias(emit_hashes_col)
+            )
         return with_digests.select(F.col(id_col), *keep_cols, *cols)
+    if emit_hashes_col is not None:
+        raise ValueError(
+            "emit_hashes_col requires the md5 engine (ngram_hashes is an "
+            "md5-slice relation; the xxhash64 signature digests cannot "
+            "reproduce it)"
+        )
     if hash_engine != "xxhash64":
         raise ValueError(f"unknown hash_engine {hash_engine!r}")
 

@@ -7668,7 +7668,10 @@ _PIPELINE_PERSIST: dict[str, list[DataFrame]] = {}
 
 
 def _dedup_pipeline_labels(
-    docs: DataFrame, hash_engine: str, verify_hashes: DataFrame | None = None
+    docs: DataFrame,
+    hash_engine: str,
+    verify_hashes: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ):
     """Shared composed-pipeline body (L46 and its engine-parity twin):
     full-text-fingerprinted signatures → content-ordered capped
@@ -7680,19 +7683,25 @@ def _dedup_pipeline_labels(
     pair join references the signature relation three times (ranked
     window + both self-join sides), and each reference would otherwise
     re-run the shingle-hash pass — measured 9.6 → 2.3 s for the pair
-    stage at sf0.1."""
+    stage at sf0.1.
+
+    ``sig`` (r13): a caller-built, already-persisted signature relation
+    (the md5 callers build it with ``emit_hashes_col`` so the verify
+    hashes ride the SAME corpus digest pass — one pass instead of two);
+    must carry m0..mN and ``_fp``. When None, built here as before."""
     from pyspark.sql import functions as F
 
     from .llm import dedup as llm_dedup
 
     docs = docs.withColumn("_fp", F.md5(F.col("text").cast("binary")))
-    sig = llm_dedup.minhash_signatures(
-        docs,
-        num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
-        shingle_k=5,
-        keep_cols=("_fp",),
-        hash_engine=hash_engine,
-    ).persist()
+    if sig is None:
+        sig = llm_dedup.minhash_signatures(
+            docs,
+            num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
+            shingle_k=5,
+            keep_cols=("_fp",),
+            hash_engine=hash_engine,
+        ).persist()
     pairs = llm_dedup.lsh_candidate_pairs(
         sig,
         bands=_DEDUP_PIPE_BANDS,
@@ -7716,14 +7725,29 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: the verify-side hash relation is referenced by BOTH sides of
     # the candidate join — persist it once instead of re-running the
     # corpus shingle+md5 pass per reference (ngram_jaccard docstring).
+    # r13 (2): it rides the SIGNATURE pass's _d0 digests
+    # (emit_hashes_col), so the whole pipeline runs ONE corpus digest
+    # pass instead of two — one combined persisted frame serves both
+    # relations.
+    from pyspark.sql import functions as F
     from .llm import dedup as _dd
 
-    vh = _dd.ngram_hashes(docs).persist()
-    sig, labels = _dedup_pipeline_labels(docs, "md5", verify_hashes=vh)
+    combined = _dd.minhash_signatures(
+        docs.withColumn("_fp", F.md5(F.col("text").cast("binary"))),
+        num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
+        shingle_k=5,
+        keep_cols=("_fp",),
+        hash_engine="md5",
+        emit_hashes_col="sh",
+    ).persist()
+    vh = combined.select("doc_id", "sh")
+    sig, labels = _dedup_pipeline_labels(
+        docs, "md5", verify_hashes=vh, sig=combined
+    )
     app_id = spark.sparkContext.applicationId
     for prev in _PIPELINE_PERSIST.pop(app_id, []):
         prev.unpersist()
-    _PIPELINE_PERSIST[app_id] = [sig, vh]
+    _PIPELINE_PERSIST[app_id] = [combined]
     return labels.select(
         "doc_id",
         "component_id",
@@ -7858,11 +7882,28 @@ def _q_dedup_pipeline_engine_parity(spark: SparkSession, sf_dir: str) -> DataFra
     # the mirrored corpus (guide §2.4).
     from .llm import dedup as _dd
 
-    vh = _dd.ngram_hashes(docs).persist()
-    sigs = [vh]
+    # r13 (2): the verify-hash relation rides the md5 SIGNATURE pass's
+    # _d0 digests (emit_hashes_col) — the mirrored corpus is digested
+    # twice total (once per engine) instead of three times.
+    from pyspark.sql import functions as F2
+
+    combined = _dd.minhash_signatures(
+        docs.withColumn("_fp", F2.md5(F2.col("text").cast("binary"))),
+        num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
+        shingle_k=5,
+        keep_cols=("_fp",),
+        hash_engine="md5",
+        emit_hashes_col="sh",
+    ).persist()
+    vh = combined.select("doc_id", "sh")
+    sigs = [combined]
     for engine, flag in (("md5", "merged_md5"), ("xxhash64", "merged_xxhash64")):
-        sig, labels = _dedup_pipeline_labels(docs, engine, verify_hashes=vh)
-        sigs.append(sig)
+        sig, labels = _dedup_pipeline_labels(
+            docs, engine, verify_hashes=vh,
+            sig=combined if engine == "md5" else None,
+        )
+        if engine != "md5":
+            sigs.append(sig)
         sides.append(
             labels.alias("a")
             .join(

@@ -3741,3 +3741,32 @@ def test_pq_train_combined_matches_per_subspace(spark, embeddings):
     assert similarity.pq_train_portable(resid, m=4, k=8, n_iter=1) == per_subspace(
         resid, 4, 8, 1
     )
+
+
+def test_minhash_emit_hashes_col_matches_ngram_hashes(spark):
+    """r13: minhash_signatures(emit_hashes_col=...) derives the
+    ngram_hashes relation from the signature pass's _d0 digests — one
+    corpus digest pass serving both. Pins the emitted column EXACTLY
+    equal to the standalone ngram_hashes relation and the signature
+    columns unchanged vs the plain call."""
+    docs = spark.read.parquet(
+        str(TESTDATA / "sf0.01" / "documents.parquet")
+    ).select("doc_id", "text")
+    plain = dedup.minhash_signatures(docs, num_hashes=8, shingle_k=5)
+    both = dedup.minhash_signatures(
+        docs, num_hashes=8, shingle_k=5, emit_hashes_col="sh"
+    )
+    ref = dedup.ngram_hashes(docs, shingle_k=5)
+    got = {r["doc_id"]: (tuple(r["sh"]), tuple(r[f"m{i}"] for i in range(8)))
+           for r in both.collect()}
+    want_sh = {r["doc_id"]: tuple(r["sh"]) for r in ref.collect()}
+    want_m = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(8))
+              for r in plain.collect()}
+    assert len(got) > 0
+    assert {k: v[0] for k, v in got.items()} == want_sh
+    assert {k: v[1] for k, v in got.items()} == want_m
+    # non-md5 engines cannot reproduce the md5-slice relation: loud error
+    with pytest.raises(ValueError, match="md5 engine"):
+        dedup.minhash_signatures(
+            docs, num_hashes=4, hash_engine="xxhash64", emit_hashes_col="sh"
+        )
