@@ -115,12 +115,17 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
         if emit_hashes_col is not None:
+            # array_distinct matches ngram_hashes' duplicate-free
+            # guarantee (see there) — required by ngram_jaccard's
+            # |A|+|B|-|A∩B| union-size identity
             cols.append(
-                F.transform(
-                    F.col("_d0"),
-                    lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast(
-                        "long"
-                    ),
+                F.array_distinct(
+                    F.transform(
+                        F.col("_d0"),
+                        lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast(
+                            "long"
+                        ),
+                    )
                 ).alias(emit_hashes_col)
             )
         return with_digests.select(F.col(id_col), *keep_cols, *cols)
@@ -335,12 +340,24 @@ def ngram_hashes(
     bits of md5 per distinct k-shingle as BIGINT (the family-wide
     convention). Factored out of :func:`ngram_jaccard` so callers can
     compute it once and share it across several verify passes — it does
-    not depend on the banding hash engine."""
+    not depend on the banding hash engine.
+
+    The outer ``array_distinct`` (r13) makes the array PROVABLY
+    duplicate-free even under a 60-bit slice collision inside one doc —
+    that invariant is what lets :func:`ngram_jaccard` compute the union
+    size as ``|A| + |B| - |A∩B|`` (one O(n) set op per pair instead of
+    two). It cannot change any intersect/union RESULT: Spark's
+    array_intersect/array_union already return distinct elements, so
+    deduping their inputs is a no-op on their outputs."""
     return df.select(
         F.col(id_col),
-        F.transform(
-            F.array_distinct(shingles(F.col(text_col), shingle_k)),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(shingles(F.col(text_col), shingle_k)),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
         ).alias("sh"),
     )
 
@@ -380,16 +397,28 @@ def ngram_jaccard(
         docs = docs.hint(join_hint)
     a = docs.alias("a")
     b = docs.alias("b")
+    # |A∪B| = |A| + |B| - |A∩B| — exact for duplicate-free arrays, which
+    # ngram_hashes guarantees (and emit_hashes_col mirrors). One O(n) set
+    # op per pair instead of two; pairs outnumber docs by orders of
+    # magnitude after banding, so this halves the verify stage's array
+    # work (r13, guide §1.2). Division is double/int → double, identical
+    # to the size/size form it replaces.
     joined = (
         pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
         .join(b, pairs.id_b == F.col(f"b.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh"))
-            ).alias("jaccard"),
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("_i"),
+            (F.size("a.sh") + F.size("b.sh")).alias("_na_nb"),
+        )
+        # separate projection: _i is referenced twice below, and
+        # CollapseProject keeps non-cheap aliases un-inlined, so the
+        # intersect is guaranteed to evaluate once per pair
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_i") / (F.col("_na_nb") - F.col("_i"))).alias("jaccard"),
         )
     )
     return joined

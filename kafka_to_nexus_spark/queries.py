@@ -5629,9 +5629,6 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         prev.unpersist()
     base = spark.table("documents").select("doc_id", "text")
-    docs = base.unionAll(
-        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    )
     md_hashes = F.expr(
         "transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
         " i -> substr(text, i, 5))), s -> md5(s))"
@@ -5639,7 +5636,7 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the xxhash64 engine's signature columns, renamed so one frame can
     # carry both engines (minhash_signatures emits m0..m3)
     xx_sig = llm_dedup.minhash_signatures(
-        docs, num_hashes=4, hash_engine="xxhash64"
+        base, num_hashes=4, hash_engine="xxhash64"
     ).select(
         "doc_id", *[F.col(f"m{i}").alias(f"xm{i}") for i in range(4)]
     )
@@ -5647,8 +5644,13 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide on the globally-min-hashing shingle and the candidate
     # volume dominated the query. Same 8-hex md5 slices as the
     # minhash_signatures oracle pair.
-    allsig = (
-        docs.withColumn("_h", md_hashes)
+    # r13: every signature/fingerprint column is a pure function of
+    # text, and the mirror copies text verbatim — so BOTH engines digest
+    # the BASE corpus only and the mirrored relation is the persisted
+    # base pass unioned with its doc_id-shifted projection (row-for-row
+    # identical to digesting the mirrored corpus, at half the hash work).
+    allsig_base = (
+        base.withColumn("_h", md_hashes)
         .select(
             "doc_id",
             F.md5(F.concat_ws(",", F.array_sort("_h"))).alias("fp"),
@@ -5660,7 +5662,10 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(xx_sig, "doc_id")
         .persist()
     )
-    _PARITY_PERSIST[app_id] = allsig
+    allsig = allsig_base.unionByName(
+        allsig_base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    _PARITY_PERSIST[app_id] = allsig_base
     fp = allsig.select("doc_id", "fp")
 
     def exact_pairs(sig: DataFrame) -> DataFrame:
@@ -7887,23 +7892,41 @@ def _q_dedup_pipeline_engine_parity(spark: SparkSession, sf_dir: str) -> DataFra
     # twice total (once per engine) instead of three times.
     from pyspark.sql import functions as F2
 
-    combined = _dd.minhash_signatures(
-        docs.withColumn("_fp", F2.md5(F2.col("text").cast("binary"))),
+    # r13 (3): the mirror copies TEXT verbatim, and every signature/hash
+    # column is a pure function of text — so each engine digests the
+    # BASE corpus once and the mirror rows are a doc_id-shifted
+    # projection of the same persisted pass (guide §1.2: don't compute
+    # the same thing twice). Row-for-row identical to digesting the
+    # mirrored corpus directly.
+    def _mirror(sig_base):
+        return sig_base.unionByName(
+            sig_base.withColumn("doc_id", F2.col("doc_id") + 1_000_000)
+        )
+
+    base_fp = base.withColumn("_fp", F2.md5(F2.col("text").cast("binary")))
+    combined_base = _dd.minhash_signatures(
+        base_fp,
         num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
         shingle_k=5,
         keep_cols=("_fp",),
         hash_engine="md5",
         emit_hashes_col="sh",
     ).persist()
+    xx_base = _dd.minhash_signatures(
+        base_fp,
+        num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
+        shingle_k=5,
+        keep_cols=("_fp",),
+        hash_engine="xxhash64",
+    ).persist()
+    combined = _mirror(combined_base)
     vh = combined.select("doc_id", "sh")
-    sigs = [combined]
+    sigs = [combined_base, xx_base]
     for engine, flag in (("md5", "merged_md5"), ("xxhash64", "merged_xxhash64")):
-        sig, labels = _dedup_pipeline_labels(
+        _, labels = _dedup_pipeline_labels(
             docs, engine, verify_hashes=vh,
-            sig=combined if engine == "md5" else None,
+            sig=combined if engine == "md5" else _mirror(xx_base),
         )
-        if engine != "md5":
-            sigs.append(sig)
         sides.append(
             labels.alias("a")
             .join(
