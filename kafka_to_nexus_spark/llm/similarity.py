@@ -1231,7 +1231,8 @@ def srp_planes(dim: int, bits: int = 16, seed: str = "srp") -> list[list[float]]
 
 def srp_signature_col(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-packed SRP signature (bit j = sign(v · h_j)) as a long — pure
-    codegen fold, no shuffle, no UDF."""
+    codegen fold, no shuffle, no UDF. Reference construction (kept as the
+    bit-exactness witness for :func:`srp_signature_expr`)."""
     sig = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         h = lit_doubles(plane)
@@ -1240,6 +1241,31 @@ def srp_signature_col(vec: Column, planes: list[list[float]]) -> Column:
         )
         sig = sig + bit * F.lit(2**j).cast("long")
     return sig
+
+
+def srp_signature_expr(vec_sql: str, planes: list[list[float]]) -> Column:
+    """:func:`srp_signature_col` built as ONE parsed SQL expression.
+
+    The Column-fold form costs hundreds of py4j round trips (16 planes x
+    several Column ops each) — measured ~1.4-2.4 s of pure DRIVER time
+    per query build at bits=16, dim=64 (r13; same failure mode
+    :func:`lit_doubles` fixed for centroid literals). The parsed
+    expression is the IDENTICAL Catalyst tree: same aggregate/zip_with
+    fold in array order, same CASE/long arithmetic — pinned bit-exact
+    against the fold form in tests. ``vec_sql`` is the vector as a SQL
+    fragment (e.g. ``CAST(embedding AS ARRAY<DOUBLE>)``)."""
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "array(" + ",".join(_dlit(float(x)) for x in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {d} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            f" * CAST({2**j} AS BIGINT)"
+        )
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def srp_signatures(
@@ -1251,9 +1277,9 @@ def srp_signatures(
 ) -> DataFrame:
     return df.select(
         id_col,
-        srp_signature_col(_as_double(F.col(vec_col)), srp_planes(dim, bits)).alias(
-            "srp_sig"
-        ),
+        srp_signature_expr(
+            f"CAST({vec_col} AS ARRAY<DOUBLE>)", srp_planes(dim, bits)
+        ).alias("srp_sig"),
     )
 
 
@@ -1287,14 +1313,22 @@ def srp_candidate_pairs(
         # the core or the cap emits self-edges and null-predecessor chains
         raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     band_bits = bits // bands
+    # r13: signature as one parsed expression (driver-build cost, see
+    # srp_signature_expr); the norm rides per ROW so the verify stage
+    # computes one norm per banded row instead of two per candidate pair
+    # (guide §1.2 — same sqrt(dot) expression, same double).
     sig = df.select(
         id_col,
         _as_double(F.col(vec_col)).alias("_v"),
-        srp_signature_col(_as_double(F.col(vec_col)), srp_planes(dim, bits)).alias("_sig"),
+        norm(_as_double(F.col(vec_col))).alias("_n"),
+        srp_signature_expr(
+            f"CAST({vec_col} AS ARRAY<DOUBLE>)", srp_planes(dim, bits)
+        ).alias("_sig"),
     )
     banded = sig.select(
         id_col,
         "_v",
+        "_n",
         F.explode(
             F.array(
                 *[
@@ -1308,7 +1342,18 @@ def srp_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "_v", "bk.band", "bk.band_val")
+    ).select(id_col, "_v", "_n", "bk.band", "bk.band_val")
+
+    # r13: cosine is computed the moment both vectors meet (join output /
+    # capped-edge projection) so the pair-dedup groupBy shuffles ONE
+    # double per pair instead of two dim-wide vectors (guide §2.3/§8:
+    # dedup on a lightweight proxy, not the payload). Every duplicate
+    # instance of a pair carries the identical rounded cosine — id_a/id_b
+    # always name the _va/_vb owners — so first() returns the same value
+    # the old vector-carrying agg produced.
+    def _cos(va, na, vb, nb) -> Column:
+        return F.round(dot(va, vb) / (na * nb), 6)
+
     star = None
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -1318,25 +1363,29 @@ def srp_candidate_pairs(
             banded.withColumn("_rk", F.row_number().over(w))
             .withColumn("_cid", F.first(id_col).over(w))
             .withColumn("_cv", F.first("_v").over(w))
+            .withColumn("_cn", F.first("_n").over(w))
             .withColumn("_pid", F.lag(id_col).over(w))
             .withColumn("_pv", F.lag("_v").over(w))
+            .withColumn("_pn", F.lag("_n").over(w))
         )
         capped_out = ranked.filter(F.col("_rk") > max_bucket)
         star = capped_out.select(
             F.col("_cid").alias("id_a"),
             F.col(id_col).alias("id_b"),
-            F.col("_cv").alias("_va"),
-            F.col("_v").alias("_vb"),
+            _cos(F.col("_cv"), F.col("_cn"), F.col("_v"), F.col("_n")).alias(
+                "cosine"
+            ),
         ).unionByName(
             capped_out.select(
                 F.col("_pid").alias("id_a"),
                 F.col(id_col).alias("id_b"),
-                F.col("_pv").alias("_va"),
-                F.col("_v").alias("_vb"),
+                _cos(F.col("_pv"), F.col("_pn"), F.col("_v"), F.col("_n")).alias(
+                    "cosine"
+                ),
             )
         )
         banded = ranked.filter(F.col("_rk") <= max_bucket).drop(
-            "_rk", "_cid", "_cv", "_pid", "_pv"
+            "_rk", "_cid", "_cv", "_cn", "_pid", "_pv", "_pn"
         )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
@@ -1347,27 +1396,13 @@ def srp_candidate_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a._v").alias("_va"),
-        F.col("b._v").alias("_vb"),
+        _cos(
+            F.col("a._v"), F.col("a._n"), F.col("b._v"), F.col("b._n")
+        ).alias("cosine"),
     )
     if star is not None:
         pairs = pairs.unionByName(star)
-    return (
-        pairs.groupBy("id_a", "id_b")
-        .agg(
-            F.first(F.col("_va")).alias("_va"),
-            F.first(F.col("_vb")).alias("_vb"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("_va"), F.col("_vb"))
-                / (norm(F.col("_va")) * norm(F.col("_vb"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
+    return pairs.groupBy("id_a", "id_b").agg(F.first("cosine").alias("cosine"))
 
 
 def ivf_assign(

@@ -814,6 +814,26 @@ def test_srp_signature_matches_numpy(spark, embeddings):
         assert got[row.vec_id] == expect
 
 
+def test_srp_signature_expr_matches_fold_form(spark, embeddings):
+    """The single-parsed-expression signature (r13 driver-build fix) is
+    bit-identical to the reference Column-fold construction — same
+    aggregate/zip_with tree, so every sign decision matches even for
+    dots at rounding boundaries."""
+    from pyspark.sql import functions as F
+
+    planes = similarity.srp_planes(64, 16)
+    both = embeddings.select(
+        "vec_id",
+        similarity.srp_signature_expr(
+            "CAST(embedding AS ARRAY<DOUBLE>)", planes
+        ).alias("e"),
+        similarity.srp_signature_col(
+            F.col("embedding").cast("array<double>"), planes
+        ).alias("c"),
+    )
+    assert both.filter("e IS DISTINCT FROM c").count() == 0
+
+
 def test_srp_candidates_rank_similar_vectors(spark):
     """A vector and its tiny perturbation share all SRP bits → the pair
     must surface as a candidate with cosine ≈ 1."""
