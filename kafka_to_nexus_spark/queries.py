@@ -6874,7 +6874,68 @@ FROM m JOIN nfr na ON na.vid = m.id_a JOIN nfr nb ON nb.vid = m.id_b
 """
 
 
+def _wav_fixture_payloads(it):
+    """mapInPandas worker for :func:`_wav_fp_fixture`: numpy-vectorized
+    PCM synthesis, BYTE-IDENTICAL to the SQL builder
+    (:func:`_wav_fp_fixture_sql`) — pinned by pytest at sf0.001 and
+    proven by full-corpus md5 comparison at sf0.01/sf0.1 during the r13
+    optimization round (the _png_fixture_payloads move, guide §4.2).
+    All intermediates stay < 2^62 in int64 (h < P ~ 2^31, h*h < 2^62),
+    matching the SQL builder's BIGINT-safety argument."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    P = 2147483629
+    for pdf in it:
+        mids: list[int] = []
+        payloads: list[bytes] = []
+        for d in pdf["d"]:
+            d = int(d)
+            ch = d % 2 + 1
+            n_s = ch * 128
+            bump_j = (d * 7 % 61 + 1) * 2 * ch
+            j = np.arange(n_s, dtype=np.int64)
+            h = (d * 131 + j * 17 + 7) % P
+            h = (h * h) % P
+            u0 = (h * h) % P % 65536
+            header = (
+                b"RIFF" + struct.pack("<I", n_s * 2 + 36) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, 8000,
+                                        ch * 16000, ch * 2, 16)
+                + b"data" + struct.pack("<I", n_s * 2)
+            )
+            for v in (0, 1):
+                u = u0
+                if v:
+                    u = u0.copy()
+                    u[bump_j] += 1
+                s16 = ((u - 32768) % 65536).astype("<u2")
+                mids.append(d * 2 + v)
+                payloads.append(header + s16.tobytes())
+        yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+
 def _wav_fp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): PCM WAVs for the audio-fingerprint family
+    (L90), synthesized numpy-vectorized in one mapInPandas —
+    BYTE-IDENTICAL to :func:`_wav_fp_fixture_sql` (the original SQL
+    builder, kept as the cross-implementation witness), pytest-pinned.
+    The SQL form's interpreted higher-order expression tree cost
+    7.2 s cold / 1.3-1.8 s per warm evaluation at sf0.1 — and every
+    consumer re-evaluates the fixture inline — vs ~0.1 CPU-seconds of
+    numpy (r13, guide §4.2)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(F.col("doc_id").alias("d"))
+    return docs.mapInPandas(
+        _wav_fixture_payloads, "media_id long, payload binary"
+    )
+
+
+def _wav_fp_fixture_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): SQL-built PCM WAVs for the audio-fingerprint
     family (L90) — per doc TWO variants (the _png_pixel_fixture move):
     v=0 the base clip (128 frames, mono even doc_id / stereo odd,

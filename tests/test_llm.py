@@ -3662,6 +3662,23 @@ def test_png_fixture_numpy_matches_sql_builder(spark):
     assert all(new[k] == old[k] for k in new)
 
 
+def test_wav_fixture_numpy_matches_sql_builder(spark):
+    """r13 optimization: the WAV PCM fixture is synthesized
+    numpy-vectorized in mapInPandas (same move as the PNG fixture — the
+    SQL higher-order builder ran interpreted and every audio consumer
+    re-evaluated it inline). The SQL builder stays as the independent
+    witness: both must emit BYTE-IDENTICAL payloads for every media_id."""
+    from kafka_to_nexus_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    new = {r.media_id: bytes(r.payload)
+           for r in Q._wav_fp_fixture(spark, sf_dir).collect()}
+    old = {r.media_id: bytes(r.payload)
+           for r in Q._wav_fp_fixture_sql(spark, sf_dir).collect()}
+    assert set(new) == set(old) and len(new) > 0
+    assert all(new[k] == old[k] for k in new)
+
+
 def test_pq_train_combined_matches_per_subspace(spark, embeddings):
     """r13: pq_train_portable fuses the m per-subspace trainings into one
     seed action + one partial-agg action per iteration. This pins the
