@@ -292,22 +292,42 @@ def lsh_candidate_pairs(
             .withColumn("_canon", F.first(id_col).over(w))
             .withColumn("_prev", F.lag(id_col).over(w))
         )
+        # Materialize the ranked relation ONCE (r13, guide §2.4): it
+        # feeds THREE plan legs (the star projection and both self-join
+        # sides), and Spark replans — not shares — repeated DataFrame
+        # references, so the un-checkpointed form re-ran the
+        # scan→explode→exchange→sort→window subtree per leg (measured
+        # 3× at sf0.1; 17.3 → 13.9 s on the parity certificate). The
+        # materialized rows are narrow — (id, band, band_key, rank,
+        # canon, prev); chain_cols are consumed by the window order and
+        # dropped BEFORE the checkpoint — bands × N rows, the same
+        # order as the banding shuffle this path already pays, so the
+        # storage cost at scale is one extra copy of the banded keys,
+        # against three recomputes of the exchange+sort.
+        ranked = ranked.drop(*chain_cols).localCheckpoint()
         capped_out = ranked.filter(F.col("_rk") > max_bucket)
         # chain order is by content, not id, so a predecessor can carry a
         # LARGER id — canonicalize to (least, greatest) to keep the
         # family-wide id_a < id_b contract and let distinct() dedupe
-        # against the capped clique
+        # against the capped clique. One explode leg emits BOTH the star
+        # edge and the chain edge (r13): same multiset as the former
+        # two-projection union, one evaluation of capped_out.
         star = capped_out.select(
-            F.least("_canon", id_col).alias("id_a"),
-            F.greatest("_canon", id_col).alias("id_b"),
-        ).unionByName(
-            capped_out.select(
-                F.least("_prev", id_col).alias("id_a"),
-                F.greatest("_prev", id_col).alias("id_b"),
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("_canon", id_col).alias("id_a"),
+                        F.greatest("_canon", id_col).alias("id_b"),
+                    ),
+                    F.struct(
+                        F.least("_prev", id_col).alias("id_a"),
+                        F.greatest("_prev", id_col).alias("id_b"),
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.id_a", "_e.id_b")
         banded = ranked.filter(F.col("_rk") <= max_bucket).drop(
-            "_rk", "_canon", "_prev", *chain_cols
+            "_rk", "_canon", "_prev"
         )
     else:
         banded = banded_signatures(sig, id_col, bands, rows_per_band)
@@ -645,6 +665,84 @@ def connected_components(
     ).select(
         id_col,
         F.coalesce("label", F.col(id_col)).alias("component_id"),
+    )
+
+
+def mirror_merged_flags(
+    edges: DataFrame,
+    base_vertices: DataFrame,
+    flag: str,
+    id_col: str = "doc_id",
+    offset: int = 1_000_000,
+    driver_edge_threshold: int = 500_000,
+) -> DataFrame:
+    """Per-base-vertex "did CC merge v with its mirror v+offset?" flag —
+    the output relation of the engine-parity certificates. Semantically
+    identical to ``connected_components(edges, mirrored_vertices)``
+    followed by a self-join on ``a.id + offset == b.id`` and
+    ``a.component_id == b.component_id``, but in the tiny-edge regime
+    (the one the driver union-find already owns — same threshold) it
+    answers from the label map directly: one pruned scan of the base
+    vertex ids plus two broadcast joins of the edge-touched label
+    relation, instead of materializing corpus-sized labels twice and
+    self-joining them (r13, measured 13.3 → 11.0 s on the parity
+    certificate at sf0.1). An untouched vertex is a singleton labelled
+    by its own id — ``coalesce`` reproduces CC's join-back exactly, so
+    the flag values are identical in both regimes. Past the threshold
+    it falls back to the full :func:`connected_components` + self-join
+    shape, keeping the certificate's scale behavior the same as the
+    pipeline it certifies."""
+    edges = edges.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).localCheckpoint()
+    ids = base_vertices.select(F.col(id_col).cast("long").alias(id_col))
+    if edges.count() > driver_edge_threshold:
+        mirrored = ids.unionByName(
+            ids.select((F.col(id_col) + offset).alias(id_col))
+        )
+        labels = connected_components(edges, mirrored, id_col)
+        return (
+            labels.alias("a")
+            .join(
+                labels.alias("b"),
+                F.col(f"a.{id_col}") + offset == F.col(f"b.{id_col}"),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                (F.col("a.component_id") == F.col("b.component_id")).alias(
+                    flag
+                ),
+            )
+        )
+    lab = _driver_union_find(edges)
+    return (
+        ids.join(
+            F.broadcast(
+                lab.select(
+                    F.col("v").alias(id_col), F.col("label").alias("_lb")
+                )
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    (F.col("v") - offset).alias(id_col),
+                    F.col("label").alias("_lm"),
+                )
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("_lb"), F.col(id_col))
+                == F.coalesce(F.col("_lm"), F.col(id_col) + offset)
+            ).alias(flag),
+        )
     )
 
 

@@ -7768,18 +7768,36 @@ def _dedup_pipeline_labels(
             keep_cols=("_fp",),
             hash_engine=hash_engine,
         ).persist()
+    verified = _dedup_pipeline_verified(docs, sig, verify_hashes)
+    labels = llm_dedup.connected_components(verified, docs, "doc_id")
+    return sig, labels
+
+
+def _dedup_pipeline_verified(
+    docs: DataFrame, sig: DataFrame, verify_hashes: DataFrame | None
+) -> DataFrame:
+    """The pipeline's verified-edge relation (pairs → thresholded
+    jaccard) — factored out of :func:`_dedup_pipeline_labels` so the
+    parity certificate can route edges through
+    ``mirror_merged_flags`` (regime-switched flag computation) instead
+    of materializing full label relations per engine (r13). The ``sh``
+    column (the verify-hash array riding combined signature frames) is
+    dropped before banding: the pair path never reads it, and keeping
+    it widens the checkpointed ranked relation for nothing."""
+    from pyspark.sql import functions as F
+
+    from .llm import dedup as llm_dedup
+
     pairs = llm_dedup.lsh_candidate_pairs(
-        sig,
+        sig.drop("sh"),
         bands=_DEDUP_PIPE_BANDS,
         rows_per_band=_DEDUP_PIPE_ROWS,
         max_bucket=_JACCARD_MAX_BUCKET,
         chain_col="_fp",
     )
-    verified = llm_dedup.ngram_jaccard(
+    return llm_dedup.ngram_jaccard(
         docs, pairs, join_hint="merge", hashes=verify_hashes
     ).filter(F.round(F.col("jaccard"), 6) >= _DEDUP_PIPE_TAU)
-    labels = llm_dedup.connected_components(verified, docs, "doc_id")
-    return sig, labels
 
 
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7983,22 +8001,22 @@ def _q_dedup_pipeline_engine_parity(spark: SparkSession, sf_dir: str) -> DataFra
     combined = _mirror(combined_base)
     vh = combined.select("doc_id", "sh")
     sigs = [combined_base, xx_base]
+    # r13 (4): each engine side feeds its VERIFIED edges to
+    # mirror_merged_flags — in the tiny-edge regime (the one the driver
+    # union-find already owns) the flag is answered from the label map
+    # with one pruned base-id scan + two broadcast joins per engine,
+    # instead of materializing corpus-sized label relations twice per
+    # engine and self-joining them; past the edge threshold it falls
+    # back to the full CC + self-join shape, so the certificate keeps
+    # the pipeline's scale regimes. Output identical (oracle-checked).
+    docs_fp = docs.withColumn("_fp", F.md5(F.col("text").cast("binary")))
     for engine, flag in (("md5", "merged_md5"), ("xxhash64", "merged_xxhash64")):
-        _, labels = _dedup_pipeline_labels(
-            docs, engine, verify_hashes=vh,
-            sig=combined if engine == "md5" else _mirror(xx_base),
+        verified = _dedup_pipeline_verified(
+            docs_fp,
+            combined if engine == "md5" else _mirror(xx_base),
+            vh,
         )
-        sides.append(
-            labels.alias("a")
-            .join(
-                labels.alias("b"),
-                F.col("a.doc_id") + 1_000_000 == F.col("b.doc_id"),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_id"),
-                (F.col("a.component_id") == F.col("b.component_id")).alias(flag),
-            )
-        )
+        sides.append(_dd.mirror_merged_flags(verified, base, flag))
     for prev in _PARITY_PIPE_PERSIST.pop(app_id, []):
         prev.unpersist()
     _PARITY_PIPE_PERSIST[app_id] = sigs

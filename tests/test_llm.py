@@ -905,6 +905,52 @@ def test_connected_components_chain_diameter(spark):
     assert {r.component_id for r in comp} == {0}
 
 
+def test_mirror_merged_flags_matches_cc_self_join(spark):
+    """mirror_merged_flags must equal connected_components + the +offset
+    self-join in BOTH regimes (driver union-find fast path and the
+    distributed fallback) — including transitive merges (d reaches
+    d+offset only through an intermediary) and singleton/one-sided-edge
+    docs."""
+    off = 1_000_000
+    # base docs 0..5; edges: 0<->mirror directly; 1 reaches mirror via 2;
+    # 3 touched but NOT merged with its mirror; 4 untouched; 5's mirror
+    # only touched on the mirror side.
+    edges = spark.createDataFrame(
+        [
+            (0, off + 0),
+            (1, 2),
+            (2, off + 1),
+            (3, 2),
+            (off + 5, off + 3),
+        ],
+        ["id_a", "id_b"],
+    )
+    base = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    mirrored = base.unionByName(
+        base.select((F.col("doc_id") + off).alias("doc_id"))
+    )
+    labels = dedup.connected_components(edges, mirrored)
+    expected = {
+        r.doc_id: r.flag
+        for r in labels.alias("a")
+        .join(labels.alias("b"), F.col("a.doc_id") + off == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            (F.col("a.component_id") == F.col("b.component_id")).alias("flag"),
+        )
+        .collect()
+    }
+    for thresh in (500_000, 0):  # driver-UF regime, distributed regime
+        got = {
+            r.doc_id: r.flag
+            for r in dedup.mirror_merged_flags(
+                edges, base, "flag", offset=off, driver_edge_threshold=thresh
+            ).collect()
+        }
+        assert got == expected, (thresh, got, expected)
+    assert expected == {0: True, 1: True, 2: False, 3: False, 4: False, 5: False}
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     rows = [
         (0, "contact bob@example.com or +1 (555) 123-4567 now"),
