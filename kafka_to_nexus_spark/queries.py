@@ -5668,36 +5668,60 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PARITY_PERSIST[app_id] = allsig_base
     fp = allsig.select("doc_id", "fp")
 
-    def exact_pairs(sig: DataFrame) -> DataFrame:
-        cand = llm_dedup.lsh_candidate_pairs(sig, bands=1, rows_per_band=4)
-        # same sort-merge shape as the jaccard family's verify joins
-        # (PLANS.md): the fingerprint relation is corpus-sized — one row
-        # per doc — so auto-broadcast would be the 100 TB-invalid plan
-        x, y = fp.hint("merge").alias("x"), fp.hint("merge").alias("y")
-        return (
-            cand.join(x, F.col("id_a") == F.col("x.doc_id"))
-            .join(y, F.col("id_b") == F.col("y.doc_id"))
-            .filter(F.col("x.fp") == F.col("y.fp"))
-            .select("id_a", "id_b")
-        )
-
-    md_sig = allsig.select("doc_id", "m0", "m1", "m2", "m3")
-    xx_band = allsig.select(
-        "doc_id", *[F.col(f"xm{i}").alias(f"m{i}") for i in range(4)]
+    # r13 (4): ONE tagged pipeline for both engines instead of two
+    # independent exact-pair pipelines full-outer-joined at the end.
+    # Each engine's single band key rides the same allsig row, so one
+    # explode tags every doc with (engine, band_key); the bucket
+    # self-join keys on (engine, band_key) — buckets never mix engines —
+    # and the fp-equality verify runs ONCE over the tagged candidate
+    # union (two sort-merge joins instead of four). The final
+    # full-outer join becomes a groupBy(id_a, id_b) flag aggregate,
+    # which also stops the old plan from RE-RUNNING both candidate
+    # pipelines as the join's two inputs. Pair sets and flags are
+    # identical: with one band a pair surfaces at most once per engine,
+    # verify is deterministic per pair, and bool_or over the engine tags
+    # reproduces the in_md5/in_xxhash64 columns of the full-outer form
+    # (a pair missing from an engine's set simply has no row with that
+    # tag — the old join's null → coalesce(False)).
+    banded = allsig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("m").alias("eng"),
+                    F.concat_ws("|", "m0", "m1", "m2", "m3").alias("bk"),
+                ),
+                F.struct(
+                    F.lit("x").alias("eng"),
+                    F.concat_ws("|", "xm0", "xm1", "xm2", "xm3").alias("bk"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.eng", "_b.bk")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.eng") == F.col("r.eng"))
+        & (F.col("l.bk") == F.col("r.bk"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.eng").alias("eng"),
+        F.col("l.doc_id").alias("id_a"),
+        F.col("r.doc_id").alias("id_b"),
     )
-    return (
-        exact_pairs(md_sig).withColumn("in_md5", F.lit(True))
-        .join(
-            exact_pairs(xx_band).withColumn("in_xxhash64", F.lit(True)),
-            ["id_a", "id_b"],
-            "full_outer",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.coalesce("in_md5", F.lit(False)).alias("in_md5"),
-            F.coalesce("in_xxhash64", F.lit(False)).alias("in_xxhash64"),
-        )
+    # same sort-merge shape as the jaccard family's verify joins
+    # (PLANS.md): the fingerprint relation is corpus-sized — one row
+    # per doc — so auto-broadcast would be the 100 TB-invalid plan
+    x, y = fp.hint("merge").alias("x"), fp.hint("merge").alias("y")
+    verified = (
+        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .filter(F.col("x.fp") == F.col("y.fp"))
+        .select("eng", "id_a", "id_b")
+    )
+    return verified.groupBy("id_a", "id_b").agg(
+        F.max(F.col("eng") == "m").alias("in_md5"),
+        F.max(F.col("eng") == "x").alias("in_xxhash64"),
     )
 
 
