@@ -1901,19 +1901,23 @@ def _dsir_sql(bucket_expr: str) -> str:
     return f"""
 bk AS (SELECT doc_id, lang, {bucket_expr} AS b, count(*) AS tf
        FROM grams GROUP BY doc_id, lang, {bucket_expr}),
-rdist AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS rc FROM bk GROUP BY b),
-tdist AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS tc FROM bk
-          WHERE lang = 'en' GROUP BY b),
+-- raw and target distributions in ONE aggregation (r13): tc's
+-- conditional sum is NULL exactly when the old WHERE lang='en' leg had
+-- no row for the bucket, so coalesce(tc, 0) reproduces the LEFT JOIN
+-- byte-for-byte at half the exchanges
+dist AS (SELECT b, CAST(sum(tf) AS DOUBLE) AS rc,
+                CAST(sum(CASE WHEN lang = 'en' THEN tf END) AS DOUBLE) AS tc
+         FROM bk GROUP BY b),
 tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS rt,
                CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS DOUBLE)
                  AS tt
         FROM bk),
 lr AS (
   SELECT r.b,
-         CAST(round(ln(((coalesce(t.tc, 0) + 1) / (tot.tt + {_DSIR_BUCKETS}.0))
+         CAST(round(ln(((coalesce(r.tc, 0) + 1) / (tot.tt + {_DSIR_BUCKETS}.0))
                        / ((r.rc + 1) / (tot.rt + {_DSIR_BUCKETS}.0))), 6)
               AS DECIMAL(28, 6)) AS lr
-  FROM rdist r LEFT JOIN tdist t ON r.b = t.b CROSS JOIN tot
+  FROM dist r CROSS JOIN tot
 )
 SELECT bk.doc_id,
        CAST(sum(bk.tf) AS BIGINT) AS n_features,
@@ -2009,7 +2013,12 @@ def _dsir_parity_leg(alias: str, bucket_expr: str, src: str = "bk_g") -> str:
 # minhash_engine_parity precedent): inlined CTEs re-execute per
 # reference, and the two legs reference it 7× between them — the
 # un-persisted form measured 16 documents scans / 32 exchanges / 4.1 s
-# at sf0.1 vs 2.2 s persisted.
+# at sf0.1 vs 2.2 s persisted. r13: BOTH engines' bucket hashes are
+# computed here, once per gram row, and the gram STRING is dropped from
+# the persisted relation — the tail's repeated references used to
+# recompute md5(g)/xxhash64(g) on each of their three reads (and cache
+# the heaviest column for nothing). Injective bucket space is
+# unchanged; only where the hash is evaluated moves.
 _DSIR_PARITY_BKG_SQL = """
 WITH w AS (
   SELECT doc_id, lang, filter(split(lower(text), ' '), x -> x <> '') AS ws
@@ -2024,23 +2033,54 @@ grams AS (
        i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))
        b AS w1, w2
 )
-SELECT doc_id, lang, g, count(*) AS tf FROM grams GROUP BY doc_id, lang, g
+SELECT doc_id, lang,
+       CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) AS b_m,
+       xxhash64(g) AS b_x,
+       count(*) AS tf
+FROM grams GROUP BY doc_id, lang, g
 """
 
-_DSIR_PARITY_TAIL = """
+# r13 tail rework (same values, fewer passes): each engine's raw and
+# target distributions fuse into ONE aggregation (the conditional sum is
+# NULL exactly when the old WHERE lang='en' leg had no bucket row, so
+# coalesce reproduces the LEFT JOIN); both legs' per-doc weights come
+# from ONE group-by-doc over bk_g joined to both lr relations — the
+# per-bucket DECIMAL products are unchanged and DECIMAL sums are
+# order-independent, so totals are bit-identical to the old
+# two-leg-join form. Exchanges: 2×(rd+td+group-by-doc)+final join = 8
+# → 2×(dist)+1 group-by-doc = 3.
+_DSIR_PARITY_TAIL = f"""
 WITH tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS rt,
                CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS DOUBLE) AS tt
-        FROM dsir_parity_bk_g),""" + _dsir_parity_leg(
-    "m",
-    "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)",
-    src="dsir_parity_bk_g",
-) + "," + _dsir_parity_leg(
-    "x", "xxhash64(g)", src="dsir_parity_bk_g"
-) + """
-SELECT m_w.doc_id, m_w.n_features,
-       m_w.w AS dsir_logweight_md5,
-       x_w.w AS dsir_logweight_xx
-FROM m_w JOIN x_w ON m_w.doc_id = x_w.doc_id
+        FROM dsir_parity_bk_g),
+m_dist AS (SELECT b_m AS b, CAST(sum(tf) AS DOUBLE) AS rc,
+                  CAST(sum(CASE WHEN lang = 'en' THEN tf END) AS DOUBLE) AS tc
+           FROM dsir_parity_bk_g GROUP BY b_m),
+m_lr AS (
+  SELECT r.b,
+         CAST(round(ln(((coalesce(r.tc, 0) + 1) / (tot.tt + {_DSIR_PARITY_B}.0))
+                       / ((r.rc + 1) / (tot.rt + {_DSIR_PARITY_B}.0))), 6)
+              AS DECIMAL(28, 6)) AS lr
+  FROM m_dist r CROSS JOIN tot
+),
+x_dist AS (SELECT b_x AS b, CAST(sum(tf) AS DOUBLE) AS rc,
+                  CAST(sum(CASE WHEN lang = 'en' THEN tf END) AS DOUBLE) AS tc
+           FROM dsir_parity_bk_g GROUP BY b_x),
+x_lr AS (
+  SELECT r.b,
+         CAST(round(ln(((coalesce(r.tc, 0) + 1) / (tot.tt + {_DSIR_PARITY_B}.0))
+                       / ((r.rc + 1) / (tot.rt + {_DSIR_PARITY_B}.0))), 6)
+              AS DECIMAL(28, 6)) AS lr
+  FROM x_dist r CROSS JOIN tot
+)
+SELECT k.doc_id,
+       CAST(sum(k.tf) AS BIGINT) AS n_features,
+       CAST(sum(k.tf * lm.lr) AS DOUBLE) AS dsir_logweight_md5,
+       CAST(sum(k.tf * lx.lr) AS DOUBLE) AS dsir_logweight_xx
+FROM dsir_parity_bk_g k
+JOIN m_lr lm ON k.b_m = lm.b
+JOIN x_lr lx ON k.b_x = lx.b
+GROUP BY k.doc_id
 """
 
 # one-slot per-session cache of the parity gram pass (own slot: sharing
