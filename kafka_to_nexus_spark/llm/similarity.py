@@ -792,16 +792,41 @@ def pq_train_portable(
 
 
 def pq_code_col(
-    vec: Column, codebooks: list[list[tuple[int, list[float]]]]
+    vec: Column | str, codebooks: list[list[tuple[int, list[float]]]]
 ) -> list[Column]:
     """Per-subspace code columns: max-inner-product assignment against the
     literal codebook (min -cid tie-break), the same portable struct-max
     fold as :func:`kmeans_assignment_stats_portable`. Narrow map — at
     scale these are the STORED columns; computing them inline keeps the
-    registry query self-contained."""
+    registry query self-contained.
+
+    ``vec`` may be a SQL string naming the vector expression (r13): the
+    Column form costs ~20 ms of py4j round trips PER centroid struct
+    (the zip_with/aggregate lambdas and the named_struct each cross the
+    bridge — 1.75 s of pure driver time per ivf_pq_topk build); the
+    string form renders the IDENTICAL expression tree — same slice,
+    same zip_with/aggregate fold (still the interpreted-HOF eval the
+    whole-vector A/B favored), same struct-max tie-break, same
+    BIGINT cast — as ONE parsed expression per subspace. Bit-equality
+    with the Column form is pytest-pinned. Callers whose vector is a
+    computed Column (e.g. the residual in _ivf_pq_encoded) keep the
+    Column path."""
     sd = len(codebooks[0][0][1])
     cols = []
     for j, cb in enumerate(codebooks):
+        if isinstance(vec, str):
+            structs = ",".join(
+                "named_struct('s', aggregate(zip_with("
+                f"slice({vec},{j * sd + 1},{sd}), "
+                "array(" + ",".join(_dlit(float(x)) for x in c) + "), "
+                "(x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + x), 'nc', {-cid})"
+                for cid, c in sorted(cb)
+            )
+            cols.append(
+                F.expr(f"CAST(-(array_max(array({structs})).nc) AS BIGINT)")
+            )
+            continue
         sub = F.slice(vec, j * sd + 1, sd)
         scored = [
             F.named_struct(
@@ -830,7 +855,7 @@ def pq_adc_topk_portable(
     (rounded score desc, id). No join, no shuffle beyond the top-k."""
     sd = len(codebooks[0][0][1])
     vec = _as_double(F.col(vec_col))
-    codes = pq_code_col(vec, codebooks)
+    codes = pq_code_col(f"CAST({vec_col} AS ARRAY<DOUBLE>)", codebooks)
     score = None
     for j, cb in enumerate(codebooks):
         q_sub = query_vec[j * sd : (j + 1) * sd]
@@ -897,7 +922,7 @@ def ivf_pq_topk_portable(
         df, k=coarse_k, n_iter=1, vec_col=vec_col, id_col=id_col
     )
     ordered_coarse = sorted(coarse)
-    cid_col = pq_code_col(vec, [coarse])[0]
+    cid_col = pq_code_col(f"CAST({vec_col} AS ARRAY<DOUBLE>)", [coarse])[0]
     cent_map = F.map_from_arrays(
         lit_longs([cid for cid, _ in ordered_coarse]),
         F.array(*[lit_doubles(c) for _, c in ordered_coarse]),
@@ -945,7 +970,7 @@ def ivf_pq_topk_portable(
         ordered_coarse, key=lambda t: (-_seq_dot(q, t[1]), t[0])
     )
     probed = by_dot[:probes]
-    codes = pq_code_col(F.col("embedding"), books)
+    codes = pq_code_col("embedding", books)
     score = _ivf_pq_adc_score(books, probed, q, F.col("list_id"), codes)
     probed_ids = [lcid for lcid, _ in probed]
     return (
@@ -1009,7 +1034,7 @@ def _ivf_pq_encoded(
         raise ValueError("coarse/codebook sizes must be <= 4096")
     vec = _as_double(F.col(vec_col))
     ordered_coarse = sorted(coarse)
-    cid_col = pq_code_col(vec, [coarse])[0]
+    cid_col = pq_code_col(f"CAST({vec_col} AS ARRAY<DOUBLE>)", [coarse])[0]
     cent_map = F.map_from_arrays(
         lit_longs([cid for cid, _ in ordered_coarse]),
         F.array(*[lit_doubles(c) for _, c in ordered_coarse]),

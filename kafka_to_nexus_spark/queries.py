@@ -9017,7 +9017,7 @@ def _q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    cid_col = sim.pq_code_col(vec, [coarse])[0]
+    cid_col = sim.pq_code_col("CAST(embedding AS ARRAY<DOUBLE>)", [coarse])[0]
     pexact = (
         emb.filter(F.col("vec_id") != 0)
         .filter(cid_col.isin(probed))
@@ -9122,7 +9122,7 @@ def _ivf_pq_layout(spark: SparkSession, sf_dir: str):
 
     vec = F.col("embedding").cast("array<double>")
     ordered_coarse = sorted(coarse)
-    cid_col = sim.pq_code_col(vec, [coarse])[0]
+    cid_col = sim.pq_code_col("CAST(embedding AS ARRAY<DOUBLE>)", [coarse])[0]
     cent_map = F.map_from_arrays(
         sim.lit_longs([cid for cid, _ in ordered_coarse]),
         F.array(*[sim.lit_doubles(c) for _, c in ordered_coarse]),

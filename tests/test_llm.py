@@ -3725,6 +3725,34 @@ def test_wav_fixture_numpy_matches_sql_builder(spark):
     assert all(new[k] == old[k] for k in new)
 
 
+def test_pq_code_col_string_form_matches_column_form(spark, embeddings):
+    """r13: pq_code_col accepts the vector as a SQL string and renders
+    the struct-max assignment as ONE parsed expression per subspace
+    (the Column form cost a py4j round trip per centroid struct). The
+    codes must be identical for every row under both forms, on both the
+    multi-subspace and the whole-vector (coarse) shapes."""
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(str(TESTDATA / "sf0.001" / "embeddings.parquet"))
+    books = sim.pq_train_portable(emb, m=4, k=4, n_iter=1)
+    coarse = sim.kmeans_train_portable(emb, k=4, n_iter=1)
+    for cbs in ([coarse], books):
+        col_form = sim.pq_code_col(
+            F.col("embedding").cast("array<double>"), cbs
+        )
+        str_form = sim.pq_code_col("CAST(embedding AS ARRAY<DOUBLE>)", cbs)
+        cmp = emb.select(
+            *[c.alias(f"a{j}") for j, c in enumerate(col_form)],
+            *[c.alias(f"b{j}") for j, c in enumerate(str_form)],
+        )
+        bad = cmp.filter(
+            " OR ".join(
+                f"(NOT (a{j} <=> b{j}))" for j in range(len(cbs))
+            )
+        ).count()
+        assert bad == 0
+
+
 def test_pq_train_combined_matches_per_subspace(spark, embeddings):
     """r13: pq_train_portable fuses the m per-subspace trainings into one
     seed action + one partial-agg action per iteration. This pins the
