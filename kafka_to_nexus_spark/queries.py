@@ -20,7 +20,7 @@ Determinism rules (driver hashes values after sorting columns by name):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -179,6 +179,50 @@ def _sql(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
     run.__name__ = f"query_{name}"
     return run
+
+
+def _run_sql_materialized(
+    spark: SparkSession, sql: str, cte_names: Sequence[str], tag: str
+) -> DataFrame:
+    """Execute a CTE query with the named CTEs materialized ONCE each
+    (r13, guide §2.4): Spark inlines deterministic CTEs at every
+    reference site, so a CTE referenced N times re-runs its whole
+    subtree N times in the physical plan (the DuckDB oracle, by
+    contrast, shares CTE results — the engines were not even running
+    the same amount of work). Each named CTE is evaluated in its
+    definition order, localCheckpoint-ed (these are the narrow
+    AGGREGATED relations — doc-term / bigram-type rows, far smaller
+    than the corpus text they derive from), registered as a temp view,
+    and its definition body swapped for a view read; the surrounding
+    SQL text — the cross-engine certificate — is untouched.
+    Bit-identical by construction: the view holds exactly the rows the
+    inlined subtree produces and every downstream operator consumes the
+    same relation. Paren matching is textual: CTE bodies must not
+    contain string literals with unbalanced parentheses (none of the
+    registry texts do)."""
+    import re as _re
+
+    for nm in cte_names:
+        m = _re.search(rf"(?m)^\s*{nm} AS \(", sql)
+        if m is None:
+            raise ValueError(f"CTE {nm!r} not found in query text")
+        start = sql.index("(", m.start())
+        depth, i = 0, start
+        while True:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        view = f"_mat_{tag}_{nm}"
+        spark.sql(
+            sql[: i + 1] + f" SELECT * FROM {nm}"
+        ).localCheckpoint().createOrReplaceTempView(view)
+        sql = sql[: start + 1] + f"SELECT * FROM {view}" + sql[i:]
+    return spark.sql(sql)
 
 
 # ---------------------------------------------------------------------------
@@ -2271,7 +2315,15 @@ bg AS (
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     _, total_tokens = _spark_corpus_stats(spark, sf_dir)
-    return spark.sql(_BIGRAM_SQL["spark"].format(total=total_tokens))
+    # bgf (the doc-bigram tf relation) is referenced by bc, cc AND the
+    # contrib join — inlined, the tokenize→bigram→groupBy subtree ran
+    # 3× (plus freq's own terms pass). Materialize it once (r13).
+    return _run_sql_materialized(
+        spark,
+        _BIGRAM_SQL["spark"].format(total=total_tokens),
+        ("bgf",),
+        "bigram",
+    )
 
 
 # --- L75: interpolated Kneser-Ney bigram LM ----------------------------------
@@ -2328,6 +2380,36 @@ bg AS (
        b AS w1, w2
 ),
 """ + _KN_TAIL
+
+
+def _q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf (doc-lang-term counts) is referenced by cls, cw, v, nd and the
+    # contrib join — inlined, the tokenize→groupBy subtree ran 5×.
+    register_views(spark, sf_dir, ("documents",))
+    return _run_sql_materialized(
+        spark, SPARK_SQL["nb_lang_classifier"], ("tf",), "nb"
+    )
+
+
+def _q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bgf feeds bc + the contrib join; bc feeds cc, cont, tot + the
+    # contrib join — inlined, the corpus tokenization ran 5× and the
+    # doc-bigram shuffle 5×. Materialize both relations once, in order
+    # (bc's pass reads the bgf view, not the corpus).
+    register_views(spark, sf_dir, ("documents",))
+    return _run_sql_materialized(
+        spark, SPARK_SQL["kneser_ney_bigram_score"], ("bgf", "bc"), "kn"
+    )
+
+
+def _q_js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf (source-term counts) is referenced by stot, vtot, tot and the
+    # grid join — inlined, the corpus tokenization ran 4×.
+    register_views(spark, sf_dir, ("documents",))
+    return _run_sql_materialized(
+        spark, SPARK_SQL["js_source_drift"], ("tf",), "js"
+    )
+
 
 ORACLE["kneser_ney_bigram_score"] = """
 WITH w AS (
@@ -3048,7 +3130,17 @@ def _q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents").select(
         "doc_id", F.expr(_WEBPIPE_FX_SPARK).alias("html")
     )
-    x = llm_text.extract_html_text(d)
+    # Materialize the two narrow per-doc stage boundaries ONCE (r13,
+    # guide §2.4/§3.3): each downstream op references its input on
+    # several plan legs and Spark replans rather than shares repeated
+    # DataFrame references — unchecked, the 9-regex HTML chain ran 9×
+    # and the boilerplate explode+aggregate 4× in ONE plan (81
+    # regexp_replace nodes, 18 parquet scans). The checkpointed rows
+    # are one curated-text copy per doc plus a few longs — the same
+    # bytes every stage boundary of a production curation pipeline
+    # writes anyway; against 8 recomputes of the full regex chain the
+    # trade is one-sided at any scale.
+    x = llm_text.extract_html_text(d).localCheckpoint()
     b = llm_text.remove_boilerplate_lines(
         x.select("doc_id", "text"), min_docs=_BOILERPLATE_MIN_DOCS
     )
@@ -3057,7 +3149,7 @@ def _q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("kept_text", "\n", " ").alias("text"),
         "n_lines",
         F.col("n_dropped").alias("n_dropped_lines"),
-    )
+    ).localCheckpoint()
     s = llm_text.remove_duplicate_spans(
         flat, k=_DUPSPAN_K, min_docs=2, min_run=_DUPSPAN_MIN_RUN
     )
@@ -9480,6 +9572,12 @@ QUERY_FUNCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": _q_dedup_keep_canonical,
     "dedup_keep_best": _q_dedup_keep_best,
     "bigram_logprob_score": _q_bigram_logprob,
+    # r13: SQL-text queries whose hot CTEs are materialized once by a
+    # custom builder (_run_sql_materialized) — overrides the _sql()
+    # auto-wiring; the SPARK_SQL/ORACLE texts stay the certificate.
+    "nb_lang_classifier": _q_nb_lang_classifier,
+    "kneser_ney_bigram_score": _q_kneser_ney_bigram,
+    "js_source_drift": _q_js_source_drift,
     "bpe_token_counts": _q_bpe_token_counts,
     "bpe_trained_token_counts": _q_bpe_trained_counts,
     "bpe_trained_tokenization": _q_bpe_trained_tokenization,

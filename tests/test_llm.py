@@ -3725,6 +3725,34 @@ def test_wav_fixture_numpy_matches_sql_builder(spark):
     assert all(new[k] == old[k] for k in new)
 
 
+def test_run_sql_materialized_matches_inline(spark):
+    """r13: _run_sql_materialized swaps named CTE bodies for
+    localCheckpoint-ed temp views (Spark re-runs an inlined CTE's
+    subtree at every reference site). The rewritten query must return
+    exactly the inline query's rows, for a single- and a two-CTE
+    materialization; a missing CTE name must fail loudly."""
+    import pytest
+
+    from kafka_to_nexus_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    Q.register_views(spark, sf_dir, ("documents",))
+    for name, ctes in (
+        ("nb_lang_classifier", ("tf",)),
+        ("kneser_ney_bigram_score", ("bgf", "bc")),
+    ):
+        sql = Q.SPARK_SQL[name]
+        inline = sorted(map(tuple, spark.sql(sql).collect()))
+        mat = sorted(
+            map(tuple, Q._run_sql_materialized(spark, sql, ctes, "t").collect())
+        )
+        assert mat == inline and len(mat) > 0
+    with pytest.raises(ValueError, match="no_such_cte"):
+        Q._run_sql_materialized(
+            spark, Q.SPARK_SQL["nb_lang_classifier"], ("no_such_cte",), "t"
+        )
+
+
 def test_pq_code_col_string_form_matches_column_form(spark, embeddings):
     """r13: pq_code_col accepts the vector as a SQL string and renders
     the struct-max assignment as ONE parsed expression per subspace
