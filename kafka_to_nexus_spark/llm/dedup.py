@@ -13,6 +13,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -390,6 +392,7 @@ def ngram_jaccard(
     shingle_k: int = 5,
     join_hint: str | None = None,
     hashes: DataFrame | None = None,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact Jaccard verification on candidate pairs only (broadcastable
     doc-side when the candidate set is small). ``join_hint="merge"`` pins
@@ -411,7 +414,13 @@ def ngram_jaccard(
     corpus — the engine-parity certificates run it four times — can
     build it once, persist it, and pass it here instead of paying a
     corpus-sized shingle+md5 pass per reference (guide §2.4: share the
-    computation, not just the exchange)."""
+    computation, not just the exchange).
+
+    ``carry_cols`` (r13): names of extra ``pairs`` columns to pass
+    through to the output unchanged — lets a caller verify the DISTINCT
+    union of several candidate sets in ONE pass with per-set membership
+    flags riding along (the jaccard value is engine-independent, so
+    verifying a pair once serves every set that surfaced it)."""
     docs = ngram_hashes(df, text_col, id_col, shingle_k) if hashes is None else hashes
     if join_hint is not None:
         docs = docs.hint(join_hint)
@@ -429,6 +438,7 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
+            *carry_cols,
             F.size(F.array_intersect("a.sh", "b.sh")).alias("_i"),
             (F.size("a.sh") + F.size("b.sh")).alias("_na_nb"),
         )
@@ -438,6 +448,7 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
+            *carry_cols,
             (F.col("_i") / (F.col("_na_nb") - F.col("_i"))).alias("jaccard"),
         )
     )

@@ -8166,13 +8166,57 @@ def _q_dedup_pipeline_engine_parity(spark: SparkSession, sf_dir: str) -> DataFra
     # back to the full CC + self-join shape, so the certificate keeps
     # the pipeline's scale regimes. Output identical (oracle-checked).
     docs_fp = docs.withColumn("_fp", F.md5(F.col("text").cast("binary")))
-    for engine, flag in (("md5", "merged_md5"), ("xxhash64", "merged_xxhash64")):
-        verified = _dedup_pipeline_verified(
-            docs_fp,
-            combined if engine == "md5" else _mirror(xx_base),
-            vh,
+    # r13 (5): ONE verify pass for both engines (the minhash-parity fuse,
+    # item 12, applied to the composed pipeline). Banding stays
+    # per-engine — the band keys ARE the engine under test — but the
+    # jaccard of a pair is engine-independent and the two engines'
+    # candidate sets overlap almost entirely (both surface the same
+    # exact-dup chains), so verifying the DISTINCT pair union once with
+    # per-engine membership flags replaces the two corpus-array verify
+    # joins (~2.7 s warm each) with one. Equivalence: each engine's
+    # verified edge SET is {pairs it surfaced} ∩ {jaccard ≥ τ} — the
+    # groupBy preserves exact per-engine membership (pair sets are
+    # distinct() already) and the checkpointed verify relation feeds
+    # both engine filters without re-running the join.
+    pairs_by_engine = {
+        engine: _dd.lsh_candidate_pairs(
+            (combined if engine == "md5" else _mirror(xx_base)).drop("sh"),
+            bands=_DEDUP_PIPE_BANDS,
+            rows_per_band=_DEDUP_PIPE_ROWS,
+            max_bucket=_JACCARD_MAX_BUCKET,
+            chain_col="_fp",
         )
-        sides.append(_dd.mirror_merged_flags(verified, base, flag))
+        for engine in ("md5", "xxhash64")
+    }
+    tagged = pairs_by_engine["md5"].select(
+        "id_a", "id_b", F.lit(True).alias("_m"), F.lit(False).alias("_x")
+    ).unionByName(
+        pairs_by_engine["xxhash64"].select(
+            "id_a", "id_b", F.lit(False).alias("_m"), F.lit(True).alias("_x")
+        )
+    ).groupBy("id_a", "id_b").agg(
+        F.max("_m").alias("_in_md5"), F.max("_x").alias("_in_xx")
+    )
+    verified_all = (
+        _dd.ngram_jaccard(
+            docs_fp,
+            tagged,
+            join_hint="merge",
+            hashes=vh,
+            carry_cols=("_in_md5", "_in_xx"),
+        )
+        .filter(F.round(F.col("jaccard"), 6) >= _DEDUP_PIPE_TAU)
+        .select("id_a", "id_b", "_in_md5", "_in_xx")
+        .localCheckpoint()
+    )
+    for col, flag in (("_in_md5", "merged_md5"), ("_in_xx", "merged_xxhash64")):
+        sides.append(
+            _dd.mirror_merged_flags(
+                verified_all.filter(F.col(col)).select("id_a", "id_b"),
+                base,
+                flag,
+            )
+        )
     for prev in _PARITY_PIPE_PERSIST.pop(app_id, []):
         prev.unpersist()
     _PARITY_PIPE_PERSIST[app_id] = sigs

@@ -3882,6 +3882,84 @@ def test_pq_train_combined_matches_per_subspace(spark, embeddings):
     )
 
 
+def test_fused_verify_matches_per_engine_verify(spark):
+    """r13: the parity certificate verifies the DISTINCT union of both
+    engines' candidate pairs in ONE ngram_jaccard pass with membership
+    flags (carry_cols). Each engine's flag-filtered verified edge set
+    must equal the edge set of a separate per-engine verify."""
+    from kafka_to_nexus_spark import queries as Q
+    from kafka_to_nexus_spark.llm import dedup as _dd
+
+    sf_dir = "/root/testdata/sf0.001"
+    Q.register_views(spark, sf_dir, ("documents",))
+    base = spark.table("documents").select("doc_id", "text")
+    docs = base.unionAll(
+        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    docs_fp = docs.withColumn("_fp", F.md5(F.col("text").cast("binary")))
+    vh = _dd.ngram_hashes(docs).persist()
+    sigs = {
+        e: _dd.minhash_signatures(
+            docs_fp,
+            num_hashes=Q._DEDUP_PIPE_BANDS * Q._DEDUP_PIPE_ROWS,
+            shingle_k=5,
+            keep_cols=("_fp",),
+            hash_engine=e,
+        ).persist()
+        for e in ("md5", "xxhash64")
+    }
+    pairs = {
+        e: _dd.lsh_candidate_pairs(
+            sigs[e],
+            bands=Q._DEDUP_PIPE_BANDS,
+            rows_per_band=Q._DEDUP_PIPE_ROWS,
+            max_bucket=Q._JACCARD_MAX_BUCKET,
+            chain_col="_fp",
+        )
+        for e in ("md5", "xxhash64")
+    }
+    sep = {
+        e: {
+            (r.id_a, r.id_b)
+            for r in _dd.ngram_jaccard(
+                docs_fp, pairs[e], join_hint="merge", hashes=vh
+            )
+            .filter(F.round(F.col("jaccard"), 6) >= Q._DEDUP_PIPE_TAU)
+            .collect()
+        }
+        for e in ("md5", "xxhash64")
+    }
+    tagged = (
+        pairs["md5"]
+        .select("id_a", "id_b", F.lit(True).alias("_m"), F.lit(False).alias("_x"))
+        .unionByName(
+            pairs["xxhash64"].select(
+                "id_a", "id_b", F.lit(False).alias("_m"), F.lit(True).alias("_x")
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_m").alias("_in_md5"), F.max("_x").alias("_in_xx"))
+    )
+    fused = (
+        _dd.ngram_jaccard(
+            docs_fp,
+            tagged,
+            join_hint="merge",
+            hashes=vh,
+            carry_cols=("_in_md5", "_in_xx"),
+        )
+        .filter(F.round(F.col("jaccard"), 6) >= Q._DEDUP_PIPE_TAU)
+        .collect()
+    )
+    got_md5 = {(r.id_a, r.id_b) for r in fused if r._in_md5}
+    got_xx = {(r.id_a, r.id_b) for r in fused if r._in_xx}
+    assert got_md5 == sep["md5"] and len(got_md5) > 0
+    assert got_xx == sep["xxhash64"] and len(got_xx) > 0
+    for d in (sigs.values(), (vh,)):
+        for f in d:
+            f.unpersist()
+
+
 def test_minhash_emit_hashes_col_matches_ngram_hashes(spark):
     """r13: minhash_signatures(emit_hashes_col=...) derives the
     ngram_hashes relation from the signature pass's _d0 digests — one
