@@ -956,8 +956,19 @@ def _neardup_admission_body(
     # dedup here buys ~2% less verify work for a whole extra shuffle
     # (measured at sf0.1: 13019 -> 12809 candidates, distinct cost 1.1 s)
     cand = cand_lsh.unionByName(cand_fp)
+    # The verify join MUST build on the candidate side (r13, guide §3.1):
+    # un-hinted, the planner auto-broadcast the STANDING shingle relation
+    # (its parquet size estimate sits under the threshold at bench SFs) —
+    # a per-batch BroadcastExchange over the whole standing corpus, and
+    # past the threshold it would degrade to shuffling the standing
+    # arrays every micro-batch. The candidate⊳arrival-sh side is
+    # arrival-sized (bounded by the stored layout's bucket caps — the
+    # same contract that already broadcasts a_band/a_fp/a_sh), so
+    # pinning the build there keeps the standing side a streamed scan:
+    # arrival-side-only compute at any corpus size.
     ver = (
         cand.join(a_sh.alias("x").hint("broadcast"), cand.id_a == F.col("x.doc_id"))
+        .hint("broadcast")
         .join(stored_sh.alias("y"), cand.id_b == F.col("y.doc_id"))
         .select(
             "id_a",

@@ -485,6 +485,42 @@ def test_semantic_dedup_joins_on_cluster_key(spark):
     assert "centroid_id" in plan, plan
 
 
+def test_neardup_admission_builds_on_arrival_side(spark, tmp_path):
+    """r13: the admission verify join must BUILD on the candidate
+    (arrival-sized) side and STREAM the stored shingle relation. At
+    bench SFs the un-hinted planner auto-broadcast the STANDING
+    relation (its size estimate sits under the threshold) — a per-batch
+    BroadcastExchange over the whole standing corpus; past the
+    threshold it would shuffle the standing arrays every micro-batch.
+    Pin: the BroadcastHashJoin keyed on id_b (the stored-side doc) is
+    BuildLeft."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("standing text body "), F.col("id")).alias("text"),
+    )
+    nd = str(tmp_path / "nd")
+    dedup.write_neardup_banding_layout(docs, nd)
+    arrivals = spark.range(5).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.concat(F.lit("standing text body "), F.col("id")).alias("text"),
+    )
+    df = dedup.neardup_admission(spark, nd, arrivals, tau=0.5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"\((\d+)\) BroadcastHashJoin\nLeft keys \[1\]: \[id_b", plan)
+    assert m, plan
+    assert re.search(
+        rf"BroadcastHashJoin Inner BuildLeft \({m.group(1)}\)", plan
+    ), plan
+
+
 def test_token_budget_histogram_is_tiny_window(spark):
     """L39: the cumulative sum runs over the 1000-bin histogram, never the
     corpus — the SinglePartition exchange must sit ABOVE the per-bin
