@@ -1765,11 +1765,17 @@ def _q_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = llm_dedup.neardup_admission(
         spark, layout, arrivals, tau=_INC_ND_TAU
     ).select("doc_id", F.col("admitted").alias("_nd_ok"))
+    # r13: pass2 feeds TWO plan legs (the quota ranking and the final
+    # stage join) and Spark replans repeated references — both probe
+    # DAGs (bloom membership + exact check + near-dup admission) ran
+    # twice. Materialize the arrival-sized decision relation once
+    # (4 narrow columns per arrival doc); plan: 92 Exchanges → the
+    # single probe pass.
     pass2 = (
         arrivals.select("doc_id", "source")
         .join(dec, "doc_id")
         .join(nd, "doc_id")
-    )
+    ).localCheckpoint()
     survivors = pass2.filter(~F.col("exact_dup") & F.col("_nd_ok"))
     ranked = survivors.withColumn(
         "_rk",

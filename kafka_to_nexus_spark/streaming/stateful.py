@@ -1183,6 +1183,12 @@ def _admit_batch_against(
         state["nd_params"], state["band"], state["fp"], state["sh"],
         batch, tau=tau, text_col=text_col, id_col=id_col,
     ).select(id_col, F.col("admitted").alias("_nd_ok"))
+    # r13: pass2 feeds two plan legs (quota ranking + final stage join).
+    # Deliberately NOT checkpointed here: leg-timing showed the decide
+    # ≈ the sum of its single-evaluation legs (exchange reuse already
+    # dedupes the repeated subtree), and a per-batch localCheckpoint
+    # would pin a block the session's close() doesn't own (the
+    # checkpoint-release test catches exactly that leak).
     pass2 = fp.select(id_col, source_col).join(member, id_col).join(nd, id_col)
     survivors = pass2.filter(~F.col("bloom_positive") & F.col("_nd_ok"))
     ranked = survivors.withColumn(
