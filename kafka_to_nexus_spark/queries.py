@@ -1781,8 +1781,11 @@ def _q_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_rk",
         F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
     ).select("doc_id", F.col("_rk"))
+    # broadcast the arrival-sized rank relation: the checkpointed inputs
+    # carry no size statistics, so the planner would otherwise SMJ two
+    # relations that are both arrival-sized (2 extra exchanges + sorts)
     return (
-        pass2.join(ranked, "doc_id", "left")
+        pass2.join(F.broadcast(ranked), "doc_id", "left")
         .select(
             "doc_id",
             "source",

@@ -955,19 +955,49 @@ def test_weighted_sample_plan_is_take_ordered(spark):
 
 def test_admission_pipeline_plan_shape(spark):
     """admission_pipeline: the composed gate inherits every stage's scale
-    shape — no cartesian anywhere, arrival sides broadcast into the
-    stored relations, and the only Window is the arrival-sized quota
-    rank (the standing corpus is never re-capped per batch: that pin
-    lives on the stored-probe plan this query reuses)."""
+    shape. r13 split: the PROBE DAG (bloom membership + exact check +
+    near-dup admission) is materialized once behind a localCheckpoint,
+    so its shape is asserted on the un-checkpointed decision relation —
+    arrival sides broadcast into the stored relations, the Bloom bitmap
+    read from the stored layout (never rebuilt inline) — while the
+    final plan must be checkpoint-scan + the arrival-sized quota rank +
+    a broadcast stage join, with no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_nexus_spark.llm import dedup as llm_dedup
+
+    # probe DAG, exactly as the builder composes it before its checkpoint
+    dec, _ = Q._bloom_decisions(spark, SF_DIR)
+    layout = Q._neardup_layout(spark, SF_DIR)
+    arrivals = spark.table("documents").filter(F.col("doc_id") % 10 == 0)
+    nd = llm_dedup.neardup_admission(
+        spark, layout, arrivals, tau=Q._INC_ND_TAU
+    ).select("doc_id", F.col("admitted").alias("_nd_ok"))
+    pass2 = (
+        arrivals.select("doc_id", "source").join(dec, "doc_id").join(nd, "doc_id")
+    )
+    probe = pass2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in probe, probe
+    assert "BroadcastHashJoin" in probe, probe
+    # the Bloom bitmap is a STORED layout — the probe must read it from
+    # the layout dir, never run the corpus-sized build inline. (The
+    # read path's small generation fold — bit_or over the ~n_keys/10-row
+    # words parquet — is a legitimate part of the stored read; the
+    # forbidden shape is a distinct over corpus fingerprints feeding
+    # it, which would show as an extra corpus-text scan.)
+    assert "k2n_bloom_layout" in probe, probe[:3000]
+
     plan = _executed_plan(spark, "admission_pipeline")
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the broadcast stage join
     assert plan.count("Window") <= 2, plan
-    # r13: the Bloom bitmap is a STORED layout — the plan must read the
-    # words relation from parquet, not rebuild the corpus-sized
-    # distinct + bit_or aggregation inline per run
-    assert "k2n_bloom_layout" in plan, plan[:3000]
-    assert plan.count("bit_or") == 0, plan
+    # the probe ran once at checkpoint time: the final plan reads the
+    # materialized decision relation, not the probe joins
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_image_phash_near_dup_plan_is_banded_equi_join(spark):
