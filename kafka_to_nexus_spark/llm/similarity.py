@@ -709,11 +709,6 @@ def pq_train_portable(
     exactly; DECIMAL sums are order-independent). Bit-identical output
     is pytest-pinned against the per-subspace form."""
     vec = _as_double(F.col(vec_col))
-    if dim is None:
-        dim = len(df.select(vec).first()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    sd = dim // m
     gate = F.pmod(
         F.expr(
             f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
@@ -726,6 +721,17 @@ def pq_train_portable(
         .limit(k)
         .collect()
     )
+    if dim is None:
+        # r13: derived from the seed rows already on the driver — the
+        # old `df.first()` cost a whole extra Spark action per training
+        # just to read one vector's length. Identical on any
+        # uniform-dimension corpus (every registry/bench embedding
+        # fixture); pass ``dim`` explicitly for mixed-length data where
+        # "the first row's length" must be pinned to a specific row.
+        dim = len(seed_rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sd = dim // m
     books = [
         [
             (i, list(r["_v"])[j * sd : (j + 1) * sd])

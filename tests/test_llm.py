@@ -3753,6 +3753,21 @@ def test_run_sql_materialized_matches_inline(spark):
         )
 
 
+def test_pq_train_seed_derived_dim_matches_explicit(spark, embeddings):
+    """r13: pq_train_portable derives dim from the seed rows (the old
+    df.first() cost an extra Spark action per training). On the
+    uniform-dimension fixtures the codebooks must be identical to an
+    explicit-dim training."""
+    from kafka_to_nexus_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(str(TESTDATA / "sf0.001" / "embeddings.parquet"))
+    derived = sim.pq_train_portable(emb, m=4, k=4, n_iter=1)
+    explicit = sim.pq_train_portable(emb, m=4, k=4, n_iter=1, dim=64)
+    assert derived == explicit
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train_portable(emb, m=7, k=4, n_iter=1)
+
+
 def test_pq_code_col_string_form_matches_column_form(spark, embeddings):
     """r13: pq_code_col accepts the vector as a SQL string and renders
     the struct-max assignment as ONE parsed expression per subspace
