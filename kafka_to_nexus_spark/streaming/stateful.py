@@ -1510,41 +1510,64 @@ class AdmissionSession:
             "_fp", self.bloom_meta, self.bloom_params,
         )
         bloom_dir = llm_dedup.resolve_bloom_generation(self.bloom_layout)
-        new_words = self._persist_via_write(
-            new_words,
-            lambda df: df.write.mode("append").parquet(
-                os.path.join(bloom_dir, "words")
-            ),
-        )
-        new_params.write.mode("append").parquet(
-            os.path.join(bloom_dir, "params")
-        )
-        self._words.append(new_words)
-        # near-dup fold: occupancy from the cached view (no parquet re-agg)
+        # near-dup fold: occupancy from the cached view (no parquet
+        # re-agg); built BEFORE any append so the cap sees the
+        # pre-batch bucket population, exactly as the serial fold did
         occupancy = self._union(self._band).groupBy("band", "band_key").agg(
             F.count("*").alias("_n")
         )
         capped_new, fp_new, sh_new = llm_dedup._neardup_append_frames(
             self.nd_params, occupancy, admitted, self.text_col, self.id_col
         )
-        capped_new = self._persist_via_write(
-            capped_new,
-            lambda df: df.write.mode("append").partitionBy("band").parquet(
-                os.path.join(self.neardup_layout, "banding")
-            ),
-        )
-        fp_new = self._persist_via_write(
-            fp_new,
-            lambda df: df.write.mode("append").parquet(
-                os.path.join(self.neardup_layout, "fingerprints")
-            ),
-        )
-        sh_new = self._persist_via_write(
-            sh_new,
-            lambda df: df.write.mode("append").parquet(
-                os.path.join(self.neardup_layout, "shingle_hashes")
-            ),
-        )
+        # r13 (guide §2.6): the five append jobs are independent —
+        # different target dirs, all derived from the persisted state +
+        # this batch — so overlap them from a small pool instead of
+        # paying five job latencies serially (~1.1 s/batch measured →
+        # the slowest single job). State-list mutation stays on THIS
+        # thread, after every job has finished; _pieces.append from the
+        # workers is a GIL-atomic list append used only for release.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_words = pool.submit(
+                self._persist_via_write,
+                new_words,
+                lambda df: df.write.mode("append").parquet(
+                    os.path.join(bloom_dir, "words")
+                ),
+            )
+            f_params = pool.submit(
+                lambda: new_params.write.mode("append").parquet(
+                    os.path.join(bloom_dir, "params")
+                )
+            )
+            f_capped = pool.submit(
+                self._persist_via_write,
+                capped_new,
+                lambda df: df.write.mode("append").partitionBy("band").parquet(
+                    os.path.join(self.neardup_layout, "banding")
+                ),
+            )
+            f_fp = pool.submit(
+                self._persist_via_write,
+                fp_new,
+                lambda df: df.write.mode("append").parquet(
+                    os.path.join(self.neardup_layout, "fingerprints")
+                ),
+            )
+            f_sh = pool.submit(
+                self._persist_via_write,
+                sh_new,
+                lambda df: df.write.mode("append").parquet(
+                    os.path.join(self.neardup_layout, "shingle_hashes")
+                ),
+            )
+            new_words = f_words.result()
+            f_params.result()
+            capped_new, fp_new, sh_new = (
+                f_capped.result(), f_fp.result(), f_sh.result(),
+            )
+        self._words.append(new_words)
         self._band.append(capped_new)
         self._fp.append(fp_new)
         self._sh.append(sh_new)
