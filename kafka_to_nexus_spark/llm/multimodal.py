@@ -2825,12 +2825,25 @@ def append_video_phash_layout(
         )
         .drop("_rk", "_n")
     )
-    capped_new.write.mode("append").partitionBy("band_idx").parquet(
-        os.path.join(path, "banding")
-    )
-    h.select("_id", "_nf").distinct().write.mode("append").parquet(
-        os.path.join(path, "nframes")
-    )
+    # r13 (guide §2.6): the two appends are independent (different
+    # dirs, both derived from the batch + stored occupancy) — overlap
+    # them instead of paying two job latencies per micro-batch
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_band = pool.submit(
+            lambda: capped_new.write.mode("append")
+            .partitionBy("band_idx")
+            .parquet(os.path.join(path, "banding"))
+        )
+        f_nf = pool.submit(
+            lambda: h.select("_id", "_nf")
+            .distinct()
+            .write.mode("append")
+            .parquet(os.path.join(path, "nframes"))
+        )
+        f_band.result()
+        f_nf.result()
 
 
 def compact_phash_layout(spark, path: str) -> None:
