@@ -337,26 +337,45 @@ def _run_e2e_streaming_admission(spark, sf_dir: str, n_batches: int = 2) -> None
 
     work = tempfile.mkdtemp(prefix="bench_admit_")
     nd = f"{work}/neardup"
-    shutil.copytree(Q._neardup_layout(spark, sf_dir), nd)
+    src_nd = Q._neardup_layout(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source")
     standing = docs.filter(F.col("doc_id") % 10 != 0)
     arrivals = docs.filter(F.col("doc_id") % 10 == 0)
     bloom = f"{work}/bloom"
-    llm_dedup.write_bloom_layout(
-        standing.select(F.md5("text").alias("_fp")), bloom, "_fp",
-        k=4, bits_per_key=6)
-    n_arr = arrivals.count()
-    step = n_arr // n_batches + 1
-    from pyspark.sql.window import Window as _W
+    # r14 (guide §2.6): the per-run setup legs are independent — the
+    # layout copy (pure filesystem), the bloom-layout build (Spark
+    # jobs), and the arrival-input prep (count + ordered JSON writes) —
+    # so overlap them instead of paying their latencies serially; the
+    # measured admission stream itself is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
 
-    ordered = arrivals.withColumn(
-        "_rk", F.row_number().over(_W.orderBy("doc_id")))
-    for i in range(n_batches):
-        (ordered.filter((F.col("_rk") > i * step)
-                        & (F.col("_rk") <= (i + 1) * step))
-         .drop("_rk").coalesce(1)
-         .write.mode("overwrite").json(f"{work}/in/b{i}"))
+    def _prep_inputs() -> None:
+        n = arrivals.count()
+        step = n // n_batches + 1
+        from pyspark.sql.window import Window as _W
+
+        ordered = arrivals.withColumn(
+            "_rk", F.row_number().over(_W.orderBy("doc_id")))
+        for i in range(n_batches):  # sequential: ascending file mtimes
+            (ordered.filter((F.col("_rk") > i * step)
+                            & (F.col("_rk") <= (i + 1) * step))
+             .drop("_rk").coalesce(1)
+             .write.mode("overwrite").json(f"{work}/in/b{i}"))
+        _prep_inputs.n_arr = n
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(shutil.copytree, src_nd, nd),
+            pool.submit(
+                llm_dedup.write_bloom_layout,
+                standing.select(F.md5("text").alias("_fp")), bloom, "_fp",
+                4, 6),
+            pool.submit(_prep_inputs),
+        ]
+        for f_ in futs:
+            f_.result()
+    n_arr = _prep_inputs.n_arr
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -494,21 +513,37 @@ def _run_e2e_video_admission(spark, sf_dir: str, n_batches: int = 2) -> None:
             _payloads(False), "media_id long, payload binary"
         )).localCheckpoint()
         layout = f"{work}/layout"
-        mm.write_video_phash_layout(standing_frames, layout)
 
-        n_arr = arrival_docs.count()
-        step = n_arr // n_batches + 1
-        from pyspark.sql.window import Window as _W
+        # r14 (guide §2.6): the standing-layout write and the arrival
+        # input prep are independent (the layout reads the pinned
+        # checkpointed frames; the inputs encode fresh payloads) —
+        # overlap them; the measured admission stream is unchanged.
+        def _prep_inputs() -> None:
+            n = arrival_docs.count()
+            step = n // n_batches + 1
+            from pyspark.sql.window import Window as _W
 
-        ordered = arrival_docs.withColumn(
-            "_rk", F.row_number().over(_W.orderBy("doc_id")))
-        for i in range(n_batches):
-            (ordered.filter((F.col("_rk") > i * step)
-                            & (F.col("_rk") <= (i + 1) * step))
-             .drop("_rk")
-             .mapInPandas(_payloads(True), "media_id long, payload binary")
-             .coalesce(1)
-             .write.mode("overwrite").parquet(f"{work}/in/b{i}"))
+            ordered = arrival_docs.withColumn(
+                "_rk", F.row_number().over(_W.orderBy("doc_id")))
+            for i in range(n_batches):  # sequential: ascending mtimes
+                (ordered.filter((F.col("_rk") > i * step)
+                                & (F.col("_rk") <= (i + 1) * step))
+                 .drop("_rk")
+                 .mapInPandas(
+                     _payloads(True), "media_id long, payload binary")
+                 .coalesce(1)
+                 .write.mode("overwrite").parquet(f"{work}/in/b{i}"))
+            _prep_inputs.n_arr = n
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_layout = pool.submit(
+                mm.write_video_phash_layout, standing_frames, layout)
+            f_in = pool.submit(_prep_inputs)
+            f_layout.result()
+            f_in.result()
+        n_arr = _prep_inputs.n_arr
 
         stream = (spark.readStream
                   .schema("media_id long, payload binary")
@@ -684,6 +719,14 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Stored-layout build audit (VERDICT r13 #5, additive field): when a
+    # write-if-absent layout actually BUILT during this run, its build
+    # seconds appear here; absence means the probes hit standing layouts
+    # built by an earlier process on this machine. No timing semantics
+    # change — the build time was always inside the charging query's
+    # entry; this only makes it visible.
+    if Q.LAYOUT_BUILD_LOG:
+        out["layout_built"] = dict(Q.LAYOUT_BUILD_LOG)
     print(json.dumps(out))
     # Persist the FULL per-query dict per round (VERDICT r7 #4): the
     # driver's BENCH_r*.json preserves only a truncated stdout tail —

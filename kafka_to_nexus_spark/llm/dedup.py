@@ -33,6 +33,41 @@ def shingles(text: Column, k: int = 5) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
 
 
+def _md5_digest_fn(g: int):
+    """Digest factory for the md5 engine: group 0 is the plain digest,
+    further groups are salted re-digests (see minhash_signatures)."""
+    if g == 0:
+        return lambda s: F.md5(s)
+    return lambda s: F.md5(F.concat(s, F.lit(str(g))))
+
+
+def _md5_slice_fn(r: int):
+    return lambda h: F.substring(h, 8 * r + 1, 8)
+
+
+def _xx_slice_fn(i: int):
+    """Per-index 32-bit hash derivation over one xxhash64 digest (see
+    minhash_signatures' xxhash64 engine contract — hash-family v2)."""
+    mask32 = F.lit((1 << 32) - 1)
+    if i == 0:
+        return lambda h: F.shiftrightunsigned(h, 32)
+    if i == 1:
+        return lambda h: h.bitwiseAND(mask32)
+    # multiply-shift family h_i = ((A*lo + C*hi + B) >> 29) & mask32
+    # with fixed odd <2^29 constants per i (golden-ratio stepped)
+    a = ((0x9E3779B9 * (2 * i + 1)) & ((1 << 29) - 1)) | 1
+    c = ((0x85EBCA6B * (2 * i + 3)) & ((1 << 29) - 1)) | 1
+    b = (0xC2B2AE35 * i) & ((1 << 60) - 1)
+    return lambda h: (
+        F.shiftrightunsigned(
+            h.bitwiseAND(mask32) * F.lit(a)
+            + F.shiftrightunsigned(h, 32) * F.lit(c)
+            + F.lit(b),
+            29,
+        ).bitwiseAND(mask32)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -42,6 +77,7 @@ def minhash_signatures(
     keep_cols: tuple[str, ...] = (),
     hash_engine: str = "md5",
     emit_hashes_col: str | None = None,
+    emit_xx_prefix: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature — a narrow map-only stage, no shuffle.
 
@@ -83,27 +119,33 @@ def minhash_signatures(
     relations and this removes their second corpus-wide digest pass
     (guide §1.2: remove passes). Values are bit-identical to
     :func:`ngram_hashes` (same shingle set, same md5, same slice).
+
+    ``emit_xx_prefix`` (r14, md5 engine only): additionally emit the
+    XXHASH64 engine's signature columns as ``{prefix}0..{prefix}N`` in
+    the SAME pass — the engine-parity certificates need both engines'
+    signatures over one corpus, and this folds the second corpus
+    scan + shingle pass into the first (guide §1.2/§2.4; the shingle
+    relation is engine-independent, only the digests differ). Values
+    are bit-identical to a separate ``hash_engine="xxhash64"`` call
+    (same shingle set, same digest expressions — pytest-pinned).
     """
     sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
 
-    # NB: factories, not multi-arg lambdas — PySpark treats a two-arg
-    # transform lambda as (element, index).
+    # NB: factories (_md5_digest_fn/_md5_slice_fn/_xx_slice_fn), not
+    # multi-arg lambdas — PySpark treats a two-arg transform lambda as
+    # (element, index).
     if hash_engine == "md5":
         slices_per_digest = 4
         n_groups = (num_hashes + slices_per_digest - 1) // slices_per_digest
 
-        def digest_fn(g: int):
-            if g == 0:
-                return lambda s: F.md5(s)
-            return lambda s: F.md5(F.concat(s, F.lit(str(g))))
-
-        def slice_fn(r: int):
-            return lambda h: F.substring(h, 8 * r + 1, 8)
-
         digest_cols = [
-            F.transform(sh, digest_fn(g)).alias(f"_d{g}")
+            F.transform(sh, _md5_digest_fn(g)).alias(f"_d{g}")
             for g in range(n_groups)
         ]
+        if emit_xx_prefix is not None:
+            digest_cols.append(
+                F.transform(sh, lambda s: F.xxhash64(s)).alias("_h0")
+            )
         # keep_cols ride along (e.g. the event timestamp on a streaming
         # frame — a post-hoc join back would be a stream-stream join)
         with_digests = df.select(F.col(id_col), *keep_cols, *digest_cols)
@@ -111,7 +153,7 @@ def minhash_signatures(
             F.array_min(
                 F.transform(
                     F.col(f"_d{i // slices_per_digest}"),
-                    slice_fn(i % slices_per_digest),
+                    _md5_slice_fn(i % slices_per_digest),
                 )
             ).alias(f"m{i}")
             for i in range(num_hashes)
@@ -130,6 +172,13 @@ def minhash_signatures(
                     )
                 ).alias(emit_hashes_col)
             )
+        if emit_xx_prefix is not None:
+            cols.extend(
+                F.array_min(
+                    F.transform(F.col("_h0"), _xx_slice_fn(i))
+                ).alias(f"{emit_xx_prefix}{i}")
+                for i in range(num_hashes)
+            )
         return with_digests.select(F.col(id_col), *keep_cols, *cols)
     if emit_hashes_col is not None:
         raise ValueError(
@@ -137,29 +186,13 @@ def minhash_signatures(
             "md5-slice relation; the xxhash64 signature digests cannot "
             "reproduce it)"
         )
+    if emit_xx_prefix is not None:
+        raise ValueError(
+            "emit_xx_prefix requires the md5 engine (it adds the xxhash64 "
+            "columns to the md5 pass; a pure-xxhash64 call already is one)"
+        )
     if hash_engine != "xxhash64":
         raise ValueError(f"unknown hash_engine {hash_engine!r}")
-
-    mask32 = F.lit((1 << 32) - 1)
-
-    def slice_fn(i: int):
-        if i == 0:
-            return lambda h: F.shiftrightunsigned(h, 32)
-        if i == 1:
-            return lambda h: h.bitwiseAND(mask32)
-        # multiply-shift family h_i = ((A*lo + C*hi + B) >> 29) & mask32
-        # with fixed odd <2^29 constants per i (golden-ratio stepped)
-        a = ((0x9E3779B9 * (2 * i + 1)) & ((1 << 29) - 1)) | 1
-        c = ((0x85EBCA6B * (2 * i + 3)) & ((1 << 29) - 1)) | 1
-        b = (0xC2B2AE35 * i) & ((1 << 60) - 1)
-        return lambda h: (
-            F.shiftrightunsigned(
-                h.bitwiseAND(mask32) * F.lit(a)
-                + F.shiftrightunsigned(h, 32) * F.lit(c)
-                + F.lit(b),
-                29,
-            ).bitwiseAND(mask32)
-        )
 
     with_digests = df.select(
         F.col(id_col),
@@ -167,7 +200,7 @@ def minhash_signatures(
         F.transform(sh, lambda s: F.xxhash64(s)).alias("_h0"),
     )
     cols = [
-        F.array_min(F.transform(F.col("_h0"), slice_fn(i))).alias(f"m{i}")
+        F.array_min(F.transform(F.col("_h0"), _xx_slice_fn(i))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return with_digests.select(F.col(id_col), *keep_cols, *cols)
@@ -863,11 +896,30 @@ def write_neardup_banding_layout(
 
     p = {**NEARDUP_LAYOUT_PARAMS, **(params or {})}
     banded, fp, sh = _neardup_relations(df, p, text_col, id_col)
-    _cap_banding(banded, p["max_bucket"]).write.partitionBy("band").parquet(
-        os.path.join(path, "banding")
-    )
-    fp.write.parquet(os.path.join(path, "fingerprints"))
-    sh.write.parquet(os.path.join(path, "shingle_hashes"))
+    # r14 (guide §2.6): the three relation writes are independent jobs
+    # over different target dirs — overlap them instead of paying three
+    # job latencies serially (the one-time build cost the streaming
+    # admission e2e re-pays per bench run). _meta.json lands LAST: the
+    # layout's presence markers include it, so a crashed build never
+    # looks complete.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                lambda: _cap_banding(banded, p["max_bucket"])
+                .write.partitionBy("band")
+                .parquet(os.path.join(path, "banding"))
+            ),
+            pool.submit(
+                lambda: fp.write.parquet(os.path.join(path, "fingerprints"))
+            ),
+            pool.submit(
+                lambda: sh.write.parquet(os.path.join(path, "shingle_hashes"))
+            ),
+        ]
+        for f_ in futs:
+            f_.result()
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(p, f)
 
@@ -1009,11 +1061,8 @@ def append_neardup_banding(
     import os
 
     p, stored_band, _, _ = _read_neardup_layout(spark, path)
-    occupancy = stored_band.groupBy("band", "band_key").agg(
-        F.count("*").alias("_n")
-    )
     capped_new, fp, sh = _neardup_append_frames(
-        p, occupancy, new_docs, text_col, id_col
+        p, stored_band, new_docs, text_col, id_col
     )
     capped_new.write.mode("append").partitionBy("band").parquet(
         os.path.join(path, "banding")
@@ -1024,17 +1073,33 @@ def append_neardup_banding(
 
 def _neardup_append_frames(
     p: dict,
-    occupancy: DataFrame,
+    stored_band: DataFrame,
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(cap-aware banding, fingerprints, shingles) increment for an
-    admitted batch, against a CALLER-SUPPLIED bucket-occupancy relation —
-    shared by :func:`append_neardup_banding` (occupancy from the stored
-    banding dir) and the streaming AdmissionSession (occupancy from its
-    persisted in-memory banding view)."""
+    admitted batch, against a CALLER-SUPPLIED pre-batch standing banding
+    relation — shared by :func:`append_neardup_banding` (the stored
+    banding dir) and the streaming AdmissionSession (its persisted
+    in-memory banding view).
+
+    r14 (guide §2.3/§3.2, arrival-side contract): the cap only needs
+    bucket occupancy for the buckets THIS batch touches, so the standing
+    banding is pre-filtered with a broadcast semi-join on the arrival's
+    (band, band_key) set before aggregating. The old form aggregated the
+    WHOLE standing banding per append — a corpus-sized shuffle every
+    micro-batch at 100 TB; now the shuffle input is bounded by
+    arrival_buckets × max_bucket rows and the standing side stays a
+    streamed scan. Identical capped output: the left join only ever
+    consulted occupancy rows for the arrival's own keys."""
     banded, fp, sh = _neardup_relations(new_docs, p, text_col, id_col)
+    keys = banded.select("band", "band_key").distinct()
+    occupancy = (
+        stored_band.join(F.broadcast(keys), ["band", "band_key"])
+        .groupBy("band", "band_key")
+        .agg(F.count("*").alias("_n"))
+    )
     capped_new = (
         banded.withColumn(
             "_rk",
@@ -1221,8 +1286,23 @@ def write_bloom_layout(
     if hash_engine not in _BLOOM_ENGINES:
         raise ValueError(f"unknown hash_engine {hash_engine!r}")
     params, words = bloom_build(df, fp_col, k, bits_per_key, hash_engine)
-    words.write.mode("overwrite").parquet(os.path.join(path, "words"))
-    params.write.mode("overwrite").parquet(os.path.join(path, "params"))
+    # r14 (guide §2.6): two independent writes, two target dirs —
+    # overlap them; _meta.json lands last (completion marker)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_w = pool.submit(
+            lambda: words.write.mode("overwrite").parquet(
+                os.path.join(path, "words")
+            )
+        )
+        f_p = pool.submit(
+            lambda: params.write.mode("overwrite").parquet(
+                os.path.join(path, "params")
+            )
+        )
+        f_w.result()
+        f_p.result()
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"k": k, "bits_per_key": bits_per_key, "hash_engine": hash_engine},

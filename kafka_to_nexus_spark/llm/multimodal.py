@@ -2670,12 +2670,23 @@ def write_video_phash_layout(
         F.col(hash_col).alias("_h"),
     )
     banded = _cap_video_bands(_video_bands(h, p["bands"]), p["max_bucket"])
-    banded.write.partitionBy("band_idx").parquet(
-        os.path.join(path, "banding")
-    )
-    h.select("_id", "_nf").distinct().write.parquet(
-        os.path.join(path, "nframes")
-    )
+    # r14 (guide §2.6): two independent writes, two target dirs —
+    # overlap them; _meta.json lands last (completion marker)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_band = pool.submit(
+            lambda: banded.write.partitionBy("band_idx").parquet(
+                os.path.join(path, "banding")
+            )
+        )
+        f_nf = pool.submit(
+            lambda: h.select("_id", "_nf").distinct().write.parquet(
+                os.path.join(path, "nframes")
+            )
+        )
+        f_band.result()
+        f_nf.result()
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(p, f)
 
@@ -2808,8 +2819,16 @@ def append_video_phash_layout(
         F.col(hash_col).alias("_h"),
     )
     banded = _video_bands(h, p["bands"])
-    occupancy = stored.groupBy("_f", "band_idx", "band_val").agg(
-        F.count("*").alias("_n")
+    # r14 (guide §2.3/§3.2, arrival-side contract): occupancy only for
+    # the buckets THIS batch touches — broadcast semi-join the arrival's
+    # key set into the standing scan before aggregating, instead of a
+    # standing-corpus-sized groupBy per append (identical capped output:
+    # the left join only consulted the arrival's own keys).
+    keys = banded.select("_f", "band_idx", "band_val").distinct()
+    occupancy = (
+        stored.join(F.broadcast(keys), ["_f", "band_idx", "band_val"])
+        .groupBy("_f", "band_idx", "band_val")
+        .agg(F.count("*").alias("_n"))
     )
     capped_new = (
         banded.withColumn(

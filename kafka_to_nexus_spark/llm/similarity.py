@@ -709,6 +709,10 @@ def pq_train_portable(
     exactly; DECIMAL sums are order-independent). Bit-identical output
     is pytest-pinned against the per-subspace form."""
     vec = _as_double(F.col(vec_col))
+    if dim is not None and dim % m:
+        # explicit-dim misuse fails BEFORE any Spark action runs (ADVICE
+        # r13 #4 — the seed collect used to fire first)
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     gate = F.pmod(
         F.expr(
             f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
@@ -721,6 +725,10 @@ def pq_train_portable(
         .limit(k)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError(
+            "empty input: cannot derive PQ codebooks (no rows to seed from)"
+        )
     if dim is None:
         # r13: derived from the seed rows already on the driver — the
         # old `df.first()` cost a whole extra Spark action per training

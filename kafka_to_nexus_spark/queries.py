@@ -197,9 +197,11 @@ def _run_sql_materialized(
     SQL text — the cross-engine certificate — is untouched.
     Bit-identical by construction: the view holds exactly the rows the
     inlined subtree produces and every downstream operator consumes the
-    same relation. Paren matching is textual: CTE bodies must not
-    contain string literals with unbalanced parentheses (none of the
-    registry texts do)."""
+    same relation. Paren matching is textual but QUOTE-AWARE (r14,
+    ADVICE r13 #1): parens inside single-quoted SQL string literals are
+    skipped (with '' escape handling), and a scanner that walks off the
+    end of the text raises a loud ValueError instead of mis-splicing
+    the query into wrong-but-parseable SQL."""
     import re as _re
 
     for nm in cte_names:
@@ -208,9 +210,28 @@ def _run_sql_materialized(
             raise ValueError(f"CTE {nm!r} not found in query text")
         start = sql.index("(", m.start())
         depth, i = 0, start
+        n = len(sql)
         while True:
+            if i >= n:
+                raise ValueError(
+                    f"unbalanced parentheses scanning CTE {nm!r} body"
+                )
             ch = sql[i]
-            if ch == "(":
+            if ch == "'":
+                # skip the quoted literal; '' inside is an escaped quote
+                i += 1
+                while True:
+                    if i >= n:
+                        raise ValueError(
+                            f"unterminated string literal in CTE {nm!r}"
+                        )
+                    if sql[i] == "'":
+                        if i + 1 < n and sql[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -1441,6 +1462,15 @@ LEFT JOIN best ON d.doc_id = best.id_a
 # plan is Window-free (no per-batch re-capping) and scans the layout.
 
 
+#: Audit log for the write-if-absent stored layouts (VERDICT r13 #5):
+#: whenever a builder actually BUILDS (the markers were absent), it
+#: records the build seconds here under the layout's name. bench.py
+#: surfaces the map as a ``layout_built`` field in the round artifact so
+#: stored-probe timings are auditable — an entry present means that run
+#: paid the build; absent means the probe hit a standing layout.
+LAYOUT_BUILD_LOG: dict[str, float] = {}
+
+
 def _neardup_layout_path(sf_dir: str) -> str:
     import hashlib
     import os
@@ -1488,12 +1518,16 @@ def _neardup_layout(spark: SparkSession, sf_dir: str) -> str:
         return layout
     register_views(spark, sf_dir, ("documents",))
     standing = spark.table("documents").filter(F.col("doc_id") % 10 != 0)
+    import time as _time
+
+    t0 = _time.perf_counter()
     tmp = tempfile.mkdtemp(prefix="k2n_neardup_build_")
     build = os.path.join(tmp, "layout")
     llm_dedup.write_neardup_banding_layout(
         standing, build, params={"max_bucket": _INC_ND_CAP}
     )
     _publish_layout(tmp, build, layout, _NEARDUP_LAYOUT_MARKERS)
+    LAYOUT_BUILD_LOG["neardup"] = round(_time.perf_counter() - t0, 3)
     return layout
 
 
@@ -1585,12 +1619,16 @@ def _bloom_layout(spark: SparkSession, sf_dir: str) -> str:
         .filter(F.col("doc_id") % 10 != 0)
         .select(F.md5(F.col("text")).alias("_fp"))
     )
+    import time as _time
+
+    t0 = _time.perf_counter()
     tmp = tempfile.mkdtemp(prefix="k2n_bloom_build_")
     build = os.path.join(tmp, "layout")
     llm_dedup.write_bloom_layout(
         standing, build, "_fp", k=_BLOOM_K, bits_per_key=_BLOOM_BITS_PER_KEY
     )
     _publish_layout(tmp, build, layout, _BLOOM_LAYOUT_MARKERS)
+    LAYOUT_BUILD_LOG["bloom"] = round(_time.perf_counter() - t0, 3)
     return layout
 
 
@@ -4970,10 +5008,14 @@ def _ivf_layout(spark: SparkSession, sf_dir: str):
     centroids = sorted((int(r["vec_id"]), list(r["ce"])) for r in crows)
     layout = _ivf_layout_path(sf_dir)
     if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        import time as _time
+
+        t0 = _time.perf_counter()
         tmp = tempfile.mkdtemp(prefix="k2n_ivf_build_")
         build = os.path.join(tmp, "layout")
         sim.write_ivf_layout(emb, centroids, build)
         _publish_layout(tmp, build, layout, ("_SUCCESS",))
+        LAYOUT_BUILD_LOG["ivf"] = round(_time.perf_counter() - t0, 3)
     return centroids, layout
 
 
@@ -5774,13 +5816,6 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
         " i -> substr(text, i, 5))), s -> md5(s))"
     )
-    # the xxhash64 engine's signature columns, renamed so one frame can
-    # carry both engines (minhash_signatures emits m0..m3)
-    xx_sig = llm_dedup.minhash_signatures(
-        base, num_hashes=4, hash_engine="xxhash64"
-    ).select(
-        "doc_id", *[F.col(f"m{i}").alias(f"xm{i}") for i in range(4)]
-    )
     # ONE selective band of 4 hashes (not 2): a 2-hash band key collides
     # corpus-wide on the globally-min-hashing shingle and the candidate
     # volume dominated the query. Same 8-hex md5 slices as the
@@ -5790,19 +5825,35 @@ def _q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the BASE corpus only and the mirrored relation is the persisted
     # base pass unioned with its doc_id-shifted projection (row-for-row
     # identical to digesting the mirrored corpus, at half the hash work).
-    allsig_base = (
-        base.withColumn("_h", md_hashes)
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws(",", F.array_sort("_h"))).alias("fp"),
-            *[
-                F.expr(f"array_min(transform(_h, h -> substr(h, {8 * i + 1}, 8)))").alias(f"m{i}")
-                for i in range(4)
-            ],
-        )
-        .join(xx_sig, "doc_id")
-        .persist()
+    # r14 (guide §1.2/§2.4, VERDICT r13 #3): the xx columns ride the
+    # SAME select instead of a second minhash_signatures pass joined on
+    # doc_id — the shingle relation is engine-independent, so one
+    # staged projection computes both engines' digest arrays and the
+    # join (2 corpus scans + an exchange) disappears. xm_i values are
+    # bit-identical to minhash_signatures(hash_engine="xxhash64") —
+    # same shingle set, same digest + slice expressions (pytest-pinned).
+    staged = base.select(
+        "doc_id",
+        md_hashes.alias("_h"),
+        F.transform(
+            F.array_distinct(llm_dedup.shingles(F.col("text"), 5)),
+            lambda s: F.xxhash64(s),
+        ).alias("_hx"),
     )
+    allsig_base = staged.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.array_sort("_h"))).alias("fp"),
+        *[
+            F.expr(f"array_min(transform(_h, h -> substr(h, {8 * i + 1}, 8)))").alias(f"m{i}")
+            for i in range(4)
+        ],
+        *[
+            F.array_min(
+                F.transform(F.col("_hx"), llm_dedup._xx_slice_fn(i))
+            ).alias(f"xm{i}")
+            for i in range(4)
+        ],
+    ).persist()
     allsig = allsig_base.unionByName(
         allsig_base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     )
@@ -8148,24 +8199,34 @@ def _q_dedup_pipeline_engine_parity(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     base_fp = base.withColumn("_fp", F2.md5(F2.col("text").cast("binary")))
-    combined_base = _dd.minhash_signatures(
+    # r14 (guide §1.2/§2.4, VERDICT r13 #3): BOTH engines' signatures
+    # ride ONE corpus scan + shingle pass (emit_xx_prefix — the shingle
+    # relation is engine-independent; only the digests differ), so the
+    # parity certificate persists a single combined frame where it used
+    # to persist one per engine. Each engine's signature relation is a
+    # pure column projection of that pass — values pytest-pinned
+    # bit-identical to the separate per-engine calls.
+    n_hashes = _DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS
+    dual = _dd.minhash_signatures(
         base_fp,
-        num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
+        num_hashes=n_hashes,
         shingle_k=5,
         keep_cols=("_fp",),
         hash_engine="md5",
         emit_hashes_col="sh",
+        emit_xx_prefix="_x",
     ).persist()
-    xx_base = _dd.minhash_signatures(
-        base_fp,
-        num_hashes=_DEDUP_PIPE_BANDS * _DEDUP_PIPE_ROWS,
-        shingle_k=5,
-        keep_cols=("_fp",),
-        hash_engine="xxhash64",
-    ).persist()
+    combined_base = dual.select(
+        "doc_id", "_fp", *[f"m{i}" for i in range(n_hashes)], "sh"
+    )
+    xx_base = dual.select(
+        "doc_id",
+        "_fp",
+        *[F2.col(f"_x{i}").alias(f"m{i}") for i in range(n_hashes)],
+    )
     combined = _mirror(combined_base)
     vh = combined.select("doc_id", "sh")
-    sigs = [combined_base, xx_base]
+    sigs = [dual]
     # r13 (4): each engine side feeds its VERIFIED edges to
     # mirror_merged_flags — in the tiny-edge regime (the one the driver
     # union-find already owns) the flag is answered from the label map
@@ -9260,6 +9321,9 @@ def _ivf_pq_layout(spark: SparkSession, sf_dir: str):
         ]
         return coarse, books, layout
     emb = spark.table("embeddings")
+    import time as _time
+
+    t0 = _time.perf_counter()
     coarse = sim.kmeans_train_portable(emb, k=_IVFPQ_COARSE_K, n_iter=1)
     # residual relation for codebook training — the same construction as
     # ivf_pq_topk_portable's (max-dot assign, subtract assigned centroid)
@@ -9285,6 +9349,7 @@ def _ivf_pq_layout(spark: SparkSession, sf_dir: str):
     with open(os.path.join(build, "_model.json"), "w") as f:
         _json.dump({"coarse": coarse, "books": books}, f)
     _publish_layout(tmp, build, layout, ("_SUCCESS", "_model.json"))
+    LAYOUT_BUILD_LOG["ivf_pq"] = round(_time.perf_counter() - t0, 3)
     return coarse, books, layout
 
 

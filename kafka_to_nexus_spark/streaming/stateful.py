@@ -1262,15 +1262,38 @@ def admit_and_fold(
     if not admitted_ids:
         return
     admitted = batch.filter(F.col(id_col).isin(admitted_ids))
-    llm_dedup.append_bloom(
-        spark, bloom_layout,
-        admitted.select(F.md5(F.col(text_col)).alias("_fp")),
-        "_fp",
-    )
-    llm_dedup.append_neardup_banding(
-        spark, neardup_layout, admitted,
-        text_col=text_col, id_col=id_col,
-    )
+    with _no_aqe(spark):  # r14: arrival-bounded fold plans (see _no_aqe)
+        llm_dedup.append_bloom(
+            spark, bloom_layout,
+            admitted.select(F.md5(F.col(text_col)).alias("_fp")),
+            "_fp",
+        )
+        llm_dedup.append_neardup_banding(
+            spark, neardup_layout, admitted,
+            text_col=text_col, id_col=id_col,
+        )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_aqe(spark):
+    """AQE off for one micro-batch transaction (r14, guide §1.2): the
+    admission decide AND fold plans are arrival-BOUNDED by the family
+    contract — standing relations are streamed scans into broadcast-
+    hash joins and every shuffle's input is arrival-sized (the r14
+    occupancy fix closed the last standing-wide shuffle) — so AQE has
+    nothing to re-optimize at any corpus size, while its per-exchange
+    stage materialization charged every micro-batch a dozen extra
+    scheduler round-trips (measured: decide 21 jobs → 7, −0.7–1.4
+    s/batch warm at sf0.1; fold legs −0.2–0.3 s)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _decide_or_reuse(spark, dec_dir: str, id_col: str, derive) -> list:
@@ -1278,9 +1301,14 @@ def _decide_or_reuse(spark, dec_dir: str, id_col: str, derive) -> list:
     path and the cached session: committed decisions (``_SUCCESS``
     present) are REUSED — the pinned pre-fold snapshot — otherwise
     ``derive()`` builds them, they land with overwrite, and the admitted
-    ids come off the same persisted frame (the driver pin that fences
-    the folds from lazily re-scoring the batch against its own
-    appends)."""
+    ids ride an :class:`~pyspark.sql.Observation` attached to the SAME
+    write action (r14, guide §1.2): the decide used to be two jobs per
+    micro-batch — the decision write plus a filtered collect off a
+    persisted copy — and the observation folds the id pickup into the
+    write, so one job computes the decisions once, writes them, and
+    hands back the admitted set (the driver pin that fences the folds
+    from lazily re-scoring the batch against its own appends is now the
+    collected observation row instead of a persisted frame)."""
     import os
 
     if os.path.exists(os.path.join(dec_dir, "_SUCCESS")):
@@ -1291,17 +1319,20 @@ def _decide_or_reuse(spark, dec_dir: str, id_col: str, derive) -> list:
             .select(id_col)
             .collect()
         ]
-    dec = derive().persist()
-    try:
+    from pyspark.sql import Observation
+
+    with _no_aqe(spark):
+        obs = Observation()
+        dec = derive().observe(
+            obs,
+            # collect_list skips NULLs: non-admitted rows contribute
+            # nothing
+            F.collect_list(
+                F.when(F.col("stage") == "admitted", F.col(id_col))
+            ).alias("_admitted_ids"),
+        )
         dec.write.mode("overwrite").parquet(dec_dir)
-        return [
-            r[0]
-            for r in dec.filter(F.col("stage") == "admitted")
-            .select(id_col)
-            .collect()
-        ]
-    finally:
-        dec.unpersist()
+    return list(obs.get["_admitted_ids"])
 
 
 class AdmissionSession:
@@ -1510,14 +1541,14 @@ class AdmissionSession:
             "_fp", self.bloom_meta, self.bloom_params,
         )
         bloom_dir = llm_dedup.resolve_bloom_generation(self.bloom_layout)
-        # near-dup fold: occupancy from the cached view (no parquet
-        # re-agg); built BEFORE any append so the cap sees the
-        # pre-batch bucket population, exactly as the serial fold did
-        occupancy = self._union(self._band).groupBy("band", "band_key").agg(
-            F.count("*").alias("_n")
-        )
+        # near-dup fold: the pre-batch cached banding view (the _band
+        # union snapshots the piece list HERE, before any append, so the
+        # cap sees the pre-batch bucket population exactly as the serial
+        # fold did); occupancy itself is built arrival-bounded inside
+        # _neardup_append_frames (r14 — no standing-wide agg per batch)
         capped_new, fp_new, sh_new = llm_dedup._neardup_append_frames(
-            self.nd_params, occupancy, admitted, self.text_col, self.id_col
+            self.nd_params, self._union(self._band), admitted,
+            self.text_col, self.id_col,
         )
         # r13 (guide §2.6): the five append jobs are independent —
         # different target dirs, all derived from the persisted state +
@@ -1528,7 +1559,9 @@ class AdmissionSession:
         # workers is a GIL-atomic list append used only for release.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        # r14: AQE off for the fold legs too — after the arrival-bounded
+        # occupancy fix every fold shuffle is arrival-sized (see _no_aqe)
+        with _no_aqe(self.spark), ThreadPoolExecutor(max_workers=5) as pool:
             f_words = pool.submit(
                 self._persist_via_write,
                 new_words,
@@ -1680,7 +1713,8 @@ def video_admit_and_fold(
     )
     if not admitted_ids:
         return
-    mm.append_video_phash_layout(
-        spark, layout, batch.filter(F.col(id_col).isin(admitted_ids)),
-        hash_col, id_col, frame_col, nf_col,
-    )
+    with _no_aqe(spark):  # r14: arrival-bounded fold plans (see _no_aqe)
+        mm.append_video_phash_layout(
+            spark, layout, batch.filter(F.col(id_col).isin(admitted_ids)),
+            hash_col, id_col, frame_col, nf_col,
+        )

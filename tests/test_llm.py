@@ -4002,3 +4002,91 @@ def test_minhash_emit_hashes_col_matches_ngram_hashes(spark):
         dedup.minhash_signatures(
             docs, num_hashes=4, hash_engine="xxhash64", emit_hashes_col="sh"
         )
+
+
+def test_minhash_emit_xx_prefix_matches_separate_engines(spark):
+    """r14 (VERDICT r13 #3): minhash_signatures(emit_xx_prefix=...)
+    emits BOTH engines' signature columns from one corpus scan (the
+    shingle relation is engine-independent). Pins the xx columns
+    EXACTLY equal to a separate hash_engine="xxhash64" call and the
+    md5 columns + emitted hash relation unchanged vs the plain call."""
+    docs = spark.read.parquet(
+        str(TESTDATA / "sf0.01" / "documents.parquet")
+    ).select("doc_id", "text")
+    md = dedup.minhash_signatures(
+        docs, num_hashes=8, shingle_k=5, emit_hashes_col="sh"
+    )
+    xx = dedup.minhash_signatures(
+        docs, num_hashes=8, shingle_k=5, hash_engine="xxhash64"
+    )
+    dual = dedup.minhash_signatures(
+        docs, num_hashes=8, shingle_k=5,
+        emit_hashes_col="sh", emit_xx_prefix="_x",
+    )
+    got = {
+        r["doc_id"]: (
+            tuple(r[f"m{i}"] for i in range(8)),
+            tuple(r["sh"]),
+            tuple(r[f"_x{i}"] for i in range(8)),
+        )
+        for r in dual.collect()
+    }
+    want_md = {
+        r["doc_id"]: (tuple(r[f"m{i}"] for i in range(8)), tuple(r["sh"]))
+        for r in md.collect()
+    }
+    want_xx = {
+        r["doc_id"]: tuple(r[f"m{i}"] for i in range(8)) for r in xx.collect()
+    }
+    assert len(got) > 0
+    assert {k: (v[0], v[1]) for k, v in got.items()} == want_md
+    assert {k: v[2] for k, v in got.items()} == want_xx
+    # the pure-xxhash64 call is already one pass: loud error
+    with pytest.raises(ValueError, match="md5 engine"):
+        dedup.minhash_signatures(
+            docs, num_hashes=4, hash_engine="xxhash64", emit_xx_prefix="_x"
+        )
+
+
+def test_run_sql_materialized_quote_aware_and_bounded(spark):
+    """r14 (ADVICE r13 #1): the CTE paren scanner skips string
+    literals (including '' escapes) and raises loudly instead of
+    walking off the end on unbalanced text — silent mis-splicing into
+    wrong-but-parseable SQL is the failure mode being pinned out."""
+    import pytest
+
+    from kafka_to_nexus_spark import queries as Q
+
+    # (a) literal containing an unbalanced '(' and an escaped quote:
+    # the materialized result must equal the inline result
+    sql = (
+        "WITH\n"
+        "c AS (SELECT 'it''s (' AS s, 1 AS n),\n"
+        "d AS (SELECT s, n + 1 AS n2 FROM c)\n"
+        "SELECT c.s, c.n, d.n2 FROM c JOIN d ON c.s = d.s"
+    )
+    inline = sorted(map(tuple, spark.sql(sql).collect()))
+    mat = sorted(
+        map(tuple, Q._run_sql_materialized(spark, sql, ("c",), "qa").collect())
+    )
+    assert mat == inline and len(mat) == 1
+    # (b) unbalanced parens: loud error, not an index walk off the end
+    with pytest.raises(ValueError, match="unbalanced parentheses"):
+        Q._run_sql_materialized(spark, "c AS (SELECT 1", ("c",), "qa")
+    # (c) unterminated literal: loud error
+    with pytest.raises(ValueError, match="unterminated string"):
+        Q._run_sql_materialized(spark, "c AS (SELECT 'x", ("c",), "qa")
+
+
+def test_pq_train_portable_error_paths(spark):
+    """r14 (ADVICE r13 #4): empty input raises a loud ValueError (not a
+    bare IndexError), and an explicitly-passed indivisible dim raises
+    BEFORE any Spark action (proved on an empty frame: the divisibility
+    error wins over the empty-seed error only if it fires first)."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty input"):
+        similarity.pq_train_portable(empty, m=4, k=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train_portable(empty, m=3, k=2, dim=64)
