@@ -246,6 +246,79 @@ def _nearest_centroid_sql(
     )
 
 
+def assign_portable_pandas_col(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Arrow-batched PORTABLE argmax-dot assignment — bit-identical to
+    :func:`nearest_centroid_expr` (pytest-pinned), executed as 64
+    vectorized numpy adds per batch instead of the interpreted
+    higher-order-function fold (r14, guide §4.2 — HOF lambdas never
+    enter whole-stage codegen and the k×dim×rows interpreted eval WAS
+    the portable trainers' cost: ~1.4 s of a 3.0 s semantic-dedup build
+    at sf0.1).
+
+    Exactness: the accumulator loop adds x_j·c_j in ascending-j order —
+    ``acc = ((0.0 + x_0 c_0) + x_1 c_1) + …`` per (row, centroid) —
+    numpy's ``+=``/``*`` are separate IEEE-754 ops (no FMA fusion), so
+    every partial sum is the same double the SQL fold produces. Argmax
+    takes the FIRST maximum over centroid-id-sorted codebooks = lowest
+    centroid id on ties, the expr's rule. Degenerate inputs (null
+    vector, null/NaN element, length-mismatched vector) map to the
+    lowest centroid id exactly as the expr's null-argmax sentinel does
+    (in SQL every dot goes null/NaN together; here the row is masked to
+    the default)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(centroids)
+    C = np.array([c for _, c in ordered], dtype=np.float64)  # k × d
+    ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    d = C.shape[1]
+    default = int(ordered[0][0])
+
+    @pandas_udf(T.IntegerType())
+    def assign(batch: pd.Series) -> pd.Series:
+        vecs = batch.to_numpy()
+        out = np.full(len(vecs), default, dtype=np.int64)
+        try:
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            if M.ndim != 2 or M.shape[1] != d:
+                raise ValueError
+            bad = np.isnan(M).any(axis=1)
+        except (ValueError, TypeError):
+            # ragged / null rows: per-row fallback, same arithmetic
+            keep, rows = [], []
+            for i, v in enumerate(vecs):
+                if v is None:
+                    continue
+                try:
+                    a = np.asarray(
+                        [np.nan if x is None else x for x in v],
+                        dtype=np.float64,
+                    )
+                except (ValueError, TypeError):
+                    continue
+                if a.ndim != 1 or a.shape[0] != d or np.isnan(a).any():
+                    continue
+                keep.append(i)
+                rows.append(a)
+            if keep:
+                M = np.stack(rows)
+                acc = np.zeros((len(rows), C.shape[0]), dtype=np.float64)
+                for j in range(d):
+                    acc += M[:, j : j + 1] * C[:, j][None, :]
+                out[np.asarray(keep)] = ids[acc.argmax(axis=1)]
+            return pd.Series(out)
+        acc = np.zeros((M.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(d):
+            # strict ascending-j accumulation: the fold's IEEE add order
+            acc += M[:, j : j + 1] * C[:, j][None, :]
+        good = ~bad
+        out[good] = ids[acc[good].argmax(axis=1)]
+        return pd.Series(out)
+
+    return assign(vec)
+
+
 def _assign_pandas_col(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """Arrow-batched argmax-dot assignment: one BLAS matmul per record
     batch instead of a k×dim codegen fold — the fast path for wide
@@ -400,15 +473,16 @@ def kmeans_train_portable(
     )
     centroids = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
     for _ in range(n_iter):
-        # Assignment stays the HOF fold: at full vector width (k*dim
-        # terms, e.g. 8*64=512) the unrolled _nearest_centroid_sql chain
-        # measured ~2x SLOWER than the interpreted fold (r13 A/B:
-        # ivf_kmeans_train 2.4->4.5 s, semantic_dedup_prune 3.2->9.8 s)
-        # — the expression is too large to codegen profitably. The
-        # unrolled form only wins at subspace width (pq_train_portable).
+        # Assignment is the numpy strict-order twin (r14, guide §4.2):
+        # the interpreted HOF fold (nearest_centroid_expr — the pinned
+        # cross-impl witness) cost ~1.4 s/iteration at sf0.1 k=31, and
+        # the unrolled _nearest_centroid_sql chain measured ~2x WORSE
+        # at full vector width (r13 A/B) — the numpy form reproduces
+        # the fold's IEEE add order bitwise (pytest-pinned) at ~64
+        # vectorized adds per batch.
         sums = (
             df.select(
-                nearest_centroid_expr(vec, centroids).alias("_cid"),
+                assign_portable_pandas_col(vec, centroids).alias("_cid"),
                 F.posexplode(vec).alias("_pos", "_x"),
             )
             .groupBy("_cid", "_pos")
@@ -505,9 +579,11 @@ def semantic_dedup_prune(
     # left join — unmaterialized, the centroid-assignment map would run
     # three times over the corpus (the same double-execution
     # connected_components avoids the same way).
+    # r14: assignment via the numpy strict-order twin (bit-identical to
+    # nearest_centroid_expr, pytest-pinned — see assign_portable_pandas_col)
     assigned = df.select(
         F.col(id_col), vec.alias("_v"),
-        nearest_centroid_expr(vec, centroids).alias("centroid_id"),
+        assign_portable_pandas_col(vec, centroids).alias("centroid_id"),
     ).localCheckpoint()
     a = assigned.alias("a")
     b = assigned.alias("b")

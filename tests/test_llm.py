@@ -4090,3 +4090,52 @@ def test_pq_train_portable_error_paths(spark):
         similarity.pq_train_portable(empty, m=4, k=2)
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train_portable(empty, m=3, k=2, dim=64)
+
+
+def test_assign_portable_pandas_matches_expr_bitwise(spark):
+    """r14: assign_portable_pandas_col is the numpy execution twin of
+    nearest_centroid_expr (the pinned cross-impl witness) — strict
+    ascending-j accumulation reproduces the fold's IEEE add order, first
+    argmax reproduces the lowest-centroid-id tie rule, and every
+    degenerate input (null vector, null element, ragged lengths) maps to
+    the lowest centroid id exactly like the expr's null-argmax sentinel.
+    Pinned on the fixture embeddings AND a synthetic frame of edge
+    cases, for k=8 and the auto-k k=31 regime."""
+    emb = spark.read.parquet(
+        str(TESTDATA / "sf0.1" / "embeddings.parquet")
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    rows = emb.limit(40).collect()
+    for k in (8, 31):
+        cents = [(i, list(r["v"])) for i, r in enumerate(rows[:k])]
+        both = emb.select(
+            "vec_id",
+            similarity.nearest_centroid_expr(F.col("v"), cents).alias("e"),
+            similarity.assign_portable_pandas_col(F.col("v"), cents).alias("p"),
+        ).collect()
+        assert len(both) > 0
+        diff = [(r["vec_id"], r["e"], r["p"]) for r in both if r["e"] != r["p"]]
+        assert diff == [], f"k={k}: {diff[:5]}"
+    # degenerate + tie cases: null vector, null element, short, long,
+    # exact-tie vectors (two identical centroids -> lowest id wins)
+    cents = [(3, [1.0, 0.0]), (5, [1.0, 0.0]), (7, [0.0, 1.0])]
+    edge = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # ties centroids 3 and 5 -> 3
+            (1, [0.0, 2.0]),        # centroid 7
+            (2, None),              # null vector -> lowest id (3)
+            (3, [1.0, None]),       # null element -> 3
+            (4, [1.0]),             # short -> 3
+            (5, [1.0, 0.0, 9.0]),   # long -> 3
+            (6, [-0.0, -0.0]),      # all-(-0.0) dots tie -> 3
+        ],
+        "vec_id long, v array<double>",
+    )
+    both = edge.select(
+        "vec_id",
+        similarity.nearest_centroid_expr(F.col("v"), cents).alias("e"),
+        similarity.assign_portable_pandas_col(F.col("v"), cents).alias("p"),
+    ).collect()
+    got = {r["vec_id"]: (r["e"], r["p"]) for r in both}
+    for vid, (e, p) in got.items():
+        assert e == p, (vid, e, p)
+    assert got[0] == (3, 3) and got[1] == (7, 7) and got[2] == (3, 3)
